@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * Mirrors the reference's table surface: the reference materializes two
+  * tables per rotated DuckDB file (`bidreq`, `bidreq_norm` —
+  * /root/reference/main.go:255,198) and queries them with DuckDB SQL; here
+  * every table is a parquet directory readable by both Spark and the
+  * DuckDB oracle. Scans go through `spark.read.parquet` so Catalyst gets
+  * full predicate pushdown / column pruning / partition discovery.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read nanos as raw INT64 (legacy conf, dynamic) and
+    * rebuild `ts` as TIMESTAMP_NTZ at microsecond precision — integer
+    * `div` so no double-precision loss on ~1.7e18 nanos. NTZ matches what
+    * DuckDB (the oracle) sees for the same file, and keeps parquet output
+    * of `ts` byte-comparable (isAdjustedToUTC=false).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events").withColumn(
+      "ts", org.apache.spark.sql.functions.expr(
+        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
