@@ -32,7 +32,116 @@ object SparkEntry {
     "q3_shipping_priority"  -> (Relational.q3ShippingPriority _),
     "q5_local_supplier"     -> (Relational.q5LocalSupplierVolume _),
     "q_top_orders_window"   -> (Relational.topOrdersPerPriority _),
+    // --- training-data pipeline: dedup family ---------------------------
+    "dedup_exact"           -> (Dedup.exact _),
+    "dedup_minhash_lsh"     -> (Dedup.minhashLsh _),
+    "dedup_simhash"         -> (Dedup.simhash _),
+    "dedup_ngram_jaccard"   -> (Dedup.ngramJaccard _),
+    "dedup_embedding"       -> (Dedup.embeddingNearDup _),
+    // --- similarity search ----------------------------------------------
+    "sim_brute_topk"        -> (Similarity.bruteForceTopK _),
+    "sim_ivf_topk"          -> (Similarity.ivfTopK _),
+    // --- text analysis --------------------------------------------------
+    "text_token_stats"      -> (TextAnalysis.tokenStats _),
+    "text_quality"          -> (TextAnalysis.qualityScore _),
+    "text_langid"           -> (TextAnalysis.langId _),
+    "text_fingerprint"      -> (TextAnalysis.fingerprint _),
   )
+
+  // ---- DuckDB oracle SQL builders for the generated parts ----
+  // Shared CTE: whitespace tokens and distinct word-3-gram shingles,
+  // mirroring graft.functions.{tokens, wordNgrams} exactly.
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, text,
+      |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, len(t) AS n_toks,
+      |         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+      |             i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+      |  FROM toks),
+      |shf AS (SELECT * FROM sh WHERE len(s) > 0)""".stripMargin
+
+  private val jaccardExpr =
+    "round(len(list_intersect(%s, %s)) * 1.0 / len(list_distinct(%s || %s)), 4)"
+
+  private def minhashOracle: String = {
+    val sigCols = (0 until Dedup.NumHashes)
+      .map(j => s"min(substr(md5('$j:' || e), 1, 8)) AS h$j").mkString(",\n         ")
+    val bandSelects = (0 until Dedup.NumBands).map { b =>
+      val hs = (0 until Dedup.NumHashes / Dedup.NumBands)
+        .map(r => s"h${Dedup.NumHashes / Dedup.NumBands * b + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS b, md5($hs) AS k FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $toksCte,
+       |ex AS (SELECT doc_id, unnest(s) AS e FROM shf),
+       |sig AS (SELECT doc_id,
+       |         $sigCols
+       |        FROM ex GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id),
+       |j AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         ${jaccardExpr.format("a.s", "b.s", "a.s", "b.s")} AS jaccard
+       |  FROM cand c
+       |  JOIN shf a ON a.doc_id = c.doc_a
+       |  JOIN shf b ON b.doc_id = c.doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM j
+       |WHERE jaccard >= ${Dedup.MinhashJaccardThreshold}
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private def simhashOracle: String = {
+    def hexToLong(expr: String) =
+      s"""list_reduce(list_transform(range(1, 9),
+         |             i -> strpos('0123456789abcdef', substr($expr, i, 1)) - 1),
+         |           (a, b) -> a * 16 + b)""".stripMargin
+    val sumCols =
+      ((0 until 32).map(b =>
+        s"sum(CASE WHEN ((hhi >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS a$b") ++
+       (0 until 32).map(b =>
+        s"sum(CASE WHEN ((hlo >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS c$b"))
+        .mkString(",\n         ")
+    def word(p: String) = (0 until 32)
+      .map(b => s"(CASE WHEN $p$b > 0 THEN 1::BIGINT << $b ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""WITH $toksCte,
+       |tk AS (SELECT doc_id, md5('991:' || tok) AS md FROM
+       |        (SELECT doc_id, unnest(t) AS tok FROM toks)),
+       |hv AS (
+       |  SELECT doc_id,
+       |         ${hexToLong("substr(md, 1, 8)")} AS hhi,
+       |         ${hexToLong("substr(md, 9, 8)")} AS hlo
+       |  FROM tk),
+       |sums AS (SELECT doc_id,
+       |         $sumCols
+       |        FROM hv GROUP BY doc_id),
+       |sim AS (SELECT doc_id, ${word("a")} AS shi, ${word("c")} AS slo FROM sums),
+       |bands AS (
+       |  SELECT doc_id, shi, slo, 0 AS b, shi >> 16 AS k FROM sim
+       |  UNION ALL SELECT doc_id, shi, slo, 1, shi & 65535 FROM sim
+       |  UNION ALL SELECT doc_id, shi, slo, 2, slo >> 16 FROM sim
+       |  UNION ALL SELECT doc_id, shi, slo, 3, slo & 65535 FROM sim),
+       |p AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |         CAST(bit_count(xor(x.shi, y.shi))
+       |              + bit_count(xor(x.slo, y.slo)) AS INT) AS hamming
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM p
+       |WHERE hamming <= ${Dedup.SimhashMaxHamming}
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val cosExpr =
+    """list_sum(list_transform(range(1, 65), i -> %1$s[i] * %2$s[i]))
+      | / (sqrt(list_sum(list_transform(%1$s, a -> a * a)))
+      |    * sqrt(list_sum(list_transform(%2$s, a -> a * a))))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_partition_discovery" ->
@@ -133,5 +242,136 @@ object SparkEntry {
         |SELECT o_orderpriority, CAST(rk AS INT) AS rk, o_orderkey,
         |       round(o_totalprice, 2) AS o_totalprice
         |FROM t WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies,
+        |       min(doc_id) AS keeper
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "dedup_minhash_lsh" -> minhashOracle,
+    "dedup_simhash" -> simhashOracle,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $toksCte,
+         |keyed AS (
+         |  SELECT doc_id, s, unnest([n_toks // 10, n_toks // 10 + 1]) AS blk
+         |  FROM shf),
+         |p AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |         ${jaccardExpr.format("x.s", "y.s", "x.s", "y.s")} AS jaccard
+         |  FROM keyed x JOIN keyed y
+         |    ON x.blk = y.blk AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM p
+         |WHERE jaccard >= ${Dedup.MinhashJaccardThreshold}
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |         round(${cosExpr.format("x.v", "y.v")}, 4) AS sim
+         |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
+         |SELECT vec_a, vec_b, sim FROM p
+         |WHERE sim >= ${Dedup.EmbeddingCosThreshold}
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "sim_brute_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id % ${Similarity.QueryStride} = 0),
+         |s AS (
+         |  SELECT q.q_id, e.vec_id AS n_id,
+         |         round(${cosExpr.format("q.qv", "e.v")}, 4) AS sim
+         |  FROM e, q WHERE e.vec_id <> q.q_id),
+         |r AS (
+         |  SELECT q_id, n_id, sim,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY sim DESC, n_id) AS rank
+         |  FROM s)
+         |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM r
+         |WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""".stripMargin,
+    "sim_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id % ${Similarity.QueryStride} = 0),
+         |cent AS (
+         |  SELECT label, i, avg(v[i]) AS m
+         |  FROM e, range(1, 65) r(i) GROUP BY label, i),
+         |qc AS (
+         |  SELECT q.q_id, c.label,
+         |         sum((q.qv[c.i] - c.m) * (q.qv[c.i] - c.m)) AS d2
+         |  FROM q, cent c GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT q_id, label FROM (
+         |    SELECT q_id, label,
+         |           row_number() OVER (PARTITION BY q_id
+         |                              ORDER BY round(d2, 6), label) AS pr
+         |    FROM qc) WHERE pr <= ${Similarity.NProbe}),
+         |s AS (
+         |  SELECT q.q_id, e.vec_id AS n_id,
+         |         round(${cosExpr.format("q.qv", "e.v")}, 4) AS sim
+         |  FROM probes p
+         |  JOIN q ON q.q_id = p.q_id
+         |  JOIN e ON e.label = p.label AND e.vec_id <> q.q_id),
+         |r AS (
+         |  SELECT q_id, n_id, sim,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY sim DESC, n_id) AS rank
+         |  FROM s)
+         |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM r
+         |WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""".stripMargin,
+    "text_token_stats" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+         |       CAST(len(list_distinct(t)) AS INT) AS n_unique,
+         |       round(list_sum(list_transform(t, x -> len(x))) * 1.0 / len(t), 4)
+         |         AS avg_token_len
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    "text_quality" -> {
+      val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH $toksCte,
+         |raw AS (
+         |  SELECT doc_id, len(text) AS n_chars,
+         |         len(list_filter(t, x -> list_contains($stopList, x))) * 1.0
+         |           / len(t) AS sr,
+         |         len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0
+         |           / len(text) AS pr
+         |  FROM toks)
+         |SELECT doc_id, CAST(n_chars AS INT) AS n_chars,
+         |       round(sr, 4) AS stop_ratio, round(pr, 4) AS punct_ratio,
+         |       (CASE WHEN n_chars BETWEEN 50 AND 2000 THEN 4 ELSE 0 END
+         |        + CASE WHEN sr BETWEEN 0.05 AND 0.6 THEN 4 ELSE 0 END
+         |        + CASE WHEN pr < 0.05 THEN 2 ELSE 0 END) / 10.0 AS quality
+         |FROM raw ORDER BY doc_id""".stripMargin
+    },
+    "text_langid" -> {
+      val scoreCols = TextAnalysis.LangMarkers.map { case (l, ws) =>
+        val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"CAST(len(list_filter(t, x -> list_contains($lst, x))) AS INT) AS score_$l"
+      }.mkString(",\n       ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      val cases = langs
+        .map(l => s"WHEN score_$l = best AND best > 0 THEN '$l'")
+        .mkString("\n            ")
+      s"""WITH $toksCte,
+         |sc AS (
+         |  SELECT doc_id,
+         |       $scoreCols
+         |  FROM toks),
+         |b AS (SELECT *, $best AS best FROM sc)
+         |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+         |       CASE $cases
+         |            ELSE 'und' END AS pred_lang
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
+    "text_fingerprint" ->
+      s"""WITH $toksCte,
+         |g AS (
+         |  SELECT doc_id, text,
+         |         list_transform(range(1, greatest(len(t) - 1, 1)),
+         |             i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS gr
+         |  FROM toks)
+         |SELECT doc_id, md5(text) AS content_md5,
+         |       list_min(list_transform(gr, s -> substr(md5('fp:' || s), 1, 8)))
+         |         AS fp_min,
+         |       list_max(list_transform(gr, s -> substr(md5('fp:' || s), 1, 8)))
+         |         AS fp_max
+         |FROM g ORDER BY doc_id""".stripMargin,
   )
 }

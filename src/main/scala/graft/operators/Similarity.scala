@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * Two variants:
+  *  - [[bruteForceTopK]]: exact top-k — broadcast the (small) query set
+  *    and stream the corpus once. At 100 TB the corpus side stays
+  *    partitioned; only per-partition top-k state exists before the final
+  *    k-row-per-query reduction (window over q_id — key cardinality =
+  *    #queries, so the shuffle is tiny).
+  *  - [[ivfTopK]]: IVF-style scale path — a coarse quantizer (per-label
+  *    centroids, i.e. the cluster assignment an offline k-means would
+  *    produce) restricts each query to its `nprobe` nearest cells, so
+  *    only corpus partitions for probed cells are scanned. Probed-cell
+  *    assignment is a broadcast join; no corpus shuffle at all.
+  *
+  * Scores are rounded to 4 decimals BEFORE ranking on both engines so
+  * float-accumulation-order differences can never flip the ranking vs
+  * the oracle; ties break on vec_id.
+  */
+object Similarity {
+
+  val K = 5
+  val QueryStride = 50 // vec_id % 50 == 0 → deterministic query set
+  val NProbe = 2
+  val Dims = 64
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+
+  private def queries(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir).filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+
+  /** Exact cosine top-k per query (brute force baseline). */
+  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val scored = corpus(spark, dir)
+      .join(broadcast(queries(spark, dir)), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(cosineSim(col("qv"), col("v")), 4).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** IVF top-k: centroid per `label` cell (elementwise mean), each query
+    * probes its NProbe nearest cells (squared L2, rounded before
+    * ranking), search restricted to those cells. */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val c = corpus(spark, dir)
+    // per-cell elementwise mean: posexplode → avg per (label, pos) →
+    // reassemble ordered array
+    val cent = c
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), transform(col("pm"), p => p.getField("m")).as("cv"))
+    val dist2 = aggregate(
+      zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("d2"), col("label"))
+    val probes = queries(spark, dir).join(broadcast(cent))
+      .select(col("q_id"), col("qv"), col("label"), round(dist2, 6).as("d2"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= NProbe)
+      .select(col("q_id"), col("qv"), col("label"))
+    val scored = c.join(broadcast(probes),
+        c("label") === probes("label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(cosineSim(col("qv"), col("v")), 4).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+      .orderBy("q_id", "rank")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data curation: token statistics,
+  * quality scoring, language identification, document fingerprinting.
+  * All are single-pass narrow transformations (no shuffle except the
+  * final presentation sort) — they scale linearly with input splits.
+  * Every computation is built from engine-agnostic primitives (md5,
+  * regexp on explicit character classes, integer arithmetic) so the
+  * DuckDB oracle reproduces results exactly.
+  */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")
+
+  /** Per-language marker-word lists for the n-gram/stopword language-ID
+    * heuristic. Deterministic argmax with a fixed tie-break order.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "los", "y", "que", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  private def toks: Column = tokens(col("text"))
+
+  private def countIn(ts: Column, words: Seq[String]): Column =
+    size(filter(ts, t => t.isInCollection(words)))
+
+  /** Token counting: whitespace tokens, distinct tokens, mean token
+    * length — the "token budget" pass of a data pipeline. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_unique"),
+        round(
+          aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+            .cast("double") / size(toks), 4).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length / stopword-ratio / punctuation-ratio gates
+    * combined into a 0..1 score (sum of integer weights / 10 so both
+    * engines produce the identical double). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text"))
+    val stopRatio = countIn(toks, Stopwords).cast("double") / size(toks)
+    val punctRatio =
+      length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+        .cast("double") / nChars
+    val score = (
+      when(nChars.between(50, 2000), 4).otherwise(0) +
+        when(stopRatio.between(0.05, 0.6), 4).otherwise(0) +
+        when(punctRatio < 0.05, 2).otherwise(0)
+      ).cast("double") / 10.0
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        nChars.as("n_chars"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(punctRatio, 4).as("punct_ratio"),
+        score.as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID: score each candidate language by marker-word hits over
+    * the token list; argmax with the declaration order as tie-break;
+    * 'und' when no marker hits at all. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scores = LangMarkers.map { case (lang, words) =>
+      lang -> countIn(toks, words)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language (in declaration order) achieving the max score
+    val pred = scores.reverse.foldLeft(lit("und")) {
+      case (acc, (lang, sc)) => when(sc === best && best > 0, lang).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: scores.map { case (l, c) => c.as(s"score_$l") }
+        :+ pred.as("pred_lang"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: md5 content hash plus min/max of an
+    * md5-derived rolling window hash over word 3-gram shingles (the
+    * winnowing-style fingerprint pair used for fast near-dup triage).
+    * Docs with fewer than 3 tokens fingerprint as NULL min/max. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = transform(wordNgrams(toks, 3), s =>
+      substring(md5(concat(lit("fp:"), s)), 1, 8))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(col("text")).as("content_md5"),
+        array_min(hashes).as("fp_min"),
+        array_max(hashes).as("fp_max"))
+      .orderBy("doc_id")
+  }
+}
