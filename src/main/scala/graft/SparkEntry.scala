@@ -32,6 +32,9 @@ object SparkEntry {
     "q3_shipping_priority"  -> (Relational.q3ShippingPriority _),
     "q5_local_supplier"     -> (Relational.q5LocalSupplierVolume _),
     "q_top_orders_window"   -> (Relational.topOrdersPerPriority _),
+    "q_proto_roundtrip"     -> (ProtoPipeline.roundtrip _),
+    "q_bid_hourly_agg"      -> (BidExports.hourlyAggFromWire _),
+    "q_stream_hourly"       -> (graft.streaming.StreamingAgg.hourlyWindow _),
     // --- training-data pipeline: dedup family ---------------------------
     "dedup_exact"           -> (Dedup.exact _),
     "dedup_minhash_lsh"     -> (Dedup.minhashLsh _),
@@ -242,6 +245,70 @@ object SparkEntry {
         |SELECT o_orderpriority, CAST(rk AS INT) AS rk, o_orderkey,
         |       round(o_totalprice, 2) AS o_totalprice
         |FROM t WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q_proto_roundtrip" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         epoch_us(ts) AS us, epoch_ms(ts) AS ms
+        |  FROM events)
+        |SELECT CAST(event_id AS VARCHAR) AS bidreq_id,
+        |       coalesce(
+        |         nullif(CASE WHEN user_id % 4 = 0 THEN ''
+        |                     ELSE 'u' || CAST(user_id AS VARCHAR) END, ''),
+        |         'site_' || CAST(user_id % 20 AS VARCHAR)) AS device_id,
+        |       event_type AS pub_id,
+        |       ms AS event_tm,
+        |       us // 1000000 AS event_time,
+        |       CAST(CASE WHEN value >= 50 THEN floor(value) + 1
+        |                 ELSE floor(value) + 2 END AS INT) AS width,
+        |       CAST(CASE WHEN value >= 50 THEN (user_id % 5 + 1) * 100
+        |                 ELSE (user_id % 5 + 1) * 100 + 1 END AS INT) AS height,
+        |       unnest(CASE
+        |         WHEN event_id % 3 = 0 THEN [NULL]
+        |         WHEN event_id % 3 = 1
+        |           THEN ['deal_' || CAST(event_id AS VARCHAR) || '_0']
+        |         ELSE ['deal_' || CAST(event_id AS VARCHAR) || '_0',
+        |               'deal_' || CAST(event_id AS VARCHAR) || '_1'] END) AS deal
+        |FROM e ORDER BY event_id, deal NULLS FIRST""".stripMargin,
+    "q_bid_hourly_agg" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         epoch_us(ts) AS us, epoch_ms(ts) AS ms
+        |  FROM events),
+        |norm AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS bidreq_id,
+        |         coalesce(
+        |           nullif(CASE WHEN user_id % 4 = 0 THEN ''
+        |                       ELSE 'u' || CAST(user_id AS VARCHAR) END, ''),
+        |           'site_' || CAST(user_id % 20 AS VARCHAR)) AS device_id,
+        |         event_type AS pub_id,
+        |         us // 1000000 AS event_time,
+        |         CAST(CASE WHEN value >= 50 THEN floor(value) + 1
+        |                   ELSE floor(value) + 2 END AS INT) AS width,
+        |         CAST(CASE WHEN value >= 50 THEN (user_id % 5 + 1) * 100
+        |                   ELSE (user_id % 5 + 1) * 100 + 1 END AS INT) AS height,
+        |         unnest(CASE
+        |           WHEN event_id % 3 = 0 THEN [NULL]
+        |           WHEN event_id % 3 = 1
+        |             THEN ['deal_' || CAST(event_id AS VARCHAR) || '_0']
+        |           ELSE ['deal_' || CAST(event_id AS VARCHAR) || '_0',
+        |                 'deal_' || CAST(event_id AS VARCHAR) || '_1'] END) AS deal
+        |  FROM e),
+        |agg AS (
+        |  SELECT CAST(date_trunc('day', epoch_ms(event_time * 1000)) AS DATE) AS date,
+        |         CAST(datepart('hour', epoch_ms(event_time * 1000)) AS INT) AS hour,
+        |         pub_id, device_id,
+        |         concat(CAST(width AS VARCHAR), 'x', CAST(height AS VARCHAR))
+        |           AS resolution,
+        |         deal,
+        |         count(DISTINCT bidreq_id) AS requests
+        |  FROM norm GROUP BY ALL)
+        |SELECT * FROM agg
+        |ORDER BY date, hour, pub_id, device_id, resolution, deal NULLS FIRST"""
+        .stripMargin,
+    "q_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY ALL ORDER BY hour_start, event_type""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         |       min(doc_id) AS keeper

@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.{BidExports, ExportParquet, Normalize, ProtoPipeline}
+import graft.sources.proto.{BidRequestSchema, ProtoFunctions}
+
+/** The whole reference service as one Structured Streaming job
+  * (SURVEY §0 "Spark mental model" and §3): Kafka → strip prefix →
+  * wire-decode → custom event_tm column → `foreachBatch` writing BOTH
+  * projections (raw nested + normalized hourly aggregate) as
+  * hive-partitioned zstd parquet.
+  *
+  * Reference-knob mapping (SURVEY §2.A):
+  *  - consumer count / msg channel cap (main.go:43-44) →
+  *    `minPartitions` / `maxOffsetsPerTrigger`
+  *  - file rotation + DuckPaths channel (main.go:204,207) → micro-batch
+  *    commit boundary
+  *  - backpressure poll loop (main.go:302-315) → the blocking nature of
+  *    `foreachBatch` + `maxOffsetsPerTrigger`
+  *  - crash-recovery walk (main.go:141-195) → `checkpointLocation`
+  *  - graceful drain (main.go:410-429) → `query.stop()` /
+  *    `Trigger.AvailableNow` for bounded runs
+  */
+object BidPipeline {
+
+  final case class Config(
+      bootstrapServers: String,
+      topic: String,
+      groupId: String = "graft-bidreq",
+      saslUser: Option[String] = None,
+      saslPass: Option[String] = None,
+      minPartitions: Int = 5,               // -kr clients, main.go:43
+      maxOffsetsPerTrigger: Long = 983040L, // 122880 × kc=8, main.go:42-44
+      stripConfluentPrefix: Boolean = true, // main.go:231
+      checkpointLocation: String,
+      exportRoot: String,
+      logname: String = "ortb.bid-requests", // main.go:126
+      availableNow: Boolean = false)
+
+  /** A1: the Kafka source with the reference's consumer options. */
+  def kafkaSource(spark: SparkSession, cfg: Config): DataFrame = {
+    var r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", cfg.bootstrapServers)
+      .option("subscribe", cfg.topic)
+      .option("kafka.group.id", cfg.groupId)
+      .option("minPartitions", cfg.minPartitions)
+      .option("maxOffsetsPerTrigger", cfg.maxOffsetsPerTrigger)
+      .option("startingOffsets", "earliest")
+    (cfg.saslUser, cfg.saslPass) match {
+      case (Some(u), Some(p)) =>
+        r = r.option("kafka.security.protocol", "SASL_SSL")
+          .option("kafka.sasl.mechanism", "PLAIN")
+          .option("kafka.sasl.jaas.config",
+            "org.apache.kafka.common.security.plain.PlainLoginModule required " +
+              s"""username="$u" password="$p";""")
+      case _ =>
+    }
+    r.load()
+  }
+
+  /** A2-A5 + A10: frames (`value` binary + source `timestamp`) → raw
+    * nested bidreq frame with `event_tm`. With a real Kafka source the
+    * broker timestamp replaces the reference's 8-byte suffix hack
+    * (SURVEY A3) — `event_tm` comes from the `timestamp` column.
+    */
+  def decode(frames: DataFrame, stripPrefix: Boolean): DataFrame = {
+    val payload =
+      if (stripPrefix) expr("substring(value, 7, length(value) - 6)")
+      else col("value")
+    frames.select(
+        ProtoFunctions.protoDecode(payload, BidRequestSchema.bidrequest)
+          .as("bid"),
+        unix_millis(col("timestamp")).as("event_tm"))
+      .select(col("bid.*"), col("event_tm"))
+  }
+
+  /** A11 + §3.2: the per-micro-batch dual export. One decoded batch is
+    * persisted and written twice: the raw nested tree and the hourly
+    * aggregate of the normalized projection — the exact body the
+    * reference runs per rotated DuckDB file, minus the RPC hop.
+    */
+  def exportBatch(batch: DataFrame, cfg: Config): Unit = {
+    batch.persist()
+    try {
+      ExportParquet.write(
+        ExportParquet.withPartitionCols(batch,
+          col("timestamp.seconds") * 1000 +
+            (col("timestamp.nanos") / 1000000).cast("long")),
+        s"${cfg.exportRoot}/${cfg.logname}/raw")
+      ExportParquet.write(
+        BidExports.hourlyRequestsAgg(Normalize(batch))
+          .withColumn("year", year(col("date")))
+          .withColumn("month", month(col("date")))
+          .withColumn("day", dayofmonth(col("date"))),
+        s"${cfg.exportRoot}/${cfg.logname}/hourly_requests_agg")
+    } finally batch.unpersist()
+  }
+
+  /** Wire the full job: source → decode → foreachBatch dual-sink. */
+  def start(spark: SparkSession, cfg: Config,
+            source: Option[DataFrame] = None): StreamingQuery = {
+    val frames = source.getOrElse(kafkaSource(spark, cfg))
+    val decoded = decode(frames, cfg.stripConfluentPrefix)
+    val writer = decoded.writeStream
+      .option("checkpointLocation", cfg.checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) => exportBatch(batch, cfg) }
+    (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("10 seconds")))
+      .start()
+  }
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Continuous (windowed, watermarked) aggregation — the capability the
+  * reference approximates with per-rotated-file batch SQL (SURVEY §2.C
+  * notes it has no continuous aggregation; this is the Spark-native
+  * upgrade). Runs a real Structured Streaming query over the events
+  * parquet as a file stream, 1-hour tumbling windows keyed by
+  * event_type, with a 1-hour watermark for late data.
+  */
+object StreamingAgg {
+
+  private val runId = new AtomicInteger(0)
+
+  /** events schema with `ts` as raw nanos (the parquet carries
+    * TIMESTAMP(NANOS) — the stream reader takes it as long, see
+    * graft.sources.Tables.events). */
+  private val eventsLongSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Hourly windowed aggregate via an actual streaming query (memory
+    * sink, AvailableNow trigger → runs to completion synchronously).
+    * Output matches the equivalent batch GROUP BY — which is exactly
+    * what the DuckDB oracle asserts.
+    */
+  def hourlyWindow(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"graft_stream_hourly_${runId.incrementAndGet()}"
+    val stream = spark.readStream
+      .schema(eventsLongSchema)
+      .option("pathGlobFilter", "events.parquet") // dir holds all tables
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("hour_start", "event_type")
+  }
+}

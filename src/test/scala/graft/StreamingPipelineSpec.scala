@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ProtoPipeline
+import graft.streaming.{BidPipeline, MetricsListener}
+
+/** End-to-end streaming test of the reference service shape: framed
+  * messages → MemoryStream (stand-in for the Kafka source — same
+  * `value`/`timestamp` contract) → decode → foreachBatch dual parquet
+  * export, with checkpoint-based exactly-once on restart (SURVEY §3.3:
+  * the checkpoint replaces the reference's orphan-file recovery walk).
+  */
+case class Frame(value: Array[Byte], timestamp: java.sql.Timestamp)
+
+class StreamingPipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  test("dual-sink export: hive tree, raw counts, agg equivalence, recovery") {
+    import spark.implicits._
+    val checkpoint = tmp("graft-ckpt")
+    val export = tmp("graft-export")
+    val metricsPath = tmp("graft-metrics") + "/metrics.json"
+    val listener = new MetricsListener(metricsPath)
+    spark.streams.addListener(listener)
+
+    // Kafka-shaped frames: prefix+payload in `value` (no 8-byte suffix —
+    // the broker timestamp column carries event time instead, SURVEY A3)
+    val frames = ProtoPipeline.framedMessages(spark, sf0001)
+      .select(col("value"), graft.sources.proto.ProtoFunctions
+        .leUint64(col("value")).as("tm"))
+      .select(expr("substring(value, 1, length(value) - 8)").as("value"),
+        timestamp_millis(col("tm")).as("timestamp"))
+      .as[Frame].collect()
+
+    val cfg = BidPipeline.Config(
+      bootstrapServers = "unused:9092", topic = "unused",
+      checkpointLocation = checkpoint, exportRoot = export,
+      availableNow = true)
+
+    val stream = MemoryStream[Frame](spark)
+    stream.addData(frames.toIndexedSeq)
+    val q = BidPipeline.start(spark, cfg, Some(stream.toDF()))
+    q.awaitTermination()
+
+    // hive partition tree exists
+    val rawRoot = new java.io.File(s"$export/${cfg.logname}/raw")
+    val yearDirs = rawRoot.listFiles().filter(_.getName.startsWith("year="))
+    assert(yearDirs.nonEmpty, s"no year= dirs under $rawRoot")
+    assert(yearDirs.head.listFiles().exists(_.getName.startsWith("month=")))
+
+    // raw export row count = input message count; schema carries nested bid
+    val raw = spark.read.parquet(rawRoot.toString)
+    assert(raw.count() == frames.length)
+    assert(raw.columns.contains("site") && raw.columns.contains("event_tm"))
+
+    // hourly agg readback = batch-computed agg on the same input
+    val agg = spark.read
+      .parquet(s"$export/${cfg.logname}/hourly_requests_agg")
+    val expected = graft.operators.BidExports.hourlyRequestsAgg(
+      graft.operators.Normalize(
+        ProtoPipeline.decodeFrames(ProtoPipeline.framedMessages(spark, sf0001))))
+    assert(agg.count() == expected.count())
+    val totalRequests = agg.agg(sum("requests")).head().getLong(0)
+    val expRequests = expected.agg(sum("requests")).head().getLong(0)
+    assert(totalRequests == expRequests)
+
+    // recovery: same checkpoint, no new data → no duplicate export
+    val q2 = BidPipeline.start(spark, cfg, Some(stream.toDF()))
+    q2.awaitTermination()
+    assert(spark.read.parquet(rawRoot.toString).count() == frames.length,
+      "restart with committed checkpoint must not re-export")
+
+    // metrics listener wrote progress JSONL
+    spark.streams.removeListener(listener)
+    val lines = scala.io.Source.fromFile(metricsPath).getLines().toList
+    assert(lines.exists(_.contains("\"event\":\"started\"")))
+    assert(lines.exists(_.contains("numInputRows")))
+  }
+}
