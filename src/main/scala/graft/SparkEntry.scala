@@ -49,6 +49,8 @@ object SparkEntry {
     "text_quality"          -> (TextAnalysis.qualityScore _),
     "text_langid"           -> (TextAnalysis.langId _),
     "text_fingerprint"      -> (TextAnalysis.fingerprint _),
+    // --- multimodal plumbing --------------------------------------------
+    "q_multimodal_features" -> (Multimodal.features _),
   )
 
   // ---- DuckDB oracle SQL builders for the generated parts ----
@@ -408,7 +410,9 @@ object SparkEntry {
          |SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
          |       CAST(len(list_distinct(t)) AS INT) AS n_unique,
          |       round(list_sum(list_transform(t, x -> len(x))) * 1.0 / len(t), 4)
-         |         AS avg_token_len
+         |         AS avg_token_len,
+         |       CAST(len(regexp_extract_all(lower(text),
+         |            '${TextAnalysis.BpePattern}')) AS INT) AS n_bpe_tokens
          |FROM toks ORDER BY doc_id""".stripMargin,
     "text_quality" -> {
       val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -461,5 +465,25 @@ object SparkEntry {
          |       list_max(list_transform(gr, s -> substr(md5('fp:' || s), 1, 8)))
          |         AS fp_max
          |FROM g ORDER BY doc_id""".stripMargin,
+    "q_multimodal_features" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, 'fake/raw' AS format,
+         |         CAST((n_chars % 640) + 16 AS INT) AS width,
+         |         CAST((doc_id * 37) % 480 + 16 AS INT) AS height,
+         |         len(text) AS nb, text
+         |  FROM documents)
+         |SELECT doc_id, format, width, height,
+         |       CAST(nb AS BIGINT) AS n_bytes,
+         |       CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+         |       CAST(ascii(substr(text, nb, 1)) AS INT) AS last_byte,
+         |       round(list_sum(list_transform(range(1, nb + 1),
+         |             i -> ascii(substr(text, i, 1)))) * 1.0 / nb, 2)
+         |         AS mean_byte,
+         |       CAST(greatest(floor(width * (${Multimodal.TargetDim}.0
+         |             / greatest(width, height))), 1) AS INT) AS rs_width,
+         |       CAST(greatest(floor(height * (${Multimodal.TargetDim}.0
+         |             / greatest(width, height))), 1) AS INT) AS rs_height,
+         |       CAST(least(nb // 100 + 1, 16) AS INT) AS n_frames
+         |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

@@ -33,8 +33,14 @@ object TextAnalysis {
   private def countIn(ts: Column, words: Seq[String]): Column =
     size(filter(ts, t => t.isInCollection(words)))
 
+  /** BPE-style pre-tokenization pattern (letter runs / digit runs /
+    * other-symbol runs — the GPT-2 regex family reduced to the character
+    * classes present here; same semantics in Java regex and RE2). */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+
   /** Token counting: whitespace tokens, distinct tokens, mean token
-    * length — the "token budget" pass of a data pipeline. */
+    * length, and a BPE-ish regex token count — the "token budget" pass
+    * of a data pipeline. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -42,7 +48,9 @@ object TextAnalysis {
         size(array_distinct(toks)).as("n_unique"),
         round(
           aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
-            .cast("double") / size(toks), 4).as("avg_token_len"))
+            .cast("double") / size(toks), 4).as("avg_token_len"),
+        size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+          .as("n_bpe_tokens"))
       .orderBy("doc_id")
 
   /** Quality scoring: length / stopword-ratio / punctuation-ratio gates
