@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.sources.proto._
+
+/** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`
+  * or `.withExtensions(new GraftExtensions)`):
+  *
+  *  - SQL-callable wire-codec functions, so plain-SQL users get the
+  *    decode path (`SELECT graft_decode_bidrequest(value).id FROM …`)
+  *    without touching the Scala API;
+  *  - an optimizer rule eliminating encode→decode roundtrips
+  *    (`proto_decode(proto_encode(x))` → `x` when schemas match) — the
+  *    kind of plan-level win the reference can't express because its
+  *    decode is an opaque Go function.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_decode_bidrequest"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[ProtoDecode].getName, "graft_decode_bidrequest"),
+        (args: Seq[Expression]) =>
+          ProtoDecode(args.head, BidRequestSchema.bidrequest)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_encode_bidrequest"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[ProtoEncode].getName, "graft_encode_bidrequest"),
+        (args: Seq[Expression]) =>
+          ProtoEncode(args.head, BidRequestSchema.bidrequest)))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_le_uint64"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[LittleEndianLong].getName, "graft_le_uint64"),
+        (args: Seq[Expression]) => LittleEndianLong(args.head)))
+    e.injectOptimizerRule(_ => ProtoRoundtripElimination)
+  }
+}
+
+object GraftExtensions {
+  /** Install on an already-running session (the `spark.sql.extensions`
+    * config path only applies at session construction). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_decode_bidrequest",
+      (args: Seq[Expression]) =>
+        ProtoDecode(args.head, BidRequestSchema.bidrequest), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_encode_bidrequest",
+      (args: Seq[Expression]) =>
+        ProtoEncode(args.head, BidRequestSchema.bidrequest), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_le_uint64",
+      (args: Seq[Expression]) => LittleEndianLong(args.head), "scala_udf")
+    if (!spark.experimental.extraOptimizations.contains(ProtoRoundtripElimination))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ProtoRoundtripElimination
+  }
+}
+
+/** `proto_decode(proto_encode(x), m)` ≡ `x` when both sides use the same
+  * message schema — drop both expressions from the plan. */
+object ProtoRoundtripElimination extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ProtoDecode(ProtoEncode(child, m1), m2) if m1 == m2 => child
+    }
+}

@@ -32,9 +32,13 @@ object SparkEntry {
     "q3_shipping_priority"  -> (Relational.q3ShippingPriority _),
     "q5_local_supplier"     -> (Relational.q5LocalSupplierVolume _),
     "q_top_orders_window"   -> (Relational.topOrdersPerPriority _),
+    "q_semi_anti_join"      -> (Relational.customersWithoutOrders _),
+    "q_rollup_revenue"      -> (Relational.rollupRevenue _),
+    "q_nation_set_ops"      -> (Relational.nationSetOps _),
     "q_proto_roundtrip"     -> (ProtoPipeline.roundtrip _),
     "q_bid_hourly_agg"      -> (BidExports.hourlyAggFromWire _),
     "q_stream_hourly"       -> (graft.streaming.StreamingAgg.hourlyWindow _),
+    "q_sessionize"          -> (Sessionize.apply _),
     // --- training-data pipeline: dedup family ---------------------------
     "dedup_exact"           -> (Dedup.exact _),
     "dedup_minhash_lsh"     -> (Dedup.minhashLsh _),
@@ -258,6 +262,39 @@ object SparkEntry {
         |SELECT o_orderpriority, CAST(rk AS INT) AS rk, o_orderkey,
         |       round(o_totalprice, 2) AS o_totalprice
         |FROM t WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q_semi_anti_join" ->
+      """WITH w AS (
+        |  SELECT c_mktsegment, count(*) AS n_without
+        |  FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  GROUP BY 1),
+        |h AS (
+        |  SELECT c_mktsegment, count(*) AS n_with
+        |  FROM customer c
+        |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  GROUP BY 1)
+        |SELECT coalesce(w.c_mktsegment, h.c_mktsegment) AS c_mktsegment,
+        |       coalesce(n_without, 0) AS n_without,
+        |       coalesce(n_with, 0) AS n_with
+        |FROM w FULL OUTER JOIN h ON w.c_mktsegment = h.c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q_rollup_revenue" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       count(*) AS n_orders
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""
+        .stripMargin,
+    "q_nation_set_ops" ->
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+        |s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+        |SELECT 'both' AS op, nk FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+        |UNION ALL
+        |SELECT 'customer_only', nk FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+        |UNION ALL
+        |SELECT 'supplier_only', nk FROM (SELECT nk FROM s EXCEPT SELECT nk FROM c)
+        |ORDER BY op, nk""".stripMargin,
     "q_proto_roundtrip" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, value,
@@ -322,6 +359,26 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |       count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events GROUP BY ALL ORDER BY hour_start, event_type""".stripMargin,
+    "q_sessionize" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts, value,
+         |         lag(ts) OVER (PARTITION BY user_id
+         |                       ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |f AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |                   OR epoch_ms(ts) - epoch_ms(prev_ts)
+         |                      > ${Sessionize.GapMs} THEN 1 ELSE 0 END AS new_s
+         |  FROM g),
+         |s AS (
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+         |                             ORDER BY ts, event_id
+         |                             ROWS UNBOUNDED PRECEDING) AS session_idx
+         |  FROM f)
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |       min(ts) AS session_start, max(ts) AS session_end,
+         |       count(*) AS n_events, round(sum(value), 2) AS total_value
+         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         |       min(doc_id) AS keeper

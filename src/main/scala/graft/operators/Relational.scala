@@ -89,6 +89,55 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Anti/semi join surface: customers without any order (left_anti) and
+    * per-segment counts of customers with orders (left_semi). The anti
+    * and semi joins broadcast nothing here — orderkeys are the big side —
+    * so Catalyst plans shuffled hash joins keyed on custkey; at scale
+    * that is the only shuffle.
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir).select(col("o_custkey"))
+    val without = cust.join(ord, col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_without"))
+    val withOrd = cust.join(ord, col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_with"))
+    without.join(withOrd, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_without"), lit(0L)).as("n_without"),
+        coalesce(col("n_with"), lit(0L)).as("n_with"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Hierarchical aggregate (ROLLUP): revenue by (priority, status),
+    * by priority, and grand total — the multi-granularity export shape.
+    */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  /** Set operations: nation keys serving customers vs suppliers —
+    * INTERSECT / EXCEPT both directions, tagged and unioned. */
+  def nationSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nk")).distinct()
+    val s = Tables.supplier(spark, dir)
+      .select(col("s_nationkey").as("nk")).distinct()
+    c.intersect(s).withColumn("op", lit("both"))
+      .union(c.except(s).withColumn("op", lit("customer_only")))
+      .union(s.except(c).withColumn("op", lit("supplier_only")))
+      .select(col("op"), col("nk"))
+      .orderBy("op", "nk")
+  }
+
   /** Grouped top-k with a window function: top-3 orders by totalprice per
     * priority class — rank + filter, deterministic tie-break.
     */
