@@ -39,6 +39,9 @@ object SparkEntry {
     "q_bid_hourly_agg"      -> (BidExports.hourlyAggFromWire _),
     "q_stream_hourly"       -> (graft.streaming.StreamingAgg.hourlyWindow _),
     "q_sessionize"          -> (Sessionize.apply _),
+    "q_asof_join"           -> (AsOfJoin.purchaseLastClick _),
+    "q_kmv_distinct"        -> ((s, d) => EventsEtl.kmvUserEstimate(s, d)),
+    "q_salted_agg"          -> ((s, d) => EventsEtl.saltedUserStats(s, d)),
     // --- training-data pipeline: dedup family ---------------------------
     "dedup_exact"           -> (Dedup.exact _),
     "dedup_minhash_lsh"     -> (Dedup.minhashLsh _),
@@ -379,6 +382,41 @@ object SparkEntry {
          |       min(ts) AS session_start, max(ts) AS session_end,
          |       count(*) AS n_events, round(sum(value), 2) AS total_value
          |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |         ${hexToLongSql("substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8)")} AS hv
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, hv,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         |         count(*) OVER (PARTITION BY event_type) AS cnt
+         |  FROM h),
+         |sel AS (
+         |  SELECT event_type, max(cnt) AS cnt,
+         |         max(CASE WHEN rn = 64 THEN hv END) AS hk
+         |  FROM r GROUP BY 1),
+         |ex AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS users_exact
+         |  FROM events GROUP BY 1)
+         |SELECT ex.event_type, ex.users_exact,
+         |       CASE WHEN sel.cnt < 64 THEN sel.cnt * 1.0
+         |            ELSE round(63 * 4294967296.0 / sel.hk, 2) END AS users_kmv
+         |FROM ex JOIN sel ON ex.event_type = sel.event_type
+         |ORDER BY ex.event_type""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         |       min(doc_id) AS keeper

@@ -131,6 +131,37 @@ object EventsEtl {
           .as("deal"))
       .orderBy(col("doc_id"), col("deal").asc_nulls_first)
 
+  /** Skew-resistant two-phase aggregation: pre-aggregate on
+    * (key, salt) so one hot key spreads over `salt` reducers, then
+    * combine partials per key. Results equal the direct group-by (the
+    * oracle runs the direct form); the plan trades one extra small
+    * shuffle for bounded per-reducer load — the standard mitigation
+    * when AQE skew handling isn't enough.
+    */
+  def saltedUserStats(spark: SparkSession, dir: String,
+                      saltBuckets: Int = 16): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        pmod(col("event_id"), lit(saltBuckets)).as("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("pn")).as("n_events"),
+        round(sum(col("pv")), 2).as("total_value"))
+      .orderBy("user_id")
+
+  /** KMV sketch vs exact distinct per event_type — the oracle asserts
+    * the identical estimate (md5-derived sketch, SURVEY §7.2's
+    * TypedImperativeAggregate extension point). */
+  def kmvUserEstimate(spark: SparkSession, dir: String,
+                      k: Int = 64): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("users_exact"),
+        graft.functions.KmvDistinct.kmvDistinct(col("user_id"), k)
+          .as("users_kmv"))
+      .orderBy("event_type")
+
   /** B16-style computed concat: `CONCAT(w::string,'x',h::string)`
     * (main.go:115) re-expressed on events (value-bucket "resolution"). */
   def resolutionConcat(spark: SparkSession, dir: String): DataFrame =
