@@ -14,9 +14,11 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The full reference chain: synthesize framed wire bytes →
+    * strip/decode → normalize → hourly requests aggregate. */
   def entry(spark: SparkSession): DataFrame =
-    EventsEtl.hourlyAgg(spark, "/root/testdata/sf0.001")
+    BidExports.hourlyAggFromWire(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- reference parity: hosted SQL surface (SURVEY §2.B) -------------
@@ -42,6 +44,7 @@ object SparkEntry {
     "q_asof_join"           -> (AsOfJoin.purchaseLastClick _),
     "q_kmv_distinct"        -> ((s, d) => EventsEtl.kmvUserEstimate(s, d)),
     "q_salted_agg"          -> ((s, d) => EventsEtl.saltedUserStats(s, d)),
+    "q_json_props"          -> (EventsEtl.jsonProps _),
     // --- training-data pipeline: dedup family ---------------------------
     "dedup_exact"           -> (Dedup.exact _),
     "dedup_minhash_lsh"     -> (Dedup.minhashLsh _),
@@ -417,6 +420,12 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
         |       round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_json_props" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+        |       CAST(json_extract_string(props, '$.k') AS INT) % 10 = 0
+        |         AS k_round
+        |FROM events ORDER BY event_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         |       min(doc_id) AS keeper

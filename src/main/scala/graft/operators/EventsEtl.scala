@@ -162,6 +162,17 @@ object EventsEtl {
           .as("users_kmv"))
       .orderBy("event_type")
 
+  /** Semi-structured access: pull typed values out of the JSON `props`
+    * column (`get_json_object` is codegen'd; for repeated access of many
+    * keys, `from_json` with an explicit schema beats per-key parsing). */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k"),
+        (get_json_object(col("props"), "$.k").cast("int") % 10 === 0)
+          .as("k_round"))
+      .orderBy("event_id")
+
   /** B16-style computed concat: `CONCAT(w::string,'x',h::string)`
     * (main.go:115) re-expressed on events (value-bucket "resolution"). */
   def resolutionConcat(spark: SparkSession, dir: String): DataFrame =
