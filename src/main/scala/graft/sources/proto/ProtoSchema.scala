@@ -21,6 +21,25 @@ case object PBool extends PType
 final case class PMessage(name: String, fields: Seq[PField]) extends PType {
   lazy val byNumber: Map[Int, (PField, Int)] =
     fields.zipWithIndex.map { case (f, i) => f.number -> (f, i) }.toMap
+
+  /** Field-number → ordinal lookup without Map boxing on the decode hot
+    * path: a direct-indexed array when field numbers are dense/small
+    * (every real message here; max 30), Map fallback otherwise. -1 =
+    * unknown field.
+    */
+  @transient private lazy val fastIdx: Array[Int] = {
+    val maxN = fields.map(_.number).max
+    if (maxN <= 256) {
+      val a = Array.fill(maxN + 1)(-1)
+      fields.zipWithIndex.foreach { case (f, i) => a(f.number) = i }
+      a
+    } else null
+  }
+
+  def ordinalOf(fieldNo: Int): Int =
+    if (fastIdx != null) {
+      if (fieldNo >= 0 && fieldNo < fastIdx.length) fastIdx(fieldNo) else -1
+    } else byNumber.get(fieldNo).map(_._2).getOrElse(-1)
 }
 
 final case class PField(number: Int, name: String, t: PType,

@@ -94,9 +94,10 @@ object ProtoWire {
       val tag = readVarint(b, c)
       val fieldNo = (tag >>> 3).toInt
       val wireType = (tag & 7).toInt
-      msg.byNumber.get(fieldNo) match {
-        case None => skipField(b, c, wireType)
-        case Some((f, i)) =>
+      val i = msg.ordinalOf(fieldNo)
+      if (i < 0) skipField(b, c, wireType)
+      else {
+        val f = msg.fields(i)
           def addRepeated(v: Any): Unit = {
             if (repeated == null) repeated = new Array[ArrayBuffer[Any]](n)
             if (repeated(i) == null) repeated(i) = new ArrayBuffer[Any]

@@ -60,6 +60,25 @@ object Profile {
     val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
     time("16 min-aggs")(sig.count())
 
+    // codec throughput: single-thread decode of real framed messages
+    {
+      import graft.operators.ProtoPipeline
+      import graft.sources.proto.{BidRequestSchema, ProtoWire}
+      val frames = ProtoPipeline.framedMessages(spark, dir)
+        .limit(20000).collect().map(_.getAs[Array[Byte]](0))
+      val payloads = frames.map(f => java.util.Arrays.copyOfRange(f, 6, f.length - 8))
+      // warmup
+      payloads.take(2000).foreach(p => ProtoWire.decode(p, BidRequestSchema.bidrequest))
+      val t0 = System.nanoTime()
+      payloads.foreach(p => ProtoWire.decode(p, BidRequestSchema.bidrequest))
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] decode 1-thread              ${payloads.length / dt}%10.0f msg/s")
+      val t1 = System.nanoTime()
+      var bytes = 0L
+      payloads.foreach(p => bytes += p.length)
+      println(f"[profile] avg msg size                 ${bytes / payloads.length}%10d B")
+    }
+
     spark.stop()
   }
 }
