@@ -43,8 +43,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  /** Install on an already-running session (the `spark.sql.extensions`
-    * config path only applies at session construction). */
+  /** Install the SQL functions on an already-running session (the
+    * `spark.sql.extensions` config path only applies at session
+    * construction). The roundtrip-elimination rule is NOT injected here:
+    * `experimental.extraOptimizations` runs as a fixed-point batch over
+    * every plan, and the extra traversals measurably tax unrelated
+    * queries with large expression trees — opt in via
+    * [[installRoundtripElimination]] (or the config-time extensions
+    * class, where the rule joins the normal optimizer batches) when the
+    * workload actually round-trips protos.
+    */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_decode_bidrequest",
@@ -55,10 +63,13 @@ object GraftExtensions {
         ProtoEncode(args.head, BidRequestSchema.bidrequest), "scala_udf")
     reg.createOrReplaceTempFunction("graft_le_uint64",
       (args: Seq[Expression]) => LittleEndianLong(args.head), "scala_udf")
+  }
+
+  def installRoundtripElimination(
+      spark: org.apache.spark.sql.SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(ProtoRoundtripElimination))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ProtoRoundtripElimination
-  }
 }
 
 /** `proto_decode(proto_encode(x), m)` ≡ `x` when both sides use the same

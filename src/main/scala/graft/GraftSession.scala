@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central session factory — the engine's equivalent of the reference's
+  * tuned flag set + `SET threads/allocator` exec queries
+  * (/root/reference/main.go:41-53,129; SURVEY §2.B B20, §6).
+  *
+  * `local[N]` here; on a cluster the same conf block applies, plus
+  * executor sizing. The scale-relevant choices:
+  *  - AQE on (runtime coalescing + skew-join splitting),
+  *  - shuffle partitions sized to cores (not the 200 default),
+  *  - 128 MB input split targets,
+  *  - UTC session time (oracle parity and the reference's epoch math),
+  *  - nested schema pruning for the deep bidrequest structs.
+  */
+object GraftSession {
+
+  def builder(cores: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.ui.enabled", "false")
+
+  /** Build + install the SQL-facing extensions. */
+  def create(cores: Int, appName: String): SparkSession = {
+    val s = builder(cores).appName(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("GRAFT_NO_EXT").isEmpty) GraftExtensions.install(s)
+    s
+  }
+}

@@ -54,6 +54,7 @@ object SparkEntry {
     // --- similarity search ----------------------------------------------
     "sim_brute_topk"        -> (Similarity.bruteForceTopK _),
     "sim_ivf_topk"          -> (Similarity.ivfTopK _),
+    "sim_lsh_topk"          -> (Similarity.lshTopK _),
     // --- text analysis --------------------------------------------------
     "text_token_stats"      -> (TextAnalysis.tokenStats _),
     "text_quality"          -> (TextAnalysis.qualityScore _),
@@ -509,6 +510,53 @@ object SparkEntry {
          |  FROM s)
          |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM r
          |WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""".stripMargin,
+    "sim_lsh_topk" -> {
+      val flips = (Seq(0) ++ (0 until Similarity.LshPlanes).map(1 << _))
+        .mkString("[", ", ", "]")
+      s"""WITH pl AS (
+         |  SELECT p, list_transform(range(1, 65), d ->
+         |    (${hexToLongSql("substr(md5('rp:' || p || ':' || d), 1, 8)")}
+         |     / 4294967296.0) * 2 - 1) AS ul
+         |  FROM range(0, ${Similarity.LshPlanes}) t(p)),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nrm AS (SELECT vec_id, v,
+         |        list_transform(v, a ->
+         |          a / sqrt(list_sum(list_transform(v, b -> b * b)))) AS nv
+         |        FROM e),
+         |dots AS (
+         |  SELECT n.vec_id, p.p,
+         |         list_sum(list_transform(range(1, 65),
+         |                  d -> n.v[d] * p.ul[d])) AS dp
+         |  FROM nrm n, pl p),
+         |sigs AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS INT)
+         |           AS bucket
+         |  FROM dots GROUP BY 1),
+         |q AS (
+         |  SELECT s.vec_id AS q_id, n.nv AS qnv, s.bucket
+         |  FROM sigs s JOIN nrm n ON n.vec_id = s.vec_id
+         |  WHERE s.vec_id % ${Similarity.QueryStride} = 0),
+         |probes AS (
+         |  SELECT q_id, qnv, xor(bucket, unnest($flips)) AS key FROM q),
+         |cand AS (
+         |  SELECT p.q_id, p.qnv, s.vec_id AS n_id, n.nv
+         |  FROM probes p
+         |  JOIN sigs s ON s.bucket = p.key AND s.vec_id <> p.q_id
+         |  JOIN nrm n ON n.vec_id = s.vec_id),
+         |scored AS (
+         |  SELECT q_id, n_id,
+         |         round(list_sum(list_transform(range(1, 65),
+         |               i -> qnv[i] * nv[i])), 4) AS sim
+         |  FROM cand),
+         |r AS (
+         |  SELECT q_id, n_id, sim,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY sim DESC, n_id) AS rank
+         |  FROM scored)
+         |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM r
+         |WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""".stripMargin
+    },
     "text_token_stats" ->
       s"""WITH $toksCte
          |SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,

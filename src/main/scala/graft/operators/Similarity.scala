@@ -31,6 +31,22 @@ object Similarity {
   val QueryStride = 50 // vec_id % 50 == 0 → deterministic query set
   val NProbe = 2
   val Dims = 64
+  val LshPlanes = 8 // sign-random-projection bits → 256 buckets
+
+  /** Deterministic "random" hyperplanes: u[p][d] derives from
+    * md5("rp:p:d") → uniform in [-1, 1). Exactly reproducible in SQL
+    * (32-bit hash / 2³² is dyadic → bit-identical doubles). */
+  lazy val planes: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(LshPlanes, Dims) { (p, d) =>
+      val digest = md.digest(s"rp:$p:${d + 1}"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var i = 0
+      while (i < 4) { h = (h << 8) | (digest(i) & 0xffL); i += 1 }
+      h.toDouble / 4294967296.0 * 2 - 1
+    }
+  }
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -47,6 +63,60 @@ object Similarity {
       .join(broadcast(queries(spark, dir)), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         round(cosineSim(col("qv"), col("v")), 4).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** SRP-LSH top-k: 8 sign-random-projection bits bucket the corpus
+    * (one shuffle-free signature pass); each query multi-probes its own
+    * bucket plus the 8 hamming-1 neighbors, candidates score by cosine.
+    * The scale path for ANN: the candidate join shuffles on the bucket
+    * id — corpus vectors never pair beyond shared buckets.
+    */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pl = planes
+    val sigs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        var s2 = 0.0
+        var i = 0
+        while (i < v.length) { s2 += v(i) * v(i); i += 1 }
+        val nrm = math.sqrt(s2)
+        val nv = new Array[Double](v.length)
+        i = 0
+        while (i < v.length) { nv(i) = v(i) / nrm; i += 1 }
+        var bucket = 0
+        var p = 0
+        while (p < LshPlanes) {
+          var dp = 0.0
+          var d = 0
+          while (d < v.length) { dp += v(d) * pl(p)(d); d += 1 }
+          if (dp > 0) bucket |= 1 << p
+          p += 1
+        }
+        (id, bucket, nv)
+      }
+      .toDF("vec_id", "bucket", "nv")
+    val probes = sigs.filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"), col("nv").as("qnv"),
+        explode(array((lit(0) +: (0 until LshPlanes).map(p => lit(1 << p))): _*))
+          .as("flip"),
+        col("bucket"))
+      .select(col("q_id"), col("qnv"),
+        (col("bucket").bitwiseXOR(col("flip"))).as("key"))
+    val cand = sigs.join(probes,
+      col("bucket") === col("key") && col("vec_id") =!= col("q_id"))
+    val sim = aggregate(
+      zip_with(col("qnv"), col("nv"), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = cand.select(col("q_id"), col("vec_id").as("n_id"),
+      round(sim, 4).as("sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -15,6 +15,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
   private lazy val spark: SparkSession = {
     val s = SparkTestSession.spark
     GraftExtensions.install(s)
+    GraftExtensions.installRoundtripElimination(s)
     s
   }
 
