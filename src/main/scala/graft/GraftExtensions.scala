@@ -77,6 +77,6 @@ object GraftExtensions {
 object ProtoRoundtripElimination extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case ProtoDecode(ProtoEncode(child, m1), m2) if m1 == m2 => child
+      case ProtoDecode(ProtoEncode(child, m1), m2, _) if m1 == m2 => child
     }
 }

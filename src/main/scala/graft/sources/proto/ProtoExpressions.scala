@@ -16,12 +16,22 @@ import org.apache.spark.sql.types._
   * boundary (one eval per Kafka record), not inside per-row hot
   * expression trees, mirroring where the reference spends the same CPU.
   */
-case class ProtoDecode(child: Expression, msg: PMessage)
+/** @param lenient malformed payloads decode to NULL instead of failing
+  *   the task — the streaming pipeline's poison-message policy (the
+  *   reference drops the row and continues on unmarshal error,
+  *   main.go:335-337 / FIXTURES.md F1c). Keep strict for batch jobs
+  *   where corrupt input should be loud.
+  */
+case class ProtoDecode(child: Expression, msg: PMessage,
+                       lenient: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ProtoSchema.toStructType(msg)
   override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
-    ProtoWire.decode(input.asInstanceOf[Array[Byte]], msg)
+    if (lenient)
+      try ProtoWire.decode(input.asInstanceOf[Array[Byte]], msg)
+      catch { case _: Exception => null }
+    else ProtoWire.decode(input.asInstanceOf[Array[Byte]], msg)
   override protected def withNewChildInternal(c: Expression): ProtoDecode =
     copy(child = c)
   override def prettyName: String = "proto_decode"
@@ -83,8 +93,8 @@ case class LELongBytes(child: Expression)
 
 object ProtoFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-  def protoDecode(c: Column, msg: PMessage): Column =
-    column(ProtoDecode(expression(c), msg))
+  def protoDecode(c: Column, msg: PMessage, lenient: Boolean = false): Column =
+    column(ProtoDecode(expression(c), msg, lenient))
   def protoEncode(c: Column, msg: PMessage): Column =
     column(ProtoEncode(expression(c), msg))
   def leUint64(c: Column): Column = column(LittleEndianLong(expression(c)))

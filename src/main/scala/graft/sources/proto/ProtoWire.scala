@@ -57,11 +57,25 @@ object ProtoWire {
     v
   }
 
-  private def skipField(b: Array[Byte], c: Cursor, wireType: Int): Unit =
+  /** Length prefix with bounds check — corrupt input must fail fast,
+    * never walk backwards or past the slice. */
+  private def readLen(b: Array[Byte], c: Cursor, end: Int): Int = {
+    val len = readVarint(b, c).toInt
+    if (len < 0 || c.pos + len > end)
+      throw new IllegalArgumentException(s"bad length $len")
+    len
+  }
+
+  private def skipField(b: Array[Byte], c: Cursor, end: Int,
+                        wireType: Int): Unit =
     wireType match {
       case 0 => readVarint(b, c)
       case 1 => c.pos += 8
-      case 2 => val len = readVarint(b, c).toInt; c.pos += len
+      case 2 =>
+        // assign len first: `c.pos += readLen(…)` reads the OLD c.pos
+        // before readLen advances it, silently losing the length byte
+        val len = readLen(b, c, end)
+        c.pos += len
       case 5 => c.pos += 4
       case w => throw new IllegalArgumentException(s"wire type $w")
     }
@@ -95,7 +109,7 @@ object ProtoWire {
       val fieldNo = (tag >>> 3).toInt
       val wireType = (tag & 7).toInt
       val i = msg.ordinalOf(fieldNo)
-      if (i < 0) skipField(b, c, wireType)
+      if (i < 0) skipField(b, c, end, wireType)
       else {
         val f = msg.fields(i)
           def addRepeated(v: Any): Unit = {
@@ -105,18 +119,18 @@ object ProtoWire {
           }
           f.t match {
             case m: PMessage =>
-              val len = readVarint(b, c).toInt
+              val len = readLen(b, c, end)
               val row = decodeMessage(b, c.pos, c.pos + len, m)
               c.pos += len
               if (f.repeated) addRepeated(row) else values(i) = row
             case PString =>
-              val len = readVarint(b, c).toInt
+              val len = readLen(b, c, end)
               val s = UTF8String.fromBytes(b, c.pos, len)
               c.pos += len
               if (f.repeated) addRepeated(s) else values(i) = s
             case PFloat =>
               if (f.repeated && wireType == 2) { // packed
-                val len = readVarint(b, c).toInt
+                val len = readLen(b, c, end)
                 val stop = c.pos + len
                 while (c.pos < stop)
                   addRepeated(java.lang.Float.intBitsToFloat(readFixed32(b, c)))
@@ -126,7 +140,7 @@ object ProtoWire {
               }
             case t => // varint scalars: int32 / int64 / bool
               if (f.repeated && wireType == 2) { // packed
-                val len = readVarint(b, c).toInt
+                val len = readLen(b, c, end)
                 val stop = c.pos + len
                 while (c.pos < stop) addRepeated(scalarFromVarint(t, readVarint(b, c)))
               } else {

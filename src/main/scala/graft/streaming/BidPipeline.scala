@@ -71,9 +71,11 @@ object BidPipeline {
       if (stripPrefix) expr("substring(value, 7, length(value) - 6)")
       else col("value")
     frames.select(
-        ProtoFunctions.protoDecode(payload, BidRequestSchema.bidrequest)
+        ProtoFunctions
+          .protoDecode(payload, BidRequestSchema.bidrequest, lenient = true)
           .as("bid"),
         unix_millis(col("timestamp")).as("event_tm"))
+      .filter(col("bid").isNotNull) // poison messages drop, stream survives
       .select(col("bid.*"), col("event_tm"))
   }
 

@@ -130,6 +130,24 @@ class ProtoWireSpec extends AnyFunSuite {
     assert(getSeq(out, 5) == Seq(3, 5, 7))
   }
 
+  test("corrupt payloads: strict decode throws, lenient decode yields NULL (F1c)") {
+    val garbage = Array[Byte](0x1a, 0x7f, -1, -1, -1, 0x02) // bad length
+    intercept[Exception] {
+      ProtoWire.decode(garbage, BidRequestSchema.bidrequest)
+    }
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal(garbage)
+    assert(ProtoDecode(lit, BidRequestSchema.bidrequest, lenient = true)
+      .eval(null) == null)
+    // truncated real message: cut inside the trailing 9-byte varint
+    val row = mkRow("hello", 1, 2L, 3f, b = true, Seq(1), Seq("a"),
+      Seq(("x", 1)), Some(("y", 2)), Long.MaxValue)
+    val good = ProtoWire.encode(row, msg)
+    val cut = java.util.Arrays.copyOf(good, good.length - 2)
+    assert(ProtoDecode(
+      org.apache.spark.sql.catalyst.expressions.Literal(cut),
+      msg, lenient = true).eval(null) == null)
+  }
+
   test("LE uint64 suffix roundtrip") {
     val w = java.nio.ByteBuffer.allocate(8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(1705106337331L).array()
