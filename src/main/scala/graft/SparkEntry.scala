@@ -60,6 +60,7 @@ object SparkEntry {
     "text_quality"          -> (TextAnalysis.qualityScore _),
     "text_langid"           -> (TextAnalysis.langId _),
     "text_fingerprint"      -> (TextAnalysis.fingerprint _),
+    "q_curation_pipeline"   -> (Curation.pipeline _),
     // --- multimodal plumbing --------------------------------------------
     "q_multimodal_features" -> (Multimodal.features _),
   )
@@ -87,7 +88,9 @@ object SparkEntry {
        |             i -> strpos('0123456789abcdef', substr($expr, i, 1)) - 1),
        |           (a, b) -> a * 16 + b)""".stripMargin
 
-  private def minhashOracle: String = {
+  /** CTE chain ending in `j(doc_a, doc_b, jaccard)` — reused by the
+    * minhash query and the curation pipeline oracle. */
+  private def minhashCtes: String = {
     val sigCols = (0 until Dedup.NumHashes)
       .map(j => s"min((h1 + $j * h2) & 4294967295) AS h$j")
       .mkString(",\n         ")
@@ -97,7 +100,7 @@ object SparkEntry {
         .mkString(", ")
       s"SELECT doc_id, $b AS b, md5(concat_ws('_', $hs)) AS k FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH $toksCte,
+    s"""$toksCte,
        |ex0 AS (SELECT doc_id, md5('mh:' || unnest(s)) AS md FROM shf),
        |ex AS (SELECT doc_id,
        |         ${hexToLongSql("substr(md, 1, 8)")} AS h1,
@@ -117,11 +120,14 @@ object SparkEntry {
        |         ${jaccardExpr.format("a.s", "b.s", "a.s", "b.s")} AS jaccard
        |  FROM cand c
        |  JOIN shf a ON a.doc_id = c.doc_a
-       |  JOIN shf b ON b.doc_id = c.doc_b)
+       |  JOIN shf b ON b.doc_id = c.doc_b)""".stripMargin
+  }
+
+  private def minhashOracle: String =
+    s"""WITH $minhashCtes
        |SELECT doc_a, doc_b, jaccard FROM j
        |WHERE jaccard >= ${Dedup.MinhashJaccardThreshold}
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   private def simhashOracle: String = {
     def hexToLong(expr: String) =
@@ -432,6 +438,31 @@ object SparkEntry {
         |       min(doc_id) AS keeper
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracle,
+    "q_curation_pipeline" -> {
+      val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH $minhashCtes,
+         |drops AS (SELECT DISTINCT doc_b AS doc_id FROM j
+         |          WHERE jaccard >= ${Dedup.MinhashJaccardThreshold}),
+         |qr AS (
+         |  SELECT doc_id, len(text) AS n_chars,
+         |         len(list_filter(t, x -> list_contains($stopList, x))) * 1.0
+         |           / len(t) AS sr,
+         |         len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0
+         |           / len(text) AS pr
+         |  FROM toks),
+         |q AS (
+         |  SELECT doc_id,
+         |         (CASE WHEN n_chars BETWEEN 50 AND 2000 THEN 4 ELSE 0 END
+         |          + CASE WHEN sr BETWEEN 0.05 AND 0.6 THEN 4 ELSE 0 END
+         |          + CASE WHEN pr < 0.05 THEN 2 ELSE 0 END) / 10.0 AS quality
+         |  FROM qr)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quality
+         |FROM documents d
+         |JOIN q ON q.doc_id = d.doc_id
+         |WHERE q.quality >= ${Curation.QualityThreshold}
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM drops)
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" ->
       s"""WITH $toksCte,
