@@ -61,6 +61,8 @@ object SparkEntry {
     "text_langid"           -> (TextAnalysis.langId _),
     "text_fingerprint"      -> (TextAnalysis.fingerprint _),
     "q_curation_pipeline"   -> (Curation.pipeline _),
+    "q_stratified_sample"   -> (Sampling.stratifiedSample _),
+    "q_profile_events"      -> (Sampling.profileEvents _),
     // --- multimodal plumbing --------------------------------------------
     "q_multimodal_features" -> (Multimodal.features _),
   )
@@ -427,6 +429,35 @@ object SparkEntry {
       """SELECT user_id, count(*) AS n_events,
         |       round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, lang, source,
+         |       round(${hexToLongSql("substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8)")}
+         |             / 4294967296.0, 6) AS u
+         |FROM documents
+         |WHERE ${hexToLongSql("substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8)")}
+         |      / 4294967296.0 < ${Sampling.SampleRate}
+         |ORDER BY doc_id""".stripMargin,
+    "q_profile_events" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n_rows,
+        |         count(DISTINCT user_id) AS user_distinct,
+        |         min(user_id) AS user_min, max(user_id) AS user_max,
+        |         count(DISTINCT event_type) AS type_distinct,
+        |         min(event_type) AS type_min, max(event_type) AS type_max,
+        |         round(min(value), 2) AS value_min,
+        |         round(max(value), 2) AS value_max
+        |  FROM events)
+        |SELECT 'user_id' AS column_name, CAST(n_rows AS VARCHAR) AS n_rows,
+        |       CAST(user_distinct AS VARCHAR) AS n_distinct,
+        |       CAST(user_min AS VARCHAR) AS min_value,
+        |       CAST(user_max AS VARCHAR) AS max_value FROM s
+        |UNION ALL
+        |SELECT 'event_type', CAST(n_rows AS VARCHAR),
+        |       CAST(type_distinct AS VARCHAR), type_min, type_max FROM s
+        |UNION ALL
+        |SELECT 'value', CAST(n_rows AS VARCHAR), NULL,
+        |       CAST(value_min AS VARCHAR), CAST(value_max AS VARCHAR) FROM s
+        |ORDER BY column_name""".stripMargin,
     "q_json_props" ->
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,

@@ -51,21 +51,14 @@ package object functions {
           sequence(lit(1), size(toks) - lit(n - 1)),
           i => array_join(slice(toks, i, lit(n)), " ")))
 
-  /** A deterministic 32-bit hash of a string, seedable, identical on the
-    * DuckDB oracle side: first 8 hex chars of md5(seed || value). Kept AS A
-    * HEX STRING — fixed-width lowercase hex compares lexicographically in
-    * numeric order, so `min()` over these equals `min()` over the numbers,
-    * and both engines agree on md5.
+  /** A deterministic uniform-[0,1) value per key, identical on the
+    * DuckDB oracle side: first 8 hex chars of md5(seed || key) as a
+    * 32-bit integer over 2³². The engine's reproducible `rand()` — used
+    * for sampling, salting and the SRP hyperplanes.
     */
-  def hexHash(seed: Int, value: Column): Column =
-    substring(md5(concat(lit(seed.toString), lit(":"), value)), 1, 8)
-
-  /** Same 32-bit md5-derived hash as [[hexHash]] but as a BIGINT (via
-    * base-16 conv), for arithmetic consumers (simhash bit tests, LSH
-    * band mixing).
-    */
-  def longHash(seed: Int, value: Column): Column =
-    conv(hexHash(seed, value), 16, 10).cast("long")
+  def hashFraction(seed: String, key: Column): Column =
+    conv(substring(md5(concat(lit(seed), lit(":"), key)), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
 
   /** Dot product of two double arrays — sequential left-fold so the
     * summation order matches a scalar loop (and the DuckDB oracle). */
