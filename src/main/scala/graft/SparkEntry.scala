@@ -37,6 +37,7 @@ object SparkEntry {
     "q_semi_anti_join"      -> (Relational.customersWithoutOrders _),
     "q_rollup_revenue"      -> (Relational.rollupRevenue _),
     "q_nation_set_ops"      -> (Relational.nationSetOps _),
+    "q_pivot_daily"         -> (Relational.pivotDailyEvents _),
     "q_proto_roundtrip"     -> (ProtoPipeline.roundtrip _),
     "q_bid_hourly_agg"      -> (BidExports.hourlyAggFromWire _),
     "q_stream_hourly"       -> (graft.streaming.StreamingAgg.hourlyWindow _),
@@ -310,6 +311,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'supplier_only', nk FROM (SELECT nk FROM s EXCEPT SELECT nk FROM c)
         |ORDER BY op, nk""".stripMargin,
+    "q_pivot_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        |       count(*) FILTER (WHERE event_type = 'click') AS click,
+        |       count(*) FILTER (WHERE event_type = 'error') AS error,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |       count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "q_proto_roundtrip" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, value,

@@ -138,6 +138,19 @@ object Relational {
       .orderBy("op", "nk")
   }
 
+  /** Pivot: daily event counts with one column per event type. The
+    * value list is explicit — at scale an unlisted pivot forces an extra
+    * distinct pass over the data before planning.
+    */
+  def pivotDailyEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
   /** Grouped top-k with a window function: top-3 orders by totalprice per
     * priority class — rank + filter, deterministic tie-break.
     */
