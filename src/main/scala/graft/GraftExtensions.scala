@@ -72,11 +72,20 @@ object GraftExtensions {
         spark.experimental.extraOptimizations :+ ProtoRoundtripElimination
 }
 
-/** `proto_decode(proto_encode(x), m)` ≡ `x` when both sides use the same
-  * message schema — drop both expressions from the plan. */
+/** Eliminates `proto_decode(proto_encode(x))` ONLY when `x` is itself a
+  * `proto_decode` output with the same schema: decode output is already
+  * in normalized proto3 form (absent scalars = defaults, never NULL), so
+  * re-encoding and re-decoding it is the identity and both hops can be
+  * dropped. The rewrite is NOT applied to arbitrary structs — for those
+  * the roundtrip is a normalization (NULL scalars → defaults), not an
+  * identity. Known non-identity corner even for decode-wrapped input:
+  * a foreign writer emitting an explicit -0.0f survives one decode but
+  * re-encodes as absent (0.0f).
+  */
 object ProtoRoundtripElimination extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case ProtoDecode(ProtoEncode(child, m1), m2, _) if m1 == m2 => child
+      case ProtoDecode(ProtoEncode(child @ ProtoDecode(_, m0, _), m1), m2, _)
+          if m0 == m1 && m1 == m2 => child
     }
 }

@@ -32,7 +32,8 @@ case class KmvDistinct(
     new java.util.TreeSet[Long]()
 
   private def hash32(v: Any): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = KmvDistinct.digest.get() // per-thread reuse: getInstance on
+    // the per-row hot path costs a JCA lookup + allocation each call
     val d = md.digest(
       ("kmv:" + v.toString).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var h = 0L
@@ -94,6 +95,10 @@ case class KmvDistinct(
 }
 
 object KmvDistinct {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
   import org.apache.spark.sql.GraftColumnBridge.{column, expression}
   def kmvDistinct(c: Column, k: Int): Column =
     column(KmvDistinct(expression(c), k).toAggregateExpression())

@@ -36,9 +36,11 @@ package object functions {
     */
   def explodeOuter(arr: Column): Column = explode_outer(arr)
 
-  /** Lowercase whitespace tokenization used across the text operators. */
+  /** Lowercase single-space tokenization used across the text operators.
+    * Splits on ' ' (not \s+) to stay byte-identical with the DuckDB
+    * oracle's string_split(text, ' ') and with Dedup.shingles. */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > lit(0))
+    filter(split(lower(text), " ", -1), t => length(t) > lit(0))
 
   /** Word n-grams as space-joined strings: one entry per window of n
     * consecutive tokens (empty array when there are fewer than n tokens).

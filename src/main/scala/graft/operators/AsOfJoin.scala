@@ -39,12 +39,16 @@ object AsOfJoin {
     val w = Window.partitionBy(col(key))
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rightPayload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c",
-        last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
-    }
+    // carry the matched right row as ONE struct — carrying columns
+    // independently would let a NULL payload field inherit a stale value
+    // from an older right row (torn rows mixing two right rows)
+    val carried = unioned.withColumn("__asof",
+      last(when(col("__side") === 0,
+          struct(rightPayload.map(col): _*)),
+        ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ rightPayload.map(c => col(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Oracle-checked entry: for every purchase event, the most recent

@@ -248,6 +248,10 @@ object Dedup {
         while (i < v.length) { out(i) = v(i) / n; i += 1 }
         (id, out)
       }
+    // NOTE: this collect runs at operator-construction time (building the
+    // broadcast block requires a job) — callers that only want the plan
+    // (explain) still pay one pass over embeddings. Acceptable for the
+    // brute-force variant; the tiled block-join avoids it.
     val bc = spark.sparkContext.broadcast(normed.collect().sortBy(_._1))
     val threshold = EmbeddingCosThreshold
     normed.mapPartitions { it =>

@@ -26,7 +26,7 @@ object Relational {
     */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("2001-09-02 00:00:00")))
+      .filter(col("l_shipdate") <= lit("2001-09-02 00:00:00").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
@@ -50,9 +50,9 @@ object Relational {
     val cust = Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
+      .filter(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp"))
     val li = Tables.lineitem(spark, dir)
-      .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
+      .filter(col("l_shipdate") > lit("1998-03-15 00:00:00").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
@@ -73,8 +73,8 @@ object Relational {
     val cust = Tables.customer(spark, dir)
     val supp = Tables.supplier(spark, dir)
     val ord = Tables.orders(spark, dir)
-      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
-        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
     Tables.lineitem(spark, dir)
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))

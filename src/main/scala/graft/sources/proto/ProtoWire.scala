@@ -29,10 +29,11 @@ object ProtoWire {
   def decode(bytes: Array[Byte], msg: PMessage): InternalRow =
     decodeMessage(bytes, 0, bytes.length, msg)
 
-  private def readVarint(b: Array[Byte], c: Cursor): Long = {
+  private def readVarint(b: Array[Byte], c: Cursor, end: Int): Long = {
     var shift = 0
     var res = 0L
     while (shift < 64) {
+      if (c.pos >= end) throw new IllegalArgumentException("truncated varint")
       val x = b(c.pos)
       c.pos += 1
       res |= (x & 0x7fL) << shift
@@ -42,14 +43,16 @@ object ProtoWire {
     throw new IllegalArgumentException("malformed varint")
   }
 
-  private def readFixed32(b: Array[Byte], c: Cursor): Int = {
+  private def readFixed32(b: Array[Byte], c: Cursor, end: Int): Int = {
+    if (c.pos + 4 > end) throw new IllegalArgumentException("truncated fixed32")
     val v = (b(c.pos) & 0xff) | ((b(c.pos + 1) & 0xff) << 8) |
       ((b(c.pos + 2) & 0xff) << 16) | ((b(c.pos + 3) & 0xff) << 24)
     c.pos += 4
     v
   }
 
-  private def readFixed64(b: Array[Byte], c: Cursor): Long = {
+  private def readFixed64(b: Array[Byte], c: Cursor, end: Int): Long = {
+    if (c.pos + 8 > end) throw new IllegalArgumentException("truncated fixed64")
     var v = 0L
     var i = 0
     while (i < 8) { v |= (b(c.pos + i) & 0xffL) << (8 * i); i += 1 }
@@ -60,7 +63,7 @@ object ProtoWire {
   /** Length prefix with bounds check — corrupt input must fail fast,
     * never walk backwards or past the slice. */
   private def readLen(b: Array[Byte], c: Cursor, end: Int): Int = {
-    val len = readVarint(b, c).toInt
+    val len = readVarint(b, c, end).toInt
     if (len < 0 || c.pos + len > end)
       throw new IllegalArgumentException(s"bad length $len")
     len
@@ -69,14 +72,18 @@ object ProtoWire {
   private def skipField(b: Array[Byte], c: Cursor, end: Int,
                         wireType: Int): Unit =
     wireType match {
-      case 0 => readVarint(b, c)
-      case 1 => c.pos += 8
+      case 0 => readVarint(b, c, end)
+      case 1 =>
+        if (c.pos + 8 > end) throw new IllegalArgumentException("truncated")
+        c.pos += 8
       case 2 =>
         // assign len first: `c.pos += readLen(…)` reads the OLD c.pos
         // before readLen advances it, silently losing the length byte
         val len = readLen(b, c, end)
         c.pos += len
-      case 5 => c.pos += 4
+      case 5 =>
+        if (c.pos + 4 > end) throw new IllegalArgumentException("truncated")
+        c.pos += 4
       case w => throw new IllegalArgumentException(s"wire type $w")
     }
 
@@ -105,7 +112,7 @@ object ProtoWire {
     var repeated: Array[ArrayBuffer[Any]] = null
     val c = new Cursor(start)
     while (c.pos < end) {
-      val tag = readVarint(b, c)
+      val tag = readVarint(b, c, end)
       val fieldNo = (tag >>> 3).toInt
       val wireType = (tag & 7).toInt
       val i = msg.ordinalOf(fieldNo)
@@ -133,23 +140,25 @@ object ProtoWire {
                 val len = readLen(b, c, end)
                 val stop = c.pos + len
                 while (c.pos < stop)
-                  addRepeated(java.lang.Float.intBitsToFloat(readFixed32(b, c)))
+                  addRepeated(java.lang.Float.intBitsToFloat(readFixed32(b, c, stop)))
               } else {
-                val v = java.lang.Float.intBitsToFloat(readFixed32(b, c))
+                val v = java.lang.Float.intBitsToFloat(readFixed32(b, c, end))
                 if (f.repeated) addRepeated(v) else values(i) = v
               }
             case t => // varint scalars: int32 / int64 / bool
               if (f.repeated && wireType == 2) { // packed
                 val len = readLen(b, c, end)
                 val stop = c.pos + len
-                while (c.pos < stop) addRepeated(scalarFromVarint(t, readVarint(b, c)))
+                while (c.pos < stop) addRepeated(scalarFromVarint(t, readVarint(b, c, stop)))
               } else {
-                val v = scalarFromVarint(t, readVarint(b, c))
+                val v = scalarFromVarint(t, readVarint(b, c, end))
                 if (f.repeated) addRepeated(v) else values(i) = v
               }
           }
       }
     }
+    if (c.pos != end)
+      throw new IllegalArgumentException("message overran its length")
     var i = 0
     while (i < n) {
       if (repeated != null && repeated(i) != null)

@@ -50,9 +50,15 @@ object StreamingAgg {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(name)
+    // materialize and drop the memory sink — otherwise every invocation
+    // leaves a full aggregate copy registered in the catalog for the
+    // session lifetime
+    val result = spark.table(name)
       .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
         col("event_type"), col("n_events"), col("total_value"))
       .orderBy("hour_start", "event_type")
+      .localCheckpoint(eager = true)
+    spark.catalog.dropTempView(name)
+    result
   }
 }

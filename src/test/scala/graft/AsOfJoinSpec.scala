@@ -36,6 +36,22 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, -1L), (2L, 100L), (3L, 101L), (4L, -1L)))
   }
 
+  test("as-of join: NULL payload in the matched row stays NULL (no torn rows)") {
+    import spark.implicits._
+    // newest click has a NULL value; an older click has 9.0 — the match
+    // must return (101, NULL), never mix in the stale 9.0
+    val left = Seq((1L, 7L, ts(30))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts(5), 100L, Some(9.0)),
+      (7L, ts(20), 101L, Option.empty[Double])
+    ).toDF("user_id", "ts", "click_id", "click_value")
+    val r = AsOfJoin(left, right, "user_id", "ts",
+      Seq("click_id", "click_value")).head()
+    assert(r.getLong(r.fieldIndex("asof_click_id")) == 101L)
+    assert(r.isNullAt(r.fieldIndex("asof_click_value")),
+      "NULL payload must not inherit a stale value from an older right row")
+  }
+
   test("KMV estimate is identical under different partitionings (merge path)") {
     val ev = graft.sources.Tables.events(spark, sf0001)
     def est(parts: Int) = ev.repartition(parts)

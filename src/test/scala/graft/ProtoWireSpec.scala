@@ -148,6 +148,19 @@ class ProtoWireSpec extends AnyFunSuite {
       msg, lenient = true).eval(null) == null)
   }
 
+  test("nested message truncated mid-varint fails loudly in strict mode") {
+    // nested Inner whose declared length cuts off a varint: field 9
+    // (nested, wire 2), len 2, content = tag(2,varint) + continuation
+    // byte with no terminator inside the slice
+    val w = new ProtoWire.Writer()
+    w.writeVarint((9L << 3) | 2)
+    w.writeVarint(2L)
+    w.writeByte(0x10) // Inner field 2 (i), wire 0
+    w.writeByte(0x80) // varint continuation byte, then the slice ends
+    w.writeByte(0x01) // continuation target lives OUTSIDE the nested len
+    intercept[Exception] { ProtoWire.decode(w.toBytes, msg) }
+  }
+
   test("LE uint64 suffix roundtrip") {
     val w = java.nio.ByteBuffer.allocate(8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(1705106337331L).array()
