@@ -46,6 +46,8 @@ object SparkEntry {
     "q_kmv_distinct"        -> ((s, d) => EventsEtl.kmvUserEstimate(s, d)),
     "q_salted_agg"          -> ((s, d) => EventsEtl.saltedUserStats(s, d)),
     "q_json_props"          -> (EventsEtl.jsonProps _),
+    "q_value_percentiles"   -> (EventsEtl.valuePercentiles _),
+    "q_above_avg_customers" -> (EventsEtl.aboveNationAvgCustomers _),
     // --- training-data pipeline: dedup family ---------------------------
     "dedup_exact"           -> (Dedup.exact _),
     "dedup_minhash_lsh"     -> (Dedup.minhashLsh _),
@@ -473,6 +475,20 @@ object SparkEntry {
         |       CAST(json_extract_string(props, '$.k') AS INT) % 10 = 0
         |         AS k_round
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_value_percentiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.95), 4) AS p95,
+        |       round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_above_avg_customers" ->
+      """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal,
+        |       round(a.nation_avg, 4) AS nation_avg
+        |FROM customer c
+        |JOIN (SELECT c_nationkey AS nk, avg(c_acctbal) AS nation_avg
+        |      FROM customer GROUP BY 1) a ON c.c_nationkey = a.nk
+        |WHERE c.c_acctbal > a.nation_avg
+        |ORDER BY c_custkey""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, count(*) AS n_copies,
         |       min(doc_id) AS keeper

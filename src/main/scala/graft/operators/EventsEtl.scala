@@ -162,6 +162,34 @@ object EventsEtl {
           .as("users_kmv"))
       .orderBy("event_type")
 
+  /** Exact percentiles per group (continuous interpolation — matches
+    * DuckDB's quantile_cont). At 100 TB exact percentiles need the full
+    * sort per group; swap in approx_percentile when a bounded-memory
+    * sketch is acceptable (not oracle-comparable, hence exact here). */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
+  /** Correlated-subquery pattern: customers above their nation's average
+    * balance — expressed as the decorrelated plan Catalyst would produce
+    * (aggregate once per nation, broadcast back). */
+  def aboveNationAvgCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val nationAvg = cust.groupBy(col("c_nationkey").as("nk"))
+      .agg(avg(col("c_acctbal")).as("nation_avg"))
+    cust.join(broadcast(nationAvg), col("c_nationkey") === col("nk"))
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("c_acctbal"),
+        round(col("nation_avg"), 4).as("nation_avg"))
+      .orderBy("c_custkey")
+  }
+
   /** Semi-structured access: pull typed values out of the JSON `props`
     * column (`get_json_object` is codegen'd; for repeated access of many
     * keys, `from_json` with an explicit schema beats per-key parsing). */
