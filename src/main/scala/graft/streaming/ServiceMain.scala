@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, StructField, StructType, TimestampType}
+
+import graft.GraftSession
+
+/** The whole reference service as a runnable binary — the analogue of
+  * the reference's `main.go` flag surface and lifecycle
+  * (/root/reference/main.go:41-89,410-429):
+  *
+  * {{{
+  * runMain graft.streaming.ServiceMain \
+  *   --brokers host:9092 --topic bids \          // Kafka mode, or:
+  *   --frames-dir /path/to/frames \              // bounded file mode
+  *   --export /path/out --checkpoint /path/ckpt \
+  *   --metrics metrics.json [--available-now] [--cores 32]
+  * }}}
+  *
+  * Flag mapping: `--max-offsets` ≈ the reference's 122880×kc message
+  * buffer; `--available-now` ≈ the `-t` bounded-run timeout; metrics
+  * JSONL ≈ `o.ReportJSONL()` on exit; the JVM shutdown hook ≈ the
+  * SIGTERM graceful drain. File mode streams pre-framed messages
+  * (binary `value` + `timestamp`) from parquet — the test harness and
+  * replay path; Kafka mode is the production path.
+  */
+object ServiceMain {
+
+  final case class Args(
+      brokers: Option[String] = None,
+      topic: Option[String] = None,
+      framesDir: Option[String] = None,
+      export: String = "export",
+      checkpoint: String = "checkpoint",
+      metrics: String = "metrics.json",
+      maxOffsets: Long = 983040L,
+      cores: Int = 32,
+      availableNow: Boolean = false)
+
+  def parse(argv: Array[String]): Args = {
+    @annotation.tailrec
+    def go(rest: List[String], a: Args): Args = rest match {
+      case "--brokers" :: v :: t       => go(t, a.copy(brokers = Some(v)))
+      case "--topic" :: v :: t         => go(t, a.copy(topic = Some(v)))
+      case "--frames-dir" :: v :: t    => go(t, a.copy(framesDir = Some(v)))
+      case "--export" :: v :: t        => go(t, a.copy(export = v))
+      case "--checkpoint" :: v :: t    => go(t, a.copy(checkpoint = v))
+      case "--metrics" :: v :: t       => go(t, a.copy(metrics = v))
+      case "--max-offsets" :: v :: t   => go(t, a.copy(maxOffsets = v.toLong))
+      case "--cores" :: v :: t         => go(t, a.copy(cores = v.toInt))
+      case "--available-now" :: t      => go(t, a.copy(availableNow = true))
+      case Nil                         => a
+      case other :: _ =>
+        throw new IllegalArgumentException(s"unknown flag $other")
+    }
+    go(argv.toList, Args())
+  }
+
+  private val frameSchema = StructType(Seq(
+    StructField("value", BinaryType), StructField("timestamp", TimestampType)))
+
+  def fileFrameSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(frameSchema).parquet(dir)
+      .select(col("value"), col("timestamp"))
+
+  def run(spark: SparkSession, args: Args): Unit = {
+    val listener = new MetricsListener(args.metrics)
+    spark.streams.addListener(listener)
+    val cfg = BidPipeline.Config(
+      bootstrapServers = args.brokers.getOrElse("unused:9092"),
+      topic = args.topic.getOrElse("unused"),
+      maxOffsetsPerTrigger = args.maxOffsets,
+      checkpointLocation = args.checkpoint,
+      exportRoot = args.export,
+      availableNow = args.availableNow)
+    val source = args.framesDir.map(fileFrameSource(spark, _))
+    val query = BidPipeline.start(spark, cfg, source)
+    // SIGTERM/SIGINT graceful drain (main.go:410-429)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try query.stop() catch { case _: Throwable => }))
+    query.awaitTermination()
+    spark.streams.removeListener(listener)
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parse(argv)
+    require(args.framesDir.isDefined || args.brokers.isDefined,
+      "need --frames-dir or --brokers")
+    val spark = GraftSession.create(args.cores, "graft-service")
+    try run(spark, args) finally spark.stop()
+  }
+}

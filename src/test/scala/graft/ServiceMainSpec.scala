@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ProtoPipeline
+import graft.streaming.ServiceMain
+
+/** Drives the service binary's bounded file mode end-to-end: framed
+  * messages on disk → ServiceMain.run (real streaming query, metrics
+  * listener, checkpoint) → partitioned export tree.
+  */
+class ServiceMainSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("flag parsing covers the reference's surface") {
+    val a = ServiceMain.parse(Array(
+      "--frames-dir", "/x", "--export", "/e", "--checkpoint", "/c",
+      "--metrics", "/m.json", "--max-offsets", "1000",
+      "--cores", "8", "--available-now"))
+    assert(a.framesDir.contains("/x") && a.export == "/e" &&
+      a.checkpoint == "/c" && a.metrics == "/m.json" &&
+      a.maxOffsets == 1000 && a.cores == 8 && a.availableNow)
+    intercept[IllegalArgumentException] {
+      ServiceMain.parse(Array("--bogus"))
+    }
+  }
+
+  test("bounded file-mode run exports both projections and metrics") {
+    val base = Files.createTempDirectory("graft-service").toString
+    val framesDir = s"$base/frames"
+    // stage Kafka-shaped frames (prefix+payload, broker timestamp col)
+    ProtoPipeline.framedMessages(spark, sf0001)
+      .select(col("value"),
+        graft.sources.proto.ProtoFunctions.leUint64(col("value")).as("tm"))
+      .select(expr("substring(value, 1, length(value) - 8)").as("value"),
+        timestamp_millis(col("tm")).as("timestamp"))
+      .coalesce(2).write.parquet(framesDir)
+
+    val args = ServiceMain.Args(
+      framesDir = Some(framesDir),
+      export = s"$base/export",
+      checkpoint = s"$base/ckpt",
+      metrics = s"$base/metrics.json",
+      availableNow = true)
+    ServiceMain.run(spark, args)
+
+    val raw = spark.read.parquet(s"$base/export/ortb.bid-requests/raw")
+    val nEvents = graft.sources.Tables.events(spark, sf0001).count()
+    assert(raw.count() == nEvents)
+    val agg = spark.read
+      .parquet(s"$base/export/ortb.bid-requests/hourly_requests_agg")
+    assert(agg.agg(sum("requests")).head().getLong(0) >= nEvents)
+    val metrics = scala.io.Source.fromFile(s"$base/metrics.json")
+      .getLines().toList
+    assert(metrics.exists(_.contains("numInputRows")))
+  }
+}
