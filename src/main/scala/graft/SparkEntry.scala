@@ -554,12 +554,18 @@ object SparkEntry {
          |ORDER BY vec_a, vec_b""".stripMargin,
     "sim_brute_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |nrm AS (
+         |  SELECT vec_id,
+         |         list_transform(v, a ->
+         |           a / sqrt(list_sum(list_transform(v, b -> b * b)))) AS nv
+         |  FROM e),
+         |q AS (SELECT vec_id AS q_id, nv AS qnv FROM nrm
          |      WHERE vec_id % ${Similarity.QueryStride} = 0),
          |s AS (
          |  SELECT q.q_id, e.vec_id AS n_id,
-         |         round(${cosExpr.format("q.qv", "e.v")}, 4) AS sim
-         |  FROM e, q WHERE e.vec_id <> q.q_id),
+         |         round(list_sum(list_transform(range(1, 65),
+         |               i -> q.qnv[i] * e.nv[i])), 4) AS sim
+         |  FROM nrm e, q WHERE e.vec_id <> q.q_id),
          |r AS (
          |  SELECT q_id, n_id, sim,
          |         row_number() OVER (PARTITION BY q_id
