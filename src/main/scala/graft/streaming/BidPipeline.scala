@@ -35,6 +35,7 @@ object BidPipeline {
       minPartitions: Int = 5,               // -kr clients, main.go:43
       maxOffsetsPerTrigger: Long = 983040L, // 122880 × kc=8, main.go:42-44
       stripConfluentPrefix: Boolean = true, // main.go:231
+      dedupeIds: Boolean = false, // at-least-once backstop (SURVEY §7.3)
       checkpointLocation: String,
       exportRoot: String,
       logname: String = "ortb.bid-requests", // main.go:126
@@ -101,11 +102,25 @@ object BidPipeline {
     } finally batch.unpersist()
   }
 
+  /** Kafka delivers at-least-once; the reference's only dedup backstop
+    * is the exact `count(distinct)` in the aggregate (SURVEY B7/§7.3).
+    * This optional stage removes duplicate bidreq ids upstream instead:
+    * stateful `dropDuplicatesWithinWatermark` keyed on the message id,
+    * state bounded by the 1-hour watermark.
+    */
+  def dedupeByIds(decoded: DataFrame): DataFrame =
+    decoded
+      .withColumn("__event_ts", timestamp_millis(col("event_tm")))
+      .withWatermark("__event_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+      .drop("__event_ts")
+
   /** Wire the full job: source → decode → foreachBatch dual-sink. */
   def start(spark: SparkSession, cfg: Config,
             source: Option[DataFrame] = None): StreamingQuery = {
     val frames = source.getOrElse(kafkaSource(spark, cfg))
-    val decoded = decode(frames, cfg.stripConfluentPrefix)
+    val base = decode(frames, cfg.stripConfluentPrefix)
+    val decoded = if (cfg.dedupeIds) dedupeByIds(base) else base
     val writer = decoded.writeStream
       .option("checkpointLocation", cfg.checkpointLocation)
       .foreachBatch { (batch: DataFrame, _: Long) => exportBatch(batch, cfg) }

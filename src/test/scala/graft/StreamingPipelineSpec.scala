@@ -84,4 +84,34 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(lines.exists(_.contains("\"event\":\"started\"")))
     assert(lines.exists(_.contains("numInputRows")))
   }
+
+  test("at-least-once backstop: duplicate deliveries dedupe across batches") {
+    import spark.implicits._
+    val checkpoint = tmp("graft-dedup-ckpt")
+    val export = tmp("graft-dedup-export")
+    val frames = ProtoPipeline.framedMessages(spark, sf0001)
+      .select(col("value"), graft.sources.proto.ProtoFunctions
+        .leUint64(col("value")).as("tm"))
+      .select(expr("substring(value, 1, length(value) - 8)").as("value"),
+        timestamp_millis(col("tm")).as("timestamp"))
+      .as[Frame].collect()
+
+    val cfg = BidPipeline.Config(
+      bootstrapServers = "unused:9092", topic = "unused",
+      dedupeIds = true,
+      checkpointLocation = checkpoint, exportRoot = export,
+      availableNow = true)
+
+    // deliver everything twice: once, then the duplicate batch
+    val stream = MemoryStream[Frame](spark)
+    stream.addData(frames.toIndexedSeq)
+    stream.addData(frames.take(500).toIndexedSeq) // redelivery
+    val q = BidPipeline.start(spark, cfg, Some(stream.toDF()))
+    q.awaitTermination()
+
+    val raw = spark.read.parquet(s"$export/${cfg.logname}/raw")
+    assert(raw.count() == frames.length,
+      "redelivered messages must be dropped by the id backstop")
+    assert(raw.select("id").distinct().count() == frames.length)
+  }
 }
