@@ -38,6 +38,10 @@ object SparkEntry {
     "q_rollup_revenue"      -> (Relational.rollupRevenue _),
     "q_nation_set_ops"      -> (Relational.nationSetOps _),
     "q_pivot_daily"         -> (Relational.pivotDailyEvents _),
+    "q_parts_by_brand"      -> (Relational.partsByBrand _),
+    "q_string_functions"    -> (Relational.stringFunctions _),
+    "q_date_functions"      -> (Relational.dateFunctions _),
+    "q_user_event_arrays"   -> (Relational.userEventArrays _),
     "q_proto_roundtrip"     -> (ProtoPipeline.roundtrip _),
     "q_bid_hourly_agg"      -> (BidExports.hourlyAggFromWire _),
     "q_stream_hourly"       -> (graft.streaming.StreamingAgg.hourlyWindow _),
@@ -321,6 +325,39 @@ object SparkEntry {
         |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |       count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_parts_by_brand" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        |       round(avg(p_retailprice), 4) AS avg_price,
+        |       min(p_size) AS min_size, max(p_size) AS max_size,
+        |       count(DISTINCT p_type) AS n_types
+        |FROM part GROUP BY 1 ORDER BY p_brand""".stripMargin,
+    "q_string_functions" ->
+      """SELECT c_custkey, upper(c_name) AS upper_name,
+        |       lower(c_mktsegment) AS lower_seg,
+        |       lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+        |       substr(c_name, 1, 8) AS name_prefix,
+        |       translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+        |       CAST(strpos(c_name, '#') AS INT) AS hash_pos,
+        |       CAST(len(c_name) AS INT) AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_date_functions" ->
+      """SELECT o_orderkey,
+        |       CAST(isodow(o_orderdate) - 1 AS INT) AS wd,
+        |       CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |       CAST(date_diff('day', DATE '1995-01-01',
+        |            CAST(o_orderdate AS DATE)) AS INT) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_user_event_arrays" ->
+      """WITH t AS (
+        |  SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, array_to_string(types, ',') AS types_str,
+        |       CAST(len(types) AS INT) AS n_types,
+        |       types[1] AS first_type, types[-1] AS last_type,
+        |       list_contains(types, 'purchase') AS has_purchase
+        |FROM t ORDER BY user_id""".stripMargin,
     "q_proto_roundtrip" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, value,

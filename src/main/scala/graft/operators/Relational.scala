@@ -138,6 +138,59 @@ object Relational {
       .orderBy("op", "nk")
   }
 
+  /** Dimension-table profiling: per-brand part statistics. */
+  def partsByBrand(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg(col("p_retailprice")), 4).as("avg_price"),
+        min(col("p_size")).as("min_size"),
+        max(col("p_size")).as("max_size"),
+        countDistinct(col("p_type")).as("n_types"))
+      .orderBy("p_brand")
+
+  /** String-function surface in one projection: case, trim/pad,
+    * substring, translate, position, repeat. */
+  def stringFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("upper_name"),
+        lower(col("c_mktsegment")).as("lower_seg"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded_key"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("translated"),
+        instr(col("c_name"), "#").cast("int").as("hash_pos"),
+        length(col("c_name")).as("name_len"))
+      .orderBy("c_custkey")
+
+  /** Date-function surface: weekday (Monday=0 on both engines via
+    * Spark weekday / DuckDB isodow-1), week-of-year, quarter,
+    * days-since-epoch, month boundaries. */
+  def dateFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        weekday(col("o_orderdate")).as("wd"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).as("days_since"))
+      .orderBy("o_orderkey")
+
+  /** Array-aggregation surface: per-user sorted distinct event types,
+    * cardinality, first/last elements, membership flag. */
+  def userEventArrays(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+      .select(col("user_id"),
+        array_join(col("types"), ",").as("types_str"),
+        size(col("types")).as("n_types"),
+        col("types").getItem(0).as("first_type"),
+        element_at(col("types"), -1).as("last_type"),
+        array_contains(col("types"), "purchase").as("has_purchase"))
+      .orderBy("user_id")
+
   /** Pivot: daily event counts with one column per event type. The
     * value list is explicit — at scale an unlisted pivot forces an extra
     * distinct pass over the data before planning.

@@ -33,9 +33,9 @@ for name, sql in sorted(oracle.items()):
         f"SELECT * FROM '{spark_dir}/*.parquet'").df()
     # normalize: sort columns by name, sort rows, stringify
     def norm(df):
-        df = df[sorted(df.columns)]
+        df = df[sorted(df.columns)].astype(str)  # lists → str before sort
         df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-        return df.astype(str)
+        return df
     o, s = norm(odf), norm(sdf)
     if list(o.columns) != list(s.columns):
         print(f"SCHEMA   {name}: oracle={list(o.columns)} spark={list(s.columns)}")
