@@ -67,6 +67,7 @@ object SparkEntry {
     "text_quality"          -> (TextAnalysis.qualityScore _),
     "text_langid"           -> (TextAnalysis.langId _),
     "text_fingerprint"      -> (TextAnalysis.fingerprint _),
+    "text_regexp"           -> (TextAnalysis.regexpFunctions _),
     "q_curation_pipeline"   -> (Curation.pipeline _),
     "q_stratified_sample"   -> (Sampling.stratifiedSample _),
     "q_profile_events"      -> (Sampling.profileEvents _),
@@ -747,6 +748,14 @@ object SparkEntry {
          |       list_max(list_transform(gr, s -> substr(md5('fp:' || s), 1, 8)))
          |         AS fp_max
          |FROM g ORDER BY doc_id""".stripMargin,
+    "text_regexp" ->
+      """SELECT doc_id,
+        |       coalesce(regexp_extract(text, 'qu[a-z]+'), '') AS first_qu,
+        |       CAST(len(regexp_extract_all(text, 'data')) AS INT) AS n_data,
+        |       CAST(len(regexp_replace(text, '[aeiou]', '', 'g')) AS INT)
+        |         AS no_vowel_len,
+        |       regexp_matches(text, 'join .* join') AS double_join
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal_features" ->
       s"""WITH m AS (
          |  SELECT doc_id, 'fake/raw' AS format,

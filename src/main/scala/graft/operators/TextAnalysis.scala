@@ -94,6 +94,19 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Regexp surface (patterns restricted to syntax shared by Java regex
+    * and RE2 so the oracle agrees): extract, count-all, replace, match
+    * flag. */
+  def regexpFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "qu[a-z]+", 0).as("first_qu"),
+        size(regexp_extract_all(col("text"), lit("data"), lit(0)))
+          .as("n_data"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).as("no_vowel_len"),
+        col("text").rlike("join .* join").as("double_join"))
+      .orderBy("doc_id")
+
   /** Document fingerprinting: md5 content hash plus min/max of an
     * md5-derived rolling window hash over word 3-gram shingles (the
     * winnowing-style fingerprint pair used for fast near-dup triage).
