@@ -57,9 +57,9 @@ object SparkEntry {
     "dedup_minhash_lsh"     -> (Dedup.minhashLsh _),
     "dedup_simhash"         -> (Dedup.simhash _),
     "dedup_ngram_jaccard"   -> (Dedup.ngramJaccard _),
-    "dedup_embedding"       -> (Dedup.embeddingNearDup _),
+    "dedup_embedding"       -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     // --- similarity search ----------------------------------------------
-    "sim_brute_topk"        -> (Similarity.bruteForceTopK _),
+    "sim_brute_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_ivf_topk"          -> (Similarity.ivfTopK _),
     "sim_lsh_topk"          -> (Similarity.lshTopK _),
     // --- text analysis --------------------------------------------------

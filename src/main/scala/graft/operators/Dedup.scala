@@ -220,50 +220,67 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Embedding cosine near-dup pairs ≥ 0.45, as a broadcast
-    * nested-loop in tight per-partition scalar code: vectors are
-    * L2-normalized once (so the pair kernel is a single dot product),
-    * one side is broadcast, and each partition streams its rows against
-    * the broadcast block. This is the dense-BLAS shape of brute-force
-    * similarity — ~100× the throughput of per-pair Catalyst array folds.
-    * At 100 TB the broadcast side becomes a tiled block join
-    * (repartition by block id); the kernel is unchanged.
+  /** Number of tiles for the embedding near-dup block join. At a given
+    * deployment scale choose B ≈ ⌈corpus bytes / per-task working set⌉
+    * so two tiles fit comfortably in one task's memory; the shuffle
+    * replicates each row B times (the unavoidable cost of exact
+    * all-pairs similarity — cut candidates first with [[minhashLsh]] /
+    * SRP-LSH when the corpus outgrows it). */
+  val EmbeddingBlocks = 8
+
+  /** Embedding cosine near-dup pairs ≥ 0.45 as a tiled block join:
+    * vectors are L2-normalized once (so the pair kernel is a single dot
+    * product), each vector lands in tile `vec_id % B` and is replicated
+    * to every tile-pair (a ≤ b) it participates in; each tile-pair group
+    * runs the tight scalar kernel over its two blocks. Nothing is ever
+    * collected to the driver, no broadcast grows with the corpus, and
+    * per-task memory is bounded by two tiles — the plan that still works
+    * when the corpus is 1000 partitions of parquet.
     *
     * Determinism: normalization and the dot product accumulate
-    * sequentially, exactly like the oracle's list_sum/list_transform,
-    * and scores round to 4 decimals (half-up) before the threshold.
+    * sequentially ([[VectorOps]]), exactly like the oracle's
+    * list_sum/list_transform, and scores round to 4 decimals (half-up)
+    * before the threshold. Tile assignment only routes pairs; every
+    * unordered pair meets in exactly one tile-pair group, so the output
+    * set is independent of B.
     */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingNearDup(spark: SparkSession, dir: String,
+                       blocks: Int = EmbeddingBlocks): DataFrame = {
     import spark.implicits._
+    val nBlocks = blocks
+    val threshold = EmbeddingCosThreshold
     val normed = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
-      .map { case (id, v) =>
-        var s = 0.0
-        var i = 0
-        while (i < v.length) { s += v(i) * v(i); i += 1 }
-        val n = math.sqrt(s)
-        val out = new Array[Double](v.length)
-        i = 0
-        while (i < v.length) { out(i) = v(i) / n; i += 1 }
-        (id, out)
+      .map { case (id, v) => (id, VectorOps.l2Normalize(v)) }
+    // route: tile t = id % B; as side 0 of pairs (t, j≥t), side 1 of (a<t, t)
+    val routed = normed.flatMap { case (id, nv) =>
+      val t = (id % nBlocks).toInt
+      val asA = Iterator.range(t, nBlocks).map(j => (t * nBlocks + j, 0, id, nv))
+      val asB = Iterator.range(0, t).map(a => (a * nBlocks + t, 1, id, nv))
+      asA ++ asB
+    }
+    routed.groupByKey(_._1).flatMapGroups { (pairId, rows) =>
+      val diag = pairId / nBlocks == pairId % nBlocks
+      val sideA = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      val sideB = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+      rows.foreach { case (_, side, id, nv) =>
+        if (side == 0) sideA += ((id, nv)) else sideB += ((id, nv))
       }
-    // NOTE: this collect runs at operator-construction time (building the
-    // broadcast block requires a job) — callers that only want the plan
-    // (explain) still pay one pass over embeddings. Acceptable for the
-    // brute-force variant; the tiled block-join avoids it.
-    val bc = spark.sparkContext.broadcast(normed.collect().sortBy(_._1))
-    val threshold = EmbeddingCosThreshold
-    normed.mapPartitions { it =>
-      val block = bc.value
-      it.flatMap { case (id, nv) =>
-        block.iterator.filter(_._1 > id).flatMap { case (id2, nv2) =>
-          var s = 0.0
-          var i = 0
-          while (i < nv.length) { s += nv(i) * nv2(i); i += 1 }
-          val r = BigDecimal(s)
-            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-          if (r >= threshold) Iterator.single((id, id2, r)) else Iterator.empty
+      val right = if (diag) sideA else sideB
+      sideA.iterator.flatMap { case (idA, nvA) =>
+        right.iterator.flatMap { case (idB, nvB) =>
+          // diagonal tiles hold each id once on side A only: idA < idB
+          // emits every in-tile pair exactly once; across tiles the two
+          // sides are disjoint so every pair appears once, ordered.
+          if (idA >= idB && diag) Iterator.empty
+          else {
+            val lo = math.min(idA, idB)
+            val hi = math.max(idA, idB)
+            val r = VectorOps.roundAt(VectorOps.dot(nvA, nvB), 4)
+            if (r >= threshold) Iterator.single((lo, hi, r))
+            else Iterator.empty
+          }
         }
       }
     }.toDF("vec_a", "vec_b", "sim")

@@ -1,25 +1,38 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions._
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
-  * Two variants:
-  *  - [[bruteForceTopK]]: exact top-k — broadcast the (small) query set
-  *    and stream the corpus once. At 100 TB the corpus side stays
-  *    partitioned; only per-partition top-k state exists before the final
-  *    k-row-per-query reduction (window over q_id — key cardinality =
-  *    #queries, so the shuffle is tiny).
-  *  - [[ivfTopK]]: IVF-style scale path — a coarse quantizer (per-label
-  *    centroids, i.e. the cluster assignment an offline k-means would
-  *    produce) restricts each query to its `nprobe` nearest cells, so
-  *    only corpus partitions for probed cells are scanned. Probed-cell
-  *    assignment is a broadcast join; no corpus shuffle at all.
+  * Three variants, all sharing the typed dot-product kernel in
+  * [[VectorOps]] and the same two-level top-k plan:
+  *
+  *  1. score candidates in a typed per-partition pass that keeps only a
+  *     bounded k-entry heap per query (so each partition emits ≤ K rows
+  *     per query — the exchange feeding the final ranking carries
+  *     O(partitions × queries × K) rows, never O(corpus × queries));
+  *  2. a final `row_number` window over that tiny pre-reduced set picks
+  *     the global top-k per query.
+  *
+  *  - [[bruteForceTopK]]: exact — every corpus partition scores the
+  *    whole (broadcast) query block. The query block is REQUIRED to be
+  *    bounded ([[MaxQueryBlock]]); ANN with an unbounded query side is
+  *    a different operator (use a similarity *join*, i.e.
+  *    [[Dedup.embeddingNearDup]]'s tiled block plan).
+  *  - [[ivfTopK]]: IVF — per-label centroids from one typed partial
+  *    aggregation (no row explosion), queries probe their `NProbe`
+  *    nearest cells, search restricted to probed cells via a broadcast
+  *    join; the corpus is never shuffled.
+  *  - [[lshTopK]]: SRP-LSH — 8 sign-random-projection bits bucket the
+  *    corpus in one shuffle-free signature pass; queries multi-probe
+  *    their bucket plus the 8 hamming-1 neighbors; the candidate join
+  *    shuffles on the bucket id only.
   *
   * Scores are rounded to 4 decimals BEFORE ranking on both engines so
   * float-accumulation-order differences can never flip the ranking vs
@@ -32,6 +45,12 @@ object Similarity {
   val NProbe = 2
   val Dims = 64
   val LshPlanes = 8 // sign-random-projection bits → 256 buckets
+
+  /** Hard cap on the broadcast query block of [[bruteForceTopK]]: the
+    * per-partition state is O(queries × K) and every partition scores
+    * every query, so the operator is only correct-by-design for a
+    * bounded query set. */
+  val MaxQueryBlock = 100000
 
   /** Deterministic "random" hyperplanes: u[p][d] derives from
     * md5("rp:p:d") → uniform in [-1, 1). Exactly reproducible in SQL
@@ -53,50 +72,18 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
 
-  private def queries(spark: SparkSession, dir: String): DataFrame =
-    corpus(spark, dir).filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-
-  /** L2-normalized corpus in a typed pass (shared dense kernel shape
-    * with Dedup.embeddingNearDup). */
-  private def normalized(spark: SparkSession, dir: String) = {
+  /** L2-normalized corpus in a typed pass. */
+  private def normalized(spark: SparkSession, dir: String)
+      : Dataset[(Long, Array[Double])] = {
     import spark.implicits._
     corpus(spark, dir).select(col("vec_id"), col("v"))
       .as[(Long, Array[Double])]
-      .map { case (id, v) =>
-        var s = 0.0
-        var i = 0
-        while (i < v.length) { s += v(i) * v(i); i += 1 }
-        val n = math.sqrt(s)
-        val nv = new Array[Double](v.length)
-        i = 0
-        while (i < v.length) { nv(i) = v(i) / n; i += 1 }
-        (id, nv)
-      }
+      .map { case (id, v) => (id, VectorOps.l2Normalize(v)) }
   }
 
-  /** Exact cosine top-k per query (brute force baseline): normalize
-    * once, broadcast the query block, stream the corpus through a tight
-    * dot-product loop — per-pair Catalyst array folds measured 3-4×
-    * slower and with much higher run-to-run variance. */
-  def bruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val normed = normalized(spark, dir)
-    val qBlock = spark.sparkContext.broadcast(
-      normed.filter(_._1 % QueryStride == 0).collect().sortBy(_._1))
-    val scored = normed.mapPartitions { it =>
-      val qs = qBlock.value
-      it.flatMap { case (id, nv) =>
-        qs.iterator.filter(_._1 != id).map { case (qId, qnv) =>
-          var s = 0.0
-          var i = 0
-          while (i < nv.length) { s += qnv(i) * nv(i); i += 1 }
-          (qId, id,
-            BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-              .toDouble)
-        }
-      }
-    }.toDF("q_id", "n_id", "sim")
+  /** Global top-k per query over the (pre-reduced) scored rows. The
+    * window input is ≤ partitions × queries × K rows by construction. */
+  private def topKWindow(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -105,33 +92,81 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Exact cosine top-k per query (brute force baseline): normalize
+    * once, broadcast the bounded query block, stream the corpus once
+    * through the typed kernel keeping a K-entry heap per query — each
+    * partition emits at most K rows per query.
+    */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+                     maxQueries: Int = MaxQueryBlock): DataFrame = {
+    import spark.implicits._
+    val normed = normalized(spark, dir)
+    val qRows = normed.filter(_._1 % QueryStride == 0).collect().sortBy(_._1)
+    require(qRows.length <= maxQueries,
+      s"brute-force query block has ${qRows.length} vectors (cap $maxQueries);" +
+        " an unbounded query side needs the tiled similarity join instead")
+    val qBlock = spark.sparkContext.broadcast(qRows)
+    val k = K
+    val scored = normed.mapPartitions { it =>
+      val qs = qBlock.value
+      val heaps = Array.fill(qs.length)(new VectorOps.TopK(k))
+      it.foreach { case (id, nv) =>
+        var qi = 0
+        while (qi < qs.length) {
+          val q = qs(qi)
+          if (q._1 != id)
+            heaps(qi).insert(VectorOps.roundAt(VectorOps.dot(q._2, nv), 4), id)
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.drain().map { case (sim, nId) => (qs(qi)._1, nId, sim) }
+      }
+    }.toDF("q_id", "n_id", "sim")
+    topKWindow(scored)
+  }
+
+  /** Per-partition heap pre-reduction for scored candidate streams
+    * keyed by (q_id, qnv, n_id, nv): emits ≤ K rows per query per
+    * partition. Shared by the LSH and IVF paths. */
+  private def heapReduce(
+      cand: Dataset[(Long, Array[Double], Long, Array[Double])],
+      score: (Array[Double], Array[Double]) => Double)
+      : Dataset[(Long, Long, Double)] = {
+    import cand.sparkSession.implicits._
+    val k = K
+    cand.mapPartitions { it =>
+      val heaps = mutable.LinkedHashMap.empty[Long, VectorOps.TopK]
+      it.foreach { case (qId, qv, nId, nv) =>
+        heaps.getOrElseUpdate(qId, new VectorOps.TopK(k))
+          .insert(VectorOps.roundAt(score(qv, nv), 4), nId)
+      }
+      heaps.iterator.flatMap { case (qId, h) =>
+        h.drain().map { case (sim, nId) => (qId, nId, sim) }
+      }
+    }
+  }
+
   /** SRP-LSH top-k: 8 sign-random-projection bits bucket the corpus
     * (one shuffle-free signature pass); each query multi-probes its own
-    * bucket plus the 8 hamming-1 neighbors, candidates score by cosine.
-    * The scale path for ANN: the candidate join shuffles on the bucket
-    * id — corpus vectors never pair beyond shared buckets.
+    * bucket plus the 8 hamming-1 neighbors, candidates score through the
+    * typed kernel with per-partition heap pre-reduction. The scale path
+    * for ANN: the candidate join shuffles on the bucket id — corpus
+    * vectors never pair beyond shared buckets.
     */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pl = planes
+    val nPlanes = LshPlanes
     val sigs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
       .map { case (id, v) =>
-        var s2 = 0.0
-        var i = 0
-        while (i < v.length) { s2 += v(i) * v(i); i += 1 }
-        val nrm = math.sqrt(s2)
-        val nv = new Array[Double](v.length)
-        i = 0
-        while (i < v.length) { nv(i) = v(i) / nrm; i += 1 }
+        val nv = VectorOps.l2Normalize(v)
         var bucket = 0
         var p = 0
-        while (p < LshPlanes) {
-          var dp = 0.0
-          var d = 0
-          while (d < v.length) { dp += v(d) * pl(p)(d); d += 1 }
-          if (dp > 0) bucket |= 1 << p
+        while (p < nPlanes) {
+          if (VectorOps.dot(v, pl(p)) > 0) bucket |= 1 << p
           p += 1
         }
         (id, bucket, nv)
@@ -145,52 +180,51 @@ object Similarity {
       .select(col("q_id"), col("qnv"),
         (col("bucket").bitwiseXOR(col("flip"))).as("key"))
     val cand = sigs.join(probes,
-      col("bucket") === col("key") && col("vec_id") =!= col("q_id"))
-    val sim = aggregate(
-      zip_with(col("qnv"), col("nv"), (a, b) => a * b),
-      lit(0.0), (acc, x) => acc + x)
-    val scored = cand.select(col("q_id"), col("vec_id").as("n_id"),
-      round(sim, 4).as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
-      .orderBy("q_id", "rank")
+        col("bucket") === col("key") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qnv"), col("vec_id").as("n_id"), col("nv"))
+      .as[(Long, Array[Double], Long, Array[Double])]
+    val scored = heapReduce(cand, VectorOps.dot).toDF("q_id", "n_id", "sim")
+    topKWindow(scored)
   }
 
-  /** IVF top-k: centroid per `label` cell (elementwise mean), each query
-    * probes its NProbe nearest cells (squared L2, rounded before
-    * ranking), search restricted to those cells. */
+  /** IVF top-k: centroid per `label` cell (elementwise mean) via ONE
+    * typed partial aggregation — no row explosion, the exchange carries
+    * one partial sum per (partition, label). Each query probes its
+    * NProbe nearest cells (squared L2, rounded before ranking); the
+    * search joins the corpus against the broadcast probe set, so the
+    * corpus is never shuffled. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val c = corpus(spark, dir)
-    // per-cell elementwise mean: posexplode → avg per (label, pos) →
-    // reassemble ordered array
-    val cent = c
-      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label"), transform(col("pm"), p => p.getField("m")).as("cv"))
-    val dist2 = aggregate(
-      zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+    val typed = c.select(col("label").cast("long"), col("v"))
+      .as[(Long, Array[Double])]
+    val cent = typed.groupByKey(_._1).mapValues(_._2)
+      .agg(new VectorOps.VecMean(Dims).toColumn.name("cv"))
+      .toDF("label", "cv")
+    val q = corpus(spark, dir).filter(col("vec_id") % QueryStride === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // probe assignment: queries × centroids is Q × |labels| (tiny); d2
+    // through the typed kernel, rounded to 6 before ranking like the oracle
+    val qc = q.join(broadcast(cent))
+      .select(col("q_id"), col("qv"), col("label"), col("cv"))
+      .as[(Long, Array[Double], Long, Array[Double])]
+      .map { case (qId, qv, label, cv) =>
+        (qId, label, VectorOps.roundAt(VectorOps.dist2(qv, cv), 6))
+      }
+      .toDF("q_id", "label", "d2")
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("d2"), col("label"))
-    val probes = queries(spark, dir).join(broadcast(cent))
-      .select(col("q_id"), col("qv"), col("label"), round(dist2, 6).as("d2"))
-      .withColumn("pr", row_number().over(wProbe))
+    val probes = qc.withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= NProbe)
+      .select(col("q_id"), col("label"))
+      .join(q, "q_id")
       .select(col("q_id"), col("qv"), col("label"))
-    val scored = c.join(broadcast(probes),
-        c("label") === probes("label") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        round(cosineSim(col("qv"), col("v")), 4).as("sim"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
-      .orderBy("q_id", "rank")
+    val cand = c.join(broadcast(probes),
+        c("label").cast("long") === probes("label").cast("long") &&
+          col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("vec_id").as("n_id"), col("v"))
+      .as[(Long, Array[Double], Long, Array[Double])]
+    val scored = heapReduce(cand, VectorOps.cosineRaw).toDF("q_id", "n_id", "sim")
+    topKWindow(scored)
   }
 }
