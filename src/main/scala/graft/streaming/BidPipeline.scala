@@ -84,21 +84,27 @@ object BidPipeline {
     * persisted and written twice: the raw nested tree and the hourly
     * aggregate of the normalized projection — the exact body the
     * reference runs per rotated DuckDB file, minus the RPC hop.
+    *
+    * Exactly-once across crashes: both sinks write through
+    * [[ExportParquet.writeBatch]] (dynamic overwrite of the batch's own
+    * `batch_id=N` directories), so a replay after a crash anywhere —
+    * mid-first-write, between the two writes, or before the checkpoint
+    * commit — rewrites the same output instead of duplicating it.
     */
-  def exportBatch(batch: DataFrame, cfg: Config): Unit = {
+  def exportBatch(batch: DataFrame, cfg: Config, batchId: Long): Unit = {
     batch.persist()
     try {
-      ExportParquet.write(
+      ExportParquet.writeBatch(
         ExportParquet.withPartitionCols(batch,
           col("timestamp.seconds") * 1000 +
             (col("timestamp.nanos") / 1000000).cast("long")),
-        s"${cfg.exportRoot}/${cfg.logname}/raw")
-      ExportParquet.write(
+        s"${cfg.exportRoot}/${cfg.logname}/raw", batchId)
+      ExportParquet.writeBatch(
         BidExports.hourlyRequestsAgg(Normalize(batch))
           .withColumn("year", year(col("date")))
           .withColumn("month", month(col("date")))
           .withColumn("day", dayofmonth(col("date"))),
-        s"${cfg.exportRoot}/${cfg.logname}/hourly_requests_agg")
+        s"${cfg.exportRoot}/${cfg.logname}/hourly_requests_agg", batchId)
     } finally batch.unpersist()
   }
 
@@ -123,7 +129,8 @@ object BidPipeline {
     val decoded = if (cfg.dedupeIds) dedupeByIds(base) else base
     val writer = decoded.writeStream
       .option("checkpointLocation", cfg.checkpointLocation)
-      .foreachBatch { (batch: DataFrame, _: Long) => exportBatch(batch, cfg) }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        exportBatch(batch, cfg, batchId) }
     (if (cfg.availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("10 seconds")))
       .start()
