@@ -15,9 +15,20 @@ import graft.sources.Tables
   *  - Exact dedup is a hash group-by: one shuffle on the content hash.
   *  - MinHash/SimHash avoid the O(n²) pair space via LSH banding: the
   *    only shuffle is on (band, key) — candidate pairs are the join
-  *    output, a tiny fraction of n². The quadratic fallbacks
-  *    (ngramJaccard within length blocks, embedding near-dup) are
-  *    blocked/bucketed so the cross product never materializes globally.
+  *    output, a tiny fraction of n².
+  *  - Hot-key hardening: every self-join key (band bucket, identical-
+  *    text group) is frequency-capped at [[HotGroupCap]]. Groups at or
+  *    under the cap emit the full pair clique; groups OVER the cap emit
+  *    a spanning star (min doc vs the rest) instead — per-task join
+  *    input stays O(cap × group), never O(group²), and the duplicate
+  *    CLUSTERS (connected components, what dedup consumes) are
+  *    identical. ngramJaccard additionally collapses identical texts to
+  *    one representative before building its inverted shingle index and
+  *    drops hyper-frequent shingles ([[ShingleFreqCap]], far above any
+  *    organic frequency) — a pair whose entire overlap is hyper-frequent
+  *    shingles can be missed, the standard prefix-filtering trade.
+  *  - The embedding near-dup is a tiled block join (see
+  *    [[embeddingNearDup]]) so the cross product never materializes.
   *  - All hashes are md5-derived (deterministic, engine-agnostic) so the
   *    DuckDB oracle reproduces them bit-for-bit; fixed-width lowercase
   *    hex compares lexicographically = numerically.
@@ -32,6 +43,17 @@ object Dedup {
   val NgramN = 3
   val EmbeddingCosThreshold = 0.45
 
+  /** Self-join groups over this size switch from clique to spanning
+    * star (see the header). Far above organic group sizes (max band
+    * bucket / identical-text group in the test corpus is single
+    * digits), so the oracle-checked results are bit-identical; an
+    * adversarial 10⁶-identical-docs key stays linear. */
+  val HotGroupCap = 256
+
+  /** Shingles seen in more than this many distinct documents are
+    * dropped from the inverted index (organic max observed: 25). */
+  val ShingleFreqCap = 1000
+
   /** (doc_id, sh: distinct word-3-gram shingles), docs with ≥1 shingle.
     *
     * Built in a typed tight loop rather than Catalyst
@@ -45,24 +67,52 @@ object Dedup {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
-        val n = toks.length
-        val sh =
-          if (n < NgramN) Array.empty[String]
-          else {
-            val out = new Array[String](n - NgramN + 1)
-            var i = 0
-            while (i < out.length) {
-              out(i) = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
-              i += 1
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
+          val n = toks.length
+          val sh =
+            if (n < NgramN) Array.empty[String]
+            else {
+              val out = new Array[String](n - NgramN + 1)
+              var i = 0
+              while (i < out.length) {
+                out(i) = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+                i += 1
+              }
+              out.distinct
             }
-            out.distinct
-          }
-        (id, sh, n)
+          val gh = digest.digest(
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString
+          (id, sh, n, gh)
+        }
       }
-      .toDF("doc_id", "sh", "n_toks")
+      .toDF("doc_id", "sh", "n_toks", "ghash")
       .filter(size(col("sh")) > 0)
+  }
+
+  /** Hot-key-capped self-join: unordered id pairs sharing a key, as the
+    * full clique for groups of size ≤ [[HotGroupCap]] and a spanning
+    * star (group-min vs the rest) for larger groups. Join input per key
+    * is O(group) on each side; only clique OUTPUT is quadratic and only
+    * up to the cap. `df` must have an `id` column plus `keyCols`.
+    */
+  private def selfJoinCapped(df: DataFrame, keyCols: Seq[String])
+      : DataFrame = {
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), min(col("id")).as("__mn"))
+    val bk = df.join(counts, keyCols)
+    val cold = bk.filter(col("__n") <= HotGroupCap)
+    val coldPairs = cold.as("x")
+      .join(cold.as("y"),
+        keyCols.map(k => col(s"x.$k") === col(s"y.$k"))
+          .reduce(_ && _) && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val hotPairs = bk.filter(col("__n") > HotGroupCap && col("id") =!= col("__mn"))
+      .select(col("__mn").as("id_a"), col("id").as("id_b"))
+    coldPairs.unionByName(hotPairs)
   }
 
   private def jaccard(a: Column, b: Column): Column =
@@ -104,12 +154,9 @@ object Dedup {
     }
     val bands = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(col("doc_id").as("id"), col("bk.b").as("b"), col("bk.k").as("k"))
+    val cand = selfJoinCapped(bands, Seq("b", "k"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .distinct()
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
@@ -176,48 +223,80 @@ object Dedup {
       struct(lit(2).as("b"), shiftright(col("slo"), 16).as("k")),
       struct(lit(3).as("b"), col("slo").bitwiseAND(65535).as("k")))
     val bands = sh
-      .select(col("doc_id"), col("shi"), col("slo"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("shi"), col("slo"),
-        col("bk.b").as("b"), col("bk.k").as("k"))
-    bands.as("x")
-      .join(bands.as("y"),
-        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        (bit_count(col("x.shi").bitwiseXOR(col("y.shi"))) +
-          bit_count(col("x.slo").bitwiseXOR(col("y.slo"))))
-          .cast("int").as("hamming"))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id").as("id"), col("bk.b").as("b"), col("bk.k").as("k"))
+    val pairs = selfJoinCapped(bands, Seq("b", "k"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
       .distinct()
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"),
+        col("shi").as("xhi"), col("slo").as("xlo")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"),
+        col("shi").as("yhi"), col("slo").as("ylo")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("xhi").bitwiseXOR(col("yhi"))) +
+          bit_count(col("xlo").bitwiseXOR(col("ylo"))))
+          .cast("int").as("hamming"))
       .filter(col("hamming") <= SimhashMaxHamming)
       .orderBy("doc_a", "doc_b")
   }
 
   /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index
-    * (the PPJoin-style plan): explode shingles, self-join on the shingle
-    * (shuffle key = shingle, so only documents sharing a shingle ever
-    * meet), count common shingles per pair, then compute Jaccard purely
-    * arithmetically from |A|, |B| and |A∩B| — the quadratic pair space
-    * and the per-pair array intersections never materialize. Exact and
-    * complete: any pair with Jaccard > 0 shares ≥ 1 shingle.
+    * (the PPJoin-style plan): collapse identical texts to one
+    * representative, explode the representatives' shingles, self-join
+    * on the shingle (shuffle key = shingle, so only documents sharing a
+    * shingle ever meet), count common shingles per pair, compute
+    * Jaccard purely arithmetically from |A|, |B| and |A∩B| — the
+    * quadratic pair space and per-pair array intersections never
+    * materialize — then expand representative pairs back to member
+    * pairs and add the identical-text pairs (Jaccard exactly 1).
+    *
+    * Hot-key bounds: identical-text groups cap at [[HotGroupCap]]
+    * (clique under, spanning star over — see the header) and shingles
+    * in more than [[ShingleFreqCap]] representatives are dropped from
+    * the index. Exact for every pair whose overlap includes one
+    * sub-hyper-frequent shingle; identical docs are exact at any scale
+    * via the collapse.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val common = ex.as("x")
-      .join(ex.as("y"),
+    val grp = sh.groupBy("ghash")
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gn"))
+    val m = sh.select(col("doc_id"), col("ghash")).join(grp, "ghash")
+    val reps = sh.join(grp,
+        sh("ghash") === grp("ghash") && sh("doc_id") === grp("rep"))
+      .select(sh("doc_id"), sh("sh"))
+    val sizes = reps.select(col("doc_id"), size(col("sh")).as("n"))
+    val ex = reps.select(col("doc_id"), explode(col("sh")).as("s"))
+    val freq = ex.groupBy("s").agg(count(lit(1)).as("sf"))
+    val exCap = ex.join(freq.filter(col("sf") <= ShingleFreqCap), "s")
+      .select(col("doc_id"), col("s"))
+    val common = exCap.as("x")
+      .join(exCap.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
-    common
+    val repPairs = common
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(col("common").cast("double") /
           (col("na") + col("nb") - col("common")), 4).as("jaccard"))
       .filter(col("jaccard") >= MinhashJaccardThreshold)
-      .orderBy("doc_a", "doc_b")
+    // groups over the cap contribute only their representative to the
+    // cross-group expansion (their members reach the cluster via the
+    // intra star below)
+    val mB = m.filter(col("gn") <= HotGroupCap || col("doc_id") === col("rep"))
+    val expanded = repPairs
+      .join(mB.select(col("rep").as("doc_a"), col("doc_id").as("ma")), "doc_a")
+      .join(mB.select(col("rep").as("doc_b"), col("doc_id").as("mb")), "doc_b")
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
+    val intra = selfJoinCapped(
+        sh.select(col("doc_id").as("id"), col("ghash")), Seq("ghash"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    expanded.unionByName(intra).orderBy("doc_a", "doc_b")
   }
 
   /** Number of tiles for the embedding near-dup block join. At a given

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Adversarial hot-key spec: 2000 byte-identical documents all landing
+  * in the same band buckets / text group. Uncapped, every self-join
+  * would push ~2M pair rows through single shuffle keys; with the
+  * clique/star cap each operator must finish with bounded per-task
+  * input and emit one spanning star per duplicate cluster.
+  */
+class DedupHotKeySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-hotkey").toString
+    val dupes = (0L until 2000L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val distinct = (2000L until 2005L).map(i =>
+      (i, s"completely unrelated document number $i with its own words ${i * 31}"))
+    (dupes ++ distinct).toDF("doc_id", "text")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  /** Max (input + shuffle-read) records over all tasks of `action`. */
+  private def maxTaskRecords(action: => Unit): Long = {
+    val max = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          val r = m.inputMetrics.recordsRead + m.shuffleReadMetrics.recordsRead
+          max.getAndUpdate(c => math.max(c, r))
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { action; Thread.sleep(500) }
+    finally spark.sparkContext.removeSparkListener(l)
+    max.get()
+  }
+
+  // the uncapped pair space is ~2M rows on ONE key; anything close to
+  // that flowing through a task means the cap is not working
+  private val TaskRecordBound = 100000L
+
+  test("minhash LSH: hot band buckets emit a spanning star, bounded tasks") {
+    var rows: Array[org.apache.spark.sql.Row] = null
+    val maxRec = maxTaskRecords {
+      rows = Dedup.minhashLsh(spark, dir).collect()
+    }
+    assert(rows.length == 1999, s"star over 2000 dupes, got ${rows.length}")
+    assert(rows.forall(r => r.getLong(0) == 0L), "star center must be the min id")
+    assert(rows.forall(_.getDouble(2) == 1.0))
+    assert(maxRec < TaskRecordBound, s"a task saw $maxRec records")
+  }
+
+  test("simhash: hot band buckets emit a spanning star, bounded tasks") {
+    var rows: Array[org.apache.spark.sql.Row] = null
+    val maxRec = maxTaskRecords {
+      rows = Dedup.simhash(spark, dir).collect()
+    }
+    assert(rows.length == 1999)
+    assert(rows.forall(r => r.getLong(0) == 0L && r.getInt(2) == 0))
+    assert(maxRec < TaskRecordBound, s"a task saw $maxRec records")
+  }
+
+  test("ngram Jaccard: identical texts collapse, bounded tasks") {
+    var rows: Array[org.apache.spark.sql.Row] = null
+    val maxRec = maxTaskRecords {
+      rows = Dedup.ngramJaccard(spark, dir).collect()
+    }
+    assert(rows.length == 1999)
+    assert(rows.forall(r => r.getLong(0) == 0L && r.getDouble(2) == 1.0))
+    assert(maxRec < TaskRecordBound, s"a task saw $maxRec records")
+  }
+
+  test("oracle scale: cold groups still produce full cliques") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-coldkey").toString
+    // 4 identical docs — well under the cap → all 6 pairs, not a star
+    (0L until 4L).map(i => (i, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    assert(Dedup.ngramJaccard(spark, d).count() == 6)
+    assert(Dedup.minhashLsh(spark, d).count() == 6)
+    assert(Dedup.simhash(spark, d).count() == 6)
+  }
+}
