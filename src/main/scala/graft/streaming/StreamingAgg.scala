@@ -61,4 +61,52 @@ object StreamingAgg {
     spark.catalog.dropTempView(name)
     result
   }
+
+  /** The PRODUCTION twin of [[hourlyWindow]]: append-mode,
+    * watermark-evicting hourly aggregate writing hive-partitioned
+    * parquet. Only FINALIZED windows — watermark past the window end —
+    * are ever written, so (a) aggregate state is bounded by the
+    * watermark horizon, not the job lifetime, and (b) every output file
+    * is immutable once written: downstream readers never see a partial
+    * hour restated. Nothing driver-resident: state lives in the state
+    * store, output goes straight to the file sink with exactly-once
+    * tracking via its _spark_metadata log.
+    *
+    * `srcDir` is a directory of event part-files (the staging layout a
+    * collector would land); `maxFilesPerTrigger` bounds each micro-batch
+    * so the watermark — and therefore finalization — advances file by
+    * file.
+    */
+  def hourlyWindowToFiles(spark: SparkSession, srcDir: String,
+                          outPath: String, checkpoint: String,
+                          maxFilesPerTrigger: Int = 1,
+                          availableNow: Boolean = true)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val agg = spark.readStream
+      .schema(eventsLongSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"),
+        year(col("window.start")).as("year"),
+        month(col("window.start")).as("month"),
+        dayofmonth(col("window.start")).as("day"),
+        hour(col("window.start")).as("hour"))
+    val writer = agg.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .option("compression", "zstd")
+      .partitionBy("year", "month", "day", "hour")
+      .outputMode("append")
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime("10 seconds")))
+      .start()
+  }
 }
