@@ -63,33 +63,32 @@ object Dedup {
     * shuffle-free map. Values are identical (single-space tokenization,
     * first-occurrence distinct), so the DuckDB oracle is unchanged.
     */
-  private[operators] def shingles(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def shingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** Same typed shingle pass over an arbitrary (doc_id, text) frame —
+    * lets ngramJaccard shingle only the deduplicated representatives. */
+  private[operators] def shinglesOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .mapPartitions { it =>
-        val digest = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, text) =>
-          val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
-          val n = toks.length
-          val sh =
-            if (n < NgramN) Array.empty[String]
-            else {
-              val out = new Array[String](n - NgramN + 1)
-              var i = 0
-              while (i < out.length) {
-                out(i) = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
-                i += 1
-              }
-              out.distinct
+    docs.as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
+        val n = toks.length
+        val sh =
+          if (n < NgramN) Array.empty[String]
+          else {
+            val out = new Array[String](n - NgramN + 1)
+            var i = 0
+            while (i < out.length) {
+              out(i) = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+              i += 1
             }
-          val gh = digest.digest(
-              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            .map("%02x".format(_)).mkString
-          (id, sh, n, gh)
-        }
+            out.distinct
+          }
+        (id, sh, n)
       }
-      .toDF("doc_id", "sh", "n_toks", "ghash")
+      .toDF("doc_id", "sh", "n_toks")
       .filter(size(col("sh")) > 0)
   }
 
@@ -101,9 +100,12 @@ object Dedup {
     */
   private def selfJoinCapped(df: DataFrame, keyCols: Seq[String])
       : DataFrame = {
-    val counts = df.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"), min(col("id")).as("__mn"))
-    val bk = df.join(counts, keyCols)
+    // group size/min via window functions: ONE shuffle on the key, whose
+    // partitioning the self-join below then reuses (no agg+join round trip)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val bk = df.withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__mn", min(col("id")).over(w))
     val cold = bk.filter(col("__n") <= HotGroupCap)
     val coldPairs = cold.as("x")
       .join(cold.as("y"),
@@ -259,13 +261,19 @@ object Dedup {
     * via the collapse.
     */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir)
-    val grp = sh.groupBy("ghash")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // group structure from cheap codegen'd columns (content hash + token
+    // count); the expensive typed shingle pass runs ONCE, over the
+    // representatives only. A doc has shingles iff it has ≥ NgramN tokens.
+    val base = docs
+      .select(col("doc_id"), md5(col("text")).as("ghash"),
+        size(graft.functions.tokens(col("text"))).as("n_toks"))
+      .filter(col("n_toks") >= NgramN)
+    val grp = base.groupBy("ghash")
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gn"))
-    val m = sh.select(col("doc_id"), col("ghash")).join(grp, "ghash")
-    val reps = sh.join(grp,
-        sh("ghash") === grp("ghash") && sh("doc_id") === grp("rep"))
-      .select(sh("doc_id"), sh("sh"))
+    val m = base.select(col("doc_id"), col("ghash")).join(grp, "ghash")
+    val reps = shinglesOf(
+      docs.join(grp.select(col("rep").as("doc_id")), "doc_id"))
     val sizes = reps.select(col("doc_id"), size(col("sh")).as("n"))
     val ex = reps.select(col("doc_id"), explode(col("sh")).as("s"))
     val freq = ex.groupBy("s").agg(count(lit(1)).as("sf"))
@@ -293,7 +301,7 @@ object Dedup {
       .select(least(col("ma"), col("mb")).as("doc_a"),
         greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
     val intra = selfJoinCapped(
-        sh.select(col("doc_id").as("id"), col("ghash")), Seq("ghash"))
+        base.select(col("doc_id").as("id"), col("ghash")), Seq("ghash"))
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         lit(1.0).as("jaccard"))
     expanded.unionByName(intra).orderBy("doc_a", "doc_b")
