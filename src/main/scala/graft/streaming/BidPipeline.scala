@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.{BidExports, ExportParquet, Normalize, ProtoPipeline}
+import graft.sources.GraftTable
 import graft.sources.proto.{BidRequestSchema, ProtoFunctions}
 
 /** The whole reference service as one Structured Streaming job
@@ -39,7 +40,8 @@ object BidPipeline {
       checkpointLocation: String,
       exportRoot: String,
       logname: String = "ortb.bid-requests", // main.go:126
-      availableNow: Boolean = false)
+      availableNow: Boolean = false,
+      commitLog: Boolean = false) // transactional dual-sink visibility
 
   /** A1: the Kafka source with the reference's consumer options. */
   def kafkaSource(spark: SparkSession, cfg: Config): DataFrame = {
@@ -92,6 +94,10 @@ object BidPipeline {
     * commit — rewrites the same output instead of duplicating it.
     */
   def exportBatch(batch: DataFrame, cfg: Config, batchId: Long): Unit = {
+    // a published commit proves every sink of this batch completed —
+    // replaying the writes would orphan the manifest's file list
+    if (cfg.commitLog && GraftTable.isCommitted(batch.sparkSession,
+        s"${cfg.exportRoot}/${cfg.logname}", batchId)) return
     batch.persist()
     try {
       ExportParquet.writeBatch(
@@ -105,6 +111,11 @@ object BidPipeline {
           .withColumn("month", month(col("date")))
           .withColumn("day", dayofmonth(col("date"))),
         s"${cfg.exportRoot}/${cfg.logname}/hourly_requests_agg", batchId)
+      // with the commit log on, BOTH sinks become visible in one atomic
+      // rename; without it, readers rely on the batch_id overwrite alone
+      if (cfg.commitLog)
+        GraftTable.commit(batch.sparkSession,
+          s"${cfg.exportRoot}/${cfg.logname}", batchId)
     } finally batch.unpersist()
   }
 
