@@ -58,6 +58,8 @@ object SparkEntry {
     "dedup_simhash"         -> (Dedup.simhash _),
     "dedup_ngram_jaccard"   -> (Dedup.ngramJaccard _),
     "dedup_embedding"       -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "dedup_clusters"        -> (Dedup.clusters _),
+    "text_decontaminate"    -> (Dedup.decontaminate _),
     // --- similarity search ----------------------------------------------
     "sim_brute_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_ivf_topk"          -> (Similarity.ivfTopK _),
@@ -138,6 +140,21 @@ object SparkEntry {
        |SELECT doc_a, doc_b, jaccard FROM j
        |WHERE jaccard >= ${Dedup.MinhashJaccardThreshold}
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Connected components of the minhash near-dup graph via a recursive
+    * transitive-closure CTE; cluster label = min reachable doc_id. */
+  private def clustersOracle: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |p AS (SELECT doc_a, doc_b FROM j
+       |      WHERE jaccard >= ${Dedup.MinhashJaccardThreshold}),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |      UNION SELECT doc_b, doc_a FROM p),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+       |SELECT a AS doc_id, least(a, min(b)) AS cluster
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
   private def simhashOracle: String = {
     def hexToLong(expr: String) =
@@ -558,6 +575,17 @@ object SparkEntry {
          |ORDER BY d.doc_id""".stripMargin
     },
     "dedup_simhash" -> simhashOracle,
+    "dedup_clusters" -> clustersOracle,
+    "text_decontaminate" ->
+      s"""WITH $toksCte,
+         |ex AS (SELECT doc_id, unnest(s) AS e FROM shf),
+         |ev AS (SELECT DISTINCT e FROM ex
+         |       WHERE doc_id % ${Dedup.EvalStride} = 0)
+         |SELECT c.doc_id, count(*) AS n_shared,
+         |       count(*) >= ${Dedup.MinContamOverlap} AS contaminated
+         |FROM ex c JOIN ev ON c.e = ev.e
+         |WHERE c.doc_id % ${Dedup.EvalStride} <> 0
+         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $toksCte,
          |sz AS (SELECT doc_id, len(s) AS n FROM shf),

@@ -307,6 +307,69 @@ object Dedup {
     expanded.unionByName(intra).orderBy("doc_a", "doc_b")
   }
 
+  /** Deterministic eval-set stride for [[decontaminate]] and the
+    * minimum shared-shingle count that flags contamination. */
+  val EvalStride = 40
+  val MinContamOverlap = 5
+
+  /** Duplicate-CLUSTER assignment — the consumer of the pair lists: the
+    * connected components of the MinHash near-dup graph, each doc
+    * labeled with the minimum doc_id reachable from it (the canonical
+    * "keeper"). Min-label propagation iterated to fixpoint with
+    * lineage truncation per round; rounds = graph diameter, and the
+    * hot-key caps upstream bound every round's join. (At extreme
+    * diameters the two-phase star contraction halves rounds to
+    * O(log n); near-dup graphs are dense clusters with tiny diameters,
+    * so plain propagation is the right default.)
+    */
+  def clusters(spark: SparkSession, dir: String): DataFrame = {
+    val pr = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pr.unionByName(
+        pr.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").persist()
+    try {
+      var labels = edges.groupBy(col("src").as("doc_id"))
+        .agg(min(col("dst")).as("nmin"))
+        .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("cluster"))
+        .localCheckpoint(eager = true)
+      var changed = 1L
+      while (changed > 0) {
+        val prop = edges.join(labels, edges("dst") === labels("doc_id"))
+          .groupBy(edges("src").as("doc_id"))
+          .agg(min(col("cluster")).as("pmin"))
+        val next = labels.as("l").join(prop.as("p"), "doc_id")
+          .select(col("doc_id"),
+            least(col("l.cluster"), col("p.pmin")).as("cluster"))
+          .localCheckpoint(eager = true)
+        changed = next.as("n").join(labels.as("o"), "doc_id")
+          .filter(col("n.cluster") =!= col("o.cluster")).count()
+        labels = next
+      }
+      labels.orderBy("doc_id")
+    } finally edges.unpersist()
+  }
+
+  /** Benchmark decontamination — flag corpus documents sharing word
+    * 3-gram shingles with an eval set (here the deterministic stride
+    * `doc_id % EvalStride == 0`, standing in for a benchmark table).
+    * The join shuffles on the shingle (inverted-index shape, same as
+    * [[ngramJaccard]]); the eval side is distinct shingles only, so at
+    * 100 TB it is the small side and broadcastable. Emits each
+    * contaminated-or-overlapping doc with its shared-shingle count.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingles(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val evalSh = ex.filter(col("doc_id") % EvalStride === 0)
+      .select(col("s")).distinct()
+    ex.filter(col("doc_id") % EvalStride =!= 0)
+      .join(evalSh, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= MinContamOverlap)
+      .orderBy("doc_id")
+  }
+
   /** Number of tiles for the embedding near-dup block join. At a given
     * deployment scale choose B ≈ ⌈corpus bytes / per-task working set⌉
     * so two tiles fit comfortably in one task's memory; the shuffle
