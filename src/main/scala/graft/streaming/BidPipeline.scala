@@ -41,7 +41,10 @@ object BidPipeline {
       exportRoot: String,
       logname: String = "ortb.bid-requests", // main.go:126
       availableNow: Boolean = false,
-      commitLog: Boolean = false) // transactional dual-sink visibility
+      commitLog: Boolean = false, // transactional dual-sink visibility
+      // topic schema — descriptor-derived by default; swap in any
+      // ProtoDescriptor.messageSchema(...) for a new topic
+      schema: graft.sources.proto.PMessage = BidRequestSchema.bidrequest)
 
   /** A1: the Kafka source with the reference's consumer options. */
   def kafkaSource(spark: SparkSession, cfg: Config): DataFrame = {
@@ -69,13 +72,15 @@ object BidPipeline {
     * broker timestamp replaces the reference's 8-byte suffix hack
     * (SURVEY A3) — `event_tm` comes from the `timestamp` column.
     */
-  def decode(frames: DataFrame, stripPrefix: Boolean): DataFrame = {
+  def decode(frames: DataFrame, stripPrefix: Boolean,
+             schema: graft.sources.proto.PMessage = BidRequestSchema.bidrequest)
+      : DataFrame = {
     val payload =
       if (stripPrefix) expr("substring(value, 7, length(value) - 6)")
       else col("value")
     frames.select(
         ProtoFunctions
-          .protoDecode(payload, BidRequestSchema.bidrequest, lenient = true)
+          .protoDecode(payload, schema, lenient = true)
           .as("bid"),
         unix_millis(col("timestamp")).as("event_tm"))
       .filter(col("bid").isNotNull) // poison messages drop, stream survives
@@ -136,7 +141,7 @@ object BidPipeline {
   def start(spark: SparkSession, cfg: Config,
             source: Option[DataFrame] = None): StreamingQuery = {
     val frames = source.getOrElse(kafkaSource(spark, cfg))
-    val base = decode(frames, cfg.stripConfluentPrefix)
+    val base = decode(frames, cfg.stripConfluentPrefix, cfg.schema)
     val decoded = if (cfg.dedupeIds) dedupeByIds(base) else base
     val writer = decoded.writeStream
       .option("checkpointLocation", cfg.checkpointLocation)

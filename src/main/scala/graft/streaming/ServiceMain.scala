@@ -15,7 +15,8 @@ import graft.GraftSession
   *   --brokers host:9092 --topic bids \          // Kafka mode, or:
   *   --frames-dir /path/to/frames \              // bounded file mode
   *   --export /path/out --checkpoint /path/ckpt \
-  *   --metrics metrics.json [--available-now] [--cores 32]
+  *   --metrics metrics.json [--available-now] [--cores 32] \
+  *   [--commit-log] [--dedupe-ids] [--descriptor x.desc --message Name]
   * }}}
   *
   * Flag mapping: `--max-offsets` ≈ the reference's 122880×kc message
@@ -36,7 +37,11 @@ object ServiceMain {
       metrics: String = "metrics.json",
       maxOffsets: Long = 983040L,
       cores: Int = 32,
-      availableNow: Boolean = false)
+      availableNow: Boolean = false,
+      commitLog: Boolean = false,
+      dedupeIds: Boolean = false,
+      descriptor: Option[String] = None,  // compiled FileDescriptorSet
+      message: String = "Bidrequest")
 
   def parse(argv: Array[String]): Args = {
     @annotation.tailrec
@@ -50,6 +55,10 @@ object ServiceMain {
       case "--max-offsets" :: v :: t   => go(t, a.copy(maxOffsets = v.toLong))
       case "--cores" :: v :: t         => go(t, a.copy(cores = v.toInt))
       case "--available-now" :: t      => go(t, a.copy(availableNow = true))
+      case "--commit-log" :: t         => go(t, a.copy(commitLog = true))
+      case "--dedupe-ids" :: t         => go(t, a.copy(dedupeIds = true))
+      case "--descriptor" :: v :: t    => go(t, a.copy(descriptor = Some(v)))
+      case "--message" :: v :: t       => go(t, a.copy(message = v))
       case Nil                         => a
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown flag $other")
@@ -73,7 +82,16 @@ object ServiceMain {
       maxOffsetsPerTrigger = args.maxOffsets,
       checkpointLocation = args.checkpoint,
       exportRoot = args.export,
-      availableNow = args.availableNow)
+      availableNow = args.availableNow,
+      commitLog = args.commitLog,
+      dedupeIds = args.dedupeIds,
+      schema = args.descriptor match {
+        case Some(path) => // new topic: schema compiles from its descriptor
+          graft.sources.proto.ProtoDescriptor.messageSchema(
+            java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+            args.message)
+        case None => graft.sources.proto.BidRequestSchema.bidrequest
+      })
     val source = args.framesDir.map(fileFrameSource(spark, _))
     val query = BidPipeline.start(spark, cfg, source)
     // SIGTERM/SIGINT graceful drain (main.go:410-429)

@@ -26,6 +26,34 @@ class ServiceMainSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ServiceMain.parse(Array("--bogus"))
     }
+    val b = ServiceMain.parse(Array("--brokers", "h:9092", "--topic", "t",
+      "--commit-log", "--dedupe-ids", "--descriptor", "/d.desc",
+      "--message", "Other"))
+    assert(b.commitLog && b.dedupeIds &&
+      b.descriptor.contains("/d.desc") && b.message == "Other")
+  }
+
+  test("commit-log file-mode run: exports visible only through the log") {
+    val base = Files.createTempDirectory("graft-service-log").toString
+    val framesDir = s"$base/frames"
+    ProtoPipeline.framedMessages(spark, sf0001)
+      .select(col("value"),
+        graft.sources.proto.ProtoFunctions.leUint64(col("value")).as("tm"))
+      .select(expr("substring(value, 1, length(value) - 8)").as("value"),
+        timestamp_millis(col("tm")).as("timestamp"))
+      .coalesce(2).write.parquet(framesDir)
+
+    ServiceMain.run(spark, ServiceMain.Args(
+      framesDir = Some(framesDir),
+      export = s"$base/export", checkpoint = s"$base/ckpt",
+      metrics = s"$base/metrics.json",
+      availableNow = true, commitLog = true))
+
+    val root = s"$base/export/ortb.bid-requests"
+    assert(new java.io.File(s"$root/_graft_log").listFiles()
+      .exists(_.getName.endsWith(".json")))
+    val nEvents = graft.sources.Tables.events(spark, sf0001).count()
+    assert(graft.sources.GraftTable.read(spark, root, "raw").count() == nEvents)
   }
 
   test("bounded file-mode run exports both projections and metrics") {
