@@ -337,13 +337,15 @@ object Dedup {
         val prop = edges.join(labels, edges("dst") === labels("doc_id"))
           .groupBy(edges("src").as("doc_id"))
           .agg(min(col("cluster")).as("pmin"))
+        // one materializing action per round: the change flag rides along
+        // and is counted on the checkpointed result
         val next = labels.as("l").join(prop.as("p"), "doc_id")
           .select(col("doc_id"),
-            least(col("l.cluster"), col("p.pmin")).as("cluster"))
+            least(col("l.cluster"), col("p.pmin")).as("cluster"),
+            (col("p.pmin") < col("l.cluster")).as("__ch"))
           .localCheckpoint(eager = true)
-        changed = next.as("n").join(labels.as("o"), "doc_id")
-          .filter(col("n.cluster") =!= col("o.cluster")).count()
-        labels = next
+        changed = next.filter(col("__ch")).count()
+        labels = next.drop("__ch")
       }
       labels.orderBy("doc_id")
     } finally edges.unpersist()
@@ -363,7 +365,7 @@ object Dedup {
     val evalSh = ex.filter(col("doc_id") % EvalStride === 0)
       .select(col("s")).distinct()
     ex.filter(col("doc_id") % EvalStride =!= 0)
-      .join(evalSh, "s")
+      .join(broadcast(evalSh), "s")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
       .withColumn("contaminated", col("n_shared") >= MinContamOverlap)
