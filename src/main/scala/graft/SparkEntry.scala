@@ -36,6 +36,9 @@ object SparkEntry {
     "q_top_orders_window"   -> (Relational.topOrdersPerPriority _),
     "q_semi_anti_join"      -> (Relational.customersWithoutOrders _),
     "q_rollup_revenue"      -> (Relational.rollupRevenue _),
+    "q_window_functions"    -> (Relational.windowFunctions _),
+    "q_cube_revenue"        -> (Relational.cubeRevenue _),
+    "q_listagg_roster"      -> (Relational.segmentNameRoster _),
     "q_nation_set_ops"      -> (Relational.nationSetOps _),
     "q_pivot_daily"         -> (Relational.pivotDailyEvents _),
     "q_parts_by_brand"      -> (Relational.partsByBrand _),
@@ -326,6 +329,35 @@ object SparkEntry {
         |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""
         .stripMargin,
+    "q_window_functions" ->
+      """WITH w AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         round(lag(o_totalprice) OVER win, 2) AS prev_price,
+        |         round(lead(o_totalprice) OVER win, 2) AS next_price,
+        |         CAST(ntile(4) OVER win AS INT) AS quartile,
+        |         round(cume_dist() OVER win, 6) AS cdist,
+        |         CAST(rank() OVER (PARTITION BY o_orderpriority
+        |                           ORDER BY o_orderstatus) AS INT) AS status_rank
+        |  FROM orders
+        |  WINDOW win AS (PARTITION BY o_orderpriority
+        |                 ORDER BY o_totalprice, o_orderkey))
+        |SELECT * FROM w WHERE o_orderkey % 20 = 0 ORDER BY o_orderkey"""
+        .stripMargin,
+    "q_cube_revenue" ->
+      """WITH t AS (SELECT o_orderstatus,
+        |                  CAST(year(o_orderdate) AS BIGINT) AS oy,
+        |                  o_totalprice FROM orders)
+        |SELECT o_orderstatus, oy,
+        |       round(sum(o_totalprice), 2) AS revenue,
+        |       count(*) AS n_orders
+        |FROM t GROUP BY CUBE (o_orderstatus, oy)
+        |ORDER BY o_orderstatus NULLS FIRST, oy NULLS FIRST""".stripMargin,
+    "q_listagg_roster" ->
+      """SELECT c_mktsegment,
+        |       string_agg(c_name, ',' ORDER BY c_name) AS names,
+        |       count(*) AS n
+        |FROM customer WHERE c_custkey % 50 = 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_nation_set_ops" ->
       """WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
         |s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)

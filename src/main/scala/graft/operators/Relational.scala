@@ -204,6 +204,52 @@ object Relational {
       .na.fill(0L)
       .orderBy("day")
 
+  /** Analytic window-function surface in one pass: lag/lead, quartile
+    * ntile, cume_dist (deterministic — the order key is unique), and a
+    * rank with genuine ties (few distinct order statuses). Windows
+    * compute over the FULL partitions; the output row filter applies
+    * after, so values are scale-independent. */
+  def windowFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val byStatus = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_orderstatus"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(lag(col("o_totalprice"), 1).over(win), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1).over(win), 2).as("next_price"),
+        ntile(4).over(win).as("quartile"),
+        round(cume_dist().over(win), 6).as("cdist"),
+        rank().over(byStatus).as("status_rank"))
+      .filter(col("o_orderkey") % 20 === 0)
+      .orderBy("o_orderkey")
+  }
+
+  /** CUBE over (status, order year): all four grouping combinations in
+    * one pass — the grouping-set surface beyond ROLLUP. */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"),
+        year(col("o_orderdate")).cast("long").as("oy"),
+        col("o_totalprice"))
+      .cube(col("o_orderstatus"), col("oy"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("oy").asc_nulls_first)
+
+  /** Ordered string aggregation (LISTAGG/string_agg): per-segment sorted
+    * name roster — sort-then-join makes the result deterministic and
+    * engine-portable. */
+  def segmentNameRoster(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 50 === 0)
+      .groupBy(col("c_mktsegment"))
+      .agg(array_join(array_sort(collect_list(col("c_name"))), ",").as("names"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
   /** Grouped top-k with a window function: top-3 orders by totalprice per
     * priority class — rank + filter, deterministic tie-break.
     */
