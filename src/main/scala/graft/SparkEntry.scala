@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_embedding"       -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_clusters"        -> (Dedup.clusters _),
     "text_decontaminate"    -> (Dedup.decontaminate _),
+    "text_repetition"       -> (TextAnalysis.repetitionStats _),
     // --- similarity search ----------------------------------------------
     "sim_brute_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_ivf_topk"          -> (Similarity.ivfTopK _),
@@ -608,6 +609,32 @@ object SparkEntry {
     },
     "dedup_simhash" -> simhashOracle,
     "dedup_clusters" -> clustersOracle,
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '),
+        |                     t -> len(t) > 0) AS w
+        |  FROM documents),
+        |tk AS (SELECT doc_id, len(w) AS n FROM toks),
+        |ex AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+        |c AS (SELECT doc_id, tok, count(*) AS cnt FROM ex GROUP BY 1, 2),
+        |t AS (SELECT doc_id, count(*) AS ndist, max(cnt) AS topn
+        |      FROM c GROUP BY 1),
+        |s3 AS (SELECT doc_id,
+        |         CASE WHEN len(w) < 3 THEN []
+        |              ELSE list_distinct(list_transform(range(1, len(w) - 1),
+        |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |         END AS s
+        |       FROM toks),
+        |sh AS (SELECT doc_id, len(s) AS nsh FROM s3 WHERE len(s) > 0)
+        |SELECT t.doc_id,
+        |       round(ndist * 1.0 / n, 4) AS tok_ratio,
+        |       round(topn * 1.0 / n, 4) AS top_share,
+        |       round(1 - nsh * 1.0 / (n - 2), 4) AS rep3
+        |FROM t
+        |JOIN tk USING (doc_id)
+        |JOIN sh USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
       s"""WITH $toksCte,
          |ex AS (SELECT doc_id, unnest(s) AS e FROM shf),

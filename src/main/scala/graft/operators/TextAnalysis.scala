@@ -121,4 +121,29 @@ object TextAnalysis {
         array_max(hashes).as("fp_max"))
       .orderBy("doc_id")
   }
+
+  /** Repetition metrics — the "excessive repetition" quality gate of a
+    * training-data pipeline: distinct-token ratio, most-frequent-token
+    * share, and repeated-3-gram fraction per document (docs with ≥ 3
+    * tokens). Token counting shuffles on (doc, token); the shingle side
+    * reuses the typed pass from the dedup family.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val sh = Dedup.shinglesOf(docs)
+      .select(col("doc_id"), size(col("sh")).cast("double").as("nsh"),
+        col("n_toks").cast("double").as("n"))
+    val cnts = docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+    cnts.groupBy("doc_id")
+      .agg(count(lit(1)).cast("double").as("ndist"),
+        max(col("cnt")).cast("double").as("topn"))
+      .join(sh, "doc_id")
+      .select(col("doc_id"),
+        round(col("ndist") / col("n"), 4).as("tok_ratio"),
+        round(col("topn") / col("n"), 4).as("top_share"),
+        round(lit(1.0) - col("nsh") / (col("n") - 2), 4).as("rep3"))
+      .orderBy("doc_id")
+  }
 }
