@@ -276,9 +276,12 @@ object Dedup {
       docs.join(grp.select(col("rep").as("doc_id")), "doc_id"))
     val sizes = reps.select(col("doc_id"), size(col("sh")).as("n"))
     val ex = reps.select(col("doc_id"), explode(col("sh")).as("s"))
-    val freq = ex.groupBy("s").agg(count(lit(1)).as("sf"))
-    val exCap = ex.join(freq.filter(col("sf") <= ShingleFreqCap), "s")
-      .select(col("doc_id"), col("s"))
+    // hyper-frequent shingles are BY CONSTRUCTION a tiny (usually empty)
+    // set — broadcast anti-join drops them map-side, no extra shuffle of
+    // the full inverted index
+    val hot = ex.groupBy("s").agg(count(lit(1)).as("sf"))
+      .filter(col("sf") > ShingleFreqCap).select(col("s"))
+    val exCap = ex.join(broadcast(hot), Seq("s"), "left_anti")
     val common = exCap.as("x")
       .join(exCap.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -315,12 +318,10 @@ object Dedup {
   /** Duplicate-CLUSTER assignment — the consumer of the pair lists: the
     * connected components of the MinHash near-dup graph, each doc
     * labeled with the minimum doc_id reachable from it (the canonical
-    * "keeper"). Min-label propagation iterated to fixpoint with
-    * lineage truncation per round; rounds = graph diameter, and the
-    * hot-key caps upstream bound every round's join. (At extreme
-    * diameters the two-phase star contraction halves rounds to
-    * O(log n); near-dup graphs are dense clusters with tiny diameters,
-    * so plain propagation is the right default.)
+    * "keeper"). Min-label propagation plus pointer jumping
+    * (lbl(lbl(x))) iterated to fixpoint with lineage truncation per
+    * round — O(log diameter) rounds; the hot-key caps upstream bound
+    * every round's join.
     */
   def clusters(spark: SparkSession, dir: String): DataFrame = {
     val pr = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
@@ -337,12 +338,24 @@ object Dedup {
         val prop = edges.join(labels, edges("dst") === labels("doc_id"))
           .groupBy(edges("src").as("doc_id"))
           .agg(min(col("cluster")).as("pmin"))
+        // pointer jumping: also adopt the label OF the current label
+        // (lbl(lbl(x))), which contracts long chains in O(log d) rounds
+        // instead of O(d)
+        val jump = labels.as("a")
+          .join(labels.as("b"), col("a.cluster") === col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_id"), col("b.cluster").as("jmin"))
         // one materializing action per round: the change flag rides along
         // and is counted on the checkpointed result
-        val next = labels.as("l").join(prop.as("p"), "doc_id")
+        val next = labels.as("l")
+          .join(prop.as("p"), Seq("doc_id"), "left")
+          .join(jump.as("j"), Seq("doc_id"), "left")
           .select(col("doc_id"),
-            least(col("l.cluster"), col("p.pmin")).as("cluster"),
-            (col("p.pmin") < col("l.cluster")).as("__ch"))
+            least(col("l.cluster"),
+              least(coalesce(col("p.pmin"), col("l.cluster")),
+                coalesce(col("j.jmin"), col("l.cluster")))).as("cluster"),
+            (coalesce(col("p.pmin"), col("l.cluster")) < col("l.cluster") ||
+              coalesce(col("j.jmin"), col("l.cluster")) < col("l.cluster"))
+              .as("__ch"))
           .localCheckpoint(eager = true)
         changed = next.filter(col("__ch")).count()
         labels = next.drop("__ch")
