@@ -64,6 +64,7 @@ object SparkEntry {
     "dedup_clusters"        -> (Dedup.clusters _),
     "text_decontaminate"    -> (Dedup.decontaminate _),
     "text_repetition"       -> (TextAnalysis.repetitionStats _),
+    "text_tfidf"            -> (TextAnalysis.tfIdfTopTerms _),
     // --- similarity search ----------------------------------------------
     "sim_brute_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_ivf_topk"          -> (Similarity.ivfTopK _),
@@ -609,6 +610,31 @@ object SparkEntry {
     },
     "dedup_simhash" -> simhashOracle,
     "dedup_clusters" -> clustersOracle,
+    "text_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(lower(text), ' '),
+         |                     t -> len(t) > 0) AS w
+         |  FROM documents),
+         |ex AS (SELECT doc_id, unnest(w) AS term FROM toks),
+         |nd AS (SELECT count(*) AS n_docs FROM toks WHERE len(w) > 0),
+         |tf AS (SELECT doc_id, term, count(*) AS cnt FROM ex GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+         |df AS (SELECT term, count(*) AS df FROM
+         |         (SELECT DISTINCT doc_id, term FROM ex) GROUP BY 1),
+         |s AS (
+         |  SELECT tf.doc_id, tf.term,
+         |         round((tf.cnt * 1.0 / dl.n) *
+         |               ((SELECT n_docs FROM nd) * 1.0 / df.df), 4) AS score
+         |  FROM tf JOIN dl USING (doc_id) JOIN df USING (term)),
+         |r AS (
+         |  SELECT doc_id, term, score,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY score DESC, term) AS rk
+         |  FROM s)
+         |SELECT doc_id, CAST(rk AS INT) AS rk, term, score FROM r
+         |WHERE rk <= ${graft.operators.TextAnalysis.TfIdfTopK}
+         |ORDER BY doc_id, rk""".stripMargin,
     "text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id,

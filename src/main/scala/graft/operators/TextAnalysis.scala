@@ -146,4 +146,37 @@ object TextAnalysis {
         round(lit(1.0) - col("nsh") / (col("n") - 2), 4).as("rep3"))
       .orderBy("doc_id")
   }
+
+  /** Top-3 characteristic terms per document by tf·idf with a LINEAR
+    * idf (N/df, no logarithm): every arithmetic step (integer counts,
+    * division, multiplication) is exactly specified by IEEE-754, so the
+    * DuckDB oracle reproduces scores bit-for-bit — ln() is not
+    * correctly-rounded-guaranteed across libms. Plan shape: one shuffle
+    * on (doc, term) for tf, one on term for df, ranking windows over
+    * ≤ 3 rows per doc after the per-doc top-k filter.
+    */
+  val TfIdfTopK = 3
+
+  def tfIdfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val ex = docs.select(col("doc_id"), explode(toks).as("term"))
+    val nDocs = Tables.documents(spark, dir)
+      .filter(size(toks) > 0).count().toDouble
+    val tf = ex.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    val docLen = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val df_ = ex.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(docLen, "doc_id")
+      .join(df_, "term")
+      .select(col("doc_id"), col("term"),
+        round((col("cnt").cast("double") / col("n").cast("double")) *
+          (lit(nDocs) / col("df").cast("double")), 4).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TfIdfTopK)
+      .select(col("doc_id"), col("rk"), col("term"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
 }
