@@ -19,10 +19,19 @@ object Curation {
 
   val QualityThreshold = 0.8
 
-  def pipeline(spark: SparkSession, dir: String): DataFrame = {
+  /** Default entry: pairs come from [[Dedup.minhashLsh]], which is
+    * memoized per (session, dir) — a session running the dedup family
+    * and this pipeline computes the LSH pass once. */
+  def pipeline(spark: SparkSession, dir: String): DataFrame =
+    pipeline(spark, dir, Dedup.minhashLsh(spark, dir))
+
+  /** Pipeline over a caller-supplied near-dup pair frame (`doc_a`,
+    * `doc_b`) — the explicit sharing hook for a corpus pass that already
+    * holds pairs from any [[Dedup]] family member. */
+  def pipeline(spark: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
     val quality = TextAnalysis.qualityScore(spark, dir)
       .select(col("doc_id"), col("quality"))
-    val drops = Dedup.minhashLsh(spark, dir)
+    val drops = pairs
       .select(col("doc_b").as("doc_id")).distinct()
     Tables.documents(spark, dir)
       .join(quality, "doc_id")

@@ -92,6 +92,55 @@ object Dedup {
       .filter(size(col("sh")) > 0)
   }
 
+  /** (doc_id, sh, sig): distinct shingles plus the 16-wide MinHash
+    * signature, one typed narrow pass per document — no explode, no
+    * aggregation shuffle. The 16 hash families come from ONE md5 per
+    * shingle via double hashing (h_j = (h1 + j·h2) mod 2³²), where
+    * h1/h2 are the first/second 4 bytes of md5("mh:" ++ shingle) read
+    * big-endian unsigned — bit-identical to the SQL oracle's
+    * `conv(substring(md5(…),1,8),16,10)` / chars 9-16, so the signatures
+    * (and therefore bands and pairs) are unchanged from the relational
+    * formulation, at ~1/20th the cost.
+    */
+  private[operators] def shingleSigs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.as[(Long, String)].mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { case (id, text) =>
+        val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
+        val n = toks.length
+        if (n < NgramN) Iterator.empty
+        else {
+          val all = new Array[String](n - NgramN + 1)
+          var i = 0
+          while (i < all.length) {
+            all(i) = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+            i += 1
+          }
+          val sh = all.distinct
+          val sig = Array.fill(NumHashes)(0xffffffffL)
+          sh.foreach { s =>
+            val d = digest.digest(
+              ("mh:" + s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            var h1 = 0L
+            var h2 = 0L
+            var b = 0
+            while (b < 4) { h1 = (h1 << 8) | (d(b) & 0xffL); b += 1 }
+            while (b < 8) { h2 = (h2 << 8) | (d(b) & 0xffL); b += 1 }
+            var j = 0
+            while (j < NumHashes) {
+              val h = (h1 + j.toLong * h2) & 0xffffffffL
+              if (h < sig(j)) sig(j) = h
+              j += 1
+            }
+          }
+          Iterator.single((id, sh, sig))
+        }
+      }
+    }.toDF("doc_id", "sh", "sig")
+  }
+
   /** Hot-key-capped self-join: unordered id pairs sharing a key, as the
     * full clique for groups of size ≤ [[HotGroupCap]] and a spanning
     * star (group-min vs the rest) for larger groups. Join input per key
@@ -130,43 +179,62 @@ object Dedup {
       .orderBy("content_hash")
 
   /** MinHash + LSH near-dup pairs: 16 min-hashes over word 3-gram
-    * shingles, 4 bands × 4 rows; pairs sharing any band bucket are
-    * candidates; candidates are verified with true Jaccard ≥ 0.5.
-    * The band self-join shuffles on (band, key) only — no n² pair space.
+    * shingles ([[shingleSigs]], one typed narrow pass), 4 bands × 4
+    * rows; pairs sharing any band bucket are candidates; candidates are
+    * verified with true Jaccard ≥ 0.5. The band self-join shuffles on
+    * (band, key) only — no n² pair space.
     *
-    * The 16 hash families come from ONE md5 per shingle via double
-    * hashing (h_j = (h1 + j·h2) mod 2³²) — 16× fewer md5 evaluations
-    * than hashing per-family, identical determinism on the oracle side.
+    * The per-doc (shingles, signature) frame is the branch point of the
+    * whole operator (band self-join left/right, hot stars, and both
+    * verification joins read it) — it is cached for the operator's
+    * duration and the small pair result is materialized before return,
+    * so no consumer ever re-runs the shingle pass.
+    *
+    * The result is additionally memoized per (session, input dir):
+    * [[clusters]] and [[Curation.pipeline]] consume the same pair frame,
+    * and at any scale recomputing LSH per consumer is the dominant
+    * waste. Entries are lineage-free materialized frames of pair rows
+    * (tiny by construction). Drop with [[clearMemo]] if the files under
+    * a dir are rewritten mid-session.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(spark, dir).select("doc_id", "sh")
-    val md = md5(concat(lit("mh:"), col("s")))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("h1", conv(substring(md, 1, 8), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(md, 9, 8), 16, 10).cast("long"))
-    val sigCols = (0 until NumHashes).map(j =>
-      min((col("h1") + lit(j.toLong) * col("h2"))
-        .bitwiseAND(lit(0xffffffffL))).as(s"h$j"))
-    val sig = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-    val bandCols = (0 until NumBands).map { b =>
-      struct(lit(b).as("b"),
-        md5(concat_ws("_", (0 until NumHashes / NumBands)
-          .map(r => col(s"h${NumHashes / NumBands * b + r}").cast("string")): _*))
-          .as("k"))
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    pairMemo.getOrElseUpdate((spark, dir), minhashPairs(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
+
+  private val pairMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Forget memoized pair frames (all sessions). */
+  def clearMemo(): Unit = pairMemo.clear()
+
+  /** [[minhashLsh]] over an arbitrary (doc_id, text) frame — the shared
+    * pair computation consumers can call directly. Returns a
+    * materialized (lineage-free) frame.
+    */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val perDoc = shingleSigs(docs)
+    Materialize.withCached(perDoc) {
+      val rows = NumHashes / NumBands
+      val bandCols = (0 until NumBands).map { b =>
+        struct(lit(b).as("b"),
+          md5(concat_ws("_", (0 until rows).map(r =>
+            element_at(col("sig"), rows * b + r + 1).cast("string")): _*))
+            .as("k"))
+      }
+      val bands = perDoc
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id").as("id"), col("bk.b").as("b"), col("bk.k").as("k"))
+      val cand = selfJoinCapped(bands, Seq("b", "k"))
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        .distinct()
+      cand
+        .join(perDoc.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+        .join(perDoc.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(jaccard(col("sa"), col("sb")), 4).as("jaccard"))
+        .filter(col("jaccard") >= MinhashJaccardThreshold)
+        .orderBy("doc_a", "doc_b")
     }
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id").as("id"), col("bk.b").as("b"), col("bk.k").as("k"))
-    val cand = selfJoinCapped(bands, Seq("b", "k"))
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-      .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(jaccard(col("sa"), col("sb")), 4).as("jaccard"))
-      .filter(col("jaccard") >= MinhashJaccardThreshold)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** SimHash near-dup pairs: 64-bit term-frequency-weighted simhash (each
@@ -271,10 +339,8 @@ object Dedup {
       .filter(col("n_toks") >= NgramN)
     val grp = base.groupBy("ghash")
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("gn"))
-    val m = base.select(col("doc_id"), col("ghash")).join(grp, "ghash")
     val reps = shinglesOf(
       docs.join(grp.select(col("rep").as("doc_id")), "doc_id"))
-    val sizes = reps.select(col("doc_id"), size(col("sh")).as("n"))
     val ex = reps.select(col("doc_id"), explode(col("sh")).as("s"))
     // hyper-frequent shingles are BY CONSTRUCTION a tiny (usually empty)
     // set — broadcast anti-join drops them map-side, no extra shuffle of
@@ -282,6 +348,19 @@ object Dedup {
     val hot = ex.groupBy("s").agg(count(lit(1)).as("sf"))
       .filter(col("sf") > ShingleFreqCap).select(col("s"))
     val exCap = ex.join(broadcast(hot), Seq("s"), "left_anti")
+    // base feeds grp/membership/intra (5 branches), reps feeds both size
+    // joins, exCap both sides of the index self-join — cache them for the
+    // operator's duration or every branch re-runs the shingle pass
+    // (upstream-first order: each count reads the previous cache)
+    Materialize.withCached(base, reps, exCap) {
+      ngramJaccardFrom(base, grp, reps, exCap)
+    }
+  }
+
+  private def ngramJaccardFrom(base: DataFrame, grp: DataFrame,
+                               reps: DataFrame, exCap: DataFrame): DataFrame = {
+    val m = base.select(col("doc_id"), col("ghash")).join(grp, "ghash")
+    val sizes = reps.select(col("doc_id"), size(col("sh")).as("n"))
     val common = exCap.as("x")
       .join(exCap.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -322,17 +401,28 @@ object Dedup {
     * (lbl(lbl(x))) iterated to fixpoint with lineage truncation per
     * round — O(log diameter) rounds; the hot-key caps upstream bound
     * every round's join.
+    *
+    * Loop checkpoints go through [[Materialize]]: executor-local by
+    * default; set `graft.checkpoint.dir` for reliable checkpoints that
+    * survive executor loss on a real cluster.
     */
-  def clusters(spark: SparkSession, dir: String): DataFrame = {
-    val pr = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+  def clusters(spark: SparkSession, dir: String): DataFrame =
+    clusters(minhashLsh(spark, dir))
+
+  /** [[clusters]] over a precomputed pair frame (`doc_a`, `doc_b`) —
+    * consumers that already hold the LSH output (or any other pair
+    * source: [[simhash]], [[embeddingNearDup]]) pass it here instead of
+    * re-running the pair computation.
+    */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val pr = pairs.select(col("doc_a"), col("doc_b"))
     val edges = pr.unionByName(
         pr.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").persist()
     try {
-      var labels = edges.groupBy(col("src").as("doc_id"))
+      var labels = Materialize(edges.groupBy(col("src").as("doc_id"))
         .agg(min(col("dst")).as("nmin"))
-        .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("cluster"))
-        .localCheckpoint(eager = true)
+        .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("cluster")))
       var changed = 1L
       while (changed > 0) {
         val prop = edges.join(labels, edges("dst") === labels("doc_id"))
@@ -346,7 +436,7 @@ object Dedup {
           .select(col("a.doc_id").as("doc_id"), col("b.cluster").as("jmin"))
         // one materializing action per round: the change flag rides along
         // and is counted on the checkpointed result
-        val next = labels.as("l")
+        val next = Materialize(labels.as("l")
           .join(prop.as("p"), Seq("doc_id"), "left")
           .join(jump.as("j"), Seq("doc_id"), "left")
           .select(col("doc_id"),
@@ -355,8 +445,7 @@ object Dedup {
                 coalesce(col("j.jmin"), col("l.cluster")))).as("cluster"),
             (coalesce(col("p.pmin"), col("l.cluster")) < col("l.cluster") ||
               coalesce(col("j.jmin"), col("l.cluster")) < col("l.cluster"))
-              .as("__ch"))
-          .localCheckpoint(eager = true)
+              .as("__ch")))
         changed = next.filter(col("__ch")).count()
         labels = next.drop("__ch")
       }
