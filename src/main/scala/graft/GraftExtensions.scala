@@ -13,6 +13,12 @@ import graft.sources.proto._
   *  - SQL-callable wire-codec functions, so plain-SQL users get the
   *    decode path (`SELECT graft_decode_bidrequest(value).id FROM …`)
   *    without touching the Scala API;
+  *  - the LLM-curation operator surface as SQL functions: scalar
+  *    `graft_quality` / `graft_token_stats` / `graft_lang_id` /
+  *    `graft_fingerprint`, the `graft_kmv_distinct` sketch aggregate,
+  *    and the `graft_minhash_pairs('<dir>')` table function — a
+  *    SQL-first user can run the curation pipeline without the Scala
+  *    API;
   *  - an optimizer rule eliminating encode→decode roundtrips
   *    (`proto_decode(proto_encode(x))` → `x` when schemas match) — the
   *    kind of plan-level win the reference can't express because its
@@ -38,11 +44,72 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[LittleEndianLong].getName, "graft_le_uint64"),
         (args: Seq[Expression]) => LittleEndianLong(args.head)))
+    GraftExtensions.scalarFunctions.foreach { case (name, builder) =>
+      e.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            GraftExtensions.getClass.getName, name),
+          builder))
+    }
+    e.injectTableFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_pairs"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          GraftExtensions.getClass.getName, "graft_minhash_pairs"),
+        GraftExtensions.minhashPairsPlan))
     e.injectOptimizerRule(_ => ProtoRoundtripElimination)
   }
 }
 
 object GraftExtensions {
+  import org.apache.spark.sql.GraftColumnBridge.{column, resolvedExpression}
+
+  /** The scalar LLM-operator functions, by SQL name. Each wraps the
+    * SAME Catalyst column formula the Scala API uses
+    * ([[graft.operators.TextAnalysis]]) — pure built-in expressions, so
+    * the SQL path stays inside whole-stage codegen exactly like the
+    * DataFrame path, and results are bit-identical between the two.
+    */
+  private[graft] val scalarFunctions: Seq[(String, Seq[Expression] => Expression)] =
+    Seq(
+      "graft_quality" -> { args =>
+        resolvedExpression(graft.operators.TextAnalysis.qualityCol(column(args.head))) },
+      "graft_token_stats" -> { args =>
+        resolvedExpression(graft.operators.TextAnalysis.tokenStatsCol(column(args.head))) },
+      "graft_lang_id" -> { args =>
+        resolvedExpression(graft.operators.TextAnalysis.langIdCol(column(args.head))) },
+      "graft_fingerprint" -> { args =>
+        resolvedExpression(graft.operators.TextAnalysis.fingerprintCol(column(args.head))) },
+      // aggregate: the analyzer wraps a bare AggregateFunction returned
+      // by a registry builder in its AggregateExpression
+      "graft_kmv_distinct" -> { args =>
+        val k = args(1).eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv_distinct k must be a literal integer, got $other")
+        }
+        graft.functions.KmvDistinct(args.head, k)
+      })
+
+  /** Table-function plan for `graft_minhash_pairs('<documents dir>')`:
+    * the full MinHash+LSH near-dup pair operator as a SQL-queryable
+    * relation. The argument must be a literal path; the plan is the
+    * memoized materialized pair frame ([[graft.operators.Dedup.minhashLsh]]),
+    * so repeated SQL queries share one LSH pass with the Scala API.
+    */
+  private[graft] def minhashPairsPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1,
+      "graft_minhash_pairs(dir) takes exactly one literal path argument")
+    val dir = args.head.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash_pairs dir must be a literal string, got $other")
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    graft.operators.Dedup.minhashLsh(spark, dir)
+      .queryExecution.analyzed
+  }
+
   /** Install the SQL functions on an already-running session (the
     * `spark.sql.extensions` config path only applies at session
     * construction). The roundtrip-elimination rule is NOT injected here:
@@ -63,6 +130,11 @@ object GraftExtensions {
         ProtoEncode(args.head, BidRequestSchema.bidrequest), "scala_udf")
     reg.createOrReplaceTempFunction("graft_le_uint64",
       (args: Seq[Expression]) => LittleEndianLong(args.head), "scala_udf")
+    scalarFunctions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_pairs", minhashPairsPlan, "scala_udf")
   }
 
   def installRoundtripElimination(

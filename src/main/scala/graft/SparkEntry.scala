@@ -80,6 +80,22 @@ object SparkEntry {
     "q_profile_events"      -> (Sampling.profileEvents _),
     // --- multimodal plumbing --------------------------------------------
     "q_multimodal_features" -> (Multimodal.features _),
+    // --- SQL-registered operator surface (GraftExtensions) --------------
+    // the curation gates run through spark.sql over the REGISTERED
+    // functions — proves the SQL-first path end-to-end in the oracle gate
+    "q_sql_quality_gate"    -> { (s, d) =>
+      GraftExtensions.install(s)
+      graft.sources.Tables.documents(s, d)
+        .createOrReplaceTempView("graft_documents")
+      s.sql(
+        """SELECT doc_id,
+          |       graft_quality(text).quality         AS quality,
+          |       graft_token_stats(text).n_bpe_tokens AS n_bpe_tokens,
+          |       graft_lang_id(text).pred_lang       AS pred_lang
+          |FROM graft_documents
+          |WHERE graft_quality(text).quality >= 0.8
+          |ORDER BY doc_id""".stripMargin)
+    },
   )
 
   // ---- DuckDB oracle SQL builders for the generated parts ----
@@ -869,6 +885,36 @@ object SparkEntry {
         |         AS no_vowel_len,
         |       regexp_matches(text, 'join .* join') AS double_join
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sql_quality_gate" -> {
+      val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      val scoreCols = TextAnalysis.LangMarkers.map { case (l, ws) =>
+        val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(t, x -> list_contains($lst, x))) AS score_$l"
+      }.mkString(",\n         ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      val cases = langs
+        .map(l => s"WHEN score_$l = best AND best > 0 THEN '$l'")
+        .mkString("\n            ")
+      s"""WITH $toksCte,
+         |q AS (
+         |  SELECT doc_id,
+         |         (CASE WHEN len(text) BETWEEN 50 AND 2000 THEN 4 ELSE 0 END
+         |          + CASE WHEN (len(list_filter(t, x -> list_contains($stopList, x)))
+         |                       * 1.0 / len(t)) BETWEEN 0.05 AND 0.6 THEN 4 ELSE 0 END
+         |          + CASE WHEN (len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+         |                       * 1.0 / len(text)) < 0.05 THEN 2 ELSE 0 END) / 10.0
+         |           AS quality,
+         |         CAST(len(regexp_extract_all(lower(text),
+         |              '${TextAnalysis.BpePattern}')) AS INT) AS n_bpe_tokens,
+         |         $scoreCols
+         |  FROM toks),
+         |b AS (SELECT *, $best AS best FROM q)
+         |SELECT doc_id, quality, n_bpe_tokens,
+         |       CASE $cases
+         |            ELSE 'und' END AS pred_lang
+         |FROM b WHERE quality >= 0.8 ORDER BY doc_id""".stripMargin
+    },
     "q_multimodal_features" ->
       s"""WITH m AS (
          |  SELECT doc_id, 'fake/raw' AS format,

@@ -38,61 +38,85 @@ object TextAnalysis {
     * classes present here; same semantics in Java regex and RE2). */
   val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
 
+  /** The token-stats formula as one struct-valued Column over a text
+    * column — shared by [[tokenStats]] and the SQL registration
+    * (`graft_token_stats(text)` in [[graft.GraftExtensions]]). */
+  def tokenStatsCol(text: Column): Column = {
+    val ts = tokens(text)
+    struct(
+      size(ts).as("n_tokens"),
+      size(array_distinct(ts)).as("n_unique"),
+      round(
+        aggregate(transform(ts, t => length(t)), lit(0), (a, x) => a + x)
+          .cast("double") / size(ts), 4).as("avg_token_len"),
+      size(regexp_extract_all(lower(text), lit(BpePattern), lit(0)))
+        .as("n_bpe_tokens"))
+  }
+
   /** Token counting: whitespace tokens, distinct tokens, mean token
     * length, and a BPE-ish regex token count — the "token budget" pass
     * of a data pipeline. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        size(toks).as("n_tokens"),
-        size(array_distinct(toks)).as("n_unique"),
-        round(
-          aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
-            .cast("double") / size(toks), 4).as("avg_token_len"),
-        size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
-          .as("n_bpe_tokens"))
+      .select(col("doc_id"), tokenStatsCol(col("text")).as("t"))
+      .select(col("doc_id"), col("t.*"))
       .orderBy("doc_id")
 
-  /** Quality scoring: length / stopword-ratio / punctuation-ratio gates
-    * combined into a 0..1 score (sum of integer weights / 10 so both
-    * engines produce the identical double). */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val nChars = length(col("text"))
-    val stopRatio = countIn(toks, Stopwords).cast("double") / size(toks)
+  /** The quality-score formula as one struct-valued Column — shared by
+    * [[qualityScore]] and SQL's `graft_quality(text)`. */
+  def qualityCol(text: Column): Column = {
+    val ts = tokens(text)
+    val nChars = length(text)
+    val stopRatio = countIn(ts, Stopwords).cast("double") / size(ts)
     val punctRatio =
-      length(regexp_replace(lower(col("text")), "[a-z0-9 ]", ""))
+      length(regexp_replace(lower(text), "[a-z0-9 ]", ""))
         .cast("double") / nChars
     val score = (
       when(nChars.between(50, 2000), 4).otherwise(0) +
         when(stopRatio.between(0.05, 0.6), 4).otherwise(0) +
         when(punctRatio < 0.05, 2).otherwise(0)
       ).cast("double") / 10.0
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        nChars.as("n_chars"),
-        round(stopRatio, 4).as("stop_ratio"),
-        round(punctRatio, 4).as("punct_ratio"),
-        score.as("quality"))
-      .orderBy("doc_id")
+    struct(
+      nChars.as("n_chars"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(punctRatio, 4).as("punct_ratio"),
+      score.as("quality"))
   }
 
-  /** Language ID: score each candidate language by marker-word hits over
-    * the token list; argmax with the declaration order as tie-break;
-    * 'und' when no marker hits at all. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  /** Quality scoring: length / stopword-ratio / punctuation-ratio gates
+    * combined into a 0..1 score (sum of integer weights / 10 so both
+    * engines produce the identical double). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), qualityCol(col("text")).as("q"))
+      .select(col("doc_id"), col("q.*"))
+      .orderBy("doc_id")
+
+  /** The language-ID formula as one struct-valued Column (per-language
+    * marker scores + argmax prediction) — shared by [[langId]] and SQL's
+    * `graft_lang_id(text)`. */
+  def langIdCol(text: Column): Column = {
+    val ts = tokens(text)
     val scores = LangMarkers.map { case (lang, words) =>
-      lang -> countIn(toks, words)
+      lang -> countIn(ts, words)
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     // first language (in declaration order) achieving the max score
     val pred = scores.reverse.foldLeft(lit("und")) {
       case (acc, (lang, sc)) => when(sc === best && best > 0, lang).otherwise(acc)
     }
-    Tables.documents(spark, dir)
-      .select(col("doc_id") +: scores.map { case (l, c) => c.as(s"score_$l") }
-        :+ pred.as("pred_lang"): _*)
-      .orderBy("doc_id")
+    struct(scores.map { case (l, c) => c.as(s"score_$l") }
+      :+ pred.as("pred_lang"): _*)
   }
+
+  /** Language ID: score each candidate language by marker-word hits over
+    * the token list; argmax with the declaration order as tie-break;
+    * 'und' when no marker hits at all. */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), langIdCol(col("text")).as("l"))
+      .select(col("doc_id"), col("l.*"))
+      .orderBy("doc_id")
 
   /** Regexp surface (patterns restricted to syntax shared by Java regex
     * and RE2 so the oracle agrees): extract, count-all, replace, match
@@ -107,20 +131,26 @@ object TextAnalysis {
         col("text").rlike("join .* join").as("double_join"))
       .orderBy("doc_id")
 
+  /** The fingerprint formula as one struct-valued Column — shared by
+    * [[fingerprint]] and SQL's `graft_fingerprint(text)`. */
+  def fingerprintCol(text: Column): Column = {
+    val hashes = transform(wordNgrams(tokens(text), 3), s =>
+      substring(md5(concat(lit("fp:"), s)), 1, 8))
+    struct(
+      md5(text).as("content_md5"),
+      array_min(hashes).as("fp_min"),
+      array_max(hashes).as("fp_max"))
+  }
+
   /** Document fingerprinting: md5 content hash plus min/max of an
     * md5-derived rolling window hash over word 3-gram shingles (the
     * winnowing-style fingerprint pair used for fast near-dup triage).
     * Docs with fewer than 3 tokens fingerprint as NULL min/max. */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = transform(wordNgrams(toks, 3), s =>
-      substring(md5(concat(lit("fp:"), s)), 1, 8))
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        md5(col("text")).as("content_md5"),
-        array_min(hashes).as("fp_min"),
-        array_max(hashes).as("fp_max"))
+      .select(col("doc_id"), fingerprintCol(col("text")).as("f"))
+      .select(col("doc_id"), col("f.*"))
       .orderBy("doc_id")
-  }
 
   /** Repetition metrics — the "excessive repetition" quality gate of a
     * training-data pipeline: distinct-token ratio, most-frequent-token

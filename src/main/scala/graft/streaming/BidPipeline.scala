@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.{BidExports, ExportParquet, Normalize, ProtoPipeline}
-import graft.sources.GraftTable
+import graft.sources.{GraftTableFormat, TableFormat}
 import graft.sources.proto.{BidRequestSchema, ProtoFunctions}
 
 /** The whole reference service as one Structured Streaming job
@@ -37,11 +37,15 @@ object BidPipeline {
       maxOffsetsPerTrigger: Long = 983040L, // 122880 × kc=8, main.go:42-44
       stripConfluentPrefix: Boolean = true, // main.go:231
       dedupeIds: Boolean = false, // at-least-once backstop (SURVEY §7.3)
+      dedupeContent: Boolean = false, // content-hash dedup (near-dup family's streaming twin)
       checkpointLocation: String,
       exportRoot: String,
       logname: String = "ortb.bid-requests", // main.go:126
       availableNow: Boolean = false,
       commitLog: Boolean = false, // transactional dual-sink visibility
+      // the transactional-table implementation behind the commit log —
+      // swap for a Delta/Iceberg-backed TableFormat in production
+      tableFormat: TableFormat = GraftTableFormat,
       // topic schema — descriptor-derived by default; swap in any
       // ProtoDescriptor.messageSchema(...) for a new topic
       schema: graft.sources.proto.PMessage = BidRequestSchema.bidrequest)
@@ -101,7 +105,7 @@ object BidPipeline {
   def exportBatch(batch: DataFrame, cfg: Config, batchId: Long): Unit = {
     // a published commit proves every sink of this batch completed —
     // replaying the writes would orphan the manifest's file list
-    if (cfg.commitLog && GraftTable.isCommitted(batch.sparkSession,
+    if (cfg.commitLog && cfg.tableFormat.isCommitted(batch.sparkSession,
         s"${cfg.exportRoot}/${cfg.logname}", batchId)) return
     batch.persist()
     try {
@@ -119,7 +123,7 @@ object BidPipeline {
       // with the commit log on, BOTH sinks become visible in one atomic
       // rename; without it, readers rely on the batch_id overwrite alone
       if (cfg.commitLog)
-        GraftTable.commit(batch.sparkSession,
+        cfg.tableFormat.commit(batch.sparkSession,
           s"${cfg.exportRoot}/${cfg.logname}", batchId)
     } finally batch.unpersist()
   }
@@ -137,12 +141,43 @@ object BidPipeline {
       .dropDuplicatesWithinWatermark("id")
       .drop("__event_ts")
 
+  /** Incremental CONTENT dedup — the exact-dedup operator of the
+    * curation family ([[graft.operators.Dedup.exact]]) as a streaming
+    * stage: keep the first record per content hash seen within the
+    * watermark window, state bounded by eviction at the watermark.
+    *
+    * The hash covers every column except `excluded` ones (default:
+    * `event_tm` — two deliveries of the same payload get different
+    * broker timestamps, and a redelivery must still dedupe). Hashing
+    * `to_json(struct(...))` keys nested payloads deterministically
+    * without a per-type kernel; state stores only the 32-hex-char hash
+    * per surviving record, so a 1-hour window over the reference's
+    * designed envelope (~1.2 M msg/min) holds ~2.3 GB across ALL
+    * executors — bounded, and sharded by the shuffle on the hash.
+    *
+    * For a corpus pipeline over (doc_id, text, event_tm) records this
+    * IS streaming exact dedup on md5(text); the near-dup families stay
+    * batch (LSH banding needs a corpus-wide index — run them as the
+    * periodic compaction pass over the landed table).
+    */
+  def dedupeByContent(decoded: DataFrame,
+                      excluded: Seq[String] = Seq("event_tm")): DataFrame = {
+    val contentCols = decoded.columns.filterNot(excluded.contains).map(col(_))
+    decoded
+      .withColumn("__content_hash", md5(to_json(struct(contentCols: _*))))
+      .withColumn("__event_ts", timestamp_millis(col("event_tm")))
+      .withWatermark("__event_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__event_ts", "__content_hash")
+  }
+
   /** Wire the full job: source → decode → foreachBatch dual-sink. */
   def start(spark: SparkSession, cfg: Config,
             source: Option[DataFrame] = None): StreamingQuery = {
     val frames = source.getOrElse(kafkaSource(spark, cfg))
     val base = decode(frames, cfg.stripConfluentPrefix, cfg.schema)
-    val decoded = if (cfg.dedupeIds) dedupeByIds(base) else base
+    val deduped = if (cfg.dedupeContent) dedupeByContent(base) else base
+    val decoded = if (cfg.dedupeIds) dedupeByIds(deduped) else deduped
     val writer = decoded.writeStream
       .option("checkpointLocation", cfg.checkpointLocation)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

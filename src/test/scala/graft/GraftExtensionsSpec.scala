@@ -32,6 +32,58 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(out.forall(r => r.getString(0).nonEmpty && r.getLong(1) > 0))
   }
 
+  test("LLM text operators callable from SQL, bit-identical to Scala API") {
+    import SparkTestSession.sf0001
+    graft.sources.Tables.documents(spark, sf0001)
+      .createOrReplaceTempView("docs_sql")
+    val sql = spark.sql(
+      """SELECT doc_id,
+        |       graft_quality(text).quality          AS quality,
+        |       graft_token_stats(text).n_tokens     AS n_tokens,
+        |       graft_lang_id(text).pred_lang        AS pred_lang,
+        |       graft_fingerprint(text).content_md5  AS content_md5
+        |FROM docs_sql ORDER BY doc_id""".stripMargin).collect()
+    val api = graft.operators.TextAnalysis.qualityScore(spark, sf0001)
+      .select("doc_id", "quality")
+      .join(graft.operators.TextAnalysis.tokenStats(spark, sf0001)
+        .select("doc_id", "n_tokens"), "doc_id")
+      .join(graft.operators.TextAnalysis.langId(spark, sf0001)
+        .select("doc_id", "pred_lang"), "doc_id")
+      .join(graft.operators.TextAnalysis.fingerprint(spark, sf0001)
+        .select("doc_id", "content_md5"), "doc_id")
+      .orderBy("doc_id").collect()
+    assert(sql.length == api.length && sql.nonEmpty)
+    sql.zip(api).foreach { case (s, a) => assert(s == a) }
+  }
+
+  test("graft_kmv_distinct aggregate callable from SQL") {
+    import SparkTestSession.sf0001
+    graft.sources.Tables.orders(spark, sf0001)
+      .createOrReplaceTempView("orders_sql")
+    val sql = spark.sql(
+      """SELECT o_orderpriority, graft_kmv_distinct(o_custkey, 64) AS approx_custs
+        |FROM orders_sql GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin).collect()
+    val api = graft.sources.Tables.orders(spark, sf0001)
+      .groupBy("o_orderpriority")
+      .agg(graft.functions.KmvDistinct
+        .kmvDistinct(org.apache.spark.sql.functions.col("o_custkey"), 64)
+        .as("approx_custs"))
+      .orderBy("o_orderpriority").collect()
+    assert(sql.length == api.length && sql.nonEmpty)
+    sql.zip(api).foreach { case (s, a) => assert(s == a) }
+  }
+
+  test("graft_minhash_pairs table function matches the Scala operator") {
+    import SparkTestSession.sf0001
+    val sql = spark.sql(
+      s"SELECT * FROM graft_minhash_pairs('$sf0001') ORDER BY doc_a, doc_b")
+      .collect()
+    val api = graft.operators.Dedup.minhashLsh(spark, sf0001)
+      .orderBy("doc_a", "doc_b").collect()
+    assert(sql.sameElements(api))
+  }
+
   test("optimizer eliminates encode(decode) roundtrips") {
     val df = spark.sql(
       """SELECT graft_decode_bidrequest(

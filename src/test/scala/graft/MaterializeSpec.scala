@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Materialize}
+
+/** Checkpoint-reliability seam: the iterative cluster loop must produce
+  * identical results whether its per-round materialization uses fast
+  * executor-local checkpoints (default) or durable reliable checkpoints
+  * (`graft.checkpoint.dir` set — the cluster-deployment mode that
+  * survives executor loss).
+  */
+class MaterializeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("cluster loop under reliable checkpointing: same results, files on disk") {
+    val localResult = Dedup.clusters(Dedup.minhashLsh(spark, sf0001)).collect()
+
+    val ckptDir = Files.createTempDirectory("graft-reliable-ckpt").toString
+    spark.conf.set(Materialize.CheckpointDirConf, ckptDir)
+    try {
+      val reliableResult =
+        Dedup.clusters(Dedup.minhashLsh(spark, sf0001)).collect()
+      assert(reliableResult.sameElements(localResult),
+        "reliable-checkpoint run must match the localCheckpoint run")
+      // the loop actually wrote through the durable dir
+      def countFiles(f: java.io.File): Int =
+        if (f.isFile) 1
+        else Option(f.listFiles()).map(_.map(countFiles).sum).getOrElse(0)
+      assert(countFiles(new java.io.File(ckptDir)) > 0,
+        s"no reliable checkpoint files written under $ckptDir")
+    } finally spark.conf.unset(Materialize.CheckpointDirConf)
+  }
+
+  test("withCached leaves nothing registered in the cache manager") {
+    val before = spark.sharedState.cacheManager.isEmpty
+    val df = graft.sources.Tables.documents(spark, sf0001).limit(10)
+    val out = Materialize.withCached(df) { df.select("doc_id") }
+    assert(out.count() == 10)
+    assert(before == spark.sharedState.cacheManager.isEmpty,
+      "withCached must unpersist everything it persisted")
+  }
+}

@@ -121,6 +121,47 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(rawPath).count() == inputRows + 10)
   }
 
+  test("streaming content-hash dedup: same payload, new broker timestamp, dropped") {
+    import spark.implicits._
+    val checkpoint = tmp("graft-cdedup-ckpt")
+    val export = tmp("graft-cdedup-export")
+    val frames = ProtoPipeline.framedMessages(spark, sf0001)
+      .select(col("value"), graft.sources.proto.ProtoFunctions
+        .leUint64(col("value")).as("tm"))
+      .select(expr("substring(value, 1, length(value) - 8)").as("value"),
+        timestamp_millis(col("tm")).as("timestamp"))
+      .as[Frame].collect()
+
+    val cfg = BidPipeline.Config(
+      bootstrapServers = "unused:9092", topic = "unused",
+      dedupeContent = true,
+      checkpointLocation = checkpoint, exportRoot = export,
+      availableNow = true)
+
+    // redeliver 500 payloads with a LATER broker timestamp — an id/offset
+    // check can't catch these as identical; the content hash (which
+    // excludes event_tm) must
+    val redelivered = frames.take(500).map(f => Frame(f.value,
+      new java.sql.Timestamp(f.timestamp.getTime + 30000)))
+    val stream = MemoryStream[Frame](spark)
+    stream.addData(frames.toIndexedSeq)
+    stream.addData(redelivered.toIndexedSeq)
+    val q = BidPipeline.start(spark, cfg, Some(stream.toDF()))
+    q.awaitTermination()
+
+    val raw = spark.read.parquet(s"$export/${cfg.logname}/raw")
+    assert(raw.count() == frames.length,
+      "redelivered content must be dropped by the content-hash stage")
+    assert(raw.select("id").distinct().count() == frames.length)
+
+    // state is bounded: one hash row per surviving record, no growth
+    // with redeliveries
+    val state = q.lastProgress.stateOperators
+    assert(state.nonEmpty)
+    assert(state.map(_.numRowsTotal).sum <= frames.length,
+      s"dedup state ${state.map(_.numRowsTotal).sum} exceeds corpus size")
+  }
+
   test("at-least-once backstop: duplicate deliveries dedupe across batches") {
     import spark.implicits._
     val checkpoint = tmp("graft-dedup-ckpt")
