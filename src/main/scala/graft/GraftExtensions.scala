@@ -51,11 +51,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             GraftExtensions.getClass.getName, name),
           builder))
     }
-    e.injectTableFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_minhash_pairs"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          GraftExtensions.getClass.getName, "graft_minhash_pairs"),
-        GraftExtensions.minhashPairsPlan))
+    GraftExtensions.tableFunctions.foreach { case (name, builder) =>
+      e.injectTableFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            GraftExtensions.getClass.getName, name),
+          builder))
+    }
     e.injectOptimizerRule(_ => ProtoRoundtripElimination)
   }
 }
@@ -90,25 +92,49 @@ object GraftExtensions {
         graft.functions.KmvDistinct(args.head, k)
       })
 
-  /** Table-function plan for `graft_minhash_pairs('<documents dir>')`:
-    * the full MinHash+LSH near-dup pair operator as a SQL-queryable
-    * relation. The argument must be a literal path; the plan is the
-    * memoized materialized pair frame ([[graft.operators.Dedup.minhashLsh]]),
-    * so repeated SQL queries share one LSH pass with the Scala API.
+  /** The whole-table curation operators as SQL table functions:
+    * `SELECT * FROM graft_minhash_pairs('<documents dir>')` etc. Each
+    * takes one literal path argument and plans the corresponding
+    * Scala-API operator — `graft_minhash_pairs` and `graft_clusters`
+    * read the memoized materialized pair frame
+    * ([[graft.operators.Dedup.minhashLsh]]), so SQL and Scala consumers
+    * share one LSH pass per session per corpus.
     */
-  private[graft] def minhashPairsPlan(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 1,
-      "graft_minhash_pairs(dir) takes exactly one literal path argument")
-    val dir = args.head.eval() match {
-      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-      case s: String => s
-      case other => throw new IllegalArgumentException(
-        s"graft_minhash_pairs dir must be a literal string, got $other")
+  private[graft] val tableFunctions
+      : Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
+    "graft_minhash_pairs" ->
+      tablePlan("graft_minhash_pairs", graft.operators.Dedup.minhashLsh),
+    "graft_exact_dedup" ->
+      tablePlan("graft_exact_dedup", graft.operators.Dedup.exact),
+    "graft_simhash_pairs" ->
+      tablePlan("graft_simhash_pairs", graft.operators.Dedup.simhash),
+    "graft_ngram_jaccard_pairs" ->
+      tablePlan("graft_ngram_jaccard_pairs", graft.operators.Dedup.ngramJaccard),
+    "graft_clusters" ->
+      tablePlan("graft_clusters",
+        (s, d) => graft.operators.Dedup.clusters(
+          graft.operators.Dedup.minhashLsh(s, d))),
+    "graft_decontaminate" ->
+      tablePlan("graft_decontaminate", graft.operators.Dedup.decontaminate),
+    "graft_embedding_neardup" ->
+      tablePlan("graft_embedding_neardup",
+        (s, d) => graft.operators.Dedup.embeddingNearDup(s, d)))
+
+  private def tablePlan(name: String,
+      op: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Seq[Expression] => LogicalPlan =
+    { args =>
+      require(args.length == 1,
+        s"$name(dir) takes exactly one literal path argument")
+      val dir = args.head.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case s: String => s
+        case other => throw new IllegalArgumentException(
+          s"$name dir must be a literal string, got $other")
+      }
+      op(org.apache.spark.sql.SparkSession.active, dir)
+        .queryExecution.analyzed
     }
-    val spark = org.apache.spark.sql.SparkSession.active
-    graft.operators.Dedup.minhashLsh(spark, dir)
-      .queryExecution.analyzed
-  }
 
   /** Install the SQL functions on an already-running session (the
     * `spark.sql.extensions` config path only applies at session
@@ -133,8 +159,10 @@ object GraftExtensions {
     scalarFunctions.foreach { case (name, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
-    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
-      "graft_minhash_pairs", minhashPairsPlan, "scala_udf")
+    tableFunctions.foreach { case (name, builder) =>
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
   }
 
   def installRoundtripElimination(

@@ -74,14 +74,47 @@ class GraftExtensionsSpec extends AnyFunSuite {
     sql.zip(api).foreach { case (s, a) => assert(s == a) }
   }
 
-  test("graft_minhash_pairs table function matches the Scala operator") {
+  test("dedup-family table functions match the Scala operators") {
     import SparkTestSession.sf0001
-    val sql = spark.sql(
-      s"SELECT * FROM graft_minhash_pairs('$sf0001') ORDER BY doc_a, doc_b")
-      .collect()
-    val api = graft.operators.Dedup.minhashLsh(spark, sf0001)
-      .orderBy("doc_a", "doc_b").collect()
-    assert(sql.sameElements(api))
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "graft_minhash_pairs" ->
+        graft.operators.Dedup.minhashLsh(spark, sf0001),
+      "graft_exact_dedup" ->
+        graft.operators.Dedup.exact(spark, sf0001),
+      "graft_simhash_pairs" ->
+        graft.operators.Dedup.simhash(spark, sf0001),
+      "graft_ngram_jaccard_pairs" ->
+        graft.operators.Dedup.ngramJaccard(spark, sf0001),
+      "graft_clusters" ->
+        graft.operators.Dedup.clusters(
+          graft.operators.Dedup.minhashLsh(spark, sf0001)),
+      "graft_decontaminate" ->
+        graft.operators.Dedup.decontaminate(spark, sf0001),
+      "graft_embedding_neardup" ->
+        graft.operators.Dedup.embeddingNearDup(spark, sf0001))
+    cases.foreach { case (fn, api) =>
+      val cols = api.columns.map(c => s"`$c`").mkString(", ")
+      val sql = spark.sql(
+        s"SELECT * FROM $fn('$sf0001') ORDER BY $cols").collect()
+      val expected = api.orderBy(api.columns.map(api(_)): _*).collect()
+      assert(sql.sameElements(expected), s"$fn mismatch")
+    }
+  }
+
+  test("table functions compose with SQL (join, filter, agg)") {
+    import SparkTestSession.sf0001
+    // near-dup drop list joined back against documents entirely in SQL
+    graft.sources.Tables.documents(spark, sf0001)
+      .createOrReplaceTempView("docs_tf")
+    val survivors = spark.sql(
+      s"""SELECT count(*) AS n FROM docs_tf d
+         |LEFT ANTI JOIN (SELECT DISTINCT doc_b
+         |                FROM graft_minhash_pairs('$sf0001')) p
+         |  ON d.doc_id = p.doc_b""".stripMargin).head().getLong(0)
+    val total = spark.table("docs_tf").count()
+    val dropped = graft.operators.Dedup.minhashLsh(spark, sf0001)
+      .select("doc_b").distinct().count()
+    assert(survivors == total - dropped)
   }
 
   test("optimizer eliminates encode(decode) roundtrips") {
