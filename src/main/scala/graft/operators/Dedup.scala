@@ -102,41 +102,74 @@ object Dedup {
     * (and therefore bands and pairs) are unchanged from the relational
     * formulation, at ~1/20th the cost.
     */
+  /** Distinct word-3-gram shingles of one document (the typed kernel
+    * behind [[shinglesOf]]/[[shingleSigs]]); empty when < NgramN tokens. */
+  private[graft] def shinglesOfText(text: String): Array[String] = {
+    val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
+    val n = toks.length
+    if (n < NgramN) Array.empty[String]
+    else {
+      val all = new Array[String](n - NgramN + 1)
+      var i = 0
+      while (i < all.length) {
+        all(i) = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+        i += 1
+      }
+      all.distinct
+    }
+  }
+
+  /** The 16-wide MinHash signature over a shingle set — all hash
+    * families from ONE md5 per shingle via double hashing
+    * (h_j = (h1 + j·h2) mod 2³²), h1/h2 = first/second 4 bytes of
+    * md5("mh:" ++ shingle) big-endian unsigned. Shared by the batch
+    * operator and the streaming near-dup twin so both paths emit
+    * bit-identical signatures. */
+  private[graft] def minhashSignature(
+      sh: Array[String],
+      digest: java.security.MessageDigest): Array[Long] = {
+    val sig = Array.fill(NumHashes)(0xffffffffL)
+    sh.foreach { s =>
+      val d = digest.digest(
+        ("mh:" + s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h1 = 0L
+      var h2 = 0L
+      var b = 0
+      while (b < 4) { h1 = (h1 << 8) | (d(b) & 0xffL); b += 1 }
+      while (b < 8) { h2 = (h2 << 8) | (d(b) & 0xffL); b += 1 }
+      var j = 0
+      while (j < NumHashes) {
+        val h = (h1 + j.toLong * h2) & 0xffffffffL
+        if (h < sig(j)) sig(j) = h
+        j += 1
+      }
+    }
+    sig
+  }
+
+  /** LSH band keys of a signature: md5 hex of the band's row values
+    * joined with '_' — the same bytes the batch band columns produce. */
+  private[graft] def bandKeys(
+      sig: Array[Long],
+      digest: java.security.MessageDigest): Array[String] = {
+    val rows = NumHashes / NumBands
+    Array.tabulate(NumBands) { b =>
+      val joined = (0 until rows).map(r => sig(rows * b + r).toString)
+        .mkString("_")
+      digest.digest(joined.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(x => f"${x & 0xff}%02x").mkString
+    }
+  }
+
   private[operators] def shingleSigs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.as[(Long, String)].mapPartitions { it =>
       val digest = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { case (id, text) =>
-        val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
-        val n = toks.length
-        if (n < NgramN) Iterator.empty
-        else {
-          val all = new Array[String](n - NgramN + 1)
-          var i = 0
-          while (i < all.length) {
-            all(i) = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
-            i += 1
-          }
-          val sh = all.distinct
-          val sig = Array.fill(NumHashes)(0xffffffffL)
-          sh.foreach { s =>
-            val d = digest.digest(
-              ("mh:" + s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            var h1 = 0L
-            var h2 = 0L
-            var b = 0
-            while (b < 4) { h1 = (h1 << 8) | (d(b) & 0xffL); b += 1 }
-            while (b < 8) { h2 = (h2 << 8) | (d(b) & 0xffL); b += 1 }
-            var j = 0
-            while (j < NumHashes) {
-              val h = (h1 + j.toLong * h2) & 0xffffffffL
-              if (h < sig(j)) sig(j) = h
-              j += 1
-            }
-          }
-          Iterator.single((id, sh, sig))
-        }
+        val sh = shinglesOfText(text)
+        if (sh.isEmpty) Iterator.empty
+        else Iterator.single((id, sh, minhashSignature(sh, digest)))
       }
     }.toDF("doc_id", "sh", "sig")
   }

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Dedup
+
+/** Incremental MinHash near-dup detection — the streaming twin of
+  * [[graft.operators.Dedup.minhashLsh]] (the batch family's remaining
+  * gap: exact content dedup streams via
+  * [[BidPipeline.dedupeByContent]]; this streams the NEAR-dup pass).
+  *
+  * Per document: one typed pass computes the same 16-wide MinHash
+  * signature as the batch operator (shared kernel —
+  * [[graft.operators.Dedup.minhashSignature]], bit-identical bytes),
+  * explodes into the same 4 LSH band keys, and a stateful
+  * `flatMapGroupsWithState` per band bucket emits a candidate pair for
+  * every (earlier doc, new doc) collision whose signature-estimated
+  * Jaccard (fraction of equal signature components — the standard
+  * unbiased MinHash estimator) clears the threshold.
+  *
+  * Contract differences from the batch operator, both inherent to
+  * streaming and documented rather than hidden:
+  *  - Batch verifies TRUE Jaccard on the full shingle sets; bounded
+  *    state cannot hold shingle sets, so the streaming pass scores the
+  *    SIGNATURE estimate. With 16 components the estimate is exact to
+  *    1/16 granularity.
+  *  - A pair colliding in several bands is emitted once per colliding
+  *    band (a band bucket cannot see other bands' state); consumers
+  *    treat (doc_a, doc_b) as a set — `distinct()` per micro-batch in
+  *    `foreachBatch`, or a downstream watermarked pair-dedup.
+  *
+  * State is bounded three ways, mirroring the batch hot-key
+  * discipline: per-bucket membership caps at
+  * [[graft.operators.Dedup.HotGroupCap]] (a new doc in a full bucket
+  * still COMPARES against all members — pairs are not lost — but joins
+  * as a non-resident, the spanning-star analog), eviction at the event
+  * watermark (`EventTimeTimeout`), and each resident holds only
+  * (doc_id, 16 longs) — no text, no shingles.
+  */
+object StreamingNearDup {
+
+  /** Signature-estimate threshold for emitted pairs — the streaming
+    * stand-in for the batch operator's true-Jaccard ≥ 0.5 gate. */
+  val EstThreshold: Double = Dedup.MinhashJaccardThreshold
+
+  case class BandRow(bucket: String, doc_id: Long, sig: Array[Long],
+                     event_ts: java.sql.Timestamp)
+  case class Pair(doc_a: Long, doc_b: Long, band: Int, est_jaccard: Double,
+                  event_ts: java.sql.Timestamp)
+  case class BucketState(docs: List[(Long, Array[Long])])
+
+  /** (doc_id, text, event_ts) stream → per-band bucket rows carrying
+    * the shared-kernel signature. Narrow typed map + explode; the only
+    * shuffle is the downstream stateful grouping on the bucket. */
+  def bandRows(docs: DataFrame): Dataset[BandRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"),
+        col("event_ts").cast("timestamp"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text, ts) =>
+          val sh = Dedup.shinglesOfText(text)
+          if (sh.isEmpty) Iterator.empty
+          else {
+            val sig = Dedup.minhashSignature(sh, digest)
+            Dedup.bandKeys(sig, digest).iterator.zipWithIndex.map {
+              case (k, b) => BandRow(s"$b:$k", id, sig, ts)
+            }
+          }
+        }
+      }
+  }
+
+  /** Signature-estimated Jaccard: fraction of equal components. */
+  private[graft] def estJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  private def processBucket(
+      key: String,
+      rows: Iterator[BandRow],
+      state: GroupState[BucketState]): Iterator[Pair] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val band = key.takeWhile(_ != ':').toInt
+    var members = state.getOption.map(_.docs).getOrElse(Nil)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Pair]
+    // deterministic intra-batch order: a micro-batch delivering several
+    // docs to one bucket must emit the same pairs regardless of row order
+    val sorted = rows.toArray.sortBy(r => (r.event_ts.getTime, r.doc_id))
+    sorted.foreach { r =>
+      members.foreach { case (mid, msig) =>
+        if (mid != r.doc_id) {
+          val est = BigDecimal(estJaccard(msig, r.sig))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (est >= EstThreshold)
+            out += Pair(math.min(mid, r.doc_id), math.max(mid, r.doc_id),
+              band, est, r.event_ts)
+        }
+      }
+      // full bucket: the newcomer compared against every resident (no
+      // pair lost) but does not displace one — the spanning-star analog
+      if (members.length < Dedup.HotGroupCap &&
+          !members.exists(_._1 == r.doc_id))
+        members = (r.doc_id, r.sig) :: members
+    }
+    state.update(BucketState(members))
+    // evict the bucket one watermark-delay past the newest member
+    state.setTimeoutTimestamp(
+      sorted.map(_.event_ts.getTime).max, "1 hour")
+    out.iterator
+  }
+
+  /** Wire the stateful pass over a watermarked (doc_id, text, event_ts)
+    * stream. `watermarkDelay` bounds both lateness and state lifetime.
+    */
+  def pairs(docs: DataFrame, watermarkDelay: String = "1 hour"): Dataset[Pair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bandRows(docs)
+      .withWatermark("event_ts", watermarkDelay)
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, Pair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(processBucket)
+  }
+}
