@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** The curation family as one streaming pipeline — the incremental twin
+  * of [[graft.operators.Curation.pipeline]] for a Kafka-fed corpus:
+  *
+  *  1. quality gate — the SAME Catalyst formula as the batch operator
+  *     ([[TextAnalysis.qualityCol]]); stateless, codegen'd;
+  *  2. benchmark decontamination — shared-shingle overlap against a
+  *     broadcast eval-set shingle index; stateless typed filter, the
+  *     streaming form of [[Dedup.decontaminate]]'s broadcast side;
+  *  3. exact content dedup — watermark-bounded
+  *     `dropDuplicatesWithinWatermark` on `md5(text)`, the streaming
+  *     form of [[Dedup.exact]].
+  *
+  * Near-dup handling stays a SEPARATE stream ([[StreamingNearDup]]):
+  * chaining a second stateful pass behind the dedup is where Structured
+  * Streaming's multi-stateful-operator support gets restrictive, and a
+  * candidate-pair stream is the more useful product anyway (consumers
+  * choose drop policy). At 100 TB each stage scales independently: the
+  * gates are narrow maps, the eval index is small by definition (it is
+  * a benchmark suite — same broadcast bound as the batch operator), and
+  * dedup state is one 32-char hash per surviving doc within the
+  * watermark, sharded by the shuffle on the hash.
+  */
+object CorpusPipeline {
+
+  /** Max eval-set shingles accepted for broadcast — the same "small by
+    * definition" contract the batch decontamination relies on, made
+    * explicit. */
+  val MaxEvalShingles = 5000000
+
+  /** Distinct shingles of an eval/benchmark corpus, collected for
+    * broadcast. `require`-bounded: decontamination against a set this
+    * size is a broadcast join in ANY engine. */
+  def evalShingleSet(evalTexts: Dataset[String]): Set[String] = {
+    val sh = scala.collection.mutable.HashSet.empty[String]
+    evalTexts.collect().foreach(t => sh ++= Dedup.shinglesOfText(t))
+    require(sh.size <= MaxEvalShingles,
+      s"eval shingle set ${sh.size} exceeds broadcast bound $MaxEvalShingles")
+    sh.toSet
+  }
+
+  /** Quality gate: keep docs whose score clears `threshold`. Stateless;
+    * identical arithmetic to the batch gate. */
+  def qualityGate(docs: DataFrame,
+                  threshold: Double = graft.operators.Curation.QualityThreshold)
+      : DataFrame =
+    docs.filter(
+      TextAnalysis.qualityCol(col("text")).getField("quality") >= threshold)
+
+  /** Decontamination: drop docs sharing ≥ `minOverlap` distinct
+    * shingles with the eval set. Stateless typed filter over the
+    * broadcast index (task closure). */
+  def decontaminate(docs: DataFrame, evalShingles: Set[String],
+                    minOverlap: Int = Dedup.MinContamOverlap): DataFrame = {
+    val textIdx = docs.columns.indexOf("text")
+    require(textIdx >= 0, "corpus stream must carry a text column")
+    docs.filter { r: org.apache.spark.sql.Row =>
+      val sh = Dedup.shinglesOfText(r.getString(textIdx))
+      var overlap = 0
+      var i = 0
+      while (i < sh.length && overlap < minOverlap) {
+        if (evalShingles.contains(sh(i))) overlap += 1
+        i += 1
+      }
+      overlap < minOverlap
+    }
+  }
+
+  /** The composed stream: gate → decontaminate → content dedup. Input
+    * must carry `doc_id`, `text`, `event_tm` (epoch millis) — the
+    * decoded-corpus contract. */
+  def curate(docs: DataFrame, evalShingles: Set[String],
+             watermarkDelay: String = "1 hour"): DataFrame = {
+    val gated = qualityGate(docs)
+    val clean = decontaminate(gated, evalShingles)
+    clean
+      .withColumn("__content_hash", md5(col("text")))
+      .withColumn("__event_ts", timestamp_millis(col("event_tm")))
+      .withWatermark("__event_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__event_ts", "__content_hash")
+  }
+}
