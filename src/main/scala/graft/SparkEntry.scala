@@ -62,6 +62,14 @@ object SparkEntry {
     "dedup_ngram_jaccard"   -> (Dedup.ngramJaccard _),
     "dedup_embedding"       -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_clusters"        -> (Dedup.clusters _),
+    "dedup_crosscorpus"     -> { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      val docs = graft.sources.Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+      Dedup.minhashJoin(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+    },
     "text_decontaminate"    -> (Dedup.decontaminate _),
     "text_repetition"       -> (TextAnalysis.repetitionStats _),
     "text_tfidf"            -> (TextAnalysis.tfIdfTopTerms _),
@@ -123,7 +131,12 @@ object SparkEntry {
 
   /** CTE chain ending in `j(doc_a, doc_b, jaccard)` — reused by the
     * minhash query and the curation pipeline oracle. */
-  private def minhashCtes: String = {
+  private def minhashCtes: String = minhashCtesWith("x.doc_id < y.doc_id")
+
+  /** Same chain with a custom candidate-pair join condition — the
+    * cross-corpus join oracle swaps the self-join ordering predicate
+    * for a side-assignment predicate. */
+  private def minhashCtesWith(candCond: String): String = {
     val sigCols = (0 until Dedup.NumHashes)
       .map(j => s"min((h1 + $j * h2) & 4294967295) AS h$j")
       .mkString(",\n         ")
@@ -147,7 +160,7 @@ object SparkEntry {
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
-       |    ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id),
+       |    ON x.b = y.b AND x.k = y.k AND $candCond),
        |j AS (
        |  SELECT c.doc_a, c.doc_b,
        |         ${jaccardExpr.format("a.s", "b.s", "a.s", "b.s")} AS jaccard
@@ -626,6 +639,11 @@ object SparkEntry {
     },
     "dedup_simhash" -> simhashOracle,
     "dedup_clusters" -> clustersOracle,
+    "dedup_crosscorpus" ->
+      s"""WITH ${minhashCtesWith("x.doc_id % 2 = 1 AND y.doc_id % 2 = 0")}
+         |SELECT doc_a AS left_id, doc_b AS right_id, jaccard FROM j
+         |WHERE jaccard >= ${Dedup.MinhashJaccardThreshold}
+         |ORDER BY left_id, right_id""".stripMargin,
     "text_tfidf" ->
       s"""WITH toks AS (
          |  SELECT doc_id,

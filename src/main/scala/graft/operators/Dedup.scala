@@ -247,16 +247,7 @@ object Dedup {
   def minhashPairs(docs: DataFrame): DataFrame = {
     val perDoc = shingleSigs(docs)
     Materialize.withCached(perDoc) {
-      val rows = NumHashes / NumBands
-      val bandCols = (0 until NumBands).map { b =>
-        struct(lit(b).as("b"),
-          md5(concat_ws("_", (0 until rows).map(r =>
-            element_at(col("sig"), rows * b + r + 1).cast("string")): _*))
-            .as("k"))
-      }
-      val bands = perDoc
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id").as("id"), col("bk.b").as("b"), col("bk.k").as("k"))
+      val bands = bandFrame(perDoc).withColumnRenamed("doc_id", "id")
       val cand = selfJoinCapped(bands, Seq("b", "k"))
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
         .distinct()
@@ -268,6 +259,84 @@ object Dedup {
         .filter(col("jaccard") >= MinhashJaccardThreshold)
         .orderBy("doc_a", "doc_b")
     }
+  }
+
+  /** Cross-corpus MinHash similarity JOIN — near-dup pairs between TWO
+    * document frames (`doc_id`, `text`), e.g. deduplicating a fresh
+    * crawl (left) against the landed corpus (right) before ingest. Same
+    * LSH shape as [[minhashPairs]] but the band join is left-vs-right
+    * instead of a self-join: shuffle on (band, key) only, candidates
+    * verified with true Jaccard ≥ [[MinhashJaccardThreshold]] from the
+    * cached per-doc shingle sets.
+    *
+    * Hot-bucket discipline is one-sided by design: the RIGHT side of a
+    * hot (band, key) bucket keeps its [[HotGroupCap]] smallest-id
+    * residents, the left side is never capped. Every left doc therefore
+    * does bounded work (≤ cap × bands candidates) but is never silently
+    * excluded — the guarantee cross-corpus dedup actually needs is
+    * "every crawl doc that duplicates the corpus gets flagged", and a
+    * left cap would break exactly that. A left match whose only
+    * near-dups are non-residents of a degenerate bucket can be missed —
+    * the same bounded-frequency trade [[ShingleFreqCap]] makes, and
+    * identical docs always share residents (equal signatures sort
+    * together only if ids do — residents are id-ordered, but an
+    * identical doc has the SAME band key in every band, so it meets the
+    * bucket minimum resident regardless).
+    *
+    * At 100 TB the right side is typically the big landed corpus: its
+    * band index is a one-off build (persist/bucket it by (b, k) and the
+    * incremental crawl joins against it with no corpus reshuffle).
+    */
+  def minhashJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val perL = shingleSigs(left)
+    val perR = shingleSigs(right)
+    Materialize.withCached(perL, perR) {
+      val bandsL = bandFrame(perL).select(
+        col("doc_id").as("left_id"), col("b"), col("k"))
+      val bandsR = bandFrame(perR).select(
+        col("doc_id").as("right_id"), col("b"), col("k"))
+      val cand = bandsL
+        .join(capBucket(bandsR, "right_id"), Seq("b", "k"))
+        .select(col("left_id"), col("right_id"))
+        .distinct()
+      cand
+        .join(perL.select(col("doc_id").as("left_id"), col("sh").as("sa")),
+          "left_id")
+        .join(perR.select(col("doc_id").as("right_id"), col("sh").as("sb")),
+          "right_id")
+        .select(col("left_id"), col("right_id"),
+          round(jaccard(col("sa"), col("sb")), 4).as("jaccard"))
+        .filter(col("jaccard") >= MinhashJaccardThreshold)
+        .orderBy("left_id", "right_id")
+    }
+  }
+
+  /** (doc_id, b, k) band rows of a (doc_id, sh, sig) frame. */
+  private def bandFrame(perDoc: DataFrame): DataFrame = {
+    val rows = NumHashes / NumBands
+    val bandCols = (0 until NumBands).map { b =>
+      struct(lit(b).as("b"),
+        md5(concat_ws("_", (0 until rows).map(r =>
+          element_at(col("sig"), rows * b + r + 1).cast("string")): _*))
+          .as("k"))
+    }
+    perDoc
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.b").as("b"), col("bk.k").as("k"))
+  }
+
+  /** Bound one side of the cross join per (b, k) bucket: keep the
+    * [[HotGroupCap]] smallest ids (deterministic residents; the
+    * bucket's min id is always among them, so cross-bucket
+    * CONNECTIVITY through a hot bucket survives exactly like the
+    * spanning star in the self-join case). One window shuffle, whose
+    * (b, k) partitioning the subsequent join reuses. */
+  private def capBucket(bands: DataFrame, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b"), col("k")).orderBy(col(idCol))
+    bands.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= HotGroupCap)
+      .drop("__rn")
   }
 
   /** SimHash near-dup pairs: 64-bit term-frequency-weighted simhash (each

@@ -82,6 +82,37 @@ class DedupHotKeySpec extends AnyFunSuite {
     assert(maxRec < TaskRecordBound, s"a task saw $maxRec records")
   }
 
+  test("cross-corpus join: right side caps, every left doc still flagged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 600 identical docs split odd/even: right bucket (300) exceeds the
+    // cap (256) → 256 residents; every odd LEFT doc must still pair
+    val d = Files.createTempDirectory("graft-crosshot").toString
+    (0L until 600L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val docs = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    var rows: Array[org.apache.spark.sql.Row] = null
+    val maxRec = maxTaskRecords {
+      rows = Dedup.minhashJoin(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0)).collect()
+    }
+    val expectedResidents = (0L until 600L by 2).take(Dedup.HotGroupCap).toSet
+    assert(rows.length == 300 * Dedup.HotGroupCap,
+      s"300 left x ${Dedup.HotGroupCap} residents, got ${rows.length}")
+    val leftIds = rows.map(_.getLong(0)).toSet
+    assert(leftIds == (1L until 600L by 2).toSet,
+      "every left doc must be flagged — the left side is never capped")
+    assert(rows.map(_.getLong(1)).toSet == expectedResidents,
+      "right residents must be the cap smallest even ids")
+    assert(rows.forall(_.getDouble(2) == 1.0))
+    assert(maxRec < TaskRecordBound, s"a task saw $maxRec records")
+  }
+
   test("oracle scale: cold groups still produce full cliques") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-coldkey").toString
