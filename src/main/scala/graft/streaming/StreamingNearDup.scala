@@ -114,22 +114,77 @@ object StreamingNearDup {
         members = (r.doc_id, r.sig) :: members
     }
     state.update(BucketState(members))
-    // evict the bucket one watermark-delay past the newest member
-    state.setTimeoutTimestamp(
-      sorted.map(_.event_ts.getTime).max, "1 hour")
+    // evict the bucket one watermark-delay past the newest member; an
+    // initial-state bucket with no traffic yet (Spark invokes the
+    // function for every bootstrap key in the first batch) has no event
+    // time to anchor a timeout — it arms when the first row arrives
+    if (sorted.nonEmpty)
+      state.setTimeoutTimestamp(
+        sorted.map(_.event_ts.getTime).max, "1 hour")
     out.iterator
   }
 
   /** Wire the stateful pass over a watermarked (doc_id, text, event_ts)
     * stream. `watermarkDelay` bounds both lateness and state lifetime.
+    *
+    * `bootstrapCorpus` (optional, batch (doc_id, text)) pre-populates
+    * the bucket state with the LANDED corpus — Structured Streaming's
+    * initial-state support — so the stream flags near-dups of existing
+    * data from its FIRST micro-batch instead of only stream-vs-stream
+    * pairs; the streaming continuation of [[graft.operators.Dedup.minhashJoin]].
+    * Bootstrap residents obey the same per-bucket cap ([[graft.operators.Dedup.HotGroupCap]]
+    * smallest ids), and carry no timestamps — they evict with the
+    * bucket's event-time timeout once streaming traffic arrives.
     */
-  def pairs(docs: DataFrame, watermarkDelay: String = "1 hour"): Dataset[Pair] = {
+  def pairs(docs: DataFrame, watermarkDelay: String = "1 hour",
+            bootstrapCorpus: Option[DataFrame] = None): Dataset[Pair] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bandRows(docs)
+    val grouped = bandRows(docs)
       .withWatermark("event_ts", watermarkDelay)
       .groupByKey(_.bucket)
-      .flatMapGroupsWithState[BucketState, Pair](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(processBucket)
+    bootstrapCorpus match {
+      case None =>
+        grouped.flatMapGroupsWithState[BucketState, Pair](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(processBucket)
+      case Some(corpus) =>
+        val initial = initialState(corpus)
+        grouped.flatMapGroupsWithState[BucketState, Pair](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout, initial)(
+          processBucket)
+    }
+  }
+
+  /** Per-bucket initial state from a batch corpus: the same band rows
+    * the stream would produce, id-ordered residents capped per bucket.
+    */
+  private[streaming] def initialState(corpus: DataFrame)
+      : org.apache.spark.sql.KeyValueGroupedDataset[String, BucketState] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val sh = Dedup.shinglesOfText(text)
+          if (sh.isEmpty) Iterator.empty
+          else {
+            val sig = Dedup.minhashSignature(sh, digest)
+            Dedup.bandKeys(sig, digest).iterator.zipWithIndex.map {
+              case (k, b) => (s"$b:$k", id, sig)
+            }
+          }
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (bucket, rows) =>
+        val members = rows.toArray.sortBy(_._2)
+          .take(Dedup.HotGroupCap)
+          .map(r => (r._2, r._3)).toList
+        (bucket, BucketState(members))
+      }
+      .groupByKey(_._1)
+      .mapValues(_._2)
   }
 }

@@ -86,6 +86,39 @@ class StreamingNearDupSpec extends AnyFunSuite {
     assert(b1.exists(_._1 == real.head._1) && b2.exists(_._1 == 900001L))
   }
 
+  test("bootstrap: stream flags near-dups of the landed corpus from batch one") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    // stream: an exact copy of corpus doc 10 plus an unrelated doc
+    val stream = MemoryStream[(Long, String, Timestamp)](spark)
+    val pairs = StreamingNearDup.pairs(
+      stream.toDF().toDF("doc_id", "text", "event_ts"),
+      bootstrapCorpus = Some(corpus))
+    val name = s"neardup_boot_${System.nanoTime()}"
+    val q = pairs.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("neardup-boot-ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      stream.addData(Seq(
+        (500L, "alpha beta gamma delta epsilon zeta eta theta", ts(0)),
+        (501L, "totally different words with no overlap at all", ts(0))))
+      q.processAllAvailable()
+      val got = spark.table(name).as[StreamingNearDup.Pair].collect()
+      val pairKeys = got.map(p => (p.doc_a, p.doc_b)).distinct
+      assert(pairKeys.toSet == Set((10L, 500L)),
+        s"expected the corpus doc to pair with its stream copy, got ${pairKeys.toSeq}")
+      assert(got.forall(_.est_jaccard == 1.0))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   test("hot bucket: deterministic capped membership, no lost comparisons") {
     // 260 identical docs > HotGroupCap=256: every newcomer compares
     // against min(i, cap) residents; membership stops growing at the cap
