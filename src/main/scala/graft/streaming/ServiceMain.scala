@@ -16,7 +16,8 @@ import graft.GraftSession
   *   --frames-dir /path/to/frames \              // bounded file mode
   *   --export /path/out --checkpoint /path/ckpt \
   *   --metrics metrics.json [--available-now] [--cores 32] \
-  *   [--commit-log] [--dedupe-ids] [--descriptor x.desc --message Name]
+  *   [--commit-log] [--dedupe-ids] [--dedupe-content]
+  *   [--descriptor x.desc --message Name]
   * }}}
   *
   * Flag mapping: `--max-offsets` ≈ the reference's 122880×kc message
@@ -40,6 +41,7 @@ object ServiceMain {
       availableNow: Boolean = false,
       commitLog: Boolean = false,
       dedupeIds: Boolean = false,
+      dedupeContent: Boolean = false,
       descriptor: Option[String] = None,  // compiled FileDescriptorSet
       message: String = "Bidrequest")
 
@@ -57,6 +59,7 @@ object ServiceMain {
       case "--available-now" :: t      => go(t, a.copy(availableNow = true))
       case "--commit-log" :: t         => go(t, a.copy(commitLog = true))
       case "--dedupe-ids" :: t         => go(t, a.copy(dedupeIds = true))
+      case "--dedupe-content" :: t     => go(t, a.copy(dedupeContent = true))
       case "--descriptor" :: v :: t    => go(t, a.copy(descriptor = Some(v)))
       case "--message" :: v :: t       => go(t, a.copy(message = v))
       case Nil                         => a
@@ -85,6 +88,7 @@ object ServiceMain {
       availableNow = args.availableNow,
       commitLog = args.commitLog,
       dedupeIds = args.dedupeIds,
+      dedupeContent = args.dedupeContent,
       schema = args.descriptor match {
         case Some(path) => // new topic: schema compiles from its descriptor
           graft.sources.proto.ProtoDescriptor.messageSchema(

@@ -27,9 +27,9 @@ class ServiceMainSpec extends AnyFunSuite {
       ServiceMain.parse(Array("--bogus"))
     }
     val b = ServiceMain.parse(Array("--brokers", "h:9092", "--topic", "t",
-      "--commit-log", "--dedupe-ids", "--descriptor", "/d.desc",
-      "--message", "Other"))
-    assert(b.commitLog && b.dedupeIds &&
+      "--commit-log", "--dedupe-ids", "--dedupe-content",
+      "--descriptor", "/d.desc", "--message", "Other"))
+    assert(b.commitLog && b.dedupeIds && b.dedupeContent &&
       b.descriptor.contains("/d.desc") && b.message == "Other")
   }
 
