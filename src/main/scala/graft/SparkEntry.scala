@@ -73,6 +73,7 @@ object SparkEntry {
     "text_decontaminate"    -> (Dedup.decontaminate _),
     "text_repetition"       -> (TextAnalysis.repetitionStats _),
     "text_tfidf"            -> (TextAnalysis.tfIdfTopTerms _),
+    "text_rarity"           -> (TextAnalysis.rarityScore _),
     // --- similarity search ----------------------------------------------
     "sim_brute_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_ivf_topk"          -> (Similarity.ivfTopK _),
@@ -835,6 +836,21 @@ object SparkEntry {
          |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM r
          |WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""".stripMargin
     },
+    "text_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '),
+        |                     t -> len(t) > 0) AS w
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(w) AS term FROM toks),
+        |nd AS (SELECT count(*) AS n_docs FROM toks WHERE len(w) > 0),
+        |df AS (SELECT term, count(*) AS df FROM
+        |         (SELECT DISTINCT doc_id, term FROM ex) GROUP BY 1)
+        |SELECT e.doc_id, CAST(count(*) AS INT) AS n_terms,
+        |       round(sum((SELECT n_docs FROM nd) * 10000 // df.df) * 1.0 /
+        |             (count(*) * 10000.0), 4) AS rarity
+        |FROM ex e JOIN df USING (term)
+        |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin,
     "text_token_stats" ->
       s"""WITH $toksCte
          |SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,

@@ -177,6 +177,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Token-rarity score — a perplexity proxy without a language model:
+    * mean linear surprisal of a document's tokens, where a token's
+    * surprisal is N/df (corpus docs over docs containing the token; the
+    * same LINEAR idf choice as [[tfIdfTopTerms]] — ln() is not
+    * correctly-rounded across libms). High = unusual vocabulary, low =
+    * stopword soup; the standard "too weird / too boring" quality gate.
+    *
+    * Bit-stability across engines AND partitionings: per-token surprisal
+    * is computed as the INTEGER `(N·10⁴) div df`, so the per-doc sum is
+    * an integer (order-independent — a float sum would depend on
+    * partial-aggregation order) and only the final mean divides.
+    * Plan: one shuffle on the token for df, one on the doc for the sum.
+    */
+  def rarityScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val ex = docs.select(col("doc_id"), explode(toks).as("term"))
+    val nDocs = docs.filter(size(toks) > 0).count()
+    val df_ = ex.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    ex.join(df_, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(expr(s"${nDocs * 10000L} div df")).as("sr"))
+      .select(col("doc_id"), col("n_terms").cast("int").as("n_terms"),
+        round(col("sr").cast("double") /
+          (col("n_terms").cast("double") * 10000.0), 4).as("rarity"))
+      .orderBy("doc_id")
+  }
+
   /** Top-3 characteristic terms per document by tf·idf with a LINEAR
     * idf (N/df, no logarithm): every arithmetic step (integer counts,
     * division, multiplication) is exactly specified by IEEE-754, so the
