@@ -847,8 +847,8 @@ object SparkEntry {
         |df AS (SELECT term, count(*) AS df FROM
         |         (SELECT DISTINCT doc_id, term FROM ex) GROUP BY 1)
         |SELECT e.doc_id, CAST(count(*) AS INT) AS n_terms,
-        |       round(sum((SELECT n_docs FROM nd) * 10000 // df.df) * 1.0 /
-        |             (count(*) * 10000.0), 4) AS rarity
+        |       ((2 * sum((SELECT n_docs FROM nd) * 10000 // df.df)
+        |         + count(*)) // (2 * count(*))) / 10000.0 AS rarity
         |FROM ex e JOIN df USING (term)
         |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin,
     "text_token_stats" ->

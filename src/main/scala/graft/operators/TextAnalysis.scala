@@ -187,8 +187,13 @@ object TextAnalysis {
     * Bit-stability across engines AND partitionings: per-token surprisal
     * is computed as the INTEGER `(N·10⁴) div df`, so the per-doc sum is
     * an integer (order-independent — a float sum would depend on
-    * partial-aggregation order) and only the final mean divides.
-    * Plan: one shuffle on the token for df, one on the doc for the sum.
+    * partial-aggregation order), and the 4-decimal mean is rounded IN
+    * INTEGER ARITHMETIC (`(2·sr + n) div (2·n)` = half-up) before the
+    * single exact division by 10⁴ — a float `round` here differs
+    * between engines at half-way points because Spark rounds the
+    * shortest decimal representation while DuckDB rounds the binary
+    * value. Plan: one shuffle on the token for df, one on the doc for
+    * the sum.
     */
   def rarityScore(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
@@ -201,8 +206,8 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms"),
         sum(expr(s"${nDocs * 10000L} div df")).as("sr"))
       .select(col("doc_id"), col("n_terms").cast("int").as("n_terms"),
-        round(col("sr").cast("double") /
-          (col("n_terms").cast("double") * 10000.0), 4).as("rarity"))
+        (expr("(2 * sr + n_terms) div (2 * n_terms)").cast("double") /
+          10000.0).as("rarity"))
       .orderBy("doc_id")
   }
 
