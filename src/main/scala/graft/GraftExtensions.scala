@@ -118,7 +118,14 @@ object GraftExtensions {
       tablePlan("graft_decontaminate", graft.operators.Dedup.decontaminate),
     "graft_embedding_neardup" ->
       tablePlan("graft_embedding_neardup",
-        (s, d) => graft.operators.Dedup.embeddingNearDup(s, d)))
+        (s, d) => graft.operators.Dedup.embeddingNearDup(s, d)),
+    "graft_rarity" ->
+      tablePlan("graft_rarity", graft.operators.TextAnalysis.rarityScore),
+    "graft_tfidf" ->
+      tablePlan("graft_tfidf", graft.operators.TextAnalysis.tfIdfTopTerms),
+    "graft_repetition" ->
+      tablePlan("graft_repetition",
+        graft.operators.TextAnalysis.repetitionStats))
 
   private def tablePlan(name: String,
       op: (org.apache.spark.sql.SparkSession, String) =>

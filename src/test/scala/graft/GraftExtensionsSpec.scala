@@ -91,7 +91,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "graft_decontaminate" ->
         graft.operators.Dedup.decontaminate(spark, sf0001),
       "graft_embedding_neardup" ->
-        graft.operators.Dedup.embeddingNearDup(spark, sf0001))
+        graft.operators.Dedup.embeddingNearDup(spark, sf0001),
+      "graft_rarity" ->
+        graft.operators.TextAnalysis.rarityScore(spark, sf0001),
+      "graft_tfidf" ->
+        graft.operators.TextAnalysis.tfIdfTopTerms(spark, sf0001),
+      "graft_repetition" ->
+        graft.operators.TextAnalysis.repetitionStats(spark, sf0001))
     cases.foreach { case (fn, api) =>
       val cols = api.columns.map(c => s"`$c`").mkString(", ")
       val sql = spark.sql(
