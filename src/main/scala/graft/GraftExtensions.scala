@@ -125,7 +125,28 @@ object GraftExtensions {
       tablePlan("graft_tfidf", graft.operators.TextAnalysis.tfIdfTopTerms),
     "graft_repetition" ->
       tablePlan("graft_repetition",
-        graft.operators.TextAnalysis.repetitionStats))
+        graft.operators.TextAnalysis.repetitionStats),
+    // two-argument form: cross-corpus similarity join between two
+    // document directories (crawl vs landed corpus)
+    "graft_minhash_join" -> { args =>
+      require(args.length == 2,
+        "graft_minhash_join(left_dir, right_dir) takes two literal paths")
+      val Seq(l, r) = args.map(litString("graft_minhash_join", _))
+      val spark = org.apache.spark.sql.SparkSession.active
+      def docs(d: String) = graft.sources.Tables.documents(spark, d)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      graft.operators.Dedup.minhashJoin(docs(l), docs(r))
+        .queryExecution.analyzed
+    })
+
+  private def litString(name: String, e: Expression): String =
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"$name arguments must be literal strings, got $other")
+    }
 
   private def tablePlan(name: String,
       op: (org.apache.spark.sql.SparkSession, String) =>
@@ -133,12 +154,7 @@ object GraftExtensions {
     { args =>
       require(args.length == 1,
         s"$name(dir) takes exactly one literal path argument")
-      val dir = args.head.eval() match {
-        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-        case s: String => s
-        case other => throw new IllegalArgumentException(
-          s"$name dir must be a literal string, got $other")
-      }
+      val dir = litString(name, args.head)
       op(org.apache.spark.sql.SparkSession.active, dir)
         .queryExecution.analyzed
     }

@@ -107,6 +107,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_minhash_join two-dir table function matches the Scala operator") {
+    import SparkTestSession.sf0001
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val api = graft.operators.Dedup.minhashJoin(docs, docs)
+      .orderBy("left_id", "right_id").collect()
+    val sql = spark.sql(
+      s"""SELECT * FROM graft_minhash_join('$sf0001', '$sf0001')
+         |ORDER BY left_id, right_id""".stripMargin).collect()
+    assert(sql.sameElements(api))
+    // self-vs-self: every doc matches itself, so the diagonal is present
+    assert(api.exists(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("table functions compose with SQL (join, filter, agg)") {
     import SparkTestSession.sf0001
     // near-dup drop list joined back against documents entirely in SQL
