@@ -71,6 +71,7 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0))
     },
     "text_decontaminate"    -> (Dedup.decontaminate _),
+    "dedup_spans"           -> (Corpus.spanDedup _),
     "text_repetition"       -> (TextAnalysis.repetitionStats _),
     "text_tfidf"            -> (TextAnalysis.tfIdfTopTerms _),
     "text_rarity"           -> (TextAnalysis.rarityScore _),
@@ -78,12 +79,18 @@ object SparkEntry {
     "sim_brute_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_ivf_topk"          -> (Similarity.ivfTopK _),
     "sim_lsh_topk"          -> (Similarity.lshTopK _),
+    "sim_quantize"          -> (Corpus.quantizeProfile _),
     // --- text analysis --------------------------------------------------
     "text_token_stats"      -> (TextAnalysis.tokenStats _),
     "text_quality"          -> (TextAnalysis.qualityScore _),
     "text_langid"           -> (TextAnalysis.langId _),
     "text_fingerprint"      -> (TextAnalysis.fingerprint _),
     "text_regexp"           -> (TextAnalysis.regexpFunctions _),
+    "text_pii_redact"       -> (Corpus.piiRedact _),
+    "text_gopher"           -> (Corpus.gopherFilters _),
+    "text_chunks"           -> (Corpus.tokenChunks _),
+    "text_top_terms"        -> (Corpus.topTerms _),
+    "q_train_split"         -> (Corpus.trainSplit _),
     "q_curation_pipeline"   -> (Curation.pipeline _),
     "q_stratified_sample"   -> (Sampling.stratifiedSample _),
     "q_profile_events"      -> (Sampling.profileEvents _),
@@ -949,6 +956,120 @@ object SparkEntry {
          |            ELSE 'und' END AS pred_lang
          |FROM b WHERE quality >= 0.8 ORDER BY doc_id""".stripMargin
     },
+    "text_pii_redact" -> {
+      // identical synthetic-PII construction as Corpus.withSyntheticPii
+      // (single line: || at a line start would lose a pipe to the outer
+      // stripMargin)
+      val pii = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com call 555-' || " +
+        "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+        "' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || " +
+        "CAST((doc_id // 7) % 256 AS VARCHAR) || '.9'"
+      s"""WITH p AS (SELECT doc_id, $pii AS txt FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(txt, '${Corpus.EmailRe}')) AS INT)
+         |         AS n_emails,
+         |       CAST(len(regexp_extract_all(txt, '${Corpus.PhoneRe}')) AS INT)
+         |         AS n_phones,
+         |       CAST(len(regexp_extract_all(txt, '${Corpus.IpRe}')) AS INT)
+         |         AS n_ips,
+         |       regexp_replace(regexp_replace(regexp_replace(txt,
+         |           '${Corpus.EmailRe}', '<EMAIL>', 'g'),
+         |           '${Corpus.PhoneRe}', '<PHONE>', 'g'),
+         |           '${Corpus.IpRe}', '<IP>', 'g') AS redacted
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+    "text_gopher" -> {
+      val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH $toksCte,
+         |raw AS (
+         |  SELECT doc_id, len(t) AS n,
+         |         round(list_sum(list_transform(t, x -> len(x))) * 1.0
+         |               / len(t), 4) AS ml,
+         |         round(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+         |               * 1.0 / len(t), 4) AS af,
+         |         len(list_intersect(list_distinct(t), $stopList)) AS ns
+         |  FROM toks)
+         |SELECT doc_id, CAST(n AS INT) AS n_words, ml AS mean_word_len,
+         |       af AS alpha_frac, CAST(ns AS INT) AS n_stopwords,
+         |       n BETWEEN ${Corpus.MinWords} AND ${Corpus.MaxWords} AS pass_words,
+         |       ml BETWEEN ${Corpus.MinMeanWordLen} AND ${Corpus.MaxMeanWordLen}
+         |         AS pass_word_len,
+         |       af >= ${Corpus.MinAlphaFrac} AS pass_alpha,
+         |       ns >= ${Corpus.MinDistinctStopwords} AS pass_stop,
+         |       (n BETWEEN ${Corpus.MinWords} AND ${Corpus.MaxWords})
+         |         AND (ml BETWEEN ${Corpus.MinMeanWordLen} AND ${Corpus.MaxMeanWordLen})
+         |         AND af >= ${Corpus.MinAlphaFrac}
+         |         AND ns >= ${Corpus.MinDistinctStopwords} AS gopher_pass
+         |FROM raw ORDER BY doc_id""".stripMargin
+    },
+    "q_train_split" -> {
+      val bucket = "substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)"
+      s"""SELECT doc_id, $bucket AS bucket,
+         |       CASE WHEN $bucket < '${Corpus.TrainUpper}' THEN 'train'
+         |            WHEN $bucket < '${Corpus.ValUpper}' THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "text_chunks" -> {
+      val (cs, st) = (Corpus.ChunkSize, Corpus.ChunkStride)
+      s"""WITH $toksCte,
+         |d AS (SELECT doc_id, t, len(t) AS n,
+         |        CASE WHEN len(t) <= $cs THEN 1
+         |             ELSE (len(t) - $cs + ${st - 1}) // $st + 1 END AS nchunks
+         |      FROM toks WHERE len(t) > 0),
+         |c AS (SELECT doc_id, t, n, unnest(range(nchunks)) AS chunk_id FROM d)
+         |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+         |       CAST(least($cs, n - chunk_id * $st) AS INT) AS n_toks,
+         |       array_to_string(
+         |         list_slice(t, chunk_id * $st + 1, chunk_id * $st + $cs), ' ')
+         |         AS chunk
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+    },
+    "dedup_spans" -> {
+      val w = Corpus.SpanTokens
+      s"""WITH $toksCte,
+         |d AS (SELECT doc_id, t, (len(t) + ${w - 1}) // $w AS nspans
+         |      FROM toks WHERE len(t) > 0),
+         |s AS (SELECT doc_id, t, unnest(range(nspans)) AS sp FROM d),
+         |spn AS (SELECT doc_id,
+         |          md5(array_to_string(
+         |            list_slice(t, sp * $w + 1, sp * $w + $w), ' ')) AS h
+         |        FROM s),
+         |cnt AS (SELECT h, count(*) AS c FROM spn GROUP BY 1),
+         |agg AS (SELECT doc_id, count(*) AS ns,
+         |          sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS nd
+         |        FROM spn JOIN cnt USING (h) GROUP BY 1)
+         |SELECT doc_id, CAST(ns AS INT) AS n_spans, CAST(nd AS INT) AS n_dup_spans,
+         |       ((2 * 10000 * nd + ns) // (2 * ns)) / 10000.0 AS dup_frac,
+         |       ((2 * 10000 * nd + ns) // (2 * ns)) / 10000.0 < 0.5 AS keep
+         |FROM agg ORDER BY doc_id""".stripMargin
+    },
+    "text_top_terms" ->
+      s"""WITH $toksCte,
+         |ex AS (SELECT doc_id, unnest(t) AS term FROM toks)
+         |SELECT term, count(*) AS cnt, count(DISTINCT doc_id) AS df
+         |FROM ex GROUP BY 1
+         |ORDER BY cnt DESC, term LIMIT ${Corpus.TopTermsK}""".stripMargin,
+    "sim_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, label, v,
+        |        list_min(v) AS mn, list_max(v) AS mx FROM v),
+        |s AS (SELECT *, (mx - mn) / 255.0 AS scale FROM m WHERE mx > mn),
+        |d AS (SELECT vec_id, label, v,
+        |        list_transform(v, x -> mn + floor((x - mn) / scale + 0.5)
+        |                                 * scale) AS dq
+        |      FROM s)
+        |SELECT vec_id, label,
+        |       round(sqrt(list_sum(list_transform(range(1, len(v) + 1),
+        |             i -> (v[i] - dq[i]) * (v[i] - dq[i])))), 4) AS qerr_l2,
+        |       round(list_max(list_transform(range(1, len(v) + 1),
+        |             i -> abs(v[i] - dq[i]))), 4) AS qerr_max
+        |FROM d ORDER BY vec_id""".stripMargin,
     "q_multimodal_features" ->
       s"""WITH m AS (
          |  SELECT doc_id, 'fake/raw' AS format,

@@ -1,0 +1,272 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.sources.Tables
+
+/** Corpus-preparation operators — the curation passes a large-scale
+  * training-data pipeline runs between raw ingest (the reference's
+  * Kafka→parquet path) and tokenization: PII redaction, Gopher-style
+  * quality gates, deterministic train/val/test assignment, fixed-stride
+  * token chunking, paragraph/span-level exact dedup, and corpus
+  * vocabulary profiling.
+  *
+  * Scale notes (100 TB): every operator here is either a narrow per-doc
+  * map (PII, Gopher, split, chunking — linear in input splits, no
+  * shuffle except the presentation sort) or a single hash shuffle on a
+  * bounded key (span hash, term). Nothing collects to the driver and no
+  * per-key state grows beyond the corpus-frequency count it aggregates.
+  * All arithmetic is engine-agnostic (md5, RE2∩Java regex, integer
+  * division) so the DuckDB oracle reproduces results bit-for-bit.
+  */
+object Corpus {
+
+  // --- PII redaction --------------------------------------------------
+
+  /** Patterns restricted to syntax shared by Java regex and RE2 (no
+    * lookaround) so the oracle agrees. Applied in declaration order —
+    * the replacement tokens contain no digits, so later passes never
+    * re-match earlier redactions. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val IpRe    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Deterministic synthetic-PII injection: the test corpus carries no
+    * digits or addresses, so the operator's inputs are derived from
+    * doc_id identically in both engines — the redactor is exercised on
+    * every row instead of trivially matching nothing. */
+  def withSyntheticPii(text: Column, docId: Column): Column =
+    concat(text,
+      lit(" contact user"), docId.cast("string"),
+      lit("@example.com call 555-"),
+      lpad((docId % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((docId % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (docId % 256).cast("string"),
+      lit("."), expr("(doc_id div 7) % 256").cast("string"), lit(".9"))
+
+  /** The redaction formula as one struct-valued Column — counts each
+    * PII class on the raw text, then rewrites email → phone → ip. */
+  def piiRedactCol(text: Column): Column = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        IpRe, "<IP>")
+    struct(
+      size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("n_phones"),
+      size(regexp_extract_all(text, lit(IpRe), lit(0))).as("n_ips"),
+      redacted.as("redacted"))
+  }
+
+  /** PII redaction pass: inject deterministic synthetic PII, count and
+    * strip emails / NANP phone numbers / IPv4 addresses. Narrow map —
+    * one codegen'd pass per split. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        piiRedactCol(withSyntheticPii(col("text"), col("doc_id"))).as("p"))
+      .select(col("doc_id"), col("p.*"))
+      .orderBy("doc_id")
+
+  // --- Gopher-style quality gates --------------------------------------
+
+  /** Gopher rule thresholds (Rae et al. 2021 §A1.1, adapted to the
+    * short synthetic docs: the word-count floor is 40, not 50, so the
+    * gate splits the corpus instead of failing it wholesale). */
+  val MinWords = 40
+  val MaxWords = 100000
+  val MinMeanWordLen = 3.0
+  val MaxMeanWordLen = 10.0
+  val MinAlphaFrac = 0.8
+  val MinDistinctStopwords = 2
+
+  /** The Gopher-gate formula as one struct-valued Column. */
+  def gopherCol(text: Column): Column = {
+    val ts = tokens(text)
+    val n = size(ts)
+    val meanLen = round(
+      aggregate(transform(ts, t => length(t)), lit(0), (a, x) => a + x)
+        .cast("double") / n, 4)
+    val alphaFrac = round(
+      size(filter(ts, t => t.rlike("[a-z]"))).cast("double") / n, 4)
+    val nStop = size(array_intersect(
+      array_distinct(ts), array(TextAnalysis.Stopwords.map(lit): _*)))
+    val passWords = n.between(MinWords, MaxWords)
+    val passLen   = meanLen.between(MinMeanWordLen, MaxMeanWordLen)
+    val passAlpha = alphaFrac >= MinAlphaFrac
+    val passStop  = nStop >= MinDistinctStopwords
+    struct(
+      n.as("n_words"),
+      meanLen.as("mean_word_len"),
+      alphaFrac.as("alpha_frac"),
+      nStop.as("n_stopwords"),
+      passWords.as("pass_words"),
+      passLen.as("pass_word_len"),
+      passAlpha.as("pass_alpha"),
+      passStop.as("pass_stop"),
+      (passWords && passLen && passAlpha && passStop).as("gopher_pass"))
+  }
+
+  /** Gopher-style document quality gates: word count, mean word length,
+    * alphabetic-word fraction, distinct-stopword floor, and the combined
+    * keep/drop verdict. Narrow map. */
+  def gopherFilters(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), gopherCol(col("text")).as("g"))
+      .select(col("doc_id"), col("g.*"))
+      .orderBy("doc_id")
+
+  // --- Deterministic train/val/test split ------------------------------
+
+  /** Hex-prefix thresholds over md5("split:" || doc_id): buckets are
+    * uniform over the first byte, so 'e6'/'f3' give a 90/5/5 split
+    * (230, 13, 13 of 256). String comparison on lowercase hex is
+    * byte-identical in both engines. */
+  val TrainUpper = "e6"
+  val ValUpper   = "f3"
+
+  def splitCol(docId: Column): Column = {
+    val bucket = substring(md5(concat(lit("split:"), docId.cast("string"))), 1, 2)
+    struct(
+      bucket.as("bucket"),
+      when(bucket < TrainUpper, "train")
+        .when(bucket < ValUpper, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Deterministic train/val/test assignment — the reproducible
+    * hash-split every training pipeline needs: no RNG, stable under
+    * re-runs, re-partitioning and corpus growth (a doc's split never
+    * changes when other docs arrive). Narrow map. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), splitCol(col("doc_id")).as("s"))
+      .select(col("doc_id"), col("s.*"))
+      .orderBy("doc_id")
+
+  // --- Fixed-stride token chunking --------------------------------------
+
+  /** Context-window chunking: 32-token windows advancing 24 tokens
+    * (8-token overlap so no boundary n-gram is lost). */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** Chunk rows (doc_id, chunk_id, n_toks, chunk): every doc with ≥ 1
+    * token emits ⌈max(n−size,0)/stride⌉+1 windows. Pure Catalyst
+    * (sequence/posexplode/slice) — a narrow flatMap, no shuffle. */
+  def tokenChunks(spark: SparkSession, dir: String): DataFrame = {
+    val nChunks = when(col("n") <= ChunkSize, lit(1L))
+      .otherwise(expr(s"(n - $ChunkSize + ${ChunkStride - 1}) div $ChunkStride + 1"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .withColumn("n", size(col("t")).cast("long"))
+      .select(col("doc_id"), col("n"), col("t"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"),
+        col("chunk_id").cast("int").as("chunk_id"),
+        least(lit(ChunkSize), col("n") - col("chunk_id") * ChunkStride)
+          .cast("int").as("n_toks"),
+        array_join(
+          slice(col("t"), (col("chunk_id") * ChunkStride + 1).cast("int"),
+            lit(ChunkSize)), " ").as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  // --- Span-level (paragraph) exact dedup -------------------------------
+
+  /** Span width for paragraph-style exact dedup. The corpus has no line
+    * structure (single-line synthetic docs), so the CCNet/Dolma
+    * paragraph unit degenerates to fixed non-overlapping token spans —
+    * on real data the splitter would be `split(text, '\n')` with the
+    * identical downstream plan. */
+  val SpanTokens = 16
+
+  /** Paragraph/span-level exact dedup profile: hash every
+    * non-overlapping [[SpanTokens]]-token span, count occurrences
+    * corpus-wide, report per-doc duplicated-span fraction and the
+    * keep verdict (< 50 % duplicated content).
+    *
+    * Plan: one narrow flatMap to span hashes, ONE hash shuffle on the
+    * span md5 for the corpus count (partial count map-side), one
+    * shuffle back on doc_id for the per-doc profile. The span-count
+    * frame is the only stateful piece and is corpus-frequency bounded —
+    * at 100 TB it is a bucketed table incrementally maintained, exactly
+    * like the exact-dedup hash index. The 4-decimal fraction is rounded
+    * in INTEGER arithmetic (half-up) so partial-agg order and engine
+    * rounding can't disagree. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val nSpans = expr(s"(n + ${SpanTokens - 1}) div $SpanTokens")
+    val spans = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .withColumn("n", size(col("t")).cast("long"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L), nSpans - 1)).as("sp"))
+      .select(col("doc_id"),
+        md5(array_join(
+          slice(col("t"), (col("sp") * SpanTokens + 1).cast("int"),
+            lit(SpanTokens)), " ")).as("h"))
+    val counts = spans.groupBy("h").agg(count(lit(1)).as("c"))
+    spans.join(counts, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_spans"),
+        sum(when(col("c") >= 2, 1).otherwise(0)).cast("int").as("n_dup_spans"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup_spans"),
+        (expr("(2 * 10000 * n_dup_spans + n_spans) div (2 * n_spans)")
+          .cast("double") / 10000.0).as("dup_frac"))
+      .withColumn("keep", col("dup_frac") < 0.5)
+      .orderBy("doc_id")
+  }
+
+  // --- Corpus vocabulary profile ----------------------------------------
+
+  val TopTermsK = 20
+
+  /** Corpus-wide exact top-K terms by occurrence count with document
+    * frequency — the heavy-hitters pass of vocabulary profiling. One
+    * shuffle on the term with map-side partial counts; the top-K is
+    * `TakeOrderedAndProject` (per-partition heaps merged on the driver,
+    * K rows only — no single-partition window even when the vocabulary
+    * is billions of terms). */
+  def topTerms(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(TopTermsK)
+
+  // --- Embedding scalar quantization ------------------------------------
+
+  /** Int8 scalar-quantization error profile: per vector, min/max-scaled
+    * 256-level quantization (floor(x+0.5) so the rounding rule is
+    * explicit and engine-identical), reconstruction, and the L2 /
+    * max-abs error — the compression feasibility scan run before
+    * switching a 100 TB ANN corpus to int8 storage (4× smaller, SIMD
+    * distance kernels). Narrow map over the embeddings table. */
+  def quantizeProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .filter(col("mx") > col("mn"))
+      .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+      .withColumn("dq",
+        transform(col("v"), x =>
+          col("mn") + floor((x - col("mn")) / col("scale") + lit(0.5))
+            * col("scale")))
+      .select(col("vec_id"), col("label"),
+        round(sqrt(aggregate(
+          zip_with(col("v"), col("dq"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)), 4).as("qerr_l2"),
+        round(array_max(
+          zip_with(col("v"), col("dq"), (a, b) => abs(a - b))), 4)
+          .as("qerr_max"))
+      .orderBy("vec_id")
+}
