@@ -81,6 +81,12 @@ object GraftExtensions {
         resolvedExpression(graft.operators.TextAnalysis.langIdCol(column(args.head))) },
       "graft_fingerprint" -> { args =>
         resolvedExpression(graft.operators.TextAnalysis.fingerprintCol(column(args.head))) },
+      "graft_pii_redact" -> { args =>
+        resolvedExpression(graft.operators.Corpus.piiRedactCol(column(args.head))) },
+      "graft_gopher" -> { args =>
+        resolvedExpression(graft.operators.Corpus.gopherCol(column(args.head))) },
+      "graft_split" -> { args =>
+        resolvedExpression(graft.operators.Corpus.splitCol(column(args.head))) },
       // aggregate: the analyzer wraps a bare AggregateFunction returned
       // by a registry builder in its AggregateExpression
       "graft_kmv_distinct" -> { args =>
@@ -126,6 +132,15 @@ object GraftExtensions {
     "graft_repetition" ->
       tablePlan("graft_repetition",
         graft.operators.TextAnalysis.repetitionStats),
+    "graft_token_chunks" ->
+      tablePlan("graft_token_chunks", graft.operators.Corpus.tokenChunks),
+    "graft_span_dedup" ->
+      tablePlan("graft_span_dedup", graft.operators.Corpus.spanDedup),
+    "graft_top_terms" ->
+      tablePlan("graft_top_terms", graft.operators.Corpus.topTerms),
+    "graft_quantize_profile" ->
+      tablePlan("graft_quantize_profile",
+        graft.operators.Corpus.quantizeProfile),
     // two-argument form: cross-corpus similarity join between two
     // document directories (crawl vs landed corpus)
     "graft_minhash_join" -> { args =>

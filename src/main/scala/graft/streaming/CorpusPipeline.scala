@@ -53,6 +53,15 @@ object CorpusPipeline {
     docs.filter(
       TextAnalysis.qualityCol(col("text")).getField("quality") >= threshold)
 
+  /** PII redaction: rewrite `text` to its redacted form
+    * ([[graft.operators.Corpus.piiRedactCol]] — emails, phone numbers,
+    * IPv4). Stateless narrow map, codegen'd; runs BEFORE dedup so two
+    * docs differing only in the PII they leak deduplicate as the same
+    * content. */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      graft.operators.Corpus.piiRedactCol(col("text")).getField("redacted"))
+
   /** Decontamination: drop docs sharing ≥ `minOverlap` distinct
     * shingles with the eval set. Stateless typed filter over the
     * broadcast index (task closure). */
@@ -72,12 +81,12 @@ object CorpusPipeline {
     }
   }
 
-  /** The composed stream: gate → decontaminate → content dedup. Input
-    * must carry `doc_id`, `text`, `event_tm` (epoch millis) — the
-    * decoded-corpus contract. */
+  /** The composed stream: gate → PII redact → decontaminate → content
+    * dedup. Input must carry `doc_id`, `text`, `event_tm` (epoch
+    * millis) — the decoded-corpus contract. */
   def curate(docs: DataFrame, evalShingles: Set[String],
              watermarkDelay: String = "1 hour"): DataFrame = {
-    val gated = qualityGate(docs)
+    val gated = redactPii(qualityGate(docs))
     val clean = decontaminate(gated, evalShingles)
     clean
       .withColumn("__content_hash", md5(col("text")))

@@ -84,6 +84,39 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("docs differing only in leaked PII dedupe as one after redaction") {
+    import spark.implicits._
+    // a body long enough to pass the quality gate (length + stopwords)
+    val body = ("the data value table with a key for the scan on " * 3).trim
+    val d1 = s"$body mail bob@corp.example.com from 10.1.2.3"
+    val d2 = s"$body mail eve@other.example.org from 192.168.0.9"
+    val stream = MemoryStream[(Long, String, Long)](spark)
+    val curated = CorpusPipeline.curate(
+      stream.toDF().toDF("doc_id", "text", "event_tm"), Set("zz zz zz"))
+    val name = s"pii_sink_${System.nanoTime()}"
+    val q = curated.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("pii-ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      stream.addData(Seq((1L, d1, ts(0))))
+      q.processAllAvailable()
+      stream.addData(Seq((2L, d2, ts(500))))
+      q.processAllAvailable()
+      val rows = spark.table(name).select("doc_id", "text")
+        .as[(Long, String)].collect()
+      assert(rows.map(_._1).toSeq == Seq(1L),
+        s"expected only first arrival to survive, got ${rows.map(_._1).toSeq}")
+      val red = rows.head._2
+      assert(red.contains("<EMAIL>") && red.contains("<IP>")
+        && !red.contains("@"))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   test("quality gate formula matches the batch operator exactly") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf0001)

@@ -56,6 +56,45 @@ class GraftExtensionsSpec extends AnyFunSuite {
     sql.zip(api).foreach { case (s, a) => assert(s == a) }
   }
 
+  test("corpus-prep operators callable from SQL, bit-identical to Scala API") {
+    import SparkTestSession.sf0001
+    graft.sources.Tables.documents(spark, sf0001)
+      .createOrReplaceTempView("docs_sql")
+    val sql = spark.sql(
+      """SELECT doc_id,
+        |       graft_gopher(text).gopher_pass AS gopher_pass,
+        |       graft_split(doc_id).split      AS split
+        |FROM docs_sql ORDER BY doc_id""".stripMargin).collect()
+    val api = graft.operators.Corpus.gopherFilters(spark, sf0001)
+      .select("doc_id", "gopher_pass")
+      .join(graft.operators.Corpus.trainSplit(spark, sf0001)
+        .select("doc_id", "split"), "doc_id")
+      .orderBy("doc_id").collect()
+    assert(sql.length == api.length && sql.nonEmpty)
+    sql.zip(api).foreach { case (s, a) => assert(s == a) }
+    // redaction through SQL strips the injected PII
+    val red = spark.sql(
+      """SELECT graft_pii_redact(
+        |         concat(text, ' mail to x', doc_id, '@y.io')).redacted AS r
+        |FROM docs_sql""".stripMargin).collect()
+    assert(red.nonEmpty && red.forall(!_.getString(0).contains("@")))
+  }
+
+  test("corpus-prep table functions callable from SQL") {
+    import SparkTestSession.sf0001
+    val chunks = spark.sql(
+      s"SELECT * FROM graft_token_chunks('$sf0001')").collect()
+    assert(chunks.length ==
+      graft.operators.Corpus.tokenChunks(spark, sf0001).count())
+    val top = spark.sql(
+      s"SELECT * FROM graft_top_terms('$sf0001') LIMIT 3").collect()
+    assert(top.length == 3)
+    val spans = spark.sql(
+      s"""SELECT count(*) FROM graft_span_dedup('$sf0001')
+         |WHERE NOT keep""".stripMargin).collect()
+    assert(spans.head.getLong(0) >= 0)
+  }
+
   test("graft_kmv_distinct aggregate callable from SQL") {
     import SparkTestSession.sf0001
     graft.sources.Tables.orders(spark, sf0001)

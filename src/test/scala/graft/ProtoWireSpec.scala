@@ -168,4 +168,31 @@ class ProtoWireSpec extends AnyFunSuite {
       org.apache.spark.sql.catalyst.expressions.Literal(w))
     assert(expr.eval(null) == 1705106337331L)
   }
+
+  test("codec expressions compile under codegen (no interpreted fallback)") {
+    // CODEGEN_ONLY makes MutableProjection creation THROW if any
+    // expression lacks a working doGenCode — the guard that the decode
+    // hot path never silently drops back to the boxed eval route.
+    val spark = SparkTestSession.spark
+    val old = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val out = graft.operators.ProtoPipeline
+        .roundtrip(spark, SparkTestSession.sf0001).limit(5).collect()
+      assert(out.nonEmpty)
+      // lenient decode of garbage through the generated path → NULL row
+      import spark.implicits._
+      val bad = Seq(Array[Byte](0x08, -1), Array[Byte](1, 2, 3)).toDF("b")
+        .select(ProtoFunctions.protoDecode(
+          org.apache.spark.sql.functions.col("b"), msg, lenient = true)
+          .as("m"))
+        .collect()
+      assert(bad.forall(_.isNullAt(0)))
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
 }
