@@ -103,6 +103,33 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("plan shapes: narrow ops shuffle only for the presentation sort; topTerms is TakeOrdered") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def unwrapped(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case other => other
+      }
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      unwrapped(df).collect { case e: Exchange => e }.size
+    // per-doc maps: at most the final orderBy exchange (none at all
+    // when the scan is a single partition)
+    assert(exchanges(Corpus.piiRedact(spark, sf0001)) <= 1)
+    assert(exchanges(Corpus.gopherFilters(spark, sf0001)) <= 1)
+    assert(exchanges(Corpus.trainSplit(spark, sf0001)) <= 1)
+    assert(exchanges(Corpus.tokenChunks(spark, sf0001)) <= 1)
+    assert(exchanges(Corpus.quantizeProfile(spark, sf0001)) <= 1)
+    // top-K must be the distributed heap operator, never a global sort
+    // or a single-partition window
+    val top = Corpus.topTerms(spark, sf0001)
+    assert(unwrapped(top).collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, "topTerms must plan as TakeOrderedAndProject")
+    // span dedup: span-hash agg + join + doc agg + sort — bounded at 4
+    assert(exchanges(Corpus.spanDedup(spark, sf0001)) <= 4)
+  }
+
   test("gopher gate matches a hand computation on one doc") {
     val r = Corpus.gopherFilters(spark, sf0001)
       .filter(col("doc_id") === 0).collect().head
