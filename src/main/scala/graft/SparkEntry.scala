@@ -50,6 +50,7 @@ object SparkEntry {
     "q_stream_hourly"       -> (graft.streaming.StreamingAgg.hourlyWindow _),
     "q_sessionize"          -> (Sessionize.apply _),
     "q_asof_join"           -> (AsOfJoin.purchaseLastClick _),
+    "q_range_join"          -> (RangeJoin.shippingWindowOrders _),
     "q_kmv_distinct"        -> ((s, d) => EventsEtl.kmvUserEstimate(s, d)),
     "q_salted_agg"          -> ((s, d) => EventsEtl.saltedUserStats(s, d)),
     "q_json_props"          -> (EventsEtl.jsonProps _),
@@ -956,6 +957,14 @@ object SparkEntry {
          |            ELSE 'und' END AS pred_lang
          |FROM b WHERE quality >= 0.8 ORDER BY doc_id""".stripMargin
     },
+    "q_range_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey
+        |FROM lineitem l JOIN orders o
+        |  ON o.o_orderdate >= l.l_shipdate
+        | AND o.o_orderdate < l.l_shipdate
+        |       + to_days((CAST(l_quantity AS INT) % 14) + 1)
+        |WHERE l.l_suppkey <= 2 AND o.o_orderpriority = '1-URGENT'
+        |ORDER BY 1, 2, 3""".stripMargin,
     "text_pii_redact" -> {
       // identical synthetic-PII construction as Corpus.withSyntheticPii
       // (single line: || at a line start would lose a pipe to the outer
