@@ -72,7 +72,9 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0))
     },
     "text_decontaminate"    -> (Dedup.decontaminate _),
+    "dedup_decontam_bloom"  -> (Dedup.decontaminateBloom _),
     "dedup_spans"           -> (Corpus.spanDedup _),
+    "dedup_url"             -> (Corpus.urlDedup _),
     "text_repetition"       -> (TextAnalysis.repetitionStats _),
     "text_tfidf"            -> (TextAnalysis.tfIdfTopTerms _),
     "text_rarity"           -> (TextAnalysis.rarityScore _),
@@ -92,8 +94,12 @@ object SparkEntry {
     "text_chunks"           -> (Corpus.tokenChunks _),
     "text_top_terms"        -> (Corpus.topTerms _),
     "q_train_split"         -> (Corpus.trainSplit _),
+    "q_pack_sequences"      -> (Corpus.packSequences _),
     "q_curation_pipeline"   -> (Curation.pipeline _),
     "q_stratified_sample"   -> (Sampling.stratifiedSample _),
+    "q_mixture_sample"      -> (Sampling.mixtureSample _),
+    "q_training_order"      -> (Sampling.trainingOrder _),
+    "q_zorder_events"       -> (Layout.zorderEvents _),
     "q_profile_events"      -> (Sampling.profileEvents _),
     // --- multimodal plumbing --------------------------------------------
     "q_multimodal_features" -> (Multimodal.features _),
@@ -129,6 +135,17 @@ object SparkEntry {
       |             i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
       |  FROM toks),
       |shf AS (SELECT * FROM sh WHERE len(s) > 0)""".stripMargin
+
+  private def decontamOracle: String =
+    s"""WITH $toksCte,
+       |ex AS (SELECT doc_id, unnest(s) AS e FROM shf),
+       |ev AS (SELECT DISTINCT e FROM ex
+       |       WHERE doc_id % ${Dedup.EvalStride} = 0)
+       |SELECT c.doc_id, count(*) AS n_shared,
+       |       count(*) >= ${Dedup.MinContamOverlap} AS contaminated
+       |FROM ex c JOIN ev ON c.e = ev.e
+       |WHERE c.doc_id % ${Dedup.EvalStride} <> 0
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
   private val jaccardExpr =
     "round(len(list_intersect(%s, %s)) * 1.0 / len(list_distinct(%s || %s)), 4)"
@@ -704,16 +721,10 @@ object SparkEntry {
         |JOIN tk USING (doc_id)
         |JOIN sh USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
-    "text_decontaminate" ->
-      s"""WITH $toksCte,
-         |ex AS (SELECT doc_id, unnest(s) AS e FROM shf),
-         |ev AS (SELECT DISTINCT e FROM ex
-         |       WHERE doc_id % ${Dedup.EvalStride} = 0)
-         |SELECT c.doc_id, count(*) AS n_shared,
-         |       count(*) >= ${Dedup.MinContamOverlap} AS contaminated
-         |FROM ex c JOIN ev ON c.e = ev.e
-         |WHERE c.doc_id % ${Dedup.EvalStride} <> 0
-         |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "text_decontaminate" -> decontamOracle,
+    // Bloom pre-filter has no false negatives and the confirm join drops
+    // the false positives — bit-identical result, identical oracle.
+    "dedup_decontam_bloom" -> decontamOracle,
     "dedup_ngram_jaccard" ->
       s"""WITH $toksCte,
          |sz AS (SELECT doc_id, len(s) AS n FROM shf),
@@ -1020,6 +1031,85 @@ object SparkEntry {
          |            WHEN $bucket < '${Corpus.ValUpper}' THEN 'val'
          |            ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "q_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         len(list_filter(string_split(lower(text), ' '),
+         |             x -> len(x) > 0)) AS n_toks
+         |  FROM documents),
+         |f AS (SELECT doc_id, source, n_toks,
+         |             doc_id // ${Corpus.ShardSpan} AS shard
+         |      FROM t WHERE n_toks > 0),
+         |c AS (
+         |  SELECT *, coalesce(CAST(SUM(n_toks) OVER (
+         |           PARTITION BY source, shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |           0) AS cum_before
+         |  FROM f)
+         |SELECT doc_id, source, shard, n_toks,
+         |       cum_before // ${Corpus.SeqLen} AS seq_first,
+         |       (cum_before + n_toks - 1) // ${Corpus.SeqLen} AS seq_last,
+         |       cum_before % ${Corpus.SeqLen} AS tok_offset
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "dedup_url" -> {
+      val rawUrl =
+        s"""'HTTPS://WWW.' || upper(source) || '.Example.COM:443/docs/'
+           | || CAST(doc_id % 50 AS VARCHAR)
+           | || CASE WHEN doc_id % 3 = 0
+           |         THEN '/?utm_source=feed&utm_campaign=c'
+           |              || CAST(doc_id % 7 AS VARCHAR)
+           |         ELSE '/' END
+           | || CASE WHEN doc_id % 5 = 0
+           |         THEN '#sec' || CAST(doc_id % 4 AS VARCHAR)
+           |         ELSE '' END""".stripMargin.replace("\n", "")
+      s"""WITH raw AS (SELECT doc_id, $rawUrl AS u FROM documents),
+         |nf AS (SELECT doc_id, regexp_replace(u, '#.*$$', '', 'g') AS u
+         |       FROM raw),
+         |hl AS (SELECT doc_id,
+         |         lower(regexp_extract(u, '^([a-zA-Z]+://[^/]*)', 1))
+         |           || regexp_replace(u, '^[a-zA-Z]+://[^/]*', '') AS u
+         |       FROM nf),
+         |np AS (SELECT doc_id, regexp_replace(u, ':(443|80)/', '/') AS u
+         |       FROM hl),
+         |nu AS (SELECT doc_id,
+         |         regexp_replace(u, '[?&]utm_[a-z]+=[a-zA-Z0-9_-]*', '', 'g')
+         |           AS u
+         |       FROM np),
+         |cn AS (SELECT doc_id,
+         |         regexp_replace(regexp_replace(u, '[?&]$$', ''), '/$$', '')
+         |           AS url
+         |       FROM nu)
+         |SELECT url, count(*) AS n_fetches, min(doc_id) AS keep_doc
+         |FROM cn GROUP BY url ORDER BY url""".stripMargin
+    },
+    "q_mixture_sample" -> {
+      val u = hexToLongSql("substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)")
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |m AS (SELECT min(n) AS mn FROM c)
+         |SELECT d.doc_id, d.lang, round(mn * 1.0 / n, 6) AS rate
+         |FROM documents d JOIN c USING (lang) CROSS JOIN m
+         |WHERE $u / 4294967296.0 < mn * 1.0 / n
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q_training_order" ->
+      s"""SELECT doc_id,
+         |       substr(md5('ord:' || CAST(doc_id AS VARCHAR)), 1, 16)
+         |         AS sort_key
+         |FROM documents
+         |ORDER BY sort_key, doc_id LIMIT ${Sampling.TrainingOrderK}""".stripMargin,
+    "q_zorder_events" -> {
+      val mask = (1L << Layout.ZBits) - 1
+      val zTerms = (0 until Layout.ZBits).map(i =>
+        s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT event_id,
+         |         user_id % ${mask + 1} AS xb,
+         |         CAST(floor(value * 10) AS BIGINT) % ${mask + 1} AS yb
+         |  FROM events)
+         |SELECT event_id, xb, yb, $zTerms AS z
+         |FROM b ORDER BY z, event_id LIMIT ${Layout.ZOrderK}""".stripMargin
     },
     "text_chunks" -> {
       val (cs, st) = (Corpus.ChunkSize, Corpus.ChunkStride)

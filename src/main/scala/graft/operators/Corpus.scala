@@ -269,4 +269,95 @@ object Corpus {
           zip_with(col("v"), col("dq"), (a, b) => abs(a - b))), 4)
           .as("qerr_max"))
       .orderBy("vec_id")
+
+  // --- Sequence packing --------------------------------------------------
+
+  /** Training-sequence token budget and the shard span that bounds each
+    * packing window. */
+  val SeqLen = 256L
+  val ShardSpan = 4096L
+
+  /** Concat-and-chunk sequence packing — the tokenizer-side layout pass
+    * that turns variable-length documents into fixed-[[SeqLen]]-token
+    * training rows: documents are concatenated in doc_id order and cut
+    * every [[SeqLen]] tokens, so a document knows which sequences it
+    * spans and at which offset its tokens start. Emits per doc:
+    * the shard, token count, first/last sequence index and the offset
+    * of the doc's first token inside its first sequence.
+    *
+    * Scale: packing is a running sum, and a corpus-wide running sum is
+    * a single-partition window — the classic 100 TB trap. The window
+    * here is partitioned by (source, shard = doc_id div [[ShardSpan]]):
+    * every partition holds at most [[ShardSpan]] docs regardless of
+    * corpus size, sequence indices are local to the shard (exactly how
+    * production packers work — each output file is packed
+    * independently), and the plan is one hash shuffle on the bounded
+    * shard key. No state, no driver participation, deterministic under
+    * any partitioning.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .filter(col("n_toks") > 0)
+      .withColumn("shard", expr(s"doc_id div $ShardSpan"))
+      .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("shard"), col("n_toks"),
+        expr(s"cum_before div $SeqLen").as("seq_first"),
+        expr(s"(cum_before + n_toks - 1) div $SeqLen").as("seq_last"),
+        (col("cum_before") % SeqLen).as("tok_offset"))
+      .orderBy("doc_id")
+  }
+
+  // --- URL canonicalization ----------------------------------------------
+
+  /** Deterministic synthetic URL per document (the corpus carries no URL
+    * column): mixed-case host, explicit default port, tracking params on
+    * every third doc, fragments on every fifth — the mess a crawler
+    * actually emits, derived from doc_id identically in both engines. */
+  def syntheticUrl(docId: Column, source: Column): Column =
+    concat(
+      lit("HTTPS://WWW."), upper(source), lit(".Example.COM:443/docs/"),
+      (docId % 50).cast("string"),
+      when(docId % 3 === 0,
+        concat(lit("/?utm_source=feed&utm_campaign=c"),
+          (docId % 7).cast("string")))
+        .otherwise(lit("/")),
+      when(docId % 5 === 0, concat(lit("#sec"), (docId % 4).cast("string")))
+        .otherwise(lit("")))
+
+  /** Canonicalization formula: lowercase scheme+host, strip the default
+    * :443/:80 port, drop the fragment, drop utm_* tracking params (and
+    * the `?`/`&` they ride on when nothing else remains), collapse the
+    * trailing slash. Pure regexp chain shared by Java regex and RE2 —
+    * no lookaround. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val hostLower = concat(
+      lower(regexp_extract(noFrag, "^([a-zA-Z]+://[^/]*)", 1)),
+      regexp_replace(noFrag, "^[a-zA-Z]+://[^/]*", ""))
+    val noPort = regexp_replace(hostLower, ":(443|80)/", "/")
+    val noUtm = regexp_replace(noPort, "[?&]utm_[a-z]+=[a-zA-Z0-9_-]*", "")
+    regexp_replace(regexp_replace(noUtm, "[?&]$", ""), "/$", "")
+  }
+
+  /** URL canonicalization + URL-level dedup — the crawl-side first
+    * defence (cheaper than any content pass: most duplicate fetches are
+    * the same URL with tracking noise). Canonicalize (narrow codegen'd
+    * map), then one hash shuffle on the canonical URL for the group
+    * profile: occurrence count and the kept (minimum) doc_id. At 100 TB
+    * the group-by key is the canonical URL — bounded per-key by crawl
+    * revisit count, no skew beyond genuinely hot URLs, and the
+    * aggregation is partial map-side. */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        canonicalUrl(syntheticUrl(col("doc_id"), col("source"))).as("url"))
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_fetches"), min(col("doc_id")).as("keep_doc"))
+      .orderBy("url")
 }

@@ -576,6 +576,71 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom-filter geometry for [[decontaminateBloom]]: 2^20 bits
+    * (128 KiB — ships to every task as one literal array of 16384
+    * longs) and 5 hash probes. At 150 k eval shingles the false-positive
+    * rate is ≈ 4 %; size m to the eval set, never to the corpus. */
+  val BloomBits = 1 << 20
+  val BloomHashes = 5
+
+  private def bloomPos(i: Int, s: Column): Column =
+    pmod(xxhash64(lit(i), s), lit(BloomBits.toLong))
+
+  /** Distributed Bloom build over a column of strings: k positions per
+    * value, positions → (word, mask), ONE `bit_or` aggregate on the
+    * word index. The driver receives at most m/64 rows no matter how
+    * large the input — the collect is bounded by the filter geometry,
+    * not the data. */
+  def bloomBuild(values: DataFrame, column: String): Array[Long] = {
+    val nWords = BloomBits / 64
+    val pos = values.select(
+      explode(array((0 until BloomHashes).map(i =>
+        bloomPos(i, col(column))): _*)).as("pos"))
+    val words = pos
+      .select(expr("pos div 64").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("bits"))
+      .collect()
+    val arr = new Array[Long](nWords)
+    words.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Membership probe against a built filter as a pure Catalyst
+    * predicate: k codegen'd hash-shift-test terms over one literal
+    * array — no UDF, stays inside whole-stage codegen. */
+  def bloomMightContain(words: Array[Long], s: Column): Column =
+    (0 until BloomHashes).map { i =>
+      val pos = bloomPos(i, s)
+      val mask = call_function("shiftleft", lit(1L), (pos % 64).cast("int"))
+      element_at(lit(words), (pos.cast("int") / 64).cast("int") + 1)
+        .bitwiseAND(mask) =!= lit(0L)
+    }.reduce(_ && _)
+
+  /** [[decontaminate]] with a Bloom pre-filter — the shape that
+    * survives an eval set too large to broadcast: the filter (128 KiB,
+    * built by one bounded `bit_or` aggregate) ships to every task and
+    * discards ~96 % of non-matching corpus shingles BEFORE the join
+    * shuffle; only surviving candidates meet the exact shingle set,
+    * whose join now carries a small fraction of the corpus. Bloom
+    * filters have no false negatives and the confirm join removes the
+    * false positives, so the result is bit-identical to
+    * [[decontaminate]] — same oracle. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingles(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val evalSh = ex.filter(col("doc_id") % EvalStride === 0)
+      .select(col("s")).distinct()
+    val words = bloomBuild(evalSh, "s")
+    ex.filter(col("doc_id") % EvalStride =!= 0)
+      .filter(bloomMightContain(words, col("s")))
+      .join(broadcast(evalSh), "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= MinContamOverlap)
+      .orderBy("doc_id")
+  }
+
   /** Number of tiles for the embedding near-dup block join. At a given
     * deployment scale choose B ≈ ⌈corpus bytes / per-task working set⌉
     * so two tiles fit comfortably in one task's memory; the shuffle

@@ -58,4 +58,56 @@ object Sampling {
         "AS (column_name, n_rows, n_distinct, min_value, max_value)")
       .orderBy("column_name")
   }
+
+  /** Domain-mixture rebalancing — downsample every language stratum to
+    * the size of the smallest one, the simplest instance of the
+    * "hit a target mixture" pass every pretraining pipeline runs (swap
+    * the `min(n)` target for any per-domain token budget and the plan
+    * is unchanged). Per-stratum keep rate = min_count / count; a doc is
+    * kept iff its deterministic hash fraction clears the rate, so the
+    * sample is reproducible and a stratum's sample only shrinks-or-grows
+    * monotonically as its rate moves.
+    *
+    * Scale: the stratum-count aggregate is tiny (one row per language)
+    * and broadcast back onto the corpus — the corpus itself is touched
+    * by exactly one narrow filter pass. No shuffle of the data, no
+    * driver state. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val target = counts.agg(min(col("n")).as("mn"))
+    docs
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(target))
+      .withColumn("rate", col("mn").cast("double") / col("n"))
+      .filter(hashFraction("mix", col("doc_id").cast("string")) < col("rate"))
+      .select(col("doc_id"), col("lang"), round(col("rate"), 6).as("rate"))
+      .orderBy("doc_id")
+  }
+
+  /** How many rows of the deterministic training order the query
+    * returns (the full order is a write, not a result set). */
+  val TrainingOrderK = 100
+
+  /** Deterministic global training-order shuffle: every epoch pipeline
+    * needs the corpus in a reproducible pseudo-random order (not the
+    * crawl/ingest order, which is correlated with time and domain). The
+    * sort key is md5 over a seed + doc_id — stable across runs, engines
+    * and partitionings; change the seed string to get a fresh epoch
+    * permutation.
+    *
+    * Scale: the query form takes the first K by sort key —
+    * `TakeOrderedAndProject`, per-partition heaps, K rows to the
+    * driver, NO global sort. The full-corpus write form is
+    * `repartitionByRange(sort_key).sortWithinPartitions(sort_key)` — a
+    * range exchange whose sampling Spark handles, producing sorted
+    * non-overlapping files (see [[Layout.zorderWrite]] for the same
+    * shape in 2-D). */
+  def trainingOrder(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(md5(concat(lit("ord:"), col("doc_id").cast("string"))), 1, 16)
+          .as("sort_key"))
+      .orderBy(col("sort_key"), col("doc_id"))
+      .limit(TrainingOrderK)
 }
