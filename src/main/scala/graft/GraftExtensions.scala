@@ -87,6 +87,11 @@ object GraftExtensions {
         resolvedExpression(graft.operators.Corpus.gopherCol(column(args.head))) },
       "graft_split" -> { args =>
         resolvedExpression(graft.operators.Corpus.splitCol(column(args.head))) },
+      "graft_canonical_url" -> { args =>
+        resolvedExpression(graft.operators.Corpus.canonicalUrl(column(args.head))) },
+      "graft_zvalue" -> { args =>
+        resolvedExpression(graft.operators.Layout.zValue(
+          column(args(0)), column(args(1)))) },
       // aggregate: the analyzer wraps a bare AggregateFunction returned
       // by a registry builder in its AggregateExpression
       "graft_kmv_distinct" -> { args =>
@@ -141,6 +146,19 @@ object GraftExtensions {
     "graft_quantize_profile" ->
       tablePlan("graft_quantize_profile",
         graft.operators.Corpus.quantizeProfile),
+    "graft_pack_sequences" ->
+      tablePlan("graft_pack_sequences", graft.operators.Corpus.packSequences),
+    "graft_url_dedup" ->
+      tablePlan("graft_url_dedup", graft.operators.Corpus.urlDedup),
+    "graft_mixture_sample" ->
+      tablePlan("graft_mixture_sample",
+        graft.operators.Sampling.mixtureSample),
+    "graft_training_order" ->
+      tablePlan("graft_training_order",
+        graft.operators.Sampling.trainingOrder),
+    "graft_decontaminate_bloom" ->
+      tablePlan("graft_decontaminate_bloom",
+        graft.operators.Dedup.decontaminateBloom),
     // two-argument form: cross-corpus similarity join between two
     // document directories (crawl vs landed corpus)
     "graft_minhash_join" -> { args =>

@@ -63,7 +63,7 @@ object Dedup {
     * shuffle-free map. Values are identical (single-space tokenization,
     * first-occurrence distinct), so the DuckDB oracle is unchanged.
     */
-  private[operators] def shingles(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingles(spark: SparkSession, dir: String): DataFrame =
     shinglesOf(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
 
   /** Same typed shingle pass over an arbitrary (doc_id, text) frame —

@@ -130,6 +130,59 @@ class CorpusSpec extends AnyFunSuite {
     assert(exchanges(Corpus.spanDedup(spark, sf0001)) <= 4)
   }
 
+  test("packSequences tiles each shard's token stream exactly") {
+    val rows = Corpus.packSequences(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("shard")))
+      .foreach { case (_, docs) =>
+        val ordered = docs.sortBy(_.getAs[Long]("doc_id"))
+        var cum = 0L
+        ordered.foreach { r =>
+          val n = r.getAs[Long]("n_toks")
+          // the doc starts exactly where the previous one ended
+          assert(r.getAs[Long]("tok_offset") == cum % Corpus.SeqLen)
+          assert(r.getAs[Long]("seq_first") == cum / Corpus.SeqLen)
+          assert(r.getAs[Long]("seq_last") == (cum + n - 1) / Corpus.SeqLen)
+          assert(r.getAs[Long]("seq_first") <= r.getAs[Long]("seq_last"))
+          cum += n
+        }
+      }
+  }
+
+  test("packSequences windows are partitioned — never a global running sum") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = Corpus.packSequences(spark, sf0001)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case other => other
+      }
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w =>
+      assert(w.partitionSpec.nonEmpty,
+        "packing window must be partitioned by the shard key"))
+  }
+
+  test("urlDedup canonical form collapses tracking variants and accounts for every doc") {
+    val out = Corpus.urlDedup(spark, sf0001).collect()
+    val total = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(out.map(_.getAs[Long]("n_fetches")).sum == total)
+    out.foreach { r =>
+      val u = r.getAs[String]("url")
+      assert(!u.contains("utm_"), s"tracking params survived: $u")
+      assert(!u.contains("#"), s"fragment survived: $u")
+      assert(!u.contains(":443"), s"default port survived: $u")
+      assert(!u.endsWith("/"), s"trailing slash survived: $u")
+      val host = u.replaceAll("^[a-z]+://", "").takeWhile(_ != '/')
+      assert(host == host.toLowerCase, s"host not lowercased: $u")
+      // doc_id % 50 collapses ≥ 2 docs per (source, path) at any sf
+      assert(r.getAs[Long]("n_fetches") >= 1)
+    }
+    // canonicalization must actually merge: fewer URLs than docs
+    assert(out.length < total)
+  }
+
   test("gopher gate matches a hand computation on one doc") {
     val r = Corpus.gopherFilters(spark, sf0001)
       .filter(col("doc_id") === 0).collect().head

@@ -95,6 +95,39 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(spans.head.getLong(0) >= 0)
   }
 
+  test("round-5 operators callable from SQL, bit-identical to Scala API") {
+    import SparkTestSession.sf0001
+    // scalar: canonical URL + Morton code
+    val canon = spark.sql(
+      """SELECT graft_canonical_url(
+        |  'HTTPS://WWW.Ex.COM:443/a/?utm_source=x&utm_campaign=y#frag')
+        |  AS u""".stripMargin).collect().head.getString(0)
+    assert(canon == "https://www.ex.com/a")
+    val z = spark.sql("SELECT graft_zvalue(3L, 5L) AS z")
+      .collect().head.getLong(0)
+    assert(z == 0x27L) // interleave(x=011, y=101) = 100111
+    // table functions mirror the Scala plans
+    val packed = spark.sql(
+      s"SELECT * FROM graft_pack_sequences('$sf0001')").collect()
+    assert(packed.length ==
+      graft.operators.Corpus.packSequences(spark, sf0001).count())
+    val urls = spark.sql(
+      s"""SELECT sum(n_fetches) AS n FROM graft_url_dedup('$sf0001')""")
+      .collect().head.getLong(0)
+    assert(urls == graft.sources.Tables.documents(spark, sf0001).count())
+    val mix = spark.sql(
+      s"SELECT * FROM graft_mixture_sample('$sf0001')").collect()
+    assert(mix.length ==
+      graft.operators.Sampling.mixtureSample(spark, sf0001).count())
+    val ord = spark.sql(
+      s"SELECT * FROM graft_training_order('$sf0001') LIMIT 5").collect()
+    assert(ord.length == 5)
+    val bloom = spark.sql(
+      s"SELECT * FROM graft_decontaminate_bloom('$sf0001')").collect()
+    assert(bloom.length ==
+      graft.operators.Dedup.decontaminate(spark, sf0001).count())
+  }
+
   test("graft_kmv_distinct aggregate callable from SQL") {
     import SparkTestSession.sf0001
     graft.sources.Tables.orders(spark, sf0001)
