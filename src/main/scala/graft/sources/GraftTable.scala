@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** A minimal transactional commit log over the streaming export tree —
   * the role BASELINE.md assigns to Delta/Iceberg, built on nothing but
@@ -11,6 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Layout:
   * {{{
   *   <root>/_graft_log/v<batchId>.json   // one commit per micro-batch
+  *   <root>/_graft_log/checkpoint.json   // folded history (per-version)
   *   <root>/<sink>/year=…/batch_id=N/…   // data files (writeBatch layout)
   * }}}
   *
@@ -27,16 +29,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    the cross-sink consistency a crash between two plain writes would
   *    otherwise break (visibility-level exactly-once on top of the
   *    file-level idempotence).
+  *  - Each commit also records the parquet footer schema of every sink
+  *    it touched. Commits enforce ADDITIVE schema evolution (Delta-style
+  *    enforcement): new columns may appear; an existing column changing
+  *    its type, or disappearing, aborts the commit before publication.
+  *    [[read]] turns on `mergeSchema` exactly when committed versions
+  *    disagree on a sink's schema, so old files surface new columns as
+  *    nulls.
+  *  - Because commits are append-only deltas, history is free:
+  *    [[readAsOf]] reads the union of versions ≤ the requested batch id
+  *    (Delta's `versionAsOf`). [[checkpoint]] folds commit FILES into
+  *    one manifest but keeps the per-version structure, so time travel
+  *    survives folding and snapshot listing stays O(1) log files.
   *
   * Scale: a commit is O(files-per-batch) bytes of JSON; reads list one
   * directory of commit files. Periodic [[checkpoint]] folds the log's
   * prefix into a single manifest so listing stays O(recent commits), the
-  * same shape as Delta's checkpoint parquet.
+  * same shape as Delta's checkpoint parquet. [[vacuum]] deletes data
+  * files no commit references (crash-window orphans, superseded
+  * replay output) once they age past a TTL — the Delta `VACUUM` analog,
+  * with the same "TTL must exceed any in-flight writer" contract.
   */
 object GraftTable {
 
   private val LogDir = "_graft_log"
   private val Checkpoint = "checkpoint.json"
+
+  /** One published version: the files batch `batchId` added and the
+    * footer schema (base64 of Spark schema JSON) per sink it touched. */
+  final case class Version(batchId: Long, files: Seq[String],
+                           schemas: Map[String, String])
 
   private def fs(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
@@ -72,19 +94,79 @@ object GraftTable {
     hfs.exists(new Path(new Path(rootPath, LogDir), version(batchId)))
   }
 
+  private def sinkOf(rel: String): String = rel.takeWhile(_ != '/')
+
+  private val b64e = java.util.Base64.getEncoder
+  private val b64d = java.util.Base64.getDecoder
+
+  /** Footer schema per sink for this file set (one footer read per sink,
+    * driver-side; partition columns live in the directory names, not the
+    * footer, so they never participate in evolution checks). */
+  private def sinkSchemas(spark: SparkSession, root: String,
+                          files: Seq[String]): Map[String, String] =
+    files.groupBy(sinkOf).map { case (sink, fs) =>
+      val schema = spark.read.parquet(s"$root/${fs.head}").schema
+      sink -> b64e.encodeToString(
+        schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
+  private def decodeSchema(b64: String): StructType =
+    DataType.fromJson(new String(b64d.decode(b64),
+      java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[StructType]
+
+  /** Additive-only enforcement: every column of `prev` must survive in
+    * `next` with a structurally identical type (nullability free to
+    * change). New columns are welcome — old files read them as null. */
+  private def checkEvolution(sink: String, prev: StructType,
+                             next: StructType): Unit = {
+    val nextByName = next.fields.map(f => f.name -> f).toMap
+    prev.fields.foreach { pf =>
+      nextByName.get(pf.name) match {
+        case None => throw new IllegalStateException(
+          s"schema evolution rejected for sink '$sink': column " +
+            s"'${pf.name}' dropped (additive changes only — rename via " +
+            "an added column + backfill)")
+        case Some(nf)
+          if !DataType.equalsStructurally(pf.dataType, nf.dataType,
+            ignoreNullability = true) =>
+          throw new IllegalStateException(
+            s"schema evolution rejected for sink '$sink': column " +
+              s"'${pf.name}' changed type ${pf.dataType.simpleString} → " +
+              s"${nf.dataType.simpleString}")
+        case _ => ()
+      }
+    }
+  }
+
   /** Publish batch `batchId`: one atomic commit covering every file the
-    * batch landed under `root` (all sinks). Idempotent — a replayed
-    * batch re-publishes the same version and is a no-op if the commit
-    * already exists. */
+    * batch landed under `root` (all sinks), with per-sink footer
+    * schemas. Idempotent — a replayed batch re-publishes the same
+    * version and is a no-op if the commit already exists (after
+    * verifying its files are still on disk, which catches a concurrent
+    * writer's destructive overwrite of this batch's directories). */
   def commit(spark: SparkSession, root: String, batchId: Long): Seq[String] = {
     val (hfs, rootPath) = fs(spark, root)
     val log = new Path(rootPath, LogDir)
     hfs.mkdirs(log)
     val target = new Path(log, version(batchId))
+    if (hfs.exists(target)) { // replay after a completed commit
+      val published = parseVersion(readJson(hfs, target))
+        .map(_.files).getOrElse(Nil)
+      val lost = published.filterNot(f => hfs.exists(new Path(rootPath, f)))
+      if (lost.nonEmpty) throw new IllegalStateException(
+        s"commit v$batchId references ${lost.size} missing file(s) " +
+          s"(first: ${lost.head}) — a concurrent writer overwrote this " +
+          "batch's directories; the table needs a single writer per batch")
+      return published
+    }
     val files = batchFiles(hfs, rootPath, batchId)
-    if (hfs.exists(target)) return files // replay after a completed commit
-    val json =
-      s"""{"batchId":$batchId,"files":[${files.map(f => "\"" + f + "\"").mkString(",")}]}"""
+    val schemas = sinkSchemas(spark, root, files)
+    schemas.foreach { case (sink, b64) =>
+      latestSchema(spark, root, sink, beforeBatch = batchId).foreach { prev =>
+        checkEvolution(sink, prev, decodeSchema(b64))
+      }
+    }
+    val json = versionJson(Version(batchId, files, schemas))
     val tmp = new Path(log, s".tmp-${version(batchId)}")
     val out = hfs.create(tmp, true)
     out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -96,12 +178,33 @@ object GraftTable {
     files
   }
 
-  private def parseFiles(json: String): Seq[String] = {
-    val m = java.util.regex.Pattern.compile("\"([^\"]+\\.parquet)\"").matcher(json)
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (m.find()) out += m.group(1)
-    out.toSeq
+  private def versionJson(v: Version): String = {
+    val fs = v.files.map(f => "\"" + f + "\"").mkString(",")
+    val ss = v.schemas.toSeq.sortBy(_._1)
+      .map { case (k, s) => "\"" + k + "\":\"" + s + "\"" }.mkString(",")
+    s"""{"batchId":${v.batchId},"files":[$fs],"schemas":{$ss}}"""
   }
+
+  // A commit file and a checkpoint's version entries share one shape;
+  // file paths contain no quotes/brackets and schemas are base64, so a
+  // non-greedy regex parse is exact. "schemas" is optional for logs
+  // written before schema tracking.
+  private val VersionRe =
+    """\{"batchId":(\d+),"files":\[([^\]]*)\](?:,"schemas":\{([^}]*)\})?\}""".r
+  private val StrRe = "\"([^\"]+)\"".r
+  private val PairRe = "\"([^\"]+)\":\"([^\"]+)\"".r
+
+  private def parseVersions(json: String): Seq[Version] =
+    VersionRe.findAllMatchIn(json).map { m =>
+      val files = StrRe.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
+      val schemas = Option(m.group(3)).map { g =>
+        PairRe.findAllMatchIn(g).map(x => x.group(1) -> x.group(2)).toMap
+      }.getOrElse(Map.empty[String, String])
+      Version(m.group(1).toLong, files, schemas)
+    }.toSeq
+
+  private def parseVersion(json: String): Option[Version] =
+    parseVersions(json).headOption
 
   private def readJson(hfs: FileSystem, p: Path): String = {
     val in = hfs.open(p)
@@ -109,41 +212,62 @@ object GraftTable {
     finally in.close()
   }
 
-  /** All committed root-relative files (checkpoint manifest + newer
-    * commits). */
-  def committedFiles(spark: SparkSession, root: String): Seq[String] = {
+  /** Full committed history, oldest first: the checkpoint's folded
+    * per-version entries plus every newer commit file. */
+  def history(spark: SparkSession, root: String): Seq[Version] = {
     val (hfs, rootPath) = fs(spark, root)
     val log = new Path(rootPath, LogDir)
     if (!hfs.exists(log)) return Nil
     val entries = hfs.listStatus(log).map(_.getPath)
       .filter(p => !p.getName.startsWith("."))
-    val ckpt = entries.find(_.getName == Checkpoint)
-      .map(p => parseFiles(readJson(hfs, p))).getOrElse(Nil)
-    val ckptThrough = entries.find(_.getName == Checkpoint)
-      .map(p => "\"through\":(\\d+)".r.findFirstMatchIn(readJson(hfs, p))
-        .map(_.group(1).toLong).getOrElse(-1L)).getOrElse(-1L)
+    val folded = entries.find(_.getName == Checkpoint)
+      .map(p => parseVersions(readJson(hfs, p))).getOrElse(Nil)
+    val foldedIds = folded.map(_.batchId).toSet
     val commits = entries
       .filter(p => p.getName.startsWith("v") && p.getName.endsWith(".json"))
-      .filter(p => p.getName.stripPrefix("v").stripSuffix(".json").toLong > ckptThrough)
       .sortBy(_.getName)
-      .flatMap(p => parseFiles(readJson(hfs, p)))
-    (ckpt ++ commits).distinct
+      .flatMap(p => parseVersion(readJson(hfs, p)))
+      .filterNot(v => foldedIds.contains(v.batchId))
+    (folded ++ commits).sortBy(_.batchId)
   }
 
-  /** Fold all commits up to and including `throughBatchId` into one
-    * checkpoint manifest and drop the folded commit files. Readers keep
-    * working at every point (checkpoint is written before commits are
-    * removed; committedFiles de-duplicates the overlap). */
+  /** Committed batch ids, oldest first (Delta's `DESCRIBE HISTORY`). */
+  def versions(spark: SparkSession, root: String): Seq[Long] =
+    history(spark, root).map(_.batchId)
+
+  /** All committed root-relative files — optionally the snapshot as of
+    * batch `asOf` (commits are append-only deltas, so a snapshot is the
+    * union of the version prefix). */
+  def committedFiles(spark: SparkSession, root: String,
+                     asOf: Option[Long] = None): Seq[String] = {
+    val hist = history(spark, root)
+    val cut = asOf.map(a => hist.filter(_.batchId <= a)).getOrElse(hist)
+    cut.flatMap(_.files).distinct
+  }
+
+  // Overload preserving the TableFormat contract signature.
+  def committedFiles(spark: SparkSession, root: String): Seq[String] =
+    committedFiles(spark, root, None)
+
+  /** Latest recorded footer schema for `sink` (from the newest version
+    * that touched it, optionally only versions `< beforeBatch`). */
+  def latestSchema(spark: SparkSession, root: String, sink: String,
+                   beforeBatch: Long = Long.MaxValue): Option[StructType] =
+    history(spark, root).filter(_.batchId < beforeBatch)
+      .flatMap(v => v.schemas.get(sink)).lastOption.map(decodeSchema)
+
+  /** Fold all commits up to and including `throughBatchId` into the
+    * checkpoint manifest — KEEPING the per-version structure so
+    * [[readAsOf]] still works — and drop the folded commit files.
+    * Readers keep working at every point (checkpoint is written before
+    * commits are removed; [[history]] de-duplicates the overlap). */
   def checkpoint(spark: SparkSession, root: String, throughBatchId: Long): Unit = {
     val (hfs, rootPath) = fs(spark, root)
     val log = new Path(rootPath, LogDir)
     if (!hfs.exists(log)) return
-    val all = committedFiles(spark, root)
-    val folded = hfs.listStatus(log).map(_.getPath)
-      .filter(p => p.getName.startsWith("v") && p.getName.endsWith(".json"))
-      .filter(p => p.getName.stripPrefix("v").stripSuffix(".json").toLong <= throughBatchId)
-    val json = s"""{"through":$throughBatchId,"files":[${
-      all.map(f => "\"" + f + "\"").mkString(",")}]}"""
+    val hist = history(spark, root)
+    val json = s"""{"through":$throughBatchId,"versions":[${
+      hist.map(versionJson).mkString(",")}]}"""
     val tmp = new Path(log, s".tmp-$Checkpoint")
     val out = hfs.create(tmp, true)
     out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -151,19 +275,65 @@ object GraftTable {
     val target = new Path(log, Checkpoint)
     hfs.delete(target, false)
     require(hfs.rename(tmp, target), s"checkpoint rename failed")
-    folded.foreach(p => hfs.delete(p, false))
+    hfs.listStatus(log).map(_.getPath)
+      .filter(p => p.getName.startsWith("v") && p.getName.endsWith(".json"))
+      .filter(p => p.getName.stripPrefix("v").stripSuffix(".json").toLong <= throughBatchId)
+      .foreach(p => hfs.delete(p, false))
+  }
+
+  /** Delete data files under `root` that NO commit references and whose
+    * modification time is older than `ttlMs` — crash-window orphans and
+    * part files superseded by a replay's dynamic overwrite. The TTL
+    * must exceed the longest possible in-flight write (an active batch's
+    * files are unreferenced until its commit publishes). Returns the
+    * deleted root-relative paths. */
+  def vacuum(spark: SparkSession, root: String, ttlMs: Long): Seq[String] = {
+    val (hfs, rootPath) = fs(spark, root)
+    if (!hfs.exists(rootPath)) return Nil
+    val live = committedFiles(spark, root).toSet
+    val cutoff = System.currentTimeMillis() - ttlMs
+    val rootUri = rootPath.toUri.getPath
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = hfs.listFiles(rootPath, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      if (!rel.startsWith(LogDir + "/") && rel.endsWith(".parquet") &&
+          !live.contains(rel) && st.getModificationTime < cutoff) {
+        hfs.delete(st.getPath, false)
+        deleted += rel
+      }
+    }
+    deleted.toSeq.sorted
+  }
+
+  private def readFiles(spark: SparkSession, root: String, sink: String,
+                        asOf: Option[Long]): DataFrame = {
+    val hist = history(spark, root)
+    val cut = asOf.map(a => hist.filter(_.batchId <= a)).getOrElse(hist)
+    val files = cut.flatMap(_.files).distinct
+      .filter(_.startsWith(sink + "/")).map(f => s"$root/$f")
+    if (files.isEmpty) return spark.emptyDataFrame
+    // merge footers only when versions actually disagree on the schema
+    val distinctSchemas = cut.flatMap(_.schemas.get(sink)).distinct
+    spark.read
+      .option("basePath", s"$root/$sink")
+      .option("mergeSchema", distinctSchemas.size > 1)
+      .parquet(files: _*)
   }
 
   /** Snapshot read of one sink: exactly the committed files, with hive
     * partition columns intact (`basePath`). Uncommitted batch
-    * directories on disk are invisible. */
-  def read(spark: SparkSession, root: String, sink: String): DataFrame = {
-    val files = committedFiles(spark, root)
-      .filter(_.startsWith(sink + "/"))
-      .map(f => s"$root/$f")
-    if (files.isEmpty)
-      spark.emptyDataFrame
-    else
-      spark.read.option("basePath", s"$root/$sink").parquet(files: _*)
-  }
+    * directories on disk are invisible. When committed versions disagree
+    * on the sink's schema, footers are merged (added columns read as
+    * null from older files). */
+  def read(spark: SparkSession, root: String, sink: String): DataFrame =
+    readFiles(spark, root, sink, None)
+
+  /** Time travel: the sink exactly as of batch `asOfBatchId` (Delta's
+    * `versionAsOf`). History survives [[checkpoint]] folding, so any
+    * published version stays addressable. */
+  def readAsOf(spark: SparkSession, root: String, sink: String,
+               asOfBatchId: Long): DataFrame =
+    readFiles(spark, root, sink, Some(asOfBatchId))
 }

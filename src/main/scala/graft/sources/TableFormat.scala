@@ -21,13 +21,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * | `checkpoint`       | fold commits into `checkpoint.json` | automatic every 10 commits (`_delta_log/<v>.checkpoint.parquet`) | `expire_snapshots` / `rewrite_manifests` |
   * | `read`             | read exactly the committed files    | `spark.read.format("delta")` (log-driven file listing) | `spark.read.format("iceberg")` |
   *
-  * What the mini-log does NOT provide (and the real formats add for
-  * free once swapped in): multi-writer optimistic concurrency, schema
-  * evolution/enforcement, time travel (`versionAsOf`), and row-level
-  * deletes/compaction under concurrent readers. The engine never relies
-  * on any of those — every caller goes through this trait's
-  * single-writer, batch-granular protocol — which is exactly what makes
-  * the swap safe.
+  * Beyond this contract, [[GraftTable]] also provides the table-format
+  * features a production corpus store leans on — time travel
+  * (`readAsOf`, Delta's `versionAsOf`, surviving checkpoint folding),
+  * additive schema evolution with Delta-style enforcement (type changes
+  * and drops abort the commit; added columns merge, old files read them
+  * as null), `vacuum` of unreferenced crash-window files behind a TTL,
+  * and lost-file detection on replayed commits. What remains exclusive
+  * to the real formats: multi-writer OPTIMISTIC concurrency (the
+  * mini-log detects a destructive concurrent writer but cannot arbitrate
+  * one — it is single-writer-per-batch by contract) and row-level
+  * deletes/updates under concurrent readers. The engine never relies on
+  * either — every caller goes through this trait's single-writer,
+  * batch-granular protocol — which is exactly what makes the swap safe.
   *
   * To deploy against Delta: add the `delta-spark` dependency, implement
   * this trait with the mappings above (one ~100-line object), and pass

@@ -77,4 +77,81 @@ class GraftTableSpec extends AnyFunSuite {
     BidPipeline.exportBatch(batch, cfg, batchId = 4)
     assert(GraftTable.read(spark, root, "raw").count() == 250)
   }
+
+  test("time travel: versionAsOf snapshots survive checkpoint folding") {
+    val root = Files.createTempDirectory("gt-tt").toString
+    import spark.implicits._
+    (0L to 2L).foreach { b =>
+      Seq((b, s"doc-$b")).toDF("id", "text")
+        .write.parquet(s"$root/docs/batch_id=$b")
+      GraftTable.commit(spark, root, b)
+    }
+    assert(GraftTable.versions(spark, root) == Seq(0L, 1L, 2L))
+    assert(GraftTable.read(spark, root, "docs").count() == 3)
+    assert(GraftTable.readAsOf(spark, root, "docs", 1).count() == 2)
+    assert(GraftTable.readAsOf(spark, root, "docs", 0)
+      .select("text").as[String].collect().toSeq == Seq("doc-0"))
+
+    // folding the whole log must not lose any addressable version
+    GraftTable.checkpoint(spark, root, throughBatchId = 2)
+    assert(GraftTable.versions(spark, root) == Seq(0L, 1L, 2L))
+    assert(GraftTable.readAsOf(spark, root, "docs", 1).count() == 2)
+    assert(GraftTable.read(spark, root, "docs").count() == 3)
+  }
+
+  test("schema evolution: additive commit merges, type change is rejected") {
+    val root = Files.createTempDirectory("gt-evo").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "text")
+      .write.parquet(s"$root/docs/batch_id=0")
+    GraftTable.commit(spark, root, 0)
+
+    // additive: new column lands; old files read it as null
+    Seq((2L, "b", 0.9)).toDF("id", "text", "quality")
+      .write.parquet(s"$root/docs/batch_id=1")
+    GraftTable.commit(spark, root, 1)
+    val merged = GraftTable.read(spark, root, "docs")
+    assert(merged.columns.toSet == Set("id", "text", "quality", "batch_id"))
+    assert(merged.where($"quality".isNull).count() == 1)
+
+    // destructive: same column with a new type aborts BEFORE publishing
+    Seq((3, "c", "high")).toDF("id", "text", "quality")
+      .write.parquet(s"$root/docs/batch_id=2")
+    val e = intercept[IllegalStateException](GraftTable.commit(spark, root, 2))
+    assert(e.getMessage.contains("schema evolution rejected"))
+    assert(!GraftTable.isCommitted(spark, root, 2))
+    assert(GraftTable.read(spark, root, "docs").count() == 2,
+      "rejected commit must stay invisible")
+  }
+
+  test("vacuum removes aged orphans, never committed files") {
+    val root = Files.createTempDirectory("gt-vac").toString
+    import spark.implicits._
+    Seq((1L, "keep")).toDF("id", "text")
+      .write.parquet(s"$root/docs/batch_id=0")
+    GraftTable.commit(spark, root, 0)
+    // crash window: batch 1 landed data but never committed
+    Seq((2L, "orphan")).toDF("id", "text")
+      .write.parquet(s"$root/docs/batch_id=1")
+
+    assert(GraftTable.vacuum(spark, root, ttlMs = 60000).isEmpty,
+      "files younger than the TTL must survive (in-flight writer window)")
+    val removed = GraftTable.vacuum(spark, root, ttlMs = 0)
+    assert(removed.nonEmpty && removed.forall(_.contains("batch_id=1")))
+    assert(GraftTable.read(spark, root, "docs").count() == 1)
+    // idempotent: nothing left to remove
+    assert(GraftTable.vacuum(spark, root, ttlMs = 0).isEmpty)
+  }
+
+  test("replayed commit detects a concurrent writer's destroyed files") {
+    val root = Files.createTempDirectory("gt-conflict").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "text")
+      .write.parquet(s"$root/docs/batch_id=0")
+    val published = GraftTable.commit(spark, root, 0)
+    // a second writer's dynamic overwrite regenerated part-file names
+    new java.io.File(s"$root/${published.head}").delete()
+    val e = intercept[IllegalStateException](GraftTable.commit(spark, root, 0))
+    assert(e.getMessage.contains("missing file"))
+  }
 }
