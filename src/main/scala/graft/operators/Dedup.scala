@@ -511,16 +511,44 @@ object Dedup {
   def clusters(spark: SparkSession, dir: String): DataFrame =
     clusters(minhashLsh(spark, dir))
 
+  /** Edge-count bound under which [[clusters]] solves the components
+    * with a driver-side union-find instead of the distributed
+    * propagation loop. Near-dup pair lists are SPARSE by construction
+    * (every upstream operator caps hot keys), so even a 100 TB corpus
+    * often yields an edge list of a few million rows — at 16 bytes/edge
+    * the default cap is ~64 MB on the driver, the same order Spark
+    * happily broadcasts. Override with `graft.clusters.collectCap`
+    * (0 forces the distributed loop).
+    */
+  def edgeCollectCap: Long =
+    sys.props.get("graft.clusters.collectCap").map(_.toLong)
+      .getOrElse(4000000L)
+
   /** [[clusters]] over a precomputed pair frame (`doc_a`, `doc_b`) —
     * consumers that already hold the LSH output (or any other pair
     * source: [[simhash]], [[embeddingNearDup]]) pass it here instead of
     * re-running the pair computation.
+    *
+    * Adaptive execution: the pair list is counted once (it is the
+    * operator's input — the count is one scan of a frame upstreams
+    * always persist). Under [[edgeCollectCap]] edges, an exact
+    * driver-side union-find replaces the O(log d)-round distributed
+    * loop — identical output, none of the per-round job overhead.
+    * Above the cap, min-label propagation with pointer jumping runs
+    * fully distributed.
     */
   def clusters(pairs: DataFrame): DataFrame = {
-    val pr = pairs.select(col("doc_a"), col("doc_b"))
+    val pr = pairs.select(col("doc_a").cast("long"),
+      col("doc_b").cast("long"))
+    val nPairs = pr.persist().count()
+    if (nPairs <= edgeCollectCap) {
+      try return clustersUnionFind(pairs.sparkSession, pr)
+      finally pr.unpersist()
+    }
     val edges = pr.unionByName(
         pr.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").persist()
+    pr.unpersist()
     try {
       var labels = Materialize(edges.groupBy(col("src").as("doc_id"))
         .agg(min(col("dst")).as("nmin"))
@@ -555,6 +583,41 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Exact components of a small edge list: path-halving union-find on
+    * the driver, re-parallelized as the same (doc_id, cluster) frame the
+    * distributed loop emits. */
+  private def clustersUnionFind(spark: SparkSession,
+                                pr: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = pr.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // roots are min ids already (unions always point to the smaller root);
+    // schema matches the distributed loop's (nullable, as join outputs are)
+    val rows = parent.keys.toSeq.sorted
+      .map(id => org.apache.spark.sql.Row(id, find(id)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.LongType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(new java.util.ArrayList(rows.asJava), schema)
+  }
+
   /** Benchmark decontamination — flag corpus documents sharing word
     * 3-gram shingles with an eval set (here the deterministic stride
     * `doc_id % EvalStride == 0`, standing in for a benchmark table).
@@ -564,11 +627,14 @@ object Dedup {
     * contaminated-or-overlapping doc with its shared-shingle count.
     */
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shingles(spark, dir)
+    // split BEFORE the typed shingle pass: filters cannot push through a
+    // typed map, so shingling `docs` once and filtering both branches
+    // would pay the full-corpus pass twice
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val evalSh = shinglesOf(docs.filter(col("doc_id") % EvalStride === 0))
+      .select(explode(col("sh")).as("s")).distinct()
+    shinglesOf(docs.filter(col("doc_id") % EvalStride =!= 0))
       .select(col("doc_id"), explode(col("sh")).as("s"))
-    val evalSh = ex.filter(col("doc_id") % EvalStride === 0)
-      .select(col("s")).distinct()
-    ex.filter(col("doc_id") % EvalStride =!= 0)
       .join(broadcast(evalSh), "s")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
@@ -627,12 +693,14 @@ object Dedup {
     * false positives, so the result is bit-identical to
     * [[decontaminate]] — same oracle. */
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shingles(spark, dir)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-    val evalSh = ex.filter(col("doc_id") % EvalStride === 0)
-      .select(col("s")).distinct()
+    // eval docs are shingled in isolation (1/EvalStride of the corpus);
+    // the bloom build therefore never pays a full-corpus typed pass
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val evalSh = shinglesOf(docs.filter(col("doc_id") % EvalStride === 0))
+      .select(explode(col("sh")).as("s")).distinct()
     val words = bloomBuild(evalSh, "s")
-    ex.filter(col("doc_id") % EvalStride =!= 0)
+    shinglesOf(docs.filter(col("doc_id") % EvalStride =!= 0))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
       .filter(bloomMightContain(words, col("s")))
       .join(broadcast(evalSh), "s")
       .groupBy("doc_id")

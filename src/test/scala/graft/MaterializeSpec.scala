@@ -16,22 +16,39 @@ class MaterializeSpec extends AnyFunSuite {
   import SparkTestSession._
 
   test("cluster loop under reliable checkpointing: same results, files on disk") {
-    val localResult = Dedup.clusters(Dedup.minhashLsh(spark, sf0001)).collect()
-
-    val ckptDir = Files.createTempDirectory("graft-reliable-ckpt").toString
-    spark.conf.set(Materialize.CheckpointDirConf, ckptDir)
+    // collectCap=0 forces the DISTRIBUTED loop (the adaptive union-find
+    // path needs no checkpoints — it is tested for parity below)
+    System.setProperty("graft.clusters.collectCap", "0")
     try {
-      val reliableResult =
-        Dedup.clusters(Dedup.minhashLsh(spark, sf0001)).collect()
-      assert(reliableResult.sameElements(localResult),
-        "reliable-checkpoint run must match the localCheckpoint run")
-      // the loop actually wrote through the durable dir
-      def countFiles(f: java.io.File): Int =
-        if (f.isFile) 1
-        else Option(f.listFiles()).map(_.map(countFiles).sum).getOrElse(0)
-      assert(countFiles(new java.io.File(ckptDir)) > 0,
-        s"no reliable checkpoint files written under $ckptDir")
-    } finally spark.conf.unset(Materialize.CheckpointDirConf)
+      val localResult = Dedup.clusters(Dedup.minhashLsh(spark, sf0001)).collect()
+
+      val ckptDir = Files.createTempDirectory("graft-reliable-ckpt").toString
+      spark.conf.set(Materialize.CheckpointDirConf, ckptDir)
+      try {
+        val reliableResult =
+          Dedup.clusters(Dedup.minhashLsh(spark, sf0001)).collect()
+        assert(reliableResult.sameElements(localResult),
+          "reliable-checkpoint run must match the localCheckpoint run")
+        // the loop actually wrote through the durable dir
+        def countFiles(f: java.io.File): Int =
+          if (f.isFile) 1
+          else Option(f.listFiles()).map(_.map(countFiles).sum).getOrElse(0)
+        assert(countFiles(new java.io.File(ckptDir)) > 0,
+          s"no reliable checkpoint files written under $ckptDir")
+      } finally spark.conf.unset(Materialize.CheckpointDirConf)
+    } finally System.clearProperty("graft.clusters.collectCap")
+  }
+
+  test("adaptive union-find path matches the distributed loop exactly") {
+    val pairs = Dedup.minhashLsh(spark, sf0001)
+    val adaptive = Dedup.clusters(pairs) // tiny edge list → driver path
+    System.setProperty("graft.clusters.collectCap", "0")
+    val distributed =
+      try Dedup.clusters(pairs)
+      finally System.clearProperty("graft.clusters.collectCap")
+    assert(adaptive.schema == distributed.schema,
+      s"schema drift: ${adaptive.schema} vs ${distributed.schema}")
+    assert(adaptive.collect().toSeq == distributed.collect().toSeq)
   }
 
   test("withCached leaves nothing registered in the cache manager") {
