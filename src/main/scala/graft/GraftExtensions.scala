@@ -159,6 +159,11 @@ object GraftExtensions {
     "graft_decontaminate_bloom" ->
       tablePlan("graft_decontaminate_bloom",
         graft.operators.Dedup.decontaminateBloom),
+    "graft_kmeans" ->
+      tablePlan("graft_kmeans", graft.operators.Similarity.kmeans),
+    "graft_semantic_dedup" ->
+      tablePlan("graft_semantic_dedup",
+        graft.operators.Similarity.semanticDedup),
     // two-argument form: cross-corpus similarity join between two
     // document directories (crawl vs landed corpus)
     "graft_minhash_join" -> { args =>

@@ -83,6 +83,8 @@ object SparkEntry {
     "sim_ivf_topk"          -> (Similarity.ivfTopK _),
     "sim_lsh_topk"          -> (Similarity.lshTopK _),
     "sim_quantize"          -> (Corpus.quantizeProfile _),
+    "sim_kmeans"            -> (Similarity.kmeans _),
+    "dedup_semantic"        -> (Similarity.semanticDedup _),
     // --- text analysis --------------------------------------------------
     "text_token_stats"      -> (TextAnalysis.tokenStats _),
     "text_quality"          -> (TextAnalysis.qualityScore _),
@@ -262,6 +264,42 @@ object SparkEntry {
     """list_sum(list_transform(range(1, 65), i -> %1$s[i] * %2$s[i]))
       | / (sqrt(list_sum(list_transform(%1$s, a -> a * a)))
       |    * sqrt(list_sum(list_transform(%2$s, a -> a * a))))""".stripMargin
+
+  /** CTE chain replaying [[Similarity.kmeans]] exactly: init c0 = the K
+    * lowest-id vectors; per round, argmin assignment on d² rounded to 6
+    * (ties → lowest cid) then per-dim means rounded to 6 (empty cluster
+    * keeps its centroid); one trailing assignment. Rounding both the
+    * ranking key and the centroids makes the different summation orders
+    * of the two engines invisible. Yields CTEs e, c0..cT, a_final. */
+  private def kmeansCtes: String = {
+    val k = Similarity.KmeansK
+    def d2(c: String) =
+      s"round(list_sum(list_transform(range(1, 65), i -> (e.v[i] - $c.cv[i]) * (e.v[i] - $c.cv[i]))), 6)"
+    def assign(name: String, cents: String) =
+      s"""$name AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY ${d2("c")}, c.cid) AS rn
+         |  FROM e, $cents c) WHERE rn = 1)""".stripMargin
+    val iters = (0 until Similarity.KmeansIters).map { t =>
+      s"""${assign(s"a$t", s"c$t")},
+         |m$t AS (
+         |  SELECT a.cid, r.i, round(avg(e.v[r.i]), 6) AS m
+         |  FROM a$t a JOIN e USING (vec_id), range(1, 65) r(i)
+         |  GROUP BY a.cid, r.i),
+         |c${t + 1} AS (
+         |  SELECT p.cid, coalesce(mm.cv, p.cv) AS cv FROM c$t p
+         |  LEFT JOIN (SELECT cid, list(m ORDER BY i) AS cv
+         |             FROM m$t GROUP BY cid) mm USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+       |         v AS cv
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
+       |$iters,
+       |${assign("a_final", s"c${Similarity.KmeansIters}")}""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_partition_discovery" ->
@@ -757,6 +795,24 @@ object SparkEntry {
          |SELECT vec_a, vec_b, sim FROM p
          |WHERE sim >= ${Dedup.EmbeddingCosThreshold}
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "sim_kmeans" ->
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cid AS cluster,
+         |       count(*) OVER (PARTITION BY cid) AS n_cluster
+         |FROM a_final ORDER BY vec_id""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH $kmeansCtes,
+         |pairs AS (
+         |  SELECT y.cid AS cluster, x.vec_id AS a_id, y.vec_id AS b_id,
+         |         round(${cosExpr.format("ex.v", "ey.v")}, 4) AS sim
+         |  FROM a_final x JOIN a_final y
+         |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |  JOIN e ex ON ex.vec_id = x.vec_id
+         |  JOIN e ey ON ey.vec_id = y.vec_id)
+         |SELECT b_id AS vec_id, min(cluster) AS cluster,
+         |       min(a_id) AS keeper, max(sim) AS max_sim
+         |FROM pairs WHERE sim >= ${Dedup.EmbeddingCosThreshold}
+         |GROUP BY b_id ORDER BY vec_id""".stripMargin,
     "sim_brute_topk" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |nrm AS (

@@ -227,4 +227,103 @@ object Similarity {
     val scored = heapReduce(cand, VectorOps.cosineRaw).toDF("q_id", "n_id", "sim")
     topKWindow(scored)
   }
+
+  /** Lloyd k-means geometry: [[KmeansK]] clusters, [[KmeansIters]]
+    * full assign→recenter rounds. Determinism pins every cross-engine
+    * hazard: init = the K lowest-id vectors (no RNG), distances rounded
+    * to 6 decimals BEFORE the argmin (ties then break on cluster id),
+    * and recomputed centroids rounded to 6 decimals per dimension —
+    * so the oracle's different summation order can never flip an
+    * assignment.
+    */
+  val KmeansK = 8
+  val KmeansIters = 2
+
+  /** One assignment pass: each vector to its nearest centroid (typed
+    * kernel, centroids ride the closure — O(K·dims) per task). */
+  private def assignPass(e: Dataset[(Long, Array[Double])],
+                         cents: Array[Array[Double]]): Dataset[(Long, Int)] = {
+    import e.sparkSession.implicits._
+    e.map { case (id, v) =>
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < cents.length) {
+        val d = VectorOps.roundAt(VectorOps.dist2(v, cents(c)), 6)
+        if (d < bd) { bd = d; best = c } // strict < : ties keep lowest cid
+        c += 1
+      }
+      (id, best)
+    }
+  }
+
+  /** Deterministic distributed k-means over the embedding corpus.
+    * Driver state is the K×dims centroid block and nothing else — the
+    * classic Lloyd structure every distributed ML library uses (Spark
+    * MLlib included): assignment is a narrow typed pass with the
+    * centroids in the closure, recentering is one partial-aggregating
+    * [[VectorOps.VecMean]] shuffle of K rows. Scale: corpus is read
+    * `iters + 1` times, never collected; K and dims bound the driver.
+    * Emits (vec_id, cluster, n_cluster).
+    */
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = corpus(spark, dir).select(col("vec_id"), col("v"))
+      .as[(Long, Array[Double])]
+    var cents: Array[Array[Double]] =
+      e.orderBy(col("vec_id")).limit(KmeansK).collect().map(_._2)
+    for (_ <- 0 until KmeansIters) {
+      val means = assignPass(e, cents).toDF("vec_id", "cluster")
+        .join(e.toDF("vec_id", "v"), "vec_id")
+        .select(col("cluster").cast("long"), col("v"))
+        .as[(Long, Array[Double])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new VectorOps.VecMean(Dims).toColumn.name("cv"))
+        .collect().toMap
+      cents = cents.indices.toArray.map { cid =>
+        means.get(cid.toLong)
+          .map(_.map(VectorOps.roundAt(_, 6)))
+          .getOrElse(cents(cid)) // empty cluster keeps its centroid
+      }
+    }
+    val assigned = assignPass(e, cents).toDF("vec_id", "cluster")
+    assigned
+      .withColumn("n_cluster",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .orderBy("vec_id")
+  }
+
+  /** SemDeDup (semantic dedup; Abbas et al. 2023 shape): k-means
+    * partitions the embedding space, then near-duplicate pruning runs
+    * ONLY inside each cluster — pairwise work drops from O(n²) to
+    * O(Σ|cluster|²), and K grows with the corpus to keep clusters
+    * bounded. A document is pruned when a lower-id vector in its
+    * cluster has cosine ≥ [[Dedup.EmbeddingCosThreshold]]; emits each
+    * pruned doc with its keeper (lowest such id) and the strongest
+    * similarity that condemned it. The intra-cluster pair join
+    * shuffles on the cluster id only.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = kmeans(spark, dir).select(col("vec_id"), col("cluster"))
+    val withV = assigned.join(
+      corpus(spark, dir).select(col("vec_id"), col("v")), "vec_id")
+    val x = withV.select(col("vec_id").as("a_id"), col("cluster"),
+      col("v").as("av"))
+    val y = withV.select(col("vec_id").as("b_id"), col("cluster"),
+      col("v").as("bv"))
+    val cosCol = aggregate(zip_with(col("av"), col("bv"), _ * _),
+      lit(0d), _ + _) /
+      (sqrt(aggregate(transform(col("av"), a => a * a), lit(0d), _ + _)) *
+        sqrt(aggregate(transform(col("bv"), a => a * a), lit(0d), _ + _)))
+    x.join(y, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("cluster"), col("a_id"), col("b_id"),
+        round(cosCol, 4).as("sim"))
+      .filter(col("sim") >= Dedup.EmbeddingCosThreshold)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(min(col("cluster")).as("cluster"), // constant per vec — min is
+        min(col("a_id")).as("keeper"),        // engine-order-independent
+        max(col("sim")).as("max_sim"))
+      .orderBy("vec_id")
+  }
 }

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+/** Deterministic k-means + SemDeDup: fixed-init Lloyd rounds must be
+  * exactly reproducible (the oracle replays them in SQL), every vector
+  * must land in exactly one cluster, and cluster-scoped pruning must
+  * only ever surface pairs the exhaustive embedding near-dup also
+  * finds — SemDeDup trades recall across cluster boundaries for
+  * O(Σ|cluster|²) work, never precision.
+  */
+class SemanticDedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("kmeans is deterministic and accounts for every vector") {
+    val a = Similarity.kmeans(spark, sf001).collect()
+    val b = Similarity.kmeans(spark, sf001).collect()
+    assert(a.sameElements(b), "fixed-init Lloyd must be run-to-run stable")
+
+    val n = graft.sources.Tables.embeddings(spark, sf001).count()
+    assert(a.length == n, "every vector assigned exactly once")
+    val clusters = a.map(_.getInt(1)).distinct
+    assert(clusters.forall(c => c >= 0 && c < Similarity.KmeansK))
+    // n_cluster is the true partition size
+    val byCluster = a.groupBy(_.getInt(1))
+    assert(a.forall(r => r.getLong(2) == byCluster(r.getInt(1)).length))
+  }
+
+  test("kmeans iterations tighten or hold the within-cluster spread") {
+    // sanity on the Lloyd contract: the final assignment's clusters are
+    // non-degenerate (more than one populated) for the test corpus
+    val populated = Similarity.kmeans(spark, sf001)
+      .select("cluster").distinct().count()
+    assert(populated > 1, s"degenerate clustering: $populated cluster(s)")
+  }
+
+  test("semanticDedup pairs are a subset of exhaustive embedding near-dups") {
+    val sem = Similarity.semanticDedup(spark, sf001).collect()
+    assert(sem.nonEmpty, "test corpus is seeded with near-duplicates")
+    val exhaustive = Dedup.embeddingNearDup(spark, sf001)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    sem.foreach { r =>
+      val (vecId, keeper) = (r.getLong(0), r.getLong(2))
+      assert(keeper < vecId, "keeper must be the lower id")
+      assert(exhaustive.contains((keeper, vecId)),
+        s"pair ($keeper, $vecId) not found by the exhaustive near-dup " +
+          "— cluster-scoped pruning surfaced a pair the full scan rejects")
+    }
+  }
+
+  test("semanticDedup never prunes a cluster's minimum id") {
+    val sem = Similarity.semanticDedup(spark, sf001).collect()
+    val assigned = Similarity.kmeans(spark, sf001).collect()
+      .groupBy(_.getInt(1)).map { case (c, rows) =>
+        c -> rows.map(_.getLong(0)).min
+      }
+    sem.foreach { r =>
+      assert(r.getLong(0) != assigned(r.getInt(1)),
+        "the lowest id of a cluster has no lower-id neighbor to prune it")
+    }
+  }
+}
