@@ -73,6 +73,10 @@ object GraftExtensions {
     */
   private[graft] val scalarFunctions: Seq[(String, Seq[Expression] => Expression)] =
     Seq(
+      "graft_nfc" -> { args => graft.functions.NfcNormalize(args.head) },
+      "graft_normalize_text" -> { args =>
+        resolvedExpression(
+          graft.operators.Corpus.normalizeTextCol(column(args.head))) },
       "graft_quality" -> { args =>
         resolvedExpression(graft.operators.TextAnalysis.qualityCol(column(args.head))) },
       "graft_token_stats" -> { args =>

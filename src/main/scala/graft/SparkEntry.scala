@@ -92,6 +92,7 @@ object SparkEntry {
     "text_fingerprint"      -> (TextAnalysis.fingerprint _),
     "text_regexp"           -> (TextAnalysis.regexpFunctions _),
     "text_pii_redact"       -> (Corpus.piiRedact _),
+    "text_normalize"        -> (Corpus.normalizeText _),
     "text_gopher"           -> (Corpus.gopherFilters _),
     "text_chunks"           -> (Corpus.tokenChunks _),
     "text_top_terms"        -> (Corpus.topTerms _),
@@ -1056,6 +1057,28 @@ object SparkEntry {
          |           '${Corpus.IpRe}', '<IP>', 'g') AS redacted
          |FROM p ORDER BY doc_id""".stripMargin
     },
+    "text_normalize" ->
+      // chr(769) = U+0301 combining acute, chr(9) = tab — Corpus
+      //.withSyntheticMess injected via codepoints on the Spark side too
+      s"""WITH messy AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 3 = 0
+         |              THEN text || ' e' || chr(769) || 'tude <b>bold</b>'
+         |                   || chr(9) || 'ends  here'
+         |              ELSE text END AS raw
+         |  FROM documents),
+         |n AS (
+         |  SELECT doc_id, raw,
+         |         trim(regexp_replace(regexp_replace(regexp_replace(
+         |             nfc_normalize(raw),
+         |             '<[^>]*>', ' ', 'g'),
+         |             '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+         |             ' +', ' ', 'g')) AS text_norm
+         |  FROM messy)
+         |SELECT doc_id, text_norm,
+         |       CAST(length(raw) AS INT) AS n_chars_raw,
+         |       CAST(length(text_norm) AS INT) AS n_chars_norm
+         |FROM n ORDER BY doc_id""".stripMargin,
     "text_gopher" -> {
       val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
       s"""WITH $toksCte,

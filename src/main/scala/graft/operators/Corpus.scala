@@ -360,4 +360,47 @@ object Corpus {
       .groupBy("url")
       .agg(count(lit(1)).as("n_fetches"), min(col("doc_id")).as("keep_doc"))
       .orderBy("url")
+
+  // --- Text normalization ----------------------------------------------
+
+  /** Deterministic synthetic mess for the normalizer: every third doc
+    * gains a DECOMPOSED accent (e + U+0301), an HTML fragment, a tab
+    * and run-on spaces — the clean synthetic corpus otherwise
+    * exercises nothing. The combining sequence must survive the JSON
+    * round-trip to the oracle, so it is injected via codepoints, not
+    * source-literal bytes. */
+  def withSyntheticMess(text: Column, docId: Column): Column =
+    when(docId % 3 === 0,
+      concat(text, lit(" e\u0301tude <b>bold</b>\tends  here")))
+      .otherwise(text)
+
+  /** Canonical text-normalization formula: Unicode NFC (native
+    * codegen'd [[graft.functions.NfcNormalize]] — composed and
+    * decomposed inputs must hash identically before any dedup), strip
+    * HTML tags and control characters to spaces, collapse whitespace
+    * runs, trim. */
+  def normalizeTextCol(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val nfc = GraftColumnBridge.column(
+      graft.functions.NfcNormalize(GraftColumnBridge.expression(text)))
+    val noTags = regexp_replace(nfc, "<[^>]*>", " ")
+    val noCtl = regexp_replace(noTags, "[\\x00-\\x1f\\x7f]", " ")
+    trim(regexp_replace(noCtl, " +", " "))
+  }
+
+  /** Normalization pass over the corpus: inject the deterministic mess,
+    * normalize, report sizes. Narrow codegen'd map, no shuffle beyond
+    * the presentation sort. At 100 TB this runs fused with ingest —
+    * normalization before content hashing is what makes exact dedup
+    * see through encoding variance. */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame = {
+    val messy = withSyntheticMess(col("text"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), messy.as("raw"),
+        normalizeTextCol(messy).as("text_norm"))
+      .select(col("doc_id"), col("text_norm"),
+        length(col("raw")).as("n_chars_raw"),
+        length(col("text_norm")).as("n_chars_norm"))
+      .orderBy("doc_id")
+  }
 }
