@@ -165,6 +165,8 @@ object GraftExtensions {
         graft.operators.Dedup.decontaminateBloom),
     "graft_kmeans" ->
       tablePlan("graft_kmeans", graft.operators.Similarity.kmeans),
+    "graft_lm_score" ->
+      tablePlan("graft_lm_score", graft.operators.TextAnalysis.lmScore),
     "graft_semantic_dedup" ->
       tablePlan("graft_semantic_dedup",
         graft.operators.Similarity.semanticDedup),

@@ -93,6 +93,7 @@ object SparkEntry {
     "text_regexp"           -> (TextAnalysis.regexpFunctions _),
     "text_pii_redact"       -> (Corpus.piiRedact _),
     "text_normalize"        -> (Corpus.normalizeText _),
+    "text_lm_score"         -> (TextAnalysis.lmScore _),
     "text_gopher"           -> (Corpus.gopherFilters _),
     "text_chunks"           -> (Corpus.tokenChunks _),
     "text_top_terms"        -> (Corpus.topTerms _),
@@ -1057,6 +1058,28 @@ object SparkEntry {
          |           '${Corpus.IpRe}', '<IP>', 'g') AS redacted
          |FROM p ORDER BY doc_id""".stripMargin
     },
+    "text_lm_score" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lower(substring(text, 1, ${TextAnalysis.LmPrefix})) AS p
+         |  FROM documents WHERE length(lower(substring(text, 1, ${TextAnalysis.LmPrefix}))) >= 3),
+         |ex AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, length(p) - 1),
+         |                               i -> substring(p, i, 3))) AS tri,
+         |         unnest(list_transform(range(1, length(p) - 1),
+         |                               i -> substring(p, i, 2))) AS bi
+         |  FROM d),
+         |c3 AS (SELECT tri, count(*) AS c3 FROM ex GROUP BY tri),
+         |c2 AS (SELECT bi, count(*) AS c2 FROM ex GROUP BY bi),
+         |s AS (
+         |  SELECT ex.doc_id, count(*) AS n_tri,
+         |         sum((c2.c2 * 10000) // c3.c3) AS s
+         |  FROM ex JOIN c3 USING (tri) JOIN c2 USING (bi)
+         |  GROUP BY ex.doc_id)
+         |SELECT doc_id, CAST(n_tri AS INT) AS n_tri,
+         |       CAST((2 * s + n_tri) // (2 * n_tri) AS DOUBLE) / 10000.0
+         |         AS lm_score
+         |FROM s ORDER BY doc_id""".stripMargin,
     "text_normalize" ->
       // chr(769) = U+0301 combining acute, chr(9) = tab — Corpus
       //.withSyntheticMess injected via codepoints on the Spark side too

@@ -243,4 +243,52 @@ object TextAnalysis {
       .select(col("doc_id"), col("rk"), col("term"), col("score"))
       .orderBy("doc_id", "rk")
   }
+
+  /** Character-trigram LM scoring window: the corpus LM is trained on
+    * (and documents scored over) the first [[LmPrefix]] characters —
+    * the CCNet-style bound that keeps per-doc cost flat regardless of
+    * document length. */
+  val LmPrefix = 256
+  private val LmScale = 10000L
+
+  /** Corpus-trained character-trigram language-model score — the
+    * perplexity-filter stand-in (CCNet shape: score each doc under a
+    * corpus LM; outliers on either end are boilerplate or garbage).
+    * p(c₃|c₁c₂) is estimated from corpus counts; the reported score is
+    * the mean INVERSE conditional probability in scaled integer
+    * arithmetic (same device as [[rarityScore]]/tf-idf's linear idf:
+    * no ln(), so no libm variance — the DuckDB oracle is bit-exact).
+    * score ≥ 1.0 always (a context count is never below its
+    * continuation count); higher = more surprising under the corpus.
+    *
+    * Plan shape: one narrow explode of bounded width (≤ LmPrefix rows
+    * per doc), two hash aggregations for the n-gram counts (map-side
+    * partial), two shuffling joins keyed on the n-gram, one final
+    * per-doc aggregation. At 100 TB the count tables are vocabulary-
+    * bounded (≤ |charset|³ rows) — broadcastable dimension tables, so
+    * the corpus never reshuffles more than its exploded prefix.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        lower(substring(col("text"), 1, LmPrefix)).as("p"))
+      .filter(length(col("p")) >= 3)
+    val ex = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("p")) - 2)).as("i"), col("p"))
+      .select(col("doc_id"),
+        expr("substring(p, i, 3)").as("tri"),
+        expr("substring(p, i, 2)").as("bi"))
+    val triCnt = ex.groupBy("tri").agg(count(lit(1)).as("c3"))
+    val biCnt = ex.groupBy("bi").agg(count(lit(1)).as("c2"))
+    ex.join(triCnt, "tri")
+      .join(biCnt, "bi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        sum(expr(s"(c2 * $LmScale) div c3")).as("s"))
+      .select(col("doc_id"), col("n_tri").cast("int").as("n_tri"),
+        (expr("(2 * s + n_tri) div (2 * n_tri)").cast("double") /
+          LmScale.toDouble).as("lm_score"))
+      .orderBy("doc_id")
+  }
 }
