@@ -461,12 +461,26 @@ object Dedup {
 
   private def ngramJaccardFrom(base: DataFrame, grp: DataFrame,
                                reps: DataFrame, exCap: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
     val m = base.select(col("doc_id"), col("ghash")).join(grp, "ghash")
     val sizes = reps.select(col("doc_id"), size(col("sh")).as("n"))
-    val common = exCap.as("x")
-      .join(exCap.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // single-shuffle inverted index: ONE groupBy on the shingle builds
+    // the (bounded — ShingleFreqCap) posting list, pairs stream out of
+    // an iterator flatMap with nothing buffered; the self-JOIN
+    // formulation shuffled + sorted the exploded frame twice for the
+    // same output volume
+    val common = exCap
+      .groupBy("s").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("ids")).as[Array[Long]]
+      .flatMap { ids =>
+        for {
+          i <- (0 until ids.length - 1).iterator
+          j <- (i + 1 until ids.length).iterator
+        } yield (ids(i), ids(j))
+      }
+      .toDF("doc_a", "doc_b")
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
     val repPairs = common
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")

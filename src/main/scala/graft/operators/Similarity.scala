@@ -304,6 +304,7 @@ object Similarity {
     * shuffles on the cluster id only.
     */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val assigned = kmeans(spark, dir).select(col("vec_id"), col("cluster"))
     val withV = assigned.join(
       corpus(spark, dir).select(col("vec_id"), col("v")), "vec_id")
@@ -311,14 +312,17 @@ object Similarity {
       col("v").as("av"))
     val y = withV.select(col("vec_id").as("b_id"), col("cluster"),
       col("v").as("bv"))
-    val cosCol = aggregate(zip_with(col("av"), col("bv"), _ * _),
-      lit(0d), _ + _) /
-      (sqrt(aggregate(transform(col("av"), a => a * a), lit(0d), _ + _)) *
-        sqrt(aggregate(transform(col("bv"), a => a * a), lit(0d), _ + _)))
+    // cosine through the shared typed kernel — the HOF column form
+    // (aggregate∘zip_with) evaluates interpreted, allocating per pair
     x.join(y, Seq("cluster"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("cluster"), col("a_id"), col("b_id"),
-        round(cosCol, 4).as("sim"))
+      .select(col("cluster"), col("a_id"), col("av"),
+        col("b_id"), col("bv"))
+      .as[(Int, Long, Array[Double], Long, Array[Double])]
+      .map { case (c, a, av, b, bv) =>
+        (c, a, b, VectorOps.roundAt(VectorOps.cosineRaw(av, bv), 4))
+      }
+      .toDF("cluster", "a_id", "b_id", "sim")
       .filter(col("sim") >= Dedup.EmbeddingCosThreshold)
       .groupBy(col("b_id").as("vec_id"))
       .agg(min(col("cluster")).as("cluster"), // constant per vec — min is

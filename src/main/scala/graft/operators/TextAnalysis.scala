@@ -279,10 +279,13 @@ object TextAnalysis {
       .select(col("doc_id"),
         expr("substring(p, i, 3)").as("tri"),
         expr("substring(p, i, 2)").as("bi"))
+    // count tables are vocabulary-bounded (≤ |charset|³ rows after the
+    // map-side partial agg) — broadcast them so the exploded corpus
+    // frame itself never shuffles for the joins
     val triCnt = ex.groupBy("tri").agg(count(lit(1)).as("c3"))
     val biCnt = ex.groupBy("bi").agg(count(lit(1)).as("c2"))
-    ex.join(triCnt, "tri")
-      .join(biCnt, "bi")
+    ex.join(broadcast(triCnt), "tri")
+      .join(broadcast(biCnt), "bi")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tri"),
         sum(expr(s"(c2 * $LmScale) div c3")).as("s"))
