@@ -240,9 +240,11 @@ object Similarity {
   val KmeansIters = 2
 
   /** One assignment pass: each vector to its nearest centroid (typed
-    * kernel, centroids ride the closure — O(K·dims) per task). */
+    * kernel, centroids ride the closure — O(K·dims) per task). The
+    * vector rides along so consumers never join back to the corpus. */
   private def assignPass(e: Dataset[(Long, Array[Double])],
-                         cents: Array[Array[Double]]): Dataset[(Long, Int)] = {
+                         cents: Array[Array[Double]])
+      : Dataset[(Long, Int, Array[Double])] = {
     import e.sparkSession.implicits._
     e.map { case (id, v) =>
       var best = 0
@@ -253,7 +255,7 @@ object Similarity {
         if (d < bd) { bd = d; best = c } // strict < : ties keep lowest cid
         c += 1
       }
-      (id, best)
+      (id, best, v)
     }
   }
 
@@ -266,18 +268,25 @@ object Similarity {
     * `iters + 1` times, never collected; K and dims bound the driver.
     * Emits (vec_id, cluster, n_cluster).
     */
-  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+  def kmeans(spark: SparkSession, dir: String): DataFrame =
+    kmeansAssignedWithV(spark, dir)
+      .select(col("vec_id"), col("cluster"))
+      .withColumn("n_cluster",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .orderBy("vec_id")
+
+  /** Final k-means assignment WITH the vector attached — the frame
+    * [[semanticDedup]] builds its pair join from (no corpus re-join). */
+  private def kmeansAssignedWithV(spark: SparkSession, dir: String)
+      : DataFrame = {
     import spark.implicits._
     val e = corpus(spark, dir).select(col("vec_id"), col("v"))
       .as[(Long, Array[Double])]
     var cents: Array[Array[Double]] =
       e.orderBy(col("vec_id")).limit(KmeansK).collect().map(_._2)
     for (_ <- 0 until KmeansIters) {
-      val means = assignPass(e, cents).toDF("vec_id", "cluster")
-        .join(e.toDF("vec_id", "v"), "vec_id")
-        .select(col("cluster").cast("long"), col("v"))
-        .as[(Long, Array[Double])]
-        .groupByKey(_._1).mapValues(_._2)
+      val means = assignPass(e, cents)
+        .groupByKey(_._2.toLong).mapValues(_._3)
         .agg(new VectorOps.VecMean(Dims).toColumn.name("cv"))
         .collect().toMap
       cents = cents.indices.toArray.map { cid =>
@@ -286,11 +295,7 @@ object Similarity {
           .getOrElse(cents(cid)) // empty cluster keeps its centroid
       }
     }
-    val assigned = assignPass(e, cents).toDF("vec_id", "cluster")
-    assigned
-      .withColumn("n_cluster",
-        count(lit(1)).over(Window.partitionBy(col("cluster"))))
-      .orderBy("vec_id")
+    assignPass(e, cents).toDF("vec_id", "cluster", "v")
   }
 
   /** SemDeDup (semantic dedup; Abbas et al. 2023 shape): k-means
@@ -305,9 +310,7 @@ object Similarity {
     */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val assigned = kmeans(spark, dir).select(col("vec_id"), col("cluster"))
-    val withV = assigned.join(
-      corpus(spark, dir).select(col("vec_id"), col("v")), "vec_id")
+    val withV = kmeansAssignedWithV(spark, dir)
     val x = withV.select(col("vec_id").as("a_id"), col("cluster"),
       col("v").as("av"))
     val y = withV.select(col("vec_id").as("b_id"), col("cluster"),
