@@ -279,19 +279,23 @@ object TextAnalysis {
       .select(col("doc_id"),
         expr("substring(p, i, 3)").as("tri"),
         expr("substring(p, i, 2)").as("bi"))
-    // count tables are vocabulary-bounded (≤ |charset|³ rows after the
+    // ex feeds three consumers (both count tables + the scoring join) —
+    // cache it for the operator or the explode+substring pass runs 3×.
+    // Count tables are vocabulary-bounded (≤ |charset|³ rows after the
     // map-side partial agg) — broadcast them so the exploded corpus
     // frame itself never shuffles for the joins
-    val triCnt = ex.groupBy("tri").agg(count(lit(1)).as("c3"))
-    val biCnt = ex.groupBy("bi").agg(count(lit(1)).as("c2"))
-    ex.join(broadcast(triCnt), "tri")
-      .join(broadcast(biCnt), "bi")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tri"),
-        sum(expr(s"(c2 * $LmScale) div c3")).as("s"))
-      .select(col("doc_id"), col("n_tri").cast("int").as("n_tri"),
-        (expr("(2 * s + n_tri) div (2 * n_tri)").cast("double") /
-          LmScale.toDouble).as("lm_score"))
-      .orderBy("doc_id")
+    Materialize.withCached(ex) {
+      val triCnt = ex.groupBy("tri").agg(count(lit(1)).as("c3"))
+      val biCnt = ex.groupBy("bi").agg(count(lit(1)).as("c2"))
+      ex.join(broadcast(triCnt), "tri")
+        .join(broadcast(biCnt), "bi")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tri"),
+          sum(expr(s"(c2 * $LmScale) div c3")).as("s"))
+        .select(col("doc_id"), col("n_tri").cast("int").as("n_tri"),
+          (expr("(2 * s + n_tri) div (2 * n_tri)").cast("double") /
+            LmScale.toDouble).as("lm_score"))
+        .orderBy("doc_id")
+    }
   }
 }
