@@ -170,6 +170,28 @@ object GraftExtensions {
     "graft_semantic_dedup" ->
       tablePlan("graft_semantic_dedup",
         graft.operators.Similarity.semanticDedup),
+    // transactional-table reads: graft_table_read(root, sink [, asOf])
+    // — snapshot or time-travel over the GraftTable commit log, the SQL
+    // face of the table format
+    "graft_table_read" -> { args =>
+      require(args.length == 2 || args.length == 3,
+        "graft_table_read(root, sink [, asOfBatchId]) takes two literal " +
+          "paths and an optional version")
+      val root = litString("graft_table_read", args(0))
+      val sink = litString("graft_table_read", args(1))
+      val spark = org.apache.spark.sql.SparkSession.active
+      val df =
+        if (args.length == 3) {
+          val asOf = args(2).eval() match {
+            case i: Int => i.toLong
+            case l: Long => l
+            case other => throw new IllegalArgumentException(
+              s"graft_table_read asOfBatchId must be a literal integer, got $other")
+          }
+          graft.sources.GraftTable.readAsOf(spark, root, sink, asOf)
+        } else graft.sources.GraftTable.read(spark, root, sink)
+      df.queryExecution.analyzed
+    },
     // two-argument form: cross-corpus similarity join between two
     // document directories (crawl vs landed corpus)
     "graft_minhash_join" -> { args =>

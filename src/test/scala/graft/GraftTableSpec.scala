@@ -143,6 +143,23 @@ class GraftTableSpec extends AnyFunSuite {
     assert(GraftTable.vacuum(spark, root, ttlMs = 0).isEmpty)
   }
 
+  test("graft_table_read: snapshot and time travel from SQL") {
+    val root = Files.createTempDirectory("gt-sql").toString
+    import spark.implicits._
+    (0L to 1L).foreach { b =>
+      Seq((b, s"doc-$b")).toDF("id", "text")
+        .write.parquet(s"$root/docs/batch_id=$b")
+      GraftTable.commit(spark, root, b)
+    }
+    GraftExtensions.install(spark)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_table_read('$root', 'docs')")
+      .head().getLong(0) == 2)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_table_read('$root', 'docs', 0)")
+      .head().getLong(0) == 1)
+  }
+
   test("replayed commit detects a concurrent writer's destroyed files") {
     val root = Files.createTempDirectory("gt-conflict").toString
     import spark.implicits._
