@@ -125,6 +125,8 @@ object GraftExtensions {
       tablePlan("graft_simhash_pairs", graft.operators.Dedup.simhash),
     "graft_ngram_jaccard_pairs" ->
       tablePlan("graft_ngram_jaccard_pairs", graft.operators.Dedup.ngramJaccard),
+    "graft_winnow_pairs" ->
+      tablePlan("graft_winnow_pairs", graft.operators.Dedup.winnowPairs),
     "graft_clusters" ->
       tablePlan("graft_clusters",
         (s, d) => graft.operators.Dedup.clusters(

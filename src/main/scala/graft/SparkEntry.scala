@@ -74,6 +74,7 @@ object SparkEntry {
     "text_decontaminate"    -> (Dedup.decontaminate _),
     "dedup_decontam_bloom"  -> (Dedup.decontaminateBloom _),
     "dedup_spans"           -> (Corpus.spanDedup _),
+    "dedup_winnow"          -> (Dedup.winnowPairs _),
     "dedup_url"             -> (Corpus.urlDedup _),
     "text_repetition"       -> (TextAnalysis.repetitionStats _),
     "text_tfidf"            -> (TextAnalysis.tfIdfTopTerms _),
@@ -975,6 +976,39 @@ object SparkEntry {
          |            ELSE 'und' END AS pred_lang
          |FROM b ORDER BY doc_id""".stripMargin
     },
+    "dedup_winnow" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         list_transform(range(1, greatest(len(t) - 1, 1)),
+         |             i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS gr
+         |  FROM toks),
+         |hs AS (
+         |  SELECT doc_id,
+         |         list_transform(gr, s -> substr(md5('fp:' || s), 1, 8)) AS h
+         |  FROM g WHERE len(gr) > 0),
+         |sel AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(h) < ${Dedup.FpWindow} THEN [list_min(h)]
+         |              ELSE list_distinct(list_transform(
+         |                     range(1, len(h) - ${Dedup.FpWindow - 2}),
+         |                     i -> list_min(list_slice(h, i,
+         |                            i + ${Dedup.FpWindow - 1})))) END AS sel
+         |  FROM hs),
+         |ex AS (SELECT doc_id, unnest(sel) AS fp FROM sel),
+         |hot AS (SELECT fp FROM ex GROUP BY fp
+         |        HAVING count(*) > ${Dedup.ShingleFreqCap}),
+         |exc AS (SELECT * FROM ex WHERE fp NOT IN (SELECT fp FROM hot)),
+         |p AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM exc x JOIN exc y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared FROM p
+         |WHERE n_shared >= ${Dedup.MinSharedFp}
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "text_fingerprint" ->
       s"""WITH $toksCte,
          |g AS (

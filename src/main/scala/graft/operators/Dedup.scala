@@ -505,6 +505,55 @@ object Dedup {
     expanded.unionByName(intra).orderBy("doc_a", "doc_b")
   }
 
+  /** Winnowing geometry: window of consecutive shingle hashes whose
+    * minimum is selected, and the shared-fingerprint floor for a pair.
+    * The winnowing guarantee (Schleimer et al. 2003): any common token
+    * run of ≥ FpWindow + NgramN - 1 tokens selects at least one common
+    * fingerprint in BOTH docs, regardless of alignment — the
+    * character/token-level exact-substring detector that n-gram set
+    * similarity misses when the copied run is a small fraction of each
+    * doc. */
+  val FpWindow = 8
+  val MinSharedFp = 2
+
+  /** Winnowed-fingerprint near-dup pairs — docs sharing ≥
+    * [[MinSharedFp]] selected fingerprints (each evidence of an
+    * aligned-or-not common run, the Lee-et-al exact-substring dedup
+    * shape at inverted-index cost). Selection is a pure-Catalyst pass
+    * (ordered 3-gram hashes → per-window minima → distinct); the pair
+    * space is one groupBy on the fingerprint with the same bounded
+    * posting-list expansion as [[ngramJaccard]] ([[ShingleFreqCap]]
+    * drops boilerplate fingerprints shared by everything).
+    */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hs = transform(wordNgrams(tokens(col("text")), NgramN),
+      s => substring(md5(concat(lit("fp:"), s)), 1, 8))
+    val sel = when(size(hs) === 0, array().cast("array<string>"))
+      .when(size(hs) < FpWindow, array(array_min(hs)))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), size(hs) - FpWindow + 1),
+          i => array_min(slice(hs, i, lit(FpWindow))))))
+    val ex = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(sel).as("fp"))
+    val hot = ex.groupBy("fp").agg(count(lit(1)).as("ff"))
+      .filter(col("ff") > ShingleFreqCap).select(col("fp"))
+    ex.join(broadcast(hot), Seq("fp"), "left_anti")
+      .groupBy("fp").agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("ids")).as[Array[Long]]
+      .flatMap { ids =>
+        for {
+          i <- (0 until ids.length - 1).iterator
+          j <- (i + 1 until ids.length).iterator
+        } yield (ids(i), ids(j))
+      }
+      .toDF("doc_a", "doc_b")
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedFp)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Deterministic eval-set stride for [[decontaminate]] and the
     * minimum shared-shingle count that flags contamination. */
   val EvalStride = 40

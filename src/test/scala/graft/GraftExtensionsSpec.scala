@@ -157,6 +157,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         graft.operators.Dedup.simhash(spark, sf0001),
       "graft_ngram_jaccard_pairs" ->
         graft.operators.Dedup.ngramJaccard(spark, sf0001),
+      "graft_winnow_pairs" ->
+        graft.operators.Dedup.winnowPairs(spark, sf0001),
       "graft_clusters" ->
         graft.operators.Dedup.clusters(
           graft.operators.Dedup.minhashLsh(spark, sf0001)),
