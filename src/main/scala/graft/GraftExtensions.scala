@@ -127,6 +127,12 @@ object GraftExtensions {
       tablePlan("graft_ngram_jaccard_pairs", graft.operators.Dedup.ngramJaccard),
     "graft_winnow_pairs" ->
       tablePlan("graft_winnow_pairs", graft.operators.Dedup.winnowPairs),
+    "graft_quality_classifier" ->
+      tablePlan("graft_quality_classifier",
+        graft.operators.QualityClassifier.classify),
+    "graft_classifier_weights" ->
+      tablePlan("graft_classifier_weights",
+        graft.operators.QualityClassifier.modelWeights),
     "graft_clusters" ->
       tablePlan("graft_clusters",
         (s, d) => graft.operators.Dedup.clusters(

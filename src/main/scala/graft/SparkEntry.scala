@@ -96,6 +96,8 @@ object SparkEntry {
     "text_normalize"        -> (Corpus.normalizeText _),
     "text_lm_score"         -> (TextAnalysis.lmScore _),
     "text_gopher"           -> (Corpus.gopherFilters _),
+    "text_classifier"       -> (QualityClassifier.classify _),
+    "text_classifier_weights" -> (QualityClassifier.modelWeights _),
     "text_chunks"           -> (Corpus.tokenChunks _),
     "text_top_terms"        -> (Corpus.topTerms _),
     "q_train_split"         -> (Corpus.trainSplit _),
@@ -302,6 +304,88 @@ object SparkEntry {
        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $k)),
        |$iters,
        |${assign("a_final", s"c${Similarity.KmeansIters}")}""".stripMargin
+  }
+
+  /** CTE chain replaying [[QualityClassifier]] training exactly.
+    * Features and labels are integers, so every training sum is exact
+    * and summation-order-independent (cast back to BIGINT — DuckDB
+    * sums BIGINT into HUGEINT, which pandas would render as float);
+    * the Elliott link 0.5 + z/(2(1+|z|)) uses only exactly-rounded
+    * IEEE ops so both engines produce the same double; weight steps
+    * use DuckDB's truncating `//` (== Scala Long division). Every CTE
+    * is MATERIALIZED: the weight chain w0→wT references each step
+    * twice, so DuckDB's default inlining goes exponential in the
+    * iteration count. Yields CTEs y (labels), f (features), w0..wT
+    * and pf (final scores). */
+  private def classifierCtes: String = {
+    import QualityClassifier._
+    val stopList =
+      TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val hex6 =
+      """list_reduce(list_transform(range(1, 7),
+        |    i -> strpos('0123456789abcdef',
+        |                substr(md5('qc:' || tok), i, 1)) - 1),
+        |  (a, b) -> a * 16 + b)""".stripMargin
+    def p6(z: String) =
+      s"CAST(floor((0.5 + (($z/1e6) / (2*(1+abs($z/1e6))))) * 1e6) AS BIGINT)"
+    val nLr = s"((SELECT n FROM nn) * $LrInv)"
+    val iters = (0 until Iters).map { t =>
+      s"""z$t AS MATERIALIZED (
+         |  SELECT f.doc_id, CAST(sum(w.wu) AS BIGINT) AS zmu
+         |  FROM f JOIN w$t w USING (bucket) GROUP BY 1),
+         |p$t AS MATERIALIZED (SELECT doc_id, ${p6("zmu")} AS p6 FROM z$t),
+         |g$t AS MATERIALIZED (
+         |  SELECT f.bucket, CAST(sum(p.p6 - y.y6) AS BIGINT) AS g
+         |  FROM f JOIN p$t p USING (doc_id) JOIN y USING (doc_id)
+         |  GROUP BY 1),
+         |w${t + 1} AS MATERIALIZED (
+         |  SELECT w.bucket,
+         |         CAST(w.wu - (coalesce(g.g, 0) // $nLr) AS BIGINT) AS wu
+         |  FROM w$t w LEFT JOIN g$t g USING (bucket))""".stripMargin
+    }.mkString(",\n")
+    s"""$toksCte,
+       |st AS MATERIALIZED (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n,
+       |         CAST(coalesce(list_sum(list_transform(t, x -> len(x))), 0)
+       |              AS BIGINT) AS chars,
+       |         CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+       |              AS BIGINT) AS alpha,
+       |         CAST(len(list_intersect(list_distinct(t), $stopList))
+       |              AS BIGINT) AS ns
+       |  FROM toks),
+       |y AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN coalesce(
+       |      (n BETWEEN ${Corpus.MinWords} AND ${Corpus.MaxWords})
+       |      AND (round(chars * 1.0 / n, 4)
+       |             BETWEEN ${Corpus.MinMeanWordLen}
+       |                 AND ${Corpus.MaxMeanWordLen})
+       |      AND round(alpha * 1.0 / n, 4) >= ${Corpus.MinAlphaFrac}
+       |      AND ns >= ${Corpus.MinDistinctStopwords}, FALSE)
+       |    THEN $LabelMicro ELSE 0 END AS y6
+       |  FROM st),
+       |f AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, CAST($hex6 % $NumBuckets AS INT) AS bucket
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+       |  UNION ALL SELECT doc_id, $BiasBucket FROM documents
+       |  UNION ALL SELECT doc_id, CAST($WordsBase + least(n // 8, 31) AS INT)
+       |            FROM st WHERE n > 0
+       |  UNION ALL SELECT doc_id,
+       |            CAST($AlphaBase + least((alpha * 20) // n, 20) AS INT)
+       |            FROM st WHERE n > 0
+       |  UNION ALL SELECT doc_id,
+       |            CAST($MeanLenBase + least(chars // n, 15) AS INT)
+       |            FROM st WHERE n > 0
+       |  UNION ALL SELECT doc_id, CAST($StopBase + least(ns, 7) AS INT)
+       |            FROM st WHERE n > 0),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |w0 AS MATERIALIZED (SELECT CAST(r.i AS INT) AS bucket, CAST(0 AS BIGINT) AS wu
+       |       FROM range(0, $NumFeatures) r(i)),
+       |$iters,
+       |zf AS MATERIALIZED (
+       |  SELECT f.doc_id, CAST(sum(w.wu) AS BIGINT) AS zmu
+       |  FROM f JOIN w$Iters w USING (bucket)
+       |  GROUP BY 1),
+       |pf AS MATERIALIZED (SELECT doc_id, ${p6("zmu")} AS p6 FROM zf)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1160,6 +1244,17 @@ object SparkEntry {
          |         AND ns >= ${Corpus.MinDistinctStopwords} AS gopher_pass
          |FROM raw ORDER BY doc_id""".stripMargin
     },
+    "text_classifier" ->
+      s"""WITH $classifierCtes
+         |SELECT y.doc_id, p.p6 AS score_micro,
+         |       p.p6 >= ${QualityClassifier.LabelMicro / 2} AS pred_pass,
+         |       y.y6 = ${QualityClassifier.LabelMicro} AS gopher_pass
+         |FROM y JOIN pf p USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "text_classifier_weights" ->
+      s"""WITH $classifierCtes
+         |SELECT bucket, wu AS weight_micro
+         |FROM w${QualityClassifier.Iters} ORDER BY bucket""".stripMargin,
     "q_train_split" -> {
       val bucket = "substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)"
       s"""SELECT doc_id, $bucket AS bucket,

@@ -516,6 +516,20 @@ object Dedup {
   val FpWindow = 8
   val MinSharedFp = 2
 
+  /** First 4 digest bytes as 8 lowercase hex chars — the same prefix
+    * `substr(md5(…), 1, 8)` yields in both engines. */
+  private def hex8(d: Array[Byte]): String = {
+    val hexd = "0123456789abcdef"
+    val c = new Array[Char](8)
+    var i = 0
+    while (i < 4) {
+      c(2 * i) = hexd((d(i) >> 4) & 0xf)
+      c(2 * i + 1) = hexd(d(i) & 0xf)
+      i += 1
+    }
+    new String(c)
+  }
+
   /** Winnowed-fingerprint near-dup pairs — docs sharing ≥
     * [[MinSharedFp]] selected fingerprints (each evidence of an
     * aligned-or-not common run, the Lee-et-al exact-substring dedup
@@ -527,15 +541,49 @@ object Dedup {
     */
   def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hs = transform(wordNgrams(tokens(col("text")), NgramN),
-      s => substring(md5(concat(lit("fp:"), s)), 1, 8))
-    val sel = when(size(hs) === 0, array().cast("array<string>"))
-      .when(size(hs) < FpWindow, array(array_min(hs)))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), size(hs) - FpWindow + 1),
-          i => array_min(slice(hs, i, lit(FpWindow))))))
+    // Selection is a typed tight loop, not Catalyst HOFs: the
+    // `transform(sequence…, array_min(slice…))` form re-evaluates the
+    // whole md5 n-gram array per window position (no subexpression
+    // elimination inside lambda bodies) — O(L²) md5 per doc, measured
+    // 349 s at sf0.1. The loop hashes each n-gram once and scans each
+    // window in place; values are bit-identical (same md5 prefix, same
+    // lexicographic min over fixed-width lowercase hex).
     val ex = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(sel).as("fp"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
+        if (toks.length < NgramN) Iterator.empty
+        else {
+          val digest = java.security.MessageDigest.getInstance("MD5")
+          val hs = new Array[String](toks.length - NgramN + 1)
+          var i = 0
+          while (i < hs.length) {
+            val g = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+            hs(i) = hex8(digest.digest(
+              ("fp:" + g).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            i += 1
+          }
+          val sel = new java.util.LinkedHashSet[String]()
+          if (hs.length < FpWindow) sel.add(hs.min)
+          else {
+            var w = 0
+            while (w + FpWindow <= hs.length) {
+              var m = hs(w)
+              var j = w + 1
+              while (j < w + FpWindow) {
+                if (hs(j) < m) m = hs(j)
+                j += 1
+              }
+              sel.add(m)
+              w += 1
+            }
+          }
+          val it = sel.iterator()
+          Iterator.continually(it).takeWhile(_.hasNext).map(x => (id, x.next()))
+        }
+      }
+      .toDF("doc_id", "fp")
     val hot = ex.groupBy("fp").agg(count(lit(1)).as("ff"))
       .filter(col("ff") > ShingleFreqCap).select(col("fp"))
     ex.join(broadcast(hot), Seq("fp"), "left_anti")

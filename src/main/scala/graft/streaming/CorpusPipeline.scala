@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, QualityClassifier, TextAnalysis}
 
 /** The curation family as one streaming pipeline — the incremental twin
   * of [[graft.operators.Curation.pipeline]] for a Kafka-fed corpus:
@@ -79,6 +79,25 @@ object CorpusPipeline {
       }
       overlap < minOverlap
     }
+  }
+
+  /** Distilled-model scoring: annotate the stream with the trained
+    * quality classifier's score and verdict. The weight vector is
+    * trained OFFLINE ([[QualityClassifier.weights]] over a landed
+    * corpus) and rides the closure — the "train batch, score
+    * in-flight" deployment every production quality classifier uses.
+    * Stateless narrow map; identical arithmetic to the batch scorer,
+    * so batch and stream verdicts can never disagree. */
+  def scoreQuality(docs: DataFrame, weights: Array[Long]): DataFrame = {
+    require(weights.length == QualityClassifier.NumFeatures,
+      s"weight vector must be ${QualityClassifier.NumFeatures} long")
+    val score = udf((text: String) => QualityClassifier.probMicro(
+      QualityClassifier.logitMicro(weights,
+        QualityClassifier.featureIds(text))))
+    docs
+      .withColumn("score_micro", score(col("text")))
+      .withColumn("pred_pass",
+        col("score_micro") >= QualityClassifier.LabelMicro / 2)
   }
 
   /** The composed stream: gate → PII redact → decontaminate → content

@@ -117,6 +117,43 @@ class CorpusPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed classifier scores == batch classify (train batch, score in-flight)") {
+    import spark.implicits._
+    val w = graft.operators.QualityClassifier.weights(spark, sf0001)
+    val batch = graft.operators.QualityClassifier.classify(spark, sf0001)
+      .select("doc_id", "score_micro", "pred_pass")
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (id, s, p) => id -> ((s, p)) }.toMap
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val stream = MemoryStream[(Long, String, Long)](spark)
+    val scored = CorpusPipeline.scoreQuality(
+      stream.toDF().toDF("doc_id", "text", "event_tm"), w)
+    val name = s"clf_sink_${System.nanoTime()}"
+    val q = scored.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("clf-ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      stream.addData(b1.map { case (id, t) => (id, t, ts(0)) })
+      q.processAllAvailable()
+      stream.addData(b2.map { case (id, t) => (id, t, ts(1000)) })
+      q.processAllAvailable()
+      val got = spark.table(name)
+        .select("doc_id", "score_micro", "pred_pass")
+        .as[(Long, Long, Boolean)].collect()
+      assert(got.length == docs.length)
+      got.foreach { case (id, s, p) =>
+        assert(batch(id) == ((s, p)), s"doc $id stream/batch disagree")
+      }
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   test("quality gate formula matches the batch operator exactly") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, sf0001)

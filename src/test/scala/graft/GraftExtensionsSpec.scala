@@ -159,6 +159,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         graft.operators.Dedup.ngramJaccard(spark, sf0001),
       "graft_winnow_pairs" ->
         graft.operators.Dedup.winnowPairs(spark, sf0001),
+      "graft_quality_classifier" ->
+        graft.operators.QualityClassifier.classify(spark, sf0001),
+      "graft_classifier_weights" ->
+        graft.operators.QualityClassifier.modelWeights(spark, sf0001),
       "graft_clusters" ->
         graft.operators.Dedup.clusters(
           graft.operators.Dedup.minhashLsh(spark, sf0001)),
