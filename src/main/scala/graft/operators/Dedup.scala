@@ -807,17 +807,21 @@ object Dedup {
     // eval docs are shingled in isolation (1/EvalStride of the corpus);
     // the bloom build therefore never pays a full-corpus typed pass
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // evalSh feeds the bloom build AND the confirm join — cache it or
+    // the eval-side shingle pass runs twice
     val evalSh = shinglesOf(docs.filter(col("doc_id") % EvalStride === 0))
       .select(explode(col("sh")).as("s")).distinct()
-    val words = bloomBuild(evalSh, "s")
-    shinglesOf(docs.filter(col("doc_id") % EvalStride =!= 0))
-      .select(col("doc_id"), explode(col("sh")).as("s"))
-      .filter(bloomMightContain(words, col("s")))
-      .join(broadcast(evalSh), "s")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared"))
-      .withColumn("contaminated", col("n_shared") >= MinContamOverlap)
-      .orderBy("doc_id")
+    Materialize.withCached(evalSh) {
+      val words = bloomBuild(evalSh, "s")
+      shinglesOf(docs.filter(col("doc_id") % EvalStride =!= 0))
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .filter(bloomMightContain(words, col("s")))
+        .join(broadcast(evalSh), "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .withColumn("contaminated", col("n_shared") >= MinContamOverlap)
+        .orderBy("doc_id")
+    }
   }
 
   /** Number of tiles for the embedding near-dup block join. At a given

@@ -165,15 +165,27 @@ object QualityClassifier {
       val w = Array.fill(NumFeatures)(0L)
       for (_ <- 0 until Iters) {
         val wb = w.clone()
-        val grads = feats
-          .flatMap { case (_, bs, y6) =>
+        // dense per-partition gradient partials, summed on the driver:
+        // one shuffle-free job per iteration moving NumFeatures longs
+        // per partition (tree-reduce the partials on a real cluster).
+        // BIGINT sums keep the update order-independent — the oracle
+        // replay is unaffected by partitioning.
+        val partials = feats.mapPartitions { it =>
+          val g = Array.fill(NumFeatures)(0L)
+          it.foreach { case (_, bs, y6) =>
             val p6 = probMicro(logitMicro(wb, bs))
-            bs.map(b => (b, p6 - y6))
+            var i = 0
+            while (i < bs.length) { g(bs(i)) += p6 - y6; i += 1 }
           }
-          .toDF("bucket", "g")
-          .groupBy("bucket").agg(sum(col("g")).as("g"))
-          .as[(Int, Long)].collect()
-        grads.foreach { case (b, g) => w(b) -= g / (n * LrInv) }
+          Iterator.single(g)
+        }.collect()
+        var b = 0
+        while (b < NumFeatures) {
+          var g = 0L
+          partials.foreach(p => g += p(b))
+          w(b) -= g / (n * LrInv)
+          b += 1
+        }
       }
       w
     } finally feats.unpersist()

@@ -282,21 +282,41 @@ object Similarity {
     import spark.implicits._
     val e = corpus(spark, dir).select(col("vec_id"), col("v"))
       .as[(Long, Array[Double])]
-    var cents: Array[Array[Double]] =
-      e.orderBy(col("vec_id")).limit(KmeansK).collect().map(_._2)
-    for (_ <- 0 until KmeansIters) {
-      val means = assignPass(e, cents)
-        .groupByKey(_._2.toLong).mapValues(_._3)
-        .agg(new VectorOps.VecMean(Dims).toColumn.name("cv"))
-        .collect().toMap
-      cents = cents.indices.toArray.map { cid =>
-        means.get(cid.toLong)
-          .map(_.map(VectorOps.roundAt(_, 6)))
-          .getOrElse(cents(cid)) // empty cluster keeps its centroid
-      }
-    }
-    assignPass(e, cents).toDF("vec_id", "cluster", "v")
+    assignPass(e, trainedCents(spark, dir)).toDF("vec_id", "cluster", "v")
   }
+
+  /** The Lloyd training loop, memoized per (session, corpus dir): the
+    * K×dims centroid block is the model; `sim_kmeans` and
+    * `semanticDedup` (and any SQL consumer) share one training run per
+    * session instead of re-collecting the iteration means each. */
+  private def trainedCents(spark: SparkSession, dir: String)
+      : Array[Array[Double]] = centsMemo.synchronized {
+    centsMemo.getOrElseUpdate((spark, dir), {
+      import spark.implicits._
+      val e = corpus(spark, dir).select(col("vec_id"), col("v"))
+        .as[(Long, Array[Double])]
+      var cents: Array[Array[Double]] =
+        e.orderBy(col("vec_id")).limit(KmeansK).collect().map(_._2)
+      for (_ <- 0 until KmeansIters) {
+        val means = assignPass(e, cents)
+          .groupByKey(_._2.toLong).mapValues(_._3)
+          .agg(new VectorOps.VecMean(Dims).toColumn.name("cv"))
+          .collect().toMap
+        cents = cents.indices.toArray.map { cid =>
+          means.get(cid.toLong)
+            .map(_.map(VectorOps.roundAt(_, 6)))
+            .getOrElse(cents(cid)) // empty cluster keeps its centroid
+        }
+      }
+      cents
+    })
+  }
+
+  private val centsMemo = scala.collection.mutable
+    .Map.empty[(SparkSession, String), Array[Array[Double]]]
+
+  /** Forget trained centroids (all sessions). */
+  def clearCentsMemo(): Unit = centsMemo.synchronized(centsMemo.clear())
 
   /** SemDeDup (semantic dedup; Abbas et al. 2023 shape): k-means
     * partitions the embedding space, then near-duplicate pruning runs
