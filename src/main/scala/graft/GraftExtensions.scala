@@ -173,6 +173,8 @@ object GraftExtensions {
         graft.operators.Dedup.decontaminateBloom),
     "graft_kmeans" ->
       tablePlan("graft_kmeans", graft.operators.Similarity.kmeans),
+    "graft_pq_topk" ->
+      tablePlan("graft_pq_topk", graft.operators.Similarity.pqTopK),
     "graft_lm_score" ->
       tablePlan("graft_lm_score", graft.operators.TextAnalysis.lmScore),
     "graft_semantic_dedup" ->

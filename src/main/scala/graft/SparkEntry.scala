@@ -83,6 +83,7 @@ object SparkEntry {
     "sim_brute_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_ivf_topk"          -> (Similarity.ivfTopK _),
     "sim_lsh_topk"          -> (Similarity.lshTopK _),
+    "sim_pq_topk"           -> (Similarity.pqTopK _),
     "sim_quantize"          -> (Corpus.quantizeProfile _),
     "sim_kmeans"            -> (Similarity.kmeans _),
     "dedup_semantic"        -> (Similarity.semanticDedup _),
@@ -386,6 +387,88 @@ object SparkEntry {
        |  FROM f JOIN w$Iters w USING (bucket)
        |  GROUP BY 1),
        |pf AS MATERIALIZED (SELECT doc_id, ${p6("zmu")} AS p6 FROM zf)""".stripMargin
+  }
+
+  /** CTE chain replaying [[Similarity.pqTopK]] exactly: normalized
+    * corpus → (m, subvector) rows → Lloyd codebooks (round-6 distances
+    * and centroids, lowest-id init — the [[kmeansCtes]] mechanics on a
+    * (vec_id, m) key) → codes → integer-micro ADC (floor(d²·10⁶),
+    * BIGINT sums are order-independent) → top-PqRerank candidates →
+    * exact cosine re-rank. All chained CTEs MATERIALIZED (the codebook
+    * chain references each step twice — default inlining is
+    * exponential in PqIters). */
+  private def pqCtes: String = {
+    import Similarity.{PqM, PqSubDim, PqK, PqIters, PqRerank}
+    def d2sub(sv: String, cv: String) =
+      s"""list_sum(list_transform(range(1, ${PqSubDim + 1}),
+         |    i -> ($sv[i] - $cv[i]) * ($sv[i] - $cv[i])))""".stripMargin
+    def assign(name: String, cents: String) =
+      s"""$name AS MATERIALIZED (SELECT vec_id, m, cid FROM (
+         |  SELECT s.vec_id, s.m, c.cid,
+         |         row_number() OVER (PARTITION BY s.vec_id, s.m
+         |             ORDER BY round(${d2sub("s.sv", "c.cv")}, 6), c.cid)
+         |           AS rn
+         |  FROM sub s JOIN $cents c ON s.m = c.m) WHERE rn = 1)""".stripMargin
+    val iters = (0 until PqIters).map { t =>
+      s"""${assign(s"pa$t", s"pc$t")},
+         |pm$t AS MATERIALIZED (
+         |  SELECT a.m, a.cid, r.i, round(avg(s.sv[r.i]), 6) AS mu
+         |  FROM pa$t a JOIN sub s USING (vec_id, m),
+         |       range(1, ${PqSubDim + 1}) r(i)
+         |  GROUP BY a.m, a.cid, r.i),
+         |pc${t + 1} AS MATERIALIZED (
+         |  SELECT p.m, p.cid, coalesce(mm.cv, p.cv) AS cv FROM pc$t p
+         |  LEFT JOIN (SELECT m, cid, list(mu ORDER BY i) AS cv
+         |             FROM pm$t GROUP BY m, cid) mm USING (m, cid))""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nrm AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(v, a ->
+       |           a / sqrt(list_sum(list_transform(v, b -> b * b)))) AS nv
+       |  FROM e),
+       |sub AS MATERIALIZED (
+       |  SELECT vec_id, CAST(r.m AS INT) AS m,
+       |         list_slice(nv, r.m * $PqSubDim + 1,
+       |                    r.m * $PqSubDim + $PqSubDim) AS sv
+       |  FROM nrm, range(0, $PqM) r(m)),
+       |pinit AS (
+       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |           AS cid
+       |  FROM (SELECT vec_id FROM nrm ORDER BY vec_id LIMIT $PqK)),
+       |pc0 AS MATERIALIZED (
+       |  SELECT s.m, i.cid, s.sv AS cv
+       |  FROM sub s JOIN pinit i USING (vec_id)),
+       |$iters,
+       |${assign("codes", s"pc$PqIters")},
+       |q AS MATERIALIZED (SELECT vec_id AS q_id, nv AS qnv FROM nrm
+       |     WHERE vec_id % ${Similarity.QueryStride} = 0),
+       |qsub AS (
+       |  SELECT q_id, CAST(r.m AS INT) AS m,
+       |         list_slice(qnv, r.m * $PqSubDim + 1,
+       |                    r.m * $PqSubDim + $PqSubDim) AS qsv
+       |  FROM q, range(0, $PqM) r(m)),
+       |tq AS MATERIALIZED (
+       |  SELECT qs.q_id, c.m, c.cid,
+       |         CAST(floor(${d2sub("qs.qsv", "c.cv")} * 1e6) AS BIGINT) AS d
+       |  FROM qsub qs JOIN pc$PqIters c ON qs.m = c.m),
+       |adc AS MATERIALIZED (
+       |  SELECT t.q_id, co.vec_id AS n_id, CAST(sum(t.d) AS BIGINT) AS adc
+       |  FROM codes co JOIN tq t ON t.m = co.m AND t.cid = co.cid
+       |  WHERE co.vec_id <> t.q_id
+       |  GROUP BY 1, 2),
+       |cand AS MATERIALIZED (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY adc, n_id) AS pr
+       |    FROM adc) WHERE pr <= $PqRerank),
+       |rr AS (
+       |  SELECT c.q_id, c.n_id,
+       |         round(list_sum(list_transform(range(1, ${Similarity.Dims + 1}),
+       |               i -> q.qnv[i] * n.nv[i])), 4) AS sim
+       |  FROM cand c JOIN q ON q.q_id = c.q_id
+       |  JOIN nrm n ON n.vec_id = c.n_id)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -920,6 +1003,14 @@ object SparkEntry {
          |                            ORDER BY sim DESC, n_id) AS rank
          |  FROM s)
          |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM r
+         |WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""".stripMargin,
+    "sim_pq_topk" ->
+      s"""WITH $pqCtes
+         |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM (
+         |  SELECT q_id, n_id, sim,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY sim DESC, n_id) AS rank
+         |  FROM rr)
          |WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""".stripMargin,
     "sim_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
