@@ -73,7 +73,7 @@ object Similarity {
         col("embedding").cast("array<double>").as("v"))
 
   /** L2-normalized corpus in a typed pass. */
-  private def normalized(spark: SparkSession, dir: String)
+  private[operators] def normalized(spark: SparkSession, dir: String)
       : Dataset[(Long, Array[Double])] = {
     import spark.implicits._
     corpus(spark, dir).select(col("vec_id"), col("v"))
@@ -248,8 +248,8 @@ object Similarity {
   /** ADC candidates re-ranked exactly per query. */
   val PqRerank = 100
 
-  private def pqArgmin(cents: Array[Array[Double]],
-                       sv: Array[Double]): Int = {
+  private[graft] def pqArgmin(cents: Array[Array[Double]],
+                              sv: Array[Double]): Int = {
     var best = 0
     var bd = Double.MaxValue
     var c = 0
@@ -268,7 +268,7 @@ object Similarity {
     * recentering one partial-aggregating [[VectorOps.VecMean]] shuffle
     * of ≤ PqM×PqK rows. Driver state = the PqM×PqK×PqSubDim block
     * (4 KB). Memoized per (session, dir). */
-  private def pqCodebooks(spark: SparkSession, dir: String)
+  private[operators] def pqCodebooks(spark: SparkSession, dir: String)
       : Array[Array[Array[Double]]] = pqMemo.synchronized {
     pqMemo.getOrElseUpdate((spark, dir), {
       import spark.implicits._
