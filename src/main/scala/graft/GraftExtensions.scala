@@ -175,6 +175,8 @@ object GraftExtensions {
       tablePlan("graft_kmeans", graft.operators.Similarity.kmeans),
     "graft_pq_topk" ->
       tablePlan("graft_pq_topk", graft.operators.Similarity.pqTopK),
+    "graft_corpus_build" ->
+      tablePlan("graft_corpus_build", graft.operators.Corpus.corpusBuild),
     "graft_lm_score" ->
       tablePlan("graft_lm_score", graft.operators.TextAnalysis.lmScore),
     "graft_semantic_dedup" ->

@@ -104,6 +104,7 @@ object SparkEntry {
     "q_train_split"         -> (Corpus.trainSplit _),
     "q_pack_sequences"      -> (Corpus.packSequences _),
     "q_curation_pipeline"   -> (Curation.pipeline _),
+    "q_corpus_build"        -> (Corpus.corpusBuild _),
     "q_stratified_sample"   -> (Sampling.stratifiedSample _),
     "q_mixture_sample"      -> (Sampling.mixtureSample _),
     "q_training_order"      -> (Sampling.trainingOrder _),
@@ -1346,6 +1347,90 @@ object SparkEntry {
       s"""WITH $classifierCtes
          |SELECT bucket, wu AS weight_micro
          |FROM w${QualityClassifier.Iters} ORDER BY bucket""".stripMargin,
+    "q_corpus_build" -> {
+      val stopList =
+        TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      val pii = "tn || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com call 555-' || " +
+        "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+        "' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || " +
+        "CAST((doc_id // 7) % 256 AS VARCHAR) || '.9'"
+      val bucket = "substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)"
+      s"""WITH messy AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 3 = 0
+         |              THEN text || ' e' || chr(769) || 'tude <b>bold</b>'
+         |                   || chr(9) || 'ends  here'
+         |              ELSE text END AS raw
+         |  FROM documents),
+         |nn AS (
+         |  SELECT doc_id,
+         |         trim(regexp_replace(regexp_replace(regexp_replace(
+         |             nfc_normalize(raw),
+         |             '<[^>]*>', ' ', 'g'),
+         |             '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+         |             ' +', ' ', 'g')) AS tn
+         |  FROM messy),
+         |pp AS (SELECT doc_id, $pii AS txt FROM nn),
+         |base AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         regexp_replace(regexp_replace(regexp_replace(txt,
+         |             '${Corpus.EmailRe}', '<EMAIL>', 'g'),
+         |             '${Corpus.PhoneRe}', '<PHONE>', 'g'),
+         |             '${Corpus.IpRe}', '<IP>', 'g') AS t
+         |  FROM pp),
+         |tk AS MATERIALIZED (
+         |  SELECT doc_id, t,
+         |         list_filter(string_split(lower(t), ' '), x -> len(x) > 0)
+         |           AS w
+         |  FROM base),
+         |g AS MATERIALIZED (
+         |  SELECT doc_id, t FROM (
+         |    SELECT doc_id, t, len(w) AS nw,
+         |           round(list_sum(list_transform(w, x -> len(x))) * 1.0
+         |                 / len(w), 4) AS ml,
+         |           round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+         |                 * 1.0 / len(w), 4) AS af,
+         |           len(list_intersect(list_distinct(w), $stopList)) AS ns
+         |    FROM tk)
+         |  WHERE coalesce(
+         |      (nw BETWEEN ${Corpus.MinWords} AND ${Corpus.MaxWords})
+         |      AND (ml BETWEEN ${Corpus.MinMeanWordLen}
+         |             AND ${Corpus.MaxMeanWordLen})
+         |      AND af >= ${Corpus.MinAlphaFrac}
+         |      AND ns >= ${Corpus.MinDistinctStopwords}, FALSE)),
+         |kept AS MATERIALIZED (
+         |  SELECT doc_id, t, h FROM (
+         |    SELECT doc_id, t, md5(t) AS h,
+         |           row_number() OVER (PARTITION BY md5(t)
+         |                              ORDER BY doc_id) AS rn
+         |    FROM g) WHERE rn = 1),
+         |shb AS MATERIALIZED (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(
+         |             range(1, greatest(len(w) - 1, 1)),
+         |             i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+         |           AS s
+         |  FROM tk WHERE len(w) >= 3),
+         |cx AS (
+         |  SELECT b.doc_id
+         |  FROM (SELECT doc_id, unnest(s) AS e FROM shb
+         |        WHERE doc_id % ${Dedup.EvalStride} <> 0) b
+         |  JOIN (SELECT DISTINCT unnest(s) AS e FROM shb
+         |        WHERE doc_id % ${Dedup.EvalStride} = 0) ev USING (e)
+         |  GROUP BY 1 HAVING count(*) >= ${Corpus.BuildContamOverlap})
+         |SELECT k.doc_id,
+         |       CASE WHEN $bucket < '${Corpus.TrainUpper}' THEN 'train'
+         |            WHEN $bucket < '${Corpus.ValUpper}' THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       CAST(len(tk.w) AS INT) AS n_words,
+         |       k.h AS content_hash
+         |FROM kept k JOIN tk USING (doc_id)
+         |WHERE k.doc_id % ${Dedup.EvalStride} <> 0
+         |  AND k.doc_id NOT IN (SELECT doc_id FROM cx)
+         |ORDER BY k.doc_id""".stripMargin
+    },
     "q_train_split" -> {
       val bucket = "substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2)"
       s"""SELECT doc_id, $bucket AS bucket,

@@ -388,6 +388,65 @@ object Corpus {
     trim(regexp_replace(noCtl, " +", " "))
   }
 
+  /** End-to-end corpus construction — the whole curation pipeline a
+    * training run consumes, as ONE oracle-checked query:
+    *
+    *  1. Unicode/HTML normalization ([[normalizeTextCol]], with the
+    *     deterministic mess injected so the stage is exercised);
+    *  2. PII redaction ([[piiRedactCol]], deterministic synthetic PII);
+    *  3. Gopher quality gate ([[gopherCol]]);
+    *  4. exact content dedup on md5(text), keep-lowest-doc_id;
+    *  5. benchmark decontamination (shared word-3-gram shingles vs the
+    *     eval-stride set, [[Dedup.MinContamOverlap]] threshold);
+    *  6. deterministic train/val/test assignment ([[splitCol]]).
+    *
+    * Emits (doc_id, split, n_words, content_hash) for the surviving
+    * corpus. Scale shape: stages 1–3 and 6 are narrow codegen'd maps;
+    * stage 4 is one shuffle on the content hash; stage 5 is the
+    * decontamination inverted index (eval side broadcast by the
+    * benchmark-suite-is-small contract). The normalized frame is
+    * cached across its consumers for the operator's duration. */
+  /** Contamination threshold for [[corpusBuild]] — higher than
+    * [[Dedup.MinContamOverlap]] because the synthetic corpus draws eval
+    * and train docs from one generator (organic 3-gram overlap p99 ≈ 14
+    * at sf0.01): the composition should drop only the
+    * genuinely-extreme overlap, not a third of the corpus. A real
+    * deployment tunes this against its eval suite. */
+  val BuildContamOverlap = 15
+
+  def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    val messy = withSyntheticMess(col("text"), col("doc_id"))
+    val withPii = withSyntheticPii(normalizeTextCol(messy), col("doc_id"))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), piiRedactCol(withPii).getField("redacted").as("t"))
+    Materialize.withCached(base) {
+      val gated = base.filter(
+        coalesce(gopherCol(col("t")).getField("gopher_pass"), lit(false)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h")).orderBy(col("doc_id"))
+      val kept = gated.withColumn("h", md5(col("t")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("t"), col("h"))
+      val evalSh = Dedup
+        .shinglesOf(base.filter(col("doc_id") % Dedup.EvalStride === 0))
+        .select(explode(col("sh")).as("s")).distinct()
+      val contaminated = Dedup
+        .shinglesOf(base.filter(col("doc_id") % Dedup.EvalStride =!= 0))
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .join(broadcast(evalSh), "s")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= BuildContamOverlap)
+        .select("doc_id")
+      kept.filter(col("doc_id") % Dedup.EvalStride =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          splitCol(col("doc_id")).getField("split").as("split"),
+          size(tokens(col("t"))).as("n_words"),
+          col("h").as("content_hash"))
+        .orderBy("doc_id")
+    }
+  }
+
   /** Normalization pass over the corpus: inject the deterministic mess,
     * normalize, report sizes. Narrow codegen'd map, no shuffle beyond
     * the presentation sort. At 100 TB this runs fused with ingest —

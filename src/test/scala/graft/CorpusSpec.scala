@@ -183,6 +183,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.length < total)
   }
 
+  test("corpusBuild: valid splits, unique hashes, eval stride excluded") {
+    val rows = Corpus.corpusBuild(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables.documents(spark, sf0001).count()
+    assert(rows.length < total, "every gate disabled?")
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    assert(splits.contains("train"))
+    val hashes = rows.map(_.getAs[String]("content_hash"))
+    assert(hashes.distinct.length == hashes.length,
+      "exact dedup must leave content hashes unique")
+    assert(rows.forall(_.getAs[Long]("doc_id") %
+      graft.operators.Dedup.EvalStride != 0),
+      "eval-stride docs must not enter the training corpus")
+    assert(rows.forall(_.getAs[Int]("n_words") > 0))
+  }
+
   test("gopher gate matches a hand computation on one doc") {
     val r = Corpus.gopherFilters(spark, sf0001)
       .filter(col("doc_id") === 0).collect().head

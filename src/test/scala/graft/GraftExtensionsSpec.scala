@@ -165,6 +165,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
         graft.operators.QualityClassifier.modelWeights(spark, sf0001),
       "graft_pq_topk" ->
         graft.operators.Similarity.pqTopK(spark, sf0001),
+      "graft_corpus_build" ->
+        graft.operators.Corpus.corpusBuild(spark, sf0001),
       "graft_clusters" ->
         graft.operators.Dedup.clusters(
           graft.operators.Dedup.minhashLsh(spark, sf0001)),
