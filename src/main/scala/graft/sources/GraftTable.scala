@@ -166,17 +166,57 @@ object GraftTable {
         checkEvolution(sink, prev, decodeSchema(b64))
       }
     }
-    val json = versionJson(Version(batchId, files, schemas))
-    val tmp = new Path(log, s".tmp-${version(batchId)}")
+    publish(hfs, log, batchId,
+      versionJson(Version(batchId, files, schemas)), files)
+  }
+
+  /** Atomically publish a version file, arbitrating racing writers:
+    * the rename onto the version name is the commit point; a loser
+    * whose content matches the winner's (replayed batch) succeeds
+    * idempotently, a loser with different content gets
+    * [[ConcurrentCommitException]]. */
+  private[graft] def publish(hfs: FileSystem, log: Path, batchId: Long,
+                             json: String, files: Seq[String])
+      : Seq[String] = {
+    val target = new Path(log, version(batchId))
+    // writer-unique tmp name: two racing writers must never share a
+    // staging file, or the loser's delete could destroy the winner's
+    // pre-rename bytes
+    val tmp = new Path(log,
+      s".tmp-${java.util.UUID.randomUUID()}-${version(batchId)}")
     val out = hfs.create(tmp, true)
     out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
     if (!hfs.rename(tmp, target)) {
       hfs.delete(tmp, false)
       require(hfs.exists(target), s"commit rename failed for $target")
-    }
-    files
+      // lost the publish race for this version. Accept iff the winner
+      // published the same file set (a replayed/duplicate attempt of
+      // the same batch); otherwise surface the conflict so the caller
+      // restages under a fresh version — Delta-style optimistic
+      // concurrency, arbitrated by the atomic rename.
+      val winner = parseVersion(readJson(hfs, target))
+        .map(_.files).getOrElse(Nil)
+      if (winner.toSet != files.toSet) throw new ConcurrentCommitException(
+        s"version $batchId was concurrently committed with a different " +
+          s"file set (${winner.size} vs ${files.size} files) — restage " +
+          "under nextBatchId() and retry")
+      winner
+    } else files
   }
+
+  /** A racing writer lost the atomic publish for its version AND the
+    * winner's content differs — retry with a fresh [[nextBatchId]]. */
+  final class ConcurrentCommitException(msg: String)
+      extends IllegalStateException(msg)
+
+  /** Next free version for an optimistic ad-hoc writer: one past the
+    * newest committed version. Two racers can still pick the same id —
+    * the commit's atomic rename arbitrates and the loser gets a
+    * [[ConcurrentCommitException]] to retry with a re-read id: Delta's
+    * optimistic-concurrency loop without a coordination service. */
+  def nextBatchId(spark: SparkSession, root: String): Long =
+    versions(spark, root).lastOption.map(_ + 1L).getOrElse(0L)
 
   private def versionJson(v: Version): String = {
     val fs = v.files.map(f => "\"" + f + "\"").mkString(",")

@@ -171,4 +171,57 @@ class GraftTableSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException](GraftTable.commit(spark, root, 0))
     assert(e.getMessage.contains("missing file"))
   }
+
+  test("racing writers on one version: rename arbitrates, replays reconcile") {
+    import org.apache.hadoop.fs.Path
+    val log = new Path(
+      Files.createTempDirectory("gt-race").toString, "_graft_log")
+    val hfs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    hfs.mkdirs(log)
+    val files = Seq("raw/batch_id=7/part-0.parquet")
+    val json = """{"batchId":7,"files":["raw/batch_id=7/part-0.parquet"]}"""
+    // 8 concurrent same-content publishers: every one must succeed and
+    // agree on the published set; exactly one version file exists after
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val futures = (0 until 8).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+        def call(): Seq[String] = {
+          barrier.await()
+          GraftTable.publish(hfs, log, 7L, json, files)
+        }
+      })
+    }
+    val results = futures.map(_.get())
+    pool.shutdown()
+    assert(results.forall(_ == files))
+    val vFiles = hfs.listStatus(log).map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+    assert(vFiles.length == 1)
+
+    // a loser with DIFFERENT content must get the conflict, and the
+    // winner's commit must survive untouched
+    val other = Seq("raw/batch_id=7/part-OTHER.parquet")
+    val otherJson =
+      """{"batchId":7,"files":["raw/batch_id=7/part-OTHER.parquet"]}"""
+    intercept[GraftTable.ConcurrentCommitException] {
+      GraftTable.publish(hfs, log, 7L, otherJson, other)
+    }
+    assert(GraftTable.publish(hfs, log, 7L, json, files) == files,
+      "winner content must survive the losing attempt")
+  }
+
+  test("nextBatchId: optimistic version allocation past the newest commit") {
+    val export = Files.createTempDirectory("gt-next").toString
+    val cfg = cfgFor(export)
+    val root = s"$export/${cfg.logname}"
+    assert(GraftTable.nextBatchId(spark, root) == 0L)
+    val batch = ProtoPipeline
+      .decodeFrames(ProtoPipeline.framedMessages(spark, sf0001)).limit(5)
+    BidPipeline.exportBatch(batch, cfg, batchId = 0)
+    assert(GraftTable.nextBatchId(spark, root) == 1L)
+    BidPipeline.exportBatch(batch, cfg, batchId = 4)
+    assert(GraftTable.nextBatchId(spark, root) == 5L)
+  }
 }
