@@ -216,6 +216,19 @@ object GraftExtensions {
           org.apache.spark.sql.functions.col("text"))
       graft.operators.Dedup.minhashJoin(docs(l), docs(r))
         .queryExecution.analyzed
+    },
+    // two-argument form: cross-corpus exact-substring (winnowed
+    // fingerprint) join between two document directories
+    "graft_winnow_join" -> { args =>
+      require(args.length == 2,
+        "graft_winnow_join(left_dir, right_dir) takes two literal paths")
+      val Seq(l, r) = args.map(litString("graft_winnow_join", _))
+      val spark = org.apache.spark.sql.SparkSession.active
+      def docs(d: String) = graft.sources.Tables.documents(spark, d)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+      graft.operators.Dedup.winnowJoin(docs(l), docs(r))
+        .queryExecution.analyzed
     })
 
   private def litString(name: String, e: Expression): String =

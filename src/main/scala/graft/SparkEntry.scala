@@ -75,6 +75,14 @@ object SparkEntry {
     "dedup_decontam_bloom"  -> (Dedup.decontaminateBloom _),
     "dedup_spans"           -> (Corpus.spanDedup _),
     "dedup_winnow"          -> (Dedup.winnowPairs _),
+    "dedup_winnow_join"     -> { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      val docs = graft.sources.Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+      Dedup.winnowJoin(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0))
+    },
     "dedup_url"             -> (Corpus.urlDedup _),
     "text_repetition"       -> (TextAnalysis.repetitionStats _),
     "text_tfidf"            -> (TextAnalysis.tfIdfTopTerms _),
@@ -471,6 +479,38 @@ object SparkEntry {
        |  FROM cand c JOIN q ON q.q_id = c.q_id
        |  JOIN nrm n ON n.vec_id = c.n_id)""".stripMargin
   }
+
+  /** Shared winnowed-fingerprint CTEs ending in `exc(doc_id, fp)` —
+    * selection replayed relationally (per-window minima over ordered
+    * 3-gram hashes, hyper-frequent fingerprints dropped), used by the
+    * within-corpus pair query and the cross-corpus join. */
+  private def winnowCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, greatest(len(t) - 1, 1)),
+       |             i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS gr
+       |  FROM toks),
+       |hs AS (
+       |  SELECT doc_id,
+       |         list_transform(gr, s -> substr(md5('fp:' || s), 1, 8)) AS h
+       |  FROM g WHERE len(gr) > 0),
+       |sel AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(h) < ${Dedup.FpWindow} THEN [list_min(h)]
+       |              ELSE list_distinct(list_transform(
+       |                     range(1, len(h) - ${Dedup.FpWindow - 2}),
+       |                     i -> list_min(list_slice(h, i,
+       |                            i + ${Dedup.FpWindow - 1})))) END AS sel
+       |  FROM hs),
+       |ex AS (SELECT doc_id, unnest(sel) AS fp FROM sel),
+       |hot AS (SELECT fp FROM ex GROUP BY fp
+       |        HAVING count(*) > ${Dedup.ShingleFreqCap}),
+       |exc AS MATERIALIZED (
+       |  SELECT * FROM ex WHERE fp NOT IN (SELECT fp FROM hot))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_partition_discovery" ->
@@ -1153,31 +1193,7 @@ object SparkEntry {
          |FROM b ORDER BY doc_id""".stripMargin
     },
     "dedup_winnow" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
-         |  FROM documents),
-         |g AS (
-         |  SELECT doc_id,
-         |         list_transform(range(1, greatest(len(t) - 1, 1)),
-         |             i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS gr
-         |  FROM toks),
-         |hs AS (
-         |  SELECT doc_id,
-         |         list_transform(gr, s -> substr(md5('fp:' || s), 1, 8)) AS h
-         |  FROM g WHERE len(gr) > 0),
-         |sel AS (
-         |  SELECT doc_id,
-         |         CASE WHEN len(h) < ${Dedup.FpWindow} THEN [list_min(h)]
-         |              ELSE list_distinct(list_transform(
-         |                     range(1, len(h) - ${Dedup.FpWindow - 2}),
-         |                     i -> list_min(list_slice(h, i,
-         |                            i + ${Dedup.FpWindow - 1})))) END AS sel
-         |  FROM hs),
-         |ex AS (SELECT doc_id, unnest(sel) AS fp FROM sel),
-         |hot AS (SELECT fp FROM ex GROUP BY fp
-         |        HAVING count(*) > ${Dedup.ShingleFreqCap}),
-         |exc AS (SELECT * FROM ex WHERE fp NOT IN (SELECT fp FROM hot)),
+      s"""WITH $winnowCtes,
          |p AS (
          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
          |  FROM exc x JOIN exc y ON x.fp = y.fp AND x.doc_id < y.doc_id
@@ -1185,6 +1201,17 @@ object SparkEntry {
          |SELECT doc_a, doc_b, n_shared FROM p
          |WHERE n_shared >= ${Dedup.MinSharedFp}
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_winnow_join" ->
+      s"""WITH $winnowCtes,
+         |p AS (
+         |  SELECT x.doc_id AS left_id, y.doc_id AS right_id,
+         |         count(*) AS n_shared
+         |  FROM exc x JOIN exc y ON x.fp = y.fp
+         |  WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+         |  GROUP BY 1, 2)
+         |SELECT left_id, right_id, n_shared FROM p
+         |WHERE n_shared >= ${Dedup.MinSharedFp}
+         |ORDER BY left_id, right_id""".stripMargin,
     "text_fingerprint" ->
       s"""WITH $toksCte,
          |g AS (

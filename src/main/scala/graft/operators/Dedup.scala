@@ -539,18 +539,20 @@ object Dedup {
     * posting-list expansion as [[ngramJaccard]] ([[ShingleFreqCap]]
     * drops boilerplate fingerprints shared by everything).
     */
-  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Winnowed fingerprints of a (doc_id, text) frame — (doc_id, fp)
+    * rows, distinct per doc. A typed tight loop, not Catalyst HOFs: the
+    * `transform(sequence…, array_min(slice…))` form re-evaluates the
+    * whole md5 n-gram array per window position (no subexpression
+    * elimination inside lambda bodies) — O(L²) md5 per doc, measured
+    * 349 s at sf0.1. The loop hashes each n-gram once and scans each
+    * window in place; values are bit-identical to the SQL oracle (same
+    * md5 prefix, same lexicographic min over fixed-width lowercase
+    * hex). */
+  private[graft] def winnowFps(docs: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, String)] = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    // Selection is a typed tight loop, not Catalyst HOFs: the
-    // `transform(sequence…, array_min(slice…))` form re-evaluates the
-    // whole md5 n-gram array per window position (no subexpression
-    // elimination inside lambda bodies) — O(L²) md5 per doc, measured
-    // 349 s at sf0.1. The loop hashes each n-gram once and scans each
-    // window in place; values are bit-identical (same md5 prefix, same
-    // lexicographic min over fixed-width lowercase hex).
-    val ex = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
+    docs.as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
         if (toks.length < NgramN) Iterator.empty
@@ -583,6 +585,12 @@ object Dedup {
           Iterator.continually(it).takeWhile(_.hasNext).map(x => (id, x.next()))
         }
       }
+  }
+
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ex = winnowFps(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")))
       .toDF("doc_id", "fp")
     val hot = ex.groupBy("fp").agg(count(lit(1)).as("ff"))
       .filter(col("ff") > ShingleFreqCap).select(col("fp"))
@@ -600,6 +608,37 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= MinSharedFp)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Cross-corpus winnowed-fingerprint join — exact-substring overlap
+    * between a fresh crawl (`left`) and the landed corpus (`right`):
+    * (left_id, right_id, n_shared) for every pair sharing ≥
+    * [[MinSharedFp]] fingerprints. The copied-passage complement of
+    * [[minhashJoin]] (which needs whole-doc set similarity).
+    *
+    * Scale shape mirrors [[minhashJoin]]: hyper-frequent fingerprints
+    * (union frequency > [[ShingleFreqCap]] — boilerplate in everything)
+    * are dropped; surviving corpus-side posting lists cap at
+    * [[HotGroupCap]] lowest right ids, so no join key is ever
+    * unbounded; the crawl side is never silently dropped.
+    */
+  def winnowJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val lf = winnowFps(left).toDF("left_id", "fp")
+    val rf = winnowFps(right).toDF("right_id", "fp")
+    val hot = lf.select(col("fp")).unionAll(rf.select(col("fp")))
+      .groupBy("fp").agg(count(lit(1)).as("ff"))
+      .filter(col("ff") > ShingleFreqCap).select(col("fp"))
+    val lc = lf.join(broadcast(hot), Seq("fp"), "left_anti")
+    val rCapW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("right_id"))
+    val rc = rf.join(broadcast(hot), Seq("fp"), "left_anti")
+      .withColumn("rn", row_number().over(rCapW))
+      .filter(col("rn") <= HotGroupCap).drop("rn")
+    lc.join(rc, "fp")
+      .groupBy("left_id", "right_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinSharedFp)
+      .orderBy("left_id", "right_id")
   }
 
   /** Deterministic eval-set stride for [[decontaminate]] and the

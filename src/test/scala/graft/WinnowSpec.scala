@@ -62,6 +62,42 @@ class WinnowSpec extends AnyFunSuite {
     assert(Dedup.winnowPairs(spark, d).count() == 0)
   }
 
+  test("cross-corpus join: shared run found, right side caps, left never dropped") {
+    import org.apache.spark.sql.functions.col
+    val run = words("lifted", 40)
+    // 600 docs all containing the same 40-token run, split odd (crawl)
+    // / even (corpus): every fp posting on the right is 300 > cap →
+    // capped at HotGroupCap lowest even ids; every LEFT doc must still
+    // pair (the crawl side is never dropped)
+    val docs = (0L until 600L).map(i => i -> s"${words(s"pre$i-", 5)} $run")
+    val d = write(docs)
+    val all = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    val rows = Dedup.winnowJoin(
+      all.filter(col("doc_id") % 2 === 1),
+      all.filter(col("doc_id") % 2 === 0)).collect()
+    val leftIds = rows.map(_.getLong(0)).toSet
+    assert(leftIds == (1L until 600L by 2).toSet,
+      "every crawl doc must be flagged")
+    val rightIds = rows.map(_.getLong(1)).toSet
+    assert(rightIds.subsetOf((0L until 600L by 2).toSet))
+    assert(rows.forall(_.getLong(2) >= Dedup.MinSharedFp))
+  }
+
+  test("cross-corpus join: disjoint corpora produce no pairs") {
+    import org.apache.spark.sql.functions.col
+    val d = write(Seq(
+      1L -> words("alpha", 60),
+      3L -> words("beta", 60),
+      0L -> words("gamma", 60),
+      2L -> words("delta", 60)))
+    val all = graft.sources.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    assert(Dedup.winnowJoin(
+      all.filter(col("doc_id") % 2 === 1),
+      all.filter(col("doc_id") % 2 === 0)).count() == 0)
+  }
+
   test("fingerprint selection is deterministic across repartitioning") {
     import org.apache.spark.sql.functions.col
     val run = words("copy", 30)
