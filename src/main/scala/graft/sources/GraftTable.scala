@@ -55,10 +55,13 @@ object GraftTable {
   private val LogDir = "_graft_log"
   private val Checkpoint = "checkpoint.json"
 
-  /** One published version: the files batch `batchId` added and the
-    * footer schema (base64 of Spark schema JSON) per sink it touched. */
+  /** One published version: the files batch `batchId` added, the files
+    * it logically REMOVED from the snapshot (copy-on-write row-level
+    * deletes — bytes stay on disk for time travel), and the footer
+    * schema (base64 of Spark schema JSON) per sink it touched. */
   final case class Version(batchId: Long, files: Seq[String],
-                           schemas: Map[String, String])
+                           schemas: Map[String, String],
+                           removed: Seq[String] = Nil)
 
   private def fs(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
@@ -220,27 +223,34 @@ object GraftTable {
 
   private def versionJson(v: Version): String = {
     val fs = v.files.map(f => "\"" + f + "\"").mkString(",")
+    val rm = if (v.removed.isEmpty) ""
+      else v.removed.map(f => "\"" + f + "\"")
+        .mkString(""","removed":[""", ",", "]")
     val ss = v.schemas.toSeq.sortBy(_._1)
       .map { case (k, s) => "\"" + k + "\":\"" + s + "\"" }.mkString(",")
-    s"""{"batchId":${v.batchId},"files":[$fs],"schemas":{$ss}}"""
+    s"""{"batchId":${v.batchId},"files":[$fs]$rm,"schemas":{$ss}}"""
   }
 
   // A commit file and a checkpoint's version entries share one shape;
   // file paths contain no quotes/brackets and schemas are base64, so a
-  // non-greedy regex parse is exact. "schemas" is optional for logs
-  // written before schema tracking.
+  // non-greedy regex parse is exact. "removed" is optional (row-level
+  // deletes only), "schemas" is optional for logs written before schema
+  // tracking.
   private val VersionRe =
-    """\{"batchId":(\d+),"files":\[([^\]]*)\](?:,"schemas":\{([^}]*)\})?\}""".r
+    ("""\{"batchId":(\d+),"files":\[([^\]]*)\]""" +
+      """(?:,"removed":\[([^\]]*)\])?(?:,"schemas":\{([^}]*)\})?\}""").r
   private val StrRe = "\"([^\"]+)\"".r
   private val PairRe = "\"([^\"]+)\":\"([^\"]+)\"".r
 
   private def parseVersions(json: String): Seq[Version] =
     VersionRe.findAllMatchIn(json).map { m =>
-      val files = StrRe.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
-      val schemas = Option(m.group(3)).map { g =>
+      def strs(g: String) =
+        Option(g).map(s => StrRe.findAllMatchIn(s).map(_.group(1)).toSeq)
+          .getOrElse(Nil)
+      val schemas = Option(m.group(4)).map { g =>
         PairRe.findAllMatchIn(g).map(x => x.group(1) -> x.group(2)).toMap
       }.getOrElse(Map.empty[String, String])
-      Version(m.group(1).toLong, files, schemas)
+      Version(m.group(1).toLong, strs(m.group(2)), schemas, strs(m.group(3)))
     }.toSeq
 
   private def parseVersion(json: String): Option[Version] =
@@ -275,14 +285,25 @@ object GraftTable {
   def versions(spark: SparkSession, root: String): Seq[Long] =
     history(spark, root).map(_.batchId)
 
+  /** Fold a version prefix into its snapshot file set: adds then
+    * removals, in version order (row-level deletes publish `removed`
+    * entries — the bytes stay on disk for time travel). */
+  private def foldFiles(cut: Seq[Version]): Seq[String] = {
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    cut.sortBy(_.batchId).foreach { v =>
+      out ++= v.files
+      out --= v.removed
+    }
+    out.toSeq
+  }
+
   /** All committed root-relative files — optionally the snapshot as of
-    * batch `asOf` (commits are append-only deltas, so a snapshot is the
-    * union of the version prefix). */
+    * batch `asOf` (adds minus removals over the version prefix). */
   def committedFiles(spark: SparkSession, root: String,
                      asOf: Option[Long] = None): Seq[String] = {
     val hist = history(spark, root)
     val cut = asOf.map(a => hist.filter(_.batchId <= a)).getOrElse(hist)
-    cut.flatMap(_.files).distinct
+    foldFiles(cut)
   }
 
   // Overload preserving the TableFormat contract signature.
@@ -330,7 +351,9 @@ object GraftTable {
   def vacuum(spark: SparkSession, root: String, ttlMs: Long): Seq[String] = {
     val (hfs, rootPath) = fs(spark, root)
     if (!hfs.exists(rootPath)) return Nil
-    val live = committedFiles(spark, root).toSet
+    // every file ANY version references is live — files replaced by a
+    // row-level delete must survive for time travel to older versions
+    val live = history(spark, root).flatMap(_.files).toSet
     val cutoff = System.currentTimeMillis() - ttlMs
     val rootUri = rootPath.toUri.getPath
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -351,7 +374,7 @@ object GraftTable {
                         asOf: Option[Long]): DataFrame = {
     val hist = history(spark, root)
     val cut = asOf.map(a => hist.filter(_.batchId <= a)).getOrElse(hist)
-    val files = cut.flatMap(_.files).distinct
+    val files = foldFiles(cut)
       .filter(_.startsWith(sink + "/")).map(f => s"$root/$f")
     if (files.isEmpty) return spark.emptyDataFrame
     // merge footers only when versions actually disagree on the schema
@@ -376,4 +399,74 @@ object GraftTable {
   def readAsOf(spark: SparkSession, root: String, sink: String,
                asOfBatchId: Long): DataFrame =
     readFiles(spark, root, sink, Some(asOfBatchId))
+
+  /** Copy-on-write row-level DELETE (Delta's `DELETE WHERE`): rewrite
+    * only the files of `sink` that contain matching rows — survivors of
+    * each affected file land under a fresh `batch_id` directory and one
+    * commit atomically publishes {added survivors, removed originals}.
+    * Untouched files are never rewritten; replaced bytes stay on disk
+    * so [[readAsOf]] to a pre-delete version still works ([[vacuum]]
+    * keeps every version-referenced file).
+    *
+    * Returns the published version, or None when no row matched.
+    * Partitioned sinks keep their layout: partition keys are recovered
+    * from the affected files' `key=value` path segments.
+    *
+    * Scale: reads ONLY affected files (predicate pruning decides how
+    * many), one write of their survivors, one commit. Concurrent
+    * writers arbitrate through [[publish]] like any commit. */
+  def deleteWhere(spark: SparkSession, root: String, sink: String,
+                  predicate: org.apache.spark.sql.Column): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val (hfs, rootPath) = fs(spark, root)
+    val snap = committedFiles(spark, root)
+      .filter(_.startsWith(sink + "/"))
+    if (snap.isEmpty) return None
+    val rootUri = rootPath.toUri.getPath
+    def toRel(abs: String): String = {
+      val p = new Path(abs).toUri.getPath
+      p.stripPrefix(rootUri).stripPrefix("/")
+    }
+    val withF = spark.read.option("basePath", s"$root/$sink")
+      .parquet(snap.map(f => s"$root/$f"): _*)
+      .withColumn("__file", input_file_name())
+    val affected = withF.filter(predicate)
+      .select(col("__file")).distinct()
+      .collect().map(r => toRel(r.getString(0))).toSeq.sorted
+    if (affected.isEmpty) return None
+    val newId = nextBatchId(spark, root)
+    // input_file_name() yields scheme-qualified URIs — compare on the
+    // same root-relative normalization used everywhere else
+    val affSet = affected.toSet
+    val rootU = rootUri
+    val isAffected = org.apache.spark.sql.functions.udf((f: String) =>
+      affSet.contains(new Path(f).toUri.getPath
+        .stripPrefix(rootU).stripPrefix("/")))
+    // drop the inferred batch_id partition column: the rewrite lands
+    // under batch_id=<newId>, so keeping the old value as a data column
+    // would shadow the directory-derived one on every future read
+    val survivors = withF
+      .filter(isAffected(col("__file")))
+      .filter(!predicate)
+      .drop("__file", "batch_id")
+    // recover the partition layout (key=value segments between sink/
+    // and the filename, batch_id excluded — it is re-assigned)
+    val partCols = affected.head.split('/')
+      .drop(1).dropRight(1)
+      .filter(_.contains('='))
+      .map(_.takeWhile(_ != '='))
+      .filterNot(_ == "batch_id")
+    val out = s"$root/$sink/batch_id=$newId"
+    val writer = survivors.write.mode("overwrite")
+    (if (partCols.nonEmpty) writer.partitionBy(partCols.toIndexedSeq: _*)
+     else writer).parquet(out)
+    val files = batchFiles(hfs, rootPath, newId)
+    val schemas = sinkSchemas(spark, root,
+      if (files.nonEmpty) files else snap)
+    val log = new Path(rootPath, LogDir)
+    hfs.mkdirs(log)
+    publish(hfs, log, newId,
+      versionJson(Version(newId, files, schemas, affected)), files)
+    Some(newId)
+  }
 }

@@ -212,6 +212,49 @@ class GraftTableSpec extends AnyFunSuite {
       "winner content must survive the losing attempt")
   }
 
+  test("deleteWhere: copy-on-write, time travel intact, vacuum-safe") {
+    val root = Files.createTempDirectory("gt-delete").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    (1L to 10L).map(i => (i, s"doc $i")).toDF("id", "text")
+      .coalesce(2).write.parquet(s"$root/docs/batch_id=0")
+    GraftTable.commit(spark, root, 0)
+    (11L to 20L).map(i => (i, s"doc $i")).toDF("id", "text")
+      .coalesce(2).write.parquet(s"$root/docs/batch_id=1")
+    GraftTable.commit(spark, root, 1)
+    val before = GraftTable.committedFiles(spark, root)
+
+    val v = GraftTable.deleteWhere(spark, root, "docs", col("id") % 2 === 1)
+    assert(v.contains(2L))
+    // snapshot: only even ids survive
+    val ids = GraftTable.read(spark, root, "docs")
+      .select("id").as[Long].collect().sorted
+    assert(ids.toSeq == (2L to 20L by 2))
+    // time travel to pre-delete versions still sees every row
+    assert(GraftTable.readAsOf(spark, root, "docs", 1).count() == 20)
+    assert(GraftTable.readAsOf(spark, root, "docs", 0).count() == 10)
+    // replaced bytes stay on disk and vacuum must keep them
+    before.foreach(f => assert(new java.io.File(s"$root/$f").exists(),
+      s"replaced file $f must survive for time travel"))
+    assert(GraftTable.vacuum(spark, root, ttlMs = 0).isEmpty)
+    before.foreach(f => assert(new java.io.File(s"$root/$f").exists()))
+
+    // no-match delete publishes nothing
+    assert(GraftTable.deleteWhere(spark, root, "docs",
+      col("id") > 1000).isEmpty)
+    assert(GraftTable.versions(spark, root) == Seq(0L, 1L, 2L))
+
+    // a second delete composes on the already-rewritten snapshot
+    val v2 = GraftTable.deleteWhere(spark, root, "docs", col("id") === 2L)
+    assert(v2.contains(3L))
+    assert(GraftTable.read(spark, root, "docs")
+      .select("id").as[Long].collect().sorted.toSeq == (4L to 20L by 2))
+    // history survives checkpoint folding with removals intact
+    GraftTable.checkpoint(spark, root, throughBatchId = 3)
+    assert(GraftTable.read(spark, root, "docs").count() == 9)
+    assert(GraftTable.readAsOf(spark, root, "docs", 1).count() == 20)
+  }
+
   test("nextBatchId: optimistic version allocation past the newest commit") {
     val export = Files.createTempDirectory("gt-next").toString
     val cfg = cfgFor(export)
