@@ -60,6 +60,45 @@ object PqIndex {
       .write.mode("overwrite").parquet(s"$indexPath/codes.parquet")
   }
 
+  /** Codebooks back from storage: cents(m)(cid). */
+  private[graft] def loadCodebooks(spark: SparkSession, indexPath: String)
+      : Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    val cbRows = spark.read.parquet(s"$indexPath/codebooks.parquet")
+      .as[(Int, Int, Array[Double])].collect()
+    val nCents = cbRows.map(_._2).max + 1
+    val cents = Array.ofDim[Array[Double]](Similarity.PqM, nCents)
+    cbRows.foreach { case (m, cid, cv) => cents(m)(cid) = cv }
+    cents
+  }
+
+  /** Stateless encode stage — batch OR streaming: annotate a frame
+    * carrying an `embedding` array column with the packed PQ `code`,
+    * using the persisted index's codebooks (read once at plan time,
+    * riding the closure). The incremental-index-maintenance path: new
+    * corpus vectors arriving on a stream are encoded in-flight and
+    * appended to the code table; codes are bit-identical to
+    * [[build]]'s (asserted in the spec), so the reader never knows
+    * which path produced a code. */
+  def encodeStage(vecs: org.apache.spark.sql.DataFrame,
+                  indexPath: String): org.apache.spark.sql.DataFrame = {
+    val cents = loadCodebooks(vecs.sparkSession, indexPath)
+    val m0 = Similarity.PqM
+    val sd = Similarity.PqSubDim
+    val enc = udf((v: Seq[Double]) => {
+      val nv = VectorOps.l2Normalize(v.toArray)
+      var code = 0L
+      var m = 0
+      while (m < m0) {
+        code |= Similarity.pqArgmin(cents(m), nv.slice(m * sd, (m + 1) * sd))
+          .toLong << (CodeBits * m)
+        m += 1
+      }
+      code
+    })
+    vecs.withColumn("code", enc(col("embedding").cast("array<double>")))
+  }
+
   /** Top-k cosine neighbors from the persisted index for the standard
     * deterministic query set. The ADC scan touches only
     * `codes.parquet`; raw vectors are read for the query block and the
@@ -69,12 +108,8 @@ object PqIndex {
     import spark.implicits._
     val m0 = Similarity.PqM
     val sd = Similarity.PqSubDim
-    // codebooks back from storage: cents(m)(cid)
-    val cbRows = spark.read.parquet(s"$indexPath/codebooks.parquet")
-      .as[(Int, Int, Array[Double])].collect()
-    val nCents = cbRows.map(_._2).max + 1
-    val cents = Array.ofDim[Array[Double]](m0, nCents)
-    cbRows.foreach { case (m, cid, cv) => cents(m)(cid) = cv }
+    val cents = loadCodebooks(spark, indexPath)
+    val nCents = cents(0).length
     val normed = Similarity.normalized(spark, dir)
     val qRows = normed.filter(_._1 % Similarity.QueryStride == 0)
       .collect().sortBy(_._1)

@@ -34,6 +34,44 @@ class PqIndexSpec extends AnyFunSuite {
     assert(fromIndex.sameElements(inMemory))
   }
 
+  test("streaming encode stage: in-flight codes == the built index's codes") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val stored = spark.read.parquet(s"$idx/codes.parquet")
+      .as[(Long, Long)].collect().toMap
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")
+          .cast("array<double>").as("embedding"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val (b1, b2) = vecs.splitAt(vecs.length / 2)
+    val stream = MemoryStream[(Long, Seq[Double])](spark)
+    val encoded = PqIndex.encodeStage(
+      stream.toDF().toDF("vec_id", "embedding"), idx)
+      .select("vec_id", "code")
+    val name = s"pq_enc_${System.nanoTime()}"
+    val q = encoded.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("pq-enc-ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      stream.addData(b1)
+      q.processAllAvailable()
+      stream.addData(b2)
+      q.processAllAvailable()
+      val got = spark.table(name).as[(Long, Long)].collect()
+      assert(got.length == vecs.length)
+      got.foreach { case (id, code) =>
+        assert(code == stored(id), s"vec $id stream/index code mismatch")
+      }
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   test("codes round-trip: decoding the stored code re-derives the argmin") {
     import spark.implicits._
     // re-encoding the corpus against the STORED codebooks must equal
