@@ -10,8 +10,11 @@ import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
-  * Three variants, all sharing the typed dot-product kernel in
-  * [[VectorOps]] and the same two-level top-k plan:
+  * Four variants — brute-force, IVF, SRP-LSH, and product quantization
+  * ([[pqTopK]], with its persisted lifecycle in
+  * [[graft.operators.PqIndex]]) — plus deterministic k-means and
+  * SemDeDup. All share the typed dot-product kernel in [[VectorOps]]
+  * and the same two-level top-k plan:
   *
   *  1. score candidates in a typed per-partition pass that keeps only a
   *     bounded k-entry heap per query (so each partition emits ≤ K rows
