@@ -177,6 +177,8 @@ object GraftExtensions {
       tablePlan("graft_pq_topk", graft.operators.Similarity.pqTopK),
     "graft_corpus_build" ->
       tablePlan("graft_corpus_build", graft.operators.Corpus.corpusBuild),
+    "graft_bpe_merges" ->
+      tablePlan("graft_bpe_merges", graft.operators.Bpe.merges),
     "graft_lm_score" ->
       tablePlan("graft_lm_score", graft.operators.TextAnalysis.lmScore),
     "graft_semantic_dedup" ->

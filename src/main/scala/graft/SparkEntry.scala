@@ -109,6 +109,7 @@ object SparkEntry {
     "text_classifier_weights" -> (QualityClassifier.modelWeights _),
     "text_chunks"           -> (Corpus.tokenChunks _),
     "text_top_terms"        -> (Corpus.topTerms _),
+    "text_bpe_merges"       -> (Bpe.merges _),
     "q_train_split"         -> (Corpus.trainSplit _),
     "q_pack_sequences"      -> (Corpus.packSequences _),
     "q_curation_pipeline"   -> (Curation.pipeline _),
@@ -511,6 +512,68 @@ object SparkEntry {
        |        HAVING count(*) > ${Dedup.ShingleFreqCap}),
        |exc AS MATERIALIZED (
        |  SELECT * FROM ex WHERE fp NOT IN (SELECT fp FROM hot))""".stripMargin
+
+  /** CTE chain replaying [[Bpe.merges]] exactly: frequency-weighted
+    * word vocabulary → character symbols → per round, exact BIGINT
+    * pair counts, winner = (max count, lexicographically smallest
+    * pair), greedy non-overlapping application via the window-parity
+    * trick (runs of consecutive matches keep odd ranks — for
+    * lhs ≠ rhs matches can never be adjacent, so this IS the
+    * left-to-right greedy scan). State CTEs MATERIALIZED — each is
+    * referenced by both the pair count and the rewrite of its round. */
+  private def bpeCtes: String = {
+    def iter(t: Int): String =
+      s"""pc$t AS (
+         |  SELECT syms[i] AS a, syms[i + 1] AS b,
+         |         CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+         |        FROM s$t)
+         |  GROUP BY 1, 2),
+         |mg$t AS MATERIALIZED (
+         |  SELECT a, b FROM pc$t ORDER BY c DESC, a, b LIMIT 1),
+         |ps$t AS MATERIALIZED (
+         |  SELECT w, cnt, CAST(i AS INT) AS i, syms[i] AS sym,
+         |         i < len(syms)
+         |           AND syms[i] = (SELECT a FROM mg$t)
+         |           AND syms[i + 1] = (SELECT b FROM mg$t) AS m
+         |  FROM (SELECT w, cnt, syms,
+         |               unnest(range(1, len(syms) + 1)) AS i
+         |        FROM s$t)),
+         |sel$t AS (
+         |  SELECT w, i, TRUE AS sel FROM (
+         |    SELECT w, i,
+         |           row_number() OVER (PARTITION BY w, grp ORDER BY i) AS rk
+         |    FROM (SELECT w, i,
+         |                 i - row_number() OVER (PARTITION BY w ORDER BY i)
+         |                   AS grp
+         |          FROM ps$t WHERE m))
+         |  WHERE rk % 2 = 1),
+         |fl$t AS (
+         |  SELECT p.w, p.cnt, p.i, p.sym, coalesce(s.sel, FALSE) AS sel
+         |  FROM ps$t p LEFT JOIN sel$t s ON p.w = s.w AND p.i = s.i),
+         |em$t AS (
+         |  SELECT w, cnt, i,
+         |         CASE WHEN sel THEN sym || lead(sym) OVER win
+         |              ELSE sym END AS osym,
+         |         coalesce(lag(sel) OVER win, FALSE) AS consumed
+         |  FROM fl$t WINDOW win AS (PARTITION BY w ORDER BY i)),
+         |s${t + 1} AS MATERIALIZED (
+         |  SELECT w, any_value(cnt) AS cnt, list(osym ORDER BY i) AS syms
+         |  FROM em$t WHERE NOT consumed GROUP BY w)""".stripMargin
+    s"""toks AS (
+       |  SELECT list_filter(string_split(lower(text), ' '), x -> len(x) > 0)
+       |    AS t
+       |  FROM documents),
+       |w0 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+       |s0 AS MATERIALIZED (
+       |  SELECT w, cnt,
+       |         list_transform(range(1, len(w) + 1),
+       |                        i -> substr(w, i, 1)) AS syms
+       |  FROM w0),
+       |${(0 until Bpe.Merges).map(iter).mkString(",\n")}""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_partition_discovery" ->
@@ -1374,6 +1437,14 @@ object SparkEntry {
       s"""WITH $classifierCtes
          |SELECT bucket, wu AS weight_micro
          |FROM w${QualityClassifier.Iters} ORDER BY bucket""".stripMargin,
+    "text_bpe_merges" -> {
+      val ranks = (0 until Bpe.Merges).map(t =>
+        s"SELECT ${t + 1} AS rank, a AS lhs, b AS rhs FROM mg$t")
+        .mkString("\n|UNION ALL ")
+      s"""WITH $bpeCtes
+         |$ranks
+         |ORDER BY rank""".stripMargin
+    },
     "q_corpus_build" -> {
       val stopList =
         TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")

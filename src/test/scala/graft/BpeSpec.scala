@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bpe
+
+/** BPE merge learning: greedy application semantics, iteration on
+  * merged symbols, deterministic tie-breaks, early exhaustion. Value
+  * parity with the DuckDB training replay is the driver gate's job.
+  */
+class BpeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def write(docs: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-bpe").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("applyMerge: greedy left-to-right, non-overlapping") {
+    assert(Bpe.applyMerge(Seq("a", "b", "c", "a", "b"), "a", "b") ==
+      Seq("ab", "c", "ab"))
+    // same-symbol runs merge at odd match positions only
+    assert(Bpe.applyMerge(Seq("a", "a", "a", "a"), "a", "a") ==
+      Seq("aa", "aa"))
+    assert(Bpe.applyMerge(Seq("a", "a", "a"), "a", "a") ==
+      Seq("aa", "a"))
+    assert(Bpe.applyMerge(Seq("x", "y"), "a", "b") == Seq("x", "y"))
+  }
+
+  test("merges iterate on previously-merged symbols") {
+    // one word "abab": (a,b) twice beats (b,a) once; after merging,
+    // (ab,ab) is the only remaining pair; then the word is one symbol
+    val d = write(Seq(0L -> "abab"))
+    val m = Bpe.merges(spark, d).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(m.toSeq == Seq((1, "a", "b"), (2, "ab", "ab")))
+  }
+
+  test("tie on count breaks to the lexicographically smallest pair") {
+    val d = write(Seq(0L -> "ab cd ab cd"))
+    val first = Bpe.merges(spark, d).collect().head
+    assert((first.getString(1), first.getString(2)) == ("a", "b"))
+  }
+
+  test("vocabulary exhaustion stops early without padding ranks") {
+    val d = write(Seq(0L -> "aa aa"))
+    // single distinct word "aa": one merge and the vocab is atomic
+    val m = Bpe.merges(spark, d).collect()
+    assert(m.length == 1)
+    assert((m.head.getString(1), m.head.getString(2)) == ("a", "a"))
+  }
+
+  test("real corpus: learned table has Merges rows and composite symbols") {
+    val m = Bpe.merges(spark, sf0001).collect()
+    assert(m.length == Bpe.Merges)
+    assert(m.map(_.getInt(0)).toSeq == (1 to Bpe.Merges))
+    // frequency-weighted english-like text must produce at least one
+    // second-order merge (a side longer than one character)
+    assert(m.exists(r =>
+      r.getString(1).length > 1 || r.getString(2).length > 1))
+  }
+}
