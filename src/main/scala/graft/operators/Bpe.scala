@@ -48,18 +48,70 @@ object Bpe {
     out.toSeq
   }
 
-  /** The learned merge table: (rank, left, right), rank 1 = first
+  /** Distinct-word vocabularies at or under this size train on the
+    * driver (one Spark job — the word count — then pure-Scala rounds;
+    * the vocab IS the training state, and tokenizer trainers hold it
+    * in memory as a matter of course). Larger vocabularies fall back
+    * to the distributed round loop. Results are identical — exact
+    * integer counts with the same tie-break in both paths (parity
+    * spec). */
+  val DriverVocabCap = 4000000L
+
+  /** The learned merge table: (rank, lhs, rhs), rank 1 = first
     * (most frequent) merge. */
-  def merges(spark: SparkSession, dir: String): DataFrame = {
+  def merges(spark: SparkSession, dir: String): DataFrame =
+    merges(spark, dir, DriverVocabCap)
+
+  private[graft] def merges(spark: SparkSession, dir: String,
+                            driverCap: Long): DataFrame = {
     import spark.implicits._
-    // frequency-weighted distinct words → initial character symbols
-    val vocab0: Dataset[(String, Long, Seq[String])] =
-      Tables.documents(spark, dir)
-        .select(explode(tokens(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("cnt"))
-        .as[(String, Long)]
-        .map { case (w, c) => (w, c, w.map(_.toString)) }
-    var vocab = vocab0.persist()
+    val counts = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+    val learned =
+      if (counts.count() <= driverCap) driverMerges(counts.collect())
+      else distributedMerges(counts)
+    learned.zipWithIndex
+      .map { case ((a, b), i) => (i + 1, a, b) }
+      .toDF("rank", "lhs", "rhs")
+      .orderBy("rank")
+  }
+
+  /** Pure-Scala rounds over the collected vocabulary: exact Long pair
+    * counts, winner = (max count, lexicographically smallest pair). */
+  private def driverMerges(vocab: Array[(String, Long)])
+      : Seq[(String, String)] = {
+    var syms = vocab.map { case (w, c) => (c, w.map(_.toString): Seq[String]) }
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (_ <- 0 until Merges) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      syms.foreach { case (c, ss) =>
+        var i = 0
+        while (i < ss.length - 1) {
+          pc.updateWith((ss(i), ss(i + 1)))(x => Some(x.getOrElse(0L) + c))
+          i += 1
+        }
+      }
+      if (pc.nonEmpty) {
+        val (a, b) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        learned += ((a, b))
+        syms = syms.map { case (c, ss) => (c, applyMerge(ss, a, b)) }
+      }
+    }
+    learned.toSeq
+  }
+
+  /** Distributed round loop — the vocab stays a persisted Dataset; one
+    * pair-count shuffle + a 1-row TakeOrdered + one narrow merge map
+    * per round. */
+  private def distributedMerges(counts: Dataset[(String, Long)])
+      : Seq[(String, String)] = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    var vocab = counts
+      .map { case (w, c) => (w, c, w.map(_.toString): Seq[String]) }
+      .persist()
     vocab.count()
     val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     try {
@@ -87,9 +139,6 @@ object Bpe {
         }
       }
     } finally vocab.unpersist(blocking = false)
-    learned.toSeq.zipWithIndex
-      .map { case ((a, b), i) => (i + 1, a, b) }
-      .toDF("rank", "lhs", "rhs")
-      .orderBy("rank")
+    learned.toSeq
   }
 }

@@ -55,6 +55,13 @@ class BpeSpec extends AnyFunSuite {
     assert((m.head.getString(1), m.head.getString(2)) == ("a", "a"))
   }
 
+  test("driver and distributed training paths agree exactly") {
+    val fast = Bpe.merges(spark, sf0001).collect().map(_.toSeq)
+    val dist = Bpe.merges(spark, sf0001, driverCap = 0)
+      .collect().map(_.toSeq)
+    assert(fast.sameElements(dist))
+  }
+
   test("real corpus: learned table has Merges rows and composite symbols") {
     val m = Bpe.merges(spark, sf0001).collect()
     assert(m.length == Bpe.Merges)
