@@ -417,7 +417,7 @@ object GraftTable {
     * writers arbitrate through [[publish]] like any commit. */
   def deleteWhere(spark: SparkSession, root: String, sink: String,
                   predicate: org.apache.spark.sql.Column): Option[Long] = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
     val (hfs, rootPath) = fs(spark, root)
     val snap = committedFiles(spark, root)
       .filter(_.startsWith(sink + "/"))
@@ -430,7 +430,12 @@ object GraftTable {
     val withF = spark.read.option("basePath", s"$root/$sink")
       .parquet(snap.map(f => s"$root/$f"): _*)
       .withColumn("__file", input_file_name())
-    val affected = withF.filter(predicate)
+    // Delta DELETE semantics: a NULL predicate matches nothing and the
+    // row is RETAINED. Both the affected-file scan and the survivor
+    // filter below use the same null-safe form, so a null-condition row
+    // co-located with matches is rewritten as a survivor, never dropped.
+    val matched = coalesce(predicate, lit(false))
+    val affected = withF.filter(matched)
       .select(col("__file")).distinct()
       .collect().map(r => toRel(r.getString(0))).toSeq.sorted
     if (affected.isEmpty) return None
@@ -442,13 +447,14 @@ object GraftTable {
     val isAffected = org.apache.spark.sql.functions.udf((f: String) =>
       affSet.contains(new Path(f).toUri.getPath
         .stripPrefix(rootU).stripPrefix("/")))
-    // drop the inferred batch_id partition column: the rewrite lands
-    // under batch_id=<newId>, so keeping the old value as a data column
-    // would shadow the directory-derived one on every future read
+    // the rewrite is re-assigned to batch_id=<newId>: replace the
+    // inferred batch_id partition column with the new id so the write
+    // below can re-derive the directory from it
     val survivors = withF
       .filter(isAffected(col("__file")))
-      .filter(!predicate)
+      .filter(!matched)
       .drop("__file", "batch_id")
+      .withColumn("batch_id", lit(newId))
     // recover the partition layout (key=value segments between sink/
     // and the filename, batch_id excluded — it is re-assigned)
     val partCols = affected.head.split('/')
@@ -456,10 +462,17 @@ object GraftTable {
       .filter(_.contains('='))
       .map(_.takeWhile(_ != '='))
       .filterNot(_ == "batch_id")
-    val out = s"$root/$sink/batch_id=$newId"
-    val writer = survivors.write.mode("overwrite")
-    (if (partCols.nonEmpty) writer.partitionBy(partCols.toIndexedSeq: _*)
-     else writer).parquet(out)
+    // survivors must land in the writeBatch layout —
+    // sink/<partCols...>/batch_id=N — NOT batch_id=N/<partCols...>:
+    // partition discovery rejects a snapshot mixing two column
+    // orderings, so one mis-ordered rewrite would poison every later
+    // read of a partitioned sink. Dynamic overwrite touches only the
+    // fresh batch_id=<newId> leaves; originals stay for time travel.
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
+      .partitionBy((partCols.toIndexedSeq :+ "batch_id"): _*)
+      .parquet(s"$root/$sink")
     val files = batchFiles(hfs, rootPath, newId)
     val schemas = sinkSchemas(spark, root,
       if (files.nonEmpty) files else snap)

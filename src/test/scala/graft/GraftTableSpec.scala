@@ -255,6 +255,51 @@ class GraftTableSpec extends AnyFunSuite {
     assert(GraftTable.readAsOf(spark, root, "docs", 1).count() == 20)
   }
 
+  test("deleteWhere: partitioned sink keeps the writeBatch layout; " +
+       "null predicate retains rows") {
+    val root = Files.createTempDirectory("gt-delete-part").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two batches in the streaming layout: sink/<y/m/d/h>/batch_id=N
+    val ms0 = java.time.Instant.parse("2024-03-01T10:00:00Z").toEpochMilli
+    val ms1 = java.time.Instant.parse("2024-03-01T11:00:00Z").toEpochMilli
+    def mk(ids: Seq[Long], ms: Long) =
+      ids.map(i => (i, if (i % 5 == 0) null else s"doc $i", ms))
+        .toDF("id", "text", "ms")
+    ExportParquet.writeBatch(
+      ExportParquet.withPartitionCols(mk(1L to 10L, ms0), col("ms")),
+      s"$root/docs", batchId = 0)
+    GraftTable.commit(spark, root, 0)
+    ExportParquet.writeBatch(
+      ExportParquet.withPartitionCols(mk(11L to 20L, ms1), col("ms")),
+      s"$root/docs", batchId = 1)
+    GraftTable.commit(spark, root, 1)
+
+    // predicate is NULL on text-less rows (id % 5 == 0): Delta DELETE
+    // semantics retain them even though they share files with matches
+    val v = GraftTable.deleteWhere(spark, root, "docs",
+      col("text").endsWith("1") || col("text").endsWith("3"))
+    assert(v.contains(2L))
+    val after = GraftTable.read(spark, root, "docs")
+    val ids = after.select("id").as[Long].collect().sorted.toSeq
+    assert(ids == (1L to 20L).filterNot(i =>
+      i % 10 == 1 || i % 10 == 3),
+      "rows whose predicate is NULL must survive the rewrite")
+    // the rewrite must not poison partition discovery: layout stays
+    // sink/<y/m/d/h>/batch_id=N, pruning columns intact
+    assert(after.columns.contains("year") && after.columns.contains("batch_id"))
+    assert(after.filter(col("hour") === 10).select("id").as[Long]
+      .collect().sorted.toSeq ==
+      (1L to 10L).filterNot(i => i == 1 || i == 3))
+    // time travel across the delete still works on the partitioned sink
+    assert(GraftTable.readAsOf(spark, root, "docs", 1).count() == 20)
+    // a second delete composes (the snapshot now mixes original and
+    // rewritten files — both in the same layout)
+    val v2 = GraftTable.deleteWhere(spark, root, "docs", col("id") === 20L)
+    assert(v2.contains(3L))
+    assert(GraftTable.read(spark, root, "docs").count() == 15)
+  }
+
   test("nextBatchId: optimistic version allocation past the newest commit") {
     val export = Files.createTempDirectory("gt-next").toString
     val cfg = cfgFor(export)
