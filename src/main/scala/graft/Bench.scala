@@ -1,24 +1,63 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Round-harness benchmark main: times every [[SparkEntry.queries]]
+  * entry on `SPARK_GRAFT_SF_DIR` and prints one JSON line.
+  *
+  * Each query is timed in [[Rounds]] full suite passes and reported as
+  * the per-query MINIMUM — ambient machine load on a shared box can
+  * inflate a single pass by an order of magnitude (a 0.26 s aggregate
+  * has been observed at 4.6 s under contention), and the minimum of
+  * independent passes is the standard de-noising estimator for a
+  * deterministic workload. Session memos (trained models, pair frames)
+  * are cleared BETWEEN passes so every pass pays each operator's full
+  * training/derivation cost — without that, pass 2 of a memoized
+  * operator times the memo lookup, not the operator. Within a pass,
+  * memo sharing across queries is kept (it is the production shape:
+  * consumers of one trained model share one training run).
+  *
+  * `GRAFT_BENCH_ONLY=name,name` restricts to a comma-separated subset
+  * for dev loops.
+  */
 object Bench {
+
+  val Rounds = 2
+
+  private def clearMemos(): Unit = {
+    graft.operators.Dedup.clearMemo()
+    graft.operators.Similarity.clearCentsMemo()
+    graft.operators.Similarity.clearPqMemo()
+    graft.operators.QualityClassifier.clearMemo()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val only = sys.env.get("GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.create(cpus, "graft-bench")
     // JVM + codegen + parquet-reader warmup so the first measured query
     // doesn't absorb ~10 s of one-time session cost
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .selectExpr("count(*)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val passes = (1 to Rounds).map { _ =>
+      clearMemos()
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    val results = selected.map { case (name, _) =>
+      name -> passes.map(_(name)).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$Rounds}""")
     spark.stop()
   }
 }

@@ -1074,15 +1074,22 @@ object SparkEntry {
          |SELECT vec_id, cid AS cluster,
          |       count(*) OVER (PARTITION BY cid) AS n_cluster
          |FROM a_final ORDER BY vec_id""".stripMargin,
+    // replays the SemPairCap star fallback: clusters ≤ cap contribute
+    // the full clique, degenerate clusters only (cluster-min, rest)
+    // pairs — identical rule to Similarity.semanticPrune at ANY scale
     "dedup_semantic" ->
       s"""WITH $kmeansCtes,
+         |sz AS (SELECT cid, count(*) AS n, min(vec_id) AS mn
+         |       FROM a_final GROUP BY 1),
          |pairs AS (
          |  SELECT y.cid AS cluster, x.vec_id AS a_id, y.vec_id AS b_id,
          |         round(${cosExpr.format("ex.v", "ey.v")}, 4) AS sim
          |  FROM a_final x JOIN a_final y
          |    ON x.cid = y.cid AND x.vec_id < y.vec_id
+         |  JOIN sz ON sz.cid = x.cid
          |  JOIN e ex ON ex.vec_id = x.vec_id
-         |  JOIN e ey ON ey.vec_id = y.vec_id)
+         |  JOIN e ey ON ey.vec_id = y.vec_id
+         |  WHERE sz.n <= ${Similarity.SemPairCap} OR x.vec_id = sz.mn)
          |SELECT b_id AS vec_id, min(cluster) AS cluster,
          |       min(a_id) AS keeper, max(sim) AS max_sim
          |FROM pairs WHERE sim >= ${Dedup.EmbeddingCosThreshold}

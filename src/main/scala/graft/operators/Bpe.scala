@@ -65,13 +65,18 @@ object Bpe {
   private[graft] def merges(spark: SparkSession, dir: String,
                             driverCap: Long): DataFrame = {
     import spark.implicits._
+    // persisted across the size probe and whichever branch consumes it —
+    // unpersisted, the corpus scan + vocabulary aggregation ran twice
     val counts = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
+      .persist()
     val learned =
-      if (counts.count() <= driverCap) driverMerges(counts.collect())
-      else distributedMerges(counts)
+      try {
+        if (counts.count() <= driverCap) driverMerges(counts.collect())
+        else distributedMerges(counts)
+      } finally counts.unpersist(blocking = false)
     learned.zipWithIndex
       .map { case ((a, b), i) => (i + 1, a, b) }
       .toDF("rank", "lhs", "rhs")

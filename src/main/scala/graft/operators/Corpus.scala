@@ -192,8 +192,9 @@ object Corpus {
     * keep verdict (< 50 % duplicated content).
     *
     * Plan: one narrow flatMap to span hashes, ONE hash shuffle on the
-    * span md5 for the corpus count (partial count map-side), one
-    * shuffle back on doc_id for the per-doc profile. The span-count
+    * span md5 (a count window — each row learns its span's corpus
+    * frequency in the shuffle that grouped it), one shuffle back on
+    * doc_id for the per-doc profile. The span-count
     * frame is the only stateful piece and is corpus-frequency bounded —
     * at 100 TB it is a bucketed table incrementally maintained, exactly
     * like the exact-dedup hash index. The 4-decimal fraction is rounded
@@ -211,8 +212,12 @@ object Corpus {
         md5(array_join(
           slice(col("t"), (col("sp") * SpanTokens + 1).cast("int"),
             lit(SpanTokens)), " ")).as("h"))
-    val counts = spans.groupBy("h").agg(count(lit(1)).as("c"))
-    spans.join(counts, "h")
+    // corpus-wide span counts as a window over h: the span frame appears
+    // ONCE in the plan (one explode+md5 pass) and the count reaches each
+    // row in the same shuffle — the groupBy+join-back form paid the
+    // explode twice and shuffled three times
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    spans.withColumn("c", count(lit(1)).over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_spans"),
         sum(when(col("c") >= 2, 1).otherwise(0)).cast("int").as("n_dup_spans"))

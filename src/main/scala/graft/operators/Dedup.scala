@@ -698,11 +698,14 @@ object Dedup {
     val edges = pr.unionByName(
         pr.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").persist()
-    pr.unpersist()
     try {
       var labels = Materialize(edges.groupBy(col("src").as("doc_id"))
         .agg(min(col("dst")).as("nmin"))
         .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("cluster")))
+      // the Materialize above is the first action on `edges` — only now
+      // is the pair cache safe to drop (earlier, the union would have
+      // recomputed the whole upstream pair derivation)
+      pr.unpersist()
       var changed = 1L
       while (changed > 0) {
         val prop = edges.join(labels, edges("dst") === labels("doc_id"))

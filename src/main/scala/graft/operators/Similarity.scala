@@ -192,42 +192,63 @@ object Similarity {
 
   /** IVF top-k: centroid per `label` cell (elementwise mean) via ONE
     * typed partial aggregation — no row explosion, the exchange carries
-    * one partial sum per (partition, label). Each query probes its
-    * NProbe nearest cells (squared L2, rounded before ranking); the
-    * search joins the corpus against the broadcast probe set, so the
+    * one partial sum per (partition, label) and the driver receives one
+    * row per cell. Probe selection (each query's NProbe nearest cells
+    * by squared L2, rounded to 6 before ranking) runs ON THE DRIVER
+    * over the two bounded blocks — queries × cells is tiny, and pushing
+    * it into jobs previously cost two extra broadcast rounds. The
+    * search is then a single narrow corpus pass: each partition scores
+    * its vectors against the (broadcast) queries probing that vector's
+    * cell, keeping a K-entry heap per query. Three jobs total; the
     * corpus is never shuffled. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val c = corpus(spark, dir)
-    val typed = c.select(col("label").cast("long"), col("v"))
-      .as[(Long, Array[Double])]
-    val cent = typed.groupByKey(_._1).mapValues(_._2)
+    val typed = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Long, Array[Double])]
+    // job 1: per-cell centroids (|labels| rows — geometry-bounded)
+    val cents = typed.groupByKey(_._2).mapValues(_._3)
       .agg(new VectorOps.VecMean(Dims).toColumn.name("cv"))
-      .toDF("label", "cv")
-    val q = corpus(spark, dir).filter(col("vec_id") % QueryStride === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    // probe assignment: queries × centroids is Q × |labels| (tiny); d2
-    // through the typed kernel, rounded to 6 before ranking like the oracle
-    val qc = q.join(broadcast(cent))
-      .select(col("q_id"), col("qv"), col("label"), col("cv"))
-      .as[(Long, Array[Double], Long, Array[Double])]
-      .map { case (qId, qv, label, cv) =>
-        (qId, label, VectorOps.roundAt(VectorOps.dist2(qv, cv), 6))
+      .collect().sortBy(_._1)
+    // job 2: the bounded query block
+    val qRows = typed.filter(_._1 % QueryStride == 0)
+      .map { case (id, _, v) => (id, v) }.collect().sortBy(_._1)
+    require(qRows.length <= MaxQueryBlock,
+      s"IVF query block has ${qRows.length} vectors (cap $MaxQueryBlock)")
+    // driver probe selection, same ordering the window form produced:
+    // ascending (round6(d2), label), first NProbe cells per query —
+    // then inverted to cell → probing queries for the scan pass
+    val probed: Map[Long, Array[Int]] = qRows.zipWithIndex
+      .flatMap { case ((_, qv), qi) =>
+        cents.map { case (l, cv) =>
+          (VectorOps.roundAt(VectorOps.dist2(qv, cv), 6), l)
+        }.sorted.take(NProbe).map { case (_, l) => (l, qi) }
       }
-      .toDF("q_id", "label", "d2")
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("d2"), col("label"))
-    val probes = qc.withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= NProbe)
-      .select(col("q_id"), col("label"))
-      .join(q, "q_id")
-      .select(col("q_id"), col("qv"), col("label"))
-    val cand = c.join(broadcast(probes),
-        c("label").cast("long") === probes("label").cast("long") &&
-          col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("qv"), col("vec_id").as("n_id"), col("v"))
-      .as[(Long, Array[Double], Long, Array[Double])]
-    val scored = heapReduce(cand, VectorOps.cosineRaw).toDF("q_id", "n_id", "sim")
+      .groupBy(_._1)
+      .map { case (l, hits) => l -> hits.map(_._2).sorted }
+    val bc = spark.sparkContext.broadcast((qRows, probed))
+    val k = K
+    // job 3: one narrow pass — vectors meet only the queries probing
+    // their cell; per-partition state = queries × K heap entries
+    val scored = typed.mapPartitions { it =>
+      val (qs, pm) = bc.value
+      val heaps = mutable.LinkedHashMap.empty[Int, VectorOps.TopK]
+      it.foreach { case (id, label, v) =>
+        val qis = pm.getOrElse(label, Array.empty[Int])
+        var i = 0
+        while (i < qis.length) {
+          val (qId, qv) = qs(qis(i))
+          if (qId != id)
+            heaps.getOrElseUpdate(qis(i), new VectorOps.TopK(k))
+              .insert(VectorOps.roundAt(VectorOps.cosineRaw(qv, v), 4), id)
+          i += 1
+        }
+      }
+      heaps.iterator.flatMap { case (qi, h) =>
+        h.drain().map { case (sim, nId) => (qs(qi)._1, nId, sim) }
+      }
+    }.toDF("q_id", "n_id", "sim")
     topKWindow(scored)
   }
 
@@ -310,7 +331,7 @@ object Similarity {
 
   /** PQ-compressed ANN top-k — the production shape for embedding
     * corpora that outgrow float storage: per-subspace codebooks
-    * quantize each vector to a packed 32-bit code; queries build a
+    * quantize each vector to a packed 64-bit code; queries build a
     * PqM×PqK table of subspace distances once (asymmetric distance
     * computation) and score every corpus vector with PqM table lookups
     * — no floating-point per-vector math in the scan. The top
@@ -390,8 +411,9 @@ object Similarity {
     topKWindow(rer)
   }
 
-  /** Lloyd k-means geometry: [[KmeansK]] clusters, [[KmeansIters]]
-    * full assign→recenter rounds. Determinism pins every cross-engine
+  /** Lloyd k-means geometry: [[KmeansK]] clusters (floor — see
+    * [[kFor]]), [[KmeansIters]] full assign→recenter rounds.
+    * Determinism pins every cross-engine
     * hazard: init = the K lowest-id vectors (no RNG), distances rounded
     * to 6 decimals BEFORE the argmin (ties then break on cluster id),
     * and recomputed centroids rounded to 6 decimals per dimension —
@@ -400,6 +422,19 @@ object Similarity {
     */
   val KmeansK = 8
   val KmeansIters = 2
+
+  /** Expected-cluster-size bound: the trained cluster count is
+    * K = max([[KmeansK]], ⌈n / KmeansClusterTarget⌉), so K grows with
+    * the corpus and within-cluster work (SemDeDup's all-pairs) stays
+    * O(n · target) instead of O(n²/K_fixed) — the published SemDeDup
+    * scaling (K ∝ n). At the oracle scale factors (≤ 2000 vectors)
+    * kFor(n) = [[KmeansK]], so the replayed DuckDB oracle is
+    * unaffected. */
+  val KmeansClusterTarget = 256L
+
+  private[operators] def kFor(n: Long): Int =
+    math.max(KmeansK.toLong,
+      (n + KmeansClusterTarget - 1) / KmeansClusterTarget).toInt
 
   /** One assignment pass: each vector to its nearest centroid (typed
     * kernel, centroids ride the closure — O(K·dims) per task). The
@@ -457,20 +492,26 @@ object Similarity {
       import spark.implicits._
       val e = corpus(spark, dir).select(col("vec_id"), col("v"))
         .as[(Long, Array[Double])]
-      var cents: Array[Array[Double]] =
-        e.orderBy(col("vec_id")).limit(KmeansK).collect().map(_._2)
-      for (_ <- 0 until KmeansIters) {
-        val means = assignPass(e, cents)
-          .groupByKey(_._2.toLong).mapValues(_._3)
-          .agg(new VectorOps.VecMean(Dims).toColumn.name("cv"))
-          .collect().toMap
-        cents = cents.indices.toArray.map { cid =>
-          means.get(cid.toLong)
-            .map(_.map(VectorOps.roundAt(_, 6)))
-            .getOrElse(cents(cid)) // empty cluster keeps its centroid
+        // the training loop reads the corpus iters+1 times (init + one
+        // assignment per round) — cache it for the loop's duration
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val k = kFor(Tables.rowCount(spark, dir, "embeddings"))
+        var cents: Array[Array[Double]] =
+          e.orderBy(col("vec_id")).limit(k).collect().map(_._2)
+        for (_ <- 0 until KmeansIters) {
+          val means = assignPass(e, cents)
+            .groupByKey(_._2.toLong).mapValues(_._3)
+            .agg(new VectorOps.VecMean(Dims).toColumn.name("cv"))
+            .collect().toMap
+          cents = cents.indices.toArray.map { cid =>
+            means.get(cid.toLong)
+              .map(_.map(VectorOps.roundAt(_, 6)))
+              .getOrElse(cents(cid)) // empty cluster keeps its centroid
+          }
         }
-      }
-      cents
+        cents
+      } finally e.unpersist(blocking = false)
     })
   }
 
@@ -480,35 +521,101 @@ object Similarity {
   /** Forget trained centroids (all sessions). */
   def clearCentsMemo(): Unit = centsMemo.synchronized(centsMemo.clear())
 
+  /** Pair cap per cluster for [[semanticDedup]]: a cluster that stays
+    * degenerate despite K ∝ n (every vector identical, say) falls back
+    * to a spanning star — cluster-min vs the rest — instead of the
+    * clique, the same hot-key device as [[Dedup]]'s LSH buckets. Cold
+    * clusters are ≤ cap members, so per-task buffers are ≤ cap rows and
+    * per-task pair work ≤ cap²/2 no matter how skewed the space. */
+  val SemPairCap = 1024
+
   /** SemDeDup (semantic dedup; Abbas et al. 2023 shape): k-means
     * partitions the embedding space, then near-duplicate pruning runs
     * ONLY inside each cluster — pairwise work drops from O(n²) to
-    * O(Σ|cluster|²), and K grows with the corpus to keep clusters
-    * bounded. A document is pruned when a lower-id vector in its
+    * O(n · [[KmeansClusterTarget]]) because K grows with the corpus
+    * ([[kFor]]) and [[SemPairCap]] star-caps any cluster k-means left
+    * degenerate. A document is pruned when a lower-id vector in its
     * cluster has cosine ≥ [[Dedup.EmbeddingCosThreshold]]; emits each
     * pruned doc with its keeper (lowest such id) and the strongest
-    * similarity that condemned it. The intra-cluster pair join
-    * shuffles on the cluster id only.
+    * similarity that condemned it. Shuffles on the cluster id only;
+    * cold-cluster pairs are generated inside a bounded typed kernel
+    * (the DataFrame self-join form shuffled every candidate pair with
+    * BOTH vectors attached — ~1 KB per pair of exchange the kernel
+    * never pays).
     */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val withV = kmeansAssignedWithV(spark, dir)
-    val x = withV.select(col("vec_id").as("a_id"), col("cluster"),
-      col("v").as("av"))
-    val y = withV.select(col("vec_id").as("b_id"), col("cluster"),
-      col("v").as("bv"))
-    // cosine through the shared typed kernel — the HOF column form
-    // (aggregate∘zip_with) evaluates interpreted, allocating per pair
-    x.join(y, Seq("cluster"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("cluster"), col("a_id"), col("av"),
-        col("b_id"), col("bv"))
-      .as[(Int, Long, Array[Double], Long, Array[Double])]
-      .map { case (c, a, av, b, bv) =>
-        (c, a, b, VectorOps.roundAt(VectorOps.cosineRaw(av, bv), 4))
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticPrune(kmeansAssignedWithV(spark, dir))
+
+  /** [[semanticDedup]] over a precomputed (vec_id, cluster, v)
+    * assignment frame — split out so adversarial specs can drive the
+    * cold/star paths with synthetic clusters. */
+  private[graft] def semanticPrune(withV: DataFrame): DataFrame = {
+    import withV.sparkSession.implicits._
+    val thr = Dedup.EmbeddingCosThreshold
+    val cap = SemPairCap
+    // ONE exchange for the whole pairing: repartition on the cluster id
+    // and sort each partition by (cluster, vec_id) so every cluster
+    // arrives as one id-ascending run — its minimum is the FIRST member,
+    // which is what makes the star fallback streamable. The kernel
+    // buffers at most cap members: a run that ends within the buffer
+    // is a cold cluster (exact all-pairs over the sorted buffer); the
+    // moment member cap+1 appears the cluster is hot and the kernel
+    // switches to star pairs (first member vs the rest), draining the
+    // remainder with O(1) state. A doc whose only near-dup is a non-min
+    // member of a degenerate cluster is missed — the bounded-work trade
+    // every hot-key cap in this engine makes (and the oracle replays).
+    val pairs = withV.select(col("vec_id"), col("cluster"), col("v"))
+      .as[(Long, Int, Array[Double])]
+      .repartition(col("cluster"))
+      .sortWithinPartitions(col("cluster"), col("vec_id"))
+      .mapPartitions { it =>
+        val out = mutable.ArrayBuffer.empty[(Int, Long, Long, Double)]
+        val buf = mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        var cur = Int.MinValue
+        var hot = false
+        def sim(a: Array[Double], b: Array[Double]): Double =
+          VectorOps.roundAt(VectorOps.cosineRaw(a, b), 4)
+        def flushCold(): Unit = {
+          var i = 0
+          while (i < buf.length) {
+            var j = i + 1
+            while (j < buf.length) {
+              val s = sim(buf(i)._2, buf(j)._2)
+              if (s >= thr) out += ((cur, buf(i)._1, buf(j)._1, s))
+              j += 1
+            }
+            i += 1
+          }
+        }
+        it.foreach { case (id, c, v) =>
+          if (c != cur) {
+            if (!hot) flushCold()
+            buf.clear(); cur = c; hot = false
+          }
+          if (hot) {
+            val s = sim(buf(0)._2, v)
+            if (s >= thr) out += ((cur, buf(0)._1, id, s))
+          } else if (buf.length >= cap) {
+            // member cap+1: the cluster exceeds the cap and is hot —
+            // emit star pairs for the buffered satellites, keep only
+            // the minimum
+            hot = true
+            val m0 = buf(0)
+            var i = 1
+            while (i < buf.length) {
+              val s = sim(m0._2, buf(i)._2)
+              if (s >= thr) out += ((cur, m0._1, buf(i)._1, s))
+              i += 1
+            }
+            val s = sim(m0._2, v)
+            if (s >= thr) out += ((cur, m0._1, id, s))
+            buf.dropRightInPlace(buf.length - 1)
+          } else buf += ((id, v))
+        }
+        if (!hot) flushCold()
+        out.iterator
       }
-      .toDF("cluster", "a_id", "b_id", "sim")
-      .filter(col("sim") >= Dedup.EmbeddingCosThreshold)
+    pairs.toDF("cluster", "a_id", "b_id", "sim")
       .groupBy(col("b_id").as("vec_id"))
       .agg(min(col("cluster")).as("cluster"), // constant per vec — min is
         min(col("a_id")).as("keeper"),        // engine-order-independent

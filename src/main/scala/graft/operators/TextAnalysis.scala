@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -224,21 +226,34 @@ object TextAnalysis {
   def tfIdfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val ex = docs.select(col("doc_id"), explode(toks).as("term"))
-    val nDocs = Tables.documents(spark, dir)
-      .filter(size(toks) > 0).count().toDouble
-    val tf = ex.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
-    val docLen = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val df_ = ex.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col("doc_id"))
+    // tf and the doc length are PER-DOC facts — computed in one narrow
+    // typed pass (a local count map per document; the groupBy+join form
+    // paid an explode-shuffle for what never needed to leave the doc).
+    // Only the corpus-level facts shuffle: df via a window on the term,
+    // the top-k rank via a window on the doc. Two exchanges + the
+    // presentation sort; the corpus is tokenized exactly once. nDocs is
+    // the one driver action — a narrow count that never tokenizes.
+    // Window-on-term shuffles hot terms to one partition, the same skew
+    // the term-keyed join had; per-term load is bounded by nDocs (one
+    // row per distinct (doc, term)).
+    import spark.implicits._
+    val nDocs = docs.filter(size(toks) > 0).count().toDouble
+    val tf = docs.as[(Long, String)].mapPartitions { it =>
+      it.flatMap { case (id, text) =>
+        val ts = text.toLowerCase.split(' ').filter(_.nonEmpty)
+        val m = mutable.LinkedHashMap.empty[String, Long]
+        ts.foreach(t => m.updateWith(t)(c => Some(c.getOrElse(0L) + 1)))
+        m.iterator.map { case (t, c) => (id, t, c, ts.length.toLong) }
+      }
+    }.toDF("doc_id", "term", "cnt", "n")
+    val wTerm = Window.partitionBy(col("term"))
+    val wRank = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(docLen, "doc_id")
-      .join(df_, "term")
-      .select(col("doc_id"), col("term"),
+    tf.withColumn("df", count(lit(1)).over(wTerm))
+      .withColumn("score",
         round((col("cnt").cast("double") / col("n").cast("double")) *
-          (lit(nDocs) / col("df").cast("double")), 4).as("score"))
-      .withColumn("rk", row_number().over(w))
+          (lit(nDocs) / col("df").cast("double")), 4))
+      .withColumn("rk", row_number().over(wRank))
       .filter(col("rk") <= TfIdfTopK)
       .select(col("doc_id"), col("rk"), col("term"), col("score"))
       .orderBy("doc_id", "rk")

@@ -41,4 +41,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Memoized exact row count of a table — METADATA, not a computed
+    * result: parquet footers carry the row count (a real table format
+    * serves it from statistics without any scan), so operators that
+    * size themselves from n (e.g. the K ∝ n cluster count) read it
+    * here instead of re-running a count job per invocation. Keyed per
+    * (session, dir, table); immutable inputs by the test-data contract. */
+  def rowCount(s: SparkSession, d: String, name: String): Long =
+    countMemo.getOrElseUpdate((s, d, name), load(s, d, name).count())
+
+  private val countMemo = scala.collection.concurrent
+    .TrieMap.empty[(SparkSession, String, String), Long]
 }

@@ -53,6 +53,36 @@ class SemanticDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate 10^5-vector cluster takes the bounded star path") {
+    import org.apache.spark.sql.functions._
+    // all-identical vectors in ONE cluster: the clique would be ~5e9
+    // pairs — the star fallback must finish with n−1 pairs, keeper = 0
+    val n = 100000
+    val withV = spark.range(n)
+      .select(col("id").as("vec_id"), lit(0).as("cluster"),
+        array(lit(1.0), lit(0.0)).as("v"))
+    val out = Similarity.semanticPrune(withV).collect()
+    assert(out.length == n - 1, "star must prune every satellite once")
+    assert(out.forall(_.getLong(2) == 0L), "keeper is the cluster min")
+    assert(out.forall(_.getDouble(3) == 1.0))
+  }
+
+  test("cap boundary: exact clique at SemPairCap members, star one past it") {
+    import org.apache.spark.sql.functions._
+    val cap = Similarity.SemPairCap
+    // member 0 orthogonal to everyone; members 1.. identical — the
+    // clique prunes b ≥ 2 (keeper 1), the star (min vs rest) finds
+    // nothing, so the two paths are distinguishable by construction
+    def run(n: Int) = Similarity.semanticPrune(
+      spark.range(n).select(col("id").as("vec_id"), lit(0).as("cluster"),
+        when(col("id") === 0, array(lit(1.0), lit(0.0)))
+          .otherwise(array(lit(0.0), lit(1.0))).as("v"))).collect()
+    assert(run(cap).length == cap - 2,
+      "a cluster of exactly cap members must keep the exact clique")
+    assert(run(cap + 1).isEmpty,
+      "one member past the cap must switch to the spanning star")
+  }
+
   test("semanticDedup never prunes a cluster's minimum id") {
     val sem = Similarity.semanticDedup(spark, sf001).collect()
     val assigned = Similarity.kmeans(spark, sf001).collect()
