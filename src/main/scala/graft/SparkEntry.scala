@@ -1511,13 +1511,18 @@ object SparkEntry {
          |           row_number() OVER (PARTITION BY md5(t)
          |                              ORDER BY doc_id) AS rn
          |    FROM g) WHERE rn = 1),
+         |rtoks AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(lower(text), ' '),
+         |                     x -> len(x) > 0) AS rt
+         |  FROM documents),
          |shb AS MATERIALIZED (
          |  SELECT doc_id,
          |         list_distinct(list_transform(
-         |             range(1, greatest(len(w) - 1, 1)),
-         |             i -> array_to_string(list_slice(w, i, i + 2), ' ')))
+         |             range(1, greatest(len(rt) - 1, 1)),
+         |             i -> array_to_string(list_slice(rt, i, i + 2), ' ')))
          |           AS s
-         |  FROM tk WHERE len(w) >= 3),
+         |  FROM rtoks WHERE len(rt) >= 3),
          |cx AS (
          |  SELECT b.doc_id
          |  FROM (SELECT doc_id, unnest(s) AS e FROM shb

@@ -401,8 +401,12 @@ object Corpus {
     *  2. PII redaction ([[piiRedactCol]], deterministic synthetic PII);
     *  3. Gopher quality gate ([[gopherCol]]);
     *  4. exact content dedup on md5(text), keep-lowest-doc_id;
-    *  5. benchmark decontamination (shared word-3-gram shingles vs the
-    *     eval-stride set, [[Dedup.MinContamOverlap]] threshold);
+    *  5. benchmark decontamination over the RAW crawl text (benchmark
+    *     suites are matched against text as crawled, before the
+    *     normalize/redact transforms) — consumes the memoized
+    *     [[Dedup.contamCounts]] inverted-index frame shared with
+    *     [[Dedup.decontaminate]], thresholded at
+    *     [[BuildContamOverlap]];
     *  6. deterministic train/val/test assignment ([[splitCol]]).
     *
     * Emits (doc_id, split, n_words, content_hash) for the surviving
@@ -432,14 +436,13 @@ object Corpus {
       val kept = gated.withColumn("h", md5(col("t")))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("doc_id"), col("t"), col("h"))
-      val evalSh = Dedup
-        .shinglesOf(base.filter(col("doc_id") % Dedup.EvalStride === 0))
-        .select(explode(col("sh")).as("s")).distinct()
-      val contaminated = Dedup
-        .shinglesOf(base.filter(col("doc_id") % Dedup.EvalStride =!= 0))
-        .select(col("doc_id"), explode(col("sh")).as("s"))
-        .join(broadcast(evalSh), "s")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      // contamination runs against the RAW corpus text through the
+      // memoized [[Dedup.contamCounts]] frame — benchmark suites are
+      // compared against text as crawled (decontamination precedes the
+      // normalize/redact transforms), and the inverted-index join is
+      // computed ONCE per (session, dir) and shared with
+      // [[Dedup.decontaminate]] instead of re-derived here
+      val contaminated = Dedup.contamCounts(spark, dir)
         .filter(col("n_shared") >= BuildContamOverlap)
         .select("doc_id")
       kept.filter(col("doc_id") % Dedup.EvalStride =!= 0)

@@ -68,7 +68,7 @@ object Dedup {
 
   /** Same typed shingle pass over an arbitrary (doc_id, text) frame —
     * lets ngramJaccard shingle only the deduplicated representatives. */
-  private[operators] def shinglesOf(docs: DataFrame): DataFrame = {
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.as[(Long, String)]
@@ -237,8 +237,14 @@ object Dedup {
   private val pairMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Forget memoized pair frames (all sessions). */
-  def clearMemo(): Unit = pairMemo.clear()
+  /** Forget memoized pair/shingle/contamination frames and Bloom words
+    * (all sessions). */
+  def clearMemo(): Unit = {
+    pairMemo.clear()
+    evalShMemo.clear()
+    contamMemo.clear()
+    bloomMemo.clear()
+  }
 
   /** [[minhashLsh]] over an arbitrary (doc_id, text) frame — the shared
     * pair computation consumers can call directly. Returns a
@@ -779,42 +785,91 @@ object Dedup {
     * 100 TB it is the small side and broadcastable. Emits each
     * contaminated-or-overlapping doc with its shared-shingle count.
     */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    // split BEFORE the typed shingle pass: filters cannot push through a
-    // typed map, so shingling `docs` once and filtering both branches
-    // would pay the full-corpus pass twice
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val evalSh = shinglesOf(docs.filter(col("doc_id") % EvalStride === 0))
-      .select(explode(col("sh")).as("s")).distinct()
-    shinglesOf(docs.filter(col("doc_id") % EvalStride =!= 0))
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    contamCounts(spark, dir)
+      .withColumn("contaminated", col("n_shared") >= MinContamOverlap)
+      .orderBy("doc_id")
+
+  /** Memoized distinct eval-set shingles (materialized, lineage-free):
+    * the frame every decontamination consumer probes — [[decontaminate]]
+    * and [[corpusBuild]] through [[contamCounts]], and
+    * [[decontaminateBloom]]'s build + confirm stages. One eval-side
+    * typed shingle pass per (session, dir) however many consumers run. */
+  private[operators] def evalShingles(spark: SparkSession, dir: String): DataFrame =
+    evalShMemo.getOrElseUpdate((spark, dir), {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      Materialize(
+        shinglesOf(docs.filter(col("doc_id") % EvalStride === 0))
+          .select(explode(col("sh")).as("s")).distinct())
+    })
+
+  /** Memoized per-doc shared-shingle counts vs the eval set — the
+    * inverted-index join [[decontaminate]] thresholds at
+    * [[MinContamOverlap]] and [[graft.operators.Corpus.corpusBuild]] at
+    * its stricter composition threshold. The counts frame is tiny
+    * (matching docs only) and the join runs ONCE per (session, dir):
+    * curation lineage is shared, not recomputed per consumer.
+    *
+    * Split BEFORE the typed shingle pass: filters cannot push through a
+    * typed map, so shingling `docs` once and filtering both branches
+    * would pay the full-corpus pass twice.
+    */
+  private[graft] def contamCounts(spark: SparkSession, dir: String): DataFrame =
+    contamMemo.getOrElseUpdate((spark, dir), {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      Materialize(decontaminateFrames(
+        docs.filter(col("doc_id") % EvalStride =!= 0),
+        evalShingles(spark, dir)))
+    })
+
+  /** Exact inverted-index contamination counts over explicit frames —
+    * the broadcast-eval body of [[contamCounts]] and the exact side of
+    * the Bloom crossover measurements. `corpus` is (doc_id, text);
+    * `evalSh` the distinct eval shingle frame (column `s`). */
+  private[graft] def decontaminateFrames(corpus: DataFrame,
+                                         evalSh: DataFrame): DataFrame =
+    shinglesOf(corpus)
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .join(broadcast(evalSh), "s")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
-      .withColumn("contaminated", col("n_shared") >= MinContamOverlap)
-      .orderBy("doc_id")
-  }
+
+  private val evalShMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val contamMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Bloom-filter geometry for [[decontaminateBloom]]: 2^20 bits
-    * (128 KiB — ships to every task as one literal array of 16384
+    * (128 KiB — ships to every task as one reference object of 16384
     * longs) and 5 hash probes. At 150 k eval shingles the false-positive
-    * rate is ≈ 4 %; size m to the eval set, never to the corpus. */
+    * rate is ≈ 4 %; size m to the EVAL SET, never to the corpus —
+    * [[bloomBuild]] takes the bit count so larger eval sets get larger
+    * filters (see [[bloomBitsFor]]). */
   val BloomBits = 1 << 20
   val BloomHashes = 5
 
-  private def bloomPos(i: Int, s: Column): Column =
-    pmod(xxhash64(lit(i), s), lit(BloomBits.toLong))
+  /** m sized to the eval set: the next power of two ≥ 8 bits/item
+    * (k = 5 probes → ~2 % false positives), floored at [[BloomBits]]. */
+  def bloomBitsFor(nItems: Long): Int = {
+    var m = BloomBits.toLong
+    while (m < 8L * nItems && m < (1L << 30)) m <<= 1
+    m.toInt
+  }
+
+  private def bloomPos(i: Int, s: Column, bits: Int): Column =
+    pmod(xxhash64(lit(i), s), lit(bits.toLong))
 
   /** Distributed Bloom build over a column of strings: k positions per
     * value, positions → (word, mask), ONE `bit_or` aggregate on the
     * word index. The driver receives at most m/64 rows no matter how
     * large the input — the collect is bounded by the filter geometry,
     * not the data. */
-  def bloomBuild(values: DataFrame, column: String): Array[Long] = {
-    val nWords = BloomBits / 64
+  def bloomBuild(values: DataFrame, column: String,
+                 bits: Int = BloomBits): Array[Long] = {
+    val nWords = bits / 64
     val pos = values.select(
       explode(array((0 until BloomHashes).map(i =>
-        bloomPos(i, col(column))): _*)).as("pos"))
+        bloomPos(i, col(column), bits)): _*)).as("pos"))
     val words = pos
       .select(expr("pos div 64").as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("m"))
@@ -825,16 +880,29 @@ object Dedup {
     arr
   }
 
-  /** Membership probe against a built filter as a pure Catalyst
-    * predicate: k codegen'd hash-shift-test terms over one literal
-    * array — no UDF, stays inside whole-stage codegen. */
+  /** Membership probe against a built filter as a native codegen'd
+    * Catalyst expression ([[graft.functions.BloomMightContain]]): the
+    * word array rides the plan as ONE reference object. The previous
+    * form — k `element_at(lit(<16384 longs>), …)` terms — was correct
+    * but put 128 KiB of literal into the expression tree, and the query
+    * measurably spent more wall time in driver plan processing (every
+    * optimizer/AQE pass re-walking the literal) than in its jobs. The
+    * bit count is the word array's capacity — the filter is
+    * self-describing. */
   def bloomMightContain(words: Array[Long], s: Column): Column =
-    (0 until BloomHashes).map { i =>
-      val pos = bloomPos(i, s)
-      val mask = call_function("shiftleft", lit(1L), (pos % 64).cast("int"))
-      element_at(lit(words), (pos.cast("int") / 64).cast("int") + 1)
-        .bitwiseAND(mask) =!= lit(0L)
-    }.reduce(_ && _)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.BloomMightContain(
+        org.apache.spark.sql.GraftColumnBridge.expression(s),
+        words, BloomHashes, words.length * 64L))
+
+  /** Memoized Bloom words over the eval shingle set — built once per
+    * (session, dir) from the shared [[evalShingles]] frame. */
+  private[operators] def bloomFor(spark: SparkSession, dir: String): Array[Long] =
+    bloomMemo.getOrElseUpdate((spark, dir),
+      bloomBuild(evalShingles(spark, dir), "s"))
+
+  private val bloomMemo = scala.collection.concurrent
+    .TrieMap.empty[(SparkSession, String), Array[Long]]
 
   /** [[decontaminate]] with a Bloom pre-filter — the shape that
     * survives an eval set too large to broadcast: the filter (128 KiB,
@@ -844,27 +912,47 @@ object Dedup {
     * whose join now carries a small fraction of the corpus. Bloom
     * filters have no false negatives and the confirm join removes the
     * false positives, so the result is bit-identical to
-    * [[decontaminate]] — same oracle. */
+    * [[decontaminate]] — same oracle. The eval-side shingle pass and
+    * filter build are shared with [[decontaminate]] via
+    * [[evalShingles]]/[[bloomFor]]; at the oracle SFs the eval set is
+    * broadcastable and the exact path is cheaper — see the measured
+    * crossover in BloomDecontamSpec (the probe pays off once the eval
+    * shingle set outgrows the broadcast budget). */
   def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
-    // eval docs are shingled in isolation (1/EvalStride of the corpus);
-    // the bloom build therefore never pays a full-corpus typed pass
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    // evalSh feeds the bloom build AND the confirm join — cache it or
-    // the eval-side shingle pass runs twice
-    val evalSh = shinglesOf(docs.filter(col("doc_id") % EvalStride === 0))
-      .select(explode(col("sh")).as("s")).distinct()
-    Materialize.withCached(evalSh) {
-      val words = bloomBuild(evalSh, "s")
-      shinglesOf(docs.filter(col("doc_id") % EvalStride =!= 0))
-        .select(col("doc_id"), explode(col("sh")).as("s"))
-        .filter(bloomMightContain(words, col("s")))
-        .join(broadcast(evalSh), "s")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shared"))
-        .withColumn("contaminated", col("n_shared") >= MinContamOverlap)
-        .orderBy("doc_id")
-    }
+    val counts = Materialize(
+      decontaminateBloomFrames(
+        docs.filter(col("doc_id") % EvalStride =!= 0),
+        evalShingles(spark, dir), bloomFor(spark, dir))
+        .select(col("doc_id"), col("n_shared")))
+    // the bloom path's counts ARE the exact counts (no false negatives
+    // + confirm join) — publish them to the shared memo so
+    // decontaminate / corpusBuild consume THIS run instead of
+    // re-deriving the inverted index
+    contamMemo.put((spark, dir), counts)
+    counts.withColumn("contaminated", col("n_shared") >= MinContamOverlap)
+      .orderBy("doc_id")
   }
+
+  /** Bloom probe + confirm join over explicit frames — the shared body
+    * of [[decontaminateBloom]] and the crossover measurements in
+    * BloomDecontamSpec. `corpus` is (doc_id, text); `evalSh` is the
+    * distinct eval shingle frame (column `s`); `words` its built
+    * filter. */
+  private[graft] def decontaminateBloomFrames(corpus: DataFrame,
+                                              evalSh: DataFrame,
+                                              words: Array[Long]): DataFrame =
+    shinglesOf(corpus)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .filter(bloomMightContain(words, col("s")))
+      // NO broadcast hint on the confirm join: this operator's premise
+      // is an eval set too big to broadcast, so the join must be free
+      // to shuffle — AQE still broadcasts it when it happens to be
+      // small (the oracle SFs), which is exactly the right adaptivity
+      .join(evalSh, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= MinContamOverlap)
 
   /** Number of tiles for the embedding near-dup block join. At a given
     * deployment scale choose B ≈ ⌈corpus bytes / per-task working set⌉

@@ -44,4 +44,23 @@ class BloomDecontamSpec extends AnyFunSuite {
     assert(exact.length == bloom.length)
     exact.zip(bloom).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("big-eval shape: shuffle confirm join (no broadcast) stays exact") {
+    // the Bloom path's reason to exist is an eval set too large to
+    // broadcast — force the confirm join onto the shuffle path and the
+    // counts must still match the broadcast-exact ones (the crossover
+    // timings for this shape live in SCALE.md / tools/CrossoverBench)
+    val docsFrame = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % Dedup.EvalStride =!= 0)
+    val exact = Dedup.decontaminate(spark, sf0001)
+      .select("doc_id", "n_shared").collect().toSet
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val noBc = Dedup.decontaminateBloomFrames(docsFrame, evalSh, words)
+        .select("doc_id", "n_shared").collect().toSet
+      assert(noBc == exact)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
 }
