@@ -121,6 +121,7 @@ object SparkEntry {
     "q_profile_events"      -> (Sampling.profileEvents _),
     // --- multimodal plumbing --------------------------------------------
     "q_multimodal_features" -> (Multimodal.features _),
+    "q_media_decode"        -> (Multimodal.mediaDecode _),
     // --- SQL-registered operator surface (GraftExtensions) --------------
     // the curation gates run through spark.sql over the REGISTERED
     // functions — proves the SQL-first path end-to-end in the oracle gate
@@ -1706,5 +1707,44 @@ object SparkEntry {
          |             / greatest(width, height))), 1) AS INT) AS rs_height,
          |       CAST(least(nb // 100 + 1, 16) AS INT) AS n_frames
          |FROM m ORDER BY doc_id""".stripMargin,
+    // Closed-form replay of MediaCodec.synth's parameters: the Spark
+    // side SYNTHESIZES spec-conformant PPM/BMP/WAV bytes and PARSES
+    // them back with independent code; the oracle states what a correct
+    // round trip must report (incl. exact byte counts and the
+    // truncated-payload fallback), so a bug in writer OR reader breaks
+    // the hash.
+    "q_media_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(2 + doc_id % 14 AS INT) AS w,
+        |         CAST(2 + (doc_id * 7) % 14 AS INT) AS h,
+        |         CAST(1 + doc_id % 2 AS INT) AS ch,
+        |         CAST(8000 + (doc_id % 4) * 4000 AS INT) AS rate,
+        |         CAST(8 * (1 + (doc_id // 3) % 2) AS INT) AS bits,
+        |         CAST(8 + doc_id % 32 AS INT) AS ns
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 0 THEN 'unknown'
+        |       WHEN doc_id % 3 = 0 THEN 'ppm'
+        |       WHEN doc_id % 3 = 1 THEN 'bmp' ELSE 'wav' END AS format,
+        |  CAST(CASE WHEN doc_id % 17 = 0 OR doc_id % 3 = 2 THEN 0
+        |       ELSE w END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 17 = 0 OR doc_id % 3 = 2 THEN 0
+        |       ELSE h END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+        |       WHEN doc_id % 3 = 2 THEN ch ELSE 3 END AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 17 = 0 OR doc_id % 3 <> 2 THEN 0
+        |       ELSE rate END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+        |       WHEN doc_id % 3 = 0 THEN 8
+        |       WHEN doc_id % 3 = 1 THEN 24 ELSE bits END AS INT)
+        |    AS bit_depth,
+        |  CAST(CASE WHEN doc_id % 17 = 0 THEN 6
+        |       WHEN doc_id % 3 = 0 THEN
+        |         9 + length(CAST(w AS VARCHAR)) + length(CAST(h AS VARCHAR))
+        |           + w * h * 3
+        |       WHEN doc_id % 3 = 1 THEN 54 + ((w * 3 + 3) // 4) * 4 * h
+        |       ELSE 44 + ns * ch * (bits // 8) END AS INT) AS n_bytes
+        |FROM d ORDER BY doc_id""".stripMargin,
   )
 }

@@ -89,4 +89,31 @@ object Multimodal {
         col("n_bytes"), col("first_byte"), col("last_byte"),
         col("mean_byte"), col("rs_width"), col("rs_height"), col("n_frames"))
       .orderBy("doc_id")
+
+  /** REAL byte-level decode for the self-describing formats
+    * ([[MediaCodec]]: PPM / BMP / WAV headers need no external
+    * library): each document carries a synthesized spec-conformant
+    * payload (modality cycles by doc_id, every 17th truncated), the
+    * decoder parses the actual bytes, and corrupt payloads land on the
+    * deterministic fallback instead of failing the task. The oracle
+    * states the expected decode in closed form over doc_id — synthesis
+    * and parsing are independent code paths, so a bug in either breaks
+    * the hash. Narrow typed map, no shuffle; formats beyond the
+    * self-describing slice stay behind [[decodeFeatures]]'s documented
+    * stub. */
+  def mediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bytes = MediaCodec.synth(id)
+          val m = MediaCodec.parse(bytes)
+          (id, m.format, m.width, m.height, m.channels, m.sampleRate,
+            m.bitDepth, bytes.length)
+        }
+      }
+      .toDF("doc_id", "format", "width", "height", "channels",
+        "sample_rate", "bit_depth", "n_bytes")
+      .orderBy("doc_id")
+  }
 }
