@@ -1,0 +1,382 @@
+package graft.sources.kafka
+
+import java.util.{Map => JMap}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `spark.readStream.format("graft-kafka")` — a native DataSource V2
+  * Kafka source built on [[KafkaWireClient]] (no external Kafka jars;
+  * the sandbox classpath has none, and at 100 TB the consumer protocol
+  * is simple enough that owning it removes a dependency wall).
+  *
+  * Drop-in option-compatible with the official connector for the subset
+  * the reference uses (/root/reference/main.go:221-232 via franz-go):
+  * `kafka.bootstrap.servers`, `subscribe`, `startingOffsets`
+  * (earliest/latest/JSON), `endingOffsets` (batch), `minPartitions`,
+  * `maxOffsetsPerTrigger`, `kafka.security.protocol`
+  * (PLAINTEXT/SASL_PLAINTEXT/SSL/SASL_SSL), `kafka.sasl.mechanism`
+  * (PLAIN), `kafka.sasl.jaas.config`. Output schema matches the
+  * official source exactly, so [[graft.streaming.BidPipeline.decode]]
+  * is agnostic to which provider produced the frame.
+  *
+  * Scale shape: the driver keeps ONE connection for metadata + offset
+  * planning; each input partition is an offset range read by its own
+  * executor-side connection straight from the partition leader — the
+  * same consumer-per-task model as the official connector, so a
+  * 1000-executor cluster fans out across brokers with no driver
+  * involvement in the data path. `maxOffsetsPerTrigger` is enforced
+  * through Spark's admission-control API with per-partition
+  * proportional distribution; `minPartitions` splits large ranges so
+  * a 5-partition topic can still feed 32 cores.
+  */
+class GraftKafkaSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-kafka"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftKafka.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new GraftKafkaTable(new CaseInsensitiveStringMap(properties))
+}
+
+object GraftKafka {
+  /** The official Kafka source schema, field for field. */
+  val schema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  final case class ClientConfig(
+      host: String, port: Int,
+      sasl: Option[(String, String)], tls: Boolean) {
+    def connect(clientId: String): KafkaWireClient =
+      new KafkaWireClient(host, port, clientId, sasl, tls)
+  }
+
+  final case class Options(
+      bootstrap: ClientConfig,
+      topics: Seq[String],
+      startingOffsets: String,
+      endingOffsets: String,
+      maxOffsetsPerTrigger: Option[Long],
+      minPartitions: Int,
+      fetchMaxBytes: Int)
+
+  def parseOptions(options: CaseInsensitiveStringMap): Options = {
+    val servers = Option(options.get("kafka.bootstrap.servers")).getOrElse(
+      throw new IllegalArgumentException("kafka.bootstrap.servers is required"))
+    val hp = servers.split(",").head.trim.split(":")
+    require(hp.length == 2, s"bad bootstrap server '$servers'")
+    val protocol = Option(options.get("kafka.security.protocol"))
+      .getOrElse("PLAINTEXT").toUpperCase
+    val tls = protocol.contains("SSL")
+    val sasl =
+      if (!protocol.contains("SASL")) None
+      else {
+        val mech = Option(options.get("kafka.sasl.mechanism")).getOrElse("PLAIN")
+        require(mech.equalsIgnoreCase("PLAIN"),
+          s"only SASL/PLAIN is supported (got $mech)")
+        val jaas = Option(options.get("kafka.sasl.jaas.config")).getOrElse(
+          throw new IllegalArgumentException(
+            "kafka.sasl.jaas.config required for SASL"))
+        val user = "username=\"([^\"]*)\"".r.findFirstMatchIn(jaas)
+        val pass = "password=\"([^\"]*)\"".r.findFirstMatchIn(jaas)
+        require(user.isDefined && pass.isDefined,
+          "jaas config must carry username=\"..\" password=\"..\"")
+        Some((user.get.group(1), pass.get.group(1)))
+      }
+    val topics = Option(options.get("subscribe")).getOrElse(
+      throw new IllegalArgumentException("subscribe is required"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    Options(
+      ClientConfig(hp(0).trim, hp(1).trim.toInt, sasl, tls),
+      topics,
+      Option(options.get("startingOffsets")).getOrElse("latest"),
+      Option(options.get("endingOffsets")).getOrElse("latest"),
+      Option(options.get("maxOffsetsPerTrigger")).map(_.toLong),
+      Option(options.get("minPartitions")).map(_.toInt).getOrElse(0),
+      Option(options.get("kafka.max.partition.fetch.bytes"))
+        .map(_.toInt).getOrElse(8 << 20))
+  }
+
+  // ---- offset maps ---------------------------------------------------------
+
+  type OffsetMap = Map[(String, Int), Long]
+
+  /** Same JSON shape as the official source:
+    * {"topic":{"0":42,"1":17}}, partitions sorted for determinism. */
+  def offsetsToJson(m: OffsetMap): String =
+    m.groupBy(_._1._1).toSeq.sortBy(_._1).map { case (topic, parts) =>
+      val inner = parts.toSeq.sortBy(_._1._2)
+        .map { case ((_, p), off) => s""""$p":$off""" }.mkString(",")
+      s""""$topic":{$inner}"""
+    }.mkString("{", ",", "}")
+
+  def offsetsFromJson(json: String): OffsetMap = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    val out = mutable.Map[(String, Int), Long]()
+    root.fields().asScala.foreach { e =>
+      e.getValue.fields().asScala.foreach { p =>
+        out((e.getKey, p.getKey.toInt)) = p.getValue.asLong()
+      }
+    }
+    out.toMap
+  }
+
+  /** Snapshot offsets for all subscribed partitions in one driver pass. */
+  def snapshot(client: KafkaWireClient, topics: Seq[String],
+               earliest: Boolean): OffsetMap = {
+    val meta = client.metadata(topics)
+    meta.topics.flatMap { t =>
+      t.partitions.map { p =>
+        val off =
+          if (earliest) client.earliestOffset(t.name, p.partition)
+          else client.latestOffset(t.name, p.partition)
+        (t.name, p.partition) -> off
+      }
+    }.toMap
+  }
+
+  /** Proportional per-partition admission cap — the official source's
+    * rate-limit semantics: each partition advances by
+    * `lag * maxRows / totalLag` (at least 1 when it has lag, so no
+    * partition starves). */
+  def capOffsets(start: OffsetMap, latest: OffsetMap, maxRows: Long): OffsetMap = {
+    val lags = latest.map { case (tp, end) =>
+      tp -> math.max(0L, end - start.getOrElse(tp, end))
+    }
+    val total = lags.values.sum
+    if (total <= maxRows) latest
+    else latest.map { case (tp, end) =>
+      val lag = lags(tp)
+      val take =
+        if (lag == 0) 0L
+        else math.max(1L, (lag.toDouble * maxRows / total).toLong)
+      tp -> math.min(end, start.getOrElse(tp, end) + take)
+    }
+  }
+}
+
+final class GraftKafkaOffset(val offsets: GraftKafka.OffsetMap) extends Offset {
+  override def json(): String = GraftKafka.offsetsToJson(offsets)
+  override def equals(o: Any): Boolean = o match {
+    case g: GraftKafkaOffset => g.offsets == offsets
+    case _ => false
+  }
+  override def hashCode(): Int = offsets.hashCode()
+}
+
+class GraftKafkaTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"graft-kafka:${options.get("subscribe")}"
+  override def schema(): StructType = GraftKafka.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftKafkaScan(opts)
+    }
+}
+
+class GraftKafkaScan(options: CaseInsensitiveStringMap) extends Scan {
+  private val opts = GraftKafka.parseOptions(options)
+  override def readSchema(): StructType = GraftKafka.schema
+  override def description(): String =
+    s"graft-kafka [${opts.topics.mkString(",")}]"
+  override def toBatch: Batch = new GraftKafkaBatch(opts)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftKafkaMicroBatchStream(opts)
+}
+
+/** Bounded read: `startingOffsets` → `endingOffsets` resolved once at
+  * planning. */
+class GraftKafkaBatch(opts: GraftKafka.Options) extends Batch {
+  import GraftKafka._
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val client = opts.bootstrap.connect("graft-batch-planner")
+    try {
+      val start = opts.startingOffsets match {
+        case "latest" => snapshot(client, opts.topics, earliest = false)
+        case "earliest" => snapshot(client, opts.topics, earliest = true)
+        case json => offsetsFromJson(json)
+      }
+      val end = opts.endingOffsets match {
+        case "latest" => snapshot(client, opts.topics, earliest = false)
+        case "earliest" => snapshot(client, opts.topics, earliest = true)
+        case json => offsetsFromJson(json)
+      }
+      GraftKafkaPlanner.plan(client, opts, start, end)
+    } finally client.close()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftKafkaReaderFactory(opts.fetchMaxBytes)
+}
+
+class GraftKafkaMicroBatchStream(opts: GraftKafka.Options)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+  import GraftKafka._
+
+  @transient private lazy val client =
+    opts.bootstrap.connect("graft-driver-planner")
+  /** Trigger.AvailableNow ceiling: offsets snapshotted at query start. */
+  @transient private var availableNowCeiling: Option[OffsetMap] = None
+
+  override def initialOffset(): Offset = {
+    val earliest = opts.startingOffsets match {
+      case "earliest" => true
+      case "latest" => false
+      case json => return new GraftKafkaOffset(offsetsFromJson(json))
+    }
+    new GraftKafkaOffset(snapshot(client, opts.topics, earliest))
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    opts.maxOffsetsPerTrigger.map(ReadLimit.maxRows).getOrElse(
+      ReadLimit.allAvailable())
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCeiling = Some(snapshot(client, opts.topics, earliest = false))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startMap = start.asInstanceOf[GraftKafkaOffset].offsets
+    val target = availableNowCeiling.getOrElse(
+      snapshot(client, opts.topics, earliest = false))
+    val capped = limit match {
+      case m: ReadMaxRows => capOffsets(startMap, target, m.maxRows())
+      case _ => target
+    }
+    new GraftKafkaOffset(capped)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    GraftKafkaPlanner.plan(client, opts,
+      start.asInstanceOf[GraftKafkaOffset].offsets,
+      end.asInstanceOf[GraftKafkaOffset].offsets)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftKafkaReaderFactory(opts.fetchMaxBytes)
+
+  override def deserializeOffset(json: String): Offset =
+    new GraftKafkaOffset(offsetsFromJson(json))
+
+  override def commit(end: Offset): Unit = () // checkpoint is the group state
+
+  override def stop(): Unit = client.close()
+}
+
+/** One offset range of one topic-partition, read from its leader. */
+final case class GraftKafkaInputPartition(
+    topic: String, partition: Int,
+    startOffset: Long, endOffset: Long,
+    leaderHost: String, leaderPort: Int,
+    saslUser: String, saslPass: String, tls: Boolean)
+  extends InputPartition
+
+object GraftKafkaPlanner {
+  import GraftKafka._
+
+  /** Ranges from (start, end), split so at least `minPartitions` tasks
+    * exist when the lag allows — proportional to range size, the
+    * official connector's `minPartitions` semantics. */
+  def plan(client: KafkaWireClient, opts: Options,
+           start: OffsetMap, end: OffsetMap): Array[InputPartition] = {
+    val meta = client.metadata(opts.topics)
+    val ranges = end.toSeq.sortBy { case ((t, p), _) => (t, p) }.flatMap {
+      case ((topic, partition), until) =>
+        val from = start.getOrElse((topic, partition), until)
+        if (until > from) Some((topic, partition, from, until)) else None
+    }
+    val total = ranges.map { case (_, _, f, u) => u - f }.sum
+    val want = opts.minPartitions
+    val split: Seq[(String, Int, Long, Long)] =
+      if (want <= ranges.size || total == 0) ranges
+      else ranges.flatMap { case (t, p, f, u) =>
+        val size = u - f
+        val pieces = math.max(1L,
+          math.min(size, math.round(size.toDouble * want / total))).toInt
+        val step = math.max(1L, (size + pieces - 1) / pieces)
+        (f until u by step).map(s => (t, p, s, math.min(u, s + step)))
+      }
+    split.map { case (t, p, f, u) =>
+      val leader = meta.leaderFor(t, p)
+      GraftKafkaInputPartition(t, p, f, u, leader.host, leader.port,
+        opts.bootstrap.sasl.map(_._1).orNull,
+        opts.bootstrap.sasl.map(_._2).orNull,
+        opts.bootstrap.tls): InputPartition
+    }.toArray
+  }
+}
+
+class GraftKafkaReaderFactory(fetchMaxBytes: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftKafkaPartitionReader(
+      partition.asInstanceOf[GraftKafkaInputPartition], fetchMaxBytes)
+}
+
+/** Executor-side reader: one connection to the range's leader, fetches
+  * forward until `endOffset`. Records below `startOffset` were already
+  * dropped by the client (whole-batch serving); records at or beyond
+  * `endOffset` (same batch, next trigger's range) are left unread. */
+class GraftKafkaPartitionReader(p: GraftKafkaInputPartition, fetchMaxBytes: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val client = new KafkaWireClient(
+    p.leaderHost, p.leaderPort, s"graft-reader-${p.topic}-${p.partition}",
+    Option(p.saslUser).map(u => (u, p.saslPass)), p.tls)
+  private var nextOffset = p.startOffset
+  private var buffer: Iterator[KafkaWire.Record] = Iterator.empty
+  private var current: KafkaWire.Record = _
+
+  override def next(): Boolean = {
+    if (nextOffset >= p.endOffset) return false
+    while (!buffer.hasNext) {
+      val result = client.fetch(p.topic, p.partition, nextOffset, fetchMaxBytes)
+      if (result.records.isEmpty) {
+        // planned range but no data — the log was truncated under us
+        throw new IllegalStateException(
+          s"data loss: ${p.topic}-${p.partition} empty at $nextOffset " +
+            s"(planned until ${p.endOffset}, hwm ${result.highWatermark})")
+      }
+      buffer = result.records.iterator
+    }
+    current = buffer.next()
+    if (current.offset >= p.endOffset) { nextOffset = p.endOffset; return false }
+    nextOffset = current.offset + 1
+    true
+  }
+
+  override def get(): InternalRow = {
+    val r = current
+    new GenericInternalRow(Array[Any](
+      r.key, r.value, UTF8String.fromString(p.topic), p.partition,
+      r.offset, r.timestamp * 1000L, 0))
+  }
+
+  override def close(): Unit = client.close()
+}

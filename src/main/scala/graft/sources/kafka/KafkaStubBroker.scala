@@ -1,0 +1,309 @@
+package graft.sources.kafka
+
+import java.io.{DataInputStream, DataOutputStream, EOFException}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import KafkaWire._
+
+/** An in-JVM single-node Kafka broker speaking the same protocol subset
+  * as [[KafkaWireClient]] — enough for wire-level end-to-end tests of
+  * the A1 surface without external artifacts (the sandbox has no broker
+  * and no Kafka jars; SURVEY §2.A A1). NOT a production broker: no
+  * replication, retention, or consumer groups — the graft source manages
+  * offsets itself (Spark checkpoints are the group state), so none of
+  * those are needed to exercise the consumer path.
+  *
+  * Storage mirrors a real log segment: produced record batches are kept
+  * as raw bytes, re-framed with their assigned base offset, and served
+  * back whole on fetch (the zero-copy contract the client's
+  * below-offset-skip handles). Partition count is fixed at
+  * construction; topics auto-create on first produce, like the
+  * reference's dev setup.
+  *
+  * Optional SASL/PLAIN: when credentials are set, every connection must
+  * complete SaslHandshake + SaslAuthenticate before any other API —
+  * wrong passwords get error 58, other APIs before auth get 34
+  * (illegal SASL state), matching broker behavior.
+  */
+final class KafkaStubBroker(
+    partitions: Int = 1,
+    sasl: Option[(String, String)] = None,
+    advertisedHost: String = "localhost") extends AutoCloseable {
+
+  /** One partition's log: synchronized on the buffer itself. */
+  private final class PartitionLog {
+    val batches = new ArrayBuffer[(Long, Int, Array[Byte])] // (baseOffset, count, bytes)
+    var logEndOffset = 0L
+  }
+
+  private val logs = new ConcurrentHashMap[(String, Int), PartitionLog]()
+  private val topics = ConcurrentHashMap.newKeySet[String]()
+  private val server = new ServerSocket(0)
+  @volatile private var running = true
+
+  def port: Int = server.getLocalPort
+  def bootstrapServers: String = s"$advertisedHost:$port"
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => serve(sock), s"kafka-stub-conn")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: SocketException => // closed
+      }
+    }
+  }, "kafka-stub-acceptor")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  override def close(): Unit = { running = false; server.close() }
+
+  /** Current log-end offset, for test assertions. */
+  def endOffset(topic: String, partition: Int): Long = {
+    val log = logs.get((topic, partition))
+    if (log == null) 0L else log.synchronized(log.logEndOffset)
+  }
+
+  private def logFor(topic: String, partition: Int): PartitionLog = {
+    topics.add(topic)
+    logs.computeIfAbsent((topic, partition), _ => new PartitionLog)
+  }
+
+  // ---- connection loop -----------------------------------------------------
+
+  private def serve(sock: Socket): Unit = {
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+    var authenticated = sasl.isEmpty
+    var authAttempted = false
+    var handshaken = false
+    try {
+      while (running) {
+        val size = in.readInt()
+        require(size > 0 && size <= (128 << 20), s"bad request size $size")
+        val req = new Array[Byte](size)
+        in.readFully(req)
+        val r = new Reader(req)
+        val apiKey = r.int16().toInt
+        val apiVersion = r.int16().toInt
+        val corr = r.int32()
+        r.nullableString() // client_id
+
+        val w = new Writer()
+        val sizeSlot = w.reserveInt32()
+        w.int32(corr)
+        apiKey match {
+          case Api.ApiVersions => apiVersionsResp(w)
+          case Api.SaslHandshake =>
+            handshaken = handleHandshake(r, w)
+          case Api.SaslAuthenticate =>
+            authenticated = handleAuthenticate(r, w, handshaken)
+            authAttempted = true
+          case _ if !authenticated =>
+            // non-SASL API before auth completes: kill with 34 in the
+            // API's own error slot is api-specific; simplest faithful
+            // behavior is closing after an auth failure — but for
+            // pre-auth API calls brokers return IllegalSaslState on the
+            // SASL exchange; here we close the connection.
+            throw new IllegalStateException("API call before SASL auth")
+          case Api.Metadata => metadataResp(r, w, apiVersion)
+          case Api.ListOffsets => listOffsetsResp(r, w)
+          case Api.Fetch => fetchResp(r, w)
+          case Api.Produce => produceResp(r, w)
+          case k => throw new IllegalStateException(s"unsupported api $k")
+        }
+        w.patchInt32(sizeSlot, w.size - 4)
+        out.write(w.toBytes); out.flush()
+        if (sasl.isDefined && authAttempted && !authenticated) {
+          // failed SaslAuthenticate response already sent → broker closes
+          return
+        }
+      }
+    } catch {
+      case _: EOFException | _: SocketException => // client went away
+      case _: IllegalStateException => // protocol violation → drop conn
+    } finally sock.close()
+  }
+
+  // ---- api handlers --------------------------------------------------------
+
+  private def apiVersionsResp(w: Writer): Unit = {
+    w.int16(Err.None)
+    val apis = Seq(
+      (Api.Produce, 3, 3), (Api.Fetch, 4, 4), (Api.ListOffsets, 1, 1),
+      (Api.Metadata, 0, 1), (Api.SaslHandshake, 1, 1),
+      (Api.ApiVersions, 0, 0), (Api.SaslAuthenticate, 0, 0))
+    w.int32(apis.size)
+    apis.foreach { case (k, lo, hi) => w.int16(k).int16(lo).int16(hi) }
+  }
+
+  private def handleHandshake(r: Reader, w: Writer): Boolean = {
+    val mechanism = r.string()
+    if (mechanism == "PLAIN") {
+      w.int16(Err.None); w.int32(1); w.string("PLAIN"); true
+    } else {
+      w.int16(Err.UnsupportedSaslMechanism); w.int32(1); w.string("PLAIN"); false
+    }
+  }
+
+  private def handleAuthenticate(r: Reader, w: Writer, handshaken: Boolean): Boolean = {
+    val token = r.bytes()
+    if (!handshaken) {
+      w.int16(Err.IllegalSaslState)
+      w.nullableString(Some("SaslAuthenticate before SaslHandshake"))
+      w.bytes(Array.emptyByteArray)
+      return false
+    }
+    val parts = new String(token, java.nio.charset.StandardCharsets.UTF_8)
+      .split("\u0000", -1)
+    val ok = sasl.exists { case (u, p) =>
+      parts.length == 3 && parts(1) == u && parts(2) == p
+    }
+    if (ok) {
+      w.int16(Err.None); w.nullableString(None); w.bytes(Array.emptyByteArray)
+    } else {
+      w.int16(Err.SaslAuthenticationFailed)
+      w.nullableString(Some("invalid credentials"))
+      w.bytes(Array.emptyByteArray)
+    }
+    ok
+  }
+
+  private def metadataResp(r: Reader, w: Writer, version: Int): Unit = {
+    val requested = Seq.fill(r.int32())(r.string())
+    val names =
+      if (requested.isEmpty) topics.asScala.toSeq.sorted else requested
+    // brokers: just this node
+    w.int32(1); w.int32(0); w.string(advertisedHost); w.int32(port)
+    if (version >= 1) w.nullableString(None) // rack
+    if (version >= 1) w.int32(0)             // controller_id
+    w.int32(names.size)
+    names.foreach { t =>
+      w.int16(Err.None); w.string(t)
+      if (version >= 1) w.int8(0) // is_internal
+      topics.add(t)
+      w.int32(partitions)
+      (0 until partitions).foreach { p =>
+        logFor(t, p)
+        w.int16(Err.None); w.int32(p); w.int32(0) // leader = node 0
+        w.int32(1); w.int32(0)                     // replicas
+        w.int32(1); w.int32(0)                     // isr
+      }
+    }
+  }
+
+  private def listOffsetsResp(r: Reader, w: Writer): Unit = {
+    r.int32() // replica_id
+    val topicCount = r.int32()
+    w.int32(topicCount)
+    (0 until topicCount).foreach { _ =>
+      val topic = r.string()
+      val partCount = r.int32()
+      w.string(topic); w.int32(partCount)
+      (0 until partCount).foreach { _ =>
+        val partition = r.int32()
+        val timestamp = r.int64()
+        val log = logFor(topic, partition)
+        val offset = log.synchronized {
+          if (timestamp == -2L) log.batches.headOption.map(_._1).getOrElse(0L)
+          else log.logEndOffset
+        }
+        w.int32(partition); w.int16(Err.None)
+        w.int64(-1L) // timestamp (v1: match ts; -1 for earliest/latest probes)
+        w.int64(offset)
+      }
+    }
+  }
+
+  private def fetchResp(r: Reader, w: Writer): Unit = {
+    r.int32(); r.int32(); r.int32(); r.int32(); r.int8() // replica, wait, min, max, isolation
+    val topicCount = r.int32()
+    w.int32(0) // throttle_time_ms
+    w.int32(topicCount)
+    (0 until topicCount).foreach { _ =>
+      val topic = r.string()
+      val partCount = r.int32()
+      w.string(topic); w.int32(partCount)
+      (0 until partCount).foreach { _ =>
+        val partition = r.int32()
+        val fetchOffset = r.int64()
+        val partMaxBytes = r.int32()
+        val log = logFor(topic, partition)
+        val (err, hwm, payload) = log.synchronized {
+          val end = log.logEndOffset
+          if (fetchOffset > end) (Err.OffsetOutOfRange, end, Array.emptyByteArray)
+          else {
+            // serve whole stored batches starting at the one containing
+            // fetchOffset, up to partMaxBytes (always ≥ 1 batch)
+            val fromIdx = log.batches.indexWhere {
+              case (base, count, _) => base + count > fetchOffset
+            }
+            if (fromIdx < 0) (Err.None, end, Array.emptyByteArray)
+            else {
+              val out = new java.io.ByteArrayOutputStream()
+              var i = fromIdx
+              while (i < log.batches.size &&
+                     (out.size == 0 || out.size + log.batches(i)._3.length <= partMaxBytes)) {
+                out.write(log.batches(i)._3)
+                i += 1
+              }
+              (Err.None, end, out.toByteArray)
+            }
+          }
+        }
+        w.int32(partition); w.int16(err)
+        w.int64(hwm)  // high_watermark
+        w.int64(hwm)  // last_stable_offset
+        w.int32(0)    // aborted_transactions
+        w.bytes(payload)
+      }
+    }
+  }
+
+  private def produceResp(r: Reader, w: Writer): Unit = {
+    r.nullableString() // transactional_id
+    r.int16()          // acks
+    r.int32()          // timeout
+    val topicCount = r.int32()
+    w.int32(topicCount)
+    (0 until topicCount).foreach { _ =>
+      val topic = r.string()
+      val partCount = r.int32()
+      w.string(topic); w.int32(partCount)
+      (0 until partCount).foreach { _ =>
+        val partition = r.int32()
+        val batchBytes = r.bytes()
+        // count records + re-base the batch at the assigned offset
+        val records = decodeBatches(batchBytes)
+        val log = logFor(topic, partition)
+        val baseOffset = log.synchronized {
+          val base = log.logEndOffset
+          val rebased = rebase(batchBytes, base)
+          log.batches += ((base, records.size, rebased))
+          log.logEndOffset = base + records.size
+          base
+        }
+        w.int32(partition); w.int16(Err.None)
+        w.int64(baseOffset)
+        w.int64(-1L) // log_append_time (CreateTime batches)
+      }
+    }
+    w.int32(0) // throttle_time_ms
+  }
+
+  /** Rewrite a produced batch's baseOffset to its assigned position —
+    * what a real log does on append. The CRC does not cover baseOffset,
+    * so no re-checksum is needed (that is WHY the spec excludes it). */
+  private def rebase(batch: Array[Byte], baseOffset: Long): Array[Byte] = {
+    val b = java.util.Arrays.copyOf(batch, batch.length)
+    java.nio.ByteBuffer.wrap(b, 0, 8).putLong(baseOffset)
+    b
+  }
+}

@@ -1,0 +1,290 @@
+package graft.sources.kafka
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.CRC32C
+
+/** Byte-level codec for the public Kafka wire protocol (KIP-98 record
+  * batch format v2, "classic" non-flexible request encodings) —
+  * implemented from the protocol specification, not from any Kafka
+  * client library (none exists in this sandbox's classpath).
+  *
+  * This is the transport the reference consumes through franz-go
+  * (/root/reference/main.go:221-232 builds the consumer). The engine
+  * speaks the same protocol natively so the A1 surface is executable —
+  * and wire-testable — without external artifacts.
+  *
+  * Only what a consumer needs is encoded: primitives, the v2 record
+  * batch (uncompressed), and nothing transactional. All multi-byte
+  * integers are big-endian per the spec; record-internal integers are
+  * zigzag varints; the batch CRC is CRC32C (Castagnoli) over the bytes
+  * from `attributes` to the end of the batch.
+  */
+object KafkaWire {
+
+  // ---- primitive writer --------------------------------------------------
+
+  /** Growable big-endian writer with length-prefix patching. */
+  final class Writer(initial: Int = 256) {
+    private var buf = new Array[Byte](initial)
+    private var pos = 0
+
+    private def ensure(n: Int): Unit =
+      if (pos + n > buf.length) {
+        var cap = buf.length * 2
+        while (cap < pos + n) cap *= 2
+        buf = java.util.Arrays.copyOf(buf, cap)
+      }
+
+    def size: Int = pos
+
+    def int8(v: Int): this.type = { ensure(1); buf(pos) = v.toByte; pos += 1; this }
+    def int16(v: Int): this.type = {
+      ensure(2); buf(pos) = (v >> 8).toByte; buf(pos + 1) = v.toByte; pos += 2; this
+    }
+    def int32(v: Int): this.type = {
+      ensure(4)
+      buf(pos) = (v >> 24).toByte; buf(pos + 1) = (v >> 16).toByte
+      buf(pos + 2) = (v >> 8).toByte; buf(pos + 3) = v.toByte
+      pos += 4; this
+    }
+    def int64(v: Long): this.type = { int32((v >> 32).toInt); int32(v.toInt) }
+
+    /** Zigzag varint (protobuf wire format, as the record spec states). */
+    def varInt(v: Int): this.type = varLongRaw(((v << 1) ^ (v >> 31)).toLong & 0xffffffffL)
+    def varLong(v: Long): this.type = varLongRaw((v << 1) ^ (v >> 63))
+    private def varLongRaw(v0: Long): this.type = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { int8(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      int8(v.toInt)
+    }
+
+    /** Non-null STRING: INT16 length + UTF-8 bytes. */
+    def string(s: String): this.type = {
+      val b = s.getBytes(UTF_8); int16(b.length); raw(b)
+    }
+    /** NULLABLE_STRING: length -1 encodes null. */
+    def nullableString(s: Option[String]): this.type =
+      s.fold[this.type](int16(-1))(string)
+    /** BYTES: INT32 length + payload; -1 encodes null. */
+    def bytes(b: Array[Byte]): this.type =
+      if (b == null) int32(-1) else { int32(b.length); raw(b) }
+
+    def raw(b: Array[Byte]): this.type = {
+      ensure(b.length); System.arraycopy(b, 0, buf, pos, b.length); pos += b.length; this
+    }
+
+    /** Reserve an INT32 slot now, patch it later (request size prefixes,
+      * batchLength, CRC). Returns the slot position. */
+    def reserveInt32(): Int = { val p = pos; int32(0); p }
+    def patchInt32(at: Int, v: Int): Unit = {
+      buf(at) = (v >> 24).toByte; buf(at + 1) = (v >> 16).toByte
+      buf(at + 2) = (v >> 8).toByte; buf(at + 3) = v.toByte
+    }
+
+    def toBytes: Array[Byte] = java.util.Arrays.copyOf(buf, pos)
+    /** CRC32C over [from, size). */
+    def crc32c(from: Int): Int = {
+      val c = new CRC32C; c.update(buf, from, pos - from); c.getValue.toInt
+    }
+  }
+
+  // ---- primitive reader --------------------------------------------------
+
+  /** Big-endian reader over a response body. */
+  final class Reader(bytes: Array[Byte]) {
+    private val bb = ByteBuffer.wrap(bytes)
+
+    def remaining: Int = bb.remaining()
+    def int8(): Byte = bb.get()
+    def int16(): Short = bb.getShort()
+    def int32(): Int = bb.getInt()
+    def int64(): Long = bb.getLong()
+    def uint32(): Long = bb.getInt().toLong & 0xffffffffL
+
+    def varInt(): Int = { val v = varLongRaw(); ((v >>> 1) ^ -(v & 1)).toInt }
+    def varLong(): Long = { val v = varLongRaw(); (v >>> 1) ^ -(v & 1) }
+    private def varLongRaw(): Long = {
+      var v = 0L; var shift = 0
+      var b = bb.get()
+      while ((b & 0x80) != 0) {
+        v |= (b & 0x7fL) << shift; shift += 7
+        if (shift > 63) throw new IllegalArgumentException("varint too long")
+        b = bb.get()
+      }
+      v | ((b & 0x7fL) << shift)
+    }
+
+    def string(): String = {
+      val n = int16()
+      require(n >= 0, s"non-null string expected, length $n")
+      rawString(n)
+    }
+    def nullableString(): Option[String] = {
+      val n = int16()
+      if (n < 0) None else Some(rawString(n))
+    }
+    private def rawString(n: Int): String = {
+      val b = new Array[Byte](n); bb.get(b); new String(b, UTF_8)
+    }
+    def bytes(): Array[Byte] = {
+      val n = int32()
+      if (n < 0) null else { val b = new Array[Byte](n); bb.get(b); b }
+    }
+    def raw(n: Int): Array[Byte] = { val b = new Array[Byte](n); bb.get(b); b }
+    def skip(n: Int): Unit = bb.position(bb.position() + n)
+    def position: Int = bb.position()
+  }
+
+  // ---- record batch v2 ---------------------------------------------------
+
+  /** One consumed record. `timestamp` is the producer CreateTime in
+    * epoch millis; `key`/`value` may be null per the spec. */
+  final case class Record(offset: Long, timestamp: Long,
+                          key: Array[Byte], value: Array[Byte])
+
+  /** Bytes before the `records` array in a v2 batch:
+    * baseOffset(8) batchLength(4) leaderEpoch(4) magic(1) crc(4)
+    * attributes(2) lastOffsetDelta(4) baseTs(8) maxTs(8) producerId(8)
+    * producerEpoch(2) baseSequence(4) recordCount(4). */
+  private val BatchHeaderLen = 61
+  /** Offset of the CRC field within a batch. */
+  private val CrcOffset = 17
+  /** CRC covers attributes..end — everything after the CRC field. */
+  private val AttributesOffset = 21
+
+  /** Encode one uncompressed v2 batch. `records` are (timestampMs, key,
+    * value); offsets are assigned `baseOffset + index`. */
+  def encodeBatch(baseOffset: Long,
+                  records: Seq[(Long, Array[Byte], Array[Byte])]): Array[Byte] = {
+    require(records.nonEmpty, "empty record batch")
+    val baseTs = records.iterator.map(_._1).min
+    val maxTs = records.iterator.map(_._1).max
+    val w = new Writer(64 + records.iterator.map {
+      case (_, k, v) =>
+        20 + (if (k == null) 0 else k.length) + (if (v == null) 0 else v.length)
+    }.sum)
+
+    w.int64(baseOffset)
+    val lenSlot = w.reserveInt32() // batchLength
+    w.int32(0)                     // partitionLeaderEpoch
+    w.int8(2)                      // magic
+    val crcSlot = w.reserveInt32()
+    w.int16(0)                     // attributes: no compression, CreateTime
+    w.int32(records.size - 1)      // lastOffsetDelta
+    w.int64(baseTs)
+    w.int64(maxTs)
+    w.int64(-1L)                   // producerId
+    w.int16(-1)                    // producerEpoch
+    w.int32(-1)                    // baseSequence
+    w.int32(records.size)
+
+    records.iterator.zipWithIndex.foreach { case ((ts, key, value), i) =>
+      // record body first — its length prefix is a varint of the body size
+      val r = new Writer(24 +
+        (if (key == null) 0 else key.length) +
+        (if (value == null) 0 else value.length))
+      r.int8(0)                    // record attributes
+      r.varLong(ts - baseTs)       // timestampDelta
+      r.varInt(i)                  // offsetDelta
+      if (key == null) r.varInt(-1) else { r.varInt(key.length); r.raw(key) }
+      if (value == null) r.varInt(-1) else { r.varInt(value.length); r.raw(value) }
+      r.varInt(0)                  // headers
+      val body = r.toBytes
+      w.varInt(body.length)
+      w.raw(body)
+    }
+
+    w.patchInt32(lenSlot, w.size - (lenSlot + 4))
+    w.patchInt32(crcSlot, w.crc32c(AttributesOffset))
+    w.toBytes
+  }
+
+  /** Decode every complete batch in a fetched record set, verifying each
+    * CRC. Brokers return whole batches from the log segment (zero-copy),
+    * so the set may (a) start before the requested offset — callers skip
+    * records below it — and (b) end with a truncated batch when
+    * `maxBytes` cut mid-batch — ignored per the spec ("as efficient as
+    * possible": clients tolerate a trailing partial batch). */
+  def decodeBatches(recordSet: Array[Byte]): Seq[Record] = {
+    if (recordSet == null || recordSet.isEmpty) return Nil
+    val out = Vector.newBuilder[Record]
+    var at = 0
+    while (recordSet.length - at >= 12) {
+      val bb = ByteBuffer.wrap(recordSet, at, recordSet.length - at)
+      val baseOffset = bb.getLong
+      val batchLength = bb.getInt
+      val total = 12 + batchLength
+      if (batchLength < BatchHeaderLen - 12 || at + total > recordSet.length) {
+        at = recordSet.length // trailing partial batch — done
+      } else {
+        val magic = recordSet(at + 16)
+        require(magic == 2, s"unsupported record batch magic $magic")
+        val crcStored = ByteBuffer.wrap(recordSet, at + CrcOffset, 4).getInt
+        val crc = new CRC32C
+        crc.update(recordSet, at + AttributesOffset, total - AttributesOffset)
+        require(crc.getValue.toInt == crcStored,
+          s"record batch CRC mismatch at offset $baseOffset")
+        val r = new Reader(java.util.Arrays.copyOfRange(recordSet, at + 21, at + total))
+        val attributes = r.int16()
+        require((attributes & 0x07) == 0,
+          s"compressed batches unsupported (codec ${attributes & 0x07})")
+        r.int32()                  // lastOffsetDelta
+        val baseTs = r.int64()
+        r.int64()                  // maxTimestamp
+        r.int64(); r.int16(); r.int32() // producer id/epoch, baseSequence
+        val count = r.int32()
+        var i = 0
+        while (i < count) {
+          val len = r.varInt()
+          val end = r.position + len
+          r.int8()                 // record attributes
+          val tsDelta = r.varLong()
+          val offDelta = r.varInt()
+          val keyLen = r.varInt()
+          val key = if (keyLen < 0) null else r.raw(keyLen)
+          val valLen = r.varInt()
+          val value = if (valLen < 0) null else r.raw(valLen)
+          val headers = r.varInt()
+          var h = 0
+          while (h < headers) { // skip headers
+            val kl = r.varInt(); r.skip(kl)
+            val vl = r.varInt(); if (vl > 0) r.skip(vl)
+            h += 1
+          }
+          require(r.position == end, s"record length mismatch at $baseOffset+$offDelta")
+          out += Record(baseOffset + offDelta, baseTs + tsDelta, key, value)
+          i += 1
+        }
+        at += total
+      }
+    }
+    out.result()
+  }
+
+  // ---- api keys & error codes (public protocol constants) ----------------
+
+  object Api {
+    val Produce = 0; val Fetch = 1; val ListOffsets = 2; val Metadata = 3
+    val SaslHandshake = 17; val ApiVersions = 18; val SaslAuthenticate = 36
+  }
+
+  object Err {
+    val None = 0
+    val UnknownTopicOrPartition = 3
+    val OffsetOutOfRange = 1
+    val UnsupportedSaslMechanism = 33
+    val IllegalSaslState = 34
+    val SaslAuthenticationFailed = 58
+    def check(code: Int, ctx: String): Unit =
+      if (code != None) throw new KafkaWireException(code, ctx)
+  }
+
+  final class KafkaWireException(val code: Int, ctx: String)
+    extends RuntimeException(s"kafka error $code in $ctx")
+
+  /** SASL/PLAIN initial response: NUL authzid NUL authcid NUL passwd
+    * (RFC 4616). */
+  def saslPlainToken(user: String, pass: String): Array[Byte] =
+    ("\u0000" + user + "\u0000" + pass).getBytes(UTF_8)
+}

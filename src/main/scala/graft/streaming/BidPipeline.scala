@@ -42,6 +42,10 @@ object BidPipeline {
       exportRoot: String,
       logname: String = "ortb.bid-requests", // main.go:126
       availableNow: Boolean = false,
+      // "graft" = the engine's native wire-protocol source
+      // (graft.sources.kafka), "kafka" = the official connector when its
+      // jars are deployed, "auto" = official if present else native
+      connector: String = "auto",
       commitLog: Boolean = false, // transactional dual-sink visibility
       // the transactional-table implementation behind the commit log —
       // swap for a Delta/Iceberg-backed TableFormat in production
@@ -50,9 +54,28 @@ object BidPipeline {
       // ProtoDescriptor.messageSchema(...) for a new topic
       schema: graft.sources.proto.PMessage = BidRequestSchema.bidrequest)
 
-  /** A1: the Kafka source with the reference's consumer options. */
+  /** True when the official `spark-sql-kafka` connector is deployed. */
+  def officialConnectorPresent: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+      true
+    } catch { case _: ClassNotFoundException => false }
+
+  /** A1: the Kafka source with the reference's consumer options. Both
+    * providers accept the same option names and produce the same frame
+    * schema, so the choice is invisible downstream; the native
+    * [[graft.sources.kafka.GraftKafkaSourceProvider]] is the one the
+    * sandbox can wire-test (StreamingPipelineSpec drives it against
+    * [[graft.sources.kafka.KafkaStubBroker]]). */
   def kafkaSource(spark: SparkSession, cfg: Config): DataFrame = {
-    var r = spark.readStream.format("kafka")
+    val format = cfg.connector match {
+      case "kafka" => "kafka"
+      case "graft" => "graft-kafka"
+      case "auto" => if (officialConnectorPresent) "kafka" else "graft-kafka"
+      case other => throw new IllegalArgumentException(
+        s"connector must be graft|kafka|auto, got '$other'")
+    }
+    var r = spark.readStream.format(format)
       .option("kafka.bootstrap.servers", cfg.bootstrapServers)
       .option("subscribe", cfg.topic)
       .option("kafka.group.id", cfg.groupId)

@@ -1,0 +1,211 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.kafka.{GraftKafka, KafkaStubBroker, KafkaWireClient}
+import graft.streaming.BidPipeline
+
+/** The A1 surface executed over real TCP: Spark reads the `graft-kafka`
+  * format (batch and micro-batch) from [[KafkaStubBroker]] — offset
+  * planning, minPartitions range splitting, maxOffsetsPerTrigger
+  * admission control, SASL options, and the full BidPipeline
+  * (produce proto frames → stream-decode → dual export). */
+class GraftKafkaSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  private def b(s: String) = s.getBytes("UTF-8")
+
+  private def withBroker(partitions: Int = 1,
+                         sasl: Option[(String, String)] = None)
+                        (f: KafkaStubBroker => Unit): Unit = {
+    val broker = new KafkaStubBroker(partitions, sasl)
+    try f(broker) finally broker.close()
+  }
+
+  private def produceStrings(broker: KafkaStubBroker, topic: String,
+                             partition: Int, msgs: Seq[String],
+                             sasl: Option[(String, String)] = None): Unit = {
+    val c = new KafkaWireClient("localhost", broker.port, "spec-producer", sasl)
+    try c.produce(topic, partition,
+      msgs.zipWithIndex.map { case (m, i) => (1000L + i, b(s"k$i"), b(m)) })
+    finally c.close()
+  }
+
+  test("batch read: earliest→latest delivers every record with metadata") {
+    withBroker(partitions = 2) { broker =>
+      produceStrings(broker, "t", 0, Seq("a", "b", "c"))
+      produceStrings(broker, "t", 1, Seq("d", "e"))
+      val df = spark.read.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "t")
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .load()
+      assert(df.schema.fieldNames.toSeq === Seq(
+        "key", "value", "topic", "partition", "offset", "timestamp",
+        "timestampType"))
+      val rows = df.selectExpr(
+          "cast(value as string) v", "partition", "offset",
+          "cast(key as string) k", "unix_millis(timestamp) ts")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .toSet
+      assert(rows === Set(
+        ("a", 0, 0L), ("b", 0, 1L), ("c", 0, 2L), ("d", 1, 0L), ("e", 1, 1L)))
+    }
+  }
+
+  test("batch read plans at least minPartitions tasks over one topic-partition") {
+    withBroker() { broker =>
+      produceStrings(broker, "t", 0, (0 until 64).map(i => s"m$i"))
+      val df = spark.read.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "t")
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .option("minPartitions", "8")
+        .load()
+      assert(df.rdd.getNumPartitions >= 8)
+      assert(df.count() === 64)
+    }
+  }
+
+  test("batch read with SASL_PLAINTEXT credentials") {
+    val creds = Some(("svc", "pw"))
+    withBroker(sasl = creds) { broker =>
+      produceStrings(broker, "t", 0, Seq("secret-payload"), sasl = creds)
+      val df = spark.read.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "t")
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .option("kafka.security.protocol", "SASL_PLAINTEXT")
+        .option("kafka.sasl.mechanism", "PLAIN")
+        .option("kafka.sasl.jaas.config",
+          """org.apache.kafka.common.security.plain.PlainLoginModule required username="svc" password="pw";""")
+        .load()
+      assert(df.selectExpr("cast(value as string)").collect()
+        .map(_.getString(0)).toSeq === Seq("secret-payload"))
+    }
+  }
+
+  test("micro-batch stream honors maxOffsetsPerTrigger admission control") {
+    withBroker() { broker =>
+      produceStrings(broker, "t", 0, (0 until 30).map(i => s"m$i"))
+      val ckpt = Files.createTempDirectory("graft-kafka-ckpt").toString
+      val out = Files.createTempDirectory("graft-kafka-out").toString
+      val q = spark.readStream.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "t")
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", "10")
+        .load()
+        .selectExpr("cast(value as string) v", "offset")
+        .writeStream
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val result = spark.read.parquet(out)
+      assert(result.count() === 30)
+      assert(result.select("offset").collect().map(_.getLong(0)).sorted.toSeq
+        === (0L until 30L))
+      // admission control: 30 rows at ≤10/trigger = ≥3 micro-batches
+      val commits = new java.io.File(s"$ckpt/commits").listFiles()
+        .count(f => f.getName.forall(_.isDigit))
+      assert(commits >= 3, s"expected ≥3 micro-batches, got $commits")
+    }
+  }
+
+  test("streaming resume: a second AvailableNow run picks up only new records") {
+    withBroker() { broker =>
+      produceStrings(broker, "t", 0, Seq("one", "two"))
+      val ckpt = Files.createTempDirectory("graft-kafka-ckpt2").toString
+      val out = Files.createTempDirectory("graft-kafka-out2").toString
+      def runOnce(): Unit = {
+        val q = spark.readStream.format("graft-kafka")
+          .option("kafka.bootstrap.servers", broker.bootstrapServers)
+          .option("subscribe", "t")
+          .option("startingOffsets", "earliest")
+          .load()
+          .selectExpr("cast(value as string) v", "offset")
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt).option("path", out)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(60000)
+      }
+      runOnce()
+      assert(spark.read.parquet(out).count() === 2)
+      produceStrings(broker, "t", 0, Seq("three"))
+      runOnce()
+      val vs = spark.read.parquet(out).select("v").collect()
+        .map(_.getString(0)).toSet
+      assert(vs === Set("one", "two", "three")) // no re-read, no loss
+    }
+  }
+
+  test("BidPipeline end-to-end over the wire: proto frames → dual export") {
+    withBroker(partitions = 2) { broker =>
+      // producer side: the reference's framing (Confluent prefix +
+      // proto payload + LE timestamp suffix is replaced by the broker
+      // timestamp in the Kafka path — BidPipeline.decode contract)
+      val frames = graft.operators.ProtoPipeline
+        .framedMessages(spark, SparkTestSession.sf0001)
+        .limit(40)
+        .select(expr("substring(value, 1, length(value) - 8)").as("payload"),
+          lit(1723500000000L).as("ts"))
+        .collect()
+      val c = new KafkaWireClient("localhost", broker.port, "pipe-producer")
+      try {
+        frames.zipWithIndex.groupBy(_._2 % 2).foreach { case (p, part) =>
+          c.produce("bids", p,
+            part.map { case (r, _) => (r.getLong(1), null: Array[Byte],
+              r.getAs[Array[Byte]](0)) }.toSeq)
+        }
+      } finally c.close()
+
+      val ckpt = Files.createTempDirectory("bid-ckpt").toString
+      val root = Files.createTempDirectory("bid-out").toString
+      val cfg = BidPipeline.Config(
+        bootstrapServers = broker.bootstrapServers,
+        topic = "bids",
+        checkpointLocation = ckpt,
+        exportRoot = root,
+        availableNow = true,
+        connector = "graft",
+        minPartitions = 4)
+      val q = BidPipeline.start(spark, cfg)
+      q.awaitTermination(120000)
+
+      val raw = spark.read.parquet(s"$root/ortb.bid-requests/raw")
+      assert(raw.count() === 40)
+      // broker CreateTime becomes event_tm through the source timestamp
+      assert(raw.select("event_tm").distinct().collect()
+        .map(_.getLong(0)).toSeq === Seq(1723500000000L))
+      val agg = spark.read.parquet(s"$root/ortb.bid-requests/hourly_requests_agg")
+      assert(agg.count() > 0)
+      // a request with N deals lands in N groups (outer-explode), so the
+      // distinct-count sum is ≥ the 40 produced messages
+      val total = agg.agg(sum("requests")).collect()(0).getLong(0)
+      assert(total >= 40L)
+    }
+  }
+
+  test("config surface errors: missing bootstrap, bad connector name") {
+    intercept[IllegalArgumentException] {
+      GraftKafka.parseOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("subscribe", "t")))
+    }
+    intercept[IllegalArgumentException] {
+      BidPipeline.kafkaSource(spark, BidPipeline.Config(
+        bootstrapServers = "localhost:1", topic = "t",
+        checkpointLocation = "/tmp/x", exportRoot = "/tmp/y",
+        connector = "flink"))
+    }
+  }
+}
