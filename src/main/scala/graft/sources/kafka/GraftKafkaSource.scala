@@ -289,11 +289,14 @@ class GraftKafkaMicroBatchStream(opts: GraftKafka.Options)
   override def stop(): Unit = client.close()
 }
 
-/** One offset range of one topic-partition, read from its leader. */
+/** One offset range of one topic-partition, read from its leader. The
+  * bootstrap address rides along so the reader can re-resolve the
+  * leader if it changes mid-read (broker roll, partition move). */
 final case class GraftKafkaInputPartition(
     topic: String, partition: Int,
     startOffset: Long, endOffset: Long,
     leaderHost: String, leaderPort: Int,
+    bootstrapHost: String, bootstrapPort: Int,
     saslUser: String, saslPass: String, tls: Boolean)
   extends InputPartition
 
@@ -325,6 +328,7 @@ object GraftKafkaPlanner {
     split.map { case (t, p, f, u) =>
       val leader = meta.leaderFor(t, p)
       GraftKafkaInputPartition(t, p, f, u, leader.host, leader.port,
+        opts.bootstrap.host, opts.bootstrap.port,
         opts.bootstrap.sasl.map(_._1).orNull,
         opts.bootstrap.sasl.map(_._2).orNull,
         opts.bootstrap.tls): InputPartition
@@ -343,20 +347,70 @@ class GraftKafkaReaderFactory(fetchMaxBytes: Int)
   * forward until `endOffset`. Records below `startOffset` were already
   * dropped by the client (whole-batch serving); records at or beyond
   * `endOffset` (same batch, next trigger's range) are left unread. */
+object GraftKafkaPartitionReader {
+  /** Leader re-resolution attempts per fetch before giving the error to
+    * Spark's task retry; backoff doubles from [[RetryBackoffMs]]. */
+  val MaxFetchRetries = 3
+  val RetryBackoffMs = 100L
+}
+
 class GraftKafkaPartitionReader(p: GraftKafkaInputPartition, fetchMaxBytes: Int)
     extends PartitionReader[InternalRow] {
+  import GraftKafkaPartitionReader._
 
-  private val client = new KafkaWireClient(
-    p.leaderHost, p.leaderPort, s"graft-reader-${p.topic}-${p.partition}",
-    Option(p.saslUser).map(u => (u, p.saslPass)), p.tls)
+  private val clientId = s"graft-reader-${p.topic}-${p.partition}"
+  private val sasl = Option(p.saslUser).map(u => (u, p.saslPass))
+  private var client: KafkaWireClient =
+    new KafkaWireClient(p.leaderHost, p.leaderPort, clientId, sasl, p.tls)
   private var nextOffset = p.startOffset
   private var buffer: Iterator[KafkaWire.Record] = Iterator.empty
   private var current: KafkaWire.Record = _
 
+  /** Fetch with leader-failover: on NotLeaderOrFollower / transient
+    * metadata errors / connection loss, re-resolve the partition leader
+    * through the bootstrap server and retry against it — what the
+    * official consumer's metadata-refresh loop does. Non-retriable
+    * errors and exhausted retries propagate; Spark's task retry is the
+    * next line of defense. */
+  private def fetchWithFailover(offset: Long): KafkaWireClient.FetchResult = {
+    var attempt = 0
+    while (true) {
+      try {
+        if (client == null) {
+          val boot = new KafkaWireClient(
+            p.bootstrapHost, p.bootstrapPort, clientId, sasl, p.tls)
+          val leader =
+            try boot.metadata(Seq(p.topic)).leaderFor(p.topic, p.partition)
+            finally boot.close()
+          client = new KafkaWireClient(
+            leader.host, leader.port, clientId, sasl, p.tls)
+        }
+        return client.fetch(p.topic, p.partition, offset, fetchMaxBytes)
+      } catch {
+        case e: Throwable if retriable(e) && attempt < MaxFetchRetries =>
+          attempt += 1
+          if (client != null) {
+            try client.close() catch { case _: java.io.IOException => () }
+            client = null
+          }
+          Thread.sleep(RetryBackoffMs << (attempt - 1))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def retriable(e: Throwable): Boolean = e match {
+    case k: KafkaWire.KafkaWireException =>
+      k.code == KafkaWire.Err.NotLeaderOrFollower ||
+        k.code == KafkaWire.Err.UnknownTopicOrPartition // metadata propagation
+    case _: java.io.IOException => true // connection dropped mid-roll
+    case _ => false
+  }
+
   override def next(): Boolean = {
     if (nextOffset >= p.endOffset) return false
     while (!buffer.hasNext) {
-      val result = client.fetch(p.topic, p.partition, nextOffset, fetchMaxBytes)
+      val result = fetchWithFailover(nextOffset)
       if (result.records.isEmpty) {
         // planned range but no data — the log was truncated under us
         throw new IllegalStateException(

@@ -45,6 +45,12 @@ final class KafkaStubBroker(
   private val server = new ServerSocket(0)
   @volatile private var running = true
 
+  /** Fault injection for failover tests: the next `n` fetched
+    * partitions answer NOT_LEADER_OR_FOLLOWER (what a broker returns
+    * mid-leader-change) instead of data. */
+  private val fetchFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+  def failNextFetches(n: Int): Unit = fetchFailures.set(n)
+
   def port: Int = server.getLocalPort
   def bootstrapServers: String = s"$advertisedHost:$port"
 
@@ -236,6 +242,11 @@ final class KafkaStubBroker(
         val fetchOffset = r.int64()
         val partMaxBytes = r.int32()
         val log = logFor(topic, partition)
+        if (fetchFailures.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+          w.int32(partition); w.int16(Err.NotLeaderOrFollower)
+          w.int64(-1L); w.int64(-1L); w.int32(0)
+          w.bytes(Array.emptyByteArray)
+        } else {
         val (err, hwm, payload) = log.synchronized {
           val end = log.logEndOffset
           if (fetchOffset > end) (Err.OffsetOutOfRange, end, Array.emptyByteArray)
@@ -263,6 +274,7 @@ final class KafkaStubBroker(
         w.int64(hwm)  // last_stable_offset
         w.int32(0)    // aborted_transactions
         w.bytes(payload)
+        }
       }
     }
   }

@@ -153,10 +153,57 @@ object KafkaWire {
   /** CRC covers attributes..end — everything after the CRC field. */
   private val AttributesOffset = 21
 
-  /** Encode one uncompressed v2 batch. `records` are (timestampMs, key,
-    * value); offsets are assigned `baseOffset + index`. */
+  // ---- compression codecs (attributes bits 0-2) --------------------------
+
+  /** Kafka compression codec ids. Every codec's library ships inside
+    * Spark itself (java.util.zip, snappy-java, lz4-java, zstd-jni), so
+    * supporting all four costs no dependency. Framings are the ones the
+    * Java producer uses for message format v2: gzip stream, xerial
+    * snappy stream, LZ4 Frame, zstd frame. */
+  object Codec {
+    val None = 0; val Gzip = 1; val Snappy = 2; val Lz4 = 3; val Zstd = 4
+    def parse(name: String): Int = name.toLowerCase match {
+      case "none" | "uncompressed" => None
+      case "gzip" => Gzip
+      case "snappy" => Snappy
+      case "lz4" => Lz4
+      case "zstd" => Zstd
+      case other => throw new IllegalArgumentException(
+        s"unknown compression codec '$other'")
+    }
+  }
+
+  private def compressed(codec: Int, data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(math.max(64, data.length / 2))
+    val os: java.io.OutputStream = codec match {
+      case Codec.Gzip => new java.util.zip.GZIPOutputStream(bos)
+      case Codec.Snappy => new org.xerial.snappy.SnappyOutputStream(bos)
+      case Codec.Lz4 => new net.jpountz.lz4.LZ4FrameOutputStream(bos)
+      case Codec.Zstd => new com.github.luben.zstd.ZstdOutputStream(bos)
+      case c => throw new IllegalArgumentException(s"codec $c")
+    }
+    os.write(data); os.close()
+    bos.toByteArray
+  }
+
+  private def decompressed(codec: Int, data: Array[Byte]): Array[Byte] = {
+    val bis = new java.io.ByteArrayInputStream(data)
+    val is: java.io.InputStream = codec match {
+      case Codec.Gzip => new java.util.zip.GZIPInputStream(bis)
+      case Codec.Snappy => new org.xerial.snappy.SnappyInputStream(bis)
+      case Codec.Lz4 => new net.jpountz.lz4.LZ4FrameInputStream(bis)
+      case Codec.Zstd => new com.github.luben.zstd.ZstdInputStream(bis)
+      case c => throw new IllegalArgumentException(s"codec $c")
+    }
+    try is.readAllBytes() finally is.close()
+  }
+
+  /** Encode one v2 batch. `records` are (timestampMs, key, value);
+    * offsets are assigned `baseOffset + index`. With a non-None codec
+    * the records block (NOT the header) is compressed, per the spec. */
   def encodeBatch(baseOffset: Long,
-                  records: Seq[(Long, Array[Byte], Array[Byte])]): Array[Byte] = {
+                  records: Seq[(Long, Array[Byte], Array[Byte])],
+                  codec: Int = Codec.None): Array[Byte] = {
     require(records.nonEmpty, "empty record batch")
     val baseTs = records.iterator.map(_._1).min
     val maxTs = records.iterator.map(_._1).max
@@ -170,7 +217,7 @@ object KafkaWire {
     w.int32(0)                     // partitionLeaderEpoch
     w.int8(2)                      // magic
     val crcSlot = w.reserveInt32()
-    w.int16(0)                     // attributes: no compression, CreateTime
+    w.int16(codec & 0x07)          // attributes: codec bits, CreateTime
     w.int32(records.size - 1)      // lastOffsetDelta
     w.int64(baseTs)
     w.int64(maxTs)
@@ -179,6 +226,7 @@ object KafkaWire {
     w.int32(-1)                    // baseSequence
     w.int32(records.size)
 
+    val body = new Writer(32 * records.size)
     records.iterator.zipWithIndex.foreach { case ((ts, key, value), i) =>
       // record body first — its length prefix is a varint of the body size
       val r = new Writer(24 +
@@ -190,10 +238,12 @@ object KafkaWire {
       if (key == null) r.varInt(-1) else { r.varInt(key.length); r.raw(key) }
       if (value == null) r.varInt(-1) else { r.varInt(value.length); r.raw(value) }
       r.varInt(0)                  // headers
-      val body = r.toBytes
-      w.varInt(body.length)
-      w.raw(body)
+      val bytes = r.toBytes
+      body.varInt(bytes.length)
+      body.raw(bytes)
     }
+    if (codec == Codec.None) w.raw(body.toBytes)
+    else w.raw(compressed(codec, body.toBytes))
 
     w.patchInt32(lenSlot, w.size - (lenSlot + 4))
     w.patchInt32(crcSlot, w.crc32c(AttributesOffset))
@@ -225,15 +275,17 @@ object KafkaWire {
         crc.update(recordSet, at + AttributesOffset, total - AttributesOffset)
         require(crc.getValue.toInt == crcStored,
           s"record batch CRC mismatch at offset $baseOffset")
-        val r = new Reader(java.util.Arrays.copyOfRange(recordSet, at + 21, at + total))
-        val attributes = r.int16()
-        require((attributes & 0x07) == 0,
-          s"compressed batches unsupported (codec ${attributes & 0x07})")
-        r.int32()                  // lastOffsetDelta
-        val baseTs = r.int64()
-        r.int64()                  // maxTimestamp
-        r.int64(); r.int16(); r.int32() // producer id/epoch, baseSequence
-        val count = r.int32()
+        val hdr = new Reader(java.util.Arrays.copyOfRange(recordSet, at + 21, at + total))
+        val attributes = hdr.int16()
+        val codec = attributes & 0x07
+        hdr.int32()                  // lastOffsetDelta
+        val baseTs = hdr.int64()
+        hdr.int64()                  // maxTimestamp
+        hdr.int64(); hdr.int16(); hdr.int32() // producer id/epoch, baseSequence
+        val count = hdr.int32()
+        val r =
+          if (codec == Codec.None) hdr
+          else new Reader(decompressed(codec, hdr.raw(hdr.remaining)))
         var i = 0
         while (i < count) {
           val len = r.varInt()
@@ -273,6 +325,7 @@ object KafkaWire {
     val None = 0
     val UnknownTopicOrPartition = 3
     val OffsetOutOfRange = 1
+    val NotLeaderOrFollower = 6
     val UnsupportedSaslMechanism = 33
     val IllegalSaslState = 34
     val SaslAuthenticationFailed = 58

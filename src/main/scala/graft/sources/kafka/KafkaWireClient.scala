@@ -177,8 +177,9 @@ final class KafkaWireClient(
   /** Produce v3 (acks=-1) — the test/tool producer twin. Returns the
     * assigned base offset. */
   def produce(topic: String, partition: Int,
-              records: Seq[(Long, Array[Byte], Array[Byte])]): Long = {
-    val batch = encodeBatch(0L, records)
+              records: Seq[(Long, Array[Byte], Array[Byte])],
+              codec: Int = KafkaWire.Codec.None): Long = {
+    val batch = encodeBatch(0L, records, codec)
     val r = send(Api.Produce, 3) { w =>
       w.nullableString(None) // transactional_id
       w.int16(-1)            // acks: all

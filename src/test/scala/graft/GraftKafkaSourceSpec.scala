@@ -196,6 +196,41 @@ class GraftKafkaSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("batch read decodes zstd-compressed batches transparently") {
+    withBroker() { broker =>
+      val c = new KafkaWireClient("localhost", broker.port, "spec-producer")
+      try c.produce("t", 0,
+        (0 until 100).map(i => (1000L + i, null: Array[Byte], b(s"z$i"))),
+        graft.sources.kafka.KafkaWire.Codec.Zstd)
+      finally c.close()
+      val df = spark.read.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "t")
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .load()
+      val vs = df.selectExpr("cast(value as string)").collect()
+        .map(_.getString(0)).toSet
+      assert(vs === (0 until 100).map(i => s"z$i").toSet)
+    }
+  }
+
+  test("partition reader fails over past transient NOT_LEADER fetches") {
+    withBroker() { broker =>
+      produceStrings(broker, "t", 0, (0 until 20).map(i => s"m$i"))
+      // two injected leader-change errors: the reader must re-resolve
+      // the leader via bootstrap metadata and finish the planned range
+      broker.failNextFetches(2)
+      val df = spark.read.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "t")
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .load()
+      assert(df.count() === 20)
+    }
+  }
+
   test("config surface errors: missing bootstrap, bad connector name") {
     intercept[IllegalArgumentException] {
       GraftKafka.parseOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(

@@ -112,6 +112,34 @@ class KafkaClientBrokerSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("compressed produce/fetch roundtrips under every codec") {
+    withBroker() { (_, client) =>
+      val codecs = Seq(
+        KafkaWire.Codec.Gzip, KafkaWire.Codec.Snappy,
+        KafkaWire.Codec.Lz4, KafkaWire.Codec.Zstd)
+      codecs.zipWithIndex.foreach { case (codec, i) =>
+        client.produce("tz", 0,
+          (0 until 50).map(j => (j.toLong, null, b(s"c$i-m$j"))), codec)
+      }
+      val got = client.fetch("tz", 0, 0L)
+      assert(got.records.size === 200)
+      assert(got.records.map(_.offset) === (0L until 200L))
+      assert(s(got.records(50).value) === "c1-m0") // snappy batch starts at 50
+      assert(s(got.records(199).value) === "c3-m49")
+    }
+  }
+
+  test("a fetch answered NOT_LEADER surfaces error 6 to the caller") {
+    withBroker() { (broker, client) =>
+      client.produce("t", 0, Seq((1L, null, b("x"))))
+      broker.failNextFetches(1)
+      val e = intercept[KafkaWireException](client.fetch("t", 0, 0L))
+      assert(e.code === KafkaWire.Err.NotLeaderOrFollower)
+      // next fetch succeeds — the fault was transient
+      assert(s(client.fetch("t", 0, 0L).records.head.value) === "x")
+    }
+  }
+
   test("un-authenticated API calls are refused when SASL is required") {
     val broker = new KafkaStubBroker(1, Some(("svc", "hunter2")))
     try {

@@ -115,4 +115,45 @@ class KafkaWireSpec extends AnyFunSuite {
     val t = KafkaWire.saslPlainToken("user", "secret")
     assert(t.toSeq === ("\u0000user\u0000secret").getBytes("UTF-8").toSeq)
   }
+
+  test("compressed batches roundtrip under every codec") {
+    val records = (0 until 200).map { i =>
+      rec(1723500000000L + i, s"key-$i", s"value-$i-" + ("x" * (i % 37)))
+    }
+    Seq(Codec.Gzip, Codec.Snappy, Codec.Lz4, Codec.Zstd).foreach { codec =>
+      val batch = encodeBatch(500L, records, codec)
+      // codec bits live in the batch attributes (low byte at offset 22)
+      assert((batch(22) & 0x07) === codec, s"codec $codec in attributes")
+      val out = decodeBatches(batch)
+      assert(out.size === 200, s"codec $codec")
+      assert(out.head.offset === 500L && out.last.offset === 699L)
+      assert(out.map(r => new String(r.value, "UTF-8")) ===
+        records.map(r => new String(r._3, "UTF-8")), s"codec $codec")
+    }
+  }
+
+  test("compression actually shrinks a repetitive payload") {
+    val records = (0 until 500).map(_ => rec(1L, null, "the same text " * 10))
+    val plain = encodeBatch(0L, records)
+    Seq(Codec.Gzip, Codec.Snappy, Codec.Lz4, Codec.Zstd).foreach { codec =>
+      assert(encodeBatch(0L, records, codec).length < plain.length / 4,
+        s"codec $codec should compress 500 identical records >4x")
+    }
+  }
+
+  test("compressed batch CRC still covers the compressed records") {
+    val batch = encodeBatch(0L, Seq(rec(1L, "k", "payload")), Codec.Zstd)
+    batch(batch.length - 3) = (batch(batch.length - 3) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException](decodeBatches(batch))
+    assert(e.getMessage.contains("CRC"))
+  }
+
+  test("codec names parse like the producer config") {
+    assert(Codec.parse("none") === Codec.None)
+    assert(Codec.parse("GZIP") === Codec.Gzip)
+    assert(Codec.parse("snappy") === Codec.Snappy)
+    assert(Codec.parse("lz4") === Codec.Lz4)
+    assert(Codec.parse("zstd") === Codec.Zstd)
+    intercept[IllegalArgumentException](Codec.parse("brotli"))
+  }
 }
