@@ -426,33 +426,35 @@ object Corpus {
   def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
     val messy = withSyntheticMess(col("text"), col("doc_id"))
     val withPii = withSyntheticPii(normalizeTextCol(messy), col("doc_id"))
+    // single-consumer lineage (normalize→gate→window-dedup→anti-join):
+    // everything fuses into ONE corpus pass + the dedup shuffle, so no
+    // intermediate frame is cached — a persist here would cost a full
+    // extra materialization pass for nothing
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"), piiRedactCol(withPii).getField("redacted").as("t"))
-    Materialize.withCached(base) {
-      val gated = base.filter(
-        coalesce(gopherCol(col("t")).getField("gopher_pass"), lit(false)))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("h")).orderBy(col("doc_id"))
-      val kept = gated.withColumn("h", md5(col("t")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("doc_id"), col("t"), col("h"))
-      // contamination runs against the RAW corpus text through the
-      // memoized [[Dedup.contamCounts]] frame — benchmark suites are
-      // compared against text as crawled (decontamination precedes the
-      // normalize/redact transforms), and the inverted-index join is
-      // computed ONCE per (session, dir) and shared with
-      // [[Dedup.decontaminate]] instead of re-derived here
-      val contaminated = Dedup.contamCounts(spark, dir)
-        .filter(col("n_shared") >= BuildContamOverlap)
-        .select("doc_id")
-      kept.filter(col("doc_id") % Dedup.EvalStride =!= 0)
-        .join(contaminated, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"),
-          splitCol(col("doc_id")).getField("split").as("split"),
-          size(tokens(col("t"))).as("n_words"),
-          col("h").as("content_hash"))
-        .orderBy("doc_id")
-    }
+    val gated = base.filter(
+      coalesce(gopherCol(col("t")).getField("gopher_pass"), lit(false)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"))
+    val kept = gated.withColumn("h", md5(col("t")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("t"), col("h"))
+    // contamination runs against the RAW corpus text through the
+    // memoized [[Dedup.contamCounts]] frame — benchmark suites are
+    // compared against text as crawled (decontamination precedes the
+    // normalize/redact transforms), and the inverted-index join is
+    // computed ONCE per (session, dir) and shared with
+    // [[Dedup.decontaminate]] instead of re-derived here
+    val contaminated = Dedup.contamCounts(spark, dir)
+      .filter(col("n_shared") >= BuildContamOverlap)
+      .select("doc_id")
+    kept.filter(col("doc_id") % Dedup.EvalStride =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        splitCol(col("doc_id")).getField("split").as("split"),
+        size(tokens(col("t"))).as("n_words"),
+        col("h").as("content_hash"))
+      .orderBy("doc_id")
   }
 
   /** Normalization pass over the corpus: inject the deterministic mess,
