@@ -77,7 +77,9 @@ object GraftKafka {
       minPartitions: Int,
       fetchMaxBytes: Int)
 
-  def parseOptions(options: CaseInsensitiveStringMap): Options = {
+  /** Bootstrap + security options — the subset both the read and write
+    * paths need (`subscribe` is read-only; the sink takes `topic`). */
+  def parseClient(options: CaseInsensitiveStringMap): ClientConfig = {
     val servers = Option(options.get("kafka.bootstrap.servers")).getOrElse(
       throw new IllegalArgumentException("kafka.bootstrap.servers is required"))
     val hp = servers.split(",").head.trim.split(":")
@@ -100,11 +102,15 @@ object GraftKafka {
           "jaas config must carry username=\"..\" password=\"..\"")
         Some((user.get.group(1), pass.get.group(1)))
       }
+    ClientConfig(hp(0).trim, hp(1).trim.toInt, sasl, tls)
+  }
+
+  def parseOptions(options: CaseInsensitiveStringMap): Options = {
     val topics = Option(options.get("subscribe")).getOrElse(
       throw new IllegalArgumentException("subscribe is required"))
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     Options(
-      ClientConfig(hp(0).trim, hp(1).trim.toInt, sasl, tls),
+      parseClient(options),
       topics,
       Option(options.get("startingOffsets")).getOrElse("latest"),
       Option(options.get("endingOffsets")).getOrElse("latest"),
@@ -183,16 +189,34 @@ final class GraftKafkaOffset(val offsets: GraftKafka.OffsetMap) extends Offset {
 }
 
 class GraftKafkaTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
-    s"graft-kafka:${options.get("subscribe")}"
+    s"graft-kafka:${Option(options.get("subscribe"))
+      .orElse(Option(options.get("topic"))).getOrElse("?")}"
   override def schema(): StructType = GraftKafka.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
-      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA) // sink input ≠ source schema
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new GraftKafkaScan(opts)
+    }
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write = {
+        val opts = info.options()
+        val topicOption = Option(opts.get("topic"))
+        val codec = KafkaWire.Codec.parse(
+          Option(opts.get("kafka.compression.type")).getOrElse("none"))
+        // validate the column plan at planning time, not in the task
+        GraftKafkaSink.planColumns(info.schema(), topicOption)
+        new GraftKafkaWrite(
+          GraftKafka.parseClient(opts), topicOption, codec, info.schema())
+      }
     }
 }
 

@@ -231,6 +231,101 @@ class GraftKafkaSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("batch sink: df.write lands keyed rows in murmur2 partitions") {
+    withBroker(partitions = 4) { broker =>
+      import spark.implicits._
+      (0 until 100).map(i => (s"user-${i % 7}", s"event-$i"))
+        .toDF("key", "value")
+        .write.format("graft-kafka").mode("append")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("topic", "out")
+        .save()
+      val back = spark.read.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "out")
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .load()
+        .selectExpr("cast(key as string) k", "cast(value as string) v", "partition")
+        .collect()
+      assert(back.length === 100)
+      assert(back.map(_.getString(1)).toSet ===
+        (0 until 100).map(i => s"event-$i").toSet)
+      // producer partitioner contract: one partition per key
+      val partsPerKey = back.groupBy(_.getString(0))
+        .map { case (k, rows) => k -> rows.map(_.getInt(2)).toSet }
+      assert(partsPerKey.values.forall(_.size === 1), s"keys split: $partsPerKey")
+      // murmur2 must match the Java producer's routing exactly
+      partsPerKey.foreach { case (k, ps) =>
+        val expected = (graft.sources.kafka.GraftKafkaSink.murmur2(
+          k.getBytes("UTF-8")) & 0x7fffffff) % 4
+        assert(ps.head === expected, s"key $k routed to ${ps.head}, want $expected")
+      }
+    }
+  }
+
+  test("batch sink honors explicit partition and topic columns + compression") {
+    withBroker(partitions = 3) { broker =>
+      import spark.implicits._
+      Seq(("a", 0, "t1"), ("b", 2, "t1"), ("c", 1, "t2"))
+        .toDF("value", "partition", "topic")
+        .write.format("graft-kafka").mode("append")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("kafka.compression.type", "zstd")
+        .save()
+      def readAll(topic: String) = spark.read.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .load()
+        .selectExpr("cast(value as string) v", "partition")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      assert(readAll("t1") === Set(("a", 0), ("b", 2)))
+      assert(readAll("t2") === Set(("c", 1)))
+    }
+  }
+
+  test("streaming sink: writeStream produces each micro-batch") {
+    withBroker() { broker =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      val input = MemoryStream[String](spark)
+      val ckpt = Files.createTempDirectory("graft-kafka-sink-ckpt").toString
+      val q = input.toDF().withColumnRenamed("value", "value")
+        .writeStream.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("topic", "stream-out")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        input.addData("m1", "m2")
+        q.processAllAvailable()
+        input.addData("m3")
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.read.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "stream-out")
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .load()
+        .selectExpr("cast(value as string)").collect().map(_.getString(0)).toSet
+      assert(got === Set("m1", "m2", "m3"))
+    }
+  }
+
+  test("sink schema validation fails fast") {
+    import spark.implicits._
+    val df = Seq(1, 2).toDF("not_value")
+    val e = intercept[Exception] {
+      df.write.format("graft-kafka").mode("append")
+        .option("kafka.bootstrap.servers", "localhost:1")
+        .option("topic", "t").save()
+    }
+    assert(e.getMessage.contains("value"))
+  }
+
   test("config surface errors: missing bootstrap, bad connector name") {
     intercept[IllegalArgumentException] {
       GraftKafka.parseOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
