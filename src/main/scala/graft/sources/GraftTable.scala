@@ -482,4 +482,101 @@ object GraftTable {
       versionJson(Version(newId, files, schemas, affected)), files)
     Some(newId)
   }
+
+  /** Small-file compaction (Delta's `OPTIMIZE` analog): bin-pack the
+    * sink's committed files smaller than `smallFileBytes` into files of
+    * ~`targetFileBytes`, per logical partition (every `key=value`
+    * directory except the re-assigned `batch_id`). One commit
+    * atomically publishes {added compacted files, removed originals};
+    * replaced bytes stay on disk so [[readAsOf]] to pre-compaction
+    * versions still works and [[vacuum]] keeps them while referenced.
+    *
+    * Returns the published version, or None when no partition holds two
+    * or more small files (nothing worth rewriting).
+    *
+    * Scale shape: candidate selection is driver-side file METADATA only
+    * (sizes from the snapshot listing — O(files), the same order as
+    * reading the log); the data pass reads and shuffles ONLY the small
+    * files' rows, hashed to one task per output bin; large files are
+    * never touched. Streaming ingest is exactly the workload this
+    * serves — one `batch_id` directory per micro-batch means a day of
+    * short triggers is thousands of tiny files per partition, and scan
+    * task counts drop proportionally after compaction. Hash collisions
+    * can co-locate two bins of one partition in a task (their files
+    * merge — same rows, a larger file); Delta's job-per-bin model
+    * avoids that at the cost of one Spark job per bin, the wrong trade
+    * at thousands of bins. */
+  def compact(spark: SparkSession, root: String, sink: String,
+              smallFileBytes: Long = 32L << 20,
+              targetFileBytes: Long = 128L << 20): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, lit, udf}
+    val (hfs, rootPath) = fs(spark, root)
+    val snap = committedFiles(spark, root).filter(_.startsWith(sink + "/"))
+    if (snap.isEmpty) return None
+    val rootUri = rootPath.toUri.getPath
+
+    // metadata-only candidate selection: small files grouped by their
+    // logical partition directory (batch_id excluded — it is re-assigned)
+    def logicalDir(rel: String): String =
+      rel.split('/').drop(1).dropRight(1)
+        .filterNot(_.startsWith("batch_id=")).mkString("/")
+    val smalls = snap.flatMap { rel =>
+      val len = hfs.getFileStatus(new Path(rootPath, rel)).getLen
+      if (len < smallFileBytes) Some((rel, len)) else None
+    }
+    val groups = smalls.groupBy { case (rel, _) => logicalDir(rel) }
+      .filter(_._2.size >= 2)
+    if (groups.isEmpty) return None
+
+    // first-fit bin-packing per partition; bins are globally numbered so
+    // the repartition below gives (at most) one task per bin
+    val binOf = scala.collection.mutable.Map.empty[String, Int]
+    var nextBin = 0
+    groups.toSeq.sortBy(_._1).foreach { case (_, files) =>
+      var binBytes = -1L // negative forces a fresh bin per partition
+      files.sortBy(_._1).foreach { case (rel, len) =>
+        if (binBytes < 0 || binBytes + len > targetFileBytes) {
+          nextBin += 1; binBytes = 0L
+        }
+        binOf(rel) = nextBin - 1
+        binBytes += len
+      }
+    }
+    val candidates = binOf.keys.toSeq.sorted
+    val totalBins = nextBin
+
+    val newId = nextBatchId(spark, root)
+    val binMap = binOf.toMap
+    val rootU = rootUri
+    val binFor = udf((f: String) => binMap.getOrElse(
+      new Path(f).toUri.getPath.stripPrefix(rootU).stripPrefix("/"), -1))
+    val partCols = candidates.head.split('/')
+      .drop(1).dropRight(1)
+      .filter(_.contains('='))
+      .map(_.takeWhile(_ != '='))
+      .filterNot(_ == "batch_id")
+    val compacted = spark.read.option("basePath", s"$root/$sink")
+      .parquet(candidates.map(f => s"$root/$f"): _*)
+      .withColumn("__bin",
+        binFor(org.apache.spark.sql.functions.input_file_name()))
+      .drop("batch_id")
+      .withColumn("batch_id", lit(newId))
+      .repartition(totalBins,
+        (partCols.toIndexedSeq.map(col) :+ col("__bin")): _*)
+      .drop("__bin")
+    // same layout law as deleteWhere: sink/<partCols...>/batch_id=N,
+    // or partition discovery rejects the mixed snapshot
+    compacted.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
+      .partitionBy((partCols.toIndexedSeq :+ "batch_id"): _*)
+      .parquet(s"$root/$sink")
+    val files = batchFiles(hfs, rootPath, newId)
+    val schemas = sinkSchemas(spark, root, if (files.nonEmpty) files else snap)
+    val log = new Path(rootPath, LogDir)
+    hfs.mkdirs(log)
+    publish(hfs, log, newId,
+      versionJson(Version(newId, files, schemas, candidates)), files)
+    Some(newId)
+  }
 }

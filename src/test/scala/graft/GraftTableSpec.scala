@@ -300,6 +300,79 @@ class GraftTableSpec extends AnyFunSuite {
     assert(GraftTable.read(spark, root, "docs").count() == 15)
   }
 
+  test("compact: many micro-batch files become few, snapshot identical, " +
+       "time travel intact") {
+    val root = Files.createTempDirectory("gt-compact").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ms = java.time.Instant.parse("2024-03-01T10:00:00Z").toEpochMilli
+    // eight tiny micro-batches into one hour partition — the streaming
+    // small-file workload
+    (0L until 8L).foreach { b =>
+      val df = (b * 10 until b * 10 + 10)
+        .map(i => (i, s"doc $i", ms)).toDF("id", "text", "ms")
+      ExportParquet.writeBatch(
+        ExportParquet.withPartitionCols(df, col("ms")),
+        s"$root/docs", batchId = b)
+      GraftTable.commit(spark, root, b)
+    }
+    val before = GraftTable.committedFiles(spark, root)
+    assert(before.size >= 8)
+    val beforeRows = GraftTable.read(spark, root, "docs")
+      .select("id").as[Long].collect().sorted.toSeq
+
+    val v = GraftTable.compact(spark, root, "docs")
+    assert(v.contains(8L))
+    val after = GraftTable.committedFiles(spark, root)
+    assert(after.size < before.size,
+      s"compaction must shrink the file count (${before.size} -> ${after.size})")
+    assert(after.forall(_.contains("/batch_id=8/")),
+      "every small file should have been rewritten into the new version")
+    val read = GraftTable.read(spark, root, "docs")
+    assert(read.select("id").as[Long].collect().sorted.toSeq == beforeRows,
+      "compaction must not change the snapshot's rows")
+    // layout + pruning survive (same law as deleteWhere)
+    assert(read.columns.contains("year") && read.columns.contains("batch_id"))
+    assert(read.filter(col("hour") === 10).count() == 80)
+    // pre-compaction versions still time travel to the original files
+    assert(GraftTable.readAsOf(spark, root, "docs", 3)
+      .select("id").as[Long].collect().sorted.toSeq == (0L until 40L).toSeq)
+    // originals are version-referenced: vacuum must keep them
+    assert(GraftTable.vacuum(spark, root, ttlMs = 0).isEmpty)
+    // a second compact is a no-op: one file per partition already
+    assert(GraftTable.compact(spark, root, "docs").isEmpty)
+  }
+
+  test("compact bin-packs to the target size and skips large files") {
+    val root = Files.createTempDirectory("gt-compact-bins").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ms = java.time.Instant.parse("2024-03-01T10:00:00Z").toEpochMilli
+    (0L until 6L).foreach { b =>
+      val df = (0 until 50).map(i => (b * 100 + i, "x" * 200, ms))
+        .toDF("id", "text", "ms")
+      ExportParquet.writeBatch(
+        ExportParquet.withPartitionCols(df, col("ms")),
+        s"$root/docs", batchId = b)
+      GraftTable.commit(spark, root, b)
+    }
+    val sizes = GraftTable.committedFiles(spark, root).map { rel =>
+      new java.io.File(s"$root/$rel").length
+    }
+    val perFile = sizes.max
+    // target fits ~2 originals per bin -> 6 files become ~3
+    val v = GraftTable.compact(spark, root, "docs",
+      smallFileBytes = perFile + 1024, targetFileBytes = 2 * perFile + 1024)
+    assert(v.isDefined)
+    val after = GraftTable.committedFiles(spark, root)
+    assert(after.size >= 2 && after.size <= 4,
+      s"6 small files at ~2-per-bin should pack to ~3, got ${after.size}")
+    assert(GraftTable.read(spark, root, "docs").count() == 300)
+    // below-threshold run: nothing small enough, no new version
+    assert(GraftTable.compact(spark, root, "docs",
+      smallFileBytes = 10, targetFileBytes = 2 * perFile).isEmpty)
+  }
+
   test("nextBatchId: optimistic version allocation past the newest commit") {
     val export = Files.createTempDirectory("gt-next").toString
     val cfg = cfgFor(export)
