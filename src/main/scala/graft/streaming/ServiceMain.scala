@@ -18,6 +18,7 @@ import graft.GraftSession
   *   --metrics metrics.json [--available-now] [--cores 32] \
   *   [--commit-log] [--dedupe-ids] [--dedupe-content]
   *   [--descriptor x.desc --message Name]
+  *   [--maintain [--vacuum-ttl-ms N]]   // end-of-run OPTIMIZE+VACUUM
   * }}}
   *
   * Flag mapping: `--max-offsets` ≈ the reference's 122880×kc message
@@ -43,7 +44,11 @@ object ServiceMain {
       dedupeIds: Boolean = false,
       dedupeContent: Boolean = false,
       descriptor: Option[String] = None,  // compiled FileDescriptorSet
-      message: String = "Bidrequest")
+      message: String = "Bidrequest",
+      // end-of-run maintenance on the commit log (requires --commit-log):
+      // compact small files, fold the log, vacuum aged orphans
+      maintain: Boolean = false,
+      vacuumTtlMs: Long = 7L * 24 * 3600 * 1000)
 
   def parse(argv: Array[String]): Args = {
     @annotation.tailrec
@@ -62,6 +67,8 @@ object ServiceMain {
       case "--dedupe-content" :: t     => go(t, a.copy(dedupeContent = true))
       case "--descriptor" :: v :: t    => go(t, a.copy(descriptor = Some(v)))
       case "--message" :: v :: t       => go(t, a.copy(message = v))
+      case "--maintain" :: t           => go(t, a.copy(maintain = true))
+      case "--vacuum-ttl-ms" :: v :: t => go(t, a.copy(vacuumTtlMs = v.toLong))
       case Nil                         => a
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown flag $other")
@@ -72,8 +79,14 @@ object ServiceMain {
   private val frameSchema = StructType(Seq(
     StructField("value", BinaryType), StructField("timestamp", TimestampType)))
 
+  /** One staged frame file per micro-batch — the file-mode analogue of
+    * `maxOffsetsPerTrigger` (file sources rate-limit by files, not
+    * rows), so replay runs exercise the same multi-batch commit-log
+    * shape as production Kafka triggers. */
   def fileFrameSource(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(frameSchema).parquet(dir)
+    spark.readStream.schema(frameSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
       .select(col("value"), col("timestamp"))
 
   def run(spark: SparkSession, args: Args): Unit = {
@@ -103,6 +116,31 @@ object ServiceMain {
       try query.stop() catch { case _: Throwable => }))
     query.awaitTermination()
     spark.streams.removeListener(listener)
+    if (args.maintain && args.commitLog) maintain(spark, cfg, args.vacuumTtlMs)
+  }
+
+  /** End-of-run table maintenance (the OPTIMIZE/VACUUM job a production
+    * deployment schedules out-of-band): compact each sink's micro-batch
+    * small files, fold the commit log through the newest version, then
+    * vacuum data files no version references once they age out. Safe to
+    * run while readers are active — compaction publishes atomically and
+    * vacuum only touches unreferenced files past the TTL. */
+  def maintain(spark: SparkSession, cfg: BidPipeline.Config,
+               vacuumTtlMs: Long): Unit = {
+    import graft.sources.GraftTable
+    val root = s"${cfg.exportRoot}/${cfg.logname}"
+    Seq("raw", "hourly_requests_agg").foreach { sink =>
+      GraftTable.compact(spark, root, sink).foreach(v =>
+        println(s"[maintain] compacted $sink -> version $v"))
+    }
+    val versions = GraftTable.versions(spark, root)
+    if (versions.nonEmpty) {
+      GraftTable.checkpoint(spark, root, versions.max)
+      println(s"[maintain] log folded through v${versions.max}")
+    }
+    val removed = GraftTable.vacuum(spark, root, vacuumTtlMs)
+    if (removed.nonEmpty)
+      println(s"[maintain] vacuumed ${removed.size} aged orphan files")
   }
 
   def main(argv: Array[String]): Unit = {

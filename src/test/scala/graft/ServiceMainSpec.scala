@@ -56,6 +56,39 @@ class ServiceMainSpec extends AnyFunSuite {
     assert(graft.sources.GraftTable.read(spark, root, "raw").count() == nEvents)
   }
 
+  test("--maintain: end-of-run compaction + log fold + vacuum") {
+    val base = Files.createTempDirectory("graft-service-maint").toString
+    val framesDir = s"$base/frames"
+    ProtoPipeline.framedMessages(spark, sf0001)
+      .select(col("value"),
+        graft.sources.proto.ProtoFunctions.leUint64(col("value")).as("tm"))
+      .select(expr("substring(value, 1, length(value) - 8)").as("value"),
+        timestamp_millis(col("tm")).as("timestamp"))
+      .repartition(4).write.parquet(framesDir)
+
+    // one staged file per trigger -> several micro-batches -> several
+    // batch_id dirs per partition
+    ServiceMain.run(spark, ServiceMain.Args(
+      framesDir = Some(framesDir),
+      export = s"$base/export", checkpoint = s"$base/ckpt",
+      metrics = s"$base/metrics.json", maxOffsets = 4000,
+      availableNow = true, commitLog = true, maintain = true))
+
+    val root = s"$base/export/ortb.bid-requests"
+    val nEvents = graft.sources.Tables.events(spark, sf0001).count()
+    // snapshot correct after compaction, and the log is folded
+    assert(graft.sources.GraftTable.read(spark, root, "raw").count() == nEvents)
+    val ckptJson = new java.io.File(s"$root/_graft_log/checkpoint.json")
+    assert(ckptJson.exists(), "maintain must fold the commit log")
+    // compaction happened: the newest version holds rewritten raw files
+    val hist = graft.sources.GraftTable.history(spark, root)
+    assert(hist.last.removed.nonEmpty,
+      "maintain should compact the micro-batch small files")
+    // flags parse
+    val m = ServiceMain.parse(Array("--maintain", "--vacuum-ttl-ms", "123"))
+    assert(m.maintain && m.vacuumTtlMs == 123L)
+  }
+
   test("bounded file-mode run exports both projections and metrics") {
     val base = Files.createTempDirectory("graft-service").toString
     val framesDir = s"$base/frames"
