@@ -68,9 +68,34 @@ object GraftKafka {
       new KafkaWireClient(host, port, clientId, sasl, tls)
   }
 
+  /** The official connector's three subscription modes — exactly one
+    * per query. */
+  sealed trait Subscription {
+    /** Resolve to concrete topic names (one Metadata call for
+      * patterns — brokers list all topics for an empty request). */
+    def topics(client: KafkaWireClient): Seq[String] = this match {
+      case Subscribe(ts) => ts
+      case Assign(parts) => parts.keys.toSeq.sorted
+      case SubscribePattern(re) =>
+        val all = client.metadata(Nil).topics.map(_.name)
+        val matched = all.filter(re.pattern.matcher(_).matches()).sorted
+        require(matched.nonEmpty,
+          s"subscribePattern '$re' matches none of ${all.size} topics")
+        matched
+    }
+    /** Partition filter: Assign restricts to the listed partitions. */
+    def includes(topic: String, partition: Int): Boolean = this match {
+      case Assign(parts) => parts.get(topic).exists(_.contains(partition))
+      case _ => true
+    }
+  }
+  final case class Subscribe(ts: Seq[String]) extends Subscription
+  final case class SubscribePattern(re: scala.util.matching.Regex) extends Subscription
+  final case class Assign(parts: Map[String, Set[Int]]) extends Subscription
+
   final case class Options(
       bootstrap: ClientConfig,
-      topics: Seq[String],
+      subscription: Subscription,
       startingOffsets: String,
       endingOffsets: String,
       maxOffsetsPerTrigger: Option[Long],
@@ -106,12 +131,18 @@ object GraftKafka {
   }
 
   def parseOptions(options: CaseInsensitiveStringMap): Options = {
-    val topics = Option(options.get("subscribe")).getOrElse(
-      throw new IllegalArgumentException("subscribe is required"))
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val modes = Seq(
+      Option(options.get("subscribe")).map(s =>
+        Subscribe(s.split(",").map(_.trim).filter(_.nonEmpty).toSeq)),
+      Option(options.get("subscribePattern")).map(p =>
+        SubscribePattern(p.r)),
+      Option(options.get("assign")).map(j => Assign(assignFromJson(j)))
+    ).flatten
+    require(modes.size == 1,
+      "exactly one of subscribe, subscribePattern, assign is required")
     Options(
       parseClient(options),
-      topics,
+      modes.head,
       Option(options.get("startingOffsets")).getOrElse("latest"),
       Option(options.get("endingOffsets")).getOrElse("latest"),
       Option(options.get("maxOffsetsPerTrigger")).map(_.toLong),
@@ -133,6 +164,19 @@ object GraftKafka {
       s""""$topic":{$inner}"""
     }.mkString("{", ",", "}")
 
+  /** Official `assign` JSON: {"topicA":[0,1],"topicB":[2,4]}. */
+  def assignFromJson(json: String): Map[String, Set[Int]] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    val out = mutable.Map[String, Set[Int]]()
+    root.fields().asScala.foreach { e =>
+      out(e.getKey) = e.getValue.elements().asScala.map(_.asInt()).toSet
+    }
+    require(out.nonEmpty && out.values.forall(_.nonEmpty),
+      s"assign must list at least one partition per topic: $json")
+    out.toMap
+  }
+
   def offsetsFromJson(json: String): OffsetMap = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(json)
@@ -146,11 +190,11 @@ object GraftKafka {
   }
 
   /** Snapshot offsets for all subscribed partitions in one driver pass. */
-  def snapshot(client: KafkaWireClient, topics: Seq[String],
+  def snapshot(client: KafkaWireClient, sub: Subscription,
                earliest: Boolean): OffsetMap = {
-    val meta = client.metadata(topics)
+    val meta = client.metadata(sub.topics(client))
     meta.topics.flatMap { t =>
-      t.partitions.map { p =>
+      t.partitions.withFilter(p => sub.includes(t.name, p.partition)).map { p =>
         val off =
           if (earliest) client.earliestOffset(t.name, p.partition)
           else client.latestOffset(t.name, p.partition)
@@ -224,7 +268,7 @@ class GraftKafkaScan(options: CaseInsensitiveStringMap) extends Scan {
   private val opts = GraftKafka.parseOptions(options)
   override def readSchema(): StructType = GraftKafka.schema
   override def description(): String =
-    s"graft-kafka [${opts.topics.mkString(",")}]"
+    s"graft-kafka [${opts.subscription}]"
   override def toBatch: Batch = new GraftKafkaBatch(opts)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftKafkaMicroBatchStream(opts)
@@ -239,13 +283,13 @@ class GraftKafkaBatch(opts: GraftKafka.Options) extends Batch {
     val client = opts.bootstrap.connect("graft-batch-planner")
     try {
       val start = opts.startingOffsets match {
-        case "latest" => snapshot(client, opts.topics, earliest = false)
-        case "earliest" => snapshot(client, opts.topics, earliest = true)
+        case "latest" => snapshot(client, opts.subscription, earliest = false)
+        case "earliest" => snapshot(client, opts.subscription, earliest = true)
         case json => offsetsFromJson(json)
       }
       val end = opts.endingOffsets match {
-        case "latest" => snapshot(client, opts.topics, earliest = false)
-        case "earliest" => snapshot(client, opts.topics, earliest = true)
+        case "latest" => snapshot(client, opts.subscription, earliest = false)
+        case "earliest" => snapshot(client, opts.subscription, earliest = true)
         case json => offsetsFromJson(json)
       }
       GraftKafkaPlanner.plan(client, opts, start, end)
@@ -272,7 +316,7 @@ class GraftKafkaMicroBatchStream(opts: GraftKafka.Options)
       case "latest" => false
       case json => return new GraftKafkaOffset(offsetsFromJson(json))
     }
-    new GraftKafkaOffset(snapshot(client, opts.topics, earliest))
+    new GraftKafkaOffset(snapshot(client, opts.subscription, earliest))
   }
 
   override def getDefaultReadLimit: ReadLimit =
@@ -280,7 +324,7 @@ class GraftKafkaMicroBatchStream(opts: GraftKafka.Options)
       ReadLimit.allAvailable())
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCeiling = Some(snapshot(client, opts.topics, earliest = false))
+    availableNowCeiling = Some(snapshot(client, opts.subscription, earliest = false))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -289,7 +333,7 @@ class GraftKafkaMicroBatchStream(opts: GraftKafka.Options)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startMap = start.asInstanceOf[GraftKafkaOffset].offsets
     val target = availableNowCeiling.getOrElse(
-      snapshot(client, opts.topics, earliest = false))
+      snapshot(client, opts.subscription, earliest = false))
     val capped = limit match {
       case m: ReadMaxRows => capOffsets(startMap, target, m.maxRows())
       case _ => target
@@ -332,7 +376,7 @@ object GraftKafkaPlanner {
     * official connector's `minPartitions` semantics. */
   def plan(client: KafkaWireClient, opts: Options,
            start: OffsetMap, end: OffsetMap): Array[InputPartition] = {
-    val meta = client.metadata(opts.topics)
+    val meta = client.metadata(opts.subscription.topics(client))
     val ranges = end.toSeq.sortBy { case ((t, p), _) => (t, p) }.flatMap {
       case ((topic, partition), until) =>
         val from = start.getOrElse((topic, partition), until)

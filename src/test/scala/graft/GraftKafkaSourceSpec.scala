@@ -326,6 +326,38 @@ class GraftKafkaSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("value"))
   }
 
+  test("assign reads only the listed partitions; subscribePattern matches topics") {
+    withBroker(partitions = 3) { broker =>
+      produceStrings(broker, "events.a", 0, Seq("a0"))
+      produceStrings(broker, "events.a", 1, Seq("a1"))
+      produceStrings(broker, "events.a", 2, Seq("a2"))
+      produceStrings(broker, "events.b", 0, Seq("b0"))
+      produceStrings(broker, "other", 0, Seq("x"))
+      def read(mode: (String, String)) = spark.read.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option(mode._1, mode._2)
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .load()
+        .selectExpr("cast(value as string)").collect()
+        .map(_.getString(0)).toSet
+      assert(read(("assign", """{"events.a":[0,2]}""")) === Set("a0", "a2"))
+      assert(read(("subscribePattern", "events\\..*")) ===
+        Set("a0", "a1", "a2", "b0"))
+      // exactly one subscription mode
+      val e = intercept[Exception] {
+        spark.read.format("graft-kafka")
+          .option("kafka.bootstrap.servers", broker.bootstrapServers)
+          .option("subscribe", "events.a")
+          .option("assign", """{"events.a":[0]}""")
+          .option("startingOffsets", "earliest")
+          .option("endingOffsets", "latest")
+          .load().collect()
+      }
+      assert(e.getMessage.contains("exactly one"))
+    }
+  }
+
   test("config surface errors: missing bootstrap, bad connector name") {
     intercept[IllegalArgumentException] {
       GraftKafka.parseOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(

@@ -373,6 +373,44 @@ class GraftTableSpec extends AnyFunSuite {
       smallFileBytes = 10, targetFileBytes = 2 * perFile).isEmpty)
   }
 
+  test("compact composes with deleteWhere and later appends") {
+    val root = Files.createTempDirectory("gt-compact-mix").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ms = java.time.Instant.parse("2024-03-01T10:00:00Z").toEpochMilli
+    def write(b: Long, ids: Seq[Long]): Unit = {
+      ExportParquet.writeBatch(
+        ExportParquet.withPartitionCols(
+          ids.map(i => (i, ms)).toDF("id", "ms"), col("ms")),
+        s"$root/docs", batchId = b)
+      GraftTable.commit(spark, root, b)
+    }
+    (0L until 3L).foreach(b => write(b, b * 10 until b * 10 + 10))
+    // row-level delete rewrites affected files into v3
+    assert(GraftTable.deleteWhere(spark, root, "docs",
+      col("id") % 10 === 0).contains(3L))
+    // more micro-batches after the delete
+    write(4L, 30L until 40L)
+    write(5L, 40L until 50L)
+    // compact the mixed snapshot (delete survivors + fresh appends)
+    val v = GraftTable.compact(spark, root, "docs")
+    assert(v.contains(6L))
+    val expect = (0L until 50L).filterNot(i => i < 30 && i % 10 == 0)
+    assert(GraftTable.read(spark, root, "docs")
+      .select("id").as[Long].collect().sorted.toSeq == expect)
+    // every older version still time travels: pre-delete, post-delete,
+    // pre-compaction
+    assert(GraftTable.readAsOf(spark, root, "docs", 2).count() == 30)
+    assert(GraftTable.readAsOf(spark, root, "docs", 3).count() == 27)
+    assert(GraftTable.readAsOf(spark, root, "docs", 5)
+      .select("id").as[Long].collect().sorted.toSeq == expect)
+    // nothing referenced is vacuumable; the log folds without loss
+    assert(GraftTable.vacuum(spark, root, ttlMs = 0).isEmpty)
+    GraftTable.checkpoint(spark, root, 6L)
+    assert(GraftTable.read(spark, root, "docs")
+      .select("id").as[Long].collect().sorted.toSeq == expect)
+  }
+
   test("nextBatchId: optimistic version allocation past the newest commit") {
     val export = Files.createTempDirectory("gt-next").toString
     val cfg = cfgFor(export)
