@@ -35,6 +35,12 @@ import org.apache.spark.sql.SparkSession
   * partitions the stream has finished writing (older than the pipeline's
   * replay horizon): replaying batch N after its directory was merged
   * away would re-create it.
+  *
+  * This operator serves PLAIN export trees (no commit log). Sinks
+  * tracked by the transactional log compact through
+  * [[graft.sources.GraftTable.compact]] instead, which publishes the
+  * rewrite as a new version atomically, needs no rename-swap dance, and
+  * keeps time travel to pre-compaction snapshots.
   */
 object Compaction {
 

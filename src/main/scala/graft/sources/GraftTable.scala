@@ -483,7 +483,10 @@ object GraftTable {
     Some(newId)
   }
 
-  /** Small-file compaction (Delta's `OPTIMIZE` analog): bin-pack the
+  /** Small-file compaction (Delta's `OPTIMIZE` analog) for LOG-TRACKED
+    * sinks — the transactional twin of
+    * [[graft.operators.Compaction]] (which serves plain export trees
+    * via rename-swap): bin-pack the
     * sink's committed files smaller than `smallFileBytes` into files of
     * ~`targetFileBytes`, per logical partition (every `key=value`
     * directory except the re-assigned `batch_id`). One commit
