@@ -298,28 +298,34 @@ object Similarity {
       import spark.implicits._
       val m0 = PqM
       val sd = PqSubDim
+      // init + every Lloyd round reads this frame: persist for the
+      // training loop's duration (same device as kmeansTrain) instead
+      // of re-scanning and re-normalizing the corpus per round
       val normed = normalized(spark, dir)
-      val svs = normed.flatMap { case (_, v) =>
-        (0 until m0).iterator.map(m => (m, v.slice(m * sd, (m + 1) * sd)))
-      }
-      val init = normed.orderBy(col("_1")).limit(PqK).collect()
-        .sortBy(_._1).map(_._2)
-      var cents: Array[Array[Array[Double]]] =
-        Array.tabulate(m0)(m => init.map(v => v.slice(m * sd, (m + 1) * sd)))
-      for (_ <- 0 until PqIters) {
-        val cs = cents
-        val means = svs
-          .map { case (m, sv) => ((m * PqK + pqArgmin(cs(m), sv)).toLong, sv) }
-          .groupByKey(_._1).mapValues(_._2)
-          .agg(new VectorOps.VecMean(sd).toColumn.name("cv"))
-          .collect().toMap
-        cents = Array.tabulate(m0, cs(0).length) { (m, c) =>
-          means.get((m * PqK + c).toLong)
-            .map(_.map(VectorOps.roundAt(_, 6)))
-            .getOrElse(cs(m)(c)) // empty cell keeps its centroid
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val svs = normed.flatMap { case (_, v) =>
+          (0 until m0).iterator.map(m => (m, v.slice(m * sd, (m + 1) * sd)))
         }
-      }
-      cents
+        val init = normed.orderBy(col("_1")).limit(PqK).collect()
+          .sortBy(_._1).map(_._2)
+        var cents: Array[Array[Array[Double]]] =
+          Array.tabulate(m0)(m => init.map(v => v.slice(m * sd, (m + 1) * sd)))
+        for (_ <- 0 until PqIters) {
+          val cs = cents
+          val means = svs
+            .map { case (m, sv) => ((m * PqK + pqArgmin(cs(m), sv)).toLong, sv) }
+            .groupByKey(_._1).mapValues(_._2)
+            .agg(new VectorOps.VecMean(sd).toColumn.name("cv"))
+            .collect().toMap
+          cents = Array.tabulate(m0, cs(0).length) { (m, c) =>
+            means.get((m * PqK + c).toLong)
+              .map(_.map(VectorOps.roundAt(_, 6)))
+              .getOrElse(cs(m)(c)) // empty cell keeps its centroid
+          }
+        }
+        cents
+      } finally normed.unpersist(blocking = false)
     })
   }
 
