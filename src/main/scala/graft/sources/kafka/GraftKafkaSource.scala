@@ -100,7 +100,10 @@ object GraftKafka {
       endingOffsets: String,
       maxOffsetsPerTrigger: Option[Long],
       minPartitions: Int,
-      fetchMaxBytes: Int)
+      fetchMaxBytes: Int,
+      // official precedence: byTimestamp > global timestamp > offsets
+      startingTimestamp: Option[Long] = None,
+      startingOffsetsByTimestamp: Option[OffsetMap] = None)
 
   /** Bootstrap + security options — the subset both the read and write
     * paths need (`subscribe` is read-only; the sink takes `topic`). */
@@ -148,7 +151,43 @@ object GraftKafka {
       Option(options.get("maxOffsetsPerTrigger")).map(_.toLong),
       Option(options.get("minPartitions")).map(_.toInt).getOrElse(0),
       Option(options.get("kafka.max.partition.fetch.bytes"))
-        .map(_.toInt).getOrElse(8 << 20))
+        .map(_.toInt).getOrElse(8 << 20),
+      Option(options.get("startingTimestamp")).map(_.toLong),
+      // same JSON shape as offsets: {"topic":{"0":<epoch-ms>}}
+      Option(options.get("startingOffsetsByTimestamp")).map(offsetsFromJson))
+  }
+
+  /** Resolve the query's start offsets with the official precedence:
+    * per-partition timestamps, then a global timestamp, then
+    * `startingOffsets`. A timestamp past every record in a partition is
+    * an error (the official `error` strategy) — silently starting at
+    * latest would skip data the caller asked for by time. */
+  def resolveStart(client: KafkaWireClient, opts: Options): OffsetMap = {
+    def forTime(topic: String, partition: Int, ts: Long): Long = {
+      val off = client.listOffset(topic, partition, ts)
+      require(off >= 0L,
+        s"no offset at or after timestamp $ts for $topic-$partition " +
+          "(the log ends earlier); use startingOffsets instead")
+      off
+    }
+    opts.startingOffsetsByTimestamp match {
+      case Some(byTs) =>
+        byTs.map { case ((t, p), ts) => (t, p) -> forTime(t, p, ts) }
+      case None => opts.startingTimestamp match {
+        case Some(ts) =>
+          val meta = client.metadata(opts.subscription.topics(client))
+          meta.topics.flatMap { t =>
+            t.partitions
+              .withFilter(p => opts.subscription.includes(t.name, p.partition))
+              .map(p => (t.name, p.partition) -> forTime(t.name, p.partition, ts))
+          }.toMap
+        case None => opts.startingOffsets match {
+          case "latest" => snapshot(client, opts.subscription, earliest = false)
+          case "earliest" => snapshot(client, opts.subscription, earliest = true)
+          case json => offsetsFromJson(json)
+        }
+      }
+    }
   }
 
   // ---- offset maps ---------------------------------------------------------
@@ -282,11 +321,7 @@ class GraftKafkaBatch(opts: GraftKafka.Options) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val client = opts.bootstrap.connect("graft-batch-planner")
     try {
-      val start = opts.startingOffsets match {
-        case "latest" => snapshot(client, opts.subscription, earliest = false)
-        case "earliest" => snapshot(client, opts.subscription, earliest = true)
-        case json => offsetsFromJson(json)
-      }
+      val start = resolveStart(client, opts)
       val end = opts.endingOffsets match {
         case "latest" => snapshot(client, opts.subscription, earliest = false)
         case "earliest" => snapshot(client, opts.subscription, earliest = true)
@@ -310,14 +345,8 @@ class GraftKafkaMicroBatchStream(opts: GraftKafka.Options)
   /** Trigger.AvailableNow ceiling: offsets snapshotted at query start. */
   @transient private var availableNowCeiling: Option[OffsetMap] = None
 
-  override def initialOffset(): Offset = {
-    val earliest = opts.startingOffsets match {
-      case "earliest" => true
-      case "latest" => false
-      case json => return new GraftKafkaOffset(offsetsFromJson(json))
-    }
-    new GraftKafkaOffset(snapshot(client, opts.subscription, earliest))
-  }
+  override def initialOffset(): Offset =
+    new GraftKafkaOffset(resolveStart(client, opts))
 
   override def getDefaultReadLimit: ReadLimit =
     opts.maxOffsetsPerTrigger.map(ReadLimit.maxRows).getOrElse(

@@ -219,7 +219,16 @@ final class KafkaStubBroker(
         val log = logFor(topic, partition)
         val offset = log.synchronized {
           if (timestamp == -2L) log.batches.headOption.map(_._1).getOrElse(0L)
-          else log.logEndOffset
+          else if (timestamp == -1L) log.logEndOffset
+          else {
+            // timestamp lookup: earliest offset whose record ts >= query
+            // (the log-segment semantics clients rely on); -1 when the
+            // timestamp is past every record, per the protocol
+            log.batches.iterator
+              .flatMap { case (_, _, bytes) => decodeBatches(bytes) }
+              .collectFirst { case rec if rec.timestamp >= timestamp => rec.offset }
+              .getOrElse(-1L)
+          }
         }
         w.int32(partition); w.int16(Err.None)
         w.int64(-1L) // timestamp (v1: match ts; -1 for earliest/latest probes)

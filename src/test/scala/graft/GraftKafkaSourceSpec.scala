@@ -358,6 +358,37 @@ class GraftKafkaSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("startingTimestamp and startingOffsetsByTimestamp resolve via ListOffsets") {
+    withBroker(partitions = 2) { broker =>
+      val c = new KafkaWireClient("localhost", broker.port, "ts-producer")
+      try {
+        // partition 0: timestamps 1000,2000,3000; partition 1: 1500,2500
+        c.produce("t", 0, Seq((1000L, null, b("p0-a")), (2000L, null, b("p0-b")),
+          (3000L, null, b("p0-c"))))
+        c.produce("t", 1, Seq((1500L, null, b("p1-a")), (2500L, null, b("p1-b"))))
+      } finally c.close()
+      def read(opts: (String, String)*) = {
+        var r = spark.read.format("graft-kafka")
+          .option("kafka.bootstrap.servers", broker.bootstrapServers)
+          .option("subscribe", "t")
+          .option("endingOffsets", "latest")
+        opts.foreach { case (k, v) => r = r.option(k, v) }
+        r.load().selectExpr("cast(value as string)").collect()
+          .map(_.getString(0)).toSet
+      }
+      // global timestamp: records at or after 2000 in every partition
+      assert(read(("startingTimestamp", "2000")) ===
+        Set("p0-b", "p0-c", "p1-b"))
+      // per-partition timestamps win over the global one
+      assert(read(("startingOffsetsByTimestamp", """{"t":{"0":3000,"1":0}}"""),
+        ("startingTimestamp", "99")) ===
+        Set("p0-c", "p1-a", "p1-b"))
+      // a timestamp past the whole log errors (official 'error' strategy)
+      val e = intercept[Exception](read(("startingTimestamp", "99999")))
+      assert(e.getMessage.contains("no offset at or after"))
+    }
+  }
+
   test("config surface errors: missing bootstrap, bad connector name") {
     intercept[IllegalArgumentException] {
       GraftKafka.parseOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
