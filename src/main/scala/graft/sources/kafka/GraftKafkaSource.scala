@@ -62,10 +62,23 @@ object GraftKafka {
     StructField("timestampType", IntegerType)))
 
   final case class ClientConfig(
-      host: String, port: Int,
+      servers: Seq[(String, Int)],
       sasl: Option[(String, String)], tls: Boolean) {
-    def connect(clientId: String): KafkaWireClient =
-      new KafkaWireClient(host, port, clientId, sasl, tls)
+    def host: String = servers.head._1
+    def port: Int = servers.head._2
+    /** Connect to the first reachable bootstrap server — the official
+      * client's multi-server bootstrap contract (any one seed is enough
+      * to discover the cluster; a down seed must not fail the query). */
+    def connect(clientId: String): KafkaWireClient = {
+      var last: Exception = null
+      servers.foreach { case (h, p) =>
+        try return new KafkaWireClient(h, p, clientId, sasl, tls)
+        catch { case e: java.io.IOException => last = e }
+      }
+      throw new java.io.IOException(
+        s"no bootstrap server reachable: ${servers.map(s => s"${s._1}:${s._2}")
+          .mkString(",")}", last)
+    }
   }
 
   /** The official connector's three subscription modes — exactly one
@@ -110,8 +123,12 @@ object GraftKafka {
   def parseClient(options: CaseInsensitiveStringMap): ClientConfig = {
     val servers = Option(options.get("kafka.bootstrap.servers")).getOrElse(
       throw new IllegalArgumentException("kafka.bootstrap.servers is required"))
-    val hp = servers.split(",").head.trim.split(":")
-    require(hp.length == 2, s"bad bootstrap server '$servers'")
+    val hps = servers.split(",").map(_.trim).filter(_.nonEmpty).map { s =>
+      val hp = s.split(":")
+      require(hp.length == 2, s"bad bootstrap server '$s' in '$servers'")
+      (hp(0).trim, hp(1).trim.toInt)
+    }.toSeq
+    require(hps.nonEmpty, s"no bootstrap servers in '$servers'")
     val protocol = Option(options.get("kafka.security.protocol"))
       .getOrElse("PLAINTEXT").toUpperCase
     val tls = protocol.contains("SSL")
@@ -130,7 +147,7 @@ object GraftKafka {
           "jaas config must carry username=\"..\" password=\"..\"")
         Some((user.get.group(1), pass.get.group(1)))
       }
-    ClientConfig(hp(0).trim, hp(1).trim.toInt, sasl, tls)
+    ClientConfig(hps, sasl, tls)
   }
 
   def parseOptions(options: CaseInsensitiveStringMap): Options = {
@@ -387,14 +404,14 @@ class GraftKafkaMicroBatchStream(opts: GraftKafka.Options)
 }
 
 /** One offset range of one topic-partition, read from its leader. The
-  * bootstrap address rides along so the reader can re-resolve the
-  * leader if it changes mid-read (broker roll, partition move). */
+  * bootstrap config (full seed list + auth) rides along so the reader
+  * can re-resolve the leader if it changes mid-read (broker roll,
+  * partition move). */
 final case class GraftKafkaInputPartition(
     topic: String, partition: Int,
     startOffset: Long, endOffset: Long,
     leaderHost: String, leaderPort: Int,
-    bootstrapHost: String, bootstrapPort: Int,
-    saslUser: String, saslPass: String, tls: Boolean)
+    bootstrap: GraftKafka.ClientConfig)
   extends InputPartition
 
 object GraftKafkaPlanner {
@@ -425,10 +442,7 @@ object GraftKafkaPlanner {
     split.map { case (t, p, f, u) =>
       val leader = meta.leaderFor(t, p)
       GraftKafkaInputPartition(t, p, f, u, leader.host, leader.port,
-        opts.bootstrap.host, opts.bootstrap.port,
-        opts.bootstrap.sasl.map(_._1).orNull,
-        opts.bootstrap.sasl.map(_._2).orNull,
-        opts.bootstrap.tls): InputPartition
+        opts.bootstrap): InputPartition
     }.toArray
   }
 }
@@ -456,9 +470,8 @@ class GraftKafkaPartitionReader(p: GraftKafkaInputPartition, fetchMaxBytes: Int)
   import GraftKafkaPartitionReader._
 
   private val clientId = s"graft-reader-${p.topic}-${p.partition}"
-  private val sasl = Option(p.saslUser).map(u => (u, p.saslPass))
-  private var client: KafkaWireClient =
-    new KafkaWireClient(p.leaderHost, p.leaderPort, clientId, sasl, p.tls)
+  private var client: KafkaWireClient = new KafkaWireClient(
+    p.leaderHost, p.leaderPort, clientId, p.bootstrap.sasl, p.bootstrap.tls)
   private var nextOffset = p.startOffset
   private var buffer: Iterator[KafkaWire.Record] = Iterator.empty
   private var current: KafkaWire.Record = _
@@ -474,13 +487,12 @@ class GraftKafkaPartitionReader(p: GraftKafkaInputPartition, fetchMaxBytes: Int)
     while (true) {
       try {
         if (client == null) {
-          val boot = new KafkaWireClient(
-            p.bootstrapHost, p.bootstrapPort, clientId, sasl, p.tls)
+          val boot = p.bootstrap.connect(clientId)
           val leader =
             try boot.metadata(Seq(p.topic)).leaderFor(p.topic, p.partition)
             finally boot.close()
-          client = new KafkaWireClient(
-            leader.host, leader.port, clientId, sasl, p.tls)
+          client = new KafkaWireClient(leader.host, leader.port, clientId,
+            p.bootstrap.sasl, p.bootstrap.tls)
         }
         return client.fetch(p.topic, p.partition, offset, fetchMaxBytes)
       } catch {

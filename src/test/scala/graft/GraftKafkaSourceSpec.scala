@@ -389,6 +389,25 @@ class GraftKafkaSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrap falls back past a dead seed server") {
+    withBroker() { broker =>
+      produceStrings(broker, "t", 0, Seq("alive"))
+      // reserve a port nothing listens on, then list it FIRST
+      val dead = new java.net.ServerSocket(0)
+      val deadPort = dead.getLocalPort
+      dead.close()
+      val df = spark.read.format("graft-kafka")
+        .option("kafka.bootstrap.servers",
+          s"localhost:$deadPort,${broker.bootstrapServers}")
+        .option("subscribe", "t")
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .load()
+      assert(df.selectExpr("cast(value as string)").collect()
+        .map(_.getString(0)).toSeq === Seq("alive"))
+    }
+  }
+
   test("config surface errors: missing bootstrap, bad connector name") {
     intercept[IllegalArgumentException] {
       GraftKafka.parseOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
