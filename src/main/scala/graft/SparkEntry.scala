@@ -47,6 +47,7 @@ object SparkEntry {
     "q_user_event_arrays"   -> (Relational.userEventArrays _),
     "q_proto_roundtrip"     -> (ProtoPipeline.roundtrip _),
     "q_bid_hourly_agg"      -> (BidExports.hourlyAggFromWire _),
+    "q_kafka_hourly_agg"    -> (KafkaRoundtrip.hourlyAgg _),
     "q_stream_hourly"       -> (graft.streaming.StreamingAgg.hourlyWindow _),
     "q_sessionize"          -> (Sessionize.apply _),
     "q_asof_join"           -> (AsOfJoin.purchaseLastClick _),
@@ -576,6 +577,45 @@ object SparkEntry {
        |${(0 until Bpe.Merges).map(iter).mkString(",\n")}""".stripMargin
   }
 
+  /** B6-B16 wire-aggregate oracle, shared by q_bid_hourly_agg and
+    * the socket-level q_kafka_hourly_agg (lossless transport). */
+  private val bidHourlyAggOracle: String =
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         epoch_us(ts) AS us, epoch_ms(ts) AS ms
+        |  FROM events),
+        |norm AS (
+        |  SELECT CAST(event_id AS VARCHAR) AS bidreq_id,
+        |         coalesce(
+        |           nullif(CASE WHEN user_id % 4 = 0 THEN ''
+        |                       ELSE 'u' || CAST(user_id AS VARCHAR) END, ''),
+        |           'site_' || CAST(user_id % 20 AS VARCHAR)) AS device_id,
+        |         event_type AS pub_id,
+        |         us // 1000000 AS event_time,
+        |         CAST(CASE WHEN value >= 50 THEN floor(value) + 1
+        |                   ELSE floor(value) + 2 END AS INT) AS width,
+        |         CAST(CASE WHEN value >= 50 THEN (user_id % 5 + 1) * 100
+        |                   ELSE (user_id % 5 + 1) * 100 + 1 END AS INT) AS height,
+        |         unnest(CASE
+        |           WHEN event_id % 3 = 0 THEN [NULL]
+        |           WHEN event_id % 3 = 1
+        |             THEN ['deal_' || CAST(event_id AS VARCHAR) || '_0']
+        |           ELSE ['deal_' || CAST(event_id AS VARCHAR) || '_0',
+        |                 'deal_' || CAST(event_id AS VARCHAR) || '_1'] END) AS deal
+        |  FROM e),
+        |agg AS (
+        |  SELECT CAST(date_trunc('day', epoch_ms(event_time * 1000)) AS DATE) AS date,
+        |         CAST(datepart('hour', epoch_ms(event_time * 1000)) AS INT) AS hour,
+        |         pub_id, device_id,
+        |         concat(CAST(width AS VARCHAR), 'x', CAST(height AS VARCHAR))
+        |           AS resolution,
+        |         deal,
+        |         count(DISTINCT bidreq_id) AS requests
+        |  FROM norm GROUP BY ALL)
+        |SELECT * FROM agg
+        |ORDER BY date, hour, pub_id, device_id, resolution, deal NULLS FIRST"""
+        .stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_partition_discovery" ->
       """SELECT CAST(datepart('year', ts) AS INT) AS year,
@@ -802,42 +842,10 @@ object SparkEntry {
         |         ELSE ['deal_' || CAST(event_id AS VARCHAR) || '_0',
         |               'deal_' || CAST(event_id AS VARCHAR) || '_1'] END) AS deal
         |FROM e ORDER BY event_id, deal NULLS FIRST""".stripMargin,
-    "q_bid_hourly_agg" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, event_type, value,
-        |         epoch_us(ts) AS us, epoch_ms(ts) AS ms
-        |  FROM events),
-        |norm AS (
-        |  SELECT CAST(event_id AS VARCHAR) AS bidreq_id,
-        |         coalesce(
-        |           nullif(CASE WHEN user_id % 4 = 0 THEN ''
-        |                       ELSE 'u' || CAST(user_id AS VARCHAR) END, ''),
-        |           'site_' || CAST(user_id % 20 AS VARCHAR)) AS device_id,
-        |         event_type AS pub_id,
-        |         us // 1000000 AS event_time,
-        |         CAST(CASE WHEN value >= 50 THEN floor(value) + 1
-        |                   ELSE floor(value) + 2 END AS INT) AS width,
-        |         CAST(CASE WHEN value >= 50 THEN (user_id % 5 + 1) * 100
-        |                   ELSE (user_id % 5 + 1) * 100 + 1 END AS INT) AS height,
-        |         unnest(CASE
-        |           WHEN event_id % 3 = 0 THEN [NULL]
-        |           WHEN event_id % 3 = 1
-        |             THEN ['deal_' || CAST(event_id AS VARCHAR) || '_0']
-        |           ELSE ['deal_' || CAST(event_id AS VARCHAR) || '_0',
-        |                 'deal_' || CAST(event_id AS VARCHAR) || '_1'] END) AS deal
-        |  FROM e),
-        |agg AS (
-        |  SELECT CAST(date_trunc('day', epoch_ms(event_time * 1000)) AS DATE) AS date,
-        |         CAST(datepart('hour', epoch_ms(event_time * 1000)) AS INT) AS hour,
-        |         pub_id, device_id,
-        |         concat(CAST(width AS VARCHAR), 'x', CAST(height AS VARCHAR))
-        |           AS resolution,
-        |         deal,
-        |         count(DISTINCT bidreq_id) AS requests
-        |  FROM norm GROUP BY ALL)
-        |SELECT * FROM agg
-        |ORDER BY date, hour, pub_id, device_id, resolution, deal NULLS FIRST"""
-        .stripMargin,
+    "q_bid_hourly_agg" -> bidHourlyAggOracle,
+    // the Kafka roundtrip is transport-lossless: the produce->fetch->
+    // decode chain must reproduce the wire aggregate row for row
+    "q_kafka_hourly_agg" -> bidHourlyAggOracle,
     "q_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |       count(*) AS n_events, round(sum(value), 2) AS total_value
