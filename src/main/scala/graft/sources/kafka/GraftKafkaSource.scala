@@ -116,7 +116,9 @@ object GraftKafka {
       fetchMaxBytes: Int,
       // official precedence: byTimestamp > global timestamp > offsets
       startingTimestamp: Option[Long] = None,
-      startingOffsetsByTimestamp: Option[OffsetMap] = None)
+      startingOffsetsByTimestamp: Option[OffsetMap] = None,
+      endingTimestamp: Option[Long] = None,
+      endingOffsetsByTimestamp: Option[OffsetMap] = None)
 
   /** Bootstrap + security options — the subset both the read and write
     * paths need (`subscribe` is read-only; the sink takes `topic`). */
@@ -171,7 +173,9 @@ object GraftKafka {
         .map(_.toInt).getOrElse(8 << 20),
       Option(options.get("startingTimestamp")).map(_.toLong),
       // same JSON shape as offsets: {"topic":{"0":<epoch-ms>}}
-      Option(options.get("startingOffsetsByTimestamp")).map(offsetsFromJson))
+      Option(options.get("startingOffsetsByTimestamp")).map(offsetsFromJson),
+      Option(options.get("endingTimestamp")).map(_.toLong),
+      Option(options.get("endingOffsetsByTimestamp")).map(offsetsFromJson))
   }
 
   /** Resolve the query's start offsets with the official precedence:
@@ -199,6 +203,34 @@ object GraftKafka {
               .map(p => (t.name, p.partition) -> forTime(t.name, p.partition, ts))
           }.toMap
         case None => opts.startingOffsets match {
+          case "latest" => snapshot(client, opts.subscription, earliest = false)
+          case "earliest" => snapshot(client, opts.subscription, earliest = true)
+          case json => offsetsFromJson(json)
+        }
+      }
+    }
+  }
+
+  /** Resolve a bounded read's end offsets. A timestamp past every
+    * record in a partition means "read to the log end" (the bound
+    * excludes nothing), unlike the start side where it is an error. */
+  def resolveEnd(client: KafkaWireClient, opts: Options): OffsetMap = {
+    def forTime(topic: String, partition: Int, ts: Long): Long = {
+      val off = client.listOffset(topic, partition, ts)
+      if (off >= 0L) off else client.latestOffset(topic, partition)
+    }
+    opts.endingOffsetsByTimestamp match {
+      case Some(byTs) =>
+        byTs.map { case ((t, p), ts) => (t, p) -> forTime(t, p, ts) }
+      case None => opts.endingTimestamp match {
+        case Some(ts) =>
+          val meta = client.metadata(opts.subscription.topics(client))
+          meta.topics.flatMap { t =>
+            t.partitions
+              .withFilter(p => opts.subscription.includes(t.name, p.partition))
+              .map(p => (t.name, p.partition) -> forTime(t.name, p.partition, ts))
+          }.toMap
+        case None => opts.endingOffsets match {
           case "latest" => snapshot(client, opts.subscription, earliest = false)
           case "earliest" => snapshot(client, opts.subscription, earliest = true)
           case json => offsetsFromJson(json)
@@ -339,11 +371,7 @@ class GraftKafkaBatch(opts: GraftKafka.Options) extends Batch {
     val client = opts.bootstrap.connect("graft-batch-planner")
     try {
       val start = resolveStart(client, opts)
-      val end = opts.endingOffsets match {
-        case "latest" => snapshot(client, opts.subscription, earliest = false)
-        case "earliest" => snapshot(client, opts.subscription, earliest = true)
-        case json => offsetsFromJson(json)
-      }
+      val end = resolveEnd(client, opts)
       GraftKafkaPlanner.plan(client, opts, start, end)
     } finally client.close()
   }

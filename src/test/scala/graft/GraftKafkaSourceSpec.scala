@@ -386,6 +386,12 @@ class GraftKafkaSourceSpec extends AnyFunSuite {
       // a timestamp past the whole log errors (official 'error' strategy)
       val e = intercept[Exception](read(("startingTimestamp", "99999")))
       assert(e.getMessage.contains("no offset at or after"))
+      // a bounded time-window read: [2000, 3000) across both partitions
+      assert(read(("startingTimestamp", "2000"),
+        ("endingTimestamp", "3000")) === Set("p0-b", "p1-b"))
+      // an ending timestamp past the log means "to the end", not error
+      assert(read(("startingTimestamp", "2500"),
+        ("endingTimestamp", "99999")) === Set("p0-c", "p1-b"))
     }
   }
 
