@@ -35,6 +35,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object GraftKafkaSink {
   /** Records buffered per (topic, partition) before a produce flush. */
   val FlushRecords = 500
+  /** Leader re-resolution attempts per flush before giving the error
+    * to Spark's task retry. */
+  val MaxProduceRetries = 3
 
   /** The Java producer's default partitioner hash: murmur2 (public
     * algorithm, seed 0x9747b28c) over the key bytes, sign-masked. */
@@ -197,19 +200,44 @@ class GraftKafkaDataWriter(bootstrap: GraftKafka.ClientConfig,
     if (buf.size >= FlushRecords) flush(topic, partition)
   }
 
+  /** Produce with leader failover, mirroring the reader: on
+    * NOT_LEADER / transient metadata errors / connection loss, drop the
+    * cached topology and leader connection, re-resolve through the
+    * planner, retry with doubling backoff. Retries may duplicate a
+    * batch the broker appended before the connection died — the
+    * documented at-least-once contract. */
   private def flush(topic: String, partition: Int): Unit = {
     val buf = buffers((topic, partition))
-    if (buf.nonEmpty) {
+    if (buf.isEmpty) return
+    var attempt = 0
+    while (buf.nonEmpty) {
       val (_, leaders) = topology(topic)
       val leader = leaders.getOrElse(partition,
         throw new IllegalArgumentException(s"no leader for $topic-$partition"))
-      val client = leaderClients.getOrElseUpdate(leader._1 -> leader._2,
-        new KafkaWireClient(leader._1, leader._2,
-          s"graft-writer-$taskSticky", bootstrap.sasl, bootstrap.tls))
-      client.produce(topic, partition, buf.toSeq, codec)
-      written += buf.size
-      buf.clear()
+      try {
+        val client = leaderClients.getOrElseUpdate(leader,
+          new KafkaWireClient(leader._1, leader._2,
+            s"graft-writer-$taskSticky", bootstrap.sasl, bootstrap.tls))
+        client.produce(topic, partition, buf.toSeq, codec)
+        written += buf.size
+        buf.clear()
+      } catch {
+        case e: Throwable if retriable(e) && attempt < MaxProduceRetries =>
+          attempt += 1
+          leaderClients.remove(leader).foreach(c =>
+            try c.close() catch { case _: java.io.IOException => () })
+          topoCache.remove(topic) // the leader may have moved
+          Thread.sleep(100L << (attempt - 1))
+      }
     }
+  }
+
+  private def retriable(e: Throwable): Boolean = e match {
+    case k: KafkaWire.KafkaWireException =>
+      k.code == KafkaWire.Err.NotLeaderOrFollower ||
+        k.code == KafkaWire.Err.UnknownTopicOrPartition
+    case _: java.io.IOException => true
+    case _ => false
   }
 
   override def commit(): WriterCommitMessage = {

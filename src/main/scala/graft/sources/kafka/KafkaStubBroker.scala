@@ -45,11 +45,13 @@ final class KafkaStubBroker(
   private val server = new ServerSocket(0)
   @volatile private var running = true
 
-  /** Fault injection for failover tests: the next `n` fetched
-    * partitions answer NOT_LEADER_OR_FOLLOWER (what a broker returns
-    * mid-leader-change) instead of data. */
+  /** Fault injection for failover tests: the next `n` fetched (or
+    * produced) partitions answer NOT_LEADER_OR_FOLLOWER (what a broker
+    * returns mid-leader-change) instead of data. */
   private val fetchFailures = new java.util.concurrent.atomic.AtomicInteger(0)
   def failNextFetches(n: Int): Unit = fetchFailures.set(n)
+  private val produceFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+  def failNextProduces(n: Int): Unit = produceFailures.set(n)
 
   def port: Int = server.getLocalPort
   def bootstrapServers: String = s"$advertisedHost:$port"
@@ -301,19 +303,24 @@ final class KafkaStubBroker(
       (0 until partCount).foreach { _ =>
         val partition = r.int32()
         val batchBytes = r.bytes()
-        // count records + re-base the batch at the assigned offset
-        val records = decodeBatches(batchBytes)
-        val log = logFor(topic, partition)
-        val baseOffset = log.synchronized {
-          val base = log.logEndOffset
-          val rebased = rebase(batchBytes, base)
-          log.batches += ((base, records.size, rebased))
-          log.logEndOffset = base + records.size
-          base
+        if (produceFailures.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+          w.int32(partition); w.int16(Err.NotLeaderOrFollower)
+          w.int64(-1L); w.int64(-1L)
+        } else {
+          // count records + re-base the batch at the assigned offset
+          val records = decodeBatches(batchBytes)
+          val log = logFor(topic, partition)
+          val baseOffset = log.synchronized {
+            val base = log.logEndOffset
+            val rebased = rebase(batchBytes, base)
+            log.batches += ((base, records.size, rebased))
+            log.logEndOffset = base + records.size
+            base
+          }
+          w.int32(partition); w.int16(Err.None)
+          w.int64(baseOffset)
+          w.int64(-1L) // log_append_time (CreateTime batches)
         }
-        w.int32(partition); w.int16(Err.None)
-        w.int64(baseOffset)
-        w.int64(-1L) // log_append_time (CreateTime batches)
       }
     }
     w.int32(0) // throttle_time_ms

@@ -315,6 +315,27 @@ class GraftKafkaSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("sink retries past transient NOT_LEADER produces") {
+    withBroker(partitions = 2) { broker =>
+      import spark.implicits._
+      broker.failNextProduces(2)
+      (0 until 20).map(i => (s"k$i", s"v$i")).toDF("key", "value")
+        .coalesce(1)
+        .write.format("graft-kafka").mode("append")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("topic", "retry-out")
+        .save()
+      val got = spark.read.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "retry-out")
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .load()
+        .selectExpr("cast(value as string)").collect().map(_.getString(0)).toSet
+      assert(got === (0 until 20).map(i => s"v$i").toSet)
+    }
+  }
+
   test("sink schema validation fails fast") {
     import spark.implicits._
     val df = Seq(1, 2).toDF("not_value")
