@@ -59,6 +59,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           builder))
     }
     e.injectOptimizerRule(_ => ProtoRoundtripElimination)
+    // maintenance verbs (GRAFT OPTIMIZE/VACUUM/DELETE) — parser rules
+    // only apply when extensions are configured at session BUILD time
+    // (spark.sql.extensions / withExtensions); the live install(spark)
+    // path cannot add them
+    e.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }
 

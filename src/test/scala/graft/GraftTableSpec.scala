@@ -411,6 +411,40 @@ class GraftTableSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq == expect)
   }
 
+  test("GRAFT OPTIMIZE / DELETE / VACUUM run as SQL commands") {
+    val root = Files.createTempDirectory("gt-sql-cmd").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ms = java.time.Instant.parse("2024-03-01T10:00:00Z").toEpochMilli
+    (0L until 4L).foreach { b =>
+      ExportParquet.writeBatch(
+        ExportParquet.withPartitionCols(
+          (b * 10 until b * 10 + 10).map(i => (i, ms)).toDF("id", "ms"),
+          col("ms")),
+        s"$root/docs", batchId = b)
+      GraftTable.commit(spark, root, b)
+    }
+    // DELETE with a real SQL predicate (parsed by Spark's parser)
+    val del = spark.sql(
+      s"GRAFT DELETE '$root' SINK 'docs' WHERE id % 10 = 3 OR id > 35")
+      .collect()
+    assert(del.head.getLong(0) == 4L)
+    assert(GraftTable.read(spark, root, "docs").count() == 32)
+    // OPTIMIZE compacts the micro-batch + delete-survivor files
+    // (commands execute eagerly on spark.sql, like Spark's own DDL)
+    val opt = spark.sql(s"GRAFT OPTIMIZE '$root' SINK 'docs'").collect()
+    assert(opt.head.getLong(0) == 5L)
+    assert(GraftTable.read(spark, root, "docs").count() == 32)
+    // second run: nothing small enough left in groups of 2+
+    assert(spark.sql(s"GRAFT OPTIMIZE '$root' SINK 'docs'").collect()
+      .head.isNullAt(0))
+    // VACUUM with TTL 0 removes nothing (all files version-referenced)
+    assert(spark.sql(s"GRAFT VACUUM '$root' RETAIN 0").collect()
+      .head.getLong(0) == 0L)
+    // ordinary SQL still parses through the delegate
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+  }
+
   test("nextBatchId: optimistic version allocation past the newest commit") {
     val export = Files.createTempDirectory("gt-next").toString
     val cfg = cfgFor(export)
