@@ -44,6 +44,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DeleteRe(root, sink, cond) =>
       delegate.parseExpression(cond) // fail fast on bad syntax at parse time
       GraftDeleteCommand(root, sink, cond)
+    case HistoryRe(root) => GraftHistoryCommand(root)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -72,6 +73,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s*;?\s*""".r
   private val DeleteRe =
     """(?is)\s*GRAFT\s+DELETE\s+'([^']+)'\s+SINK\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val HistoryRe =
+    """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
 }
 
 /** `GRAFT OPTIMIZE`: [[GraftTable.compact]] as a SQL command. */
@@ -96,6 +99,22 @@ case class GraftVacuumCommand(root: String, retainMs: Long)
     AttributeReference("removed", LongType)())
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row(GraftTable.vacuum(spark, root, retainMs).size.toLong))
+}
+
+/** `GRAFT HISTORY`: Delta's `DESCRIBE HISTORY` analog — one row per
+  * published version (survives checkpoint folding), with file counts
+  * and the sinks each version touched. */
+case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("added_files", LongType)(),
+    AttributeReference("removed_files", LongType)(),
+    AttributeReference("sinks", StringType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftTable.history(spark, root).map { v =>
+      Row(v.batchId, v.files.size.toLong, v.removed.size.toLong,
+        v.schemas.keys.toSeq.sorted.mkString(","))
+    }
 }
 
 /** `GRAFT DELETE`: [[GraftTable.deleteWhere]] as a SQL command. The

@@ -38,18 +38,28 @@ object KafkaRoundtrip {
       .collect()
     val broker = new KafkaStubBroker(Partitions)
     try {
-      val producer = new KafkaWireClient(
-        "localhost", broker.port, "roundtrip-producer")
-      try {
-        staged.zipWithIndex.groupBy(_._2 % Partitions).foreach {
-          case (p, rows) =>
-            rows.iterator.map { case (r, _) =>
-              (r.getLong(1), null: Array[Byte], r.getAs[Array[Byte]](0))
-            }.grouped(ProduceChunk).foreach { chunk =>
-              producer.produce(Topic, p, chunk.toSeq)
-            }
-        }
-      } finally producer.close()
+      // one producer thread per partition — like a real producer fleet,
+      // and connections are one-per-thread by contract anyway
+      val byPartition = staged.zipWithIndex.groupBy(_._2 % Partitions)
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val threads = byPartition.map { case (p, rows) =>
+        val t = new Thread(() => {
+          try {
+            val producer = new KafkaWireClient(
+              "localhost", broker.port, s"roundtrip-producer-$p")
+            try {
+              rows.iterator.map { case (r, _) =>
+                (r.getLong(1), null: Array[Byte], r.getAs[Array[Byte]](0))
+              }.grouped(ProduceChunk).foreach { chunk =>
+                producer.produce(Topic, p, chunk.toSeq)
+              }
+            } finally producer.close()
+          } catch { case e: Throwable => failure.compareAndSet(null, e) }
+        }, s"roundtrip-producer-$p")
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      if (failure.get != null) throw failure.get
 
       val frames = spark.read.format("graft-kafka")
         .option("kafka.bootstrap.servers", broker.bootstrapServers)

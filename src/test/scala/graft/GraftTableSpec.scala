@@ -443,6 +443,11 @@ class GraftTableSpec extends AnyFunSuite {
       .head.getLong(0) == 0L)
     // ordinary SQL still parses through the delegate
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+    // HISTORY lists every version incl. the delete and the compaction
+    val hist = spark.sql(s"GRAFT HISTORY '$root'").collect()
+    assert(hist.map(_.getLong(0)).toSeq == (0L to 5L))
+    assert(hist.last.getLong(2) > 0, "compaction version lists removals")
+    assert(hist.head.getString(3) == "docs")
   }
 
   test("nextBatchId: optimistic version allocation past the newest commit") {
