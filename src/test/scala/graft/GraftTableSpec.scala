@@ -450,6 +450,46 @@ class GraftTableSpec extends AnyFunSuite {
     assert(hist.head.getString(3) == "docs")
   }
 
+  test("readChanges: incremental consumption reads only new files") {
+    val root = Files.createTempDirectory("gt-changes").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ms = java.time.Instant.parse("2024-03-01T10:00:00Z").toEpochMilli
+    def write(b: Long, ids: Seq[Long]): Unit = {
+      ExportParquet.writeBatch(
+        ExportParquet.withPartitionCols(
+          ids.map(i => (i, ms)).toDF("id", "ms"), col("ms")),
+        s"$root/docs", batchId = b)
+      GraftTable.commit(spark, root, b)
+    }
+    write(0L, 0L until 10L)
+    write(1L, 10L until 20L)
+    write(2L, 20L until 30L)
+    // a consumer caught up through v0 sees exactly v1+v2's rows
+    assert(GraftTable.readChanges(spark, root, "docs", afterVersion = 0)
+      .select("id").as[Long].collect().sorted.toSeq == (10L until 30L))
+    // bounded range: only v1
+    assert(GraftTable.readChanges(spark, root, "docs", 0, 1)
+      .select("id").as[Long].collect().sorted.toSeq == (10L until 20L))
+    // caught-up consumer gets an empty frame
+    assert(GraftTable.readChanges(spark, root, "docs", 2).isEmpty)
+    // the scan plans ONLY the range's files, not the snapshot
+    val planned = GraftTable.readChanges(spark, root, "docs", 1)
+      .queryExecution.executedPlan.collectLeaves().flatMap {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.toSeq
+        case _ => Nil
+      }
+    assert(planned.nonEmpty && planned.forall(_.contains("batch_id=2")),
+      s"incremental read must touch only v2 files, planned: $planned")
+    // a delete's survivors appear as additions (copy-on-write CDF)
+    GraftTable.deleteWhere(spark, root, "docs", col("id") === 5L)
+    val d = GraftTable.readChanges(spark, root, "docs", 2)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(d == (0L until 10L).filterNot(_ == 5L),
+      "the rewrite version adds the affected file's survivors")
+  }
+
   test("nextBatchId: optimistic version allocation past the newest commit") {
     val export = Files.createTempDirectory("gt-next").toString
     val cfg = cfgFor(export)
