@@ -211,6 +211,25 @@ object GraftExtensions {
         } else graft.sources.GraftTable.read(spark, root, sink)
       df.queryExecution.analyzed
     },
+    // incremental consumption: files added in (after, until] only —
+    // the change-data-feed read, SQL face of GraftTable.readChanges
+    "graft_table_changes" -> { args =>
+      require(args.length == 3 || args.length == 4,
+        "graft_table_changes(root, sink, afterVersion [, untilVersion])")
+      def litLong(e: Expression): Long = e.eval() match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case other => throw new IllegalArgumentException(
+          s"graft_table_changes versions must be literal integers, got $other")
+      }
+      val spark = org.apache.spark.sql.SparkSession.active
+      val df = graft.sources.GraftTable.readChanges(spark,
+        litString("graft_table_changes", args(0)),
+        litString("graft_table_changes", args(1)),
+        litLong(args(2)),
+        if (args.length == 4) litLong(args(3)) else Long.MaxValue)
+      df.queryExecution.analyzed
+    },
     // two-argument form: cross-corpus similarity join between two
     // document directories (crawl vs landed corpus)
     "graft_minhash_join" -> { args =>

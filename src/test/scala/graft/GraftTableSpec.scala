@@ -488,6 +488,10 @@ class GraftTableSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted.toSeq
     assert(d == (0L until 10L).filterNot(_ == 5L),
       "the rewrite version adds the affected file's survivors")
+    // the SQL face agrees
+    assert(spark.sql(
+      s"SELECT id FROM graft_table_changes('$root', 'docs', 0, 2)")
+      .as[Long].collect().sorted.toSeq == (10L until 30L))
   }
 
   test("nextBatchId: optimistic version allocation past the newest commit") {
