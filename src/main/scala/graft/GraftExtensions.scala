@@ -132,6 +132,9 @@ object GraftExtensions {
       tablePlan("graft_ngram_jaccard_pairs", graft.operators.Dedup.ngramJaccard),
     "graft_winnow_pairs" ->
       tablePlan("graft_winnow_pairs", graft.operators.Dedup.winnowPairs),
+    "graft_substring_spans" ->
+      tablePlan("graft_substring_spans",
+        graft.operators.Dedup.exactSubstringSpans),
     "graft_quality_classifier" ->
       tablePlan("graft_quality_classifier",
         graft.operators.QualityClassifier.classify),

@@ -76,6 +76,7 @@ object SparkEntry {
     "dedup_decontam_bloom"  -> (Dedup.decontaminateBloom _),
     "dedup_spans"           -> (Corpus.spanDedup _),
     "dedup_winnow"          -> (Dedup.winnowPairs _),
+    "dedup_substring"       -> (Dedup.exactSubstringSpans _),
     "dedup_winnow_join"     -> { (s, d) =>
       import org.apache.spark.sql.functions.col
       val docs = graft.sources.Tables.documents(s, d)
@@ -1280,6 +1281,36 @@ object SparkEntry {
          |SELECT doc_a, doc_b, n_shared FROM p
          |WHERE n_shared >= ${Dedup.MinSharedFp}
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_substring" ->
+      s"""WITH $winnowCtes,
+         |p AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
+         |  FROM exc x JOIN exc y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |pf AS (SELECT doc_a, doc_b FROM p
+         |       WHERE n_shared >= ${Dedup.MinSharedFp}),
+         |pos AS MATERIALIZED (
+         |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, unnest(t) AS tok
+         |  FROM toks),
+         |m AS (
+         |  SELECT pf.doc_a, pf.doc_b, ia.i AS ia, ib.i AS ib
+         |  FROM pf
+         |  JOIN pos ia ON ia.doc_id = pf.doc_a
+         |  JOIN pos ib ON ib.doc_id = pf.doc_b AND ib.tok = ia.tok),
+         |d AS (
+         |  SELECT doc_a, doc_b, ia, ib, ia - ib AS diag,
+         |         ia - row_number() OVER (
+         |           PARTITION BY doc_a, doc_b, ia - ib ORDER BY ia) AS grp
+         |  FROM m),
+         |runs AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(min(ia) AS INT) AS start_a,
+         |         CAST(min(ib) AS INT) AS start_b,
+         |         CAST(count(*) AS INT) AS run_len
+         |  FROM d GROUP BY doc_a, doc_b, diag, grp)
+         |SELECT doc_a, doc_b, start_a, start_b, run_len
+         |FROM runs WHERE run_len >= ${Dedup.MinRunTokens}
+         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
     "dedup_winnow_join" ->
       s"""WITH $winnowCtes,
          |p AS (

@@ -628,6 +628,70 @@ object Dedup {
     * [[HotGroupCap]] lowest right ids, so no join key is ever
     * unbounded; the crawl side is never silently dropped.
     */
+  /** Minimum common token-run length [[exactSubstringSpans]] reports.
+    * Lee et al. use 50 BPE tokens on web corpora; the synthetic docs
+    * are short, so the gate sits lower — a deployment tunes it. */
+  val MinRunTokens = 8
+
+  /** EXACT common-substring spans — the precise half of the Lee-et-al
+    * exact-substring dedup recipe. [[winnowPairs]] finds WHICH pairs
+    * share enough winnowed fingerprints (every common run ≥ the
+    * guarantee threshold is represented); this pins WHERE: for each
+    * candidate pair, every maximal common token run of length ≥
+    * [[MinRunTokens]], as (doc_a, doc_b, start_a, start_b, run_len)
+    * with 1-based token positions. A span remover (cut the duplicated
+    * range from the lower-priority doc) consumes these rows directly.
+    *
+    * Scale shape: the pair list is the winnow-thresholded candidate
+    * set (bounded — [[ShingleFreqCap]]/[[MinSharedFp]] keep it to
+    * genuinely-overlapping pairs, not a quadratic space); texts join
+    * in by doc_id, and each pair's maximal runs come from one typed
+    * diagonal scan (O(len_a·len_b) token equality per pair — the cost
+    * is confined to confirmed near-duplicates; a per-doc length cap is
+    * the production knob if crawl outliers matter). The DuckDB oracle
+    * replays the same runs relationally: match points grouped by
+    * diagonal, gaps-and-islands per diagonal.
+    */
+  def exactSubstringSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val withTexts = winnowPairs(spark, dir).select("doc_a", "doc_b")
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
+        Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"))
+      .as[(Long, Long, String, String)]
+    withTexts.flatMap { case (a, b, textA, textB) =>
+      val ta = textA.toLowerCase.split(' ').filter(_.nonEmpty)
+      val tb = textB.toLowerCase.split(' ').filter(_.nonEmpty)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Int, Int, Int)]
+      var d = -(tb.length - 1)
+      while (d < ta.length) {
+        var i = math.max(0, d)
+        var j = i - d
+        var runLen = 0
+        var si = 0
+        var sj = 0
+        while (i < ta.length && j < tb.length) {
+          if (ta(i) == tb(j)) {
+            if (runLen == 0) { si = i; sj = j }
+            runLen += 1
+          } else {
+            if (runLen >= MinRunTokens) out += ((a, b, si + 1, sj + 1, runLen))
+            runLen = 0
+          }
+          i += 1; j += 1
+        }
+        if (runLen >= MinRunTokens) out += ((a, b, si + 1, sj + 1, runLen))
+        d += 1
+      }
+      out.iterator
+    }.toDF("doc_a", "doc_b", "start_a", "start_b", "run_len")
+      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+  }
+
   def winnowJoin(left: DataFrame, right: DataFrame): DataFrame = {
     val lf = winnowFps(left).toDF("left_id", "fp")
     val rf = winnowFps(right).toDF("right_id", "fp")
