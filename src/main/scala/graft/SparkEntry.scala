@@ -77,6 +77,7 @@ object SparkEntry {
     "dedup_spans"           -> (Corpus.spanDedup _),
     "dedup_winnow"          -> (Dedup.winnowPairs _),
     "dedup_substring"       -> (Dedup.exactSubstringSpans _),
+    "dedup_substring_removal" -> (Dedup.removeSubstringSpans _),
     "dedup_winnow_join"     -> { (s, d) =>
       import org.apache.spark.sql.functions.col
       val docs = graft.sources.Tables.documents(s, d)
@@ -515,6 +516,39 @@ object SparkEntry {
        |        HAVING count(*) > ${Dedup.ShingleFreqCap}),
        |exc AS MATERIALIZED (
        |  SELECT * FROM ex WHERE fp NOT IN (SELECT fp FROM hot))""".stripMargin
+
+  /** [[winnowCtes]] + the candidate pairs and diagonal-islands exact
+    * common runs replaying [[Dedup.exactSubstringSpans]]: `pos` is the
+    * 1-based token stream, `runsf` the thresholded maximal runs. */
+  private def substringCtes: String =
+    s"""$winnowCtes,
+       |p AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM exc x JOIN exc y ON x.fp = y.fp AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |pf AS (SELECT doc_a, doc_b FROM p
+       |       WHERE n_shared >= ${Dedup.MinSharedFp}),
+       |pos AS MATERIALIZED (
+       |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, unnest(t) AS tok
+       |  FROM toks),
+       |m AS (
+       |  SELECT pf.doc_a, pf.doc_b, ia.i AS ia, ib.i AS ib
+       |  FROM pf
+       |  JOIN pos ia ON ia.doc_id = pf.doc_a
+       |  JOIN pos ib ON ib.doc_id = pf.doc_b AND ib.tok = ia.tok),
+       |d AS (
+       |  SELECT doc_a, doc_b, ia, ib, ia - ib AS diag,
+       |         ia - row_number() OVER (
+       |           PARTITION BY doc_a, doc_b, ia - ib ORDER BY ia) AS grp
+       |  FROM m),
+       |runs AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(min(ia) AS INT) AS start_a,
+       |         CAST(min(ib) AS INT) AS start_b,
+       |         CAST(count(*) AS INT) AS run_len
+       |  FROM d GROUP BY doc_a, doc_b, diag, grp),
+       |runsf AS MATERIALIZED (
+       |  SELECT * FROM runs WHERE run_len >= ${Dedup.MinRunTokens})""".stripMargin
 
   /** CTE chain replaying [[Bpe.merges]] exactly: frequency-weighted
     * word vocabulary → character symbols → per round, exact BIGINT
@@ -1282,35 +1316,42 @@ object SparkEntry {
          |WHERE n_shared >= ${Dedup.MinSharedFp}
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_substring" ->
-      s"""WITH $winnowCtes,
-         |p AS (
-         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared
-         |  FROM exc x JOIN exc y ON x.fp = y.fp AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2),
-         |pf AS (SELECT doc_a, doc_b FROM p
-         |       WHERE n_shared >= ${Dedup.MinSharedFp}),
-         |pos AS MATERIALIZED (
-         |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, unnest(t) AS tok
-         |  FROM toks),
-         |m AS (
-         |  SELECT pf.doc_a, pf.doc_b, ia.i AS ia, ib.i AS ib
-         |  FROM pf
-         |  JOIN pos ia ON ia.doc_id = pf.doc_a
-         |  JOIN pos ib ON ib.doc_id = pf.doc_b AND ib.tok = ia.tok),
-         |d AS (
-         |  SELECT doc_a, doc_b, ia, ib, ia - ib AS diag,
-         |         ia - row_number() OVER (
-         |           PARTITION BY doc_a, doc_b, ia - ib ORDER BY ia) AS grp
-         |  FROM m),
-         |runs AS (
-         |  SELECT doc_a, doc_b,
-         |         CAST(min(ia) AS INT) AS start_a,
-         |         CAST(min(ib) AS INT) AS start_b,
-         |         CAST(count(*) AS INT) AS run_len
-         |  FROM d GROUP BY doc_a, doc_b, diag, grp)
+      s"""WITH $substringCtes
          |SELECT doc_a, doc_b, start_a, start_b, run_len
-         |FROM runs WHERE run_len >= ${Dedup.MinRunTokens}
+         |FROM runsf
          |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+    "dedup_substring_removal" ->
+      s"""WITH $substringCtes,
+         |r AS (SELECT doc_b AS doc_id, start_b AS s,
+         |             start_b + run_len - 1 AS e FROM runsf),
+         |ro AS (
+         |  SELECT doc_id, s, e,
+         |         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM r),
+         |rg AS (
+         |  SELECT doc_id, s, e,
+         |         sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY s, e) AS rgrp
+         |  FROM ro),
+         |mr AS (SELECT doc_id, min(s) AS s, max(e) AS e
+         |       FROM rg GROUP BY doc_id, rgrp),
+         |surv AS (
+         |  SELECT p.doc_id, p.i, p.tok
+         |  FROM pos p LEFT JOIN mr
+         |    ON mr.doc_id = p.doc_id AND p.i BETWEEN mr.s AND mr.e
+         |  WHERE mr.doc_id IS NULL),
+         |agg AS (
+         |  SELECT doc_id,
+         |         array_to_string(list(tok ORDER BY i), ' ') AS text_dedup,
+         |         CAST(count(*) AS INT) AS n_kept
+         |  FROM surv GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(len(t) AS INT) AS n_toks FROM toks)
+         |SELECT tot.doc_id,
+         |       coalesce(agg.text_dedup, '') AS text_dedup,
+         |       tot.n_toks - coalesce(agg.n_kept, 0) AS n_removed
+         |FROM tot LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_winnow_join" ->
       s"""WITH $winnowCtes,
          |p AS (

@@ -692,6 +692,48 @@ object Dedup {
       .orderBy("doc_a", "doc_b", "start_a", "start_b")
   }
 
+  /** The removal half of exact-substring dedup: cut every duplicated
+    * passage from the HIGHER doc id of each [[exactSubstringSpans]]
+    * pair (keep-lowest priority, matching [[exactDedup]]), after
+    * merging overlapping span ranges per doc. Emits every document as
+    * (doc_id, text_dedup, n_removed) where `text_dedup` is the
+    * surviving token stream joined by single spaces (tokenization
+    * normalizes whitespace — the same contract as every token-level
+    * operator here) and `n_removed` counts cut tokens.
+    *
+    * Scale shape: spans are the bounded candidate-pair output; ranges
+    * group per doc (one small shuffle), merge in a per-doc kernel, and
+    * the cut is a narrow map over the corpus joined with the grouped
+    * ranges. */
+  def removeSubstringSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranges = exactSubstringSpans(spark, dir)
+      .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+        (col("start_b") + col("run_len") - 1).as("e"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ranges"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .join(ranges, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), col("ranges"))
+      .as[(Long, String, Option[Seq[(Int, Int)]])]
+      .map { case (id, text, ranges) =>
+        val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
+        val merged = ranges.getOrElse(Nil).foldLeft(
+          List.empty[(Int, Int)]) {
+          case ((ms, me) :: rest, (s, e)) if s <= me + 1 =>
+            (ms, math.max(me, e)) :: rest
+          case (acc, r) => r :: acc
+        }.reverse
+        val keep = toks.zipWithIndex.filterNot { case (_, i0) =>
+          val pos = i0 + 1 // spans are 1-based
+          merged.exists { case (s, e) => pos >= s && pos <= e }
+        }.map(_._1)
+        (id, keep.mkString(" "), toks.length - keep.length)
+      }
+      .toDF("doc_id", "text_dedup", "n_removed")
+      .orderBy("doc_id")
+  }
+
   def winnowJoin(left: DataFrame, right: DataFrame): DataFrame = {
     val lf = winnowFps(left).toDF("left_id", "fp")
     val rf = winnowFps(right).toDF("right_id", "fp")

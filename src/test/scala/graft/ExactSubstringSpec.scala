@@ -35,6 +35,34 @@ class ExactSubstringSpec extends AnyFunSuite {
     }
   }
 
+  test("removal cuts exactly the spanned tokens of the higher doc id") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> toks(r.getString(1))).toMap
+    val spans = Dedup.exactSubstringSpans(spark, sf0001).collect()
+    val removedPos = spans.groupBy(_.getLong(1)).map { case (doc, rs) =>
+      doc -> rs.flatMap(r => r.getInt(3) until r.getInt(3) + r.getInt(4)).toSet
+    }
+    val out = Dedup.removeSubstringSpans(spark, sf0001).collect()
+    assert(out.length == docs.size, "every document is emitted")
+    out.foreach { r =>
+      val (id, text, nRemoved) = (r.getLong(0), r.getString(1), r.getInt(2))
+      val expect = removedPos.getOrElse(id, Set.empty)
+      assert(nRemoved == expect.size, s"doc $id removal count")
+      val kept = docs(id).zipWithIndex
+        .filterNot { case (_, i) => expect.contains(i + 1) }.map(_._1)
+      assert(text == kept.mkString(" "), s"doc $id surviving stream")
+    }
+    assert(out.exists(_.getInt(2) > 0), "some passage was actually cut")
+    // the keeper side (lowest doc id of each pair) is never cut by
+    // spans it shares with a higher doc
+    val keepers = spans.map(_.getLong(0)).toSet -- spans.map(_.getLong(1)).toSet
+    keepers.foreach { id =>
+      val r = out.find(_.getLong(0) == id).get
+      assert(r.getInt(2) == 0, s"pure keeper $id must keep all tokens")
+    }
+  }
+
   test("reported pairs are exactly the winnow candidates with long runs") {
     val pairs = Dedup.exactSubstringSpans(spark, sf0001)
       .select("doc_a", "doc_b").distinct().collect()
