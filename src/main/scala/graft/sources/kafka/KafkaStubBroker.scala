@@ -32,18 +32,21 @@ import KafkaWire._
 final class KafkaStubBroker(
     partitions: Int = 1,
     sasl: Option[(String, String)] = None,
-    advertisedHost: String = "localhost") extends AutoCloseable {
+    advertisedHost: String = "localhost",
+    nodeId: Int = 0,
+    cluster: Option[KafkaStubCluster] = None) extends AutoCloseable {
+  import KafkaStubBroker._
 
-  /** One partition's log: synchronized on the buffer itself. */
-  private final class PartitionLog {
-    val batches = new ArrayBuffer[(Long, Int, Array[Byte])] // (baseOffset, count, bytes)
-    var logEndOffset = 0L
-  }
-
-  private val logs = new ConcurrentHashMap[(String, Int), PartitionLog]()
-  private val topics = ConcurrentHashMap.newKeySet[String]()
+  private val store = cluster.map(_.store).getOrElse(new LogStore)
+  private def logs = store.logs
+  private def topics = store.topics
   private val server = new ServerSocket(0)
   @volatile private var running = true
+
+  /** Who leads a partition: the cluster's (movable) assignment, or
+    * this node when standalone. */
+  private def leaderOf(topic: String, partition: Int): Int =
+    cluster.map(_.leaderOf(topic, partition)).getOrElse(nodeId)
 
   /** Fault injection for failover tests: the next `n` fetched (or
     * produced) partitions answer NOT_LEADER_OR_FOLLOWER (what a broker
@@ -188,10 +191,16 @@ final class KafkaStubBroker(
     val requested = Seq.fill(r.int32())(r.string())
     val names =
       if (requested.isEmpty) topics.asScala.toSeq.sorted else requested
-    // brokers: just this node
-    w.int32(1); w.int32(0); w.string(advertisedHost); w.int32(port)
-    if (version >= 1) w.nullableString(None) // rack
-    if (version >= 1) w.int32(0)             // controller_id
+    // brokers: the whole cluster (any node serves full metadata, like a
+    // real broker), or just this node standalone
+    val brokerList = cluster.map(_.brokerList)
+      .getOrElse(Seq((nodeId, advertisedHost, port)))
+    w.int32(brokerList.size)
+    brokerList.foreach { case (id, host, p) =>
+      w.int32(id); w.string(host); w.int32(p)
+      if (version >= 1) w.nullableString(None) // rack
+    }
+    if (version >= 1) w.int32(brokerList.head._1) // controller_id
     w.int32(names.size)
     names.foreach { t =>
       w.int16(Err.None); w.string(t)
@@ -200,9 +209,9 @@ final class KafkaStubBroker(
       w.int32(partitions)
       (0 until partitions).foreach { p =>
         logFor(t, p)
-        w.int16(Err.None); w.int32(p); w.int32(0) // leader = node 0
-        w.int32(1); w.int32(0)                     // replicas
-        w.int32(1); w.int32(0)                     // isr
+        w.int16(Err.None); w.int32(p); w.int32(leaderOf(t, p))
+        w.int32(1); w.int32(leaderOf(t, p))        // replicas
+        w.int32(1); w.int32(leaderOf(t, p))        // isr
       }
     }
   }
@@ -253,7 +262,8 @@ final class KafkaStubBroker(
         val fetchOffset = r.int64()
         val partMaxBytes = r.int32()
         val log = logFor(topic, partition)
-        if (fetchFailures.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+        if (leaderOf(topic, partition) != nodeId ||
+            fetchFailures.getAndUpdate(n => math.max(0, n - 1)) > 0) {
           w.int32(partition); w.int16(Err.NotLeaderOrFollower)
           w.int64(-1L); w.int64(-1L); w.int32(0)
           w.bytes(Array.emptyByteArray)
@@ -303,7 +313,8 @@ final class KafkaStubBroker(
       (0 until partCount).foreach { _ =>
         val partition = r.int32()
         val batchBytes = r.bytes()
-        if (produceFailures.getAndUpdate(n => math.max(0, n - 1)) > 0) {
+        if (leaderOf(topic, partition) != nodeId ||
+            produceFailures.getAndUpdate(n => math.max(0, n - 1)) > 0) {
           w.int32(partition); w.int16(Err.NotLeaderOrFollower)
           w.int64(-1L); w.int64(-1L)
         } else {
@@ -334,4 +345,52 @@ final class KafkaStubBroker(
     java.nio.ByteBuffer.wrap(b, 0, 8).putLong(baseOffset)
     b
   }
+}
+
+object KafkaStubBroker {
+  /** One partition's log: synchronized on the buffer itself. */
+  private[kafka] final class PartitionLog {
+    val batches = new ArrayBuffer[(Long, Int, Array[Byte])] // (base, count, bytes)
+    var logEndOffset = 0L
+  }
+
+  /** The log + topic registry — per broker standalone, shared across a
+    * [[KafkaStubCluster]] (stand-in for replication: every node holds
+    * the data, leadership decides who SERVES it). */
+  private[kafka] final class LogStore {
+    val logs = new ConcurrentHashMap[(String, Int), PartitionLog]()
+    val topics: java.util.Set[String] = ConcurrentHashMap.newKeySet[String]()
+  }
+}
+
+/** A multi-node stub cluster: N brokers share one [[KafkaStubBroker
+  * .LogStore]] and a MOVABLE leader assignment — `moveLeader` is a real
+  * mid-read leader change (the old leader starts answering NOT_LEADER,
+  * fresh metadata from ANY node names the new one), which is the one
+  * failure mode a single-node stub cannot exercise. */
+final class KafkaStubCluster(
+    brokers: Int,
+    partitions: Int = 1,
+    sasl: Option[(String, String)] = None) extends AutoCloseable {
+  private[kafka] val store = new KafkaStubBroker.LogStore
+  private val leaders = new ConcurrentHashMap[(String, Int), Integer]()
+  val nodes: Seq[KafkaStubBroker] = (0 until brokers).map { id =>
+    new KafkaStubBroker(partitions, sasl, "localhost", id, Some(this))
+  }
+
+  /** Default leadership spreads partitions round-robin over nodes. */
+  def leaderOf(topic: String, partition: Int): Int =
+    Option(leaders.get((topic, partition)))
+      .map(_.intValue).getOrElse(partition % nodes.size)
+
+  /** Move a partition's leadership — takes effect on the next request
+    * to either node, like a controller-driven leader election. */
+  def moveLeader(topic: String, partition: Int, toNode: Int): Unit =
+    leaders.put((topic, partition), toNode)
+
+  private[kafka] def brokerList: Seq[(Int, String, Int)] =
+    nodes.zipWithIndex.map { case (b, id) => (id, "localhost", b.port) }
+
+  def bootstrapServers: String = nodes.map(_.bootstrapServers).mkString(",")
+  override def close(): Unit = nodes.foreach(_.close())
 }
