@@ -98,6 +98,10 @@ object GraftKafkaSink {
     if (p >= 0) require(schema(p).dataType == IntegerType,
       s"'partition' must be INT, got ${schema(p).dataType}")
     val ts = find("timestamp")
+    // the writer reads micros via getLong; a LongType millis column
+    // would be silently divided by 1000 — reject anything non-timestamp
+    if (ts >= 0) require(schema(ts).dataType == TimestampType,
+      s"'timestamp' must be TIMESTAMP, got ${schema(ts).dataType}")
     ColumnPlan(v, vStr, k, kStr, t, p, ts)
   }
 }
@@ -187,7 +191,12 @@ class GraftKafkaDataWriter(bootstrap: GraftKafka.ClientConfig,
     val key = bytesAt(row, plan.keyIdx, plan.keyIsString)
     val value = bytesAt(row, plan.valueIdx, plan.valueIsString)
     val partition = plan.partitionIdx match {
-      case i if i >= 0 && !row.isNullAt(i) => row.getInt(i)
+      case i if i >= 0 && !row.isNullAt(i) =>
+        val explicit = row.getInt(i)
+        require(explicit >= 0 && explicit < nParts,
+          s"explicit partition $explicit out of range for topic '$topic' " +
+            s"($nParts partitions)")
+        explicit
       case _ => partitionFor(key, nParts, taskSticky)
     }
     val ts = plan.timestampIdx match {

@@ -109,8 +109,10 @@ object GraftKafka {
   final case class Options(
       bootstrap: ClientConfig,
       subscription: Subscription,
-      startingOffsets: String,
-      endingOffsets: String,
+      // raw user values; the per-mode default is applied at resolve time
+      // (official semantics: batch defaults to earliest, stream to latest)
+      startingOffsets: Option[String],
+      endingOffsets: Option[String],
       maxOffsetsPerTrigger: Option[Long],
       minPartitions: Int,
       fetchMaxBytes: Int,
@@ -165,8 +167,8 @@ object GraftKafka {
     Options(
       parseClient(options),
       modes.head,
-      Option(options.get("startingOffsets")).getOrElse("latest"),
-      Option(options.get("endingOffsets")).getOrElse("latest"),
+      Option(options.get("startingOffsets")),
+      Option(options.get("endingOffsets")),
       Option(options.get("maxOffsetsPerTrigger")).map(_.toLong),
       Option(options.get("minPartitions")).map(_.toInt).getOrElse(0),
       Option(options.get("kafka.max.partition.fetch.bytes"))
@@ -182,8 +184,14 @@ object GraftKafka {
     * per-partition timestamps, then a global timestamp, then
     * `startingOffsets`. A timestamp past every record in a partition is
     * an error (the official `error` strategy) — silently starting at
-    * latest would skip data the caller asked for by time. */
-  def resolveStart(client: KafkaWireClient, opts: Options): OffsetMap = {
+    * latest would skip data the caller asked for by time.
+    *
+    * `default` is the per-mode fallback when no option was set: the
+    * official connector starts BATCH queries at "earliest" (a bounded
+    * read of latest→latest would always be empty) and STREAMS at
+    * "latest" (only new data). */
+  def resolveStart(client: KafkaWireClient, opts: Options,
+                   default: String): OffsetMap = {
     def forTime(topic: String, partition: Int, ts: Long): Long = {
       val off = client.listOffset(topic, partition, ts)
       require(off >= 0L,
@@ -202,7 +210,7 @@ object GraftKafka {
               .withFilter(p => opts.subscription.includes(t.name, p.partition))
               .map(p => (t.name, p.partition) -> forTime(t.name, p.partition, ts))
           }.toMap
-        case None => opts.startingOffsets match {
+        case None => opts.startingOffsets.getOrElse(default) match {
           case "latest" => snapshot(client, opts.subscription, earliest = false)
           case "earliest" => snapshot(client, opts.subscription, earliest = true)
           case json => offsetsFromJson(json)
@@ -230,7 +238,7 @@ object GraftKafka {
               .withFilter(p => opts.subscription.includes(t.name, p.partition))
               .map(p => (t.name, p.partition) -> forTime(t.name, p.partition, ts))
           }.toMap
-        case None => opts.endingOffsets match {
+        case None => opts.endingOffsets.getOrElse("latest") match {
           case "latest" => snapshot(client, opts.subscription, earliest = false)
           case "earliest" => snapshot(client, opts.subscription, earliest = true)
           case json => offsetsFromJson(json)
@@ -370,7 +378,7 @@ class GraftKafkaBatch(opts: GraftKafka.Options) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
     val client = opts.bootstrap.connect("graft-batch-planner")
     try {
-      val start = resolveStart(client, opts)
+      val start = resolveStart(client, opts, default = "earliest")
       val end = resolveEnd(client, opts)
       GraftKafkaPlanner.plan(client, opts, start, end)
     } finally client.close()
@@ -391,7 +399,7 @@ class GraftKafkaMicroBatchStream(opts: GraftKafka.Options)
   @transient private var availableNowCeiling: Option[OffsetMap] = None
 
   override def initialOffset(): Offset =
-    new GraftKafkaOffset(resolveStart(client, opts))
+    new GraftKafkaOffset(resolveStart(client, opts, default = "latest"))
 
   override def getDefaultReadLimit: ReadLimit =
     opts.maxOffsetsPerTrigger.map(ReadLimit.maxRows).getOrElse(
@@ -408,8 +416,14 @@ class GraftKafkaMicroBatchStream(opts: GraftKafka.Options)
     val startMap = start.asInstanceOf[GraftKafkaOffset].offsets
     val target = availableNowCeiling.getOrElse(
       snapshot(client, opts.subscription, earliest = false))
+    // Topic partitions added after the stream started have no checkpoint
+    // entry: start them at earliest (the official source's policy) so
+    // their data is read rather than silently skipped as zero-lag.
+    val fullStart = startMap ++ target.keysIterator
+      .filterNot(startMap.contains)
+      .map { case tp @ (t, p) => tp -> client.earliestOffset(t, p) }
     val capped = limit match {
-      case m: ReadMaxRows => capOffsets(startMap, target, m.maxRows())
+      case m: ReadMaxRows => capOffsets(fullStart, target, m.maxRows())
       case _ => target
     }
     new GraftKafkaOffset(capped)
@@ -453,7 +467,11 @@ object GraftKafkaPlanner {
     val meta = client.metadata(opts.subscription.topics(client))
     val ranges = end.toSeq.sortBy { case ((t, p), _) => (t, p) }.flatMap {
       case ((topic, partition), until) =>
-        val from = start.getOrElse((topic, partition), until)
+        // A partition present in `end` but absent from `start` was added
+        // after the stream's checkpoint was written — read it from
+        // earliest, don't collapse its range to empty.
+        val from = start.getOrElse((topic, partition),
+          client.earliestOffset(topic, partition))
         if (until > from) Some((topic, partition, from, until)) else None
     }
     val total = ranges.map { case (_, _, f, u) => u - f }.sum
@@ -566,7 +584,7 @@ class GraftKafkaPartitionReader(p: GraftKafkaInputPartition, fetchMaxBytes: Int)
     val r = current
     new GenericInternalRow(Array[Any](
       r.key, r.value, UTF8String.fromString(p.topic), p.partition,
-      r.offset, r.timestamp * 1000L, 0))
+      r.offset, r.timestamp * 1000L, r.timestampType))
   }
 
   override def close(): Unit = client.close()

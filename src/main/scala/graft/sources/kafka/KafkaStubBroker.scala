@@ -37,6 +37,15 @@ final class KafkaStubBroker(
     cluster: Option[KafkaStubCluster] = None) extends AutoCloseable {
   import KafkaStubBroker._
 
+  /** Partition count, growable mid-test (`kafka-topics --alter`): new
+    * partitions appear in the next Metadata response, which is exactly
+    * how a live consumer discovers them. */
+  @volatile private var partitionCount = partitions
+  def growPartitions(to: Int): Unit = {
+    require(to >= partitionCount, s"cannot shrink $partitionCount -> $to")
+    partitionCount = to
+  }
+
   private val store = cluster.map(_.store).getOrElse(new LogStore)
   private def logs = store.logs
   private def topics = store.topics
@@ -80,6 +89,20 @@ final class KafkaStubBroker(
   def endOffset(topic: String, partition: Int): Long = {
     val log = logs.get((topic, partition))
     if (log == null) 0L else log.synchronized(log.logEndOffset)
+  }
+
+  /** Test hook: append a batch stamped LogAppendTime (attributes bit 3)
+    * — a broker-side rewrite a producer cannot express, so tests inject
+    * it directly into the log as a real broker would have stored it. */
+  def appendLogAppendTime(topic: String, partition: Int,
+                          records: Seq[(Long, Array[Byte], Array[Byte])]): Unit = {
+    val log = logFor(topic, partition)
+    log.synchronized {
+      val base = log.logEndOffset
+      val bytes = encodeBatch(base, records, Codec.None, logAppendTime = true)
+      log.batches += ((base, records.size, bytes))
+      log.logEndOffset = base + records.size
+    }
   }
 
   private def logFor(topic: String, partition: Int): PartitionLog = {
@@ -206,8 +229,9 @@ final class KafkaStubBroker(
       w.int16(Err.None); w.string(t)
       if (version >= 1) w.int8(0) // is_internal
       topics.add(t)
-      w.int32(partitions)
-      (0 until partitions).foreach { p =>
+      val nParts = partitionCount
+      w.int32(nParts)
+      (0 until nParts).foreach { p =>
         logFor(t, p)
         w.int16(Err.None); w.int32(p); w.int32(leaderOf(t, p))
         w.int32(1); w.int32(leaderOf(t, p))        // replicas

@@ -138,10 +138,13 @@ object KafkaWire {
 
   // ---- record batch v2 ---------------------------------------------------
 
-  /** One consumed record. `timestamp` is the producer CreateTime in
-    * epoch millis; `key`/`value` may be null per the spec. */
+  /** One consumed record. `timestamp` is epoch millis; `timestampType`
+    * is the batch's attributes bit 3 (0 = CreateTime, 1 =
+    * LogAppendTime, matching the official source's column encoding);
+    * `key`/`value` may be null per the spec. */
   final case class Record(offset: Long, timestamp: Long,
-                          key: Array[Byte], value: Array[Byte])
+                          key: Array[Byte], value: Array[Byte],
+                          timestampType: Int = 0)
 
   /** Bytes before the `records` array in a v2 batch:
     * baseOffset(8) batchLength(4) leaderEpoch(4) magic(1) crc(4)
@@ -203,7 +206,8 @@ object KafkaWire {
     * the records block (NOT the header) is compressed, per the spec. */
   def encodeBatch(baseOffset: Long,
                   records: Seq[(Long, Array[Byte], Array[Byte])],
-                  codec: Int = Codec.None): Array[Byte] = {
+                  codec: Int = Codec.None,
+                  logAppendTime: Boolean = false): Array[Byte] = {
     require(records.nonEmpty, "empty record batch")
     val baseTs = records.iterator.map(_._1).min
     val maxTs = records.iterator.map(_._1).max
@@ -217,7 +221,8 @@ object KafkaWire {
     w.int32(0)                     // partitionLeaderEpoch
     w.int8(2)                      // magic
     val crcSlot = w.reserveInt32()
-    w.int16(codec & 0x07)          // attributes: codec bits, CreateTime
+    // attributes: codec bits 0-2, timestampType bit 3
+    w.int16((codec & 0x07) | (if (logAppendTime) 0x08 else 0))
     w.int32(records.size - 1)      // lastOffsetDelta
     w.int64(baseTs)
     w.int64(maxTs)
@@ -278,6 +283,7 @@ object KafkaWire {
         val hdr = new Reader(java.util.Arrays.copyOfRange(recordSet, at + 21, at + total))
         val attributes = hdr.int16()
         val codec = attributes & 0x07
+        val tsType = (attributes >> 3) & 1 // 0 CreateTime, 1 LogAppendTime
         hdr.int32()                  // lastOffsetDelta
         val baseTs = hdr.int64()
         hdr.int64()                  // maxTimestamp
@@ -305,7 +311,7 @@ object KafkaWire {
             h += 1
           }
           require(r.position == end, s"record length mismatch at $baseOffset+$offDelta")
-          out += Record(baseOffset + offDelta, baseTs + tsDelta, key, value)
+          out += Record(baseOffset + offDelta, baseTs + tsDelta, key, value, tsType)
           i += 1
         }
         at += total

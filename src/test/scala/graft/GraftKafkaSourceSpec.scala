@@ -435,6 +435,90 @@ class GraftKafkaSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("batch read without startingOffsets defaults to earliest (official semantics)") {
+    withBroker() { broker =>
+      produceStrings(broker, "t", 0, Seq("a", "b", "c"))
+      // no startingOffsets/endingOffsets options at all: the official
+      // connector reads earliest→latest for batch; latest→latest would
+      // silently return zero rows
+      val df = spark.read.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "t")
+        .load()
+      assert(df.selectExpr("cast(value as string)").collect()
+        .map(_.getString(0)).toSet === Set("a", "b", "c"))
+    }
+  }
+
+  test("LogAppendTime batches surface timestampType 1") {
+    withBroker() { broker =>
+      produceStrings(broker, "t", 0, Seq("create-time"))
+      broker.appendLogAppendTime("t", 0, Seq((5000L, null, b("log-append-time"))))
+      val rows = spark.read.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "t")
+        .load()
+        .selectExpr("cast(value as string) v", "timestampType",
+          "unix_millis(timestamp) ts")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      assert(rows === Set(
+        ("create-time", 0, 1000L), ("log-append-time", 1, 5000L)))
+    }
+  }
+
+  test("partitions added after the stream starts are read from earliest") {
+    withBroker(partitions = 1) { broker =>
+      produceStrings(broker, "t", 0, Seq("p0-a", "p0-b"))
+      val ckpt = Files.createTempDirectory("graft-kafka-grow-ckpt").toString
+      val out = Files.createTempDirectory("graft-kafka-grow-out").toString
+      def runOnce(): Unit = {
+        val q = spark.readStream.format("graft-kafka")
+          .option("kafka.bootstrap.servers", broker.bootstrapServers)
+          .option("subscribe", "t")
+          .option("startingOffsets", "earliest")
+          .load()
+          .selectExpr("cast(value as string) v", "partition")
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt).option("path", out)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(60000)
+      }
+      runOnce() // checkpoint now knows only partition 0
+      broker.growPartitions(2)
+      produceStrings(broker, "t", 1, Seq("p1-a", "p1-b"))
+      runOnce() // partition 1 has no checkpoint entry → must start earliest
+      val rows = spark.read.parquet(out)
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      assert(rows === Set(("p0-a", 0), ("p0-b", 0), ("p1-a", 1), ("p1-b", 1)))
+    }
+  }
+
+  test("sink rejects an out-of-range explicit partition") {
+    withBroker(partitions = 2) { broker =>
+      import spark.implicits._
+      val e = intercept[Exception] {
+        Seq(("v", 5)).toDF("value", "partition")
+          .write.format("graft-kafka").mode("append")
+          .option("kafka.bootstrap.servers", broker.bootstrapServers)
+          .option("topic", "t").save()
+      }
+      assert(graft.TestErrors.messageChain(e).exists(_.contains("out of range")))
+    }
+  }
+
+  test("sink rejects a non-timestamp 'timestamp' column at planning") {
+    import spark.implicits._
+    val e = intercept[Exception] {
+      // LongType millis would be silently divided by 1000 — must fail fast
+      Seq(("v", 1723500000000L)).toDF("value", "timestamp")
+        .write.format("graft-kafka").mode("append")
+        .option("kafka.bootstrap.servers", "localhost:1")
+        .option("topic", "t").save()
+    }
+    assert(graft.TestErrors.messageChain(e).exists(_.contains("TIMESTAMP")))
+  }
+
   test("config surface errors: missing bootstrap, bad connector name") {
     intercept[IllegalArgumentException] {
       GraftKafka.parseOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(

@@ -18,3 +18,11 @@ object SparkTestSession {
   }
   val sf0001 = "/root/testdata/sf0.001"
 }
+
+/** Spark wraps task failures several causes deep; assertions walk the
+  * whole chain rather than guessing which layer carries the message. */
+object TestErrors {
+  def messageChain(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+}
