@@ -18,6 +18,10 @@ import graft.sources.GraftTable
   *   GRAFT OPTIMIZE '<root>' SINK '<sink>' [SMALL <bytes>] [TARGET <bytes>]
   *   GRAFT VACUUM '<root>' RETAIN <millis>
   *   GRAFT DELETE '<root>' SINK '<sink>' WHERE <predicate>
+  *   GRAFT UPDATE '<root>' SINK '<sink>' SET c = expr[, …] WHERE <predicate>
+  *   GRAFT MERGE '<root>' SINK '<sink>' USING (<query>) ON k[, …]
+  *         [INSERT ONLY | UPDATE ONLY]
+  *   GRAFT HISTORY '<root>'
   * }}}
   *
   * Everything else delegates to Spark's parser. The commands are
@@ -44,6 +48,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DeleteRe(root, sink, cond) =>
       delegate.parseExpression(cond) // fail fast on bad syntax at parse time
       GraftDeleteCommand(root, sink, cond)
+    case UpdateRe(root, sink, assignments, cond) =>
+      val set = splitAssignments(assignments)
+      set.foreach { case (_, rhs) => delegate.parseExpression(rhs) }
+      delegate.parseExpression(cond)
+      GraftUpdateCommand(root, sink, set, cond)
+    case MergeRe(root, sink, query, keys, mode) =>
+      delegate.parseQuery(query) // fail fast on bad source syntax
+      GraftMergeCommand(root, sink, query,
+        keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        update = mode == null || !mode.equalsIgnoreCase("INSERT ONLY"),
+        insert = mode == null || !mode.equalsIgnoreCase("UPDATE ONLY"))
     case HistoryRe(root) => GraftHistoryCommand(root)
     case _ => delegate.parsePlan(sqlText)
   }
@@ -73,8 +88,58 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s*;?\s*""".r
   private val DeleteRe =
     """(?is)\s*GRAFT\s+DELETE\s+'([^']+)'\s+SINK\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val UpdateRe =
+    """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SINK\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  // source query parenthesized; keys are bare identifiers, so the
+  // greedy query capture is pinned by the final `) ON <idents>`
+  private val MergeRe =
+    """(?is)\s*GRAFT\s+MERGE\s+'([^']+)'\s+SINK\s+'([^']+)'\s+USING\s+\((.+)\)\s+ON\s+([\w`"]+(?:\s*,\s*[\w`"]+)*)(?:\s+(INSERT\s+ONLY|UPDATE\s+ONLY))?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+
+  /** Split `a = expr1, b = expr2` on TOP-LEVEL commas (commas inside
+    * parens or string literals belong to the expression), then each
+    * assignment at its first top-level `=`. */
+  private[graft] def splitAssignments(s: String): Seq[(String, String)] =
+    splitTopLevel(s, ',').map { a =>
+      val eq = topLevelIndexOf(a, '=')
+      require(eq > 0, s"bad SET assignment '$a' (want column = expression)")
+      (a.take(eq).trim.stripPrefix("`").stripSuffix("`"),
+        a.drop(eq + 1).trim)
+    }
+
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var inStr = false; var from = 0; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case c if c == sep && !inStr && depth == 0 =>
+          out += s.substring(from, i); from = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += s.substring(from)
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def topLevelIndexOf(s: String, c: Char): Int = {
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case x if x == c && !inStr && depth == 0 => return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
+  }
 }
 
 /** `GRAFT OPTIMIZE`: [[GraftTable.compact]] as a SQL command. */
@@ -114,6 +179,44 @@ case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
     GraftTable.history(spark, root).map { v =>
       Row(v.batchId, v.files.size.toLong, v.removed.size.toLong,
         v.schemas.keys.toSeq.sorted.mkString(","))
+    }
+}
+
+/** `GRAFT UPDATE`: [[GraftTable.updateWhere]] as a SQL command. SET
+  * expressions and the predicate travel as SQL text for the same
+  * resolution reason as [[GraftDeleteCommand]]. */
+case class GraftUpdateCommand(root: String, sink: String,
+                              set: Seq[(String, String)],
+                              predicateSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("note", StringType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftTable.updateWhere(spark, root, sink,
+      org.apache.spark.sql.functions.expr(predicateSql),
+      set.map { case (c, e) =>
+        c -> org.apache.spark.sql.functions.expr(e) }.toMap) match {
+      case Some(v) => Seq(Row(v, s"updated matching rows into version $v"))
+      case None => Seq(Row(null, "no rows matched"))
+    }
+}
+
+/** `GRAFT MERGE`: [[GraftTable.merge]] as a SQL command — the source is
+  * an arbitrary parenthesized query, executed when the command runs. */
+case class GraftMergeCommand(root: String, sink: String,
+                             sourceSql: String, keys: Seq[String],
+                             update: Boolean, insert: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("note", StringType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftTable.merge(spark, root, sink, spark.sql(sourceSql),
+      keys.map(_.stripPrefix("`").stripSuffix("`")),
+      updateWhenMatched = update, insertWhenNotMatched = insert) match {
+      case Some(v) => Seq(Row(v, s"merged into version $v"))
+      case None => Seq(Row(null, "merge was a no-op"))
     }
 }
 

@@ -400,29 +400,71 @@ object GraftTable {
                asOfBatchId: Long): DataFrame =
     readFiles(spark, root, sink, Some(asOfBatchId))
 
+  /** The change-feed type column readers use to avoid double-counting
+    * copy-on-write rewrites. */
+  val ChangeTypeCol = "_change_type"
+
   /** Incremental read (the change-data-feed shape a downstream
     * consumer polls): ONLY the files versions in `(afterVersion,
-    * untilVersion]` ADDED to `sink`. A consumer that processed through
-    * version N calls `readChanges(…, N, M)` and touches none of the
-    * snapshot it already saw — at 100 TB the difference between
-    * re-scanning a corpus and reading a micro-batch. Append-only rows;
-    * a version's row-level deletes surface through its `removed` list
-    * ([[history]]) — rewritten survivors appear here as additions, the
-    * standard copy-on-write CDF caveat. Empty frame when the range
-    * added nothing. */
+    * untilVersion]` ADDED to `sink`, each row tagged with a
+    * [[ChangeTypeCol]] column:
+    *
+    *  - `"insert"` — the version was a plain append (empty `removed`
+    *    list): genuinely new rows;
+    *  - `"rewrite"` — the version removed files (deleteWhere / update /
+    *    merge / compact): these rows are copy-on-write SURVIVORS the
+    *    consumer has already seen, re-materialized in new files. An
+    *    incremental consumer that is not idempotent must skip them (or
+    *    diff against its own state) — without the tag, every DELETE
+    *    would double-count the untouched rows of affected files.
+    *    (A merge's not-matched inserts share the rewrite version, so
+    *    they tag `"rewrite"` too — the conservative direction: a
+    *    consumer may re-process a row it skipped, never double-count.)
+    *
+    * A consumer that processed through version N calls
+    * `readChanges(…, N, M)` and touches none of the snapshot it already
+    * saw — at 100 TB the difference between re-scanning a corpus and
+    * reading a micro-batch. A version's row-level deletes surface
+    * through its `removed` list ([[history]]).
+    *
+    * An empty poll (the common case) returns an EMPTY frame WITH the
+    * sink's latest committed schema plus [[ChangeTypeCol]] — not a
+    * zero-column frame — so a consumer's `select` keeps resolving
+    * (Delta CDF contract). */
   def readChanges(spark: SparkSession, root: String, sink: String,
                   afterVersion: Long,
                   untilVersion: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.{input_file_name, lit, udf}
     val vs = history(spark, root)
       .filter(v => v.batchId > afterVersion && v.batchId <= untilVersion)
-    val files = vs.flatMap(_.files)
-      .filter(_.startsWith(sink + "/")).map(f => s"$root/$f")
-    if (files.isEmpty) return spark.emptyDataFrame
+    val added = vs.flatMap(v => v.files.filter(_.startsWith(sink + "/"))
+      .map(f => f -> (if (v.removed.isEmpty) "insert" else "rewrite")))
+    if (added.isEmpty) {
+      // schema'd empty frame: footer schema of the newest version that
+      // touched the sink (no partition columns — they live in directory
+      // names, and an empty range names no directories)
+      val schema = latestSchema(spark, root, sink)
+        .getOrElse(new StructType())
+        .add(ChangeTypeCol, org.apache.spark.sql.types.StringType,
+          nullable = false)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val typeByRel = added.toMap
+    val (_, rootPath) = fs(spark, root)
+    val rootUri = rootPath.toUri.getPath
+    val changeType = udf((f: String) => typeByRel.getOrElse(
+      new Path(f).toUri.getPath.stripPrefix(rootUri).stripPrefix("/"),
+      "insert"))
     val distinctSchemas = vs.flatMap(_.schemas.get(sink)).distinct
     spark.read
       .option("basePath", s"$root/$sink")
       .option("mergeSchema", distinctSchemas.size > 1)
-      .parquet(files: _*)
+      .parquet(added.map(f => s"$root/${f._1}"): _*)
+      .withColumn(ChangeTypeCol,
+        if (typeByRel.values.toSet.size == 1)
+          lit(typeByRel.values.head) // constant range: stay codegen'd
+        else changeType(input_file_name()))
   }
 
   /** Copy-on-write row-level DELETE (Delta's `DELETE WHERE`): rewrite
@@ -508,6 +550,208 @@ object GraftTable {
     Some(newId)
   }
 
+  /** Copy-on-write row-level UPDATE (Delta's `UPDATE … SET`): rewrite
+    * ONLY the files of `sink` containing rows that match `predicate`;
+    * matched rows take the `set` expressions — every RHS is evaluated
+    * against the OLD row in one projection, so `SET a = b, b = a` swaps
+    * — and co-located non-matching rows (including NULL-predicate rows,
+    * same law as [[deleteWhere]]) carry over byte-identical. One commit
+    * atomically publishes {added rewrites, removed originals}; replaced
+    * bytes stay on disk for [[readAsOf]]. A SET that changes a
+    * partition column moves the row to its new directory (the rewrite
+    * re-derives the layout from row values).
+    *
+    * Returns the published version, or None when no row matched.
+    * Scale: reads only affected files + one survivor write + one
+    * commit — identical shape to [[deleteWhere]]. */
+  def updateWhere(spark: SparkSession, root: String, sink: String,
+                  predicate: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column]): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    require(!set.contains("batch_id"),
+      "batch_id is assigned by the commit log, not SET-able")
+    val (hfs, rootPath) = fs(spark, root)
+    val snap = committedFiles(spark, root).filter(_.startsWith(sink + "/"))
+    if (snap.isEmpty) return None
+    val rootUri = rootPath.toUri.getPath
+    def toRel(abs: String): String =
+      new Path(abs).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+    val withF = spark.read.option("basePath", s"$root/$sink")
+      .parquet(snap.map(f => s"$root/$f"): _*)
+      .withColumn("__file", input_file_name())
+    set.keys.foreach(c => require(withF.columns.contains(c),
+      s"unknown SET column '$c' for sink '$sink'"))
+    val matched = coalesce(predicate, lit(false))
+    val affected = withF.filter(matched)
+      .select(col("__file")).distinct()
+      .collect().map(r => toRel(r.getString(0))).toSeq.sorted
+    if (affected.isEmpty) return None
+    val newId = nextBatchId(spark, root)
+    val affSet = affected.toSet
+    val rootU = rootUri
+    val isAffected = org.apache.spark.sql.functions.udf((f: String) =>
+      affSet.contains(new Path(f).toUri.getPath
+        .stripPrefix(rootU).stripPrefix("/")))
+    val affRows = withF.filter(isAffected(col("__file")))
+    val rewritten = affRows.select(
+      affRows.columns.filterNot(_ == "__file").map { c =>
+        set.get(c) match {
+          case Some(e) => when(matched, e).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }.toIndexedSeq: _*)
+      .drop("batch_id")
+      .withColumn("batch_id", lit(newId))
+    val partCols = affected.head.split('/')
+      .drop(1).dropRight(1)
+      .filter(_.contains('='))
+      .map(_.takeWhile(_ != '='))
+      .filterNot(_ == "batch_id")
+    rewritten.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
+      .partitionBy((partCols.toIndexedSeq :+ "batch_id"): _*)
+      .parquet(s"$root/$sink")
+    val files = batchFiles(hfs, rootPath, newId)
+    val schemas = sinkSchemas(spark, root,
+      if (files.nonEmpty) files else snap)
+    val log = new Path(rootPath, LogDir)
+    hfs.mkdirs(log)
+    publish(hfs, log, newId,
+      versionJson(Version(newId, files, schemas, affected)), files)
+    Some(newId)
+  }
+
+  /** Copy-on-write MERGE — Delta's
+    * `MERGE INTO sink USING source ON keys
+    *  WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+    * shape, the verb a CDC-consuming pipeline uses most after DELETE.
+    * `source` must carry every sink data column (SET* / INSERT*
+    * semantics); matched target rows are REPLACED by their source
+    * version, unmatched source rows are appended, and only the files
+    * that contain matched target rows are rewritten — unmatched files
+    * are never touched. Everything lands in ONE atomic commit
+    * {added rewrites+inserts, removed originals}, so readers see the
+    * whole merge or none of it, concurrent writers arbitrate through
+    * [[publish]] (loser gets [[ConcurrentCommitException]] and
+    * retries), and [[readAsOf]] to a pre-merge version still sees the
+    * old rows.
+    *
+    * Delta's ambiguity law is enforced: two source rows sharing a merge
+    * key abort (which row should win is undefined).
+    *
+    * Returns the published version, or None when the merge would be a
+    * no-op (no matches to update and no rows to insert).
+    *
+    * Scale: the affected-file scan and the target-key scan are both
+    * column-pruned to `keys` (+ file name); `source` is typically a
+    * CDC micro-batch — broadcast-sized — so every join here broadcasts;
+    * the rewrite reads only affected files. */
+  def merge(spark: SparkSession, root: String, sink: String,
+            source: DataFrame, keys: Seq[String],
+            updateWhenMatched: Boolean = true,
+            insertWhenNotMatched: Boolean = true): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
+    require(keys.nonEmpty, "MERGE needs at least one key column")
+    require(updateWhenMatched || insertWhenNotMatched,
+      "MERGE with neither UPDATE nor INSERT is a no-op by construction")
+    val (hfs, rootPath) = fs(spark, root)
+    val snap = committedFiles(spark, root).filter(_.startsWith(sink + "/"))
+    val rootUri = rootPath.toUri.getPath
+    def toRel(abs: String): String =
+      new Path(abs).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+
+    // first write into an empty sink: every source row is an insert
+    if (snap.isEmpty) {
+      if (!insertWhenNotMatched || source.isEmpty) return None
+      val newId = nextBatchId(spark, root)
+      source.withColumn("batch_id", lit(newId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "zstd")
+        .partitionBy("batch_id")
+        .parquet(s"$root/$sink")
+      val files = batchFiles(hfs, rootPath, newId)
+      val log = new Path(rootPath, LogDir)
+      hfs.mkdirs(log)
+      publish(hfs, log, newId,
+        versionJson(Version(newId, files, sinkSchemas(spark, root, files))),
+        files)
+      return Some(newId)
+    }
+
+    val target = spark.read.option("basePath", s"$root/$sink")
+      .parquet(snap.map(f => s"$root/$f"): _*)
+    val dataCols = target.columns.filterNot(_ == "batch_id").toIndexedSeq
+    keys.foreach(k => require(dataCols.contains(k),
+      s"merge key '$k' is not a column of sink '$sink'"))
+    dataCols.foreach(c => require(source.columns.contains(c),
+      s"source is missing sink column '$c' (MERGE is SET* / INSERT* — " +
+        "project the source onto the sink schema first)"))
+    val srcProj = source.select(dataCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dup = srcProj.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        .limit(1).collect()
+      require(dup.isEmpty,
+        s"MERGE aborted: multiple source rows share the merge key " +
+          s"${dup.headOption.map(_.toString).getOrElse("")} — which row " +
+          "wins is undefined (Delta's ambiguity law)")
+      val srcKeys = srcProj.select(keys.map(col): _*).distinct()
+      // column-pruned scans: only key columns (+ file name) leave the scan
+      val targetKeys = target.select(keys.map(col): _*).distinct()
+      val matchedSrc = srcProj.join(targetKeys, keys, "left_semi")
+      val insertedSrc = srcProj.join(targetKeys, keys, "left_anti")
+      val withF = target.withColumn("__file", input_file_name())
+      val affected =
+        if (updateWhenMatched)
+          withF.join(srcKeys, keys, "left_semi")
+            .select(col("__file")).distinct()
+            .collect().map(r => toRel(r.getString(0))).toSeq.sorted
+        else Nil
+      val nInserts =
+        if (insertWhenNotMatched) insertedSrc.count() else 0L
+      if (affected.isEmpty && nInserts == 0L) return None
+
+      val newId = nextBatchId(spark, root)
+      val affSet = affected.toSet
+      val rootU = rootUri
+      val isAffected = org.apache.spark.sql.functions.udf((f: String) =>
+        affSet.contains(new Path(f).toUri.getPath
+          .stripPrefix(rootU).stripPrefix("/")))
+      // survivors: rows of affected files whose key has no source match
+      val survivors = withF.filter(isAffected(col("__file")))
+        .join(srcKeys, keys, "left_anti")
+        .select(dataCols.map(col): _*)
+      val pieces = Seq(
+        Some(survivors).filter(_ => affected.nonEmpty),
+        Some(matchedSrc).filter(_ => updateWhenMatched && affected.nonEmpty),
+        Some(insertedSrc).filter(_ => insertWhenNotMatched)).flatten
+      val out = pieces.reduce(_.unionByName(_))
+        .withColumn("batch_id", lit(newId))
+      val partCols = snap.head.split('/')
+        .drop(1).dropRight(1)
+        .filter(_.contains('='))
+        .map(_.takeWhile(_ != '='))
+        .filterNot(_ == "batch_id")
+      out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "zstd")
+        .partitionBy((partCols.toIndexedSeq :+ "batch_id"): _*)
+        .parquet(s"$root/$sink")
+      val files = batchFiles(hfs, rootPath, newId)
+      val schemas = sinkSchemas(spark, root,
+        if (files.nonEmpty) files else snap)
+      val log = new Path(rootPath, LogDir)
+      hfs.mkdirs(log)
+      publish(hfs, log, newId,
+        versionJson(Version(newId, files, schemas, affected)), files)
+      Some(newId)
+    } finally srcProj.unpersist()
+  }
+
   /** Small-file compaction (Delta's `OPTIMIZE` analog) for LOG-TRACKED
     * sinks — the transactional twin of
     * [[graft.operators.Compaction]] (which serves plain export trees
@@ -529,11 +773,11 @@ object GraftTable {
     * never touched. Streaming ingest is exactly the workload this
     * serves — one `batch_id` directory per micro-batch means a day of
     * short triggers is thousands of tiny files per partition, and scan
-    * task counts drop proportionally after compaction. Hash collisions
-    * can co-locate two bins of one partition in a task (their files
-    * merge — same rows, a larger file); Delta's job-per-bin model
-    * avoids that at the cost of one Spark job per bin, the wrong trade
-    * at thousands of bins. */
+    * task counts drop proportionally after compaction. Bin placement is
+    * EXACT (a bin-id partitioner, not hash), so every output file is
+    * bounded by the bin's packed input bytes ≤ `targetFileBytes`;
+    * Delta's job-per-bin model gets the same bound at the cost of one
+    * Spark job per bin, the wrong trade at thousands of bins. */
   def compact(spark: SparkSession, root: String, sink: String,
               smallFileBytes: Long = 32L << 20,
               targetFileBytes: Long = 128L << 20): Option[Long] = {
@@ -548,9 +792,19 @@ object GraftTable {
     def logicalDir(rel: String): String =
       rel.split('/').drop(1).dropRight(1)
         .filterNot(_.startsWith("batch_id=")).mkString("/")
+    // one listStatus per DIRECTORY, not one getFileStatus per file: at
+    // the ~17k-files/day this serves, per-file probes are 17k serial
+    // namenode RPCs; per-directory listing is O(directories)
+    val sizeByRel: Map[String, Long] = snap
+      .groupBy(rel => rel.take(rel.lastIndexOf('/')))
+      .flatMap { case (dir, rels) =>
+        val names = rels.map(r => r.drop(dir.length + 1)).toSet
+        hfs.listStatus(new Path(rootPath, dir)).toSeq
+          .filter(st => names.contains(st.getPath.getName))
+          .map(st => s"$dir/${st.getPath.getName}" -> st.getLen)
+      }
     val smalls = snap.flatMap { rel =>
-      val len = hfs.getFileStatus(new Path(rootPath, rel)).getLen
-      if (len < smallFileBytes) Some((rel, len)) else None
+      sizeByRel.get(rel).filter(_ < smallFileBytes).map(len => (rel, len))
     }
     val groups = smalls.groupBy { case (rel, _) => logicalDir(rel) }
       .filter(_._2.size >= 2)
@@ -583,15 +837,29 @@ object GraftTable {
       .filter(_.contains('='))
       .map(_.takeWhile(_ != '='))
       .filterNot(_ == "batch_id")
-    val compacted = spark.read.option("basePath", s"$root/$sink")
+    val binned = spark.read.option("basePath", s"$root/$sink")
       .parquet(candidates.map(f => s"$root/$f"): _*)
       .withColumn("__bin",
         binFor(org.apache.spark.sql.functions.input_file_name()))
       .drop("batch_id")
       .withColumn("batch_id", lit(newId))
-      .repartition(totalBins,
-        (partCols.toIndexedSeq.map(col) :+ col("__bin")): _*)
-      .drop("__bin")
+    // EXACTLY one task per bin: hash repartitioning can collide two bins
+    // into one partition (a 2×-target output file) while others sit
+    // empty — route by the bin id itself. A bin's rows share one
+    // logical partition and one batch_id, so each task writes exactly
+    // one ~target-sized file. Leaving codegen for the exchange is fine:
+    // compaction is an I/O-bound maintenance pass over small files.
+    val binIdx = binned.schema.fieldIndex("__bin")
+    val schema = StructType(binned.schema.filterNot(_.name == "__bin"))
+    val exactRows = binned.rdd
+      .map(r => (r.getInt(binIdx), org.apache.spark.sql.Row.fromSeq(
+        r.toSeq.patch(binIdx, Nil, 1))))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = totalBins
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .values
+    val compacted = spark.createDataFrame(exactRows, schema)
     // same layout law as deleteWhere: sink/<partCols...>/batch_id=N,
     // or partition discovery rejects the mixed snapshot
     compacted.write.mode("overwrite")

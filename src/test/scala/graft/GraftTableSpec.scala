@@ -361,12 +361,20 @@ class GraftTableSpec extends AnyFunSuite {
     }
     val perFile = sizes.max
     // target fits ~2 originals per bin -> 6 files become ~3
+    val target = 2 * perFile + 1024
     val v = GraftTable.compact(spark, root, "docs",
-      smallFileBytes = perFile + 1024, targetFileBytes = 2 * perFile + 1024)
+      smallFileBytes = perFile + 1024, targetFileBytes = target)
     assert(v.isDefined)
     val after = GraftTable.committedFiles(spark, root)
-    assert(after.size >= 2 && after.size <= 4,
-      s"6 small files at ~2-per-bin should pack to ~3, got ${after.size}")
+    // bin placement is EXACT (one task per bin): 6 small files first-fit
+    // into 2-per-bin bins = exactly 3 output files, none above target
+    assert(after.size == 3,
+      s"6 small files at 2-per-bin must pack to exactly 3, got ${after.size}")
+    after.foreach { rel =>
+      val len = new java.io.File(s"$root/$rel").length
+      assert(len <= target,
+        s"output file $rel is $len bytes, above the $target target")
+    }
     assert(GraftTable.read(spark, root, "docs").count() == 300)
     // below-threshold run: nothing small enough, no new version
     assert(GraftTable.compact(spark, root, "docs",
@@ -492,6 +500,228 @@ class GraftTableSpec extends AnyFunSuite {
     assert(spark.sql(
       s"SELECT id FROM graft_table_changes('$root', 'docs', 0, 2)")
       .as[Long].collect().sorted.toSeq == (10L until 30L))
+  }
+
+  test("updateWhere: SET evaluated on the old row, null predicate retains, " +
+       "time travel intact") {
+    val root = Files.createTempDirectory("gt-update").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val ms = java.time.Instant.parse("2024-03-01T10:00:00Z").toEpochMilli
+    def mk(ids: Seq[Long]) =
+      ids.map(i => (i, if (i % 5 == 0) null else s"doc $i", i * 10, ms))
+        .toDF("id", "text", "score", "ms")
+    ExportParquet.writeBatch(
+      ExportParquet.withPartitionCols(mk(1L to 10L), col("ms")),
+      s"$root/docs", batchId = 0)
+    GraftTable.commit(spark, root, 0)
+    ExportParquet.writeBatch(
+      ExportParquet.withPartitionCols(mk(11L to 20L), col("ms")),
+      s"$root/docs", batchId = 1)
+    GraftTable.commit(spark, root, 1)
+
+    // predicate is NULL on text-less rows (id % 5 == 0): they must be
+    // carried over UNCHANGED even though they share files with matches.
+    // Both SET expressions read the OLD row (score doubles once, text
+    // sees the pre-update text).
+    val v = GraftTable.updateWhere(spark, root, "docs",
+      col("text").endsWith("3"),
+      Map("score" -> (col("score") * 2),
+        "text" -> concat(col("text"), lit("!"))))
+    assert(v.contains(2L))
+    val after = GraftTable.read(spark, root, "docs")
+      .select("id", "text", "score")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(after(3L) == (("doc 3!", 60L)) && after(13L) == (("doc 13!", 260L)))
+    assert(after(4L) == (("doc 4", 40L)), "non-matching rows unchanged")
+    assert(after(5L) == ((null, 50L)), "NULL-predicate rows retained unchanged")
+    assert(after.size == 20, "update must not drop or duplicate rows")
+    // layout + time travel across the update
+    val read = GraftTable.read(spark, root, "docs")
+    assert(read.columns.contains("year") && read.columns.contains("batch_id"))
+    assert(GraftTable.readAsOf(spark, root, "docs", 1)
+      .filter(col("id") === 3L).select("score").as[Long].head() == 30L)
+    // no-match update publishes nothing
+    assert(GraftTable.updateWhere(spark, root, "docs",
+      col("id") > 1000, Map("score" -> lit(0))).isEmpty)
+    // batch_id is not SET-able
+    intercept[IllegalArgumentException] {
+      GraftTable.updateWhere(spark, root, "docs",
+        col("id") === 1L, Map("batch_id" -> lit(99)))
+    }
+  }
+
+  test("merge: upsert rewrites only affected files, one atomic version, " +
+       "time travel across the merge") {
+    val root = Files.createTempDirectory("gt-merge").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ms = java.time.Instant.parse("2024-03-01T10:00:00Z").toEpochMilli
+    def mk(ids: Seq[Long], tag: String) =
+      ids.map(i => (i, s"$tag $i", ms)).toDF("id", "text", "ms")
+    // two files in batch 0 (coalesce 2), one in batch 1
+    ExportParquet.writeBatch(
+      ExportParquet.withPartitionCols(mk(1L to 10L, "old"), col("ms")),
+      s"$root/docs", batchId = 0, coalescePartitions = false)
+    GraftTable.commit(spark, root, 0)
+    ExportParquet.writeBatch(
+      ExportParquet.withPartitionCols(mk(11L to 20L, "old"), col("ms")),
+      s"$root/docs", batchId = 1)
+    GraftTable.commit(spark, root, 1)
+    val preMergeFiles = GraftTable.committedFiles(spark, root).toSet
+
+    // source: updates ids 15..20, inserts 21..25 — the CDC micro-batch
+    // shape. It must carry the sink's data columns incl. partition cols.
+    val source = ExportParquet.withPartitionCols(
+      mk(15L to 25L, "new"), col("ms")).drop("batch_id")
+    val snapshot = GraftTable.read(spark, root, "docs")
+    val srcAligned = source.select(
+      snapshot.columns.filterNot(_ == "batch_id").map(col): _*)
+    val v = GraftTable.merge(spark, root, "docs", srcAligned, Seq("id"))
+    assert(v.contains(2L))
+
+    val after = GraftTable.read(spark, root, "docs")
+      .select("id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(after.size == 25)
+    assert((1L to 14L).forall(i => after(i) == s"old $i"),
+      "unmatched target rows unchanged")
+    assert((15L to 20L).forall(i => after(i) == s"new $i"),
+      "matched rows replaced by their source version")
+    assert((21L to 25L).forall(i => after(i) == s"new $i"),
+      "unmatched source rows inserted")
+    // CoW: batch 0's files (no matched rows) must NOT have been removed
+    val hist = GraftTable.history(spark, root)
+    val removed = hist.find(_.batchId == 2L).get.removed
+    assert(removed.nonEmpty && removed.forall(_.contains("batch_id=1")),
+      s"only batch-1 files hold matches, removed: $removed")
+    preMergeFiles.foreach(f => assert(
+      new java.io.File(s"$root/$f").exists(), s"replaced file $f kept"))
+    // time travel to the pre-merge version
+    assert(GraftTable.readAsOf(spark, root, "docs", 1)
+      .filter(col("id") === 15L).select("text").as[String].head() == "old 15")
+    assert(GraftTable.readAsOf(spark, root, "docs", 1).count() == 20)
+    // vacuum keeps every version-referenced file
+    assert(GraftTable.vacuum(spark, root, ttlMs = 0).isEmpty)
+
+    // ambiguity law: two source rows sharing a key abort
+    intercept[IllegalArgumentException] {
+      GraftTable.merge(spark, root, "docs",
+        srcAligned.union(srcAligned.limit(1)), Seq("id"))
+    }
+    // no-op merge (all keys match, update off) publishes nothing
+    assert(GraftTable.merge(spark, root, "docs",
+      srcAligned.filter(col("id") <= 20), Seq("id"),
+      updateWhenMatched = false).isEmpty)
+    // insert-only mode appends without rewriting anything
+    val v2 = GraftTable.merge(spark, root, "docs",
+      ExportParquet.withPartitionCols(mk(Seq(26L, 15L), "ins"), col("ms"))
+        .drop("batch_id")
+        .select(snapshot.columns.filterNot(_ == "batch_id").map(col): _*),
+      Seq("id"), updateWhenMatched = false)
+    assert(v2.contains(3L))
+    assert(GraftTable.history(spark, root).find(_.batchId == 3L).get
+      .removed.isEmpty, "insert-only merge must not rewrite files")
+    val after2 = GraftTable.read(spark, root, "docs")
+      .select("id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(after2(26L) == "ins 26" && after2(15L) == "new 15",
+      "insert-only: new key appended, matched key untouched")
+  }
+
+  test("merge into an empty sink inserts everything; GRAFT MERGE/UPDATE " +
+       "run as SQL") {
+    val root = Files.createTempDirectory("gt-merge-sql").toString
+    import spark.implicits._
+    Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "text", "score")
+      .createOrReplaceTempView("merge_src_1")
+    val r1 = spark.sql(
+      s"GRAFT MERGE '$root' SINK 'docs' USING (SELECT * FROM merge_src_1) ON id")
+      .collect()
+    assert(r1.head.getLong(0) == 0L)
+    assert(GraftTable.read(spark, root, "docs").count() == 2)
+
+    // SQL upsert on the now-populated sink
+    Seq((2L, "B", 99), (3L, "c", 30)).toDF("id", "text", "score")
+      .createOrReplaceTempView("merge_src_2")
+    val r2 = spark.sql(
+      s"GRAFT MERGE '$root' SINK 'docs' USING (SELECT * FROM merge_src_2) ON id")
+      .collect()
+    assert(r2.head.getLong(0) == 1L)
+    val rows = GraftTable.read(spark, root, "docs")
+      .select("id", "text", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows == Set((1L, "a", 10), (2L, "B", 99), (3L, "c", 30)))
+
+    // GRAFT UPDATE with a multi-assignment SET (comma inside an
+    // expression exercises the top-level splitter)
+    val r3 = spark.sql(s"GRAFT UPDATE '$root' SINK 'docs' " +
+      "SET score = score + 1, text = concat(text, '!') WHERE id >= 2")
+      .collect()
+    assert(r3.head.getLong(0) == 2L)
+    val rows2 = GraftTable.read(spark, root, "docs")
+      .select("id", "text", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(rows2 == Set((1L, "a", 10), (2L, "B!", 100), (3L, "c!", 31)))
+    // INSERT ONLY mode via SQL
+    Seq((3L, "no", 0), (4L, "d", 40)).toDF("id", "text", "score")
+      .createOrReplaceTempView("merge_src_3")
+    spark.sql(s"GRAFT MERGE '$root' SINK 'docs' " +
+      "USING (SELECT * FROM merge_src_3) ON id INSERT ONLY").collect()
+    val ids = GraftTable.read(spark, root, "docs")
+      .select("id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(ids.size == 4 && ids(3L) == "c!" && ids(4L) == "d")
+  }
+
+  test("readChanges tags _change_type: append=insert, delete/compact=rewrite") {
+    val root = Files.createTempDirectory("gt-changes-type").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ms = java.time.Instant.parse("2024-03-01T10:00:00Z").toEpochMilli
+    def write(b: Long, ids: Seq[Long]): Unit = {
+      ExportParquet.writeBatch(
+        ExportParquet.withPartitionCols(
+          ids.map(i => (i, ms)).toDF("id", "ms"), col("ms")),
+        s"$root/docs", batchId = b)
+      GraftTable.commit(spark, root, b)
+    }
+    write(0L, 0L until 10L)
+    write(1L, 10L until 20L)                     // v1: append
+    GraftTable.deleteWhere(spark, root, "docs", col("id") === 5L) // v2: CoW
+    GraftTable.compact(spark, root, "docs")      // v3: CoW
+    def changes(after: Long, until: Long) =
+      GraftTable.readChanges(spark, root, "docs", after, until)
+        .select("id", GraftTable.ChangeTypeCol)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    // pure-append range: every row inserts
+    assert(changes(0, 1).forall(_._2 == "insert"))
+    assert(changes(0, 1).map(_._1).sorted.toSeq == (10L until 20L))
+    // the delete's survivors are rewrites — an incremental consumer
+    // must not double-count them
+    val del = changes(1, 2)
+    assert(del.nonEmpty && del.forall(_._2 == "rewrite"))
+    assert(!del.map(_._1).contains(5L))
+    // a mixed range tags per version (per-file map path)
+    val mixed = changes(0, 2)
+    assert(mixed.filter(_._2 == "insert").map(_._1).sorted.toSeq ==
+      (10L until 20L))
+    assert(mixed.filter(_._2 == "rewrite").nonEmpty)
+    // compaction rewrites everything it packed
+    assert(changes(2, 3).forall(_._2 == "rewrite"))
+    // an empty poll returns the sink's SCHEMA, not a zero-column frame:
+    // the consumer's select keeps resolving (Delta CDF contract)
+    val empty = GraftTable.readChanges(spark, root, "docs", 3)
+    assert(empty.isEmpty)
+    assert(empty.columns.contains("id") &&
+      empty.columns.contains(GraftTable.ChangeTypeCol))
+    assert(empty.select("id", GraftTable.ChangeTypeCol).count() == 0)
+    // the SQL face carries the tag too
+    assert(spark.sql(
+      s"SELECT ${GraftTable.ChangeTypeCol} FROM " +
+        s"graft_table_changes('$root', 'docs', 1, 2)")
+      .collect().map(_.getString(0)).forall(_ == "rewrite"))
   }
 
   test("nextBatchId: optimistic version allocation past the newest commit") {
