@@ -633,6 +633,14 @@ object Dedup {
     * are short, so the gate sits lower — a deployment tunes it. */
   val MinRunTokens = 8
 
+  /** Chunk size (tokens) of the span scan's work unit. One
+    * (chunk_a × chunk_b) cell costs ≤ [[SpanChunkTokens]]² token
+    * comparisons — ~16 M at the default, well under a second — so NO
+    * task's work depends on document length: a pair of crawl-outlier
+    * docs becomes many bounded cells spread across the cluster instead
+    * of one task pinned for hours on an O(len_a·len_b) scan. */
+  val SpanChunkTokens = 4096
+
   /** EXACT common-substring spans — the precise half of the Lee-et-al
     * exact-substring dedup recipe. [[winnowPairs]] finds WHICH pairs
     * share enough winnowed fingerprints (every common run ≥ the
@@ -644,51 +652,115 @@ object Dedup {
     *
     * Scale shape: the pair list is the winnow-thresholded candidate
     * set (bounded — [[ShingleFreqCap]]/[[MinSharedFp]] keep it to
-    * genuinely-overlapping pairs, not a quadratic space); texts join
-    * in by doc_id, and each pair's maximal runs come from one typed
-    * diagonal scan (O(len_a·len_b) token equality per pair — the cost
-    * is confined to confirmed near-duplicates; a per-doc length cap is
-    * the production knob if crawl outliers matter). The DuckDB oracle
+    * genuinely-overlapping pairs, not a quadratic space), and per-pair
+    * cost is BOUNDED PER TASK: see [[spansOf]]. The DuckDB oracle
     * replays the same runs relationally: match points grouped by
     * diagonal, gaps-and-islands per diagonal.
     */
-  def exactSubstringSpans(spark: SparkSession, dir: String): DataFrame = {
+  def exactSubstringSpans(spark: SparkSession, dir: String): DataFrame =
+    spansOf(winnowPairs(spark, dir).select("doc_a", "doc_b"),
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      SpanChunkTokens)
+
+  /** The chunked-cell span kernel. Each doc's token stream is cut into
+    * `chunkTokens`-sized chunks; a candidate pair's (i, j) match-point
+    * grid is tiled exactly by its (chunk_a × chunk_b) CELLS, each
+    * scanned diagonally in one bounded flatMap row. A maximal run that
+    * crosses a cell edge surfaces as per-cell FRAGMENTS; fragments are
+    * contiguous on their diagonal by construction (a gap would mean a
+    * mismatching token broke the run), so one groupBy on
+    * (pair, diagonal) + an in-order merge reassembles every maximal run
+    * exactly, and the [[MinRunTokens]] gate applies post-merge. Runs
+    * closed inside a cell skip nothing: their neighbors on the diagonal
+    * are mismatches, so the uniform merge pass leaves them unchanged.
+    *
+    * Bounded everywhere: cell scan ≤ chunkTokens² comparisons; merge
+    * state per (pair, diagonal) is the fragment list — ≤ 2 fragments
+    * per cell edge the diagonal crosses, i.e. O(doc_len / chunkTokens),
+    * orders of magnitude below the text itself. */
+  private[graft] def spansOf(pairs: DataFrame, docs: DataFrame,
+                             chunkTokens: Int): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val withTexts = winnowPairs(spark, dir).select("doc_a", "doc_b")
-      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
-        Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
-        Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"))
-      .as[(Long, Long, String, String)]
-    withTexts.flatMap { case (a, b, textA, textB) =>
-      val ta = textA.toLowerCase.split(' ').filter(_.nonEmpty)
-      val tb = textB.toLowerCase.split(' ').filter(_.nonEmpty)
-      val out = scala.collection.mutable.ArrayBuffer
-        .empty[(Long, Long, Int, Int, Int)]
-      var d = -(tb.length - 1)
-      while (d < ta.length) {
-        var i = math.max(0, d)
-        var j = i - d
-        var runLen = 0
-        var si = 0
-        var sj = 0
-        while (i < ta.length && j < tb.length) {
-          if (ta(i) == tb(j)) {
-            if (runLen == 0) { si = i; sj = j }
-            runLen += 1
-          } else {
-            if (runLen >= MinRunTokens) out += ((a, b, si + 1, sj + 1, runLen))
+    require(chunkTokens >= MinRunTokens, "chunk must fit one minimal run")
+    val chunks = docs.as[(Long, String)].flatMap { case (id, text) =>
+      val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
+      val n = toks.length
+      (0 until n by chunkTokens).iterator.map { off =>
+        (id, off, toks.slice(off, math.min(off + chunkTokens, n)), n)
+      }
+    }.toDF("doc_id", "off", "toks", "total")
+    val cells = pairs
+      .join(chunks.select(col("doc_id").as("doc_a"), col("off").as("off_a"),
+        col("toks").as("toks_a"), col("total").as("total_a")), Seq("doc_a"))
+      .join(chunks.select(col("doc_id").as("doc_b"), col("off").as("off_b"),
+        col("toks").as("toks_b"), col("total").as("total_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        col("off_a"), col("toks_a"), col("total_a"),
+        col("off_b"), col("toks_b"), col("total_b"))
+      .as[(Long, Long, Int, Array[String], Int, Int, Array[String], Int)]
+    val scanned = cells.flatMap {
+      case (a, b, offA, ta, totalA, offB, tb, totalB) =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Int, Int, Int)]
+        var d = -(tb.length - 1)
+        while (d < ta.length) {
+          var i = math.max(0, d)
+          var j = i - d
+          var runLen = 0
+          var si = 0
+          var sj = 0
+          def flush(): Unit = if (runLen > 0) {
+            val gsa = offA + si
+            val gsb = offB + sj
+            // a fragment is OPEN when the run may continue in an
+            // adjacent cell: it starts on a cell edge with a scannable
+            // predecessor (gsa-1, gsb-1), or ends on one with a
+            // scannable successor — those positions exist in the docs
+            // but belong to another cell's scan
+            val open =
+              ((si == 0 || sj == 0) && gsa > 0 && gsb > 0) ||
+              ((si + runLen == ta.length || sj + runLen == tb.length) &&
+                gsa + runLen < totalA && gsb + runLen < totalB)
+            if (open || runLen >= MinRunTokens)
+              out += ((a, b, gsa, gsb, runLen))
             runLen = 0
           }
-          i += 1; j += 1
+          while (i < ta.length && j < tb.length) {
+            if (ta(i) == tb(j)) {
+              if (runLen == 0) { si = i; sj = j }
+              runLen += 1
+            } else flush()
+            i += 1; j += 1
+          }
+          flush()
+          d += 1
         }
-        if (runLen >= MinRunTokens) out += ((a, b, si + 1, sj + 1, runLen))
-        d += 1
+        out.iterator
+    }.toDF("doc_a", "doc_b", "sa", "sb", "len")
+    scanned
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("sa") - col("sb")).cast("long").as("diag"))
+      .agg(sort_array(collect_list(struct(col("sa"), col("len")))).as("fs"))
+      .select(col("doc_a"), col("doc_b"), col("diag"), col("fs"))
+      .as[(Long, Long, Long, Seq[(Int, Int)])]
+      .flatMap { case (a, b, diag, fs) =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Int, Int, Int)]
+        var curS = -1
+        var curL = 0
+        def emit(): Unit =
+          if (curL >= MinRunTokens)
+            out += ((a, b, curS + 1, curS - diag.toInt + 1, curL))
+        fs.foreach { case (s, l) =>
+          if (curS < 0) { curS = s; curL = l }
+          else if (s == curS + curL) curL += l // same run, next cell over
+          else { emit(); curS = s; curL = l }
+        }
+        emit()
+        out.iterator
       }
-      out.iterator
-    }.toDF("doc_a", "doc_b", "start_a", "start_b", "run_len")
+      .toDF("doc_a", "doc_b", "start_a", "start_b", "run_len")
       .orderBy("doc_a", "doc_b", "start_a", "start_b")
   }
 

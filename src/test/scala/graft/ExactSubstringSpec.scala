@@ -63,6 +63,44 @@ class ExactSubstringSpec extends AnyFunSuite {
     }
   }
 
+  test("chunked cells reassemble spans exactly: tiny chunks == default") {
+    // chunk size 16 forces every ≥8-token run on sf0.001 across MANY
+    // cell boundaries; fragment merging must reproduce the single-cell
+    // answer bit for bit
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text")
+    val pairs = Dedup.winnowPairs(spark, sf0001).select("doc_a", "doc_b")
+    val tiny = Dedup.spansOf(pairs, docs, chunkTokens = 16).collect()
+    val dflt = Dedup.spansOf(pairs, docs, Dedup.SpanChunkTokens).collect()
+    assert(tiny.length == dflt.length)
+    tiny.zip(dflt).foreach { case (t, d) => assert(t == d) }
+  }
+
+  test("adversarial long-doc pair: bounded cells, analytic spans") {
+    // Two ~1e5-token docs in ONE confirmed pair — the crawl-outlier
+    // shape that used to pin a single task on an O(len_a·len_b) scan.
+    // doc 2 is doc 1 with every 5000th token mutated, so the exact
+    // answer is analytic: 20 maximal runs of exactly 4999 tokens on
+    // the main diagonal. The kernel must (a) get it right through the
+    // fragment merge (each run crosses ~12 chunk edges at the default
+    // size) and (b) finish in bounded per-task units — the scan is
+    // ~600 cells of ≤ SpanChunkTokens² work, not one task.
+    val n = 100000
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(n)("t" + rng.nextInt(1 << 30))
+    val mutated = base.clone()
+    (4999 until n by 5000).foreach(k => mutated(k) = "zzz" + k)
+    import spark.implicits._
+    val docs = Seq((1L, base.mkString(" ")), (2L, mutated.mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val spans = Dedup.spansOf(pairs, docs, Dedup.SpanChunkTokens)
+      .collect().map(r => (r.getInt(2), r.getInt(3), r.getInt(4)))
+    val expected = (0 until 20).map(i => (i * 5000 + 1, i * 5000 + 1, 4999))
+    assert(spans.toSeq == expected,
+      s"got ${spans.length} spans, head ${spans.take(3).mkString(",")}")
+  }
+
   test("reported pairs are exactly the winnow candidates with long runs") {
     val pairs = Dedup.exactSubstringSpans(spark, sf0001)
       .select("doc_a", "doc_b").distinct().collect()
