@@ -112,6 +112,136 @@ object MediaCodec {
     buf.array()
   }
 
+  // --- real raster images: hand-rolled PNG writer + ImageIO decode ---
+
+  /** Pixel cap for [[decodeImage]]: a header claiming more pixels than
+    * this must not drive an allocation (the same hostile-header rule as
+    * [[MaxDim]], applied to the raster). 16 M pixels ≈ a 64 MB ARGB
+    * buffer — comfortably inside an executor task's budget. */
+  val MaxImagePixels: Long = 1L << 24
+
+  /** Closed-form dims of the synthesized image corpus ([[synthImage]]).
+    * Width is a multiple of 4 so BMP rows need no padding — then the
+    * decoded pixel-byte sum has the SAME closed form for both formats
+    * (the oracle's lever): Σ_{i<3wh} (doc_id + i) mod 256. */
+  def imgWidth(docId: Long): Int = 4 * (1 + (docId % 8).toInt)
+  def imgHeight(docId: Long): Int = 2 + ((docId * 5) % 14).toInt
+
+  /** Raster payload for a document: PNG for even ids (hand-rolled
+    * spec-conformant encoder — deliberately NOT ImageIO, so the
+    * ImageIO read in [[decodeImage]] is an independent code path), BMP
+    * for odd; every 17th truncated to 6 bytes (corrupt — must land on
+    * [[ImageFallback]]). Pixel bytes follow the same (seed + i) % 256
+    * ramp as [[synth]], in raster order, so pixel statistics are
+    * closed-form in doc_id. */
+  def synthImage(docId: Long): Array[Byte] = {
+    val w = imgWidth(docId)
+    val h = imgHeight(docId)
+    val full = if (docId % 2 == 0) png(w, h, docId) else bmp(w, h, docId)
+    if (docId % 17 == 0) full.take(6) else full
+  }
+
+  private def pngChunk(tag: String, data: Array[Byte]): Array[Byte] = {
+    val tagB = tag.getBytes(StandardCharsets.US_ASCII)
+    val out = ByteBuffer.allocate(12 + data.length) // PNG ints are BE
+    out.putInt(data.length).put(tagB).put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(tagB)
+    crc.update(data)
+    out.putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  /** Minimal spec-conformant PNG: 8-bit truecolor, no interlace, one
+    * IDAT, filter 0 on every scanline, zlib via `Deflater` (which emits
+    * the zlib wrapper PNG requires). The ramp indexes PIXEL bytes only
+    * — filter bytes don't consume it — so decoded values match
+    * (seed + i) % 256 in RGB raster order exactly. */
+  private[graft] def png(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte).put(2.toByte) // bit depth 8, color type 2 (RGB)
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+    val raw = new Array[Byte](h * (1 + w * 3))
+    var y = 0
+    var i = 0
+    while (y < h) {
+      val rowOff = y * (1 + w * 3) // leading filter byte stays 0
+      var k = 0
+      while (k < w * 3) {
+        raw(rowOff + 1 + k) = ((seed + i) % 256).toByte
+        i += 1; k += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    sig ++ pngChunk("IHDR", ihdr.array()) ++
+      pngChunk("IDAT", comp.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Decoded raster facts: detected format, dims, and the pixel-level
+    * statistic that proves the raster was actually decoded (a header
+    * parse alone cannot produce it). */
+  final case class ImageFacts(format: String, width: Int, height: Int,
+                              nPx: Long, pxMean: Double)
+
+  val ImageFallback: ImageFacts = ImageFacts("unknown", 0, 0, 0L, 0.0)
+
+  /** TOTAL raster decode via the JDK's `javax.imageio` (registers
+    * PNG/JPEG/GIF/TIFF/BMP readers — no external library): detected
+    * format, dimensions, and the mean over every channel value of
+    * every pixel, rounded half-up to 2 decimals. Corrupt or truncated
+    * payloads, unknown formats, and hostile headers (dims past
+    * [[MaxDim]] / rasters past [[MaxImagePixels]], refused BEFORE
+    * allocation) all land on [[ImageFallback]] — never a task
+    * failure. */
+  def decodeImage(bytes: Array[Byte]): ImageFacts = {
+    if (bytes == null || bytes.length < 8) return ImageFallback
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return ImageFallback
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim ||
+              w.toLong * h > MaxImagePixels) return ImageFallback
+          val img = reader.read(0)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          val n = 3L * w * h
+          ImageFacts(reader.getFormatName.toLowerCase, w, h, n,
+            BigDecimal(sum.toDouble / n)
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => ImageFallback
+    }
+  }
+
   // --- parsing -------------------------------------------------------
 
   /** Total header parse: PPM/BMP/WAV by magic, [[Fallback]] otherwise. */
