@@ -124,6 +124,7 @@ object SparkEntry {
     "q_profile_events"      -> (Sampling.profileEvents _),
     // --- multimodal plumbing --------------------------------------------
     "q_multimodal_features" -> (Multimodal.features _),
+    "q_media_image"         -> (Multimodal.mediaImage _),
     "q_media_decode"        -> (Multimodal.mediaDecode _),
     // --- SQL-registered operator surface (GraftExtensions) --------------
     // the curation gates run through spark.sql over the REGISTERED
@@ -1767,26 +1768,68 @@ object SparkEntry {
         |       round(list_max(list_transform(range(1, len(v) + 1),
         |             i -> abs(v[i] - dq[i]))), 4) AS qerr_max
         |FROM d ORDER BY vec_id""".stripMargin,
+    // Closed-form replay of MediaCodec.synthImage: payload pixel bytes
+    // follow (doc_id + i) % 256 in raster order and width is a multiple
+    // of 4 (no BMP row padding), so the decoded channel-value SUM over
+    // the raster — which only a real pixel decode can produce — is
+    // analytic in doc_id for BOTH formats. px_mean is exact integer
+    // half-up: (200*sum + n) // (2*n) cents.
+    "q_media_image" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(4 * (1 + doc_id % 8) AS INT) AS w,
+        |         CAST(2 + (doc_id * 5) % 14 AS INT) AS h,
+        |         doc_id % 17 = 0 AS trunc
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, w, h, trunc, 3 * w * h AS n,
+        |         CASE WHEN trunc THEN 0 ELSE
+        |           list_sum(list_transform(range(0, 3 * w * h),
+        |             i -> (doc_id + i) % 256)) END AS px_sum
+        |  FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END
+        |    AS claimed_format,
+        |  CASE WHEN trunc THEN 'unknown'
+        |       WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |  CAST(CASE WHEN trunc THEN 0 ELSE w END AS INT) AS width,
+        |  CAST(CASE WHEN trunc THEN 0 ELSE h END AS INT) AS height,
+        |  CAST(CASE WHEN trunc THEN 0 ELSE n END AS BIGINT) AS n_px,
+        |  CASE WHEN trunc THEN 0.0
+        |       ELSE ((200 * px_sum + n) // (2 * n)) / 100.0 END AS px_mean
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_multimodal_features" ->
-      s"""WITH m AS (
-         |  SELECT doc_id, 'fake/raw' AS format,
-         |         CAST((n_chars % 640) + 16 AS INT) AS width,
-         |         CAST((doc_id * 37) % 480 + 16 AS INT) AS height,
-         |         len(text) AS nb, text
-         |  FROM documents)
-         |SELECT doc_id, format, width, height,
-         |       CAST(nb AS BIGINT) AS n_bytes,
-         |       CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
-         |       CAST(ascii(substr(text, nb, 1)) AS INT) AS last_byte,
-         |       round(list_sum(list_transform(range(1, nb + 1),
-         |             i -> ascii(substr(text, i, 1)))) * 1.0 / nb, 2)
-         |         AS mean_byte,
-         |       CAST(greatest(floor(width * (${Multimodal.TargetDim}.0
-         |             / greatest(width, height))), 1) AS INT) AS rs_width,
-         |       CAST(greatest(floor(height * (${Multimodal.TargetDim}.0
-         |             / greatest(width, height))), 1) AS INT) AS rs_height,
-         |       CAST(least(nb // 100 + 1, 16) AS INT) AS n_frames
-         |FROM m ORDER BY doc_id""".stripMargin,
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CAST(4 * (1 + doc_id % 8) AS INT) AS w,
+         |         CAST(2 + (doc_id * 5) % 14 AS INT) AS h,
+         |         doc_id % 17 = 0 AS trunc
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, w, h, trunc, 3 * w * h AS n,
+         |         CASE WHEN trunc THEN 0 ELSE
+         |           list_sum(list_transform(range(0, 3 * w * h),
+         |             i -> (doc_id + i) % 256)) END AS px_sum
+         |  FROM d)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END
+         |    AS claimed_format,
+         |  CASE WHEN trunc THEN 'unknown'
+         |       WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+         |  CAST(CASE WHEN trunc THEN 0 ELSE w END AS INT) AS width,
+         |  CAST(CASE WHEN trunc THEN 0 ELSE h END AS INT) AS height,
+         |  CAST(CASE WHEN trunc THEN 0 ELSE n END AS BIGINT) AS n_px,
+         |  CASE WHEN trunc THEN 0.0
+         |       ELSE ((200 * px_sum + n) // (2 * n)) / 100.0 END AS px_mean,
+         |  CAST(CASE WHEN trunc THEN 0 ELSE
+         |    greatest(floor(w * (${Multimodal.TargetDim}.0
+         |      / greatest(w, h))), 1) END AS INT) AS rs_width,
+         |  CAST(CASE WHEN trunc THEN 0 ELSE
+         |    greatest(floor(h * (${Multimodal.TargetDim}.0
+         |      / greatest(w, h))), 1) END AS INT) AS rs_height,
+         |  CAST(CASE WHEN trunc THEN 0 ELSE least(n // 100 + 1, 16) END
+         |    AS INT) AS n_frames
+         |FROM s ORDER BY doc_id""".stripMargin,
     // Closed-form replay of MediaCodec.synth's parameters: the Spark
     // side SYNTHESIZES spec-conformant PPM/BMP/WAV bytes and PARSES
     // them back with independent code; the oracle states what a correct

@@ -231,10 +231,12 @@ object MediaCodec {
             }
             y += 1
           }
+          // Exact half-up to 2 decimals in integer arithmetic:
+          // floor(sum/n * 100 + 1/2) = (200*sum + n) / (2*n). sum ≤
+          // 255 * 3 * MaxImagePixels < 2^35, so 200*sum fits a Long.
           val n = 3L * w * h
           ImageFacts(reader.getFormatName.toLowerCase, w, h, n,
-            BigDecimal(sum.toDouble / n)
-              .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            ((200L * sum + n) / (2L * n)) / 100.0)
         } finally reader.dispose()
       } finally if (iis != null) iis.close()
     } catch {

@@ -8,15 +8,19 @@ import graft.sources.Tables
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed metadata, batched per-partition decode, and the arithmetic
   * transforms (resize, frame sampling) a media pipeline applies to
-  * metadata.
+  * decoded facts.
   *
-  * The byte-level decode is a STUB: a real deployment decodes
-  * image/audio bytes with native libs behind the same per-partition
+  * The byte-level decode is REAL: each document carries a synthesized
+  * spec-conformant raster payload (PNG written by [[MediaCodec.png]]'s
+  * hand-rolled encoder, BMP by [[MediaCodec]]'s writer; every 17th doc
+  * truncated) and [[decodeFeatures]] decodes the actual bytes with the
+  * JDK's independent `javax.imageio` readers behind a per-partition
   * batch boundary (mapPartitions here ≈ a Pandas-UDF/mapInPandas batch
-  * worker in PySpark). This container ships no media libraries, so the
-  * stub derives deterministic fake features from the raw bytes — the
-  * Spark-side contract (schema, binary columns, partition-batched
-  * decode, feature vector shape) is real and oracle-tested.
+  * worker in PySpark). Corrupt payloads land on the deterministic
+  * [[MediaCodec.ImageFallback]] — a poison payload never fails a task.
+  * Because the synthesized pixel ramp is closed-form in doc_id, the
+  * DuckDB oracle states the expected pixel statistics analytically:
+  * a bug in the writer OR the reader breaks the hash.
   *
   * Scale: everything here is a narrow map — no shuffle. Binary payloads
   * stay columnar (parquet binary), metadata travels in a struct so
@@ -26,23 +30,26 @@ object Multimodal {
 
   val TargetDim = 224 // resize box, longest side
 
-  /** documents → a media table: payload bytes + typed metadata struct.
-    * (Stand-in payload: utf-8 text bytes; real pipelines read image
-    * bytes — the column types are what matters.) */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
-      col("doc_id"),
-      encode(col("text"), "utf-8").as("media"),
-      struct(
-        lit("fake/raw").as("format"),
-        ((col("n_chars") % 640) + 16).cast("int").as("width"),
-        ((col("doc_id") * 37) % 480 + 16).cast("int").as("height"))
-        .as("meta"))
+  /** documents → a media table: real raster payload bytes + the typed
+    * CLAIMED metadata struct (what an upstream manifest would assert —
+    * [[decodeFeatures]] reports what the bytes actually contain). */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, MediaCodec.synthImage(id))))
+      .toDF("doc_id", "media")
+      .withColumn("meta", struct(
+        when(col("doc_id") % 2 === 0, "png").otherwise("bmp").as("format"),
+        (lit(4) * (col("doc_id") % 8 + 1)).cast("int").as("width"),
+        ((col("doc_id") * 5) % 14 + 2).cast("int").as("height")))
+  }
 
-  /** STUB decode: per-partition batch over the binary payload producing
-    * a fixed-shape feature row (n_bytes, first/last byte, mean byte).
-    * Replace the loop body with a real decoder (libjpeg/ffmpeg via FFI)
-    * without touching the operator shape. */
+  /** REAL decode: per-partition batch over the binary payload through
+    * [[MediaCodec.decodeImage]] (ImageIO — an independent code path
+    * from the synthesizing writers), producing the detected format,
+    * true dimensions, and the raster-level mean that proves pixels were
+    * actually decoded. Total: corrupt/truncated/hostile payloads map to
+    * [[MediaCodec.ImageFallback]], never a task failure. */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -50,44 +57,48 @@ object Multimodal {
       .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          // ??? real decode goes here; deterministic fake features:
-          var sum = 0L
-          var i = 0
-          while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
-          val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
-          (id, bytes.length.toLong,
-            if (bytes.isEmpty) 0 else bytes(0) & 0xff,
-            if (bytes.isEmpty) 0 else bytes(bytes.length - 1) & 0xff,
-            BigDecimal(mean).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-              .toDouble)
+          val f = MediaCodec.decodeImage(bytes)
+          (id, f.format, f.width, f.height, f.nPx, f.pxMean)
         }
       }
-      .toDF("doc_id", "n_bytes", "first_byte", "last_byte", "mean_byte")
+      .toDF("doc_id", "format", "width", "height", "n_px", "px_mean")
     media.join(decoded, "doc_id")
   }
 
-  /** Aspect-preserving resize of the metadata dims to fit TargetDim
+  /** Aspect-preserving resize of the DECODED dims to fit TargetDim
     * (longest side), plus a deterministic frame-sampling plan — pure
-    * column arithmetic, no decode needed. */
+    * column arithmetic over decode facts; fallback rows (0×0) resize
+    * to 0×0 and sample 0 frames. */
   def withTransforms(df: DataFrame): DataFrame = {
-    val w = col("meta.width").cast("double")
-    val h = col("meta.height").cast("double")
+    val w = col("width").cast("double")
+    val h = col("height").cast("double")
     val scale = lit(TargetDim.toDouble) / greatest(w, h)
+    val ok = col("width") > 0
     df.withColumn("rs_width",
-        greatest(floor(w * scale).cast("int"), lit(1)))
+        when(ok, greatest(floor(w * scale).cast("int"), lit(1)))
+          .otherwise(lit(0)))
       .withColumn("rs_height",
-        greatest(floor(h * scale).cast("int"), lit(1)))
+        when(ok, greatest(floor(h * scale).cast("int"), lit(1)))
+          .otherwise(lit(0)))
       .withColumn("n_frames",
-        least((col("n_bytes") / 100).cast("int") + 1, lit(16)))
+        when(ok, least((col("n_px") / 100).cast("int") + 1, lit(16)))
+          .otherwise(lit(0)))
   }
 
-  /** Oracle-checked entry: table → stub decode → transforms. */
+  /** Oracle-checked raster decode: table → real ImageIO decode. */
+  def mediaImage(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(mediaTable(spark, dir))
+      .select(col("doc_id"), col("meta.format").as("claimed_format"),
+        col("format"), col("width"), col("height"), col("n_px"),
+        col("px_mean"))
+      .orderBy("doc_id")
+
+  /** Oracle-checked entry: table → real decode → transforms. */
   def features(spark: SparkSession, dir: String): DataFrame =
     withTransforms(decodeFeatures(mediaTable(spark, dir)))
-      .select(col("doc_id"), col("meta.format").as("format"),
-        col("meta.width").as("width"), col("meta.height").as("height"),
-        col("n_bytes"), col("first_byte"), col("last_byte"),
-        col("mean_byte"), col("rs_width"), col("rs_height"), col("n_frames"))
+      .select(col("doc_id"), col("meta.format").as("claimed_format"),
+        col("format"), col("width"), col("height"), col("n_px"),
+        col("px_mean"), col("rs_width"), col("rs_height"), col("n_frames"))
       .orderBy("doc_id")
 
   /** REAL byte-level decode for the self-describing formats
