@@ -48,12 +48,32 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DeleteRe(root, sink, cond) =>
       delegate.parseExpression(cond) // fail fast on bad syntax at parse time
       GraftDeleteCommand(root, sink, cond)
-    case UpdateRe(root, sink, assignments, cond) =>
-      val set = splitAssignments(assignments)
+    case UpdateRe(root, sink, rest) =>
+      // SET / WHERE split by the top-level scanner, not a regex: a
+      // 'WHERE' inside a string literal or parens belongs to the SET
+      // expression (SET note = 'a where b' WHERE id = 1)
+      val wh = topLevelIndexOfWord(rest, "WHERE")
+      require(wh > 0,
+        s"GRAFT UPDATE needs a top-level WHERE clause: $sqlText")
+      val set = splitAssignments(rest.take(wh))
+      val cond = rest.drop(wh + 5).trim
       set.foreach { case (_, rhs) => delegate.parseExpression(rhs) }
       delegate.parseExpression(cond)
       GraftUpdateCommand(root, sink, set, cond)
-    case MergeRe(root, sink, query, keys, mode) =>
+    case MergeRe(root, sink, rest) =>
+      // the source query ends at the paren MATCHING the opening one
+      // (scanner is quote-aware — a literal ') ON x' inside the query
+      // cannot end it); what follows must be `ON keys [mode]`
+      val close = matchingParen(rest, 0)
+      require(close > 0,
+        s"GRAFT MERGE: unbalanced parens around the USING query: $sqlText")
+      val query = rest.substring(1, close)
+      val (keys, mode) = rest.substring(close + 1).trim match {
+        case MergeTailRe(ks, m) => (ks, m)
+        case tail => throw new IllegalArgumentException(
+          s"GRAFT MERGE: expected 'ON key[, …] [INSERT ONLY|UPDATE " +
+            s"ONLY]' after the USING query, got: $tail")
+      }
       delegate.parseQuery(query) // fail fast on bad source syntax
       GraftMergeCommand(root, sink, query,
         keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
@@ -88,12 +108,15 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s*;?\s*""".r
   private val DeleteRe =
     """(?is)\s*GRAFT\s+DELETE\s+'([^']+)'\s+SINK\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
+  // SET/WHERE and USING/ON splits happen in the quote- and paren-aware
+  // scanner (topLevelIndexOfWord / matchingParen), not here — a regex
+  // split would misfire on keywords inside string literals
   private val UpdateRe =
-    """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SINK\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
-  // source query parenthesized; keys are bare identifiers, so the
-  // greedy query capture is pinned by the final `) ON <idents>`
+    """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SINK\s+'([^']+)'\s+SET\s+(.+?)\s*;?\s*""".r
   private val MergeRe =
-    """(?is)\s*GRAFT\s+MERGE\s+'([^']+)'\s+SINK\s+'([^']+)'\s+USING\s+\((.+)\)\s+ON\s+([\w`"]+(?:\s*,\s*[\w`"]+)*)(?:\s+(INSERT\s+ONLY|UPDATE\s+ONLY))?\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+MERGE\s+'([^']+)'\s+SINK\s+'([^']+)'\s+USING\s+(\(.+?)\s*;?\s*""".r
+  private val MergeTailRe =
+    """(?is)ON\s+([\w`"]+(?:\s*,\s*[\w`"]+)*)(?:\s+(INSERT\s+ONLY|UPDATE\s+ONLY))?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
 
@@ -124,6 +147,49 @@ object GraftSqlParser {
     }
     out += s.substring(from)
     out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Index of the first TOP-LEVEL occurrence of keyword `word` (case-
+    * insensitive, word-bounded): occurrences inside string literals or
+    * parens don't count. -1 if absent. */
+  private[graft] def topLevelIndexOfWord(s: String, word: String): Int = {
+    val n = word.length
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case _ =>
+          if (!inStr && depth == 0 &&
+              s.regionMatches(true, i, word, 0, n) &&
+              (i == 0 || !isWordChar(s.charAt(i - 1))) &&
+              (i + n >= s.length || !isWordChar(s.charAt(i + n))))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Index of the paren closing the one at `open` (string literals
+    * skipped); -1 when unbalanced or `open` is not a '('. */
+  private[graft] def matchingParen(s: String, open: Int): Int = {
+    if (open >= s.length || s.charAt(open) != '(') return -1
+    var depth = 0; var inStr = false; var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
   }
 
   private def topLevelIndexOf(s: String, c: Char): Int = {

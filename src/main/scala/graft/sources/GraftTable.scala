@@ -440,11 +440,20 @@ object GraftTable {
     val added = vs.flatMap(v => v.files.filter(_.startsWith(sink + "/"))
       .map(f => f -> (if (v.removed.isEmpty) "insert" else "rewrite")))
     if (added.isEmpty) {
-      // schema'd empty frame: footer schema of the newest version that
-      // touched the sink (no partition columns — they live in directory
-      // names, and an empty range names no directories)
-      val schema = latestSchema(spark, root, sink)
-        .getOrElse(new StructType())
+      // schema'd empty frame, SAME schema as a non-empty poll: the
+      // snapshot's files under basePath give footer columns + partition
+      // columns + batch_id with the types partition discovery would
+      // infer (one footer read; paths parse without data I/O), so a
+      // consumer's `select hour` keeps resolving across empty and
+      // non-empty polls (Delta-CDF contract). A never-written sink
+      // falls back to the newest footer schema alone.
+      val snap = committedFiles(spark, root).filter(_.startsWith(sink + "/"))
+      val base =
+        if (snap.nonEmpty)
+          spark.read.option("basePath", s"$root/$sink")
+            .parquet(snap.map(f => s"$root/$f"): _*).schema
+        else latestSchema(spark, root, sink).getOrElse(new StructType())
+      val schema = base
         .add(ChangeTypeCol, org.apache.spark.sql.types.StringType,
           nullable = false)
       return spark.createDataFrame(
@@ -507,20 +516,15 @@ object GraftTable {
       .collect().map(r => toRel(r.getString(0))).toSeq.sorted
     if (affected.isEmpty) return None
     val newId = nextBatchId(spark, root)
-    // input_file_name() yields scheme-qualified URIs — compare on the
-    // same root-relative normalization used everywhere else
-    val affSet = affected.toSet
-    val rootU = rootUri
-    val isAffected = org.apache.spark.sql.functions.udf((f: String) =>
-      affSet.contains(new Path(f).toUri.getPath
-        .stripPrefix(rootU).stripPrefix("/")))
-    // the rewrite is re-assigned to batch_id=<newId>: replace the
-    // inferred batch_id partition column with the new id so the write
-    // below can re-derive the directory from it
-    val survivors = withF
-      .filter(isAffected(col("__file")))
+    // the rewrite reads ONLY the affected files — true scan pruning,
+    // not a per-row input_file_name() filter over the snapshot. The
+    // rewrite is re-assigned to batch_id=<newId>: replace the inferred
+    // batch_id partition column with the new id so the write below can
+    // re-derive the directory from it
+    val survivors = spark.read.option("basePath", s"$root/$sink")
+      .parquet(affected.map(f => s"$root/$f"): _*)
       .filter(!matched)
-      .drop("__file", "batch_id")
+      .drop("batch_id")
       .withColumn("batch_id", lit(newId))
     // recover the partition layout (key=value segments between sink/
     // and the filename, batch_id excluded — it is re-assigned)
@@ -588,14 +592,12 @@ object GraftTable {
       .collect().map(r => toRel(r.getString(0))).toSeq.sorted
     if (affected.isEmpty) return None
     val newId = nextBatchId(spark, root)
-    val affSet = affected.toSet
-    val rootU = rootUri
-    val isAffected = org.apache.spark.sql.functions.udf((f: String) =>
-      affSet.contains(new Path(f).toUri.getPath
-        .stripPrefix(rootU).stripPrefix("/")))
-    val affRows = withF.filter(isAffected(col("__file")))
+    // the rewrite reads ONLY the affected files — true scan pruning,
+    // not a per-row input_file_name() filter over the snapshot
+    val affRows = spark.read.option("basePath", s"$root/$sink")
+      .parquet(affected.map(f => s"$root/$f"): _*)
     val rewritten = affRows.select(
-      affRows.columns.filterNot(_ == "__file").map { c =>
+      affRows.columns.map { c =>
         set.get(c) match {
           case Some(e) => when(matched, e).otherwise(col(c)).as(c)
           case None => col(c)
@@ -625,52 +627,77 @@ object GraftTable {
 
   /** Copy-on-write MERGE — Delta's
     * `MERGE INTO sink USING source ON keys
-    *  WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
-    * shape, the verb a CDC-consuming pipeline uses most after DELETE.
-    * `source` must carry every sink data column (SET* / INSERT*
-    * semantics); matched target rows are REPLACED by their source
-    * version, unmatched source rows are appended, and only the files
-    * that contain matched target rows are rewritten — unmatched files
-    * are never touched. Everything lands in ONE atomic commit
-    * {added rewrites+inserts, removed originals}, so readers see the
-    * whole merge or none of it, concurrent writers arbitrate through
-    * [[publish]] (loser gets [[ConcurrentCommitException]] and
-    * retries), and [[readAsOf]] to a pre-merge version still sees the
-    * old rows.
+    *  WHEN MATCHED [AND cond] THEN DELETE
+    *  WHEN MATCHED THEN UPDATE SET *
+    *  WHEN NOT MATCHED [AND cond] THEN INSERT *`
+    * shape, the verb a CDC-consuming pipeline uses most. `source` must
+    * carry every sink data column (SET* / INSERT* semantics) and may
+    * carry extras (an op flag) the clause conditions reference; matched
+    * target rows are REPLACED by their source version — EVERY matched
+    * row, so N duplicate-key target rows become N copies of the source
+    * row (Delta's update-each-matched-row law; cardinality preserved) —
+    * matched rows whose source satisfies `deleteWhenMatched` are
+    * DELETED (the CDC tombstone), unmatched source rows satisfying
+    * `insertWhen` are appended, and only the files that contain
+    * affected target rows are rewritten. Everything lands in ONE
+    * atomic commit {added rewrites+inserts, removed originals}, so
+    * readers see the whole merge or none of it, concurrent writers
+    * arbitrate through [[publish]] (loser gets
+    * [[ConcurrentCommitException]] and retries), and [[readAsOf]] to a
+    * pre-merge version still sees the old rows.
     *
     * Delta's ambiguity law is enforced: two source rows sharing a merge
     * key abort (which row should win is undefined).
     *
+    * A merge into an EMPTY sink bootstraps it: every `insertWhen`
+    * source row is inserted, laid out under
+    * `sink/<bootstrapPartitionBy...>/batch_id=N` — pass the partition
+    * columns later appends will use, or the sink becomes a
+    * batch_id-only layout that a later partitioned append would break
+    * (Spark partition discovery rejects mixed layouts).
+    *
     * Returns the published version, or None when the merge would be a
-    * no-op (no matches to update and no rows to insert).
+    * no-op (no matches to update or delete and no rows to insert).
     *
     * Scale: the affected-file scan and the target-key scan are both
     * column-pruned to `keys` (+ file name); `source` is typically a
     * CDC micro-batch — broadcast-sized — so every join here broadcasts;
-    * the rewrite reads only affected files. */
+    * the rewrite re-reads ONLY the affected files (file pruning at the
+    * scan, not a per-row filename filter). */
   def merge(spark: SparkSession, root: String, sink: String,
             source: DataFrame, keys: Seq[String],
             updateWhenMatched: Boolean = true,
-            insertWhenNotMatched: Boolean = true): Option[Long] = {
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit}
+            insertWhenNotMatched: Boolean = true,
+            deleteWhenMatched: Option[org.apache.spark.sql.Column] = None,
+            insertWhen: Option[org.apache.spark.sql.Column] = None,
+            bootstrapPartitionBy: Seq[String] = Nil): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit}
     require(keys.nonEmpty, "MERGE needs at least one key column")
-    require(updateWhenMatched || insertWhenNotMatched,
-      "MERGE with neither UPDATE nor INSERT is a no-op by construction")
+    require(updateWhenMatched || insertWhenNotMatched ||
+      deleteWhenMatched.nonEmpty,
+      "MERGE with no UPDATE, INSERT, or DELETE clause is a no-op by " +
+        "construction")
     val (hfs, rootPath) = fs(spark, root)
     val snap = committedFiles(spark, root).filter(_.startsWith(sink + "/"))
     val rootUri = rootPath.toUri.getPath
     def toRel(abs: String): String =
       new Path(abs).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
 
-    // first write into an empty sink: every source row is an insert
+    // first write into an empty sink: every insert-eligible source row
+    // is an insert, laid out for the appends that will follow
     if (snap.isEmpty) {
-      if (!insertWhenNotMatched || source.isEmpty) return None
+      if (!insertWhenNotMatched) return None
+      val ins = insertWhen.map(c => source.filter(coalesce(c, lit(false))))
+        .getOrElse(source)
+      if (ins.isEmpty) return None
+      bootstrapPartitionBy.foreach(c => require(source.columns.contains(c),
+        s"bootstrap partition column '$c' is not a source column"))
       val newId = nextBatchId(spark, root)
-      source.withColumn("batch_id", lit(newId))
+      ins.withColumn("batch_id", lit(newId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .option("compression", "zstd")
-        .partitionBy("batch_id")
+        .partitionBy((bootstrapPartitionBy :+ "batch_id"): _*)
         .parquet(s"$root/$sink")
       val files = batchFiles(hfs, rootPath, newId)
       val log = new Path(rootPath, LogDir)
@@ -689,7 +716,15 @@ object GraftTable {
     dataCols.foreach(c => require(source.columns.contains(c),
       s"source is missing sink column '$c' (MERGE is SET* / INSERT* — " +
         "project the source onto the sink schema first)"))
-    val srcProj = source.select(dataCols.map(col): _*)
+    // clause conditions are evaluated against the FULL source row (they
+    // may reference op-flag columns outside the sink schema), then the
+    // row is projected onto the sink's data columns
+    val srcProj = source
+      .withColumn("__del",
+        coalesce(deleteWhenMatched.getOrElse(lit(false)), lit(false)))
+      .withColumn("__ins",
+        coalesce(insertWhen.getOrElse(lit(true)), lit(false)))
+      .select((dataCols.map(col) :+ col("__del") :+ col("__ins")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val dup = srcProj.groupBy(keys.map(col): _*)
@@ -699,35 +734,50 @@ object GraftTable {
         s"MERGE aborted: multiple source rows share the merge key " +
           s"${dup.headOption.map(_.toString).getOrElse("")} — which row " +
           "wins is undefined (Delta's ambiguity law)")
-      val srcKeys = srcProj.select(keys.map(col): _*).distinct()
       // column-pruned scans: only key columns (+ file name) leave the scan
       val targetKeys = target.select(keys.map(col): _*).distinct()
       val matchedSrc = srcProj.join(targetKeys, keys, "left_semi")
-      val insertedSrc = srcProj.join(targetKeys, keys, "left_anti")
+      // keys whose target rows this merge touches: every matched key
+      // when updating, only tombstone keys when delete is the sole
+      // matched clause
+      val affKeys = (if (updateWhenMatched) matchedSrc
+        else matchedSrc.filter(col("__del")))
+        .select(keys.map(col): _*).distinct()
+      val updSrc = matchedSrc.filter(!col("__del"))
+        .select(dataCols.map(col): _*)
+      val insertedSrc = srcProj.filter(col("__ins"))
+        .join(targetKeys, keys, "left_anti")
+        .select(dataCols.map(col): _*)
       val withF = target.withColumn("__file", input_file_name())
-      val affected =
-        if (updateWhenMatched)
-          withF.join(srcKeys, keys, "left_semi")
-            .select(col("__file")).distinct()
-            .collect().map(r => toRel(r.getString(0))).toSeq.sorted
-        else Nil
-      val nInserts =
-        if (insertWhenNotMatched) insertedSrc.count() else 0L
-      if (affected.isEmpty && nInserts == 0L) return None
+      val affected = withF.join(affKeys, keys, "left_semi")
+        .select(col("__file")).distinct()
+        .collect().map(r => toRel(r.getString(0))).toSeq.sorted
+      val anyInserts = insertWhenNotMatched && !insertedSrc.isEmpty
+      if (affected.isEmpty && !anyInserts) return None
 
       val newId = nextBatchId(spark, root)
-      val affSet = affected.toSet
-      val rootU = rootUri
-      val isAffected = org.apache.spark.sql.functions.udf((f: String) =>
-        affSet.contains(new Path(f).toUri.getPath
-          .stripPrefix(rootU).stripPrefix("/")))
-      // survivors: rows of affected files whose key has no source match
-      val survivors = withF.filter(isAffected(col("__file")))
-        .join(srcKeys, keys, "left_anti")
-        .select(dataCols.map(col): _*)
+      // the rewrite reads ONLY the affected files — true scan pruning,
+      // not a per-row input_file_name() filter over the snapshot
+      val affRows =
+        if (affected.isEmpty) null
+        else spark.read.option("basePath", s"$root/$sink")
+          .parquet(affected.map(f => s"$root/$f"): _*)
+      // survivors: affected-file rows whose key this merge doesn't touch
+      val survivors =
+        if (affected.isEmpty) null
+        else affRows.join(affKeys, keys, "left_anti")
+          .select(dataCols.map(col): _*)
+      // updates preserve target cardinality: one output row per matched
+      // TARGET row (source is unique per key — checked above), each
+      // replaced by its source version
+      val updatedTgt =
+        if (!updateWhenMatched || affected.isEmpty) null
+        else affRows.select(keys.map(col): _*)
+          .join(updSrc, keys, "inner")
+          .select(dataCols.map(col): _*)
       val pieces = Seq(
-        Some(survivors).filter(_ => affected.nonEmpty),
-        Some(matchedSrc).filter(_ => updateWhenMatched && affected.nonEmpty),
+        Option(survivors),
+        Option(updatedTgt),
         Some(insertedSrc).filter(_ => insertWhenNotMatched)).flatten
       val out = pieces.reduce(_.unionByName(_))
         .withColumn("batch_id", lit(newId))

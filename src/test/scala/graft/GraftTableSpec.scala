@@ -717,6 +717,14 @@ class GraftTableSpec extends AnyFunSuite {
     assert(empty.columns.contains("id") &&
       empty.columns.contains(GraftTable.ChangeTypeCol))
     assert(empty.select("id", GraftTable.ChangeTypeCol).count() == 0)
+    // …and the empty frame's schema is IDENTICAL to a non-empty poll's:
+    // partition columns and batch_id resolve on both (a consumer's
+    // `select hour` must not break only on quiet polls)
+    val nonEmpty = GraftTable.readChanges(spark, root, "docs", 2, 3)
+    assert(empty.schema == nonEmpty.schema,
+      s"empty ${empty.schema.treeString} vs ${nonEmpty.schema.treeString}")
+    assert(empty.columns.contains("hour") && empty.columns.contains("batch_id"))
+    assert(empty.select("year", "hour", "batch_id").count() == 0)
     // the SQL face carries the tag too
     assert(spark.sql(
       s"SELECT ${GraftTable.ChangeTypeCol} FROM " +
