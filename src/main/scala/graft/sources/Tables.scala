@@ -26,18 +26,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as raw INT64 (legacy conf, dynamic) and
-    * rebuild `ts` as TIMESTAMP_NTZ at microsecond precision — integer
-    * `div` so no double-precision loss on ~1.7e18 nanos. NTZ matches what
-    * DuckDB (the oracle) sees for the same file, and keeps parquet output
-    * of `ts` byte-comparable (isAdjustedToUTC=false).
+  /** `events.parquet` has shipped with `ts` as TIMESTAMP(NANOS) in some
+    * generator versions and TIMESTAMP(MICROS) in others, both
+    * isAdjustedToUTC=false. Normalize to TIMESTAMP_NTZ at microsecond
+    * precision whatever the footer says:
+    *  - NANOS: Spark's vectorized reader rejects it, so read as raw
+    *    INT64 (legacy conf, dynamic) and rebuild via integer `div` —
+    *    no double-precision loss on ~1.7e18 nanos;
+    *  - MICROS: the reader infers TIMESTAMP_NTZ directly (or
+    *    TimestampType if NTZ inference is off — cast keeps the wall
+    *    clock under the UTC session).
+    * NTZ matches what DuckDB (the oracle) sees for the same file, and
+    * keeps parquet output of `ts` byte-comparable.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events").withColumn(
-      "ts", org.apache.spark.sql.functions.expr(
-        "cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn(
+        "ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case TimestampNTZType => raw
+      case TimestampType =>
+        raw.withColumn("ts", col("ts").cast(TimestampNTZType))
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected parquet type $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

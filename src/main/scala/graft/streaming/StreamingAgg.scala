@@ -18,13 +18,38 @@ object StreamingAgg {
 
   private val runId = new AtomicInteger(0)
 
-  /** events schema with `ts` as raw nanos (the parquet carries
-    * TIMESTAMP(NANOS) — the stream reader takes it as long, see
-    * graft.sources.Tables.events). */
-  private val eventsLongSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** events schema with `ts` as `tsType` — the generator has shipped
+    * both TIMESTAMP(NANOS) (read as raw long under the legacy conf, see
+    * graft.sources.Tables.events) and TIMESTAMP(MICROS) (read as NTZ). */
+  private def eventsSchema(tsType: org.apache.spark.sql.types.DataType) =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** A stream reader must declare its schema up front, so probe the
+    * footer of whatever is already staged (one batch-metadata read, no
+    * scan) to learn which `ts` flavor this directory carries. Returns
+    * (declared schema, expression rebuilding `ts` as TimestampType
+    * micros — event-time columns must be TimestampType for the
+    * watermark; the UTC session keeps the wall clock identical to the
+    * NTZ batch view). Empty/unreadable dir → the MICROS flavor, the
+    * current generator's canonical output. */
+  private def probeEvents(spark: SparkSession, dir: String,
+                          glob: Option[String]): (StructType, String) = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val probed = scala.util.Try {
+      val r = spark.read
+      glob.foreach(g => r.option("pathGlobFilter", g))
+      r.parquet(dir).schema("ts").dataType
+    }.getOrElse(TimestampNTZType)
+    probed match {
+      case LongType =>
+        (eventsSchema(LongType), "timestamp_micros(ts div 1000)")
+      case _ =>
+        (eventsSchema(TimestampNTZType), "cast(ts as timestamp)")
+    }
+  }
 
   /** Hourly windowed aggregate via an actual streaming query (memory
     * sink, AvailableNow trigger → runs to completion synchronously).
@@ -32,13 +57,14 @@ object StreamingAgg {
     * what the DuckDB oracle asserts.
     */
   def hourlyWindow(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (srcSchema, tsExpr) =
+      probeEvents(spark, dir, Some("events.parquet"))
     val name = s"graft_stream_hourly_${runId.incrementAndGet()}"
     val stream = spark.readStream
-      .schema(eventsLongSchema)
+      .schema(srcSchema)
       .option("pathGlobFilter", "events.parquet") // dir holds all tables
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(tsExpr))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -90,12 +116,12 @@ object StreamingAgg {
                           maxFilesPerTrigger: Int = 1,
                           availableNow: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (schema, tsExpr) = probeEvents(spark, srcDir, None)
     val agg = spark.readStream
-      .schema(eventsLongSchema)
+      .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", expr(tsExpr))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),

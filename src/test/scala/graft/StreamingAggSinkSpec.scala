@@ -20,10 +20,10 @@ class StreamingAggSinkSpec extends AnyFunSuite {
     val ckpt = Files.createTempDirectory("graft-agg-ckpt").toString
 
     // stage the first 6 days as one file per day (increasing mtimes) so
-    // the stream's watermark advances day by day
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sf0001/events.parquet") // ts = raw nanos
-      .withColumn("__day", dayofmonth(expr("timestamp_micros(ts div 1000)")))
+    // the stream's watermark advances day by day; Tables.events
+    // normalizes whichever ts flavor (nanos/micros) the generator wrote
+    val raw = graft.sources.Tables.events(spark, sf0001)
+      .withColumn("__day", dayofmonth(col("ts")))
       .filter(col("__day") <= 6)
     val days = raw.select("__day").distinct()
       .collect().map(_.getInt(0)).sorted
@@ -40,12 +40,12 @@ class StreamingAggSinkSpec extends AnyFunSuite {
 
     // batch-computed truth over the same staged input
     val ev = raw.drop("__day")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val expected = ev
       .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("total_value"))
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val maxTs = ev.agg(max(col("ts")).cast("timestamp"))
+      .head().getTimestamp(0)
 
     val emitted = spark.read.parquet(out)
     assert(emitted.count() > 0, "no finalized hours were written")
