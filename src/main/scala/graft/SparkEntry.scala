@@ -126,6 +126,9 @@ object SparkEntry {
     "q_multimodal_features" -> (Multimodal.features _),
     "q_media_image"         -> (Multimodal.mediaImage _),
     "q_media_decode"        -> (Multimodal.mediaDecode _),
+    // --- table-format verbs (scratch log-tracked table, end-to-end) -----
+    "q_table_merge"         -> (TableVerbs.mergeFinalState _),
+    "q_table_changes"       -> (TableVerbs.changeFeed _),
     // --- SQL-registered operator surface (GraftExtensions) --------------
     // the curation gates run through spark.sql over the REGISTERED
     // functions — proves the SQL-first path end-to-end in the oracle gate
@@ -1798,6 +1801,10 @@ object SparkEntry {
         |  CASE WHEN trunc THEN 0.0
         |       ELSE ((200 * px_sum + n) // (2 * n)) / 100.0 END AS px_mean
         |FROM s ORDER BY doc_id""".stripMargin,
+    // table verbs: the oracle derives what UPDATE/MERGE/DELETE/COMPACT/
+    // change-feed MUST produce, relationally from `documents` alone
+    "q_table_merge" -> operators.TableVerbs.mergeFinalStateOracle,
+    "q_table_changes" -> operators.TableVerbs.changeFeedOracle,
     "q_multimodal_features" ->
       s"""WITH d AS (
          |  SELECT doc_id,

@@ -1,0 +1,157 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftTable, Tables}
+
+/** End-to-end exercises of the table format's row-level verbs, shaped as
+  * oracle-checkable queries: each builds a scratch log-tracked table
+  * from the `documents` parquet, drives UPDATE / MERGE (upsert +
+  * tombstone) / DELETE / COMPACT / change-feed against it, and returns
+  * the resulting state as a deterministic DataFrame whose expected value
+  * is computable relationally from `documents` alone (the DuckDB oracle
+  * never sees the scratch table — it derives what the verbs MUST
+  * produce).
+  *
+  * This puts the copy-on-write machinery in [[graft.sources.GraftTable]]
+  * under the driver's hash-compare gate, not just ScalaTest: a wrong
+  * survivor set, a dropped tombstone, a double-counted rewrite, or a
+  * compaction that loses rows all surface as an oracle mismatch.
+  *
+  * The reference keeps no mutable table state (it rotates immutable
+  * DuckDB files — /root/reference/main.go:255); these verbs are part of
+  * the training-pipeline extension (Delta/Iceberg-class maintenance on
+  * corpus tables).
+  */
+object TableVerbs {
+
+  /** q_table_merge: base append → UPDATE WHERE → MERGE with all three
+    * clauses (matched-update, matched-delete tombstones, not-matched
+    * insert) → final state.
+    *
+    * Source-row derivation (disjoint by construction, so Delta's
+    * ambiguity law can't trip):
+    *  - updates:  doc_id % 10 == 0 and doc_id % 7 != 3 → n_chars + 1000
+    *  - deletes:  doc_id % 7 == 3 (op flag drives deleteWhenMatched)
+    *  - inserts:  doc_id % 13 == 0 re-keyed to doc_id + 1000000
+    * The earlier UPDATE relabels source 'src3' rows with doc_id % 5 == 0;
+    * merge-updated rows overwrite that relabel (source version wins),
+    * surviving rows keep it — both arms are oracle-visible.
+    */
+  def mergeFinalState(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-tv-merge").toString
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+    docs.write.parquet(s"$root/docs/batch_id=0")
+    GraftTable.commit(spark, root, 0)
+
+    GraftTable.updateWhere(spark, root, "docs",
+      col("source") === "src3" && col("doc_id") % 5 === 0,
+      Map("source" -> lit("src3_archive")))
+
+    val updates = docs
+      .filter(col("doc_id") % 10 === 0 && col("doc_id") % 7 =!= 3)
+      .withColumn("n_chars", col("n_chars") + 1000)
+      .withColumn("op", lit("u"))
+    val deletes = docs
+      .filter(col("doc_id") % 7 === 3)
+      .withColumn("op", lit("d"))
+    val inserts = docs
+      .filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        lit("xx").as("lang"), lit("synthetic").as("source"),
+        col("doc_id").as("n_chars"))
+      .withColumn("op", lit("i"))
+    GraftTable.merge(spark, root, "docs",
+      updates.unionByName(deletes).unionByName(inserts),
+      keys = Seq("doc_id"),
+      deleteWhenMatched = Some(col("op") === "d"))
+
+    GraftTable.read(spark, root, "docs")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** The DuckDB twin of [[mergeFinalState]]'s end state. */
+  val mergeFinalStateOracle: String =
+    """WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
+      |upd AS (SELECT doc_id, lang,
+      |          CASE WHEN source = 'src3' AND doc_id % 5 = 0
+      |               THEN 'src3_archive' ELSE source END AS source,
+      |          n_chars
+      |        FROM base),
+      |src_u AS (SELECT doc_id, lang, source, n_chars + 1000 AS n_chars
+      |          FROM base WHERE doc_id % 10 = 0 AND doc_id % 7 <> 3),
+      |src_i AS (SELECT doc_id + 1000000 AS doc_id, 'xx' AS lang,
+      |                 'synthetic' AS source, doc_id AS n_chars
+      |          FROM base WHERE doc_id % 13 = 0)
+      |SELECT doc_id, lang, source, n_chars FROM upd
+      |WHERE doc_id % 7 <> 3
+      |  AND doc_id NOT IN (SELECT doc_id FROM src_u)
+      |UNION ALL SELECT * FROM src_u
+      |UNION ALL SELECT * FROM src_i
+      |ORDER BY doc_id""".stripMargin
+
+  /** q_table_changes: two lang-partitioned appends → row-level DELETE →
+    * COMPACT → full typed change feed.
+    *
+    * Appends split by doc_id parity and are repartitioned on `lang`
+    * before the write, so each `lang=X/batch_id=N` directory holds
+    * exactly ONE file — which makes "the files DELETE rewrites"
+    * (and therefore the rewrite rows the feed must surface) a pure
+    * function of the data: a (lang, parity) group is affected iff it
+    * contains a matching row. The feed then contains, per the CDF
+    * contract ([[GraftTable.readChanges]]):
+    *  - every row once as `insert` (the two appends),
+    *  - the delete's survivors-in-affected-files as `rewrite`,
+    *  - the whole post-delete state again as `rewrite` (compaction
+    *    bin-packs every one of these small files).
+    */
+  def changeFeed(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-tv-cdf").toString
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+    Seq(0L, 1L).foreach { b =>
+      docs.filter(col("doc_id") % 2 === b)
+        .withColumn("batch_id", lit(b))
+        .repartition(col("lang"))
+        .write.mode("append")
+        .partitionBy("lang", "batch_id")
+        .parquet(s"$root/docs")
+      GraftTable.commit(spark, root, b)
+    }
+
+    GraftTable.deleteWhere(spark, root, "docs",
+      col("lang") === "de" && col("doc_id") % 3 === 0)
+    GraftTable.compact(spark, root, "docs")
+
+    GraftTable.readChanges(spark, root, "docs", afterVersion = -1L)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col(GraftTable.ChangeTypeCol))
+      .orderBy("doc_id", GraftTable.ChangeTypeCol)
+  }
+
+  /** The DuckDB twin of [[changeFeed]]'s feed contents. */
+  val changeFeedOracle: String =
+    """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+      |aff AS (SELECT DISTINCT lang, doc_id % 2 AS par FROM base
+      |        WHERE lang = 'de' AND doc_id % 3 = 0),
+      |ins AS (SELECT doc_id, lang, n_chars, 'insert' AS _change_type
+      |        FROM base),
+      |surv AS (SELECT b.doc_id, b.lang, b.n_chars,
+      |                'rewrite' AS _change_type
+      |         FROM base b JOIN aff a
+      |           ON b.lang = a.lang AND b.doc_id % 2 = a.par
+      |         WHERE NOT (b.lang = 'de' AND b.doc_id % 3 = 0)),
+      |comp AS (SELECT doc_id, lang, n_chars, 'rewrite' AS _change_type
+      |         FROM base WHERE NOT (lang = 'de' AND doc_id % 3 = 0))
+      |SELECT * FROM ins
+      |UNION ALL SELECT * FROM surv
+      |UNION ALL SELECT * FROM comp
+      |ORDER BY doc_id, _change_type""".stripMargin
+}

@@ -630,6 +630,59 @@ class GraftTableSpec extends AnyFunSuite {
       "insert-only: new key appended, matched key untouched")
   }
 
+  test("merge with WHEN MATCHED DELETE: upsert + tombstone + insert in " +
+       "ONE atomic commit, time travel intact") {
+    val root = Files.createTempDirectory("gt-merge-del").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    (1L to 10L).map(i => (i, s"old $i")).toDF("id", "text")
+      .write.parquet(s"$root/docs/batch_id=0")
+    GraftTable.commit(spark, root, 0)
+
+    // one CDC micro-batch: update 2, tombstone 3 and 7, insert 11 —
+    // an op column outside the sink schema drives the clause conditions
+    val src = Seq(
+      (2L, "new 2", "u"), (3L, "gone", "d"), (7L, "gone", "d"),
+      (11L, "new 11", "i"))
+      .toDF("id", "text", "op")
+    val v = GraftTable.merge(spark, root, "docs", src, Seq("id"),
+      deleteWhenMatched = Some(col("op") === "d"))
+    assert(v.contains(1L))
+
+    val after = GraftTable.read(spark, root, "docs")
+      .select("id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(after.size == 9, s"10 - 2 deleted + 1 inserted, got $after")
+    assert(!after.contains(3L) && !after.contains(7L),
+      "tombstoned rows removed")
+    assert(after(2L) == "new 2", "matched non-delete row updated")
+    assert(after(11L) == "new 11", "unmatched source row inserted")
+    assert((Seq(1L, 4L, 5L, 6L, 8L, 9L, 10L)).forall(i =>
+      after(i) == s"old $i"), "survivors carried over")
+    // ONE version holds the whole merge; time travel sees the old rows
+    assert(GraftTable.versions(spark, root) == Seq(0L, 1L))
+    assert(GraftTable.readAsOf(spark, root, "docs", 0).count() == 10)
+    assert(GraftTable.readAsOf(spark, root, "docs", 0)
+      .filter(col("id") === 3L).count() == 1)
+
+    // a delete-only merge against untouched keys publishes nothing
+    assert(GraftTable.merge(spark, root, "docs",
+      Seq((99L, "x", "d")).toDF("id", "text", "op"), Seq("id"),
+      updateWhenMatched = false, insertWhenNotMatched = false,
+      deleteWhenMatched = Some(col("op") === "d")).isEmpty)
+
+    // insertWhen gates which unmatched source rows append
+    val v2 = GraftTable.merge(spark, root, "docs",
+      Seq((21L, "in", "i"), (22L, "skip", "s")).toDF("id", "text", "op"),
+      Seq("id"), updateWhenMatched = false,
+      insertWhen = Some(col("op") === "i"))
+    assert(v2.contains(2L))
+    val ids = GraftTable.read(spark, root, "docs")
+      .select("id").as[Long].collect().toSet
+    assert(ids.contains(21L) && !ids.contains(22L),
+      "insertWhen must gate the not-matched inserts")
+  }
+
   test("merge into an empty sink inserts everything; GRAFT MERGE/UPDATE " +
        "run as SQL") {
     val root = Files.createTempDirectory("gt-merge-sql").toString
