@@ -85,8 +85,15 @@ object Corpus {
   val MinDistinctStopwords = 2
 
   /** The Gopher-gate formula as one struct-valued Column. */
-  def gopherCol(text: Column): Column = {
-    val ts = tokens(text)
+  def gopherCol(text: Column): Column = gopherFromTokens(tokens(text))
+
+  /** Gate math over an ALREADY-TOKENIZED column. Callers that tokenize
+    * once and reuse the array must use this form: codegen's
+    * subexpression elimination does not reach inside higher-order
+    * functions, so passing `tokens(expensive_chain)` to the struct
+    * below re-evaluates the full chain per lambda (measured ~4× the
+    * per-row cost in corpusBuild). */
+  def gopherFromTokens(ts: Column): Column = {
     val n = size(ts)
     val meanLen = round(
       aggregate(transform(ts, t => length(t)), lit(0), (a, x) => a + x)
@@ -388,9 +395,12 @@ object Corpus {
     import org.apache.spark.sql.GraftColumnBridge
     val nfc = GraftColumnBridge.column(
       graft.functions.NfcNormalize(GraftColumnBridge.expression(text)))
-    val noTags = regexp_replace(nfc, "<[^>]*>", " ")
-    val noCtl = regexp_replace(noTags, "[\\x00-\\x1f\\x7f]", " ")
-    trim(regexp_replace(noCtl, " +", " "))
+    // tags and control chars fuse into one alternation — the patterns
+    // can't produce different results sequenced vs fused (a control
+    // char inside a tag is consumed by the tag arm either way), and one
+    // regex pass over the document beats two
+    val cleaned = regexp_replace(nfc, "<[^>]*>|[\\x00-\\x1f\\x7f]", " ")
+    trim(regexp_replace(cleaned, " +", " "))
   }
 
   /** End-to-end corpus construction — the whole curation pipeline a
@@ -426,19 +436,37 @@ object Corpus {
   def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
     val messy = withSyntheticMess(col("text"), col("doc_id"))
     val withPii = withSyntheticPii(normalizeTextCol(messy), col("doc_id"))
-    // single-consumer lineage (normalize→gate→window-dedup→anti-join):
-    // everything fuses into ONE corpus pass + the dedup shuffle, so no
-    // intermediate frame is cached — a persist here would cost a full
-    // extra materialization pass for nothing
+    val t = piiRedactCol(withPii).getField("redacted")
+    // Two stacked projections evaluate the normalize→redact chain and
+    // the tokenizer exactly ONCE each: P1 materializes the token array
+    // (and the content hash — plain expressions, so codegen CSE shares
+    // the chain between them), P2 derives the gate and token count from
+    // the ARRAY column. This split is deliberate: subexpression
+    // elimination does not reach inside higher-order functions, so a
+    // single projection computing gopher(tokens(chain)) re-evaluates
+    // the full chain per lambda (~4× the per-row cost, measured);
+    // CollapseProject keeps the split because `ts` is non-cheap and
+    // referenced many times. The window's shuffle then carries four
+    // scalar columns, not document text.
     val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), piiRedactCol(withPii).getField("redacted").as("t"))
-    val gated = base.filter(
-      coalesce(gopherCol(col("t")).getField("gopher_pass"), lit(false)))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("h")).orderBy(col("doc_id"))
-    val kept = gated.withColumn("h", md5(col("t")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("t"), col("h"))
+      .select(col("doc_id"), md5(t).as("h"), tokens(t).as("ts"))
+      .select(col("doc_id"), col("h"),
+        coalesce(gopherFromTokens(col("ts")).getField("gopher_pass"),
+          lit(false)).as("gp"),
+        size(col("ts")).as("n_words"))
+    // keep-lowest-doc_id dedup as a HASH AGGREGATE, not a window:
+    // partial aggregation combines map-side (the shuffle moves distinct
+    // hashes per partition, no per-group sort), and `gp`/`n_words` are
+    // constant within an `h` group (h = md5 of the full text), so
+    // `first` over the group is deterministic. The gate commutes with
+    // the dedup for the same reason — filtering the aggregated row
+    // keeps exactly the rows gate-then-dedup would, while reading a
+    // materialized boolean instead of re-deriving the gate.
+    val kept = base.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        first(col("gp")).as("gp"),
+        first(col("n_words")).as("n_words"))
+      .filter(col("gp") && col("doc_id") % Dedup.EvalStride =!= 0)
     // contamination runs against the RAW corpus text through the
     // memoized [[Dedup.contamCounts]] frame — benchmark suites are
     // compared against text as crawled (decontamination precedes the
@@ -448,11 +476,10 @@ object Corpus {
     val contaminated = Dedup.contamCounts(spark, dir)
       .filter(col("n_shared") >= BuildContamOverlap)
       .select("doc_id")
-    kept.filter(col("doc_id") % Dedup.EvalStride =!= 0)
-      .join(contaminated, Seq("doc_id"), "left_anti")
+    kept.join(contaminated, Seq("doc_id"), "left_anti")
       .select(col("doc_id"),
         splitCol(col("doc_id")).getField("split").as("split"),
-        size(tokens(col("t"))).as("n_words"),
+        col("n_words"),
         col("h").as("content_hash"))
       .orderBy("doc_id")
   }

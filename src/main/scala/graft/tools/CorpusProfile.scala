@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.operators.{Corpus, Dedup}
+import graft.sources.Tables
+
+/** Scratch profiler for the corpusBuild composite (dev tool): times each
+  * sub-plan in isolation so the fusion work targets the real cost. */
+object CorpusProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.create(32, "corpus-profile")
+
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $name%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // warmup
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    time("docs count")(Tables.documents(spark, dir).count())
+
+    time("contamCounts cold")(Dedup.contamCounts(spark, dir).count())
+    time("contamCounts warm")(Dedup.contamCounts(spark, dir).count())
+
+    val messy = Corpus.withSyntheticMess(col("text"), col("doc_id"))
+    val norm = Corpus.normalizeTextCol(messy)
+    val withPii = Corpus.withSyntheticPii(norm, col("doc_id"))
+    time("scan+mess+normalize")(
+      Tables.documents(spark, dir).select(col("doc_id"), norm.as("t"))
+        .agg(sum(length(col("t")))).collect())
+    time("  +pii redact")(
+      Tables.documents(spark, dir).select(col("doc_id"),
+          Corpus.piiRedactCol(withPii).getField("redacted").as("t"))
+        .agg(sum(length(col("t")))).collect())
+    val base = Tables.documents(spark, dir).select(col("doc_id"),
+      Corpus.piiRedactCol(withPii).getField("redacted").as("t"))
+    time("  +gopher gate")(
+      base.filter(coalesce(Corpus.gopherCol(col("t"))
+        .getField("gopher_pass"), lit(false))).count())
+    val gated = base.filter(coalesce(Corpus.gopherCol(col("t"))
+      .getField("gopher_pass"), lit(false)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h")).orderBy(col("doc_id"))
+    time("  +window dedup")(
+      gated.withColumn("h", md5(col("t")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .count())
+    time("full corpusBuild (warm contam)")(
+      Corpus.corpusBuild(spark, dir).count())
+    time("full corpusBuild again")(
+      Corpus.corpusBuild(spark, dir).count())
+
+    spark.stop()
+  }
+}
