@@ -479,53 +479,119 @@ object Similarity {
       .orderBy("vec_id")
 
   /** Final k-means assignment WITH the vector attached — the frame
-    * [[semanticDedup]] builds its pair join from (no corpus re-join). */
+    * [[semanticDedup]] builds its pair join from (no corpus re-join).
+    * Reads the memo's PERSISTED corpus, so the final assignment and
+    * every later consumer (`sim_kmeans` after `dedup_semantic`, SQL
+    * calls) skip the parquet scan+decode the training already paid. */
   private def kmeansAssignedWithV(spark: SparkSession, dir: String)
       : DataFrame = {
-    import spark.implicits._
-    val e = corpus(spark, dir).select(col("vec_id"), col("v"))
-      .as[(Long, Array[Double])]
-    assignPass(e, trainedCents(spark, dir)).toDF("vec_id", "cluster", "v")
+    val (cents, e) = trainedModel(spark, dir)
+    assignPass(e, cents).toDF("vec_id", "cluster", "v")
   }
 
   /** The Lloyd training loop, memoized per (session, corpus dir): the
-    * K×dims centroid block is the model; `sim_kmeans` and
+    * K×dims centroid block is the model, kept together with the
+    * persisted typed corpus it was trained on. `sim_kmeans` and
     * `semanticDedup` (and any SQL consumer) share one training run per
-    * session instead of re-collecting the iteration means each. */
-  private def trainedCents(spark: SparkSession, dir: String)
-      : Array[Array[Double]] = centsMemo.synchronized {
-    centsMemo.getOrElseUpdate((spark, dir), {
-      import spark.implicits._
-      val e = corpus(spark, dir).select(col("vec_id"), col("v"))
-        .as[(Long, Array[Double])]
-        // the training loop reads the corpus iters+1 times (init + one
-        // assignment per round) — cache it for the loop's duration
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val k = kFor(Tables.rowCount(spark, dir, "embeddings"))
-        var cents: Array[Array[Double]] =
-          e.orderBy(col("vec_id")).limit(k).collect().map(_._2)
-        for (_ <- 0 until KmeansIters) {
-          val means = assignPass(e, cents)
-            .groupByKey(_._2.toLong).mapValues(_._3)
-            .agg(new VectorOps.VecMean(Dims).toColumn.name("cv"))
-            .collect().toMap
-          cents = cents.indices.toArray.map { cid =>
-            means.get(cid.toLong)
-              .map(_.map(VectorOps.roundAt(_, 6)))
-              .getOrElse(cents(cid)) // empty cluster keeps its centroid
-          }
+    * session instead of re-collecting the iteration means each — and
+    * share the cached corpus instead of re-decoding the parquet. The
+    * cache lives as long as the memo entry ([[clearCentsMemo]]
+    * unpersists); it is the corpus' embedding block, the working set
+    * any ANN/clustering service pins anyway. */
+  private def trainedModel(spark: SparkSession, dir: String)
+      : (Array[Array[Double]], Dataset[(Long, Array[Double])]) =
+    centsMemo.synchronized {
+      centsMemo.getOrElseUpdate((spark, dir), {
+        import spark.implicits._
+        val e = corpus(spark, dir).select(col("vec_id"), col("v"))
+          .as[(Long, Array[Double])]
+          // training reads the corpus iters+1 times (init + one
+          // assignment per round), then the final assignment and every
+          // downstream consumer read it again — persist for the memo's
+          // lifetime
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = Tables.rowCount(spark, dir, "embeddings")
+        val k = kFor(n)
+        val cents =
+          if (n * Dims <= DriverKmeansMaxCells) trainDriverSide(e, k)
+          else trainDistributed(e, k)
+        (cents, e)
+      })
+    }
+
+  /** Embedding-block size (rows × dims) under which Lloyd trains
+    * driver-side on ONE collected copy — the adaptive driver/
+    * distributed split this engine already applies to BPE training and
+    * cluster union-find. 2²² doubles = 32 MB: far below driver heap,
+    * far above every test SF; a 100 TB corpus takes the distributed
+    * branch. Training is iters+2 tiny Spark jobs either way the
+    * distributed route — on a small block the job-scheduling floors
+    * cost 5× the arithmetic, so the driver loop replaces them with one
+    * collect. Both branches share the same centroid math
+    * ([[VectorOps.dist2]] rounded at 6, strict-< ties, mean rounded at
+    * 6, empty clusters keep their centroid), so the trained model — and
+    * every oracle-checked consumer — is branch-invariant. */
+  val DriverKmeansMaxCells: Long = 1L << 22
+
+  private def trainDriverSide(e: Dataset[(Long, Array[Double])], k: Int)
+      : Array[Array[Double]] = {
+    // one job: materializes the memo's cache AND hands training its
+    // working copy; vec_id order fixes the fp-summation order
+    val vs = e.collect().sortBy(_._1)
+    var cents: Array[Array[Double]] = vs.take(k).map(_._2)
+    for (_ <- 0 until KmeansIters) {
+      val sums = Array.fill(cents.length)(new Array[Double](Dims))
+      val cnts = new Array[Long](cents.length)
+      vs.foreach { case (_, v) =>
+        var best = 0
+        var bd = Double.MaxValue
+        var c = 0
+        while (c < cents.length) {
+          val d = VectorOps.roundAt(VectorOps.dist2(v, cents(c)), 6)
+          if (d < bd) { bd = d; best = c } // strict < : ties keep lowest
+          c += 1
         }
-        cents
-      } finally e.unpersist(blocking = false)
-    })
+        var i = 0
+        while (i < Dims) { sums(best)(i) += v(i); i += 1 }
+        cnts(best) += 1
+      }
+      cents = cents.indices.toArray.map { cid =>
+        if (cnts(cid) == 0) cents(cid) // empty cluster keeps its centroid
+        else Array.tabulate(Dims)(i =>
+          VectorOps.roundAt(sums(cid)(i) / cnts(cid), 6))
+      }
+    }
+    cents
   }
 
-  private val centsMemo = scala.collection.mutable
-    .Map.empty[(SparkSession, String), Array[Array[Double]]]
+  private def trainDistributed(e: Dataset[(Long, Array[Double])], k: Int)
+      : Array[Array[Double]] = {
+    import e.sparkSession.implicits._
+    var cents: Array[Array[Double]] =
+      e.orderBy(col("vec_id")).limit(k).collect().map(_._2)
+    for (_ <- 0 until KmeansIters) {
+      val means = assignPass(e, cents)
+        .groupByKey(_._2.toLong).mapValues(_._3)
+        .agg(new VectorOps.VecMean(Dims).toColumn.name("cv"))
+        .collect().toMap
+      cents = cents.indices.toArray.map { cid =>
+        means.get(cid.toLong)
+          .map(_.map(VectorOps.roundAt(_, 6)))
+          .getOrElse(cents(cid)) // empty cluster keeps its centroid
+      }
+    }
+    cents
+  }
 
-  /** Forget trained centroids (all sessions). */
-  def clearCentsMemo(): Unit = centsMemo.synchronized(centsMemo.clear())
+  private val centsMemo = scala.collection.mutable.Map.empty[
+    (SparkSession, String),
+    (Array[Array[Double]], Dataset[(Long, Array[Double])])]
+
+  /** Forget trained centroids and release their cached corpora. */
+  def clearCentsMemo(): Unit = centsMemo.synchronized {
+    centsMemo.values.foreach(_._2.unpersist(blocking = false))
+    centsMemo.clear()
+  }
 
   /** Pair cap per cluster for [[semanticDedup]]: a cluster that stays
     * degenerate despite K ∝ n (every vector identical, say) falls back
