@@ -34,7 +34,9 @@ final class KafkaStubBroker(
     sasl: Option[(String, String)] = None,
     advertisedHost: String = "localhost",
     nodeId: Int = 0,
-    cluster: Option[KafkaStubCluster] = None) extends AutoCloseable {
+    cluster: Option[KafkaStubCluster] = None,
+    tlsContext: Option[javax.net.ssl.SSLContext] = None)
+    extends AutoCloseable {
   import KafkaStubBroker._
 
   /** Partition count, growable mid-test (`kafka-topics --alter`): new
@@ -49,7 +51,13 @@ final class KafkaStubBroker(
   private val store = cluster.map(_.store).getOrElse(new LogStore)
   private def logs = store.logs
   private def topics = store.topics
-  private val server = new ServerSocket(0)
+  // a TLS listener (`SSL`/`SASL_SSL`) wraps the accept socket with the
+  // supplied context — the protocol bytes above the handshake are
+  // identical, which is exactly what the wire client assumes
+  private val server: ServerSocket = tlsContext match {
+    case Some(ctx) => ctx.getServerSocketFactory.createServerSocket(0)
+    case None => new ServerSocket(0)
+  }
   @volatile private var running = true
 
   /** Who leads a partition: the cluster's (movable) assignment, or

@@ -91,6 +91,78 @@ class GraftKafkaSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("SASL_SSL: TLS handshake wraps the wire, SASL authenticates, " +
+       "batch read end-to-end") {
+    // self-signed server identity minted by the JDK's own keytool — no
+    // external artifacts; the same PKCS12 serves the broker's key
+    // manager and the client's trust anchors (JSSE trusts a key entry's
+    // leaf cert)
+    val dir = Files.createTempDirectory("graft-tls")
+    val ksPath = dir.resolve("server.p12").toString
+    val keytool = new java.io.File(new java.io.File(
+      sys.props("java.home"), "bin"), "keytool").getAbsolutePath
+    val rc = new ProcessBuilder(keytool, "-genkeypair", "-alias", "graft",
+      "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+      "-keystore", ksPath, "-storepass", "graftpass", "-keypass",
+      "graftpass", "-dname", "CN=localhost", "-validity", "2")
+      .inheritIO().start().waitFor()
+    assert(rc == 0, "keytool must mint the self-signed server cert")
+
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = new java.io.FileInputStream(ksPath)
+    try ks.load(in, "graftpass".toCharArray) finally in.close()
+    val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+      javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, "graftpass".toCharArray)
+    val serverCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    serverCtx.init(kmf.getKeyManagers, null, null)
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    val clientCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+    clientCtx.init(null, tmf.getTrustManagers, null)
+
+    val creds = Some(("svc", "pw"))
+    val broker = new KafkaStubBroker(1, creds, tlsContext = Some(serverCtx))
+    // the wire client rides the JVM-default JSSE context (exactly what
+    // a deployment configures via javax.net.ssl.trustStore); pin the
+    // test trust anchors there and restore after
+    val prevDefault = javax.net.ssl.SSLContext.getDefault
+    javax.net.ssl.SSLContext.setDefault(clientCtx)
+    try {
+      // produce OVER TLS with SASL — driver and data path share the stack
+      val c = new KafkaWireClient("localhost", broker.port, "tls-producer",
+        creds, tls = true)
+      try c.produce("t", 0, Seq((1000L, b("k"), b("over-tls"))))
+      finally c.close()
+
+      // a PLAINTEXT client against the TLS listener must fail — the
+      // handshake never completes, so no protocol bytes flow
+      intercept[Exception] {
+        val pc = new KafkaWireClient("localhost", broker.port, "plain",
+          creds, tls = false, requestTimeoutMs = 2000)
+        try pc.produce("t", 0, Seq((1000L, b("k"), b("nope"))))
+        finally pc.close()
+      }
+
+      val df = spark.read.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "t")
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .option("kafka.security.protocol", "SASL_SSL")
+        .option("kafka.sasl.mechanism", "PLAIN")
+        .option("kafka.sasl.jaas.config",
+          """org.apache.kafka.common.security.plain.PlainLoginModule required username="svc" password="pw";""")
+        .load()
+      assert(df.selectExpr("cast(value as string)").collect()
+        .map(_.getString(0)).toSeq === Seq("over-tls"))
+    } finally {
+      javax.net.ssl.SSLContext.setDefault(prevDefault)
+      broker.close()
+    }
+  }
+
   test("micro-batch stream honors maxOffsetsPerTrigger admission control") {
     withBroker() { broker =>
       produceStrings(broker, "t", 0, (0 until 30).map(i => s"m$i"))
