@@ -68,17 +68,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       require(close > 0,
         s"GRAFT MERGE: unbalanced parens around the USING query: $sqlText")
       val query = rest.substring(1, close)
-      val (keys, mode) = rest.substring(close + 1).trim match {
-        case MergeTailRe(ks, m) => (ks, m)
+      val (keys, mode, delWhen) = rest.substring(close + 1).trim match {
+        case MergeTailRe(ks, m, d) => (ks, m, Option(d).map(_.trim))
         case tail => throw new IllegalArgumentException(
           s"GRAFT MERGE: expected 'ON key[, …] [INSERT ONLY|UPDATE " +
-            s"ONLY]' after the USING query, got: $tail")
+            s"ONLY] [DELETE WHEN <expr>]' after the USING query, got: $tail")
       }
       delegate.parseQuery(query) // fail fast on bad source syntax
+      delWhen.foreach(delegate.parseExpression) // and on a bad tombstone
       GraftMergeCommand(root, sink, query,
         keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         update = mode == null || !mode.equalsIgnoreCase("INSERT ONLY"),
-        insert = mode == null || !mode.equalsIgnoreCase("UPDATE ONLY"))
+        insert = mode == null || !mode.equalsIgnoreCase("UPDATE ONLY"),
+        deleteWhen = delWhen)
     case HistoryRe(root) => GraftHistoryCommand(root)
     case _ => delegate.parsePlan(sqlText)
   }
@@ -115,8 +117,12 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SINK\s+'([^']+)'\s+SET\s+(.+?)\s*;?\s*""".r
   private val MergeRe =
     """(?is)\s*GRAFT\s+MERGE\s+'([^']+)'\s+SINK\s+'([^']+)'\s+USING\s+(\(.+?)\s*;?\s*""".r
+  // the optional tombstone clause (`DELETE WHEN <expr>`, Delta's
+  // WHEN MATCHED AND <cond> THEN DELETE) takes the rest of the
+  // statement as predicate text — validated at parse time, resolved
+  // against the joined frame inside GraftTable.merge
   private val MergeTailRe =
-    """(?is)ON\s+([\w`"]+(?:\s*,\s*[\w`"]+)*)(?:\s+(INSERT\s+ONLY|UPDATE\s+ONLY))?\s*;?\s*""".r
+    """(?is)ON\s+([\w`"]+(?:\s*,\s*[\w`"]+)*)(?:\s+(INSERT\s+ONLY|UPDATE\s+ONLY))?(?:\s+DELETE\s+WHEN\s+(.+?))?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
 
@@ -272,7 +278,8 @@ case class GraftUpdateCommand(root: String, sink: String,
   * an arbitrary parenthesized query, executed when the command runs. */
 case class GraftMergeCommand(root: String, sink: String,
                              sourceSql: String, keys: Seq[String],
-                             update: Boolean, insert: Boolean)
+                             update: Boolean, insert: Boolean,
+                             deleteWhen: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType)(),
@@ -280,7 +287,9 @@ case class GraftMergeCommand(root: String, sink: String,
   override def run(spark: SparkSession): Seq[Row] =
     GraftTable.merge(spark, root, sink, spark.sql(sourceSql),
       keys.map(_.stripPrefix("`").stripSuffix("`")),
-      updateWhenMatched = update, insertWhenNotMatched = insert) match {
+      updateWhenMatched = update, insertWhenNotMatched = insert,
+      deleteWhenMatched =
+        deleteWhen.map(org.apache.spark.sql.functions.expr)) match {
       case Some(v) => Seq(Row(v, s"merged into version $v"))
       case None => Seq(Row(null, "merge was a no-op"))
     }

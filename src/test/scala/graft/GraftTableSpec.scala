@@ -726,6 +726,22 @@ class GraftTableSpec extends AnyFunSuite {
       .select("id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
     assert(ids.size == 4 && ids(3L) == "c!" && ids(4L) == "d")
+
+    // DELETE WHEN: the CDC tombstone clause from SQL — an op column in
+    // the source drives it (and the predicate's own 'WHEN'-free text
+    // must survive the tail regex)
+    Seq((2L, "x", 0, "d"), (4L, "D2", 44, "u"), (5L, "e", 50, "i"))
+      .toDF("id", "text", "score", "op")
+      .createOrReplaceTempView("merge_src_4")
+    val r4 = spark.sql(s"GRAFT MERGE '$root' SINK 'docs' " +
+      "USING (SELECT * FROM merge_src_4) ON id DELETE WHEN op = 'd'")
+      .collect()
+    assert(r4.head.getLong(0) == 4L)
+    val after = GraftTable.read(spark, root, "docs")
+      .select("id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(!after.contains(2L), "SQL tombstone must delete the matched row")
+    assert(after(4L) == "D2" && after(5L) == "e" && after.size == 4)
   }
 
   test("readChanges tags _change_type: append=insert, delete/compact=rewrite") {
