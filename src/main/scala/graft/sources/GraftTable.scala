@@ -752,8 +752,11 @@ object GraftTable {
       val affected = withF.join(affKeys, keys, "left_semi")
         .select(col("__file")).distinct()
         .collect().map(r => toRel(r.getString(0))).toSeq.sorted
-      val anyInserts = insertWhenNotMatched && !insertedSrc.isEmpty
-      if (affected.isEmpty && !anyInserts) return None
+      // no-op detection needs the insert-side probe ONLY when nothing
+      // matched — with affected files in hand the merge publishes
+      // regardless, so the common path skips that extra action
+      if (affected.isEmpty &&
+          (!insertWhenNotMatched || insertedSrc.isEmpty)) return None
 
       val newId = nextBatchId(spark, root)
       // the rewrite reads ONLY the affected files — true scan pruning,
