@@ -533,7 +533,7 @@ object Similarity {
     * every oracle-checked consumer — is branch-invariant. */
   val DriverKmeansMaxCells: Long = 1L << 22
 
-  private def trainDriverSide(e: Dataset[(Long, Array[Double])], k: Int)
+  private[graft] def trainDriverSide(e: Dataset[(Long, Array[Double])], k: Int)
       : Array[Array[Double]] = {
     // one job: materializes the memo's cache AND hands training its
     // working copy; vec_id order fixes the fp-summation order
@@ -564,7 +564,7 @@ object Similarity {
     cents
   }
 
-  private def trainDistributed(e: Dataset[(Long, Array[Double])], k: Int)
+  private[graft] def trainDistributed(e: Dataset[(Long, Array[Double])], k: Int)
       : Array[Array[Double]] = {
     import e.sparkSession.implicits._
     var cents: Array[Array[Double]] =

@@ -30,6 +30,24 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(a.forall(r => r.getLong(2) == byCluster(r.getInt(1)).length))
   }
 
+  test("driver-side and distributed Lloyd branches train identical models") {
+    // the adaptive split (DriverKmeansMaxCells) must be invisible: same
+    // corpus, same k -> bit-identical centroids from both branches (the
+    // distributed branch is what a 100 TB corpus runs; every test SF
+    // takes the driver branch, so this is its only exercise)
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, sf001)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .as[(Long, Array[Double])]
+    val k = 4
+    val driver = Similarity.trainDriverSide(e, k)
+    val dist = Similarity.trainDistributed(e, k)
+    assert(driver.length == dist.length)
+    driver.zip(dist).zipWithIndex.foreach { case ((d, s), i) =>
+      assert(d.sameElements(s), s"centroid $i diverged between branches")
+    }
+  }
+
   test("kmeans iterations tighten or hold the within-cluster spread") {
     // sanity on the Lloyd contract: the final assignment's clusters are
     // non-degenerate (more than one populated) for the test corpus
