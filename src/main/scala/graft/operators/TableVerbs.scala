@@ -49,9 +49,12 @@ object TableVerbs {
     docs.write.parquet(s"$root/docs/batch_id=0")
     GraftTable.commit(spark, root, 0)
 
-    GraftTable.updateWhere(spark, root, "docs",
-      col("source") === "src3" && col("doc_id") % 5 === 0,
-      Map("source" -> lit("src3_archive")))
+    // both verbs run through the SQL surface, so the parser and the
+    // GRAFT UPDATE / GRAFT MERGE … DELETE WHEN commands sit under the
+    // oracle gate, not just the Scala API they delegate to
+    spark.sql(s"GRAFT UPDATE '$root' SINK 'docs' " +
+      "SET source = 'src3_archive' " +
+      "WHERE source = 'src3' AND doc_id % 5 = 0").collect()
 
     val updates = docs
       .filter(col("doc_id") % 10 === 0 && col("doc_id") % 7 =!= 3)
@@ -66,10 +69,11 @@ object TableVerbs {
         lit("xx").as("lang"), lit("synthetic").as("source"),
         col("doc_id").as("n_chars"))
       .withColumn("op", lit("i"))
-    GraftTable.merge(spark, root, "docs",
-      updates.unionByName(deletes).unionByName(inserts),
-      keys = Seq("doc_id"),
-      deleteWhenMatched = Some(col("op") === "d"))
+    updates.unionByName(deletes).unionByName(inserts)
+      .createOrReplaceTempView("graft_tv_merge_src")
+    spark.sql(s"GRAFT MERGE '$root' SINK 'docs' " +
+      "USING (SELECT * FROM graft_tv_merge_src) ON doc_id " +
+      "DELETE WHEN op = 'd'").collect()
 
     GraftTable.read(spark, root, "docs")
       .select("doc_id", "lang", "source", "n_chars")
