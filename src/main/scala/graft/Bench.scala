@@ -28,6 +28,7 @@ object Bench {
     graft.operators.Similarity.clearCentsMemo()
     graft.operators.Similarity.clearPqMemo()
     graft.operators.QualityClassifier.clearMemo()
+    graft.operators.Bpe.clearMemo()
   }
 
   def main(args: Array[String]): Unit = {

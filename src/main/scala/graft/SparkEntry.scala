@@ -113,6 +113,7 @@ object SparkEntry {
     "text_chunks"           -> (Corpus.tokenChunks _),
     "text_top_terms"        -> (Corpus.topTerms _),
     "text_bpe_merges"       -> (Bpe.merges _),
+    "text_bpe_encode"       -> (Bpe.encode _),
     "q_train_split"         -> (Corpus.trainSplit _),
     "q_pack_sequences"      -> (Corpus.packSequences _),
     "q_curation_pipeline"   -> (Curation.pipeline _),
@@ -1537,6 +1538,26 @@ object SparkEntry {
          |$ranks
          |ORDER BY rank""".stripMargin
     },
+    // encode replay: training's final vocab symbolization (s<Merges>)
+    // IS the encoding of every distinct word — join the corpus back
+    // and count; docs whose text tokenizes to nothing report 0
+    "text_bpe_encode" ->
+      s"""WITH $bpeCtes,
+         |dw AS (
+         |  SELECT doc_id, unnest(
+         |    list_filter(string_split(lower(text), ' '), x -> len(x) > 0))
+         |    AS w
+         |  FROM documents),
+         |enc AS (
+         |  SELECT d.doc_id, CAST(count(*) AS INT) AS n_words,
+         |         CAST(sum(len(s.syms)) AS BIGINT) AS n_bpe_tokens
+         |  FROM dw d JOIN s${Bpe.Merges} s USING (w)
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id,
+         |       coalesce(n_words, 0) AS n_words,
+         |       coalesce(n_bpe_tokens, 0) AS n_bpe_tokens
+         |FROM documents LEFT JOIN enc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "q_corpus_build" -> {
       val stopList =
         TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")

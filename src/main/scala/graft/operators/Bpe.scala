@@ -65,22 +65,76 @@ object Bpe {
   private[graft] def merges(spark: SparkSession, dir: String,
                             driverCap: Long): DataFrame = {
     import spark.implicits._
-    // persisted across the size probe and whichever branch consumes it —
-    // unpersisted, the corpus scan + vocabulary aggregation ran twice
-    val counts = Tables.documents(spark, dir)
-      .select(explode(tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .as[(String, Long)]
-      .persist()
-    val learned =
+    learnedMerges(spark, dir, driverCap).zipWithIndex
+      .map { case ((a, b), i) => (i + 1, a, b) }
+      .toDF("rank", "lhs", "rhs")
+      .orderBy("rank")
+  }
+
+  /** The ordered merge list itself, memoized per (session, dir, cap):
+    * training runs once per session and the trainer's two consumers —
+    * the merge-table query and [[encode]] — share the artifact, the
+    * production shape (a tokenizer trains once, encodes forever). */
+  private[graft] def learnedMerges(spark: SparkSession, dir: String,
+                                   driverCap: Long = DriverVocabCap)
+      : Seq[(String, String)] =
+    mergeMemo.getOrElseUpdate((spark, dir, driverCap), {
+      import spark.implicits._
+      // persisted across the size probe and whichever branch consumes
+      // it — unpersisted, the corpus scan + vocab aggregation ran twice
+      val counts = Tables.documents(spark, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)]
+        .persist()
       try {
         if (counts.count() <= driverCap) driverMerges(counts.collect())
         else distributedMerges(counts)
       } finally counts.unpersist(blocking = false)
-    learned.zipWithIndex
-      .map { case ((a, b), i) => (i + 1, a, b) }
-      .toDF("rank", "lhs", "rhs")
-      .orderBy("rank")
+    })
+
+  private val mergeMemo = scala.collection.concurrent
+    .TrieMap.empty[(SparkSession, String, Long), Seq[(String, String)]]
+
+  /** Forget trained merge tables (all sessions). */
+  def clearMemo(): Unit = mergeMemo.clear()
+
+  /** BPE ENCODE — the apply side of the tokenizer: run every document
+    * through the trained merge table and report real token counts (the
+    * number a training-data budget actually meters, vs the BPE-ish
+    * regex ESTIMATE in [[TextAnalysis]] token stats). Each word starts
+    * as characters and replays the merges in rank order through
+    * [[applyMerge]] — by construction identical to the symbolization
+    * training left the vocabulary in, which is what lets the oracle
+    * replay it relationally from the training CTEs alone.
+    *
+    * Scale shape: the merge table (K pairs) broadcasts; the pass is a
+    * narrow typed map with a per-partition word→length cache (Zipf
+    * makes the cache hit rate the corpus' repetition rate); nothing
+    * shuffles but the presentation sort. */
+  def encode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val msB = spark.sparkContext.broadcast(learnedMerges(spark, dir))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val ms = msB.value
+        val cache = scala.collection.mutable.HashMap.empty[String, Int]
+        it.map { case (id, ws) =>
+          var total = 0L
+          ws.foreach { w =>
+            total += cache.getOrElseUpdate(w, {
+              var syms: Seq[String] = w.map(_.toString)
+              ms.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
+              syms.length
+            })
+          }
+          (id, ws.length, total)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_bpe_tokens")
+      .orderBy("doc_id")
   }
 
   /** Pure-Scala rounds over the collected vocabulary: exact Long pair

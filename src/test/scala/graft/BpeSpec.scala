@@ -71,4 +71,27 @@ class BpeSpec extends AnyFunSuite {
     assert(m.exists(r =>
       r.getString(1).length > 1 || r.getString(2).length > 1))
   }
+
+  test("encode applies the trained table: counts match a hand replay") {
+    val d = write(Seq(
+      (1L, "aaaa aaaa bb"),   // drives merges toward aa / aaaa
+      (2L, "aaaa bb bb"),
+      (3L, ""),               // tokenizes to nothing -> 0 / 0
+      (4L, "zq")))            // rare word: stays near character-level
+    val ms = Bpe.learnedMerges(spark, d)
+    val enc = Bpe.encode(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(enc(3L) == ((0, 0L)), "empty doc must report zero counts")
+    // replay each word through applyMerge and compare
+    def count(w: String): Long = {
+      var syms: Seq[String] = w.map(_.toString)
+      ms.foreach { case (a, b) => syms = Bpe.applyMerge(syms, a, b) }
+      syms.length.toLong
+    }
+    assert(enc(1L) == ((3, count("aaaa") * 2 + count("bb"))))
+    assert(enc(2L) == ((3, count("aaaa") + count("bb") * 2)))
+    assert(enc(4L) == ((1, count("zq"))))
+    // encoding must compress: the trained merges shrink frequent words
+    assert(count("aaaa") < 4, "frequent word must end under char count")
+  }
 }
