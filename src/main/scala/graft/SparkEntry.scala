@@ -130,6 +130,8 @@ object SparkEntry {
     // --- table-format verbs (scratch log-tracked table, end-to-end) -----
     "q_table_merge"         -> (TableVerbs.mergeFinalState _),
     "q_table_changes"       -> (TableVerbs.changeFeed _),
+    // --- JSONL interchange (gzip export → schema'd read-back) -----------
+    "q_jsonl_roundtrip"     -> (Jsonl.roundtrip _),
     // --- SQL-registered operator surface (GraftExtensions) --------------
     // the curation gates run through spark.sql over the REGISTERED
     // functions — proves the SQL-first path end-to-end in the oracle gate
@@ -1826,6 +1828,10 @@ object SparkEntry {
     // change-feed MUST produce, relationally from `documents` alone
     "q_table_merge" -> operators.TableVerbs.mergeFinalStateOracle,
     "q_table_changes" -> operators.TableVerbs.changeFeedOracle,
+    // jsonl roundtrip must be lossless — the oracle IS the source table
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal_features" ->
       s"""WITH d AS (
          |  SELECT doc_id,

@@ -1,0 +1,56 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** JSONL interchange — the format LLM training stacks actually ship
+  * corpora in. The reference exports parquet only
+  * (/root/reference/main.go:96-107); a training consumer needs the
+  * same rows as gzip'd JSON-lines with a declared schema on the way
+  * back in (schema inference over TBs is a scan nobody pays twice).
+  *
+  * Scale shape: both directions are narrow per-partition codec passes —
+  * the export writes one `.json.gz` part per partition (no shuffle; a
+  * real corpus export partitions by split/shard first), the read is
+  * schema'd so Spark plans it like any other text source (splittable
+  * only when uncompressed — gzip parts bound parallelism to the part
+  * count, which the export already sized).
+  */
+object Jsonl {
+
+  /** The documents schema as the JSONL contract: declared, not
+    * inferred. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def exportJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("compression", "gzip")
+      .json(path)
+
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(documentsSchema).json(path)
+
+  /** q_jsonl_roundtrip: documents → gzip JSONL → read back with the
+    * declared schema. The oracle is the source table itself — the
+    * roundtrip must be LOSSLESS through JSON string escaping (the
+    * corpus carries unicode, quotes, controls) and exact for int64.
+    * Encoder quirks (non-BMP escapes,  control bytes) that
+    * corrupt a single document hash-fail the whole row set. */
+  def roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft-jsonl").toString
+    exportJsonl(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")), s"$out/docs")
+    readJsonl(spark, s"$out/docs").orderBy("doc_id")
+  }
+}
