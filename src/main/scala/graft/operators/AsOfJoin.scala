@@ -32,8 +32,9 @@ object AsOfJoin {
     // align schemas: left lacks payload cols, right lacks left-only cols
     val allCols = (leftCols ++ rightPayload).distinct
     def aligned(df: DataFrame, have: Set[String]): DataFrame =
-      df.select((allCols.map(c =>
-        if (have(c)) col(c) else lit(null).as(c)) :+ col("__side")): _*)
+      df.select(((allCols.map(c =>
+        if (have(c)) col(c) else lit(null).as(c)) :+ col("__side"))
+        .toIndexedSeq): _*)
     val unioned = aligned(l, leftCols.toSet)
       .unionByName(aligned(r, (Seq(key, tsCol) ++ rightPayload).toSet))
     val w = Window.partitionBy(col(key))
@@ -47,8 +48,9 @@ object AsOfJoin {
           struct(rightPayload.map(col): _*)),
         ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++
-        rightPayload.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
+      .select((leftCols.map(col) ++
+        rightPayload.map(c => col("__asof").getField(c).as(s"asof_$c")))
+        .toIndexedSeq: _*)
   }
 
   /** Oracle-checked entry: for every purchase event, the most recent

@@ -141,7 +141,7 @@ object Compaction {
       if (partSubs.isEmpty) Seq(dir)
       else if (partSubs.forall(_.getName.startsWith(s"${ExportParquet.BatchCol}=")))
         Seq(dir) // hour dir over batch_id dirs: merge the whole hour
-      else partSubs.flatMap(units)
+      else partSubs.toIndexedSeq.flatMap(units)
     }
 
     val leaves = units(rootPath).filter(_ != rootPath)

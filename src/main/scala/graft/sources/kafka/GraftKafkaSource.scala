@@ -265,7 +265,7 @@ object GraftKafka {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(json)
     val out = mutable.Map[String, Set[Int]]()
-    root.fields().asScala.foreach { e =>
+    root.properties().asScala.foreach { e =>
       out(e.getKey) = e.getValue.elements().asScala.map(_.asInt()).toSet
     }
     require(out.nonEmpty && out.values.forall(_.nonEmpty),
@@ -277,8 +277,8 @@ object GraftKafka {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(json)
     val out = mutable.Map[(String, Int), Long]()
-    root.fields().asScala.foreach { e =>
-      e.getValue.fields().asScala.foreach { p =>
+    root.properties().asScala.foreach { e =>
+      e.getValue.properties().asScala.foreach { p =>
         out((e.getKey, p.getKey.toInt)) = p.getValue.asLong()
       }
     }

@@ -187,7 +187,8 @@ object BidPipeline {
                       excluded: Seq[String] = Seq("event_tm")): DataFrame = {
     val contentCols = decoded.columns.filterNot(excluded.contains).map(col(_))
     decoded
-      .withColumn("__content_hash", md5(to_json(struct(contentCols: _*))))
+      .withColumn("__content_hash",
+        md5(to_json(struct(contentCols.toIndexedSeq: _*))))
       .withColumn("__event_ts", timestamp_millis(col("event_tm")))
       .withWatermark("__event_ts", "1 hour")
       .dropDuplicatesWithinWatermark("__content_hash")
