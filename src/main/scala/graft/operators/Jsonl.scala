@@ -51,6 +51,16 @@ object Jsonl {
     exportJsonl(Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("lang"),
         col("source"), col("n_chars")), s"$out/docs")
-    readJsonl(spark, s"$out/docs").orderBy("doc_id")
+    // materialize before deleting the scratch export — the returned
+    // frame must outlive the temp dir, and a long harness run must not
+    // accumulate exports in /tmp
+    val back = readJsonl(spark, s"$out/docs").orderBy("doc_id")
+    val rows = back.collect()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(out))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), back.schema)
   }
 }

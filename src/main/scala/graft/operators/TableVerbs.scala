@@ -75,9 +75,25 @@ object TableVerbs {
       "USING (SELECT * FROM graft_tv_merge_src) ON doc_id " +
       "DELETE WHEN op = 'd'").collect()
 
-    GraftTable.read(spark, root, "docs")
-      .select("doc_id", "lang", "source", "n_chars")
-      .orderBy("doc_id")
+    materializeAndClean(root,
+      GraftTable.read(spark, root, "docs")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id"))
+  }
+
+  /** Collect the (small, report-sized) result and delete the scratch
+    * table — the returned frame must outlive the temp dir, and a long
+    * harness run must not accumulate scratch tables in /tmp. */
+  private def materializeAndClean(root: String, df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    val out = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    rm(new java.io.File(root))
+    out
   }
 
   /** The DuckDB twin of [[mergeFinalState]]'s end state. */
@@ -134,10 +150,11 @@ object TableVerbs {
       col("lang") === "de" && col("doc_id") % 3 === 0)
     GraftTable.compact(spark, root, "docs")
 
-    GraftTable.readChanges(spark, root, "docs", afterVersion = -1L)
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        col(GraftTable.ChangeTypeCol))
-      .orderBy("doc_id", GraftTable.ChangeTypeCol)
+    materializeAndClean(root,
+      GraftTable.readChanges(spark, root, "docs", afterVersion = -1L)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col(GraftTable.ChangeTypeCol))
+        .orderBy("doc_id", GraftTable.ChangeTypeCol))
   }
 
   /** The DuckDB twin of [[changeFeed]]'s feed contents. */
