@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,65 +17,73 @@ import graft.streaming.BidPipeline
   * lossless, so the DuckDB oracle for the wire aggregate verifies the
   * whole produce→fetch→decode chain bit-for-bit.
   *
-  * The produce side collects to the driver (it plays the EXTERNAL
-  * producer fleet the reference consumes from — not part of the
-  * engine's data path); the read side is the real distributed source.
-  * The result is materialized before the broker closes (the returned
-  * frame must outlive the socket).
+  * The produce side runs as a DISTRIBUTED producer fleet — a
+  * `foreachPartition` job where every task encodes its slice and pushes
+  * it straight to the partition leader over its own connection (the
+  * broker serializes appends per partition, so concurrent producers are
+  * the contract, exactly like the reference's external fleet). Nothing
+  * round-trips through the driver: the driver only carries the broker
+  * address into the job. The read side is the real distributed source,
+  * returned LAZY — the broker stays up until the Spark application
+  * ends (an `onApplicationEnd` hook closes it), so the caller executes
+  * the real fetch→decode→agg plan instead of a driver-materialized
+  * copy of its result. One staged topic is ~25 MB of heap on daemon
+  * threads; callers are test/bench harnesses, so the session-scoped
+  * lifetime is bounded by construction.
   */
 object KafkaRoundtrip {
 
   private val Topic = "bids"
   private val Partitions = 4
-  private val ProduceChunk = 2000
+  private val ProduceChunk = 8192
+  private val ProducerTasks = 8
 
   def hourlyAgg(spark: SparkSession, dir: String): DataFrame = {
-    // framed value carries the LE-ms suffix; the Kafka path replaces it
-    // with the broker timestamp (BidPipeline.decode contract)
-    val staged = ProtoPipeline.framedMessages(spark, dir)
+    // payload = prefix ++ proto (what framedMessages frames, minus the
+    // LE-ms suffix the Kafka path replaces with the broker CreateTime —
+    // BidPipeline.decode contract), built directly so no suffix is
+    // appended just to be stripped again
+    import graft.sources.proto.ProtoFunctions.protoEncode
+    val staged = graft.sources.Tables.events(spark, dir)
+      .repartition(ProducerTasks) // 2 MB input = 1 scan task; fan the encode out
       .select(
-        expr("substring(value, 1, length(value) - 8)").as("payload"),
-        graft.sources.proto.ProtoFunctions.leUint64(col("value")).as("tm"))
-      .collect()
+        concat(
+          lit(Array[Byte](0, 0, 0, 0, 0, 42)),
+          protoEncode(ProtoPipeline.bidStruct, ProtoPipeline.genBid)).as("payload"),
+        unix_millis(col("ts").cast("timestamp")).as("tm"))
     val broker = new KafkaStubBroker(Partitions)
     try {
-      // one producer thread per partition — like a real producer fleet,
-      // and connections are one-per-thread by contract anyway
-      val byPartition = staged.zipWithIndex.groupBy(_._2 % Partitions)
-      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
-      val threads = byPartition.map { case (p, rows) =>
-        val t = new Thread(() => {
+      val port = broker.port
+      staged.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val producer = new KafkaWireClient(
+            "localhost", port, s"roundtrip-producer-$pid")
           try {
-            val producer = new KafkaWireClient(
-              "localhost", broker.port, s"roundtrip-producer-$p")
-            try {
-              rows.iterator.map { case (r, _) =>
-                (r.getLong(1), null: Array[Byte], r.getAs[Array[Byte]](0))
-              }.grouped(ProduceChunk).foreach { chunk =>
-                producer.produce(Topic, p, chunk.toSeq)
-              }
-            } finally producer.close()
-          } catch { case e: Throwable => failure.compareAndSet(null, e) }
-        }, s"roundtrip-producer-$p")
-        t.start(); t
+            rows.map { r =>
+              (r.getLong(1), null: Array[Byte], r.getAs[Array[Byte]](0))
+            }.grouped(ProduceChunk).foreach { chunk =>
+              producer.produce(Topic, pid % Partitions, chunk.toSeq)
+            }
+          } finally producer.close()
+        }
       }
-      threads.foreach(_.join())
-      if (failure.get != null) throw failure.get
+    } catch { case e: Throwable => broker.close(); throw e }
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onApplicationEnd(end: SparkListenerApplicationEnd): Unit =
+        broker.close()
+    })
 
-      val frames = spark.read.format("graft-kafka")
-        .option("kafka.bootstrap.servers", broker.bootstrapServers)
-        .option("subscribe", Topic)
-        .option("startingOffsets", "earliest")
-        .option("endingOffsets", "latest")
-        .option("minPartitions", "8")
-        .load()
-      val agg = BidExports.hourlyRequestsAgg(
-          Normalize(BidPipeline.decode(frames, stripPrefix = true)))
-        .orderBy(col("date"), col("hour"), col("pub_id"), col("device_id"),
-          col("resolution"), col("deal").asc_nulls_first)
-      val rows = agg.collect()
-      spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), agg.schema)
-    } finally broker.close()
+    val frames = spark.read.format("graft-kafka")
+      .option("kafka.bootstrap.servers", broker.bootstrapServers)
+      .option("subscribe", Topic)
+      .option("startingOffsets", "earliest")
+      .option("endingOffsets", "latest")
+      .option("minPartitions", "8")
+      .load()
+    BidExports.hourlyRequestsAgg(
+        Normalize(BidPipeline.decode(frames, stripPrefix = true)))
+      .orderBy(col("date"), col("hour"), col("pub_id"), col("device_id"),
+        col("resolution"), col("deal").asc_nulls_first)
   }
 }
