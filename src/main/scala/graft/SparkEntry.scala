@@ -49,6 +49,7 @@ object SparkEntry {
     "q_bid_hourly_agg"      -> (BidExports.hourlyAggFromWire _),
     "q_kafka_hourly_agg"    -> (KafkaRoundtrip.hourlyAgg _),
     "q_stream_hourly"       -> (graft.streaming.StreamingAgg.hourlyWindow _),
+    "q_stream_hourly_files" -> (graft.streaming.StreamingAgg.hourlyFiles _),
     "q_sessionize"          -> (Sessionize.apply _),
     "q_asof_join"           -> (AsOfJoin.purchaseLastClick _),
     "q_range_join"          -> (RangeJoin.shippingWindowOrders _),
@@ -892,6 +893,18 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
         |       count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events GROUP BY ALL ORDER BY hour_start, event_type""".stripMargin,
+    // the production append-mode file sink emits exactly the windows
+    // finalized by the final watermark: window end <= max event time
+    // (ms floor — the engine tracks event-time stats in ms) minus the
+    // 1-hour delay; open tail hours must NOT appear
+    "q_stream_hourly_files" ->
+      """WITH wm AS (SELECT date_trunc('millisecond', max(ts))
+        |                   - INTERVAL 1 HOUR AS w FROM events)
+        |SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+        |GROUP BY ALL ORDER BY hour_start, event_type""".stripMargin,
     "q_sessionize" ->
       s"""WITH g AS (
          |  SELECT user_id, event_id, ts, value,

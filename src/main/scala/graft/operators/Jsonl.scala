@@ -48,19 +48,17 @@ object Jsonl {
     * corrupt a single document hash-fail the whole row set. */
   def roundtrip(spark: SparkSession, dir: String): DataFrame = {
     val out = Files.createTempDirectory("graft-jsonl").toString
-    exportJsonl(Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("lang"),
-        col("source"), col("n_chars")), s"$out/docs")
-    // materialize before deleting the scratch export — the returned
-    // frame must outlive the temp dir, and a long harness run must not
-    // accumulate exports in /tmp
-    val back = readJsonl(spark, s"$out/docs").orderBy("doc_id")
-    val rows = back.collect()
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
+    try {
+      exportJsonl(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars")), s"$out/docs")
+      // materialize before deleting the scratch export — the returned
+      // frame must outlive the temp dir, and a long harness run must not
+      // accumulate exports in /tmp (Scratch deletes in finally)
+      Scratch.materializeAndClean(out,
+        readJsonl(spark, s"$out/docs").orderBy("doc_id"))
+    } catch { case e: Throwable =>
+      Scratch.rm(new java.io.File(out)); throw e
     }
-    rm(new java.io.File(out))
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), back.schema)
   }
 }

@@ -43,6 +43,12 @@ object TableVerbs {
     */
   def mergeFinalState(spark: SparkSession, dir: String): DataFrame = {
     val root = Files.createTempDirectory("graft-tv-merge").toString
+    try mergeFinalStateAt(spark, dir, root)
+    catch { case e: Throwable => Scratch.rm(new java.io.File(root)); throw e }
+  }
+
+  private def mergeFinalStateAt(
+      spark: SparkSession, dir: String, root: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
 
@@ -75,25 +81,10 @@ object TableVerbs {
       "USING (SELECT * FROM graft_tv_merge_src) ON doc_id " +
       "DELETE WHEN op = 'd'").collect()
 
-    materializeAndClean(root,
+    Scratch.materializeAndClean(root,
       GraftTable.read(spark, root, "docs")
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id"))
-  }
-
-  /** Collect the (small, report-sized) result and delete the scratch
-    * table — the returned frame must outlive the temp dir, and a long
-    * harness run must not accumulate scratch tables in /tmp. */
-  private def materializeAndClean(root: String, df: DataFrame): DataFrame = {
-    val rows = df.collect()
-    val out = df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), df.schema)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete()
-    }
-    rm(new java.io.File(root))
-    out
   }
 
   /** The DuckDB twin of [[mergeFinalState]]'s end state. */
@@ -133,6 +124,12 @@ object TableVerbs {
     */
   def changeFeed(spark: SparkSession, dir: String): DataFrame = {
     val root = Files.createTempDirectory("graft-tv-cdf").toString
+    try changeFeedAt(spark, dir, root)
+    catch { case e: Throwable => Scratch.rm(new java.io.File(root)); throw e }
+  }
+
+  private def changeFeedAt(
+      spark: SparkSession, dir: String, root: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
 
@@ -150,7 +147,7 @@ object TableVerbs {
       col("lang") === "de" && col("doc_id") % 3 === 0)
     GraftTable.compact(spark, root, "docs")
 
-    materializeAndClean(root,
+    Scratch.materializeAndClean(root,
       GraftTable.readChanges(spark, root, "docs", afterVersion = -1L)
         .select(col("doc_id"), col("lang"), col("n_chars"),
           col(GraftTable.ChangeTypeCol))

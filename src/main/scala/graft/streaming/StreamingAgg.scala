@@ -34,7 +34,11 @@ object StreamingAgg {
     * micros — event-time columns must be TimestampType for the
     * watermark; the UTC session keeps the wall clock identical to the
     * NTZ batch view). Empty/unreadable dir → the MICROS flavor, the
-    * current generator's canonical output. */
+    * current generator's canonical output — but LOUDLY: a stream
+    * started against a not-yet-staged directory that later receives
+    * NANOS files would silently misdeclare, so the fallback is logged
+    * with the cause and the remedy (stage a file first, or start the
+    * stream after the first landing). */
   private def probeEvents(spark: SparkSession, dir: String,
                           glob: Option[String]): (StructType, String) = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -42,7 +46,16 @@ object StreamingAgg {
       val r = spark.read
       glob.foreach(g => r.option("pathGlobFilter", g))
       r.parquet(dir).schema("ts").dataType
-    }.getOrElse(TimestampNTZType)
+    } match {
+      case scala.util.Success(t) => t
+      case scala.util.Failure(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"events ts-flavor probe failed for $dir (${e.getMessage}); " +
+            "assuming TIMESTAMP(MICROS). If NANOS-flavor files land in " +
+            "this directory later they will be misread — stage at least " +
+            "one file before starting the stream to let the probe see it.")
+        TimestampNTZType
+    }
     probed match {
       case LongType =>
         (eventsSchema(LongType), "timestamp_micros(ts div 1000)")
@@ -132,15 +145,61 @@ object StreamingAgg {
         month(col("window.start")).as("month"),
         dayofmonth(col("window.start")).as("day"),
         hour(col("window.start")).as("hour"))
+      // align writer tasks with the partition layout: without this every
+      // state-store task writes its own file into every day dir it
+      // holds groups for (up to shufflePartitions small files per dir
+      // per flush); after it, each day dir gets exactly one file per
+      // flush — the small-file control a partitioned sink needs at scale
+      .repartition(col("year"), col("month"), col("day"))
     val writer = agg.writeStream
       .format("parquet")
       .option("path", outPath)
       .option("checkpointLocation", checkpoint)
       .option("compression", "zstd")
-      .partitionBy("year", "month", "day", "hour")
+      // DAY-level dirs: an hourly AGGREGATE is tiny relative to its
+      // input — hour-level dirs would hold ~one row per event_type
+      // (pathological small files at any scale); `hour` stays as a data
+      // column, so hour-range queries prune to the day then filter
+      .partitionBy("year", "month", "day")
       .outputMode("append")
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
      else writer.trigger(Trigger.ProcessingTime("10 seconds")))
       .start()
+  }
+
+  /** q_stream_hourly_files: [[hourlyWindowToFiles]] — the PRODUCTION
+    * append-mode file-sink path — under the driver's oracle gate. Stages
+    * the events table as range-partitioned part files in a scratch dir,
+    * runs the streaming query to completion (AvailableNow; one data
+    * micro-batch, then the no-data batch that advances the watermark and
+    * flushes finalized windows), reads the committed hive-partitioned
+    * output back, and returns it.
+    *
+    * Append mode emits exactly the windows whose end is at or before
+    * the final watermark — max event time floored to milliseconds (the
+    * engine tracks event-time stats in ms) minus the 1-hour delay — and
+    * nothing else: the still-open tail hours stay in state and are
+    * never written. The DuckDB oracle states that same predicate
+    * relationally, so a leak of an unfinalized window, a dropped
+    * finalized one, or a wrong aggregate all hash-fail.
+    */
+  def hourlyFiles(spark: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-stream-files").toString
+    try {
+      graft.sources.Tables.events(spark, dir)
+        .repartitionByRange(4, col("ts"))
+        .write.parquet(s"$base/src")
+      val q = hourlyWindowToFiles(spark, s"$base/src", s"$base/out",
+        s"$base/ckpt", maxFilesPerTrigger = 64)
+      q.awaitTermination()
+      graft.operators.Scratch.materializeAndClean(base,
+        spark.read.parquet(s"$base/out")
+          .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
+            col("event_type"), col("n_events"), col("total_value"))
+          .orderBy("hour_start", "event_type"))
+    } catch { case e: Throwable =>
+      graft.operators.Scratch.rm(new java.io.File(base)); throw e
+    }
   }
 }
