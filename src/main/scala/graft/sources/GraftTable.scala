@@ -434,7 +434,7 @@ object GraftTable {
   def readChanges(spark: SparkSession, root: String, sink: String,
                   afterVersion: Long,
                   untilVersion: Long = Long.MaxValue): DataFrame = {
-    import org.apache.spark.sql.functions.{input_file_name, lit, udf}
+    import org.apache.spark.sql.functions.lit
     val vs = history(spark, root)
       .filter(v => v.batchId > afterVersion && v.batchId <= untilVersion)
     val added = vs.flatMap(v => v.files.filter(_.startsWith(sink + "/"))
@@ -459,21 +459,32 @@ object GraftTable {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    val typeByRel = added.toMap
-    val (_, rootPath) = fs(spark, root)
-    val rootUri = rootPath.toUri.getPath
-    val changeType = udf((f: String) => typeByRel.getOrElse(
-      new Path(f).toUri.getPath.stripPrefix(rootUri).stripPrefix("/"),
-      "insert"))
     val distinctSchemas = vs.flatMap(_.schemas.get(sink)).distinct
-    spark.read
-      .option("basePath", s"$root/$sink")
-      .option("mergeSchema", distinctSchemas.size > 1)
-      .parquet(added.map(f => s"$root/${f._1}"): _*)
-      .withColumn(ChangeTypeCol,
-        if (typeByRel.values.toSet.size == 1)
-          lit(typeByRel.values.head) // constant range: stay codegen'd
-        else changeType(input_file_name()))
+    def readAdded(files: Seq[String],
+                  pinned: Option[StructType]): DataFrame = {
+      val r = spark.read
+        .option("basePath", s"$root/$sink")
+        .option("mergeSchema", distinctSchemas.size > 1)
+      pinned.foreach(r.schema)
+      r.parquet(files.map(f => s"$root/$f"): _*)
+    }
+    val types = added.map(_._2).distinct
+    if (types.size == 1)
+      // constant range: one scan, constant tag — stays codegen'd
+      readAdded(added.map(_._1), None)
+        .withColumn(ChangeTypeCol, lit(types.head))
+    else {
+      // mixed insert/rewrite range: one constant-tagged scan per group
+      // (each lists only its own files), schemas pinned to the full
+      // range's merged schema so the union is column-exact under schema
+      // evolution. The tag is per-SCAN, not per-row — no
+      // input_file_name() lookup, the whole plan stays codegen'd.
+      val merged = readAdded(added.map(_._1), None).schema
+      types.map { t =>
+        readAdded(added.collect { case (f, `t`) => f }, Some(merged))
+          .withColumn(ChangeTypeCol, lit(t))
+      }.reduce(_.unionByName(_))
+    }
   }
 
   /** Copy-on-write row-level DELETE (Delta's `DELETE WHERE`): rewrite

@@ -772,11 +772,18 @@ class GraftTableSpec extends AnyFunSuite {
     val del = changes(1, 2)
     assert(del.nonEmpty && del.forall(_._2 == "rewrite"))
     assert(!del.map(_._1).contains(5L))
-    // a mixed range tags per version (per-file map path)
+    // a mixed range tags per version (constant-tagged scan per group)
     val mixed = changes(0, 2)
     assert(mixed.filter(_._2 == "insert").map(_._1).sorted.toSeq ==
       (10L until 20L))
     assert(mixed.filter(_._2 == "rewrite").nonEmpty)
+    // ...and stays codegen'd: the tag is per-scan, never a per-row
+    // input_file_name() lookup — a udf here would break whole-stage
+    // codegen on every change-feed read of a big table
+    val mixedPlan = GraftTable.readChanges(spark, root, "docs", 0, 2)
+      .queryExecution.executedPlan.toString
+    assert(!mixedPlan.toLowerCase.contains("udf"),
+      s"change-feed plan must not contain a udf:\n$mixedPlan")
     // compaction rewrites everything it packed
     assert(changes(2, 3).forall(_._2 == "rewrite"))
     // an empty poll returns the sink's SCHEMA, not a zero-column frame:
