@@ -448,7 +448,11 @@ object Corpus {
     // CollapseProject keeps the split because `ts` is non-cheap and
     // referenced many times. The window's shuffle then carries four
     // scalar columns, not document text.
-    val base = Tables.documents(spark, dir)
+    // widened scan: the normalize→redact→tokenize chain is the heaviest
+    // per-row map in the engine — serializing it on the synthetic
+    // corpus's single scan task would leave 31 cores idle (documentsWide
+    // is a no-op on a real many-split corpus)
+    val base = Tables.documentsWide(spark, dir)
       .select(col("doc_id"), md5(t).as("h"), tokens(t).as("ts"))
       .select(col("doc_id"), col("h"),
         coalesce(gopherFromTokens(col("ts")).getField("gopher_pass"),

@@ -55,6 +55,20 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+
+  /** The documents scan widened to the session's parallelism, for
+    * HEAVY per-row passes (regex/tokenize chains): the synthetic corpus
+    * is a sub-MB single file — one scan task — which would serialize a
+    * multi-hundred-µs-per-row chain on one core while 31 sit idle. A
+    * real corpus arrives in enough splits that this takes the no-op
+    * branch; the repartition only ever moves data when the scan has
+    * fewer tasks than cores, i.e. when the input is small enough that
+    * the shuffle is trivially cheap. */
+  def documentsWide(s: SparkSession, d: String): DataFrame = {
+    val df = documents(s, d)
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Memoized exact row count of a table — METADATA, not a computed

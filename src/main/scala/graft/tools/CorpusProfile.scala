@@ -50,6 +50,18 @@ object CorpusProfile {
       gated.withColumn("h", md5(col("t")))
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .count())
+    time("P1 single-task")(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          graft.functions.tokens(
+            Corpus.piiRedactCol(withPii).getField("redacted")).as("ts"))
+        .agg(sum(size(col("ts")))).collect())
+    time("P1 repartitioned-32")(
+      Tables.documents(spark, dir).repartition(32)
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          graft.functions.tokens(
+            Corpus.piiRedactCol(withPii).getField("redacted")).as("ts"))
+        .agg(sum(size(col("ts")))).collect())
     time("full corpusBuild (warm contam)")(
       Corpus.corpusBuild(spark, dir).count())
     time("full corpusBuild again")(
