@@ -99,6 +99,14 @@ object Bpe {
   /** Forget trained merge tables (all sessions). */
   def clearMemo(): Unit = mergeMemo.clear()
 
+  /** Cap on [[encode]]'s per-partition word→length cache. Zipf keeps
+    * real corpora far below it, but the cache must not be an
+    * ADVERSARIAL liability: an all-distinct-words partition would
+    * otherwise grow it linearly in partition size. LRU eviction keeps
+    * the hot head of the distribution resident; results are identical
+    * with any cap (the cache only avoids recompute). */
+  val EncodeCacheCap = 1 << 20
+
   /** BPE ENCODE — the apply side of the tokenizer: run every document
     * through the trained merge table and report real token counts (the
     * number a training-data budget actually meters, vs the BPE-ish
@@ -109,10 +117,15 @@ object Bpe {
     * replay it relationally from the training CTEs alone.
     *
     * Scale shape: the merge table (K pairs) broadcasts; the pass is a
-    * narrow typed map with a per-partition word→length cache (Zipf
-    * makes the cache hit rate the corpus' repetition rate); nothing
-    * shuffles but the presentation sort. */
-  def encode(spark: SparkSession, dir: String): DataFrame = {
+    * narrow typed map with a BOUNDED ([[EncodeCacheCap]], LRU)
+    * per-partition word→length cache (Zipf makes the hit rate the
+    * corpus' repetition rate); nothing shuffles but the presentation
+    * sort. */
+  def encode(spark: SparkSession, dir: String): DataFrame =
+    encode(spark, dir, EncodeCacheCap)
+
+  private[graft] def encode(spark: SparkSession, dir: String,
+                            cacheCap: Int): DataFrame = {
     import spark.implicits._
     val msB = spark.sparkContext.broadcast(learnedMerges(spark, dir))
     Tables.documents(spark, dir)
@@ -120,15 +133,27 @@ object Bpe {
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val ms = msB.value
-        val cache = scala.collection.mutable.HashMap.empty[String, Int]
+        // access-ordered LinkedHashMap = LRU; evicts past the cap so an
+        // adversarial all-distinct-words partition stays O(cap)
+        // boxed Integer values: Scala would silently unbox a missing
+        // key's null to 0 under a primitive-Int value type
+        val cache = new java.util.LinkedHashMap[String, java.lang.Integer](
+            1024, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, java.lang.Integer]): Boolean =
+            size() > cacheCap
+        }
         it.map { case (id, ws) =>
           var total = 0L
           ws.foreach { w =>
-            total += cache.getOrElseUpdate(w, {
+            val hit = cache.get(w)
+            if (hit != null) total += hit.intValue()
+            else {
               var syms: Seq[String] = w.map(_.toString)
               ms.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
-              syms.length
-            })
+              cache.put(w, syms.length)
+              total += syms.length
+            }
           }
           (id, ws.length, total)
         }

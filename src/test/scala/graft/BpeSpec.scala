@@ -94,4 +94,21 @@ class BpeSpec extends AnyFunSuite {
     // encoding must compress: the trained merges shrink frequent words
     assert(count("aaaa") < 4, "frequent word must end under char count")
   }
+
+  test("encode cache cap: adversarial all-distinct-words partition stays exact") {
+    // every word unique -> zero cache hits, constant eviction pressure;
+    // counts must be identical to the uncapped run (the cache only
+    // avoids recompute, never changes results)
+    val docs = (0L until 50L).map { i =>
+      i -> (0 until 40).map(j => s"w${i}x$j").mkString(" ")
+    }
+    val d = write(docs)
+    val capped = Bpe.encode(spark, d, cacheCap = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val uncapped = Bpe.encode(spark, d, cacheCap = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(capped.sameElements(uncapped),
+      "a 4-entry cache must not change any count")
+    assert(capped.forall(_._2 == 40), "every doc tokenizes to 40 words")
+  }
 }
