@@ -15,13 +15,22 @@ import graft.sources.Tables
   * back in (schema inference over TBs is a scan nobody pays twice).
   *
   * Scale shape: both directions are narrow per-partition codec passes —
-  * the export writes one `.json.gz` part per partition (no shuffle; a
-  * real corpus export partitions by split/shard first), the read is
-  * schema'd so Spark plans it like any other text source (splittable
-  * only when uncompressed — gzip parts bound parallelism to the part
-  * count, which the export already sized).
+  * the export writes one `.json.gz` part per partition, the read is
+  * schema'd so Spark plans it like any other text source. Gzip is NOT
+  * splittable, so read parallelism equals the part count — which is
+  * why [[exportJsonl]] enforces a size cap: when the plan's size
+  * estimate says a partition would exceed [[DefaultMaxPartBytes]]
+  * (uncompressed), the export repartitions UP so no single `.json.gz`
+  * becomes a serialized read. (zstd would make parts splittable but
+  * the text sources' codec goes through Hadoop's native ZStandard,
+  * unavailable in plain-JVM deployments — part sizing is the portable
+  * contract.)
   */
 object Jsonl {
+
+  /** Max UNCOMPRESSED bytes of row data per exported part (gzip takes
+    * it ~4× lower on disk). 128 MB ≈ one comfortable read task. */
+  val DefaultMaxPartBytes: Long = 128L << 20
 
   /** The documents schema as the JSONL contract: declared, not
     * inferred. */
@@ -32,10 +41,20 @@ object Jsonl {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  def exportJsonl(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite")
+  def exportJsonl(df: DataFrame, path: String,
+                  maxPartBytes: Long = DefaultMaxPartBytes): Unit = {
+    // Catalyst's size estimate (file-stat-based for scans/projections,
+    // the common export shape) decides how many gzip parts keep each
+    // one under the cap; only ever repartitions UP — a frame already
+    // wider than the target keeps its layout and its parallelism
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val wanted = (est / maxPartBytes + 1).min(BigInt(1 << 20)).toInt
+    val sized =
+      if (wanted > df.rdd.getNumPartitions) df.repartition(wanted) else df
+    sized.write.mode("overwrite")
       .option("compression", "gzip")
       .json(path)
+  }
 
   def readJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(documentsSchema).json(path)

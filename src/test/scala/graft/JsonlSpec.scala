@@ -39,6 +39,35 @@ class JsonlSpec extends AnyFunSuite {
     }
   }
 
+  test("size-capped export: a fat single partition splits into N parts " +
+       "and reads back N-way parallel") {
+    // documents at sf0.001 in ONE partition with a 64 KiB cap: the
+    // size estimate forces multiple gzip parts, and because gzip is
+    // non-splittable the read-back parallelism must equal the part
+    // count — the 100 TB interchange contract (no serialized reads of
+    // one giant .json.gz)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1)
+    val out = Files.createTempDirectory("graft-jsonl-parts").toString
+    Jsonl.exportJsonl(docs, s"$out/d", maxPartBytes = 8L << 10)
+    val parts = new java.io.File(s"$out/d").listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(parts.length > 1,
+      s"8 KiB cap over the sf0.001 corpus must split; got ${parts.length}")
+    // every part honors the cap (gzip only shrinks it further) …
+    assert(parts.forall(_.length < (8L << 10)),
+      "a part exceeded the size cap")
+    // … and read-back parallelism survives: multiple tasks, none of
+    // them a serialized scan of one giant gzip (Spark may still
+    // bin-pack SMALL parts together — that is the correct behavior,
+    // the contract is an upper bound on work per task, not 1:1 files)
+    val back = Jsonl.readJsonl(spark, s"$out/d")
+    assert(back.rdd.getNumPartitions > 1,
+      s"read of ${parts.length} parts must plan >1 task")
+    assert(back.count() == docs.count(), "no rows lost by the sizing")
+  }
+
   test("declared schema wins over inference: missing fields are null") {
     val dir = Files.createTempDirectory("graft-jsonl-schema").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/part.json"),
