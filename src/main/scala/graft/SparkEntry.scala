@@ -828,9 +828,15 @@ object SparkEntry {
         |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
         |       count(*) FILTER (WHERE event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    // avg_price in exact integer cents with integer half-up rounding —
+    // see Relational.partsByBrand: a brand mean can land exactly on a
+    // round-4 tie, where round(avg(double), 4)'s last digit depends on
+    // float summation order
     "q_parts_by_brand" ->
       """SELECT p_brand, count(*) AS n_parts,
-        |       round(avg(p_retailprice), 4) AS avg_price,
+        |       CAST((200 * sum(CAST(round(p_retailprice * 100, 0) AS BIGINT))
+        |             + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
+        |         AS avg_price,
         |       min(p_size) AS min_size, max(p_size) AS max_size,
         |       count(DISTINCT p_type) AS n_types
         |FROM part GROUP BY 1 ORDER BY p_brand""".stripMargin,

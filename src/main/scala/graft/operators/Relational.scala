@@ -138,15 +138,30 @@ object Relational {
       .orderBy("op", "nk")
   }
 
-  /** Dimension-table profiling: per-brand part statistics. */
+  /** Dimension-table profiling: per-brand part statistics.
+    *
+    * `avg_price` is computed in exact integer cents, with the round-4
+    * half-up done in integer space — `floor((200·S + n) / (2n))` in
+    * 10⁻⁴-dollar units — NOT as `round(avg(double), 4)`: prices are
+    * 2-decimal values, so a brand's true mean can land exactly on a
+    * round-4 tie (Brand#4 at sf0.01 does: 91257.00/96 = 950.59375),
+    * where the last digit of a double `avg` depends on float summation
+    * order and differs between engines/partitionings. Integer sums are
+    * order-invariant and the final `/10000.0` is one exact-operand
+    * IEEE division, identical in Spark and the DuckDB oracle. */
   def partsByBrand(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_parts"),
-        round(avg(col("p_retailprice")), 4).as("avg_price"),
+        sum(round(col("p_retailprice") * 100, 0).cast("long")).as("__cents"),
         min(col("p_size")).as("min_size"),
         max(col("p_size")).as("max_size"),
         countDistinct(col("p_type")).as("n_types"))
+      .withColumn("avg_price",
+        expr("cast((200 * __cents + n_parts) div (2 * n_parts) as double)")
+          / lit(10000.0))
+      .select(col("p_brand"), col("n_parts"), col("avg_price"),
+        col("min_size"), col("max_size"), col("n_types"))
       .orderBy("p_brand")
 
   /** String-function surface in one projection: case, trim/pad,

@@ -528,19 +528,25 @@ object Similarity {
     * distributed route — on a small block the job-scheduling floors
     * cost 5× the arithmetic, so the driver loop replaces them with one
     * collect. Both branches share the same centroid math
-    * ([[VectorOps.dist2]] rounded at 6, strict-< ties, mean rounded at
-    * 6, empty clusters keep their centroid), so the trained model — and
-    * every oracle-checked consumer — is branch-invariant. */
+    * ([[VectorOps.dist2]] rounded at 6, strict-< ties, exact quantized-
+    * long sums through the shared [[VectorOps.qMean]], empty clusters
+    * keep their centroid), so the trained model — and every
+    * oracle-checked consumer — is STRICTLY branch-invariant: integer
+    * sums make the result independent of summation order, the one
+    * degree of freedom double sums would leave the distributed merge
+    * tree. */
   val DriverKmeansMaxCells: Long = 1L << 22
 
   private[graft] def trainDriverSide(e: Dataset[(Long, Array[Double])], k: Int)
       : Array[Array[Double]] = {
     // one job: materializes the memo's cache AND hands training its
-    // working copy; vec_id order fixes the fp-summation order
+    // working copy. Sums accumulate as quantized longs (exact, order-
+    // independent) so this branch is bit-identical to trainDistributed
+    // by construction, not by rounding luck — see CentroidQuantScale.
     val vs = e.collect().sortBy(_._1)
     var cents: Array[Array[Double]] = vs.take(k).map(_._2)
     for (_ <- 0 until KmeansIters) {
-      val sums = Array.fill(cents.length)(new Array[Double](Dims))
+      val sums = Array.fill(cents.length)(new Array[Long](Dims))
       val cnts = new Array[Long](cents.length)
       vs.foreach { case (_, v) =>
         var best = 0
@@ -552,13 +558,12 @@ object Similarity {
           c += 1
         }
         var i = 0
-        while (i < Dims) { sums(best)(i) += v(i); i += 1 }
+        while (i < Dims) { sums(best)(i) += VectorOps.quantize(v(i)); i += 1 }
         cnts(best) += 1
       }
       cents = cents.indices.toArray.map { cid =>
         if (cnts(cid) == 0) cents(cid) // empty cluster keeps its centroid
-        else Array.tabulate(Dims)(i =>
-          VectorOps.roundAt(sums(cid)(i) / cnts(cid), 6))
+        else Array.tabulate(Dims)(i => VectorOps.qMean(sums(cid)(i), cnts(cid)))
       }
     }
     cents
@@ -570,14 +575,15 @@ object Similarity {
     var cents: Array[Array[Double]] =
       e.orderBy(col("vec_id")).limit(k).collect().map(_._2)
     for (_ <- 0 until KmeansIters) {
+      // VecMeanQ: exact integer partials, so the merge-tree shape
+      // (partition order, AQE) cannot perturb the centroid — the
+      // branch-invariance contract with trainDriverSide is strict
       val means = assignPass(e, cents)
         .groupByKey(_._2.toLong).mapValues(_._3)
-        .agg(new VectorOps.VecMean(Dims).toColumn.name("cv"))
+        .agg(new VectorOps.VecMeanQ(Dims).toColumn.name("cv"))
         .collect().toMap
       cents = cents.indices.toArray.map { cid =>
-        means.get(cid.toLong)
-          .map(_.map(VectorOps.roundAt(_, 6)))
-          .getOrElse(cents(cid)) // empty cluster keeps its centroid
+        means.getOrElse(cid.toLong, cents(cid)) // empty keeps its centroid
       }
     }
     cents

@@ -87,6 +87,26 @@ private[graft] object VectorOps {
     def drain(): Iterator[(Double, Long)] = heap.iterator
   }
 
+  /** Fixed-point scale for branch-invariant centroid sums. Summing
+    * `rint(v·10⁹)` longs is EXACT and order-independent (integer
+    * addition is associative + commutative), unlike double sums whose
+    * low bits depend on reduction order — which is what makes the
+    * driver-side and distributed Lloyd branches bit-identical by
+    * construction rather than by round-6 masking. Capacity: unit-scale
+    * embedding coordinates overflow a long only past ~9·10⁹ members in
+    * ONE cluster (2⁶³/10⁹) — k-means keeps K ∝ n well above that. The
+    * 0.5·10⁻⁹ quantization error is three orders below the round-6
+    * boundary the centroids are published at. */
+  val CentroidQuantScale: Double = 1e9
+
+  def quantize(x: Double): Long = math.rint(x * CentroidQuantScale).toLong
+
+  /** The one shared sum→mean path both Lloyd branches must call so the
+    * trained model is branch-invariant: same exact long sum, same
+    * float ops, same rounding. */
+  def qMean(sum: Long, cnt: Long): Double =
+    roundAt(sum.toDouble / CentroidQuantScale / cnt, 6)
+
   /** Typed elementwise-mean aggregator (the IVF centroid pass): partial
     * sums merge associatively, so Catalyst runs it as a partial
     * aggregation before the (tiny, one-row-per-label) exchange — no row
@@ -116,8 +136,40 @@ private[graft] object VectorOps {
     def outputEncoder: Encoder[Array[Double]] = ExpressionEncoders.doubleArray
   }
 
+  /** Quantized twin of [[VecMean]] for the distributed Lloyd branch:
+    * accumulates exact `quantize`d long sums, finishes through
+    * [[qMean]]. Because every partial is an integer vector, the merge
+    * tree's shape (partition order, AQE coalescing, speculative
+    * re-runs) cannot change the result — the property the driver-side
+    * branch gets for free from its sequential loop. */
+  final class VecMeanQ(dims: Int)
+      extends Aggregator[Array[Double], (Array[Long], Long), Array[Double]] {
+    def zero: (Array[Long], Long) = (new Array[Long](dims), 0L)
+    def reduce(b: (Array[Long], Long), v: Array[Double]): (Array[Long], Long) = {
+      var i = 0
+      while (i < dims) { b._1(i) += quantize(v(i)); i += 1 }
+      (b._1, b._2 + 1)
+    }
+    def merge(x: (Array[Long], Long), y: (Array[Long], Long)): (Array[Long], Long) = {
+      var i = 0
+      while (i < dims) { x._1(i) += y._1(i); i += 1 }
+      (x._1, x._2 + y._2)
+    }
+    def finish(r: (Array[Long], Long)): Array[Double] = {
+      val out = new Array[Double](dims)
+      var i = 0
+      while (i < dims) { out(i) = qMean(r._1(i), r._2); i += 1 }
+      out
+    }
+    def bufferEncoder: Encoder[(Array[Long], Long)] =
+      Encoders.tuple(ExpressionEncoders.longArray, Encoders.scalaLong)
+    def outputEncoder: Encoder[Array[Double]] = ExpressionEncoders.doubleArray
+  }
+
   private object ExpressionEncoders {
     val doubleArray: Encoder[Array[Double]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    val longArray: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 }

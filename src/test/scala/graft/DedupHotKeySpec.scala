@@ -62,6 +62,26 @@ class DedupHotKeySpec extends AnyFunSuite {
     assert(maxRec < TaskRecordBound, s"a task saw $maxRec records")
   }
 
+  test("exact dedup: hot content hash partial-aggregates, bounded tasks") {
+    // one text owning ~all rows must cross the shuffle as one partial
+    // (count, min) row per map task — never 2000 rows on one reduce
+    // key. count/min are algebraic, so Spark's hash aggregate combines
+    // map-side; this pins that plan property against regression (an
+    // orderBy-window or collect_list rewrite would blow the bound).
+    var rows: Array[org.apache.spark.sql.Row] = null
+    val maxRec = maxTaskRecords {
+      rows = Dedup.exact(spark, dir).collect()
+    }
+    assert(rows.length == 6, s"1 hot + 5 distinct groups, got ${rows.length}")
+    val hot = rows.filter(_.getLong(1) == 2000L)
+    assert(hot.length == 1 && hot.head.getLong(2) == 0L,
+      "hot group: 2000 copies, keeper = min doc_id")
+    assert(rows.filter(_.getLong(1) == 1L).length == 5)
+    // input side reads ~2005/4 rows per task; a missing map-side
+    // combine would push >=2000 shuffle rows through one task
+    assert(maxRec < 1500, s"a task saw $maxRec records — partial agg lost")
+  }
+
   test("simhash: hot band buckets emit a spanning star, bounded tasks") {
     var rows: Array[org.apache.spark.sql.Row] = null
     val maxRec = maxTaskRecords {

@@ -48,6 +48,29 @@ class SemanticDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed Lloyd is summation-order invariant") {
+    // branch invariance must not hinge on a lucky reduction order: the
+    // quantized-long centroid sums (VectorOps.VecMeanQ / qMean) are
+    // exact integers, so an adversarial repartition + reversed
+    // within-partition order — a different merge tree entirely — must
+    // still train the bit-identical model
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = graft.sources.Tables.embeddings(spark, sf001)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .as[(Long, Array[Double])]
+    val scrambled = e.toDF("vec_id", "v")
+      .repartition(17, col("vec_id"))
+      .sortWithinPartitions(col("vec_id").desc)
+      .as[(Long, Array[Double])]
+    val k = 4
+    val a = Similarity.trainDistributed(e, k)
+    val b = Similarity.trainDistributed(scrambled, k)
+    a.zip(b).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(x.sameElements(y), s"centroid $i depends on summation order")
+    }
+  }
+
   test("kmeans iterations tighten or hold the within-cluster spread") {
     // sanity on the Lloyd contract: the final assignment's clusters are
     // non-degenerate (more than one populated) for the test corpus
