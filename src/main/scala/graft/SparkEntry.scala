@@ -717,8 +717,13 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
         |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+        |            AS DOUBLE) AS sum_disc_price,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |                      * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2)
+        |            AS DOUBLE) AS sum_charge,
         |       round(avg(l_quantity), 6) AS avg_qty,
         |       round(avg(l_extendedprice), 6) AS avg_price,
         |       round(avg(l_discount), 6) AS avg_disc,
@@ -728,7 +733,9 @@ object SparkEntry {
         |GROUP BY ALL ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+        |            AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -738,7 +745,9 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+        |            AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

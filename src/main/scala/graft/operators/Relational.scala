@@ -20,6 +20,20 @@ import graft.sources.Tables
   */
 object Relational {
 
+  /** Money products as EXACT decimals (TPC-H's own column types): the
+    * inputs are cent-valued, so `l_extendedprice·(1−l_discount)` has
+    * exactly 4 true decimals — a double sum of those lands on an exact
+    * round-2 tie with ~1% odds per group, where the reported last digit
+    * depends on float summation order and differs between engines (and
+    * between partitionings of the same engine). Decimal sums are exact
+    * and order-invariant; both engines round the same value and cast to
+    * double only for output. Plain sums of the raw cent columns
+    * (`sum_qty`, `sum_base_price`, `o_totalprice`) stay double: their
+    * true values have no digits past the rounding scale, so no tie. */
+  private def epD = col("l_extendedprice").cast("decimal(18,2)")
+  private def discPrice = epD * (lit(1) - col("l_discount").cast("decimal(18,2)"))
+  private def charge = discPrice * (lit(1) + col("l_tax").cast("decimal(18,2)"))
+
   /** TPC-H Q1 shape: single-scan hash aggregate with computed measures.
     * One shuffle on a 6-value key; everything else is map-side. Sums are
     * rounded to pin double accumulation order differences vs the oracle.
@@ -31,10 +45,8 @@ object Relational {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
-          * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(sum(discPrice), 2).cast("double").as("sum_disc_price"),
+        round(sum(charge), 2).cast("double").as("sum_charge"),
         round(avg(col("l_quantity")), 6).as("avg_qty"),
         round(avg(col("l_extendedprice")), 6).as("avg_price"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
@@ -56,8 +68,7 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -84,8 +95,7 @@ object Relational {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
