@@ -30,12 +30,24 @@ object Multimodal {
 
   val TargetDim = 224 // resize box, longest side
 
+  /** doc_id scan widened to the session's parallelism: the synth +
+    * ImageIO decode passes cost ~0.5 ms/row, and the synthetic corpus
+    * is one sub-MB file → one scan task, which would serialize the
+    * whole decode on a single core. A real corpus arrives in enough
+    * splits that this takes the no-op branch (same contract as
+    * [[Tables.documentsWide]]). */
+  private def docIds(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+    val target = spark.sparkContext.defaultParallelism
+    if (ids.rdd.getNumPartitions >= target) ids else ids.repartition(target)
+  }
+
   /** documents → a media table: real raster payload bytes + the typed
     * CLAIMED metadata struct (what an upstream manifest would assert —
     * [[decodeFeatures]] reports what the bytes actually contain). */
   def mediaTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    docIds(spark, dir).as[Long]
       .mapPartitions(_.map(id => (id, MediaCodec.synthImage(id))))
       .toDF("doc_id", "media")
       .withColumn("meta", struct(
@@ -51,18 +63,25 @@ object Multimodal {
     * actually decoded. Total: corrupt/truncated/hostile payloads map to
     * [[MediaCodec.ImageFallback]], never a task failure. */
   def decodeFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    val decoded = media
-      .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val f = MediaCodec.decodeImage(bytes)
-          (id, f.format, f.width, f.height, f.nPx, f.pxMean)
-        }
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    // one narrow pass appending the decode facts to each row — NOT a
+    // decode-then-self-join, which would shuffle the binary payload
+    // and (worse) recompute the upstream media synthesis once per join
+    // side; at 100 TB the payload column must cross the wire zero times
+    val outSchema = StructType(media.schema.fields ++ Seq(
+      StructField("format", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_px", LongType, nullable = false),
+      StructField("px_mean", DoubleType, nullable = false)))
+    val mediaIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { it =>
+      it.map { r =>
+        val f = MediaCodec.decodeImage(r.getAs[Array[Byte]](mediaIdx))
+        Row.fromSeq(r.toSeq ++ Seq(f.format, f.width, f.height, f.nPx, f.pxMean))
       }
-      .toDF("doc_id", "format", "width", "height", "n_px", "px_mean")
-    media.join(decoded, "doc_id")
+    }(Encoders.row(outSchema))
   }
 
   /** Aspect-preserving resize of the DECODED dims to fit TargetDim
@@ -114,7 +133,7 @@ object Multimodal {
     * stub. */
   def mediaDecode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    docIds(spark, dir).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val bytes = MediaCodec.synth(id)
