@@ -9,7 +9,10 @@ import org.apache.spark.sql.SparkSession
   * inflate a single pass by an order of magnitude (a 0.26 s aggregate
   * has been observed at 4.6 s under contention), and the minimum of
   * independent passes is the standard de-noising estimator for a
-  * deterministic workload. Session memos (trained models, pair frames)
+  * deterministic workload. Three passes, not two: the typed-lambda
+  * operators (pair-gen flatMaps, decode maps) JIT during pass 1 and are
+  * often still tiering up in pass 2 — a min-of-2 has been observed 40%
+  * above the warm steady state on exactly those queries. Session memos (trained models, pair frames)
   * are cleared BETWEEN passes so every pass pays each operator's full
   * training/derivation cost — without that, pass 2 of a memoized
   * operator times the memo lookup, not the operator. Within a pass,
@@ -21,7 +24,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  val Rounds = 2
+  val Rounds = 3
 
   private def clearMemos(): Unit = {
     graft.operators.Dedup.clearMemo()
