@@ -145,6 +145,22 @@ object TableVerbs {
 
     GraftTable.deleteWhere(spark, root, "docs",
       col("lang") === "de" && col("doc_id") % 3 === 0)
+    // the oracle's `comp` CTE assumes compaction rewrites the ENTIRE
+    // post-delete state, which holds iff every lang group still has
+    // >= 2 committed files (compact's small-group floor). That is a
+    // property of the corpus (each lang must carry both doc_id
+    // parities), so assert it here: a degenerate layout fails LOUDLY
+    // at the harness instead of surfacing as an opaque hash mismatch
+    // in the gate.
+    val perLang = GraftTable.committedFiles(spark, root)
+      .filter(_.startsWith("docs/"))
+      .groupBy(_.split('/').find(_.startsWith("lang=")).getOrElse(""))
+    perLang.find(_._2.size < 2).foreach { case (lang, files) =>
+      throw new IllegalStateException(
+        s"changeFeed oracle invariant broken: partition '$lang' holds " +
+          s"only ${files.size} file(s) after the delete — compact would " +
+          "skip it and the oracle's full-rewrite CTE would mismatch")
+    }
     GraftTable.compact(spark, root, "docs")
 
     Scratch.materializeAndClean(root,
