@@ -73,6 +73,7 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         docs.filter(col("doc_id") % 2 === 0))
     },
+    "dedup_incremental"     -> (MinhashIndex.incremental _),
     "text_decontaminate"    -> (Dedup.decontaminate _),
     "dedup_decontam_bloom"  -> (Dedup.decontaminateBloom _),
     "dedup_spans"           -> (Corpus.spanDedup _),
@@ -1058,6 +1059,14 @@ object SparkEntry {
     "dedup_clusters" -> clustersOracle,
     "dedup_crosscorpus" ->
       s"""WITH ${minhashCtesWith("x.doc_id % 2 = 1 AND y.doc_id % 2 = 0")}
+         |SELECT doc_a AS left_id, doc_b AS right_id, jaccard FROM j
+         |WHERE jaccard >= ${Dedup.MinhashJaccardThreshold}
+         |ORDER BY left_id, right_id""".stripMargin,
+    // same relational pairs as crosscorpus at a 10%/90% split — the
+    // Spark side runs them through the PERSISTED index lifecycle
+    // (build → write → broadcast query), which the hash therefore gates
+    "dedup_incremental" ->
+      s"""WITH ${minhashCtesWith("x.doc_id % 10 = 3 AND y.doc_id % 10 <> 3")}
          |SELECT doc_a AS left_id, doc_b AS right_id, jaccard FROM j
          |WHERE jaccard >= ${Dedup.MinhashJaccardThreshold}
          |ORDER BY left_id, right_id""".stripMargin,

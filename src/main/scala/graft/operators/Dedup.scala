@@ -199,7 +199,7 @@ object Dedup {
     coldPairs.unionByName(hotPairs)
   }
 
-  private def jaccard(a: Column, b: Column): Column =
+  private[operators] def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** Exact dedup: group documents by content hash; emit group size and
@@ -318,7 +318,7 @@ object Dedup {
   }
 
   /** (doc_id, b, k) band rows of a (doc_id, sh, sig) frame. */
-  private def bandFrame(perDoc: DataFrame): DataFrame = {
+  private[operators] def bandFrame(perDoc: DataFrame): DataFrame = {
     val rows = NumHashes / NumBands
     val bandCols = (0 until NumBands).map { b =>
       struct(lit(b).as("b"),
@@ -337,7 +337,7 @@ object Dedup {
     * CONNECTIVITY through a hot bucket survives exactly like the
     * spanning star in the self-join case). One window shuffle, whose
     * (b, k) partitioning the subsequent join reuses. */
-  private def capBucket(bands: DataFrame, idCol: String): DataFrame = {
+  private[operators] def capBucket(bands: DataFrame, idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("b"), col("k")).orderBy(col(idCol))
     bands.withColumn("__rn", row_number().over(w))

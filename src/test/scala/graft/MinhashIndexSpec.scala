@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, MinhashIndex, Scratch}
+
+/** Persisted banded MinHash index: build-once / query-increments must
+  * be row-identical to the in-memory cross-corpus join, the query plan
+  * must broadcast the increment (never shuffle the corpus side), and
+  * the resident cap must be baked in at build time.
+  */
+class MinhashIndexSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("query over the persisted index == in-memory minhashJoin") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val inc = docs.filter(col("doc_id") % 10 === 3)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 3)
+    val root = Files.createTempDirectory("graft-mhidx-eq").toString
+    try {
+      MinhashIndex.build(corpus, s"$root/idx")
+      val viaIndex = MinhashIndex.query(spark, s"$root/idx", inc)
+        .collect().map(_.toSeq)
+      val inMemory = Dedup.minhashJoin(inc, corpus)
+        .collect().map(_.toSeq)
+      assert(viaIndex.nonEmpty, "fixture must produce at least one pair")
+      assert(viaIndex.toSeq == inMemory.toSeq)
+    } finally Scratch.rm(new java.io.File(root))
+  }
+
+  test("query plan broadcasts the increment — corpus side never shuffles") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val root = Files.createTempDirectory("graft-mhidx-plan").toString
+    try {
+      MinhashIndex.build(docs.filter(col("doc_id") % 10 =!= 3), s"$root/idx")
+      val plan = MinhashIndex.candidateFrame(spark, s"$root/idx",
+          docs.filter(col("doc_id") % 10 === 3))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"increment must broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"corpus side must not sort-merge (implies shuffle):\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"corpus side must not shuffle:\n$plan")
+    } finally Scratch.rm(new java.io.File(root))
+  }
+
+  test("hot buckets cap at build: residents bounded, every increment doc flagged") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-mhidx-hot").toString
+    val root = Files.createTempDirectory("graft-mhidx-hotidx").toString
+    try {
+      val docs = (0L until 600L)
+        .map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+        .toDF("doc_id", "text")
+      val corpus = docs.filter(col("doc_id") % 2 === 0) // 300 > cap 256
+      MinhashIndex.build(corpus, s"$root/idx")
+      // residents persisted per bucket are the cap smallest ids
+      val bands = spark.read.parquet(s"$root/idx/bands.parquet")
+      val perBucket = bands.groupBy("b", "k")
+        .agg(count(lit(1)).as("n"), max(col("right_id")).as("mx"))
+        .collect()
+      assert(perBucket.nonEmpty)
+      perBucket.foreach { r =>
+        assert(r.getAs[Long]("n") == Dedup.HotGroupCap)
+        assert(r.getAs[Long]("mx") == (Dedup.HotGroupCap - 1) * 2L)
+      }
+      // every left doc still pairs with every resident
+      val out = MinhashIndex.query(spark, s"$root/idx",
+        docs.filter(col("doc_id") % 2 === 1))
+      assert(out.count() == 300L * Dedup.HotGroupCap)
+    } finally { Scratch.rm(new java.io.File(root)); Scratch.rm(new java.io.File(d)) }
+  }
+}
