@@ -13,11 +13,28 @@ class OperatorSurfaceSpec extends AnyFunSuite {
   // ops whose correct result can legitimately be empty at sf0.001
   private val mayBeEmpty = Set("dedup_embedding")
 
+  // ops with a DELIBERATE nested-loop join of a guaranteed-one-row
+  // broadcast side (a scalar append: O(n) work at any scale, not the
+  // O(n·m) blowup the hygiene assert exists to catch)
+  private val scalarNlj = Set("q_mixture_sample")
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf0001)
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+      // plan hygiene on the already-built plan: a cartesian product or
+      // nested-loop join anywhere is an O(n²) task at 100 TB — the
+      // family specs assert this per-operator; this catches the query
+      // that slips in without one. Eagerly-materialized harness ops
+      // reduce to an ExistingRDD scan here (vacuously clean); their
+      // internal plans carry their own specs.
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+      if (!scalarNlj(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a nested-loop join")
     }
   }
 
