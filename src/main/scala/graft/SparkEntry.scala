@@ -76,6 +76,7 @@ object SparkEntry {
     "dedup_incremental"     -> (MinhashIndex.incremental _),
     "text_decontaminate"    -> (Dedup.decontaminate _),
     "dedup_decontam_bloom"  -> (Dedup.decontaminateBloom _),
+    "dedup_decontam_persist" -> (DecontamIndex.persistedDecontam _),
     "dedup_spans"           -> (Corpus.spanDedup _),
     "dedup_winnow"          -> (Dedup.winnowPairs _),
     "dedup_substring"       -> (Dedup.exactSubstringSpans _),
@@ -1125,6 +1126,10 @@ object SparkEntry {
     // Bloom pre-filter has no false negatives and the confirm join drops
     // the false positives — bit-identical result, identical oracle.
     "dedup_decontam_bloom" -> decontamOracle,
+    // identical relational answer to the Bloom path — the Spark side
+    // runs it through the PERSISTED artifact lifecycle (shingle + build
+    // once, write, reload, probe + confirm), which the hash gates
+    "dedup_decontam_persist" -> decontamOracle,
     "dedup_ngram_jaccard" ->
       s"""WITH $toksCte,
          |sz AS (SELECT doc_id, len(s) AS n FROM shf),
