@@ -59,6 +59,39 @@ object MinhashIndex {
     ()
   }
 
+  /** Admit a new batch of docs INTO the index (after near-dup checking
+    * it): append its band rows — capped within the batch — and its
+    * shingles. Append-only, no rewrite of existing files, no
+    * corpus-wide work: the only shuffle is the resident-cap window
+    * over the BATCH.
+    *
+    * Correctness: the cap keeps the [[Dedup.HotGroupCap]] smallest ids
+    * per bucket, and the cap-smallest of A ∪ B is always a subset of
+    * (cap-smallest of A) ∪ (cap-smallest of B) — so batch-capped
+    * appends plus [[query]]'s candidate-local re-cap reproduce a fresh
+    * build over the union exactly (asserted row-for-row in the spec).
+    * Buckets touched by many merges accumulate ≤ cap stale
+    * (out-capped) rows per merge; a maintenance pass that rewrites a
+    * partition through the same cap window reclaims them. */
+  def merge(admitted: DataFrame, indexPath: String): Unit = {
+    val perDoc = Dedup.shingleSigs(admitted)
+    Materialize.withCached(perDoc) {
+      val bands = Dedup.bandFrame(perDoc)
+        .select(col("doc_id").as("right_id"), col("b"), col("k"))
+      Dedup.capBucket(bands, "right_id")
+        .repartition(col("b"))
+        .sortWithinPartitions(col("k"), col("right_id"))
+        .write.mode("append")
+        .partitionBy("b")
+        .parquet(s"$indexPath/bands.parquet")
+      perDoc.select(col("doc_id"), col("sh"))
+        .write.mode("append")
+        .parquet(s"$indexPath/shingles.parquet")
+      perDoc.sparkSession.range(0).toDF("done")
+    }
+    ()
+  }
+
   /** Near-dup pairs between `increment` (doc_id, text) and the indexed
     * corpus: row-identical to `Dedup.minhashJoin(increment, corpus)`.
     * The increment is assumed small relative to the corpus (the whole
@@ -72,7 +105,15 @@ object MinhashIndex {
       val bandsL = Dedup.bandFrame(perL)
         .select(col("doc_id").as("left_id"), col("b"), col("k"))
       val idx = spark.read.parquet(s"$indexPath/bands.parquet")
-      val cand = idx.join(broadcast(bandsL), Seq("b", "k"))
+      // candidate-local re-cap: after [[merge]]s a bucket may hold up
+      // to cap residents per merged generation; the true residents of
+      // the unioned corpus are the cap smallest of what is stored
+      // (see merge's subset argument). The window runs over candidate
+      // rows only — increment-bounded, never the corpus.
+      val matched = idx.join(broadcast(bandsL.select(col("b"), col("k")).distinct()),
+        Seq("b", "k"))
+      val recapped = Dedup.capBucket(matched, "right_id")
+      val cand = recapped.join(broadcast(bandsL), Seq("b", "k"))
         .select(col("left_id"), col("right_id"))
         .distinct()
       val shR = spark.read.parquet(s"$indexPath/shingles.parquet")

@@ -50,6 +50,55 @@ class MinhashIndexSpec extends AnyFunSuite {
     } finally Scratch.rm(new java.io.File(root))
   }
 
+  test("build(A) + merge(B) answers exactly like build(A union B)") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val inc = docs.filter(col("doc_id") % 10 === 3)
+    val a = docs.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 2 === 1)
+    val merged = Files.createTempDirectory("graft-mhidx-m1").toString
+    val fresh = Files.createTempDirectory("graft-mhidx-m2").toString
+    try {
+      MinhashIndex.build(a, s"$merged/idx")
+      MinhashIndex.merge(b, s"$merged/idx")
+      MinhashIndex.build(a.unionByName(b), s"$fresh/idx")
+      val viaMerged = MinhashIndex.query(spark, s"$merged/idx", inc)
+        .collect().map(_.toSeq)
+      val viaFresh = MinhashIndex.query(spark, s"$fresh/idx", inc)
+        .collect().map(_.toSeq)
+      assert(viaMerged.nonEmpty)
+      assert(viaMerged.toSeq == viaFresh.toSeq)
+    } finally {
+      Scratch.rm(new java.io.File(merged)); Scratch.rm(new java.io.File(fresh))
+    }
+  }
+
+  test("merge then query re-caps stale residents: union cap == fresh cap") {
+    import spark.implicits._
+    def identical(ids: Range) = ids.map(i => (i.toLong,
+      "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val merged = Files.createTempDirectory("graft-mhidx-s1").toString
+    val fresh = Files.createTempDirectory("graft-mhidx-s2").toString
+    try {
+      // both generations exceed the cap on the SAME bucket: stored
+      // residents = 256 of A + 256 of B; true union residents = 0..255
+      MinhashIndex.build(identical(0 until 300), s"$merged/idx")
+      MinhashIndex.merge(identical(300 until 600), s"$merged/idx")
+      MinhashIndex.build(identical(0 until 600), s"$fresh/idx")
+      val inc = identical(600 until 610)
+      val viaMerged = MinhashIndex.query(spark, s"$merged/idx", inc)
+      val got = viaMerged.collect()
+      assert(got.length == 10 * Dedup.HotGroupCap)
+      assert(got.map(_.getLong(1)).max == Dedup.HotGroupCap - 1L,
+        "re-cap must keep the union's smallest ids, not one per generation")
+      assert(got.map(_.toSeq).toSeq ==
+        MinhashIndex.query(spark, s"$fresh/idx", inc).collect().map(_.toSeq).toSeq)
+    } finally {
+      Scratch.rm(new java.io.File(merged)); Scratch.rm(new java.io.File(fresh))
+    }
+  }
+
   test("hot buckets cap at build: residents bounded, every increment doc flagged") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-mhidx-hot").toString
