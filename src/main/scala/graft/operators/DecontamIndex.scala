@@ -54,6 +54,60 @@ object DecontamIndex {
     } finally sh.unpersist(blocking = false)
   }
 
+  /** Extend the index with a NEW eval batch (benchmark suites grow):
+    * append only the genuinely new distinct shingles — a duplicate
+    * shingle row would double-count every `n_shared` the confirm join
+    * produces — and update the filter IN PLACE by OR-ing the delta's
+    * words (Bloom insertion is monotone) while the stored geometry
+    * still satisfies [[Dedup.bloomBitsFor]] for the grown set. When
+    * the set outgrows the geometry, the filter is rebuilt at the
+    * correct size from the full persisted shingle table — never left
+    * undersized (an undersized filter stays CORRECT, only its
+    * false-positive rate decays; the rebuild keeps the probe's
+    * selectivity contract instead). Either way the result is
+    * bit-identical to a fresh [[build]] over the union (spec'd). */
+  def merge(newEvalDocs: DataFrame, indexPath: String): Unit = {
+    val spark = newEvalDocs.sparkSession
+    import spark.implicits._
+    val existing = spark.read.parquet(s"$indexPath/shingles.parquet")
+    // count BEFORE the append below, and pin `fresh` lineage-free
+    // (Materialize = eager localCheckpoint): both frames read the very
+    // path the append mutates, so a lazy plan — or a cache-evicted
+    // recompute — would silently see the post-append files
+    val nExisting = existing.count()
+    val fresh = Materialize(
+      Dedup.shinglesOf(newEvalDocs)
+        .select(explode(col("sh")).as("s")).distinct()
+        .join(existing, Seq("s"), "left_anti"))
+    val nFresh = fresh.count()
+    if (nFresh > 0) {
+      val nTotal = nExisting + nFresh
+      fresh.write.mode("append").parquet(s"$indexPath/shingles.parquet")
+      val words = loadBloom(spark, indexPath)
+      val bitsNeeded = Dedup.bloomBitsFor(nTotal)
+      val rebuilt =
+        if (bitsNeeded > words.length * 64) {
+          // geometry outgrown: rebuild over the full persisted set
+          Dedup.bloomBuild(
+            spark.read.parquet(s"$indexPath/shingles.parquet"), "s",
+            bitsNeeded)
+        } else {
+          val delta = Dedup.bloomBuild(fresh, "s", words.length * 64)
+          var i = 0
+          while (i < words.length) { words(i) |= delta(i); i += 1 }
+          words
+        }
+      rebuilt.zipWithIndex
+        .collect { case (w, i) if w != 0L => (i, w) }
+        .toSeq.toDF("w", "bits")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexPath/bloom.parquet")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$indexPath/GEOMETRY"),
+        rebuilt.length.toString)
+    }
+  }
+
   /** Load the persisted filter words (dense array, zero-filled). */
   def loadBloom(spark: SparkSession, indexPath: String): Array[Long] = {
     val nWords = java.nio.file.Files

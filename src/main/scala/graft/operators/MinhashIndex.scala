@@ -92,6 +92,32 @@ object MinhashIndex {
     ()
   }
 
+  /** Maintenance: rewrite the band table through the resident-cap
+    * window, reclaiming rows that later [[merge]] generations out-capped
+    * (each merge can leave up to cap stale rows per touched bucket).
+    * One cap window + rewrite of the band table — shingles are
+    * untouched (they are keyed by doc and never superseded). Queries
+    * before and after compaction answer identically ([[query]]'s re-cap
+    * is a no-op on a compacted index); the spec asserts both that and
+    * the reclaimed row count. */
+  def compact(spark: SparkSession, indexPath: String): Unit = {
+    val bands = spark.read.parquet(s"$indexPath/bands.parquet")
+      .select(col("right_id"), col("b"), col("k"))
+    val recapped = Dedup.capBucket(bands, "right_id")
+    // parquet cannot rewrite in place: stage, swap, drop the old tree
+    val tmp = s"$indexPath/bands.parquet.compacting"
+    recapped
+      .repartition(col("b"))
+      .sortWithinPartitions(col("k"), col("right_id"))
+      .write.mode("overwrite")
+      .partitionBy("b")
+      .parquet(tmp)
+    val live = new java.io.File(s"$indexPath/bands.parquet")
+    Scratch.rm(live)
+    if (!new java.io.File(tmp).renameTo(live))
+      throw new java.io.IOException(s"compact: rename $tmp failed")
+  }
+
   /** Near-dup pairs between `increment` (doc_id, text) and the indexed
     * corpus: row-identical to `Dedup.minhashJoin(increment, corpus)`.
     * The increment is assumed small relative to the corpus (the whole

@@ -40,6 +40,82 @@ class DecontamIndexSpec extends AnyFunSuite {
     } finally Scratch.rm(new java.io.File(root))
   }
 
+  test("merge(new eval batch) == fresh build over the union") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val evalA = docs.filter(col("doc_id") % Dedup.EvalStride === 0)
+    // overlapping batch: shares docs with A (dup shingles must NOT
+    // double-append) plus genuinely new docs
+    val evalB = docs.filter(col("doc_id") % 20 === 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0
+      && col("doc_id") % Dedup.EvalStride =!= 0)
+    val merged = Files.createTempDirectory("graft-dcidx-m1").toString
+    val fresh = Files.createTempDirectory("graft-dcidx-m2").toString
+    try {
+      DecontamIndex.build(evalA, s"$merged/idx")
+      DecontamIndex.merge(evalB, s"$merged/idx")
+      DecontamIndex.build(evalA.unionByName(evalB).distinct(), s"$fresh/idx")
+      // shingle tables equal as sets (merge appended only the delta)
+      val mSh = spark.read.parquet(s"$merged/idx/shingles.parquet")
+      assert(mSh.count() == mSh.distinct().count(),
+        "merge must never append a duplicate shingle")
+      assert(mSh.collect().map(_.getString(0)).sorted.toSeq ==
+        spark.read.parquet(s"$fresh/idx/shingles.parquet")
+          .collect().map(_.getString(0)).sorted.toSeq)
+      // filter bit-identical (same geometry branch: OR is monotone)
+      assert(DecontamIndex.loadBloom(spark, s"$merged/idx").toSeq ==
+        DecontamIndex.loadBloom(spark, s"$fresh/idx").toSeq)
+      // and the decontamination answers match row for row
+      assert(DecontamIndex.query(spark, s"$merged/idx", corpus)
+        .collect().map(_.toSeq).toSeq ==
+        DecontamIndex.query(spark, s"$fresh/idx", corpus)
+          .collect().map(_.toSeq).toSeq)
+    } finally {
+      Scratch.rm(new java.io.File(merged)); Scratch.rm(new java.io.File(fresh))
+    }
+  }
+
+  test("merge with nothing new is a no-op") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val evalA = docs.filter(col("doc_id") % Dedup.EvalStride === 0)
+    val root = Files.createTempDirectory("graft-dcidx-noop").toString
+    try {
+      DecontamIndex.build(evalA, s"$root/idx")
+      val before = DecontamIndex.loadBloom(spark, s"$root/idx").toSeq
+      val nBefore = spark.read.parquet(s"$root/idx/shingles.parquet").count()
+      DecontamIndex.merge(evalA, s"$root/idx")
+      assert(DecontamIndex.loadBloom(spark, s"$root/idx").toSeq == before)
+      assert(spark.read.parquet(s"$root/idx/shingles.parquet").count() == nBefore)
+    } finally Scratch.rm(new java.io.File(root))
+  }
+
+  test("merge past the geometry boundary rebuilds the filter larger") {
+    import spark.implicits._
+    // each doc contributes ~998 distinct shingles (unique tokens);
+    // 200 docs ≈ 200k > 2^20/8 = 131k items → bits must double
+    def uniqueDocs(ids: Range) = ids.map { i =>
+      (i.toLong, (0 until 1000).map(j => s"u${i}t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft-dcidx-grow").toString
+    try {
+      DecontamIndex.build(uniqueDocs(0 until 10), s"$root/idx")
+      val small = DecontamIndex.loadBloom(spark, s"$root/idx").length
+      assert(small * 64 == Dedup.BloomBits) // floor geometry
+      DecontamIndex.merge(uniqueDocs(10 until 210), s"$root/idx")
+      val grown = DecontamIndex.loadBloom(spark, s"$root/idx")
+      assert(grown.length > small, "filter must grow past the boundary")
+      val n = spark.read.parquet(s"$root/idx/shingles.parquet").count()
+      assert(grown.length * 64 == Dedup.bloomBitsFor(n),
+        "rebuilt geometry must match the grown set")
+      // rebuilt filter == a fresh build at the same geometry
+      val direct = Dedup.bloomBuild(
+        spark.read.parquet(s"$root/idx/shingles.parquet"), "s",
+        grown.length * 64)
+      assert(grown.toSeq == direct.toSeq)
+    } finally Scratch.rm(new java.io.File(root))
+  }
+
   test("artifact is bounded by geometry, not eval-set size") {
     val docs = graft.sources.Tables.documents(spark, sf0001)
       .select(col("doc_id"), col("text"))

@@ -99,6 +99,31 @@ class MinhashIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("compact reclaims out-capped rows and leaves answers unchanged") {
+    import spark.implicits._
+    def identical(ids: Range) = ids.map(i => (i.toLong,
+      "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft-mhidx-c").toString
+    try {
+      MinhashIndex.build(identical(0 until 300), s"$root/idx")
+      MinhashIndex.merge(identical(300 until 600), s"$root/idx")
+      val before = spark.read.parquet(s"$root/idx/bands.parquet").count()
+      val inc = identical(600 until 605)
+      val preCompact = MinhashIndex.query(spark, s"$root/idx", inc)
+        .collect().map(_.toSeq)
+      MinhashIndex.compact(spark, s"$root/idx")
+      val after = spark.read.parquet(s"$root/idx/bands.parquet")
+      // every bucket back to exactly cap residents (both generations
+      // overflowed the same buckets)
+      after.groupBy("b", "k").count().collect()
+        .foreach(r => assert(r.getLong(2) == Dedup.HotGroupCap))
+      assert(after.count() < before, "compaction must reclaim rows")
+      assert(MinhashIndex.query(spark, s"$root/idx", inc)
+        .collect().map(_.toSeq).toSeq == preCompact.toSeq)
+    } finally Scratch.rm(new java.io.File(root))
+  }
+
   test("hot buckets cap at build: residents bounded, every increment doc flagged") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-mhidx-hot").toString
