@@ -433,6 +433,11 @@ object Corpus {
     * deployment tunes this against its eval suite. */
   val BuildContamOverlap = 15
 
+  /** Max drop-list rows [[corpusBuild]] will broadcast to the anti-join
+    * (8 bytes/row → ≤ 32 MB in one broadcast table). Past it, the
+    * shuffle anti-join is the right plan anyway. */
+  val BroadcastDropListMaxRows = 4L << 20
+
   def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
     val messy = withSyntheticMess(col("text"), col("doc_id"))
     val withPii = withSyntheticPii(normalizeTextCol(messy), col("doc_id"))
@@ -480,7 +485,21 @@ object Corpus {
     val contaminated = Dedup.contamCounts(spark, dir)
       .filter(col("n_shared") >= BuildContamOverlap)
       .select("doc_id")
-    kept.join(contaminated, Seq("doc_id"), "left_anti")
+    // the drop-list is eval-adjacent (docs sharing >= BuildContamOverlap
+    // shingles with the eval suite — bounded by eval-set size × near-dup
+    // multiplicity, not by corpus size), so BROADCAST it: the static
+    // planner can't see that contamCounts' materialized frame is tiny
+    // and would sort-merge, shuffling every kept row just to anti-probe
+    // a list that fits in one task. Guarded adaptively like the
+    // engine's other driver/distributed splits — counting the memoized
+    // localCheckpoint'd frame is a block scan, no recompute — so a
+    // pathological corpus whose drop-list DOES grow with the corpus
+    // falls back to the shuffle anti-join instead of OOMing the driver.
+    val contamSide =
+      if (contaminated.count() <= BroadcastDropListMaxRows)
+        broadcast(contaminated)
+      else contaminated
+    kept.join(contamSide, Seq("doc_id"), "left_anti")
       .select(col("doc_id"),
         splitCol(col("doc_id")).getField("split").as("split"),
         col("n_words"),
