@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g on the 128 GiB round box: the suite carries dozens of
+  // materialized (localCheckpoint) frames, streaming state stores, and
+  // staged Kafka topics at once — at 8g the old-gen churn from that
+  // working set inflated late-suite queries 2-4×. Override with
+  // SPARK_DRIVER_MEM for smaller hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -26,12 +26,22 @@ object Bench {
 
   val Rounds = 3
 
-  private def clearMemos(): Unit = {
+  private def clearMemos(spark: SparkSession): Unit = {
     graft.operators.Dedup.clearMemo()
     graft.operators.Similarity.clearCentsMemo()
     graft.operators.Similarity.clearPqMemo()
     graft.operators.QualityClassifier.clearMemo()
     graft.operators.Bpe.clearMemo()
+    // the memo maps held the LAST references to their materialized
+    // frames; the localCheckpoint blocks behind them stay pinned in the
+    // block manager until the JVM happens to GC the RDD objects. Drop
+    // them NOW — after the maps are cleared nothing can read them — so
+    // each pass starts with a clean store instead of inheriting the
+    // previous pass's working set as ambient heap pressure (observed:
+    // late-suite queries 2-4× slower under the accumulated blocks).
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    spark.sharedState.cacheManager.clearCache()
   }
 
   def main(args: Array[String]): Unit = {
@@ -48,7 +58,7 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val passes = (1 to Rounds).map { _ =>
-      clearMemos()
+      clearMemos(spark)
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -207,7 +207,15 @@ object MediaCodec {
   def decodeImage(bytes: Array[Byte]): ImageFacts = {
     if (bytes == null || bytes.length < 8) return ImageFallback
     try {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+      // the factory consults ImageIO.getUseCache() (default true) and
+      // backs every stream with a TEMP FILE — one file create+delete
+      // per decoded image, which turns a CPU-bound decode pass into
+      // filesystem traffic that collapses under concurrent shuffle I/O.
+      // Payloads here are in-heap byte arrays already (≤ MaxImagePixels
+      // by the guards below), so the memory-backed stream is strictly
+      // better at every scale.
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
