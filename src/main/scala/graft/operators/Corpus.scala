@@ -438,7 +438,14 @@ object Corpus {
     * shuffle anti-join is the right plan anyway. */
   val BroadcastDropListMaxRows = 4L << 20
 
-  def corpusBuild(spark: SparkSession, dir: String): DataFrame = {
+  def corpusBuild(spark: SparkSession, dir: String): DataFrame =
+    corpusBuild(spark, dir, BroadcastDropListMaxRows)
+
+  /** [[corpusBuild]] with an explicit broadcast cap — the spec drives
+    * `broadcastCap = 0` to force the shuffle anti-join branch and
+    * asserts both branches return identical rows. */
+  private[graft] def corpusBuild(spark: SparkSession, dir: String,
+                                 broadcastCap: Long): DataFrame = {
     val messy = withSyntheticMess(col("text"), col("doc_id"))
     val withPii = withSyntheticPii(normalizeTextCol(messy), col("doc_id"))
     val t = piiRedactCol(withPii).getField("redacted")
@@ -496,8 +503,7 @@ object Corpus {
     // pathological corpus whose drop-list DOES grow with the corpus
     // falls back to the shuffle anti-join instead of OOMing the driver.
     val contamSide =
-      if (contaminated.count() <= BroadcastDropListMaxRows)
-        broadcast(contaminated)
+      if (contaminated.count() <= broadcastCap) broadcast(contaminated)
       else contaminated
     kept.join(contamSide, Seq("doc_id"), "left_anti")
       .select(col("doc_id"),

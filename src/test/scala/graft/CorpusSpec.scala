@@ -200,6 +200,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Int]("n_words") > 0))
   }
 
+  test("corpusBuild: shuffle anti-join fallback returns the broadcast branch's rows") {
+    // broadcastCap = 0 forces the pathological-drop-list branch (the
+    // 100 TB fallback when the contamination list outgrows a broadcast
+    // table); both plans must agree row for row
+    val broad = Corpus.corpusBuild(spark, sf0001).collect()
+    val shuffled = Corpus.corpusBuild(spark, sf0001, broadcastCap = 0L).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[String]("split"),
+        r.getAs[Int]("n_words"), r.getAs[String]("content_hash"))
+    assert(broad.map(key).toSeq == shuffled.map(key).toSeq,
+      "anti-join branch choice changed the corpus")
+  }
+
   test("gopher gate matches a hand computation on one doc") {
     val r = Corpus.gopherFilters(spark, sf0001)
       .filter(col("doc_id") === 0).collect().head

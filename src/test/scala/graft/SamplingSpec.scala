@@ -32,6 +32,18 @@ class SamplingSpec extends AnyFunSuite {
       again.map(_.getAs[Long]("doc_id")).toSeq)
   }
 
+  test("profileEvents: no expand in the plan — distincts run as separate aggregates") {
+    val df = Sampling.profileEvents(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // two countDistinct in ONE aggregate would plan an Expand that
+    // multiplies every input row once per distinct group; the separate-
+    // aggregate shape must keep it out of the plan for good
+    assert(!plan.contains("Expand"),
+      s"multi-distinct expand crept back into profileEvents:\n$plan")
+  }
+
   test("mixtureSample touches the corpus with one narrow filter — stratum stats broadcast") {
     val df = Sampling.mixtureSample(spark, sf0001)
     df.collect() // materialize so AQE's final plan is inspectable
