@@ -46,7 +46,7 @@ object Similarity {
   val K = 5
   val QueryStride = 50 // vec_id % 50 == 0 → deterministic query set
   val NProbe = 2
-  val Dims = 64
+  val Dims = Tables.EmbeddingDims // guarded at read: Tables.embeddings
   val LshPlanes = 8 // sign-random-projection bits → 256 buckets
 
   /** Hard cap on the broadcast query block of [[bruteForceTopK]]: the

@@ -69,7 +69,37 @@ object Tables {
     val target = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** Expected embedding dimensionality. The vector operators (PQ
+    * geometry, hyperplane matrices, centroid accumulators) and their
+    * STATIC oracle SQL both encode this number, so a generator that
+    * ships a different dim cannot be adapted to silently — it must
+    * fail loudly and diagnosably instead (the events.ts NANOS/MICROS
+    * flip cost a whole round when readers threw opaque errors). */
+  val EmbeddingDims = 64
+
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "embeddings")
+    // one memoized 1-row probe per (session, dir): the array length is
+    // data-level (not in the parquet schema), so LOOK at one row and
+    // refuse a drifted generator with an actionable message
+    dimsMemo.getOrElseUpdate((s, d), {
+      import org.apache.spark.sql.functions.{col, size => asize}
+      df.select(asize(col("embedding"))).limit(1).collect()
+        .headOption.map(_.getInt(0)).foreach { dims =>
+          if (dims != EmbeddingDims) throw new IllegalStateException(
+            s"embeddings.embedding in $d is $dims-dimensional but the " +
+              s"engine and its oracle SQL are built for $EmbeddingDims " +
+              "(Tables.EmbeddingDims = Similarity.Dims = PqM x PqSubDim; " +
+              "the hyperplane/codebook derivations in SparkEntry.oracleSql " +
+              "enumerate the same range). Update those together.")
+        }
+      true
+    })
+    df
+  }
+
+  private val dimsMemo = scala.collection.concurrent
+    .TrieMap.empty[(SparkSession, String), Boolean]
 
   /** Memoized exact row count of a table — METADATA, not a computed
     * result: parquet footers carry the row count (a real table format

@@ -66,4 +66,23 @@ class EventsTsFlavorSpec extends AnyFunSuite {
       assert(joined.filter(col("s.n_events") =!= col("b.n_events")).count() === 0)
     }
   }
+
+  // same drift class, embeddings axis: the vector operators AND their
+  // static oracle SQL both encode the dimensionality, so a generator
+  // that ships a different dim must refuse loudly at the reader —
+  // not surface as opaque shape errors mid-operator (round 8's cost)
+  test("embeddings reader refuses a drifted dimensionality with an actionable error") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dims-drift").toString
+    Seq((0L, "a", Array.fill(32)(0.1f)), (1L, "b", Array.fill(32)(0.2f)))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalStateException] {
+      Tables.embeddings(spark, dir).count()
+    }
+    assert(e.getMessage.contains("32-dimensional"))
+    assert(e.getMessage.contains("oracle"))
+    // the live testdata passes the guard
+    assert(Tables.embeddings(spark, sf0001).count() > 0)
+  }
 }
