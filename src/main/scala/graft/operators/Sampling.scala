@@ -39,9 +39,13 @@ object Sampling {
     * input row once per distinct group (×3 the table through the hash
     * aggregate — measured ~2× this query's cost); three independent
     * jobs each read one column, partial-aggregate map-side, and meet
-    * in a broadcast nested loop of three 1-row frames. Same exact
-    * semantics, scale shape intact (each distinct is its own bounded
-    * shuffle of already-deduped partials).
+    * in a broadcast nested loop of three GUARANTEED-1-row frames
+    * (global aggregates without grouping; a literal equi-key would not
+    * survive — constant folding erases it and re-plans the NLJ). The
+    * plan-hygiene spec exempts this query by name for exactly this
+    * single-row-broadcast shape. Same exact semantics, scale shape
+    * intact (each distinct is its own bounded shuffle of
+    * already-deduped partials).
     */
   def profileEvents(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)

@@ -16,7 +16,11 @@ class OperatorSurfaceSpec extends AnyFunSuite {
   // ops with a DELIBERATE nested-loop join of a guaranteed-one-row
   // broadcast side (a scalar append: O(n) work at any scale, not the
   // O(n·m) blowup the hygiene assert exists to catch)
-  private val scalarNlj = Set("q_mixture_sample")
+  private val scalarNlj = Set(
+    "q_mixture_sample",
+    // three 1-row global aggregates (the separate-distinct profile
+    // shape) cross-joined; a 1-row build side can't blow up
+    "q_profile_events")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
