@@ -53,25 +53,45 @@ object Bench {
     // JVM + codegen + parquet-reader warmup so the first measured query
     // doesn't absorb ~10 s of one-time session cost
     spark.range(1000000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .selectExpr("count(*)").collect()
+    // best-effort: a missing/odd table must not kill the whole bench
+    // before a single query ran — per-query failures are reported below
+    scala.util.Try(spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .selectExpr("count(*)").collect())
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // a throwing query must NEVER masquerade as a fast one: an
+    // exception unwinds in milliseconds, and a naive "swallow and time
+    // anyway" loop records it as a best-in-suite number (a generator
+    // schema drift once produced a whole file of such bogus times).
+    // Failures are timed as +Infinity for the min and reported by name.
+    val failures = scala.collection.mutable.Map
+      .empty[String, String].withDefaultValue("")
     val passes = (1 to Rounds).map { _ =>
       clearMemos(spark)
       selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+            false
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9
+                 else Double.PositiveInfinity)
       }.toMap
     }
     val results = selected.map { case (name, _) =>
       name -> passes.map(_(name)).min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // all-passes-failed queries are OMITTED from "queries" (the same
+    // contract as Verify's missing dumps) and named in "failed"
+    val qs = results.filterNot(_._2.isInfinity)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$Rounds}""")
+    val total = results.map(_._2).filterNot(_.isInfinity).sum
+    val failed = failures.toSeq.sortBy(_._1)
+      .map { case (k, m) => s"\"$k\":\"$m\"" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$Rounds,"failed":$failed}""")
     spark.stop()
   }
 }
