@@ -108,17 +108,19 @@ object Relational {
   def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
     val ord = Tables.orders(spark, dir).select(col("o_custkey"))
-    val without = cust.join(ord, col("c_custkey") === col("o_custkey"),
-        "left_anti")
-      .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_without"))
+    // ONE semi-join, not a semi + an anti: the anti side is the
+    // complement, so n_without = segment total − n_with. Halves the
+    // orders scans/joins; the totals aggregate is a narrow partial agg
+    // of the dimension table.
     val withOrd = cust.join(ord, col("c_custkey") === col("o_custkey"),
         "left_semi")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_with"))
-    without.join(withOrd, Seq("c_mktsegment"), "full_outer")
+    val totals = cust.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_total"))
+    totals.join(withOrd, Seq("c_mktsegment"), "left_outer")
       .select(col("c_mktsegment"),
-        coalesce(col("n_without"), lit(0L)).as("n_without"),
+        (col("n_total") - coalesce(col("n_with"), lit(0L))).as("n_without"),
         coalesce(col("n_with"), lit(0L)).as("n_with"))
       .orderBy("c_mktsegment")
   }
@@ -135,16 +137,32 @@ object Relational {
         col("o_orderstatus").asc_nulls_first)
 
   /** Set operations: nation keys serving customers vs suppliers —
-    * INTERSECT / EXCEPT both directions, tagged and unioned. */
+    * INTERSECT / EXCEPT both directions, tagged and unioned.
+    *
+    * Planned as ONE hash aggregate over the unioned flagged keys, not
+    * the literal intersect/except algebra: the naive form costs six
+    * shuffles (two distincts, a join per set op) and re-shuffles the
+    * SAME two key sets three times each. `groupBy(nk).agg(max(flag))`
+    * computes all three memberships in a single exchange — partial
+    * aggregation collapses each side to its distinct keys map-side, so
+    * the shuffle carries ≤ |distinct keys| rows per side at any scale.
+    * Same result set: set ops on a projected single column are
+    * distinct-by-definition, which the aggregate gives for free. */
   def nationSetOps(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
-      .select(col("c_nationkey").as("nk")).distinct()
+      .select(col("c_nationkey").as("nk"),
+        lit(1).as("in_c"), lit(0).as("in_s"))
     val s = Tables.supplier(spark, dir)
-      .select(col("s_nationkey").as("nk")).distinct()
-    c.intersect(s).withColumn("op", lit("both"))
-      .union(c.except(s).withColumn("op", lit("customer_only")))
-      .union(s.except(c).withColumn("op", lit("supplier_only")))
-      .select(col("op"), col("nk"))
+      .select(col("s_nationkey").as("nk"),
+        lit(0).as("in_c"), lit(1).as("in_s"))
+    c.unionByName(s)
+      .groupBy(col("nk"))
+      .agg(max(col("in_c")).as("c"), max(col("in_s")).as("s"))
+      .select(
+        when(col("c") === 1 && col("s") === 1, "both")
+          .when(col("c") === 1, "customer_only")
+          .otherwise("supplier_only").as("op"),
+        col("nk"))
       .orderBy("op", "nk")
   }
 
