@@ -32,6 +32,36 @@ object TextAnalysis {
 
   private def toks: Column = tokens(col("text"))
 
+  /** Memoized per-document term counts — (doc_id, term, cnt, n) with
+    * `cnt` = occurrences of `term` in the doc and `n` = the doc's total
+    * token count. ONE narrow typed tokenize pass (a local count map per
+    * document — tf never needed to leave the doc, so the explode +
+    * groupBy(doc, term) form paid a corpus-wide shuffle for a per-row
+    * fact), materialized and shared by every corpus-statistics consumer
+    * ([[tfIdfTopTerms]], [[rarityScore]], [[repetitionStats]]) the same
+    * way the dedup family shares its pair frames. Tokenization is
+    * byte-identical to [[graft.functions.tokens]] (lower, split ' ',
+    * drop empties). */
+  private[graft] def termCounts(spark: SparkSession, dir: String): DataFrame =
+    tcMemo.getOrElseUpdate((spark, dir), {
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      Materialize(docs.as[(Long, String)].mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val ts = text.toLowerCase.split(' ').filter(_.nonEmpty)
+          val m = mutable.LinkedHashMap.empty[String, Long]
+          ts.foreach(t => m.updateWith(t)(c => Some(c.getOrElse(0L) + 1)))
+          m.iterator.map { case (t, c) => (id, t, c, ts.length.toLong) }
+        }
+      }.toDF("doc_id", "term", "cnt", "n"))
+    })
+
+  private val tcMemo = scala.collection.concurrent
+    .TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Forget the memoized term-count frames (bench pass isolation). */
+  def clearMemo(): Unit = tcMemo.clear()
+
   private def countIn(ts: Column, words: Seq[String]): Column =
     size(filter(ts, t => t.isInCollection(words)))
 
@@ -165,10 +195,9 @@ object TextAnalysis {
     val sh = Dedup.shinglesOf(docs)
       .select(col("doc_id"), size(col("sh")).cast("double").as("nsh"),
         col("n_toks").cast("double").as("n"))
-    val cnts = docs
-      .select(col("doc_id"), explode(toks).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-    cnts.groupBy("doc_id")
+    // the shared [[termCounts]] frame IS the per-(doc, token) count —
+    // the explode + groupBy shuffle this branch used to pay is gone
+    termCounts(spark, dir).groupBy("doc_id")
       .agg(count(lit(1)).cast("double").as("ndist"),
         max(col("cnt")).cast("double").as("topn"))
       .join(sh, "doc_id")
@@ -198,15 +227,20 @@ object TextAnalysis {
     * the sum.
     */
   def rarityScore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val ex = docs.select(col("doc_id"), explode(toks).as("term"))
     val nDocs = docs.filter(size(toks) > 0).count()
-    val df_ = ex.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    ex.join(df_, "term")
+    // corpus df via a window on the term over the shared [[termCounts]]
+    // frame (one row per distinct (doc, term) — counting rows IS the
+    // document frequency), then one aggregate on the doc. Two exchanges
+    // total; the explode + distinct + join form paid four over the full
+    // occurrence-level frame.
+    val wTerm = Window.partitionBy(col("term"))
+    termCounts(spark, dir)
+      .withColumn("df", count(lit(1)).over(wTerm))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"),
-        sum(expr(s"${nDocs * 10000L} div df")).as("sr"))
+      .agg(sum(col("cnt")).as("n_terms"),
+        sum(col("cnt") * expr(s"${nDocs * 10000L} div df")).as("sr"))
       .select(col("doc_id"), col("n_terms").cast("int").as("n_terms"),
         (expr("(2 * sr + n_terms) div (2 * n_terms)").cast("double") /
           10000.0).as("rarity"))
@@ -236,16 +270,8 @@ object TextAnalysis {
     // Window-on-term shuffles hot terms to one partition, the same skew
     // the term-keyed join had; per-term load is bounded by nDocs (one
     // row per distinct (doc, term)).
-    import spark.implicits._
     val nDocs = docs.filter(size(toks) > 0).count().toDouble
-    val tf = docs.as[(Long, String)].mapPartitions { it =>
-      it.flatMap { case (id, text) =>
-        val ts = text.toLowerCase.split(' ').filter(_.nonEmpty)
-        val m = mutable.LinkedHashMap.empty[String, Long]
-        ts.foreach(t => m.updateWith(t)(c => Some(c.getOrElse(0L) + 1)))
-        m.iterator.map { case (t, c) => (id, t, c, ts.length.toLong) }
-      }
-    }.toDF("doc_id", "term", "cnt", "n")
+    val tf = termCounts(spark, dir)
     val wTerm = Window.partitionBy(col("term"))
     val wRank = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
