@@ -77,6 +77,7 @@ object SparkEntry {
     "text_decontaminate"    -> (Dedup.decontaminate _),
     "dedup_decontam_bloom"  -> (Dedup.decontaminateBloom _),
     "dedup_decontam_persist" -> (DecontamIndex.persistedDecontam _),
+    "q_stream_decontam"     -> (DecontamIndex.streamDecontam _),
     "dedup_spans"           -> (Corpus.spanDedup _),
     "dedup_winnow"          -> (Dedup.winnowPairs _),
     "dedup_substring"       -> (Dedup.exactSubstringSpans _),
@@ -1130,6 +1131,10 @@ object SparkEntry {
     // runs it through the PERSISTED artifact lifecycle (shingle + build
     // once, write, reload, probe + confirm), which the hash gates
     "dedup_decontam_persist" -> decontamOracle,
+    // the streaming shard gate unions its per-batch outputs into the
+    // SAME per-doc counts — a doc lands whole in one shard, so the
+    // relational restatement is unchanged
+    "q_stream_decontam" -> decontamOracle,
     "dedup_ngram_jaccard" ->
       s"""WITH $toksCte,
          |sz AS (SELECT doc_id, len(s) AS n FROM shf),

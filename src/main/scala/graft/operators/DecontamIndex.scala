@@ -133,6 +133,82 @@ object DecontamIndex {
       .orderBy("doc_id")
   }
 
+  /** STREAMING twin of [[query]]: decontaminate corpus shards AS THEY
+    * LAND. A file stream of (doc_id, text) parquet shards runs the
+    * exact batch operator per micro-batch inside `foreachBatch` —
+    * per-doc shared-shingle counts are SHARD-COMPLETE (a document
+    * arrives whole in one shard), so no streaming state exists at all:
+    * the groupBy is a plain per-batch aggregate, the Bloom words are a
+    * broadcast-sized reference loaded once at start, and the confirm
+    * join's eval-shingle side is a static table. Output lands
+    * replay-idempotent under `batch_id=N` dynamic overwrite (the same
+    * exactly-once device as the bid pipeline's dual fan-out): a batch
+    * replayed after a crash overwrites its own partition, never
+    * duplicates it.
+    *
+    * This is the 100 TB ingest shape: every landed shard is gated
+    * before it enters the corpus, against an artifact built once —
+    * counts bit-identical to [[query]] over the same rows (spec'd and
+    * oracle-gated as `q_stream_decontam`). */
+  def streamingDecontam(spark: SparkSession, indexPath: String,
+                        srcDir: String, outPath: String, checkpoint: String,
+                        maxFilesPerTrigger: Int = 1)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val evalSh = spark.read.parquet(s"$indexPath/shingles.parquet")
+    val words = loadBloom(spark, indexPath)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Dedup.decontaminateBloomFrames(batch, evalSh, words)
+          .select(col("doc_id"), col("n_shared"),
+            (col("n_shared") >= Dedup.MinContamOverlap).as("contaminated"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** q_stream_decontam: the [[streamingDecontam]] lifecycle under the
+    * oracle gate. Builds the index from the eval split, stages the
+    * corpus split as multiple shard files (so the stream takes multiple
+    * micro-batches), runs the stream to completion, and returns the
+    * union of the per-shard outputs — which must equal the batch
+    * [[query]] row for row, i.e. the same relational oracle as
+    * `dedup_decontam_persist`. */
+  def streamDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-decontam").toString
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    try {
+      build(docs.filter(col("doc_id") % Dedup.EvalStride === 0), s"$root/idx")
+      docs.filter(col("doc_id") % Dedup.EvalStride =!= 0)
+        .repartition(4) // ≥2 shard files → the stream really batches
+        .write.parquet(s"$root/src")
+      val q = streamingDecontam(spark, s"$root/idx", s"$root/src",
+        s"$root/out", s"$root/ckpt", maxFilesPerTrigger = 2)
+      q.awaitTermination()
+      Scratch.materializeAndClean(root,
+        spark.read.parquet(s"$root/out")
+          .select(col("doc_id"), col("n_shared"), col("contaminated"))
+          .orderBy("doc_id"))
+    } catch {
+      case e: Throwable => Scratch.rm(new java.io.File(root)); throw e
+    }
+  }
+
   /** dedup_decontam_persist: build the index from the eval split
     * (doc_id % EvalStride = 0), persist, reload, decontaminate the
     * corpus split — the whole store→load→query lifecycle under the

@@ -130,4 +130,41 @@ class DecontamIndexSpec extends AnyFunSuite {
       assert(nWords * 64 >= Dedup.BloomBits) // floor geometry respected
     } finally Scratch.rm(new java.io.File(root))
   }
+
+  test("streaming shard gate: multi-batch, equals batch query, replay-idempotent") {
+    val root = Files.createTempDirectory("graft-dcidx-stream").toString
+    try {
+      val docs = graft.sources.Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % Dedup.EvalStride =!= 0)
+      DecontamIndex.build(
+        docs.filter(col("doc_id") % Dedup.EvalStride === 0), s"$root/idx")
+      corpus.repartition(4).write.parquet(s"$root/src")
+
+      val q = DecontamIndex.streamingDecontam(spark, s"$root/idx",
+        s"$root/src", s"$root/out", s"$root/ckpt", maxFilesPerTrigger = 1)
+      q.awaitTermination()
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "4 shard files at 1/trigger must take multiple micro-batches")
+
+      val streamed = spark.read.parquet(s"$root/out")
+        .select("doc_id", "n_shared", "contaminated")
+        .orderBy("doc_id").collect().map(_.toSeq)
+      val batch = DecontamIndex.query(spark, s"$root/idx", corpus)
+        .collect().map(_.toSeq)
+      assert(streamed.nonEmpty)
+      assert(streamed.toSeq == batch.toSeq,
+        "per-shard streaming counts must equal the batch operator")
+
+      // replay idempotence: a caught-up checkpoint re-run emits nothing
+      // new and the batch_id=N overwrite layout leaves no duplicates
+      val q2 = DecontamIndex.streamingDecontam(spark, s"$root/idx",
+        s"$root/src", s"$root/out", s"$root/ckpt", maxFilesPerTrigger = 1)
+      q2.awaitTermination()
+      val again = spark.read.parquet(s"$root/out")
+        .select("doc_id", "n_shared", "contaminated")
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(again.toSeq == streamed.toSeq, "restart duplicated rows")
+    } finally Scratch.rm(new java.io.File(root))
+  }
 }
