@@ -73,8 +73,10 @@ object Bench {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
+            // strip EVERY control char plus quote/backslash: one raw
+            // byte echoed into a message must not unparse the JSON line
             failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+              .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
             false
         }
         name -> (if (ok) (System.nanoTime() - t0) / 1e9
@@ -85,12 +87,15 @@ object Bench {
       name -> passes.map(_(name)).min
     }
     // all-passes-failed queries are OMITTED from "queries" (the same
-    // contract as Verify's missing dumps) and named in "failed"
+    // contract as Verify's missing dumps) and named in "failed"; a
+    // query that failed one pass but succeeded another keeps its valid
+    // min and is dropped from "failed" — the two fields never overlap
     val qs = results.filterNot(_._2.isInfinity)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filterNot(_.isInfinity).sum
-    val failed = failures.toSeq.sortBy(_._1)
+    val allFailed = results.filter(_._2.isInfinity).map(_._1).toSet
+    val failed = failures.toSeq.filter(kv => allFailed(kv._1)).sortBy(_._1)
       .map { case (k, m) => s"\"$k\":\"$m\"" }.mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$Rounds,"failed":$failed}""")
     spark.stop()

@@ -200,8 +200,19 @@ object DecontamIndex {
       val q = streamingDecontam(spark, s"$root/idx", s"$root/src",
         s"$root/out", s"$root/ckpt", maxFilesPerTrigger = 2)
       q.awaitTermination()
+      // declared schema, not inference: a clean corpus (zero shared
+      // shingles) writes no parquet files at all, and the read must
+      // return the batch operator's empty frame, not throw
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_shared",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("contaminated",
+          org.apache.spark.sql.types.BooleanType)))
       Scratch.materializeAndClean(root,
-        spark.read.parquet(s"$root/out")
+        spark.read.schema(outSchema)
+          .option("basePath", s"$root/out").parquet(s"$root/out")
           .select(col("doc_id"), col("n_shared"), col("contaminated"))
           .orderBy("doc_id"))
     } catch {

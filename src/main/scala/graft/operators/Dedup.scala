@@ -73,7 +73,7 @@ object Dedup {
     import spark.implicits._
     docs.as[(Long, String)]
       .map { case (id, text) =>
-        val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
+        val toks = text.toLowerCase(java.util.Locale.ROOT).split(' ').filter(_.nonEmpty)
         val n = toks.length
         val sh =
           if (n < NgramN) Array.empty[String]
@@ -105,7 +105,7 @@ object Dedup {
   /** Distinct word-3-gram shingles of one document (the typed kernel
     * behind [[shinglesOf]]/[[shingleSigs]]); empty when < NgramN tokens. */
   private[graft] def shinglesOfText(text: String): Array[String] = {
-    val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split(' ').filter(_.nonEmpty)
     val n = toks.length
     if (n < NgramN) Array.empty[String]
     else {
@@ -365,7 +365,7 @@ object Dedup {
         val digest = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, text) =>
           val votes = new Array[Int](64)
-          text.toLowerCase.split(' ').foreach { tok =>
+          text.toLowerCase(java.util.Locale.ROOT).split(' ').foreach { tok =>
             if (tok.nonEmpty) {
               val d = digest.digest(
                 ("991:" + tok).getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -560,7 +560,7 @@ object Dedup {
     import spark.implicits._
     docs.as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
+        val toks = text.toLowerCase(java.util.Locale.ROOT).split(' ').filter(_.nonEmpty)
         if (toks.length < NgramN) Iterator.empty
         else {
           val digest = java.security.MessageDigest.getInstance("MD5")
@@ -684,7 +684,7 @@ object Dedup {
     import spark.implicits._
     require(chunkTokens >= MinRunTokens, "chunk must fit one minimal run")
     val chunks = docs.as[(Long, String)].flatMap { case (id, text) =>
-      val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
+      val toks = text.toLowerCase(java.util.Locale.ROOT).split(' ').filter(_.nonEmpty)
       val n = toks.length
       (0 until n by chunkTokens).iterator.map { off =>
         (id, off, toks.slice(off, math.min(off + chunkTokens, n)), n)
@@ -789,7 +789,7 @@ object Dedup {
       .select(col("doc_id"), col("text"), col("ranges"))
       .as[(Long, String, Option[Seq[(Int, Int)]])]
       .map { case (id, text, ranges) =>
-        val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
+        val toks = text.toLowerCase(java.util.Locale.ROOT).split(' ').filter(_.nonEmpty)
         val merged = ranges.getOrElse(Nil).foldLeft(
           List.empty[(Int, Int)]) {
           case ((ms, me) :: rest, (s, e)) if s <= me + 1 =>

@@ -243,7 +243,7 @@ object MediaCodec {
           // floor(sum/n * 100 + 1/2) = (200*sum + n) / (2*n). sum ≤
           // 255 * 3 * MaxImagePixels < 2^35, so 200*sum fits a Long.
           val n = 3L * w * h
-          ImageFacts(reader.getFormatName.toLowerCase, w, h, n,
+          ImageFacts(reader.getFormatName.toLowerCase(java.util.Locale.ROOT), w, h, n,
             ((200L * sum + n) / (2L * n)) / 100.0)
         } finally reader.dispose()
       } finally if (iis != null) iis.close()

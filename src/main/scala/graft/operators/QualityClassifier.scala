@@ -94,7 +94,7 @@ object QualityClassifier {
     * bucketing is integer arithmetic (corpus is ASCII, so
     * String.length == DuckDB len — asserted by the oracle gate). */
   private[graft] def featureIds(text: String): Array[Int] = {
-    val toks = text.toLowerCase.split(' ').filter(_.nonEmpty)
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split(' ').filter(_.nonEmpty)
     val fs = new java.util.TreeSet[Integer]()
     toks.foreach(t => fs.add(bucketOf(t)))
     fs.add(BiasBucket)

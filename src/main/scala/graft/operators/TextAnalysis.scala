@@ -48,7 +48,14 @@ object TextAnalysis {
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       Materialize(docs.as[(Long, String)].mapPartitions { it =>
         it.flatMap { case (id, text) =>
-          val ts = text.toLowerCase.split(' ').filter(_.nonEmpty)
+          // Locale.ROOT, not the JVM default: SQL lower() (and the
+          // DuckDB oracle) are locale-invariant — under tr-TR the bare
+          // toLowerCase maps I→ı and the counts drift. A null text
+          // tokenizes to nothing, matching the SQL path's null no-op.
+          val ts =
+            if (text == null) Array.empty[String]
+            else text.toLowerCase(java.util.Locale.ROOT)
+              .split(' ').filter(_.nonEmpty)
           val m = mutable.LinkedHashMap.empty[String, Long]
           ts.foreach(t => m.updateWith(t)(c => Some(c.getOrElse(0L) + 1)))
           m.iterator.map { case (t, c) => (id, t, c, ts.length.toLong) }

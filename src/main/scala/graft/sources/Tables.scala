@@ -104,10 +104,15 @@ object Tables {
     // refuse a drifted generator with an actionable message
     dimsMemo.getOrElseUpdate((s, d), {
       import org.apache.spark.sql.functions.{col, size => asize}
+      // null-safe: a null first embedding must produce the actionable
+      // message below (dims = -1), not an opaque NPE on Row.getInt —
+      // the exact failure class this guard exists to prevent
       df.select(asize(col("embedding"))).limit(1).collect()
-        .headOption.map(_.getInt(0)).foreach { dims =>
+        .headOption.map(r => if (r.isNullAt(0)) -1 else r.getInt(0))
+        .foreach { dims =>
           if (dims != EmbeddingDims) throw new IllegalStateException(
-            s"embeddings.embedding in $d is $dims-dimensional but the " +
+            s"embeddings.embedding in $d is " +
+              s"${if (dims < 0) "null" else s"$dims-dimensional"} but the " +
               s"engine and its oracle SQL are built for $EmbeddingDims " +
               "(Tables.EmbeddingDims = Similarity.Dims = PqM x PqSubDim; " +
               "the hyperplane/codebook derivations in SparkEntry.oracleSql " +
@@ -132,4 +137,16 @@ object Tables {
 
   private val countMemo = scala.collection.concurrent
     .TrieMap.empty[(SparkSession, String, String), Long]
+
+  /** Invalidate every loader memo (relations, widened frames, counts,
+    * dims probes). The memos assume immutable table directories; call
+    * this after REGENERATING data under a dir mid-session (the dev
+    * loop for generator changes) — a memoized relation holds the old
+    * file listing and would throw FileNotFound or read stale rows. */
+  def clearMemo(): Unit = {
+    loadMemo.clear()
+    wideMemo.clear()
+    countMemo.clear()
+    dimsMemo.clear()
+  }
 }

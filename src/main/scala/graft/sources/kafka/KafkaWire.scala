@@ -165,7 +165,7 @@ object KafkaWire {
     * snappy stream, LZ4 Frame, zstd frame. */
   object Codec {
     val None = 0; val Gzip = 1; val Snappy = 2; val Lz4 = 3; val Zstd = 4
-    def parse(name: String): Int = name.toLowerCase match {
+    def parse(name: String): Int = name.toLowerCase(java.util.Locale.ROOT) match {
       case "none" | "uncompressed" => None
       case "gzip" => Gzip
       case "snappy" => Snappy

@@ -67,10 +67,16 @@ if spark:
     print(f"{'ratio':>8} {'query':<28} {'spark':>8} {'oracle':>8}")
     for r, name, st, ot, tag in rows:
         print(f"{r:8.2f} {name:<28} {st:8.2f} {ot:8.3f}  {tag}")
-    real = [x for x in rows if not x[4]]
+    # aggregate over the INTERSECTION only: a query missing from the
+    # bench JSON (failed) or the oracle must not count on one side
     tot_s = sum(x[2] for x in rows)
-    print(f"suite aggregate: spark {tot_s:.1f} s / oracle {total_o:.1f} s "
-          f"= {tot_s / total_o:.2f}x")
+    tot_o = sum(x[3] for x in rows)
+    dropped = (set(times) | set(spark)) - {x[1] for x in rows}
+    if dropped:
+        print(f"EXCLUDED from aggregate (one-sided): {sorted(dropped)}")
+    print(f"suite aggregate over {len(rows)} shared queries: "
+          f"spark {tot_s:.1f} s / oracle {tot_o:.1f} s "
+          f"= {tot_s / tot_o:.2f}x")
 else:
     for name, ot in sorted(times.items()):
         print(f"{ot:8.3f} {name}")
