@@ -167,4 +167,27 @@ class DecontamIndexSpec extends AnyFunSuite {
       assert(again.toSeq == streamed.toSeq, "restart duplicated rows")
     } finally Scratch.rm(new java.io.File(root))
   }
+
+  test("streaming gate on a clean corpus returns empty, not a schema error") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-dcidx-clean").toString
+    try {
+      // eval and corpus share NO vocabulary → zero shared shingles →
+      // every per-batch output is empty and no parquet file is written
+      DecontamIndex.build(
+        Seq((0L, "alpha beta gamma delta epsilon zeta"))
+          .toDF("doc_id", "text"), s"$root/idx")
+      Seq((1L, "one two three four five six"),
+          (2L, "seven eight nine ten eleven twelve"))
+        .toDF("doc_id", "text")
+        .repartition(2).write.parquet(s"$root/src")
+      val q = DecontamIndex.streamingDecontam(spark, s"$root/idx",
+        s"$root/src", s"$root/out", s"$root/ckpt")
+      q.awaitTermination()
+      val out = spark.read
+        .schema("doc_id LONG, n_shared LONG, contaminated BOOLEAN")
+        .parquet(s"$root/out")
+      assert(out.count() == 0, "clean corpus must flag nothing")
+    } finally Scratch.rm(new java.io.File(root))
+  }
 }

@@ -85,4 +85,17 @@ class EventsTsFlavorSpec extends AnyFunSuite {
     // the live testdata passes the guard
     assert(Tables.embeddings(spark, sf0001).count() > 0)
   }
+
+  test("embeddings reader reports a NULL first vector actionably, not as an NPE") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dims-null").toString
+    Seq((0L, "a", null: Array[Float]), (1L, "b", Array.fill(64)(0.2f)))
+      .toDF("vec_id", "label", "embedding")
+      .coalesce(1) // one file → the probe's first row IS the null row
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalStateException] {
+      Tables.embeddings(spark, dir).count()
+    }
+    assert(e.getMessage.contains("null"), e.getMessage)
+  }
 }
