@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Layout:
   * {{{
   *   <root>/_graft_log/v<batchId>.json   // one commit per micro-batch
-  *   <root>/_graft_log/checkpoint.json   // folded history (per-version)
+  *   <root>/_graft_log/checkpoint.v<N>.json  // folded history (per-version)
   *   <root>/<sink>/year=…/batch_id=N/…   // data files (writeBatch layout)
   * }}}
   *
@@ -70,19 +70,46 @@ object GraftTable {
 
   private def version(batchId: Long) = f"v$batchId%020d.json"
 
+  /** Per-root write serialization WITHIN one JVM. The copy-on-write
+    * verbs and [[commit]] stage data under `batch_id=nextBatchId()`
+    * with dynamic partition overwrite BEFORE the log's atomic publish
+    * arbitrates — two local writers picking the same id would clobber
+    * each other's staged directories, and the loser's retry cannot
+    * restore the winner's deleted part-files. One JVM is the
+    * deployment shape (a single driver running the stream plus its
+    * maintenance passes), so a monitor per table root closes the race
+    * where it actually occurs. CROSS-PROCESS mutation remains
+    * unsupported (the same restriction class as Delta without an
+    * atomic LogStore): [[commit]]'s replay check detects a
+    * cross-process collision after the fact but cannot undo it. */
+  private val writeLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def writeLock(root: String): Object =
+    writeLocks.getOrElseUpdate(root, new Object)
+
   /** Files under `root` belonging to `batchId` (the writeBatch layout's
-    * `batch_id=N` directories), as root-relative paths. */
+    * `batch_id=N` directories), as root-relative paths.
+    *
+    * Listed by GLOB with the literal `batch_id=N` leaf at each possible
+    * partition depth — each walk prunes at the literal segment — NOT a
+    * full recursive listing of the table: this runs once per micro-batch
+    * commit, and a recursive walk would make commit latency grow with
+    * TOTAL table size (months of batch directories) instead of with the
+    * batch being committed. */
+  private val MaxPartitionDepth = 8
   private def batchFiles(hfs: FileSystem, root: Path, batchId: Long): Seq[String] = {
     if (!hfs.exists(root)) return Nil
-    val needle = s"/batch_id=$batchId/"
     val rootUri = root.toUri.getPath
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = hfs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next().getPath
-      val rel = f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-      if (("/" + rel).contains(needle) && f.getName.endsWith(".parquet"))
-        out += rel
+    for (depth <- 0 to MaxPartitionDepth) {
+      // sink/<depth partition dirs>/batch_id=N/<file>
+      val pat = new Path(root, ("*/" * (depth + 1)) + s"batch_id=$batchId/*")
+      val matches = hfs.globStatus(pat)
+      if (matches != null) matches.foreach { st =>
+        val f = st.getPath
+        if (st.isFile && f.getName.endsWith(".parquet"))
+          out += f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      }
     }
     out.toSeq.sorted
   }
@@ -147,7 +174,8 @@ object GraftTable {
     * version and is a no-op if the commit already exists (after
     * verifying its files are still on disk, which catches a concurrent
     * writer's destructive overwrite of this batch's directories). */
-  def commit(spark: SparkSession, root: String, batchId: Long): Seq[String] = {
+  def commit(spark: SparkSession, root: String, batchId: Long): Seq[String] =
+      writeLock(root).synchronized {
     val (hfs, rootPath) = fs(spark, root)
     val log = new Path(rootPath, LogDir)
     hfs.mkdirs(log)
@@ -190,7 +218,25 @@ object GraftTable {
     val out = hfs.create(tmp, true)
     out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
-    if (!hfs.rename(tmp, target)) {
+    // Arbitration primitive per filesystem: HDFS/object-store rename
+    // FAILS when the destination exists — but the local filesystem's
+    // rename is POSIX rename(2), which silently REPLACES it, letting a
+    // losing writer overwrite the winner's commit. On file:// use
+    // hard-link creation instead: link(2) fails atomically iff the
+    // target exists, restoring fail-if-present semantics.
+    def renameNoReplace(): Boolean =
+      if (hfs.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          hfs.delete(tmp, false)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else hfs.rename(tmp, target)
+    if (!renameNoReplace()) {
       hfs.delete(tmp, false)
       require(hfs.exists(target), s"commit rename failed for $target")
       // lost the publish race for this version. Accept iff the winner
@@ -270,8 +316,12 @@ object GraftTable {
     if (!hfs.exists(log)) return Nil
     val entries = hfs.listStatus(log).map(_.getPath)
       .filter(p => !p.getName.startsWith("."))
-    val folded = entries.find(_.getName == Checkpoint)
-      .map(p => parseVersions(readJson(hfs, p))).getOrElse(Nil)
+    // newest manifest wins; older ones (or the legacy mutable name) may
+    // coexist transiently mid-checkpoint and are simply ignored
+    val folded = entries
+      .flatMap(p => checkpointThrough(p.getName).map(_ -> p))
+      .sortBy(_._1).lastOption
+      .map { case (_, p) => parseVersions(readJson(hfs, p)) }.getOrElse(Nil)
     val foldedIds = folded.map(_.batchId).toSet
     val commits = entries
       .filter(p => p.getName.startsWith("v") && p.getName.endsWith(".json"))
@@ -317,11 +367,18 @@ object GraftTable {
     history(spark, root).filter(_.batchId < beforeBatch)
       .flatMap(v => v.schemas.get(sink)).lastOption.map(decodeSchema)
 
-  /** Fold all commits up to and including `throughBatchId` into the
+  /** Fold all commits up to and including `throughBatchId` into a
     * checkpoint manifest — KEEPING the per-version structure so
-    * [[readAsOf]] still works — and drop the folded commit files.
-    * Readers keep working at every point (checkpoint is written before
-    * commits are removed; [[history]] de-duplicates the overlap). */
+    * [[readAsOf]] still works — then drop the folded commit files and
+    * any older checkpoint. Checkpoints are VERSIONED
+    * (`checkpoint.v<through>.json`, each written once via
+    * write-tmp + rename to a unique name, never replaced in place):
+    * a reader always finds a complete manifest whichever instant it
+    * lists the log, and a crash at ANY point leaves either the old
+    * checkpoint intact or both (history picks the newest) — the
+    * delete-then-rename a single mutable `checkpoint.json` would need
+    * has a window that loses the only copy of the folded history and
+    * lets vacuum delete live data. */
   def checkpoint(spark: SparkSession, root: String, throughBatchId: Long): Unit = {
     val (hfs, rootPath) = fs(spark, root)
     val log = new Path(rootPath, LogDir)
@@ -329,18 +386,38 @@ object GraftTable {
     val hist = history(spark, root)
     val json = s"""{"through":$throughBatchId,"versions":[${
       hist.map(versionJson).mkString(",")}]}"""
-    val tmp = new Path(log, s".tmp-$Checkpoint")
+    val name = f"checkpoint.v$throughBatchId%020d.json"
+    val tmp = new Path(log, s".tmp-$name")
     val out = hfs.create(tmp, true)
     out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
-    val target = new Path(log, Checkpoint)
-    hfs.delete(target, false)
-    require(hfs.rename(tmp, target), s"checkpoint rename failed")
+    val target = new Path(log, name)
+    // same-name rename may find the target already written by an
+    // identical concurrent fold — either copy is the same bytes
+    if (!hfs.rename(tmp, target)) {
+      hfs.delete(tmp, false)
+      require(hfs.exists(target), s"checkpoint rename failed for $target")
+    }
+    // only AFTER the new manifest is durable: fold away the commit
+    // files it covers and retire older manifests (incl. the legacy
+    // mutable checkpoint.json of logs written before versioning)
     hfs.listStatus(log).map(_.getPath)
       .filter(p => p.getName.startsWith("v") && p.getName.endsWith(".json"))
       .filter(p => p.getName.stripPrefix("v").stripSuffix(".json").toLong <= throughBatchId)
       .foreach(p => hfs.delete(p, false))
+    hfs.listStatus(log).map(_.getPath)
+      .filter(p => checkpointThrough(p.getName).exists(_ < throughBatchId))
+      .foreach(p => hfs.delete(p, false))
   }
+
+  /** The `through` id a checkpoint file name encodes; the legacy
+    * mutable name sorts below every versioned one. */
+  private def checkpointThrough(name: String): Option[Long] =
+    if (name == Checkpoint) Some(-1L)
+    else if (name.startsWith("checkpoint.v") && name.endsWith(".json"))
+      scala.util.Try(
+        name.stripPrefix("checkpoint.v").stripSuffix(".json").toLong).toOption
+    else None
 
   /** Delete data files under `root` that NO commit references and whose
     * modification time is older than `ttlMs` — crash-window orphans and
@@ -370,13 +447,47 @@ object GraftTable {
     deleted.toSeq.sorted
   }
 
+  /** True when the sink's committed versions disagree on the footer
+    * schema — the condition under which ANY multi-file read of the sink
+    * must merge footers or silently drop additively-added columns (a
+    * single-footer inference picks an arbitrary file, typically the
+    * oldest). The read rule [[readFiles]] applies, shared with every
+    * copy-on-write verb: a rewrite that read the snapshot without
+    * merging would re-materialize survivors WITHOUT the new columns and
+    * destroy their data. */
+  private def schemasDisagree(hist: Seq[Version], sink: String): Boolean =
+    hist.flatMap(_.schemas.get(sink)).distinct.size > 1
+
+  /** Snapshot-file read for the mutation verbs: basePath for partition
+    * columns, footer merge exactly when committed schemas disagree. */
+  private def mutationRead(spark: SparkSession, root: String, sink: String,
+                           files: Seq[String],
+                           mergeNeeded: Boolean): DataFrame =
+    spark.read.option("basePath", s"$root/$sink")
+      .option("mergeSchema", mergeNeeded)
+      .parquet(files.map(f => s"$root/$f"): _*)
+
+  /** One past the newest id in an already-read history. */
+  private def nextBatchIdFrom(hist: Seq[Version]): Long =
+    hist.lastOption.map(_.batchId + 1L).getOrElse(0L)
+
   private def readFiles(spark: SparkSession, root: String, sink: String,
                         asOf: Option[Long]): DataFrame = {
     val hist = history(spark, root)
     val cut = asOf.map(a => hist.filter(_.batchId <= a)).getOrElse(hist)
     val files = foldFiles(cut)
       .filter(_.startsWith(sink + "/")).map(f => s"$root/$f")
-    if (files.isEmpty) return spark.emptyDataFrame
+    if (files.isEmpty) {
+      // a sink emptied by a full DELETE keeps its schema: consumers'
+      // selects must keep resolving (same contract as readChanges'
+      // empty poll), not hit a zero-column frame. Footer columns only —
+      // partition columns live in directory names and no directories
+      // remain. A never-written sink has no schema to offer.
+      val schema = cut.flatMap(_.schemas.get(sink)).lastOption
+        .map(decodeSchema).getOrElse(new StructType())
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     // merge footers only when versions actually disagree on the schema
     val distinctSchemas = cut.flatMap(_.schemas.get(sink)).distinct
     spark.read
@@ -435,7 +546,8 @@ object GraftTable {
                   afterVersion: Long,
                   untilVersion: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val vs = history(spark, root)
+    val hist = history(spark, root)
+    val vs = hist
       .filter(v => v.batchId > afterVersion && v.batchId <= untilVersion)
     val added = vs.flatMap(v => v.files.filter(_.startsWith(sink + "/"))
       .map(f => f -> (if (v.removed.isEmpty) "insert" else "rewrite")))
@@ -447,12 +559,16 @@ object GraftTable {
       // consumer's `select hour` keeps resolving across empty and
       // non-empty polls (Delta-CDF contract). A never-written sink
       // falls back to the newest footer schema alone.
-      val snap = committedFiles(spark, root).filter(_.startsWith(sink + "/"))
+      val snap = foldFiles(hist).filter(_.startsWith(sink + "/"))
       val base =
         if (snap.nonEmpty)
-          spark.read.option("basePath", s"$root/$sink")
-            .parquet(snap.map(f => s"$root/$f"): _*).schema
-        else latestSchema(spark, root, sink).getOrElse(new StructType())
+          // merge footers when committed schemas disagree — a single
+          // arbitrary footer could miss additively-added columns and
+          // break the SAME-schema-as-non-empty-poll contract
+          mutationRead(spark, root, sink, snap,
+            schemasDisagree(hist, sink)).schema
+        else hist.flatMap(_.schemas.get(sink)).lastOption
+          .map(decodeSchema).getOrElse(new StructType())
       val schema = base
         .add(ChangeTypeCol, org.apache.spark.sql.types.StringType,
           nullable = false)
@@ -503,19 +619,20 @@ object GraftTable {
     * many), one write of their survivors, one commit. Concurrent
     * writers arbitrate through [[publish]] like any commit. */
   def deleteWhere(spark: SparkSession, root: String, sink: String,
-                  predicate: org.apache.spark.sql.Column): Option[Long] = {
+                  predicate: org.apache.spark.sql.Column): Option[Long] =
+      writeLock(root).synchronized {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
     val (hfs, rootPath) = fs(spark, root)
-    val snap = committedFiles(spark, root)
-      .filter(_.startsWith(sink + "/"))
+    val hist = history(spark, root)
+    val snap = foldFiles(hist).filter(_.startsWith(sink + "/"))
     if (snap.isEmpty) return None
+    val mergeNeeded = schemasDisagree(hist, sink)
     val rootUri = rootPath.toUri.getPath
     def toRel(abs: String): String = {
       val p = new Path(abs).toUri.getPath
       p.stripPrefix(rootUri).stripPrefix("/")
     }
-    val withF = spark.read.option("basePath", s"$root/$sink")
-      .parquet(snap.map(f => s"$root/$f"): _*)
+    val withF = mutationRead(spark, root, sink, snap, mergeNeeded)
       .withColumn("__file", input_file_name())
     // Delta DELETE semantics: a NULL predicate matches nothing and the
     // row is RETAINED. Both the affected-file scan and the survivor
@@ -526,14 +643,13 @@ object GraftTable {
       .select(col("__file")).distinct()
       .collect().map(r => toRel(r.getString(0))).toSeq.sorted
     if (affected.isEmpty) return None
-    val newId = nextBatchId(spark, root)
+    val newId = nextBatchIdFrom(hist)
     // the rewrite reads ONLY the affected files — true scan pruning,
     // not a per-row input_file_name() filter over the snapshot. The
     // rewrite is re-assigned to batch_id=<newId>: replace the inferred
     // batch_id partition column with the new id so the write below can
     // re-derive the directory from it
-    val survivors = spark.read.option("basePath", s"$root/$sink")
-      .parquet(affected.map(f => s"$root/$f"): _*)
+    val survivors = mutationRead(spark, root, sink, affected, mergeNeeded)
       .filter(!matched)
       .drop("batch_id")
       .withColumn("batch_id", lit(newId))
@@ -581,19 +697,21 @@ object GraftTable {
     * commit — identical shape to [[deleteWhere]]. */
   def updateWhere(spark: SparkSession, root: String, sink: String,
                   predicate: org.apache.spark.sql.Column,
-                  set: Map[String, org.apache.spark.sql.Column]): Option[Long] = {
+                  set: Map[String, org.apache.spark.sql.Column]): Option[Long] =
+      writeLock(root).synchronized {
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
     require(!set.contains("batch_id"),
       "batch_id is assigned by the commit log, not SET-able")
     val (hfs, rootPath) = fs(spark, root)
-    val snap = committedFiles(spark, root).filter(_.startsWith(sink + "/"))
+    val hist = history(spark, root)
+    val snap = foldFiles(hist).filter(_.startsWith(sink + "/"))
     if (snap.isEmpty) return None
+    val mergeNeeded = schemasDisagree(hist, sink)
     val rootUri = rootPath.toUri.getPath
     def toRel(abs: String): String =
       new Path(abs).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-    val withF = spark.read.option("basePath", s"$root/$sink")
-      .parquet(snap.map(f => s"$root/$f"): _*)
+    val withF = mutationRead(spark, root, sink, snap, mergeNeeded)
       .withColumn("__file", input_file_name())
     set.keys.foreach(c => require(withF.columns.contains(c),
       s"unknown SET column '$c' for sink '$sink'"))
@@ -602,11 +720,10 @@ object GraftTable {
       .select(col("__file")).distinct()
       .collect().map(r => toRel(r.getString(0))).toSeq.sorted
     if (affected.isEmpty) return None
-    val newId = nextBatchId(spark, root)
+    val newId = nextBatchIdFrom(hist)
     // the rewrite reads ONLY the affected files — true scan pruning,
     // not a per-row input_file_name() filter over the snapshot
-    val affRows = spark.read.option("basePath", s"$root/$sink")
-      .parquet(affected.map(f => s"$root/$f"): _*)
+    val affRows = mutationRead(spark, root, sink, affected, mergeNeeded)
     val rewritten = affRows.select(
       affRows.columns.map { c =>
         set.get(c) match {
@@ -681,7 +798,8 @@ object GraftTable {
             insertWhenNotMatched: Boolean = true,
             deleteWhenMatched: Option[org.apache.spark.sql.Column] = None,
             insertWhen: Option[org.apache.spark.sql.Column] = None,
-            bootstrapPartitionBy: Seq[String] = Nil): Option[Long] = {
+            bootstrapPartitionBy: Seq[String] = Nil): Option[Long] =
+      writeLock(root).synchronized {
     import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit}
     require(keys.nonEmpty, "MERGE needs at least one key column")
     require(updateWhenMatched || insertWhenNotMatched ||
@@ -689,7 +807,9 @@ object GraftTable {
       "MERGE with no UPDATE, INSERT, or DELETE clause is a no-op by " +
         "construction")
     val (hfs, rootPath) = fs(spark, root)
-    val snap = committedFiles(spark, root).filter(_.startsWith(sink + "/"))
+    val hist = history(spark, root)
+    val snap = foldFiles(hist).filter(_.startsWith(sink + "/"))
+    val mergeNeeded = schemasDisagree(hist, sink)
     val rootUri = rootPath.toUri.getPath
     def toRel(abs: String): String =
       new Path(abs).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
@@ -698,12 +818,25 @@ object GraftTable {
     // is an insert, laid out for the appends that will follow
     if (snap.isEmpty) {
       if (!insertWhenNotMatched) return None
-      val ins = insertWhen.map(c => source.filter(coalesce(c, lit(false))))
+      val insAll = insertWhen.map(c => source.filter(coalesce(c, lit(false))))
         .getOrElse(source)
+      // a sink emptied by a full DELETE still has its schema in the
+      // log: project inserts onto it so a clause-only source column
+      // (the CDC op flag) is not baked into the sink. A NEVER-written
+      // sink has no recorded schema — there the full source defines it
+      // (document extras away via a pre-projection).
+      val ins = latestSchema(spark, root, sink) match {
+        case Some(recorded) =>
+          val cols = recorded.fieldNames.filterNot(_ == "batch_id").toIndexedSeq
+          cols.foreach(c => require(insAll.columns.contains(c),
+            s"source is missing sink column '$c' (MERGE is INSERT*)"))
+          insAll.select(cols.map(col): _*)
+        case None => insAll
+      }
       if (ins.isEmpty) return None
-      bootstrapPartitionBy.foreach(c => require(source.columns.contains(c),
+      bootstrapPartitionBy.foreach(c => require(ins.columns.contains(c),
         s"bootstrap partition column '$c' is not a source column"))
-      val newId = nextBatchId(spark, root)
+      val newId = nextBatchIdFrom(hist)
       ins.withColumn("batch_id", lit(newId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -719,8 +852,7 @@ object GraftTable {
       return Some(newId)
     }
 
-    val target = spark.read.option("basePath", s"$root/$sink")
-      .parquet(snap.map(f => s"$root/$f"): _*)
+    val target = mutationRead(spark, root, sink, snap, mergeNeeded)
     val dataCols = target.columns.filterNot(_ == "batch_id").toIndexedSeq
     keys.foreach(k => require(dataCols.contains(k),
       s"merge key '$k' is not a column of sink '$sink'"))
@@ -769,13 +901,12 @@ object GraftTable {
       if (affected.isEmpty &&
           (!insertWhenNotMatched || insertedSrc.isEmpty)) return None
 
-      val newId = nextBatchId(spark, root)
+      val newId = nextBatchIdFrom(hist)
       // the rewrite reads ONLY the affected files — true scan pruning,
       // not a per-row input_file_name() filter over the snapshot
       val affRows =
         if (affected.isEmpty) null
-        else spark.read.option("basePath", s"$root/$sink")
-          .parquet(affected.map(f => s"$root/$f"): _*)
+        else mutationRead(spark, root, sink, affected, mergeNeeded)
       // survivors: affected-file rows whose key this merge doesn't touch
       val survivors =
         if (affected.isEmpty) null
@@ -844,10 +975,12 @@ object GraftTable {
     * Spark job per bin, the wrong trade at thousands of bins. */
   def compact(spark: SparkSession, root: String, sink: String,
               smallFileBytes: Long = 32L << 20,
-              targetFileBytes: Long = 128L << 20): Option[Long] = {
+              targetFileBytes: Long = 128L << 20): Option[Long] =
+      writeLock(root).synchronized {
     import org.apache.spark.sql.functions.{col, lit, udf}
     val (hfs, rootPath) = fs(spark, root)
-    val snap = committedFiles(spark, root).filter(_.startsWith(sink + "/"))
+    val hist = history(spark, root)
+    val snap = foldFiles(hist).filter(_.startsWith(sink + "/"))
     if (snap.isEmpty) return None
     val rootUri = rootPath.toUri.getPath
 
@@ -876,22 +1009,37 @@ object GraftTable {
 
     // first-fit bin-packing per partition; bins are globally numbered so
     // the repartition below gives (at most) one task per bin
-    val binOf = scala.collection.mutable.Map.empty[String, Int]
-    var nextBin = 0
+    val rawBinOf = scala.collection.mutable.Map.empty[String, Int]
+    var rawNext = 0
     groups.toSeq.sortBy(_._1).foreach { case (_, files) =>
       var binBytes = -1L // negative forces a fresh bin per partition
       files.sortBy(_._1).foreach { case (rel, len) =>
         if (binBytes < 0 || binBytes + len > targetFileBytes) {
-          nextBin += 1; binBytes = 0L
+          rawNext += 1; binBytes = 0L
         }
-        binOf(rel) = nextBin - 1
+        rawBinOf(rel) = rawNext - 1
         binBytes += len
       }
     }
+    // drop SINGLETON bins: rewriting one file into one file gains
+    // nothing and, worse, never converges — a partition whose smalls
+    // cannot pair (e.g. smallFileBytes > targetFileBytes/2) would be
+    // byte-identically "compacted" again on every maintenance run,
+    // bloating history and vacuum work forever. Only multi-file bins
+    // rewrite; bin ids are then renumbered contiguous for the exact
+    // partitioner below.
+    val binSizes = rawBinOf.groupBy(_._2).view.mapValues(_.size).toMap
+    val keptBins = binSizes.collect { case (b, n) if n >= 2 => b }
+      .toSeq.sorted
+    if (keptBins.isEmpty) return None
+    val renumber = keptBins.zipWithIndex.toMap
+    val binOf = rawBinOf.collect {
+      case (rel, b) if renumber.contains(b) => rel -> renumber(b)
+    }
     val candidates = binOf.keys.toSeq.sorted
-    val totalBins = nextBin
+    val totalBins = keptBins.size
 
-    val newId = nextBatchId(spark, root)
+    val newId = nextBatchIdFrom(hist)
     val binMap = binOf.toMap
     val rootU = rootUri
     val binFor = udf((f: String) => binMap.getOrElse(
@@ -901,8 +1049,8 @@ object GraftTable {
       .filter(_.contains('='))
       .map(_.takeWhile(_ != '='))
       .filterNot(_ == "batch_id")
-    val binned = spark.read.option("basePath", s"$root/$sink")
-      .parquet(candidates.map(f => s"$root/$f"): _*)
+    val binned = mutationRead(spark, root, sink, candidates,
+        schemasDisagree(hist, sink))
       .withColumn("__bin",
         binFor(org.apache.spark.sql.functions.input_file_name()))
       .drop("batch_id")

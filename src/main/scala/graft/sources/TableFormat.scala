@@ -18,7 +18,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * | `commit`           | atomic rename of `v<N>.json`        | implicit — the transaction log commit IS the write's atomic rename of `_delta_log/<v>.json` | snapshot commit (atomic metadata pointer swap) |
   * | `isCommitted`      | commit-file existence               | `txnVersion` read via `DeltaLog.getLastTxnVersion(appId)` | snapshot summary property lookup |
   * | `committedFiles`   | checkpoint manifest + newer commits | `DeltaLog.snapshot.allFiles` (AddFile actions after checkpoint parquet) | current snapshot's manifest list |
-  * | `checkpoint`       | fold commits into `checkpoint.json` | automatic every 10 commits (`_delta_log/<v>.checkpoint.parquet`) | `expire_snapshots` / `rewrite_manifests` |
+  * | `checkpoint`       | fold commits into a versioned `checkpoint.v<N>.json` | automatic every 10 commits (`_delta_log/<v>.checkpoint.parquet`) | `expire_snapshots` / `rewrite_manifests` |
   * | `read`             | read exactly the committed files    | `spark.read.format("delta")` (log-driven file listing) | `spark.read.format("iceberg")` |
   *
   * Beyond this contract, [[GraftTable]] also provides the table-format

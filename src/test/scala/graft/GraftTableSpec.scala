@@ -820,4 +820,117 @@ class GraftTableSpec extends AnyFunSuite {
     BidPipeline.exportBatch(batch, cfg, batchId = 4)
     assert(GraftTable.nextBatchId(spark, root) == 5L)
   }
+
+  private def stage(root: String, sink: String, batchId: Long,
+                    df: org.apache.spark.sql.DataFrame): Unit = {
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("append").partitionBy("batch_id").parquet(s"$root/$sink")
+    GraftTable.commit(spark, root, batchId)
+  }
+
+  test("copy-on-write rewrites preserve additively-added columns") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("gt-evolve-cow").toString
+    // v0 has {id, a}; v1 adds column b — additive evolution, accepted
+    stage(root, "t", 0, Seq((1L, "x"), (2L, "y")).toDF("id", "a"))
+    stage(root, "t", 1,
+      Seq((3L, "z", 30L), (4L, "w", 40L)).toDF("id", "a", "b"))
+    // delete one row FROM THE EVOLVED FILE: the rewrite must
+    // re-materialize its survivors WITH column b intact — a
+    // single-footer snapshot read would infer {id, a} from the v0 file
+    // and silently destroy b's data
+    assert(GraftTable.deleteWhere(spark, root, "t", col("id") === 3L).nonEmpty)
+    val after = GraftTable.read(spark, root, "t")
+    assert(after.columns.contains("b"), after.columns.mkString(","))
+    val row4 = after.filter(col("id") === 4L).select("b").collect()
+    assert(row4.length == 1 && row4.head.getLong(0) == 40L,
+      "survivor of the evolved file lost its added-column value")
+    // an empty change poll after evolution reports the merged schema
+    val lastV = GraftTable.versions(spark, root).last
+    val empty = GraftTable.readChanges(spark, root, "t", lastV)
+    assert(empty.columns.contains("b"), "empty poll dropped an added column")
+    // compaction across the evolution boundary preserves b too
+    assert(GraftTable.compact(spark, root, "t",
+      smallFileBytes = 1L << 20, targetFileBytes = 1L << 30).nonEmpty)
+    val compacted = GraftTable.read(spark, root, "t")
+    assert(compacted.filter(col("id") === 4L).select("b")
+      .collect().head.getLong(0) == 40L,
+      "compaction lost an added-column value")
+    assert(compacted.filter(col("id") === 1L).select("b")
+      .collect().head.isNullAt(0), "pre-evolution rows read b as null")
+  }
+
+  test("compact converges: unpairable smalls are left alone, not rewritten 1:1") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("gt-converge").toString
+    stage(root, "t", 0, Seq((1L, "a")).toDF("id", "v"))
+    stage(root, "t", 1, Seq((2L, "b")).toDF("id", "v"))
+    // both files are "small", but the target is so low no pair fits one
+    // bin: every bin is a singleton → nothing worth rewriting. The old
+    // behavior rewrote each file into an identical new file and would
+    // do so again on EVERY maintenance run, forever.
+    assert(GraftTable.compact(spark, root, "t",
+      smallFileBytes = 1L << 20, targetFileBytes = 1L).isEmpty,
+      "singleton bins must not rewrite")
+    // with a sane target the pair packs, and a SECOND compact is a no-op
+    assert(GraftTable.compact(spark, root, "t",
+      smallFileBytes = 1L << 20, targetFileBytes = 1L << 30).nonEmpty)
+    assert(GraftTable.compact(spark, root, "t",
+      smallFileBytes = 1L << 20, targetFileBytes = 1L << 30).isEmpty,
+      "re-compacting a compacted sink must converge to None")
+    assert(GraftTable.read(spark, root, "t").count() == 2)
+  }
+
+  test("a fully-deleted sink keeps its schema; merge bootstrap re-projects") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("gt-emptied").toString
+    stage(root, "t", 0, Seq((1L, "x"), (2L, "y")).toDF("id", "a"))
+    assert(GraftTable.deleteWhere(spark, root, "t", col("id") >= 0L).nonEmpty)
+    // empty snapshot, but consumers' selects keep resolving
+    val emptied = GraftTable.read(spark, root, "t")
+    assert(emptied.count() == 0)
+    assert(emptied.columns.contains("id") && emptied.columns.contains("a"),
+      s"fully-deleted sink lost its schema: ${emptied.columns.mkString(",")}")
+    // a merge into the emptied sink projects inserts onto the RECORDED
+    // schema: the CDC op flag must not become a data column
+    val src = Seq((5L, "q", "I"), (6L, "r", "I")).toDF("id", "a", "op")
+    assert(GraftTable.merge(spark, root, "t", src, keys = Seq("id")).nonEmpty)
+    val after = GraftTable.read(spark, root, "t")
+    assert(after.count() == 2)
+    assert(!after.columns.contains("op"),
+      "bootstrap baked a clause-only source column into the sink")
+  }
+
+  test("checkpoints are versioned: the old manifest survives until the new one is durable") {
+    val export = Files.createTempDirectory("gt-ckpt-v").toString
+    val cfg = cfgFor(export)
+    val root = s"$export/${cfg.logname}"
+    val batch = ProtoPipeline
+      .decodeFrames(ProtoPipeline.framedMessages(spark, sf0001)).limit(8)
+    (0L to 3L).foreach(b => BidPipeline.exportBatch(batch.limit(2), cfg, b))
+    val n = GraftTable.read(spark, root, "raw").count()
+
+    GraftTable.checkpoint(spark, root, throughBatchId = 1)
+    val logDir = new java.io.File(s"$root/_graft_log")
+    def ckpts() = logDir.listFiles().map(_.getName)
+      .filter(_.startsWith("checkpoint")).sorted.toSeq
+    assert(ckpts().exists(_.contains("v")), ckpts().mkString(","))
+
+    GraftTable.checkpoint(spark, root, throughBatchId = 3)
+    // exactly one (the newest) manifest remains; never a window with none
+    assert(ckpts().length == 1 && ckpts().head.contains("3"),
+      ckpts().mkString(","))
+    assert(GraftTable.read(spark, root, "raw").count() == n,
+      "snapshot changed across checkpoint folds")
+    assert(GraftTable.readAsOf(spark, root, "raw", 0).count() > 0,
+      "time travel must survive double folding")
+    // legacy mutable checkpoint.json is recognized and then retired
+    val legacy = new java.io.File(logDir, "checkpoint.json")
+    java.nio.file.Files.writeString(legacy.toPath,
+      """{"through":-1,"versions":[]}""")
+    assert(GraftTable.read(spark, root, "raw").count() == n,
+      "a stale legacy manifest must lose to the versioned one")
+    GraftTable.checkpoint(spark, root, throughBatchId = 3)
+    assert(!legacy.exists(), "legacy manifest must be retired by the fold")
+  }
 }

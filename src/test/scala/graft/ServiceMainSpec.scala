@@ -78,8 +78,11 @@ class ServiceMainSpec extends AnyFunSuite {
     val nEvents = graft.sources.Tables.events(spark, sf0001).count()
     // snapshot correct after compaction, and the log is folded
     assert(graft.sources.GraftTable.read(spark, root, "raw").count() == nEvents)
-    val ckptJson = new java.io.File(s"$root/_graft_log/checkpoint.json")
-    assert(ckptJson.exists(), "maintain must fold the commit log")
+    // versioned manifest name (checkpoint.v<through>.json) — written
+    // once, never replaced in place
+    val ckpts = new java.io.File(s"$root/_graft_log").listFiles()
+      .map(_.getName).filter(_.startsWith("checkpoint."))
+    assert(ckpts.nonEmpty, "maintain must fold the commit log")
     // compaction happened: the newest version holds rewritten raw files
     val hist = graft.sources.GraftTable.history(spark, root)
     assert(hist.last.removed.nonEmpty,
