@@ -156,7 +156,21 @@ class GraftKafkaDataWriter(bootstrap: GraftKafka.ClientConfig,
   import GraftKafkaSink._
 
   private val plan = planColumns(schema, topicOption)
-  private val planner = bootstrap.connect(s"graft-writer-$taskSticky")
+  // reconnectable: the planner socket dies in the same broker rolls the
+  // produce retry loop handles — dropPlanner() forces a fresh bootstrap
+  // connect on next use instead of wedging on the dead socket
+  private var plannerRef: KafkaWireClient = null
+  private def planner: KafkaWireClient = {
+    if (plannerRef == null)
+      plannerRef = bootstrap.connect(s"graft-writer-$taskSticky")
+    plannerRef
+  }
+  private def dropPlanner(): Unit = {
+    if (plannerRef != null) {
+      try plannerRef.close() catch { case _: java.io.IOException => () }
+      plannerRef = null
+    }
+  }
   // topic → (partition count, partition → leader (host, port))
   private val topoCache = mutable.Map.empty[String, (Int, Map[Int, (String, Int)])]
   private val leaderClients = mutable.Map.empty[(String, Int), KafkaWireClient]
@@ -220,33 +234,34 @@ class GraftKafkaDataWriter(bootstrap: GraftKafka.ClientConfig,
     if (buf.isEmpty) return
     var attempt = 0
     while (buf.nonEmpty) {
-      val (_, leaders) = topology(topic)
-      val leader = leaders.getOrElse(partition,
-        throw new IllegalArgumentException(s"no leader for $topic-$partition"))
+      // topology() INSIDE the retry scope: it talks to the planner
+      // connection, which dies in exactly the broker-roll scenario this
+      // loop exists for — a metadata failure must consume a retry and
+      // re-resolve, not propagate with zero retries
+      var leader: (String, Int) = null
       try {
+        val (_, leaders) = topology(topic)
+        leader = leaders.getOrElse(partition,
+          throw new IllegalArgumentException(s"no leader for $topic-$partition"))
         val client = leaderClients.getOrElseUpdate(leader,
           new KafkaWireClient(leader._1, leader._2,
-            s"graft-writer-$taskSticky", bootstrap.sasl, bootstrap.tls))
+            s"graft-writer-$taskSticky", bootstrap.sasl, bootstrap.tls,
+            tlsVerifyHostname = bootstrap.tlsVerifyHostname))
         client.produce(topic, partition, buf.toSeq, codec)
         written += buf.size
         buf.clear()
       } catch {
-        case e: Throwable if retriable(e) && attempt < MaxProduceRetries =>
+        case e: Throwable if KafkaWire.retriableError(e) &&
+            attempt < MaxProduceRetries =>
           attempt += 1
-          leaderClients.remove(leader).foreach(c =>
-            try c.close() catch { case _: java.io.IOException => () })
+          if (leader != null)
+            leaderClients.remove(leader).foreach(c =>
+              try c.close() catch { case _: java.io.IOException => () })
           topoCache.remove(topic) // the leader may have moved
+          dropPlanner() // its socket may be the dead one
           Thread.sleep(100L << (attempt - 1))
       }
     }
-  }
-
-  private def retriable(e: Throwable): Boolean = e match {
-    case k: KafkaWire.KafkaWireException =>
-      k.code == KafkaWire.Err.NotLeaderOrFollower ||
-        k.code == KafkaWire.Err.UnknownTopicOrPartition
-    case _: java.io.IOException => true
-    case _ => false
   }
 
   override def commit(): WriterCommitMessage = {
@@ -260,6 +275,6 @@ class GraftKafkaDataWriter(bootstrap: GraftKafka.ClientConfig,
     leaderClients.values.foreach(c => try c.close() catch {
       case _: java.io.IOException => ()
     })
-    planner.close()
+    dropPlanner()
   }
 }

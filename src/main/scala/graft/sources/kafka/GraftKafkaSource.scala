@@ -63,7 +63,8 @@ object GraftKafka {
 
   final case class ClientConfig(
       servers: Seq[(String, Int)],
-      sasl: Option[(String, String)], tls: Boolean) {
+      sasl: Option[(String, String)], tls: Boolean,
+      tlsVerifyHostname: Boolean = true) {
     def host: String = servers.head._1
     def port: Int = servers.head._2
     /** Connect to the first reachable bootstrap server — the official
@@ -72,7 +73,8 @@ object GraftKafka {
     def connect(clientId: String): KafkaWireClient = {
       var last: Exception = null
       servers.foreach { case (h, p) =>
-        try return new KafkaWireClient(h, p, clientId, sasl, tls)
+        try return new KafkaWireClient(h, p, clientId, sasl, tls,
+          tlsVerifyHostname = tlsVerifyHostname)
         catch { case e: java.io.IOException => last = e }
       }
       throw new java.io.IOException(
@@ -151,7 +153,14 @@ object GraftKafka {
           "jaas config must carry username=\"..\" password=\"..\"")
         Some((user.get.group(1), pass.get.group(1)))
       }
-    ClientConfig(hps, sasl, tls)
+    // official knob: ssl.endpoint.identification.algorithm defaults to
+    // https (verify the server hostname against its cert); the empty
+    // string disables verification — e.g. self-signed lab certs minted
+    // for a different name
+    val verify = Option(
+        options.get("kafka.ssl.endpoint.identification.algorithm"))
+      .map(_.trim).forall(_.nonEmpty)
+    ClientConfig(hps, sasl, tls, verify)
   }
 
   def parseOptions(options: CaseInsensitiveStringMap): Options = {
@@ -210,10 +219,10 @@ object GraftKafka {
               .withFilter(p => opts.subscription.includes(t.name, p.partition))
               .map(p => (t.name, p.partition) -> forTime(t.name, p.partition, ts))
           }.toMap
-        case None => opts.startingOffsets.getOrElse(default) match {
+        case None => normalized(opts.startingOffsets.getOrElse(default)) match {
           case "latest" => snapshot(client, opts.subscription, earliest = false)
           case "earliest" => snapshot(client, opts.subscription, earliest = true)
-          case json => offsetsFromJson(json)
+          case json => resolveSpecials(client, offsetsFromJson(json))
         }
       }
     }
@@ -238,10 +247,10 @@ object GraftKafka {
               .withFilter(p => opts.subscription.includes(t.name, p.partition))
               .map(p => (t.name, p.partition) -> forTime(t.name, p.partition, ts))
           }.toMap
-        case None => opts.endingOffsets.getOrElse("latest") match {
+        case None => normalized(opts.endingOffsets.getOrElse("latest")) match {
           case "latest" => snapshot(client, opts.subscription, earliest = false)
           case "earliest" => snapshot(client, opts.subscription, earliest = true)
-          case json => offsetsFromJson(json)
+          case json => resolveSpecials(client, offsetsFromJson(json))
         }
       }
     }
@@ -272,6 +281,27 @@ object GraftKafka {
       s"assign must list at least one partition per topic: $json")
     out.toMap
   }
+
+  /** The official source trims and lowercases the starting/ending
+    * offset option before matching "latest"/"earliest". */
+  private def normalized(v: String): String =
+    v.trim.toLowerCase(java.util.Locale.ROOT)
+
+  /** Official JSON offset specials: -1 = latest, -2 = earliest, per
+    * partition. Passing them through literally would silently plan an
+    * empty range (-1 as an end) or fetch OFFSET_OUT_OF_RANGE (-2 as a
+    * start). */
+  private def resolveSpecials(client: KafkaWireClient,
+                              m: OffsetMap): OffsetMap =
+    m.map {
+      case ((t, p), -1L) => (t, p) -> client.latestOffset(t, p)
+      case ((t, p), -2L) => (t, p) -> client.earliestOffset(t, p)
+      case other =>
+        require(other._2 >= 0L,
+          s"negative offset ${other._2} for ${other._1} " +
+            "(only -1 latest / -2 earliest are special)")
+        other
+    }
 
   def offsetsFromJson(json: String): OffsetMap = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -393,20 +423,42 @@ class GraftKafkaMicroBatchStream(opts: GraftKafka.Options)
     with SupportsTriggerAvailableNow {
   import GraftKafka._
 
-  @transient private lazy val client =
-    opts.bootstrap.connect("graft-driver-planner")
+  // the planner connection is re-established on failure: a broker roll
+  // that kills this one socket must not kill the QUERY's offset
+  // planning while other seeds are alive (the data-path readers already
+  // fail over per task)
+  @transient private var clientRef: KafkaWireClient = null
+  private def client: KafkaWireClient = synchronized {
+    if (clientRef == null)
+      clientRef = opts.bootstrap.connect("graft-driver-planner")
+    clientRef
+  }
+  private def dropClient(): Unit = synchronized {
+    if (clientRef != null) {
+      try clientRef.close() catch { case _: java.io.IOException => () }
+      clientRef = null
+    }
+  }
+  /** Run a planning call, reconnecting once on a transient failure. */
+  private def planning[A](body: KafkaWireClient => A): A =
+    try body(client) catch {
+      case e: Throwable if KafkaWire.retriableError(e) =>
+        dropClient()
+        body(client)
+    }
   /** Trigger.AvailableNow ceiling: offsets snapshotted at query start. */
   @transient private var availableNowCeiling: Option[OffsetMap] = None
 
   override def initialOffset(): Offset =
-    new GraftKafkaOffset(resolveStart(client, opts, default = "latest"))
+    new GraftKafkaOffset(planning(c => resolveStart(c, opts, default = "latest")))
 
   override def getDefaultReadLimit: ReadLimit =
     opts.maxOffsetsPerTrigger.map(ReadLimit.maxRows).getOrElse(
       ReadLimit.allAvailable())
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCeiling = Some(snapshot(client, opts.subscription, earliest = false))
+    availableNowCeiling =
+      Some(planning(c => snapshot(c, opts.subscription, earliest = false)))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -415,13 +467,13 @@ class GraftKafkaMicroBatchStream(opts: GraftKafka.Options)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startMap = start.asInstanceOf[GraftKafkaOffset].offsets
     val target = availableNowCeiling.getOrElse(
-      snapshot(client, opts.subscription, earliest = false))
+      planning(c => snapshot(c, opts.subscription, earliest = false)))
     // Topic partitions added after the stream started have no checkpoint
     // entry: start them at earliest (the official source's policy) so
     // their data is read rather than silently skipped as zero-lag.
     val fullStart = startMap ++ target.keysIterator
       .filterNot(startMap.contains)
-      .map { case tp @ (t, p) => tp -> client.earliestOffset(t, p) }
+      .map { case tp @ (t, p) => tp -> planning(_.earliestOffset(t, p)) }
     val capped = limit match {
       case m: ReadMaxRows => capOffsets(fullStart, target, m.maxRows())
       case _ => target
@@ -430,9 +482,9 @@ class GraftKafkaMicroBatchStream(opts: GraftKafka.Options)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    GraftKafkaPlanner.plan(client, opts,
+    planning(c => GraftKafkaPlanner.plan(c, opts,
       start.asInstanceOf[GraftKafkaOffset].offsets,
-      end.asInstanceOf[GraftKafkaOffset].offsets)
+      end.asInstanceOf[GraftKafkaOffset].offsets))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftKafkaReaderFactory(opts.fetchMaxBytes)
@@ -442,7 +494,7 @@ class GraftKafkaMicroBatchStream(opts: GraftKafka.Options)
 
   override def commit(end: Offset): Unit = () // checkpoint is the group state
 
-  override def stop(): Unit = client.close()
+  override def stop(): Unit = dropClient()
 }
 
 /** One offset range of one topic-partition, read from its leader. The
@@ -517,7 +569,8 @@ class GraftKafkaPartitionReader(p: GraftKafkaInputPartition, fetchMaxBytes: Int)
 
   private val clientId = s"graft-reader-${p.topic}-${p.partition}"
   private var client: KafkaWireClient = new KafkaWireClient(
-    p.leaderHost, p.leaderPort, clientId, p.bootstrap.sasl, p.bootstrap.tls)
+    p.leaderHost, p.leaderPort, clientId, p.bootstrap.sasl, p.bootstrap.tls,
+    tlsVerifyHostname = p.bootstrap.tlsVerifyHostname)
   private var nextOffset = p.startOffset
   private var buffer: Iterator[KafkaWire.Record] = Iterator.empty
   private var current: KafkaWire.Record = _
@@ -538,7 +591,8 @@ class GraftKafkaPartitionReader(p: GraftKafkaInputPartition, fetchMaxBytes: Int)
             try boot.metadata(Seq(p.topic)).leaderFor(p.topic, p.partition)
             finally boot.close()
           client = new KafkaWireClient(leader.host, leader.port, clientId,
-            p.bootstrap.sasl, p.bootstrap.tls)
+            p.bootstrap.sasl, p.bootstrap.tls,
+            tlsVerifyHostname = p.bootstrap.tlsVerifyHostname)
         }
         return client.fetch(p.topic, p.partition, offset, fetchMaxBytes)
       } catch {
@@ -554,25 +608,28 @@ class GraftKafkaPartitionReader(p: GraftKafkaInputPartition, fetchMaxBytes: Int)
     throw new IllegalStateException("unreachable")
   }
 
-  private def retriable(e: Throwable): Boolean = e match {
-    case k: KafkaWire.KafkaWireException =>
-      k.code == KafkaWire.Err.NotLeaderOrFollower ||
-        k.code == KafkaWire.Err.UnknownTopicOrPartition // metadata propagation
-    case _: java.io.IOException => true // connection dropped mid-roll
-    case _ => false
-  }
+  private def retriable(e: Throwable): Boolean = KafkaWire.retriableError(e)
 
   override def next(): Boolean = {
     if (nextOffset >= p.endOffset) return false
     while (!buffer.hasNext) {
       val result = fetchWithFailover(nextOffset)
       if (result.records.isEmpty) {
-        // planned range but no data — the log was truncated under us
-        throw new IllegalStateException(
-          s"data loss: ${p.topic}-${p.partition} empty at $nextOffset " +
-            s"(planned until ${p.endOffset}, hwm ${result.highWatermark})")
-      }
-      buffer = result.records.iterator
+        if (result.nextOffset > nextOffset) {
+          // batches came back but none carried consumable records at or
+          // past the position — control batches (transaction markers)
+          // or compaction holes. Advance to the offset after the last
+          // complete batch, exactly like the official consumer; a
+          // reader that only advances via decoded records wedges here.
+          nextOffset = result.nextOffset
+          if (nextOffset >= p.endOffset) return false
+        } else {
+          // planned range but no bytes at all — truncated under us
+          throw new IllegalStateException(
+            s"data loss: ${p.topic}-${p.partition} empty at $nextOffset " +
+              s"(planned until ${p.endOffset}, hwm ${result.highWatermark})")
+        }
+      } else buffer = result.records.iterator
     }
     current = buffer.next()
     if (current.offset >= p.endOffset) { nextOffset = p.endOffset; return false }
@@ -587,5 +644,7 @@ class GraftKafkaPartitionReader(p: GraftKafkaInputPartition, fetchMaxBytes: Int)
       r.offset, r.timestamp * 1000L, r.timestampType))
   }
 
-  override def close(): Unit = client.close()
+  // client may be null when failover exhausted retries mid-reconnect —
+  // close() must not mask the task's real failure with an NPE
+  override def close(): Unit = if (client != null) client.close()
 }

@@ -261,9 +261,19 @@ object KafkaWire {
     * records below it — and (b) end with a truncated batch when
     * `maxBytes` cut mid-batch — ignored per the spec ("as efficient as
     * possible": clients tolerate a trailing partial batch). */
-  def decodeBatches(recordSet: Array[Byte]): Seq[Record] = {
-    if (recordSet == null || recordSet.isEmpty) return Nil
+  def decodeBatches(recordSet: Array[Byte]): Seq[Record] =
+    decodeBatchesWithNext(recordSet)._1
+
+  /** [[decodeBatches]] plus the offset AFTER the last complete batch
+    * (-1 when none decoded). The position must advance even when a
+    * batch yields no consumable records — control batches (transaction
+    * markers) and compacted batches whose surviving records all precede
+    * the fetch offset are legal and common on a real broker; a consumer
+    * that only advances via decoded records wedges on them forever. */
+  def decodeBatchesWithNext(recordSet: Array[Byte]): (Seq[Record], Long) = {
+    if (recordSet == null || recordSet.isEmpty) return (Nil, -1L)
     val out = Vector.newBuilder[Record]
+    var nextAfter = -1L
     var at = 0
     while (recordSet.length - at >= 12) {
       val bb = ByteBuffer.wrap(recordSet, at, recordSet.length - at)
@@ -284,40 +294,65 @@ object KafkaWire {
         val attributes = hdr.int16()
         val codec = attributes & 0x07
         val tsType = (attributes >> 3) & 1 // 0 CreateTime, 1 LogAppendTime
-        hdr.int32()                  // lastOffsetDelta
+        // bit 5: control batch — transaction commit/abort markers. Its
+        // records are protocol metadata, never data rows (the official
+        // consumer filters them); decode NOTHING but still advance.
+        val isControl = (attributes & 0x20) != 0
+        val lastOffsetDelta = hdr.int32()
         val baseTs = hdr.int64()
-        hdr.int64()                  // maxTimestamp
+        val maxTs = hdr.int64()      // broker append time under bit 3
         hdr.int64(); hdr.int16(); hdr.int32() // producer id/epoch, baseSequence
         val count = hdr.int32()
-        val r =
-          if (codec == Codec.None) hdr
-          else new Reader(decompressed(codec, hdr.raw(hdr.remaining)))
-        var i = 0
-        while (i < count) {
-          val len = r.varInt()
-          val end = r.position + len
-          r.int8()                 // record attributes
-          val tsDelta = r.varLong()
-          val offDelta = r.varInt()
-          val keyLen = r.varInt()
-          val key = if (keyLen < 0) null else r.raw(keyLen)
-          val valLen = r.varInt()
-          val value = if (valLen < 0) null else r.raw(valLen)
-          val headers = r.varInt()
-          var h = 0
-          while (h < headers) { // skip headers
-            val kl = r.varInt(); r.skip(kl)
-            val vl = r.varInt(); if (vl > 0) r.skip(vl)
-            h += 1
+        nextAfter = math.max(nextAfter, baseOffset + lastOffsetDelta + 1)
+        if (!isControl) {
+          val r =
+            if (codec == Codec.None) hdr
+            else new Reader(decompressed(codec, hdr.raw(hdr.remaining)))
+          var i = 0
+          while (i < count) {
+            val len = r.varInt()
+            val end = r.position + len
+            r.int8()                 // record attributes
+            val tsDelta = r.varLong()
+            val offDelta = r.varInt()
+            val keyLen = r.varInt()
+            val key = if (keyLen < 0) null else r.raw(keyLen)
+            val valLen = r.varInt()
+            val value = if (valLen < 0) null else r.raw(valLen)
+            val headers = r.varInt()
+            var h = 0
+            while (h < headers) { // skip headers
+              val kl = r.varInt(); r.skip(kl)
+              val vl = r.varInt(); if (vl > 0) r.skip(vl)
+              h += 1
+            }
+            require(r.position == end, s"record length mismatch at $baseOffset+$offDelta")
+            // LogAppendTime rewrites only the batch maxTimestamp on the
+            // broker; per-record deltas still carry producer times. The
+            // official consumer returns maxTimestamp for EVERY record
+            // when bit 3 is set — match it, or the timestamp column
+            // claims LogAppendTime while carrying CreateTime values.
+            val ts = if (tsType == 1) maxTs else baseTs + tsDelta
+            out += Record(baseOffset + offDelta, ts, key, value, tsType)
+            i += 1
           }
-          require(r.position == end, s"record length mismatch at $baseOffset+$offDelta")
-          out += Record(baseOffset + offDelta, baseTs + tsDelta, key, value, tsType)
-          i += 1
         }
         at += total
       }
     }
-    out.result()
+    (out.result(), nextAfter)
+  }
+
+  /** Shared transient-failure classification for produce/fetch paths:
+    * leadership moved or metadata is still propagating (re-resolve and
+    * retry), or the connection dropped mid-roll. One definition so the
+    * source and sink can never silently diverge on what is retriable. */
+  def retriableError(e: Throwable): Boolean = e match {
+    case k: KafkaWireException =>
+      k.code == Err.NotLeaderOrFollower ||
+        k.code == Err.UnknownTopicOrPartition
+    case _: java.io.IOException => true
+    case _ => false
   }
 
   // ---- api keys & error codes (public protocol constants) ----------------

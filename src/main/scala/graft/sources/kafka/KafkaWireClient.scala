@@ -29,12 +29,26 @@ final class KafkaWireClient(
     sasl: Option[(String, String)] = None,
     tls: Boolean = false,
     connectTimeoutMs: Int = 10000,
-    requestTimeoutMs: Int = 30000) extends AutoCloseable {
+    requestTimeoutMs: Int = 30000,
+    tlsVerifyHostname: Boolean = true) extends AutoCloseable {
 
   private val socket: Socket = {
     val s =
-      if (tls) javax.net.ssl.SSLSocketFactory.getDefault.createSocket()
-      else new Socket()
+      if (tls) {
+        val ssl = javax.net.ssl.SSLSocketFactory.getDefault.createSocket()
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        // JSSE validates the chain but does NOT verify the hostname on
+        // raw SSLSockets unless told to — without this, any valid cert
+        // for any host passes and SASL credentials can be MITM'd. The
+        // official client defaults ssl.endpoint.identification.algorithm
+        // = https; "" in that option maps to tlsVerifyHostname = false.
+        if (tlsVerifyHostname) {
+          val params = ssl.getSSLParameters
+          params.setEndpointIdentificationAlgorithm("HTTPS")
+          ssl.setSSLParameters(params)
+        }
+        ssl
+      } else new Socket()
     s.connect(new InetSocketAddress(host, port), connectTimeoutMs)
     s.setSoTimeout(requestTimeoutMs)
     s.setTcpNoDelay(true)
@@ -170,8 +184,9 @@ final class KafkaWireClient(
     val aborted = r.int32()
     if (aborted > 0) r.skip(16 * aborted)
     val recordSet = r.bytes()
+    val (records, nextAfter) = decodeBatchesWithNext(recordSet)
     FetchResult(highWatermark,
-      decodeBatches(recordSet).filter(_.offset >= offset))
+      records.filter(_.offset >= offset), nextAfter)
   }
 
   /** Produce v3 (acks=-1) — the test/tool producer twin. Returns the
@@ -212,5 +227,10 @@ object KafkaWireClient {
         throw new IllegalStateException(s"no broker metadata for leader $leaderId"))
     }
   }
-  final case class FetchResult(highWatermark: Long, records: Seq[Record])
+  /** One partition fetch: the post-filter records plus `nextOffset`,
+    * the offset AFTER the last complete batch returned (-1 when none) —
+    * the consumer's advance position even when every record was
+    * filtered (control batches, compaction holes). */
+  final case class FetchResult(highWatermark: Long, records: Seq[Record],
+                               nextOffset: Long)
 }

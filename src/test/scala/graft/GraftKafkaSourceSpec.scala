@@ -91,6 +91,39 @@ class GraftKafkaSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("official offset spellings: JSON -1/-2 specials and case-insensitive literals") {
+    withBroker() { broker =>
+      produceStrings(broker, "t", 0, Seq("x", "y", "z"))
+      // -2 = earliest, -1 = latest inside the JSON maps (documented
+      // official semantics); literals are trimmed + case-insensitive
+      val df = spark.read.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "t")
+        .option("startingOffsets", """{"t":{"0":-2}}""")
+        .option("endingOffsets", """{"t":{"0":-1}}""")
+        .load()
+      assert(df.count() === 3,
+        "-2/-1 JSON specials must resolve to earliest/latest, not plan empty")
+      val df2 = spark.read.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "t")
+        .option("startingOffsets", " Earliest ")
+        .option("endingOffsets", "LATEST")
+        .load()
+      assert(df2.count() === 3)
+      // any other negative offset is a loud error, not silence
+      val e = intercept[Exception] {
+        spark.read.format("graft-kafka")
+          .option("kafka.bootstrap.servers", broker.bootstrapServers)
+          .option("subscribe", "t")
+          .option("startingOffsets", """{"t":{"0":-7}}""")
+          .option("endingOffsets", "latest")
+          .load().count()
+      }
+      assert(e.getMessage.contains("-7"), e.getMessage)
+    }
+  }
+
   test("SASL_SSL: TLS handshake wraps the wire, SASL authenticates, " +
        "batch read end-to-end") {
     // self-signed server identity minted by the JDK's own keytool — no
@@ -101,10 +134,15 @@ class GraftKafkaSourceSpec extends AnyFunSuite {
     val ksPath = dir.resolve("server.p12").toString
     val keytool = new java.io.File(new java.io.File(
       sys.props("java.home"), "bin"), "keytool").getAbsolutePath
+    // SAN=localhost: the client verifies the server hostname against
+    // the certificate by default (endpoint identification — without it
+    // any valid cert for any host would pass and credentials could be
+    // MITM'd), so the identity must actually name the host under test
     val rc = new ProcessBuilder(keytool, "-genkeypair", "-alias", "graft",
       "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
       "-keystore", ksPath, "-storepass", "graftpass", "-keypass",
-      "graftpass", "-dname", "CN=localhost", "-validity", "2")
+      "graftpass", "-dname", "CN=localhost", "-validity", "2",
+      "-ext", "SAN=dns:localhost,ip:127.0.0.1")
       .inheritIO().start().waitFor()
     assert(rc == 0, "keytool must mint the self-signed server cert")
 
@@ -157,6 +195,54 @@ class GraftKafkaSourceSpec extends AnyFunSuite {
         .load()
       assert(df.selectExpr("cast(value as string)").collect()
         .map(_.getString(0)).toSeq === Seq("over-tls"))
+
+      // hostname verification is ON by default: a trusted cert minted
+      // for a DIFFERENT host must fail the handshake when we connect by
+      // IP literal not covered by the SAN... the test cert names
+      // 127.0.0.1, so instead prove the negative via a second identity
+      val badKs = dir.resolve("bad.p12").toString
+      val rc2 = new ProcessBuilder(keytool, "-genkeypair", "-alias", "bad",
+        "-keyalg", "RSA", "-keysize", "2048", "-storetype", "PKCS12",
+        "-keystore", badKs, "-storepass", "graftpass", "-keypass",
+        "graftpass", "-dname", "CN=elsewhere.example", "-validity", "2",
+        "-ext", "SAN=dns:elsewhere.example")
+        .inheritIO().start().waitFor()
+      assert(rc2 == 0)
+      val badStore = java.security.KeyStore.getInstance("PKCS12")
+      val in2 = new java.io.FileInputStream(badKs)
+      try badStore.load(in2, "graftpass".toCharArray) finally in2.close()
+      val badKmf = javax.net.ssl.KeyManagerFactory.getInstance(
+        javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+      badKmf.init(badStore, "graftpass".toCharArray)
+      val badServerCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+      badServerCtx.init(badKmf.getKeyManagers, null, null)
+      val badTmf = javax.net.ssl.TrustManagerFactory.getInstance(
+        javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      badTmf.init(badStore)
+      val badClientCtx = javax.net.ssl.SSLContext.getInstance("TLS")
+      badClientCtx.init(null, badTmf.getTrustManagers, null)
+      javax.net.ssl.SSLContext.setDefault(badClientCtx)
+      val badBroker = new KafkaStubBroker(1, creds,
+        tlsContext = Some(badServerCtx))
+      try {
+        // chain TRUSTED but name mismatched → endpoint identification
+        // must refuse (this is the MITM case: a valid cert for the
+        // wrong host)
+        intercept[java.io.IOException] {
+          val c2 = new KafkaWireClient("localhost", badBroker.port,
+            "verify", creds, tls = true, requestTimeoutMs = 5000)
+          try c2.produce("t", 0, Seq((1L, b("k"), b("nope"))))
+          finally c2.close()
+        }
+        // the official escape hatch (ssl.endpoint.identification
+        // .algorithm="") maps to tlsVerifyHostname=false: same cert,
+        // same host, handshake succeeds
+        val c3 = new KafkaWireClient("localhost", badBroker.port,
+          "noverify", creds, tls = true, requestTimeoutMs = 5000,
+          tlsVerifyHostname = false)
+        try c3.produce("t", 0, Seq((1L, b("k"), b("lab-cert"))))
+        finally c3.close()
+      } finally badBroker.close()
     } finally {
       javax.net.ssl.SSLContext.setDefault(prevDefault)
       broker.close()
