@@ -1390,9 +1390,15 @@ object SparkEntry {
          |  FROM ro),
          |mr AS (SELECT doc_id, min(s) AS s, max(e) AS e
          |       FROM rg GROUP BY doc_id, rgrp),
+         |poso AS (
+         |  SELECT doc_id, unnest(range(1, len(t0) + 1)) AS i,
+         |         unnest(t0) AS tok
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split(text, ' '), x -> len(x) > 0) AS t0
+         |        FROM documents)),
          |surv AS (
          |  SELECT p.doc_id, p.i, p.tok
-         |  FROM pos p LEFT JOIN mr
+         |  FROM poso p LEFT JOIN mr
          |    ON mr.doc_id = p.doc_id AND p.i BETWEEN mr.s AND mr.e
          |  WHERE mr.doc_id IS NULL),
          |agg AS (

@@ -22,7 +22,12 @@ import graft.sources.Tables
   *    a spanning star (min doc vs the rest) instead — per-task join
   *    input stays O(cap × group), never O(group²), and the duplicate
   *    CLUSTERS (connected components, what dedup consumes) are
-  *    identical. ngramJaccard additionally collapses identical texts to
+  *    identical for the pairs that pass verification. The residual
+  *    trade, stated honestly: a star edge is verified against the
+  *    bucket-min doc, so two over-cap-bucket members similar to EACH
+  *    OTHER but not to the minimum can lose their pair unless they
+  *    co-occur in another band (with 4 independent bands they almost
+  *    always do — the standard LSH argument). ngramJaccard additionally collapses identical texts to
   *    one representative before building its inverted shingle index and
   *    drops hyper-frequent shingles ([[ShingleFreqCap]], far above any
   *    organic frequency) — a pair whose entire overlap is hyper-frequent
@@ -73,19 +78,7 @@ object Dedup {
     import spark.implicits._
     docs.as[(Long, String)]
       .map { case (id, text) =>
-        val toks = text.toLowerCase(java.util.Locale.ROOT).split(' ').filter(_.nonEmpty)
-        val n = toks.length
-        val sh =
-          if (n < NgramN) Array.empty[String]
-          else {
-            val out = new Array[String](n - NgramN + 1)
-            var i = 0
-            while (i < out.length) {
-              out(i) = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
-              i += 1
-            }
-            out.distinct
-          }
+        val (sh, n) = shinglesWithCount(text)
         (id, sh, n)
       }
       .toDF("doc_id", "sh", "n_toks")
@@ -104,19 +97,28 @@ object Dedup {
     */
   /** Distinct word-3-gram shingles of one document (the typed kernel
     * behind [[shinglesOf]]/[[shingleSigs]]); empty when < NgramN tokens. */
-  private[graft] def shinglesOfText(text: String): Array[String] = {
+  private[graft] def shinglesOfText(text: String): Array[String] =
+    shinglesWithCount(text)._1
+
+  /** The ONE tokenize + 3-gram + first-occurrence-distinct kernel —
+    * every shingle consumer must agree bit-for-bit with the DuckDB
+    * oracle, so the loop exists exactly once. Returns (shingles,
+    * token count). */
+  private def shinglesWithCount(text: String): (Array[String], Int) = {
     val toks = text.toLowerCase(java.util.Locale.ROOT).split(' ').filter(_.nonEmpty)
     val n = toks.length
-    if (n < NgramN) Array.empty[String]
-    else {
-      val all = new Array[String](n - NgramN + 1)
-      var i = 0
-      while (i < all.length) {
-        all(i) = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
-        i += 1
+    val sh =
+      if (n < NgramN) Array.empty[String]
+      else {
+        val all = new Array[String](n - NgramN + 1)
+        var i = 0
+        while (i < all.length) {
+          all(i) = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+          i += 1
+        }
+        all.distinct
       }
-      all.distinct
-    }
+    (sh, n)
   }
 
   /** The 16-wide MinHash signature over a shingle set — all hash
@@ -470,7 +472,14 @@ object Dedup {
     val spark = base.sparkSession
     import spark.implicits._
     val m = base.select(col("doc_id"), col("ghash")).join(grp, "ghash")
-    val sizes = reps.select(col("doc_id"), size(col("sh")).as("n"))
+    // set sizes over the CAPPED shingle universe (exCap), matching the
+    // numerator: with raw |A|,|B| a pair sharing hyper-frequent
+    // (index-dropped) shingles had them in the union but not the
+    // intersection, deflating J below its true value and dropping real
+    // pairs. On the capped universe J is exact and self-consistent;
+    // when no shingle crosses ShingleFreqCap (every oracle SF) the two
+    // definitions coincide bit-for-bit.
+    val sizes = exCap.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // single-shuffle inverted index: ONE groupBy on the shingle builds
     // the (bounded — ShingleFreqCap) posting list, pairs stream out of
     // an iterator flatMap with nothing buffered; the self-JOIN
@@ -643,8 +652,17 @@ object Dedup {
 
   /** EXACT common-substring spans — the precise half of the Lee-et-al
     * exact-substring dedup recipe. [[winnowPairs]] finds WHICH pairs
-    * share enough winnowed fingerprints (every common run ≥ the
-    * guarantee threshold is represented); this pins WHERE: for each
+    * share enough winnowed fingerprints. RECALL CONTRACT, precisely:
+    * the winnowing guarantee selects ≥ 1 common fingerprint per common
+    * run ≥ FpWindow + NgramN − 1 = 10 tokens, and the [[MinSharedFp]]
+    * = 2 floor needs a second selection — certain once a run spans two
+    * winnow windows (≥ FpWindow + NgramN = 11 tokens) or the pair
+    * shares a second run. Runs of [[MinRunTokens]]..10 tokens in
+    * otherwise-disjoint docs are reported when candidate-listed but
+    * are not GUARANTEED to be: the gate trades those borderline
+    * singles for immunity to one-fingerprint boilerplate collisions
+    * (Lee et al. run 50-token floors where this cannot bind). This
+    * pins WHERE: for each
     * candidate pair, every maximal common token run of length ≥
     * [[MinRunTokens]], as (doc_a, doc_b, start_a, start_b, run_len)
     * with 1-based token positions. A span remover (cut the duplicated
@@ -789,7 +807,11 @@ object Dedup {
       .select(col("doc_id"), col("text"), col("ranges"))
       .as[(Long, String, Option[Seq[(Int, Int)]])]
       .map { case (id, text, ranges) =>
-        val toks = text.toLowerCase(java.util.Locale.ROOT).split(' ').filter(_.nonEmpty)
+        // ORIGINAL-case tokens: span positions were computed on the
+        // lowercase tokenization, but lowercasing never creates or
+        // removes spaces, so positions align 1:1 — the removal must not
+        // destroy the surviving text's casing corpus-wide
+        val toks = text.split(' ').filter(_.nonEmpty)
         val merged = ranges.getOrElse(Nil).foldLeft(
           List.empty[(Int, Int)]) {
           case ((ms, me) :: rest, (s, e)) if s <= me + 1 =>
@@ -848,15 +870,16 @@ object Dedup {
   /** Edge-count bound under which [[clusters]] solves the components
     * with a driver-side union-find instead of the distributed
     * propagation loop. Near-dup pair lists are SPARSE by construction
-    * (every upstream operator caps hot keys), so even a 100 TB corpus
-    * often yields an edge list of a few million rows — at 16 bytes/edge
-    * the default cap is ~64 MB on the driver, the same order Spark
-    * happily broadcasts. Override with `graft.clusters.collectCap`
-    * (0 forces the distributed loop).
+    * (every upstream operator caps hot keys). The cap budgets the REAL
+    * driver footprint — boxed tuples plus a boxed id->parent map run
+    * ~100-150 bytes per edge, not the 16 bytes of the raw longs — so
+    * 1M edges is ~100-150 MB: safe on a default driver, while bigger
+    * lists take the spec'd-equivalent distributed loop. Override with
+    * `graft.clusters.collectCap` (0 forces the distributed loop).
     */
   def edgeCollectCap: Long =
     sys.props.get("graft.clusters.collectCap").map(_.toLong)
-      .getOrElse(4000000L)
+      .getOrElse(1000000L)
 
   /** [[clusters]] over a precomputed pair frame (`doc_a`, `doc_b`) —
     * consumers that already hold the LSH output (or any other pair
@@ -1076,8 +1099,15 @@ object Dedup {
   /** Memoized Bloom words over the eval shingle set — built once per
     * (session, dir) from the shared [[evalShingles]] frame. */
   private[operators] def bloomFor(spark: SparkSession, dir: String): Array[Long] =
-    bloomMemo.getOrElseUpdate((spark, dir),
-      bloomBuild(evalShingles(spark, dir), "s"))
+    bloomMemo.getOrElseUpdate((spark, dir), {
+      // size m to the eval set (bloomBitsFor), exactly as documented and
+      // as DecontamIndex.build does — the fixed floor geometry saturates
+      // past ~10^5 shingles and the pre-filter stops filtering. At the
+      // oracle SFs bloomBitsFor returns the floor, so results (already
+      // exact via the confirm join) and geometry are unchanged there.
+      val sh = evalShingles(spark, dir)
+      bloomBuild(sh, "s", bloomBitsFor(sh.count()))
+    })
 
   private val bloomMemo = scala.collection.concurrent
     .TrieMap.empty[(SparkSession, String), Array[Long]]
