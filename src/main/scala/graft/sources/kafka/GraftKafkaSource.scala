@@ -219,11 +219,17 @@ object GraftKafka {
               .withFilter(p => opts.subscription.includes(t.name, p.partition))
               .map(p => (t.name, p.partition) -> forTime(t.name, p.partition, ts))
           }.toMap
-        case None => normalized(opts.startingOffsets.getOrElse(default)) match {
-          case "latest" => snapshot(client, opts.subscription, earliest = false)
-          case "earliest" => snapshot(client, opts.subscription, earliest = true)
-          case json => resolveSpecials(client, offsetsFromJson(json))
-        }
+        case None =>
+          // lowercase ONLY for the latest/earliest literal comparison:
+          // topic names inside the JSON form are case-sensitive, and a
+          // lowercased key would miss the real topic in the offset map
+          // (silently falling back to earliest)
+          val raw = opts.startingOffsets.getOrElse(default).trim
+          normalized(raw) match {
+            case "latest" => snapshot(client, opts.subscription, earliest = false)
+            case "earliest" => snapshot(client, opts.subscription, earliest = true)
+            case _ => resolveSpecials(client, offsetsFromJson(raw))
+          }
       }
     }
   }
@@ -247,11 +253,14 @@ object GraftKafka {
               .withFilter(p => opts.subscription.includes(t.name, p.partition))
               .map(p => (t.name, p.partition) -> forTime(t.name, p.partition, ts))
           }.toMap
-        case None => normalized(opts.endingOffsets.getOrElse("latest")) match {
-          case "latest" => snapshot(client, opts.subscription, earliest = false)
-          case "earliest" => snapshot(client, opts.subscription, earliest = true)
-          case json => resolveSpecials(client, offsetsFromJson(json))
-        }
+        case None =>
+          // same case-preservation as resolveStart: see the note there
+          val raw = opts.endingOffsets.getOrElse("latest").trim
+          normalized(raw) match {
+            case "latest" => snapshot(client, opts.subscription, earliest = false)
+            case "earliest" => snapshot(client, opts.subscription, earliest = true)
+            case _ => resolveSpecials(client, offsetsFromJson(raw))
+          }
       }
     }
   }

@@ -124,6 +124,24 @@ class GraftKafkaSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("JSON offsets keep topic-name case: mixed-case topic honors requested start") {
+    withBroker() { broker =>
+      produceStrings(broker, "MixedCase", 0, Seq("a", "b", "c", "d"))
+      // offsets JSON keyed by the real (mixed-case) topic name must be
+      // honored — lowercasing the JSON would miss the topic and fall
+      // back to earliest, returning 4 rows instead of 2
+      val df = spark.read.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "MixedCase")
+        .option("startingOffsets", """{"MixedCase":{"0":2}}""")
+        .option("endingOffsets", """{"MixedCase":{"0":4}}""")
+        .load()
+      assert(df.selectExpr("cast(value as string)").collect()
+        .map(_.getString(0)).toSeq.sorted === Seq("c", "d"),
+        "start offset 2 for a mixed-case topic must not be dropped")
+    }
+  }
+
   test("SASL_SSL: TLS handshake wraps the wire, SASL authenticates, " +
        "batch read end-to-end") {
     // self-signed server identity minted by the JDK's own keytool — no
