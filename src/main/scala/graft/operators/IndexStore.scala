@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Shared Hadoop-FS plumbing for the persisted index artifacts
+  * ([[MinhashIndex]], [[DecontamIndex]]): explicit commit markers plus
+  * write-new-then-retire versioning — the same crash discipline the
+  * table format's versioned checkpoints use (`GraftTable.checkpoint`).
+  *
+  * Everything goes through Hadoop [[FileSystem]], never `java.io.File`
+  * or `java.nio.file`: a 100 TB index lives on HDFS or an object store,
+  * where local-file renames simply don't exist. Commit markers are
+  * explicit empty files under `_commits/` (not Spark's `_SUCCESS`,
+  * which a committer conf can disable): a marker either exists
+  * completely or not at all, so "marker present" is the atomic publish
+  * point on every HCFS — no rename required, which also makes the
+  * scheme object-store-safe (S3 rename is copy+delete, not atomic).
+  *
+  * Crash contract both indexes build on:
+  *  - data files for a version/generation are written FIRST, into a
+  *    directory no reader resolves yet;
+  *  - the marker is created LAST — before it, a crash leaves only
+  *    invisible orphan files (re-running the same step overwrites
+  *    them);
+  *  - retiring superseded artifacts happens only AFTER the replacement
+  *    is marked — a crash between the two leaves two committed
+  *    versions and readers pick the newest.
+  *
+  * Same-JVM writer arbitration: [[withLock]] interns one monitor per
+  * normalized root so concurrent build/merge/compact calls against the
+  * same index serialize instead of interleaving their write steps —
+  * the per-root monitor the table format's commit log got, applied to
+  * the index artifacts. (Cross-JVM writers need an external
+  * coordinator, exactly as with the table format.)
+  */
+private[graft] object IndexStore {
+
+  private val CommitsDir = "_commits"
+
+  def fs(spark: SparkSession, root: String): (FileSystem, Path) = {
+    val p = new Path(root)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** Publish marker `name` — the atomic commit point of a step. */
+  def mark(hfs: FileSystem, root: Path, name: String): Unit = {
+    val dir = new Path(root, CommitsDir)
+    if (!hfs.exists(dir)) hfs.mkdirs(dir)
+    hfs.create(new Path(dir, name), true).close()
+  }
+
+  def unmark(hfs: FileSystem, root: Path, name: String): Unit = {
+    hfs.delete(new Path(new Path(root, CommitsDir), name), false)
+    ()
+  }
+
+  /** Numeric ids of markers named `<prefix><id>` under the root. */
+  def markedIds(hfs: FileSystem, root: Path, prefix: String): Seq[Long] = {
+    val dir = new Path(root, CommitsDir)
+    if (!hfs.exists(dir)) Seq.empty
+    else hfs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
+  }
+
+  def deleteTree(hfs: FileSystem, p: Path): Unit = {
+    hfs.delete(p, true)
+    ()
+  }
+
+  private val monitors =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Serialize same-JVM writers against one index root. */
+  def withLock[T](root: String)(body: => T): T =
+    monitors.getOrElseUpdate(new Path(root).toString, new Object)
+      .synchronized(body)
+}

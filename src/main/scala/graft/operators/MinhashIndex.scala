@@ -1,7 +1,9 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Persistent banded MinHash index — the production lifecycle of
   * [[Dedup.minhashJoin]]'s right side: band the landed corpus ONCE,
@@ -12,18 +14,32 @@ import org.apache.spark.sql.functions._
   * increments are checked for near-dups against a 100 TB landed corpus
   * at the cost of scanning the index, never re-banding the corpus.
   *
-  * Layout under `indexPath`:
+  * Layout under `indexPath` (all paths via Hadoop FileSystem — local,
+  * HDFS, or object store alike; see [[IndexStore]]):
   * {{{
-  *   bands.parquet    (b, k, right_id) — bucket RESIDENTS only: the
-  *                    [[Dedup.HotGroupCap]] smallest ids per (b, k),
-  *                    capped at BUILD time (the cap is a function of
-  *                    the corpus alone, so capping once at build equals
-  *                    [[Dedup.minhashJoin]]'s query-time cap row for
-  *                    row). Partitioned by `b`, k-sorted within files
-  *                    so parquet row-group stats support bucket-range
-  *                    pruning by external readers.
-  *   shingles.parquet (doc_id, sh)     — per-doc shingle sets for
-  *                    candidate verification.
+  *   bands.v<V>/gen=<G>/b=<B>/  band table version V: bucket RESIDENTS
+  *                    only — the [[Dedup.HotGroupCap]] smallest ids per
+  *                    (b, k), capped at write time (the cap is a
+  *                    function of the written batch alone; [[query]]'s
+  *                    candidate-local re-cap recovers the union's
+  *                    residents, see [[merge]]). Partitioned by `b`,
+  *                    k-sorted within files so parquet row-group stats
+  *                    support bucket-range pruning by external readers.
+  *                    [[compact]] bumps V (write-new-then-retire).
+  *   shingles/gen=<G>/          per-doc (doc_id, sh) shingle sets for
+  *                    candidate verification, one generation dir per
+  *                    committed batch, append-only.
+  *   _commits/g<G>              generation G's publish marker: its
+  *                    shingle AND band files are complete. Written
+  *                    LAST — a crash before it leaves only invisible
+  *                    orphan dirs, which the next attempt overwrites
+  *                    and [[compact]] sweeps. No marker, no reader
+  *                    ever resolves the generation: an interrupted
+  *                    [[merge]] can never surface a band row whose
+  *                    verification shingles are missing (the silent
+  *                    false-negative window a plain two-step append
+  *                    would have).
+  *   _commits/bands.v<V>        band table version V is complete.
   * }}}
   *
   * Query plan shape (asserted in the spec): the increment side is
@@ -32,15 +48,94 @@ import org.apache.spark.sql.functions._
   * side. Work per increment doc is bounded by cap × bands exactly as
   * in the in-memory operator, and results are row-identical to
   * [[Dedup.minhashJoin]](increment, corpus) over the same data.
+  *
+  * Writers (build/merge/compact) serialize per root via
+  * [[IndexStore.withLock]]; readers never block and always see the
+  * newest fully-committed state.
   */
 object MinhashIndex {
 
-  /** Band `corpus` (doc_id, text) and write the index. The resident
-    * cap runs at build time: one window shuffle over the corpus bands
-    * — the only corpus-wide shuffle in the index's whole lifecycle. */
-  def build(corpus: DataFrame, indexPath: String): Unit = {
-    val perDoc = Dedup.shingleSigs(corpus)
+  // explicit schemas (data + partition columns): readers must never
+  // infer from data files — an uncommitted generation dir may hold a
+  // torn file from a crash, and inference could sample it
+  private val BandSchema = StructType(Seq(
+    StructField("right_id", LongType), StructField("k", StringType),
+    StructField("gen", LongType), StructField("b", IntegerType)))
+  private val ShingleSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sh", ArrayType(StringType)),
+    StructField("gen", LongType)))
+
+  private def bandsDir(root: String, v: Long) = s"$root/bands.v$v"
+
+  private def committedGens(spark: SparkSession, root: String): Seq[Long] = {
+    val (hfs, p) = IndexStore.fs(spark, root)
+    IndexStore.markedIds(hfs, p, "g").sorted
+  }
+
+  private def bandVersion(spark: SparkSession, root: String): Long = {
+    val (hfs, p) = IndexStore.fs(spark, root)
+    val vs = IndexStore.markedIds(hfs, p, "bands.v")
+    require(vs.nonEmpty,
+      s"no committed band table under $root — interrupted build? re-run build")
+    vs.max
+  }
+
+  /** Band `corpus` (doc_id, text) and write the index, replacing any
+    * prior index at `indexPath`. The resident cap runs at build time:
+    * one window shuffle over the corpus bands — the only corpus-wide
+    * shuffle in the index's whole lifecycle. */
+  def build(corpus: DataFrame, indexPath: String): Unit =
+    IndexStore.withLock(indexPath) {
+      val spark = corpus.sparkSession
+      val (hfs, p) = IndexStore.fs(spark, indexPath)
+      IndexStore.deleteTree(hfs, p)
+      writeGeneration(corpus, indexPath, gen = 0L, v = 1L)
+      IndexStore.mark(hfs, p, "g0")
+      IndexStore.mark(hfs, p, "bands.v1")
+    }
+
+  /** Admit a new batch of docs INTO the index (after near-dup checking
+    * it): one new generation holding its shingles and its band rows —
+    * capped within the batch — published by a single marker.
+    * Append-only, no rewrite of existing files, no corpus-wide work:
+    * the only shuffle is the resident-cap window over the BATCH.
+    *
+    * Correctness: the cap keeps the [[Dedup.HotGroupCap]] smallest ids
+    * per bucket, and the cap-smallest of A ∪ B is always a subset of
+    * (cap-smallest of A) ∪ (cap-smallest of B) — so batch-capped
+    * appends plus [[query]]'s candidate-local re-cap reproduce a fresh
+    * build over the union exactly (asserted row-for-row in the spec,
+    * and oracle-gated end-to-end by `dedup_incremental`). Buckets
+    * touched by many merges accumulate ≤ cap stale (out-capped) rows
+    * per merge; [[compact]] reclaims them.
+    *
+    * Crash anywhere before the marker: the generation's dirs are
+    * invisible orphans and queries answer exactly as before the merge
+    * — never a partial batch. A retry recomputes the same generation
+    * id (the marker is absent) and overwrites the orphans wholesale. */
+  def merge(admitted: DataFrame, indexPath: String): Unit =
+    IndexStore.withLock(indexPath) {
+      val spark = admitted.sparkSession
+      val gens = committedGens(spark, indexPath)
+      require(gens.nonEmpty,
+        s"no committed index under $indexPath — run build first")
+      val g = gens.max + 1
+      writeGeneration(admitted, indexPath, g, bandVersion(spark, indexPath))
+      commitGeneration(spark, indexPath, g)
+    }
+
+  /** Write generation `gen`'s shingle and band dirs under band version
+    * `v` — NOT visible to any reader until [[commitGeneration]]
+    * publishes the marker. Package-private so the crash-injection spec
+    * can stop between the two steps. */
+  private[graft] def writeGeneration(docs: DataFrame, indexPath: String,
+                                     gen: Long, v: Long): Unit = {
+    val perDoc = Dedup.shingleSigs(docs)
     Materialize.withCached(perDoc) {
+      perDoc.select(col("doc_id"), col("sh"))
+        .write.mode("overwrite")
+        .parquet(s"$indexPath/shingles/gen=$gen")
       val bands = Dedup.bandFrame(perDoc)
         .select(col("doc_id").as("right_id"), col("b"), col("k"))
       Dedup.capBucket(bands, "right_id")
@@ -48,10 +143,7 @@ object MinhashIndex {
         .sortWithinPartitions(col("k"), col("right_id"))
         .write.mode("overwrite")
         .partitionBy("b")
-        .parquet(s"$indexPath/bands.parquet")
-      perDoc.select(col("doc_id"), col("sh"))
-        .write.mode("overwrite")
-        .parquet(s"$indexPath/shingles.parquet")
+        .parquet(s"${bandsDir(indexPath, v)}/gen=$gen")
       // withCached materializes its body's result: return a frame that
       // records what was written without re-reading it
       perDoc.sparkSession.range(0).toDF("done")
@@ -59,64 +151,104 @@ object MinhashIndex {
     ()
   }
 
-  /** Admit a new batch of docs INTO the index (after near-dup checking
-    * it): append its band rows — capped within the batch — and its
-    * shingles. Append-only, no rewrite of existing files, no
-    * corpus-wide work: the only shuffle is the resident-cap window
-    * over the BATCH.
-    *
-    * Correctness: the cap keeps the [[Dedup.HotGroupCap]] smallest ids
-    * per bucket, and the cap-smallest of A ∪ B is always a subset of
-    * (cap-smallest of A) ∪ (cap-smallest of B) — so batch-capped
-    * appends plus [[query]]'s candidate-local re-cap reproduce a fresh
-    * build over the union exactly (asserted row-for-row in the spec).
-    * Buckets touched by many merges accumulate ≤ cap stale
-    * (out-capped) rows per merge; a maintenance pass that rewrites a
-    * partition through the same cap window reclaims them. */
-  def merge(admitted: DataFrame, indexPath: String): Unit = {
-    val perDoc = Dedup.shingleSigs(admitted)
-    Materialize.withCached(perDoc) {
-      val bands = Dedup.bandFrame(perDoc)
-        .select(col("doc_id").as("right_id"), col("b"), col("k"))
-      Dedup.capBucket(bands, "right_id")
-        .repartition(col("b"))
-        .sortWithinPartitions(col("k"), col("right_id"))
-        .write.mode("append")
-        .partitionBy("b")
-        .parquet(s"$indexPath/bands.parquet")
-      perDoc.select(col("doc_id"), col("sh"))
-        .write.mode("append")
-        .parquet(s"$indexPath/shingles.parquet")
-      perDoc.sparkSession.range(0).toDF("done")
-    }
-    ()
+  /** Publish generation `gen` — the merge's atomic commit point. */
+  private[graft] def commitGeneration(spark: SparkSession, indexPath: String,
+                                      gen: Long): Unit = {
+    val (hfs, p) = IndexStore.fs(spark, indexPath)
+    IndexStore.mark(hfs, p, s"g$gen")
   }
 
   /** Maintenance: rewrite the band table through the resident-cap
-    * window, reclaiming rows that later [[merge]] generations out-capped
-    * (each merge can leave up to cap stale rows per touched bucket).
-    * One cap window + rewrite of the band table — shingles are
-    * untouched (they are keyed by doc and never superseded). Queries
-    * before and after compaction answer identically ([[query]]'s re-cap
-    * is a no-op on a compacted index); the spec asserts both that and
-    * the reclaimed row count. */
-  def compact(spark: SparkSession, indexPath: String): Unit = {
-    val bands = spark.read.parquet(s"$indexPath/bands.parquet")
-      .select(col("right_id"), col("b"), col("k"))
-    val recapped = Dedup.capBucket(bands, "right_id")
-    // parquet cannot rewrite in place: stage, swap, drop the old tree
-    val tmp = s"$indexPath/bands.parquet.compacting"
-    recapped
+    * window, reclaiming rows that later [[merge]] generations
+    * out-capped (each merge can leave up to cap stale rows per touched
+    * bucket). One cap window + rewrite of the band table — shingles
+    * are untouched (they are keyed by doc and never superseded).
+    * Queries before and after compaction answer identically
+    * ([[query]]'s re-cap is a no-op on a compacted index); the spec
+    * asserts both that and the reclaimed row count.
+    *
+    * Crash-safe, write-new-then-retire: the folded rows land in a NEW
+    * version tree `bands.v<V+1>` (under the newest committed
+    * generation's id, so the committed-gen filter resolves them), the
+    * new version is marked, and only then is the old tree retired — a
+    * crash at any point leaves at least one committed version and
+    * readers pick the newest. Also sweeps orphan generation dirs left
+    * by crashed, never-retried merges. */
+  def compact(spark: SparkSession, indexPath: String): Unit =
+    IndexStore.withLock(indexPath) {
+      val (oldV, newV) = writeCompacted(spark, indexPath)
+      publishCompacted(spark, indexPath, newV)
+      retireCompacted(spark, indexPath, oldV)
+    }
+
+  /** Compact step 1: write the folded band table as version V+1,
+    * unmarked (invisible). Returns (oldVersion, newVersion). */
+  private[graft] def writeCompacted(spark: SparkSession,
+                                    indexPath: String): (Long, Long) = {
+    val gens = committedGens(spark, indexPath)
+    require(gens.nonEmpty,
+      s"no committed index under $indexPath — run build first")
+    val v = bandVersion(spark, indexPath)
+    Dedup.capBucket(readBands(spark, indexPath, v, gens), "right_id")
       .repartition(col("b"))
       .sortWithinPartitions(col("k"), col("right_id"))
       .write.mode("overwrite")
       .partitionBy("b")
-      .parquet(tmp)
-    val live = new java.io.File(s"$indexPath/bands.parquet")
-    Scratch.rm(live)
-    if (!new java.io.File(tmp).renameTo(live))
-      throw new java.io.IOException(s"compact: rename $tmp failed")
+      .parquet(s"${bandsDir(indexPath, v + 1)}/gen=${gens.max}")
+    (v, v + 1)
   }
+
+  /** Compact step 2: mark the new version — the atomic switch point. */
+  private[graft] def publishCompacted(spark: SparkSession, indexPath: String,
+                                      newV: Long): Unit = {
+    val (hfs, p) = IndexStore.fs(spark, indexPath)
+    IndexStore.mark(hfs, p, s"bands.v$newV")
+  }
+
+  /** Compact step 3: retire the superseded version tree and sweep
+    * shingle orphans from crashed merges. Safe to crash mid-way:
+    * everything deleted here is already unreachable. */
+  private[graft] def retireCompacted(spark: SparkSession, indexPath: String,
+                                     oldV: Long): Unit = {
+    val (hfs, p) = IndexStore.fs(spark, indexPath)
+    IndexStore.unmark(hfs, p, s"bands.v$oldV")
+    IndexStore.deleteTree(hfs, new Path(bandsDir(indexPath, oldV)))
+    val gens = committedGens(spark, indexPath).toSet
+    val shRoot = new Path(s"$indexPath/shingles")
+    if (hfs.exists(shRoot))
+      hfs.listStatus(shRoot).foreach { st =>
+        val n = st.getPath.getName
+        val orphan = n.startsWith("gen=") &&
+          scala.util.Try(n.stripPrefix("gen=").toLong).toOption
+            .exists(g => !gens.contains(g))
+        if (orphan) IndexStore.deleteTree(hfs, st.getPath)
+      }
+  }
+
+  /** Committed band rows of version `v`: partition pruning on the
+    * committed-generation list keeps uncommitted (crashed) dirs out of
+    * the scan entirely. */
+  private def readBands(spark: SparkSession, indexPath: String, v: Long,
+                        gens: Seq[Long]): DataFrame = {
+    val dir = bandsDir(indexPath, v)
+    spark.read.schema(BandSchema).option("basePath", dir).parquet(dir)
+      .filter(col("gen").isin(gens: _*))
+      .select(col("right_id"), col("b"), col("k"))
+  }
+
+  private def readShingles(spark: SparkSession, indexPath: String,
+                           gens: Seq[Long]): DataFrame = {
+    val dir = s"$indexPath/shingles"
+    spark.read.schema(ShingleSchema).option("basePath", dir).parquet(dir)
+      .filter(col("gen").isin(gens: _*))
+      .select(col("doc_id"), col("sh"))
+  }
+
+  /** The index's current committed band table — spec helper. */
+  private[graft] def bandTable(spark: SparkSession,
+                               indexPath: String): DataFrame =
+    readBands(spark, indexPath, bandVersion(spark, indexPath),
+      committedGens(spark, indexPath))
 
   /** Near-dup pairs between `increment` (doc_id, text) and the indexed
     * corpus: row-identical to `Dedup.minhashJoin(increment, corpus)`.
@@ -126,23 +258,28 @@ object MinhashIndex {
     * as well, so the corpus-side tables are never shuffled. */
   def query(spark: SparkSession, indexPath: String,
             increment: DataFrame): DataFrame = {
+    val gens = committedGens(spark, indexPath)
+    require(gens.nonEmpty,
+      s"no committed index under $indexPath — run build first")
+    val v = bandVersion(spark, indexPath)
     val perL = Dedup.shingleSigs(increment)
     Materialize.withCached(perL) {
       val bandsL = Dedup.bandFrame(perL)
         .select(col("doc_id").as("left_id"), col("b"), col("k"))
-      val idx = spark.read.parquet(s"$indexPath/bands.parquet")
+      val idx = readBands(spark, indexPath, v, gens)
       // candidate-local re-cap: after [[merge]]s a bucket may hold up
       // to cap residents per merged generation; the true residents of
       // the unioned corpus are the cap smallest of what is stored
       // (see merge's subset argument). The window runs over candidate
       // rows only — increment-bounded, never the corpus.
-      val matched = idx.join(broadcast(bandsL.select(col("b"), col("k")).distinct()),
+      val matched = idx.join(
+        broadcast(bandsL.select(col("b"), col("k")).distinct()),
         Seq("b", "k"))
       val recapped = Dedup.capBucket(matched, "right_id")
       val cand = recapped.join(broadcast(bandsL), Seq("b", "k"))
         .select(col("left_id"), col("right_id"))
         .distinct()
-      val shR = spark.read.parquet(s"$indexPath/shingles.parquet")
+      val shR = readShingles(spark, indexPath, gens)
       val withR = shR.join(broadcast(cand),
           shR("doc_id") === cand("right_id"))
         .select(col("left_id"), col("right_id"), col("sh").as("sb"))
@@ -162,25 +299,35 @@ object MinhashIndex {
                                     increment: DataFrame): DataFrame = {
     val bandsL = Dedup.bandFrame(Dedup.shingleSigs(increment))
       .select(col("doc_id").as("left_id"), col("b"), col("k"))
-    spark.read.parquet(s"$indexPath/bands.parquet")
+    readBands(spark, indexPath, bandVersion(spark, indexPath),
+        committedGens(spark, indexPath))
       .join(broadcast(bandsL), Seq("b", "k"))
       .select(col("left_id"), col("right_id"))
   }
 
-  /** dedup_incremental: build the index over the landed corpus (doc_id
-    * % 10 ≠ 3), query the 10% "crawl increment" (doc_id % 10 = 3)
-    * against it — all in a scratch dir the harness deletes. The DuckDB
-    * oracle states the same pairs relationally, so the whole
-    * build→persist→broadcast-query lifecycle is hash-gated. */
+  /** dedup_incremental: the FULL index lifecycle under the oracle gate
+    * — build over most of the landed corpus (doc_id % 10 ∉ {3, 7}),
+    * [[merge]] the remaining landed batch (doc_id % 10 = 7),
+    * [[compact]], then [[query]] the 10% "crawl increment"
+    * (doc_id % 10 = 3) against it — all in a scratch dir the harness
+    * deletes. The final index covers exactly doc_id % 10 ≠ 3, so the
+    * DuckDB oracle states the same pairs relationally and the whole
+    * build→merge→compact→broadcast-query chain is hash-gated: the
+    * cap-subset argument and the re-cap identity are driver-checked
+    * facts, not just spec claims. */
   def incremental(spark: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files
       .createTempDirectory("graft-mh-index").toString
     val docs = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
     try {
-      build(docs.filter(col("doc_id") % 10 =!= 3), s"$root/idx")
+      val idx = s"$root/idx"
+      build(docs.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 10 =!= 7),
+        idx)
+      merge(docs.filter(col("doc_id") % 10 === 7), idx)
+      compact(spark, idx)
       Scratch.materializeAndClean(root,
-        query(spark, s"$root/idx", docs.filter(col("doc_id") % 10 === 3)))
+        query(spark, idx, docs.filter(col("doc_id") % 10 === 3)))
     } catch {
       case e: Throwable => Scratch.rm(new java.io.File(root)); throw e
     }

@@ -125,7 +125,7 @@ class DecontamIndexSpec extends AnyFunSuite {
         s"$root/idx")
       val nWords = DecontamIndex.loadBloom(spark, s"$root/idx").length
       // the persisted sparse rows can never exceed the dense word count
-      val sparseRows = spark.read.parquet(s"$root/idx/bloom.parquet").count()
+      val sparseRows = DecontamIndex.bloomTable(spark, s"$root/idx").count()
       assert(sparseRows <= nWords)
       assert(nWords * 64 >= Dedup.BloomBits) // floor geometry respected
     } finally Scratch.rm(new java.io.File(root))

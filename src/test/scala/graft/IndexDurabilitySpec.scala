@@ -1,0 +1,219 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, DecontamIndex, MinhashIndex, Scratch}
+
+/** Crash-injection and portability for the persisted index artifacts:
+  * kill the writer between its steps, reopen, query — the answer must
+  * equal the last committed state exactly (never a partial batch, and
+  * for the Bloom index never a false negative), and a retry must
+  * converge to the fresh-build answer. Both indexes must also operate
+  * on an explicit `file://`-scheme Hadoop path (the FS-abstract proof:
+  * no `java.io.File` shortcut survives in the write path) and arbitrate
+  * concurrent same-JVM writers.
+  */
+class IndexDurabilitySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def docsOf(dir: String) =
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSeq
+
+  test("minhash: crash before the generation marker leaves the merge invisible; retry converges") {
+    val docs = docsOf(sf0001)
+    val inc = docs.filter(col("doc_id") % 10 === 3)
+    val a = docs.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 2 === 1)
+    val root = Files.createTempDirectory("graft-dur-mh").toString
+    val freshRoot = Files.createTempDirectory("graft-dur-mh2").toString
+    try {
+      MinhashIndex.build(a, s"$root/idx")
+      val before = rows(MinhashIndex.query(spark, s"$root/idx", inc))
+      // simulated crash: generation files fully written, marker never
+      // published (writeGeneration without commitGeneration)
+      MinhashIndex.writeGeneration(b, s"$root/idx", gen = 1L, v = 1L)
+      val afterCrash = rows(MinhashIndex.query(spark, s"$root/idx", inc))
+      assert(afterCrash == before,
+        "an uncommitted generation must be invisible — no partial batch")
+      // retry the merge for real: overwrites the orphans, commits
+      MinhashIndex.merge(b, s"$root/idx")
+      MinhashIndex.build(a.unionByName(b), s"$freshRoot/idx")
+      assert(rows(MinhashIndex.query(spark, s"$root/idx", inc)) ==
+        rows(MinhashIndex.query(spark, s"$freshRoot/idx", inc)),
+        "retried merge must equal a fresh build over the union")
+    } finally {
+      Scratch.rm(new java.io.File(root))
+      Scratch.rm(new java.io.File(freshRoot))
+    }
+  }
+
+  test("minhash: compact crash windows — staged-unpublished keeps old answers, published-unretired keeps both versions readable") {
+    import spark.implicits._
+    def identical(ids: Range) = ids.map(i => (i.toLong,
+      "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft-dur-cpt").toString
+    try {
+      val idx = s"$root/idx"
+      MinhashIndex.build(identical(0 until 300), idx)
+      MinhashIndex.merge(identical(300 until 600), idx)
+      val inc = identical(600 until 605)
+      val before = rows(MinhashIndex.query(spark, idx, inc))
+      // crash window 1: new version staged, marker never written —
+      // readers must still resolve the OLD version
+      val (oldV, newV) = MinhashIndex.writeCompacted(spark, idx)
+      assert(rows(MinhashIndex.query(spark, idx, inc)) == before)
+      // crash window 2: marker written, old version not yet retired —
+      // readers pick the newest committed version; answers unchanged
+      MinhashIndex.publishCompacted(spark, idx, newV)
+      assert(rows(MinhashIndex.query(spark, idx, inc)) == before)
+      // recovery completes the retire; answers still unchanged and the
+      // stale residents are gone
+      MinhashIndex.retireCompacted(spark, idx, oldV)
+      assert(rows(MinhashIndex.query(spark, idx, inc)) == before)
+      MinhashIndex.bandTable(spark, idx).groupBy("b", "k").count()
+        .collect().foreach(r => assert(r.getLong(2) == Dedup.HotGroupCap))
+    } finally Scratch.rm(new java.io.File(root))
+  }
+
+  test("minhash: whole lifecycle on an explicit file:// Hadoop path") {
+    val docs = docsOf(sf0001)
+    val inc = docs.filter(col("doc_id") % 10 === 3)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 3)
+    val localRoot = Files.createTempDirectory("graft-dur-fs").toString
+    val idx = s"file://$localRoot/idx"
+    try {
+      MinhashIndex.build(corpus.filter(col("doc_id") % 2 === 0), idx)
+      MinhashIndex.merge(corpus.filter(col("doc_id") % 2 === 1), idx)
+      MinhashIndex.compact(spark, idx)
+      val got = rows(MinhashIndex.query(spark, idx, inc))
+      assert(got.nonEmpty)
+      assert(got == rows(Dedup.minhashJoin(inc, corpus)),
+        "file://-scheme index must answer like the in-memory operator")
+    } finally Scratch.rm(new java.io.File(localRoot))
+  }
+
+  test("decontam: crash between filter publish and shingle append — no false negatives, retry converges") {
+    val docs = docsOf(sf0001)
+    val evalA = docs.filter(col("doc_id") % Dedup.EvalStride === 0)
+    val evalB = docs.filter(col("doc_id") % 20 === 0
+      && col("doc_id") % Dedup.EvalStride =!= 0)
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0
+      && col("doc_id") % Dedup.EvalStride =!= 0)
+    val root = Files.createTempDirectory("graft-dur-dc").toString
+    val freshRoot = Files.createTempDirectory("graft-dur-dc2").toString
+    try {
+      val idx = s"$root/idx"
+      DecontamIndex.build(evalA, idx)
+      val before = rows(DecontamIndex.query(spark, idx, corpus))
+      // simulated crash: the grown filter version is committed, the
+      // batch's shingles never land — the filter-first order means the
+      // orphaned bits are pure false positives, which the confirm join
+      // removes: queries answer exactly as before the merge
+      val plan = DecontamIndex.planMerge(evalB, idx)
+      assert(plan.nonEmpty, "fixture must have new shingles to merge")
+      DecontamIndex.commitBloom(spark, idx, plan.get)
+      assert(rows(DecontamIndex.query(spark, idx, corpus)) == before,
+        "orphaned filter bits must never change answers (no false negatives)")
+      // retry the merge for real; compare against a fresh union build
+      DecontamIndex.merge(evalB, idx)
+      DecontamIndex.build(evalA.unionByName(evalB), s"$freshRoot/idx")
+      assert(DecontamIndex.loadBloom(spark, idx).toSeq ==
+        DecontamIndex.loadBloom(spark, s"$freshRoot/idx").toSeq,
+        "retried merge must converge to the fresh build's filter")
+      val sh = spark.read.parquet(s"$idx/shingles.parquet")
+      assert(sh.count() == sh.distinct().count(),
+        "retry must not duplicate shingles")
+      assert(rows(DecontamIndex.query(spark, idx, corpus)) ==
+        rows(DecontamIndex.query(spark, s"$freshRoot/idx", corpus)))
+    } finally {
+      Scratch.rm(new java.io.File(root))
+      Scratch.rm(new java.io.File(freshRoot))
+    }
+  }
+
+  test("decontam: whole lifecycle on an explicit file:// Hadoop path") {
+    val docs = docsOf(sf0001)
+    val evalDocs = docs.filter(col("doc_id") % Dedup.EvalStride === 0)
+    val corpus = docs.filter(col("doc_id") % Dedup.EvalStride =!= 0)
+    val localRoot = Files.createTempDirectory("graft-dur-dcfs").toString
+    val idx = s"file://$localRoot/idx"
+    try {
+      val stride2 = 2 * Dedup.EvalStride
+      DecontamIndex.build(evalDocs.filter(col("doc_id") % stride2 === 0), idx)
+      DecontamIndex.merge(evalDocs.filter(col("doc_id") % stride2 =!= 0), idx)
+      val got = rows(DecontamIndex.query(spark, idx, corpus))
+      assert(got.nonEmpty)
+      Dedup.clearMemo()
+      assert(got == rows(Dedup.decontaminateBloom(spark, sf0001)),
+        "file://-scheme index must answer like the in-memory operator")
+    } finally Scratch.rm(new java.io.File(localRoot))
+  }
+
+  test("concurrent same-JVM merges serialize: both batches land, union answer") {
+    val docs = docsOf(sf0001)
+    val inc = docs.filter(col("doc_id") % 10 === 3)
+    val rest = docs.filter(col("doc_id") % 10 =!= 3)
+    val a = rest.filter(col("doc_id") % 3 === 0)
+    val b = rest.filter(col("doc_id") % 3 === 1)
+    val c = rest.filter(col("doc_id") % 3 === 2)
+    val root = Files.createTempDirectory("graft-dur-cc").toString
+    val freshRoot = Files.createTempDirectory("graft-dur-cc2").toString
+    try {
+      val idx = s"$root/idx"
+      MinhashIndex.build(a, idx)
+      // two racing writers: the per-root lock must serialize their
+      // write/commit steps so each gets its own generation — an
+      // interleaving would let both compute the same generation id and
+      // one batch silently overwrite the other
+      val threads = Seq(b, c).map { batch =>
+        new Thread(() => MinhashIndex.merge(batch, idx))
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      MinhashIndex.build(rest, s"$freshRoot/idx")
+      val got = rows(MinhashIndex.query(spark, idx, inc))
+      assert(got.nonEmpty)
+      assert(got == rows(MinhashIndex.query(spark, s"$freshRoot/idx", inc)),
+        "racing merges must both land — neither batch may be lost")
+    } finally {
+      Scratch.rm(new java.io.File(root))
+      Scratch.rm(new java.io.File(freshRoot))
+    }
+  }
+
+  test("concurrent same-JVM decontam merges serialize: filter equals fresh union build") {
+    val docs = docsOf(sf0001)
+    val evalAll = docs.filter(col("doc_id") % Dedup.EvalStride === 0)
+    val a = evalAll.filter(col("doc_id") % 3 === 0)
+    val b = evalAll.filter(col("doc_id") % 3 === 1)
+    val c = evalAll.filter(col("doc_id") % 3 === 2)
+    val root = Files.createTempDirectory("graft-dur-dccc").toString
+    val freshRoot = Files.createTempDirectory("graft-dur-dccc2").toString
+    try {
+      val idx = s"$root/idx"
+      DecontamIndex.build(a, idx)
+      val threads = Seq(b, c).map { batch =>
+        new Thread(() => DecontamIndex.merge(batch, idx))
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      DecontamIndex.build(evalAll, s"$freshRoot/idx")
+      assert(DecontamIndex.loadBloom(spark, idx).toSeq ==
+        DecontamIndex.loadBloom(spark, s"$freshRoot/idx").toSeq,
+        "racing merges must not interleave filter/shingle writes")
+      val sh = spark.read.parquet(s"$idx/shingles.parquet")
+      assert(sh.count() == sh.distinct().count())
+    } finally {
+      Scratch.rm(new java.io.File(root))
+      Scratch.rm(new java.io.File(freshRoot))
+    }
+  }
+}

@@ -108,12 +108,12 @@ class MinhashIndexSpec extends AnyFunSuite {
     try {
       MinhashIndex.build(identical(0 until 300), s"$root/idx")
       MinhashIndex.merge(identical(300 until 600), s"$root/idx")
-      val before = spark.read.parquet(s"$root/idx/bands.parquet").count()
+      val before = MinhashIndex.bandTable(spark, s"$root/idx").count()
       val inc = identical(600 until 605)
       val preCompact = MinhashIndex.query(spark, s"$root/idx", inc)
         .collect().map(_.toSeq)
       MinhashIndex.compact(spark, s"$root/idx")
-      val after = spark.read.parquet(s"$root/idx/bands.parquet")
+      val after = MinhashIndex.bandTable(spark, s"$root/idx")
       // every bucket back to exactly cap residents (both generations
       // overflowed the same buckets)
       after.groupBy("b", "k").count().collect()
@@ -135,7 +135,7 @@ class MinhashIndexSpec extends AnyFunSuite {
       val corpus = docs.filter(col("doc_id") % 2 === 0) // 300 > cap 256
       MinhashIndex.build(corpus, s"$root/idx")
       // residents persisted per bucket are the cap smallest ids
-      val bands = spark.read.parquet(s"$root/idx/bands.parquet")
+      val bands = MinhashIndex.bandTable(spark, s"$root/idx")
       val perBucket = bands.groupBy("b", "k")
         .agg(count(lit(1)).as("n"), max(col("right_id")).as("mx"))
         .collect()
