@@ -78,6 +78,7 @@ object SparkEntry {
     "dedup_decontam_bloom"  -> (Dedup.decontaminateBloom _),
     "dedup_decontam_persist" -> (DecontamIndex.persistedDecontam _),
     "q_stream_decontam"     -> (DecontamIndex.streamDecontam _),
+    "q_stream_neardup"      -> (graft.streaming.StreamingNearDup.streamNearDup _),
     "dedup_spans"           -> (Corpus.spanDedup _),
     "dedup_winnow"          -> (Dedup.winnowPairs _),
     "dedup_substring"       -> (Dedup.exactSubstringSpans _),
@@ -1135,6 +1136,15 @@ object SparkEntry {
     // SAME per-doc counts — a doc lands whole in one shard, so the
     // relational restatement is unchanged
     "q_stream_decontam" -> decontamOracle,
+    // the stateful streaming near-dup pass (bootstrap = landed corpus,
+    // stream = increment shards, every band collision emitted and
+    // batch-verified with true Jaccard) reproduces the cross-corpus
+    // join exactly — same relational pairs as dedup_incremental
+    "q_stream_neardup" ->
+      s"""WITH ${minhashCtesWith("x.doc_id % 10 = 3 AND y.doc_id % 10 <> 3")}
+         |SELECT doc_a AS left_id, doc_b AS right_id, jaccard FROM j
+         |WHERE jaccard >= ${Dedup.MinhashJaccardThreshold}
+         |ORDER BY left_id, right_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $toksCte,
          |sz AS (SELECT doc_id, len(s) AS n FROM shf),

@@ -201,7 +201,7 @@ object Dedup {
     coldPairs.unionByName(hotPairs)
   }
 
-  private[operators] def jaccard(a: Column, b: Column): Column =
+  private[graft] def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** Exact dedup: group documents by content hash; emit group size and

@@ -83,7 +83,7 @@ object StreamingNearDup {
     eq.toDouble / a.length
   }
 
-  private def processBucket(
+  private def processBucket(minEst: Double)(
       key: String,
       rows: Iterator[BandRow],
       state: GroupState[BucketState]): Iterator[Pair] = {
@@ -102,7 +102,7 @@ object StreamingNearDup {
         if (mid != r.doc_id) {
           val est = BigDecimal(estJaccard(msig, r.sig))
             .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-          if (est >= EstThreshold)
+          if (est >= minEst)
             out += Pair(math.min(mid, r.doc_id), math.max(mid, r.doc_id),
               band, est, r.event_ts)
         }
@@ -135,9 +135,15 @@ object StreamingNearDup {
     * Bootstrap residents obey the same per-bucket cap ([[graft.operators.Dedup.HotGroupCap]]
     * smallest ids), and carry no timestamps — they evict with the
     * bucket's event-time timeout once streaming traffic arrives.
+    *
+    * `minEst` lowers the emission gate: at 0.0 every band collision is
+    * emitted, turning the operator into a pure streaming CANDIDATE
+    * generator whose pairs a downstream batch pass can verify with
+    * true Jaccard — the composition [[streamNearDup]] oracle-gates.
     */
   def pairs(docs: DataFrame, watermarkDelay: String = "1 hour",
-            bootstrapCorpus: Option[DataFrame] = None): Dataset[Pair] = {
+            bootstrapCorpus: Option[DataFrame] = None,
+            minEst: Double = EstThreshold): Dataset[Pair] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val grouped = bandRows(docs)
@@ -146,12 +152,13 @@ object StreamingNearDup {
     bootstrapCorpus match {
       case None =>
         grouped.flatMapGroupsWithState[BucketState, Pair](
-          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(processBucket)
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+          processBucket(minEst))
       case Some(corpus) =>
         val initial = initialState(corpus)
         grouped.flatMapGroupsWithState[BucketState, Pair](
           OutputMode.Append, GroupStateTimeout.EventTimeTimeout, initial)(
-          processBucket)
+          processBucket(minEst))
     }
   }
 
@@ -186,5 +193,89 @@ object StreamingNearDup {
       }
       .groupByKey(_._1)
       .mapValues(_._2)
+  }
+
+  /** q_stream_neardup: the stateful streaming near-dup pass under the
+    * oracle gate. The landed corpus (doc_id % 10 ≠ 3) bootstraps the
+    * bucket state; the crawl increment (doc_id % 10 = 3) arrives as a
+    * multi-shard file stream; every band collision is emitted
+    * (`minEst = 0` — the streaming pass as pure candidate generator)
+    * and then batch-verified with TRUE Jaccard on the shingle sets,
+    * exactly the batch operator's verification join.
+    *
+    * Why the cross-side pairs equal
+    * [[graft.operators.Dedup.minhashJoin]](increment, corpus) row for
+    * row — the same relational oracle as `dedup_incremental`:
+    * bootstrap residents are the HotGroupCap smallest ids per bucket
+    * (identical to `capBucket` on the corpus side), stream docs are
+    * never capped (each compares against every resident, the one-sided
+    * discipline the batch join documents), stream-vs-stream pairs are
+    * removed by the side predicate, and a fixed event timestamp keeps
+    * the watermark from evicting any resident mid-run. Output lands
+    * replay-idempotent under `batch_id=N` dynamic overwrite. */
+  def streamNearDup(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.operators.{Dedup, Scratch}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-nd").toString
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    try {
+      val inc = docs.filter(col("doc_id") % 10 === 3)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 3)
+      inc.withColumn("event_ts",
+          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .repartition(4) // ≥2 shard files → the stream really batches
+        .write.parquet(s"$root/src")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("event_ts", TimestampType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(s"$root/src")
+      val q = pairs(stream, "1 hour", Some(corpus), minEst = 0.0)
+        .toDF()
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.select(col("doc_a"), col("doc_b")).distinct()
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(s"$root/out")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // declared schema: a collision-free increment writes no files
+      val outSchema = StructType(Seq(
+        StructField("doc_a", LongType), StructField("doc_b", LongType)))
+      val streamed = spark.read.schema(outSchema)
+        .option("basePath", s"$root/out").parquet(s"$root/out")
+        .select(col("doc_a"), col("doc_b"))
+      val cross = streamed
+        .filter((col("doc_a") % 10 === 3) =!= (col("doc_b") % 10 === 3))
+        .select(
+          when(col("doc_a") % 10 === 3, col("doc_a"))
+            .otherwise(col("doc_b")).as("left_id"),
+          when(col("doc_a") % 10 === 3, col("doc_b"))
+            .otherwise(col("doc_a")).as("right_id"))
+        .distinct()
+      val shL = Dedup.shinglesOf(inc)
+        .select(col("doc_id").as("left_id"), col("sh").as("sa"))
+      val shR = Dedup.shinglesOf(corpus)
+        .select(col("doc_id").as("right_id"), col("sh").as("sb"))
+      val out = cross.join(shL, "left_id").join(shR, "right_id")
+        .select(col("left_id"), col("right_id"),
+          round(Dedup.jaccard(col("sa"), col("sb")), 4).as("jaccard"))
+        .filter(col("jaccard") >= Dedup.MinhashJaccardThreshold)
+        .orderBy("left_id", "right_id")
+      Scratch.materializeAndClean(root, out)
+    } catch {
+      case e: Throwable =>
+        Scratch.rm(new java.io.File(root)); throw e
+    }
   }
 }
