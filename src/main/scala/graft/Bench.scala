@@ -33,6 +33,7 @@ object Bench {
     graft.operators.QualityClassifier.clearMemo()
     graft.operators.Bpe.clearMemo()
     graft.operators.TextAnalysis.clearMemo()
+    graft.operators.KafkaRoundtrip.clearMemo()
     // the memo maps held the LAST references to their materialized
     // frames; the localCheckpoint blocks behind them stay pinned in the
     // block manager until the JVM happens to GC the RDD objects. Drop

@@ -20,17 +20,29 @@ import graft.sources.Tables
   * splittable, so read parallelism equals the part count — which is
   * why [[exportJsonl]] enforces a size cap: when the plan's size
   * estimate says a partition would exceed [[DefaultMaxPartBytes]]
-  * (uncompressed), the export repartitions UP so no single `.json.gz`
-  * becomes a serialized read. (zstd would make parts splittable but
-  * the text sources' codec goes through Hadoop's native ZStandard,
-  * unavailable in plain-JVM deployments — part sizing is the portable
-  * contract.)
+  * (uncompressed), the export repartitions UP so no single part
+  * becomes a serialized read. The codec is probed at runtime
+  * ([[exportCodec]]): Hadoop-native zstd when the deployment has it
+  * (faster, better ratio), pure-JVM gzip otherwise — both are
+  * whole-file codecs for text sources, so part SIZING is the portable
+  * parallelism contract either way, spec-asserted as N parts → N read
+  * partitions.
   */
 object Jsonl {
 
   /** Max UNCOMPRESSED bytes of row data per exported part (gzip takes
     * it ~4× lower on disk). 128 MB ≈ one comfortable read task. */
   val DefaultMaxPartBytes: Long = 128L << 20
+
+  /** Export compression, probed once per JVM: Hadoop's ZStandardCodec
+    * needs the native hadoop library, which plain-JVM deployments (and
+    * this sandbox) lack — fall back to the always-available gzip. */
+  private[graft] lazy val exportCodec: String =
+    try {
+      if (org.apache.hadoop.io.compress.ZStandardCodec.isNativeCodeLoaded)
+        "zstd"
+      else "gzip"
+    } catch { case _: Throwable => "gzip" }
 
   /** The documents schema as the JSONL contract: declared, not
     * inferred. */
@@ -44,15 +56,19 @@ object Jsonl {
   def exportJsonl(df: DataFrame, path: String,
                   maxPartBytes: Long = DefaultMaxPartBytes): Unit = {
     // Catalyst's size estimate (file-stat-based for scans/projections,
-    // the common export shape) decides how many gzip parts keep each
-    // one under the cap; only ever repartitions UP — a frame already
-    // wider than the target keeps its layout and its parallelism
+    // the common export shape) decides how many parts keep each one
+    // under the cap; only ever repartitions UP — a frame already wider
+    // than the target keeps its layout and its parallelism. The
+    // current width comes from the physical plan's own partitioning
+    // (0 when AQE hasn't resolved it yet → repartition), NOT df.rdd,
+    // which would instantiate a second physical plan just to count
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val wanted = (est / maxPartBytes + 1).min(BigInt(1 << 20)).toInt
-    val sized =
-      if (wanted > df.rdd.getNumPartitions) df.repartition(wanted) else df
+    val current =
+      df.queryExecution.executedPlan.outputPartitioning.numPartitions
+    val sized = if (current > wanted) df else df.repartition(wanted)
     sized.write.mode("overwrite")
-      .option("compression", "gzip")
+      .option("compression", exportCodec)
       .json(path)
   }
 

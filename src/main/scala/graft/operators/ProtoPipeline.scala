@@ -87,9 +87,12 @@ object ProtoPipeline {
   }
 
   /** Reference message framing: 6-byte prefix ++ payload ++ 8-byte LE
-    * timestamp-millis suffix. */
+    * timestamp-millis suffix. The events scan is widened to session
+    * parallelism ([[Tables.eventsWide]]): encode+decode dominate the
+    * 2 MB single-file scan, which would otherwise run the whole codec
+    * chain on one core. */
   def framedMessages(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select(
+    Tables.eventsWide(spark, dir).select(
       concat(
         lit(Array[Byte](0, 0, 0, 0, 0, 42)),
         protoEncode(bidStruct, genBid),

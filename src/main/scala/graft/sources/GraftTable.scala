@@ -111,6 +111,18 @@ object GraftTable {
           out += f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
       }
     }
+    // the walk is depth-capped: a layout one level deeper must fail
+    // LOUDLY at commit time — silently omitting its files would leave
+    // them out of the manifest, after which vacuum would delete them
+    // as unreferenced (data loss, not a perf nit)
+    val probe = new Path(root,
+      ("*/" * (MaxPartitionDepth + 2)) + s"batch_id=$batchId/*")
+    val deeper = hfs.globStatus(probe)
+    if (deeper != null && deeper.nonEmpty)
+      throw new IllegalStateException(
+        s"batch_id=$batchId has files nested deeper than $MaxPartitionDepth " +
+          s"partition levels (e.g. ${deeper.head.getPath}); raise " +
+          "MaxPartitionDepth — committing would orphan them")
     out.toSeq.sorted
   }
 
@@ -827,7 +839,15 @@ object GraftTable {
       // (document extras away via a pre-projection).
       val ins = latestSchema(spark, root, sink) match {
         case Some(recorded) =>
-          val cols = recorded.fieldNames.filterNot(_ == "batch_id").toIndexedSeq
+          // recorded schemas are footer-derived, so partition columns
+          // are NOT in them: union the bootstrap partition columns into
+          // the projection, else re-bootstrapping a partitioned sink
+          // after a full DELETE would drop its partition column and
+          // fail the partition-column require below with a misleading
+          // "not a source column" message
+          val cols = (recorded.fieldNames.filterNot(_ == "batch_id") ++
+            bootstrapPartitionBy.filterNot(recorded.fieldNames.contains))
+            .toIndexedSeq
           cols.foreach(c => require(insAll.columns.contains(c),
             s"source is missing sink column '$c' (MERGE is INSERT*)"))
           insAll.select(cols.map(col): _*)

@@ -79,15 +79,25 @@ object Tables {
     * fewer tasks than cores, i.e. when the input is small enough that
     * the shuffle is trivially cheap. */
   def documentsWide(s: SparkSession, d: String): DataFrame =
-    wideMemo.getOrElseUpdate((s, d), {
-      val df = documents(s, d)
-      val target = s.sparkContext.defaultParallelism
-      // the .rdd probe plans the scan's partitions — memoized along
-      // with the branch outcome so callers don't re-plan it per query
-      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
-    })
+    wideMemo.getOrElseUpdate((s, d), widen(documents(s, d)))
+
+  /** The events scan widened the same way, for the proto wire chain:
+    * encode→decode costs far more per row than the 2 MB single-file
+    * scan feeding it, which would otherwise run the whole codec on one
+    * core. Same no-op-on-real-corpora branch as [[documentsWide]]. */
+  def eventsWide(s: SparkSession, d: String): DataFrame =
+    eventsWideMemo.getOrElseUpdate((s, d), widen(events(s, d)))
+
+  private def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // the .rdd probe plans the scan's partitions — memoized along
+    // with the branch outcome so callers don't re-plan it per query
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 
   private val wideMemo = scala.collection.concurrent
+    .TrieMap.empty[(SparkSession, String), DataFrame]
+  private val eventsWideMemo = scala.collection.concurrent
     .TrieMap.empty[(SparkSession, String), DataFrame]
   /** Expected embedding dimensionality. The vector operators (PQ
     * geometry, hyperplane matrices, centroid accumulators) and their
@@ -146,6 +156,7 @@ object Tables {
   def clearMemo(): Unit = {
     loadMemo.clear()
     wideMemo.clear()
+    eventsWideMemo.clear()
     countMemo.clear()
     dimsMemo.clear()
   }

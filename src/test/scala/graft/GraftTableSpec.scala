@@ -901,6 +901,29 @@ class GraftTableSpec extends AnyFunSuite {
       "bootstrap baked a clause-only source column into the sink")
   }
 
+  test("re-bootstrap of a partitioned sink after a full DELETE keeps its partition column") {
+    val root = Files.createTempDirectory("gt-rebootstrap").toString
+    import spark.implicits._
+    val src1 = Seq((1L, "a", "en"), (2L, "b", "de")).toDF("id", "text", "lang")
+    assert(GraftTable.merge(spark, root, "docs", src1, Seq("id"),
+      bootstrapPartitionBy = Seq("lang")).nonEmpty)
+    assert(new java.io.File(s"$root/docs/lang=en").exists())
+    // empty the sink completely — its recorded schema survives, but
+    // partition columns are footer-excluded from it
+    assert(GraftTable.deleteWhere(spark, root, "docs", lit(true)).nonEmpty)
+    assert(GraftTable.read(spark, root, "docs").count() == 0)
+    // re-bootstrap: the projection must union the partition column
+    // back in instead of failing with "not a source column"
+    val src2 = Seq((3L, "c", "fr"), (4L, "d", "en")).toDF("id", "text", "lang")
+    assert(GraftTable.merge(spark, root, "docs", src2, Seq("id"),
+      bootstrapPartitionBy = Seq("lang")).nonEmpty)
+    val after = GraftTable.read(spark, root, "docs")
+    assert(after.count() == 2)
+    assert(after.columns.contains("lang"))
+    assert(new java.io.File(s"$root/docs/lang=fr").exists(),
+      "re-bootstrap must lay the sink out by its partition column again")
+  }
+
   test("checkpoints are versioned: the old manifest survives until the new one is durable") {
     val export = Files.createTempDirectory("gt-ckpt-v").toString
     val cfg = cfgFor(export)

@@ -13,7 +13,12 @@ import graft.operators.Jsonl
 class JsonlSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  test("roundtrip is lossless for hostile strings; parts are gzip'd") {
+  // the export probes the runtime for Hadoop-native zstd and falls
+  // back to gzip — assert against whichever codec it actually picked
+  private val partExt =
+    if (Jsonl.exportCodec == "zstd") ".json.zst" else ".json.gz"
+
+  test("roundtrip is lossless for hostile strings; parts are compressed") {
     import spark.implicits._
     val nasty = Seq(
       (1L, "plain text", "en", "s", 10L),
@@ -25,10 +30,10 @@ class JsonlSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val out = Files.createTempDirectory("graft-jsonl-spec").toString
     Jsonl.exportJsonl(nasty, s"$out/d")
-    // compressed parts with the json.gz suffix
+    // compressed parts with the probed codec's suffix
     val parts = new java.io.File(s"$out/d").listFiles()
-      .filter(_.getName.endsWith(".json.gz"))
-    assert(parts.nonEmpty, "export must write gzip'd json parts")
+      .filter(_.getName.endsWith(partExt))
+    assert(parts.nonEmpty, s"export must write $partExt parts")
 
     val back = Jsonl.readJsonl(spark, s"$out/d")
       .orderBy("doc_id").collect()
@@ -52,7 +57,7 @@ class JsonlSpec extends AnyFunSuite {
     val out = Files.createTempDirectory("graft-jsonl-parts").toString
     Jsonl.exportJsonl(docs, s"$out/d", maxPartBytes = 8L << 10)
     val parts = new java.io.File(s"$out/d").listFiles()
-      .filter(_.getName.endsWith(".json.gz"))
+      .filter(_.getName.endsWith(partExt))
     assert(parts.length > 1,
       s"8 KiB cap over the sf0.001 corpus must split; got ${parts.length}")
     // every part honors the cap (gzip only shrinks it further) …
