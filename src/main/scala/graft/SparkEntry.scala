@@ -74,6 +74,7 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0))
     },
     "dedup_incremental"     -> (MinhashIndex.incremental _),
+    "dedup_index_lifecycle" -> (MinhashIndex.lifecycle _),
     "text_decontaminate"    -> (Dedup.decontaminate _),
     "dedup_decontam_bloom"  -> (Dedup.decontaminateBloom _),
     "dedup_decontam_persist" -> (DecontamIndex.persistedDecontam _),
@@ -1069,6 +1070,13 @@ object SparkEntry {
     // Spark side runs them through the PERSISTED index lifecycle
     // (build → write → broadcast query), which the hash therefore gates
     "dedup_incremental" ->
+      s"""WITH ${minhashCtesWith("x.doc_id % 10 = 3 AND y.doc_id % 10 <> 3")}
+         |SELECT doc_a AS left_id, doc_b AS right_id, jaccard FROM j
+         |WHERE jaccard >= ${Dedup.MinhashJaccardThreshold}
+         |ORDER BY left_id, right_id""".stripMargin,
+    // the maintenance lifecycle (split build + merge + compact) ends at
+    // an index covering exactly doc_id % 10 <> 3 — identical pairs
+    "dedup_index_lifecycle" ->
       s"""WITH ${minhashCtesWith("x.doc_id % 10 = 3 AND y.doc_id % 10 <> 3")}
          |SELECT doc_a AS left_id, doc_b AS right_id, jaccard FROM j
          |WHERE jaccard >= ${Dedup.MinhashJaccardThreshold}

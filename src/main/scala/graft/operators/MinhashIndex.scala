@@ -106,7 +106,7 @@ object MinhashIndex {
     * (cap-smallest of A) ∪ (cap-smallest of B) — so batch-capped
     * appends plus [[query]]'s candidate-local re-cap reproduce a fresh
     * build over the union exactly (asserted row-for-row in the spec,
-    * and oracle-gated end-to-end by `dedup_incremental`). Buckets
+    * and oracle-gated end-to-end by `dedup_index_lifecycle`). Buckets
     * touched by many merges accumulate ≤ cap stale (out-capped) rows
     * per merge; [[compact]] reclaims them.
     *
@@ -305,19 +305,38 @@ object MinhashIndex {
       .select(col("left_id"), col("right_id"))
   }
 
-  /** dedup_incremental: the FULL index lifecycle under the oracle gate
-    * — build over most of the landed corpus (doc_id % 10 ∉ {3, 7}),
-    * [[merge]] the remaining landed batch (doc_id % 10 = 7),
-    * [[compact]], then [[query]] the 10% "crawl increment"
-    * (doc_id % 10 = 3) against it — all in a scratch dir the harness
-    * deletes. The final index covers exactly doc_id % 10 ≠ 3, so the
-    * DuckDB oracle states the same pairs relationally and the whole
-    * build→merge→compact→broadcast-query chain is hash-gated: the
-    * cap-subset argument and the re-cap identity are driver-checked
-    * facts, not just spec claims. */
+  /** dedup_incremental: build the index over the landed corpus (doc_id
+    * % 10 ≠ 3), query the 10% "crawl increment" (doc_id % 10 = 3)
+    * against it — all in a scratch dir the harness deletes. The DuckDB
+    * oracle states the same pairs relationally, so the whole
+    * build→persist→broadcast-query lifecycle is hash-gated.
+    * [[lifecycle]] gates the maintenance verbs on the same oracle. */
   def incremental(spark: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files
       .createTempDirectory("graft-mh-index").toString
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    try {
+      build(docs.filter(col("doc_id") % 10 =!= 3), s"$root/idx")
+      Scratch.materializeAndClean(root,
+        query(spark, s"$root/idx", docs.filter(col("doc_id") % 10 === 3)))
+    } catch {
+      case e: Throwable => Scratch.rm(new java.io.File(root)); throw e
+    }
+  }
+
+  /** dedup_index_lifecycle: the FULL maintenance lifecycle under the
+    * same oracle — build over most of the landed corpus
+    * (doc_id % 10 ∉ {3, 7}), [[merge]] the remaining landed batch
+    * (doc_id % 10 = 7), [[compact]], then [[query]] the increment
+    * (doc_id % 10 = 3). The final index covers exactly doc_id % 10 ≠ 3
+    * — the same relational pairs as `dedup_incremental` — so the
+    * build→merge→compact→broadcast-query chain is hash-gated: the
+    * cap-subset argument and the re-cap identity are driver-checked
+    * facts, not just spec claims. */
+  def lifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mh-lifecycle").toString
     val docs = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
     try {
