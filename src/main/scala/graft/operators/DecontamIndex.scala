@@ -168,9 +168,17 @@ object DecontamIndex {
   private def retireBlooms(spark: SparkSession, indexPath: String,
                            keep: Long): Unit = {
     val (hfs, p) = IndexStore.fs(spark, indexPath)
-    bloomVersions(spark, indexPath).filter(_ < keep).foreach { v =>
-      IndexStore.unmark(hfs, p, s"$BloomMarker$v")
-      IndexStore.deleteTree(hfs, new Path(bloomDir(indexPath, v)))
+    bloomVersions(spark, indexPath).filter(_ < keep)
+      .foreach(v => IndexStore.unmark(hfs, p, s"$BloomMarker$v"))
+    // sweep every unmarked filter dir (incl. orphans of a crash between
+    // a past retire's unmark and delete)
+    val live = bloomVersions(spark, indexPath).toSet
+    hfs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      val orphan = n.startsWith("bloom.v") && n.endsWith(".parquet") &&
+        scala.util.Try(n.stripPrefix("bloom.v").stripSuffix(".parquet").toLong)
+          .toOption.exists(v => !live.contains(v))
+      if (orphan) IndexStore.deleteTree(hfs, st.getPath)
     }
   }
 

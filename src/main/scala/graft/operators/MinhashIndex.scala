@@ -212,7 +212,17 @@ object MinhashIndex {
                                      oldV: Long): Unit = {
     val (hfs, p) = IndexStore.fs(spark, indexPath)
     IndexStore.unmark(hfs, p, s"bands.v$oldV")
-    IndexStore.deleteTree(hfs, new Path(bandsDir(indexPath, oldV)))
+    // sweep EVERY unmarked band version tree, not just oldV's: a crash
+    // between a past retire's unmark and delete leaves an orphan tree
+    // no later explicit delete would ever target
+    val live = IndexStore.markedIds(hfs, p, "bands.v").toSet
+    hfs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      val orphanV = n.startsWith("bands.v") &&
+        scala.util.Try(n.stripPrefix("bands.v").toLong).toOption
+          .exists(v => !live.contains(v))
+      if (orphanV) IndexStore.deleteTree(hfs, st.getPath)
+    }
     val gens = committedGens(spark, indexPath).toSet
     val shRoot = new Path(s"$indexPath/shingles")
     if (hfs.exists(shRoot))
