@@ -73,7 +73,7 @@ object DecontamIndex {
     * no committed filter and [[loadBloom]] fails loudly ("re-run
     * build") instead of probing a half-written artifact. */
   def build(evalDocs: DataFrame, indexPath: String): Unit =
-    IndexStore.withLock(indexPath) {
+    IndexStore.withLock(evalDocs.sparkSession, indexPath) {
       val spark = evalDocs.sparkSession
       val (hfs, p) = IndexStore.fs(spark, indexPath)
       IndexStore.deleteTree(hfs, p)
@@ -163,12 +163,15 @@ object DecontamIndex {
                                     plan: MergePlan): Unit =
     plan.fresh.write.mode("append").parquet(s"$indexPath/shingles.parquet")
 
-  /** Merge step 3: retire superseded filter versions (unreachable once
-    * unmarked — crash-safe in any order after the new version is live). */
+  /** Merge step 3: retire superseded filter versions, KEEPING the
+    * immediately-previous one as a grace copy for readers that
+    * resolved it just before the new version published (it falls out
+    * at the next merge — bounded at two live ~128 KiB versions).
+    * Crash-safe in any order after the new version is live. */
   private def retireBlooms(spark: SparkSession, indexPath: String,
                            keep: Long): Unit = {
     val (hfs, p) = IndexStore.fs(spark, indexPath)
-    bloomVersions(spark, indexPath).filter(_ < keep)
+    bloomVersions(spark, indexPath).filter(_ < keep - 1)
       .foreach(v => IndexStore.unmark(hfs, p, s"$BloomMarker$v"))
     // sweep every unmarked filter dir (incl. orphans of a crash between
     // a past retire's unmark and delete)
@@ -188,7 +191,7 @@ object DecontamIndex {
     * fresh [[build]] over the union (spec'd, and the build→merge→query
     * lifecycle is oracle-gated by `dedup_decontam_persist`). */
   def merge(newEvalDocs: DataFrame, indexPath: String): Unit =
-    IndexStore.withLock(indexPath) {
+    IndexStore.withLock(newEvalDocs.sparkSession, indexPath) {
       val spark = newEvalDocs.sparkSession
       planMerge(newEvalDocs, indexPath).foreach { plan =>
         commitBloom(spark, indexPath, plan)

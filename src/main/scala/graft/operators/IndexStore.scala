@@ -25,7 +25,13 @@ import org.apache.spark.sql.SparkSession
   *    them);
   *  - retiring superseded artifacts happens only AFTER the replacement
   *    is marked — a crash between the two leaves two committed
-  *    versions and readers pick the newest.
+  *    versions and readers pick the newest;
+  *  - retires keep ONE grace version: a reader resolves the newest
+  *    version and then scans it lazily, so the version it chose must
+  *    survive until the NEXT maintenance pass (the same grace
+  *    discipline as table-format vacuum). The residual race — a scan
+  *    outliving two consecutive maintenance passes — fails loudly
+  *    with a missing-file error, never with wrong data.
   *
   * Same-JVM writer arbitration: [[withLock]] interns one monitor per
   * normalized root so concurrent build/merge/compact calls against the
@@ -43,11 +49,35 @@ private[graft] object IndexStore {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** Publish marker `name` — the atomic commit point of a step. */
-  def mark(hfs: FileSystem, root: Path, name: String): Unit = {
+  /** Publish marker `name` — the atomic commit point of a step.
+    * `content` (optional) rides inside the marker, e.g. a batch
+    * fingerprint for retry detection. */
+  def mark(hfs: FileSystem, root: Path, name: String,
+           content: String = ""): Unit = {
     val dir = new Path(root, CommitsDir)
     if (!hfs.exists(dir)) hfs.mkdirs(dir)
-    hfs.create(new Path(dir, name), true).close()
+    val out = hfs.create(new Path(dir, name), true)
+    try if (content.nonEmpty)
+      out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The marker's stored content, None when the marker is absent. */
+  def markContent(hfs: FileSystem, root: Path,
+                  name: String): Option[String] = {
+    val p = new Path(new Path(root, CommitsDir), name)
+    if (!hfs.exists(p)) None
+    else {
+      val in = hfs.open(p)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        Some(new String(bytes.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
   }
 
   def unmark(hfs: FileSystem, root: Path, name: String): Unit = {
@@ -72,8 +102,13 @@ private[graft] object IndexStore {
   private val monitors =
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
-  /** Serialize same-JVM writers against one index root. */
-  def withLock[T](root: String)(body: => T): T =
-    monitors.getOrElseUpdate(new Path(root).toString, new Object)
-      .synchronized(body)
+  /** Serialize same-JVM writers against one index root. The monitor is
+    * keyed on the FULLY QUALIFIED path (scheme + authority resolved by
+    * the root's FileSystem), so `file:///data/idx` and `/data/idx`
+    * spellings of one physical root share a monitor instead of racing. */
+  def withLock[T](spark: SparkSession, root: String)(body: => T): T = {
+    val (hfs, p) = fs(spark, root)
+    monitors.getOrElseUpdate(
+      hfs.makeQualified(p).toString, new Object).synchronized(body)
+  }
 }

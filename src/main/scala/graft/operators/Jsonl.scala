@@ -60,13 +60,15 @@ object Jsonl {
     // under the cap; only ever repartitions UP — a frame already wider
     // than the target keeps its layout and its parallelism. The
     // current width comes from the physical plan's own partitioning
-    // (0 when AQE hasn't resolved it yet → repartition), NOT df.rdd,
-    // which would instantiate a second physical plan just to count
+    // when it knows it; scans and unexecuted AQE plans report
+    // UnknownPartitioning(0), and only then do we pay the df.rdd
+    // instantiation to count — never repartition DOWN on a guess
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val wanted = (est / maxPartBytes + 1).min(BigInt(1 << 20)).toInt
-    val current =
+    val planned =
       df.queryExecution.executedPlan.outputPartitioning.numPartitions
-    val sized = if (current > wanted) df else df.repartition(wanted)
+    val current = if (planned > 0) planned else df.rdd.getNumPartitions
+    val sized = if (current >= wanted) df else df.repartition(wanted)
     sized.write.mode("overwrite")
       .option("compression", exportCodec)
       .json(path)

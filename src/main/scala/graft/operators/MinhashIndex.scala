@@ -86,7 +86,7 @@ object MinhashIndex {
     * one window shuffle over the corpus bands — the only corpus-wide
     * shuffle in the index's whole lifecycle. */
   def build(corpus: DataFrame, indexPath: String): Unit =
-    IndexStore.withLock(indexPath) {
+    IndexStore.withLock(corpus.sparkSession, indexPath) {
       val spark = corpus.sparkSession
       val (hfs, p) = IndexStore.fs(spark, indexPath)
       IndexStore.deleteTree(hfs, p)
@@ -113,17 +113,42 @@ object MinhashIndex {
     * Crash anywhere before the marker: the generation's dirs are
     * invisible orphans and queries answer exactly as before the merge
     * — never a partial batch. A retry recomputes the same generation
-    * id (the marker is absent) and overwrites the orphans wholesale. */
+    * id (the marker is absent) and overwrites the orphans wholesale.
+    * Crash AFTER the marker but before the orchestrator records
+    * success: the at-least-once retry is detected by the batch
+    * fingerprint stored inside the newest generation's marker and
+    * becomes a no-op — without it the retry would commit the same
+    * batch twice and the duplicate rows would crowd genuine residents
+    * out of the cap window. */
   def merge(admitted: DataFrame, indexPath: String): Unit =
-    IndexStore.withLock(indexPath) {
+    IndexStore.withLock(admitted.sparkSession, indexPath) {
       val spark = admitted.sparkSession
       val gens = committedGens(spark, indexPath)
       require(gens.nonEmpty,
         s"no committed index under $indexPath — run build first")
-      val g = gens.max + 1
-      writeGeneration(admitted, indexPath, g, bandVersion(spark, indexPath))
-      commitGeneration(spark, indexPath, g)
+      val fp = batchFingerprint(admitted)
+      val (hfs, p) = IndexStore.fs(spark, indexPath)
+      val alreadyCommitted =
+        IndexStore.markContent(hfs, p, s"g${gens.max}").contains(fp)
+      if (!alreadyCommitted) {
+        val g = gens.max + 1
+        writeGeneration(admitted, indexPath, g,
+          bandVersion(spark, indexPath))
+        commitGeneration(spark, indexPath, g, fp)
+      }
     }
+
+  /** Order-independent 64-bit digest of a batch's (doc_id, text) rows
+    * plus its row count — one narrow pass over the (small) batch. Used
+    * to make [[merge]] retries idempotent across the commit marker.
+    * `bit_xor`, not `sum`: order-independent AND overflow-free under
+    * ANSI mode. */
+  private def batchFingerprint(docs: DataFrame): String = {
+    val r = docs.select(
+      count(lit(1)).as("n"),
+      expr("bit_xor(xxhash64(doc_id, text))").as("h")).head()
+    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+  }
 
   /** Write generation `gen`'s shingle and band dirs under band version
     * `v` — NOT visible to any reader until [[commitGeneration]]
@@ -151,11 +176,13 @@ object MinhashIndex {
     ()
   }
 
-  /** Publish generation `gen` — the merge's atomic commit point. */
+  /** Publish generation `gen` — the merge's atomic commit point. The
+    * batch fingerprint rides inside the marker for retry detection. */
   private[graft] def commitGeneration(spark: SparkSession, indexPath: String,
-                                      gen: Long): Unit = {
+                                      gen: Long,
+                                      fingerprint: String = ""): Unit = {
     val (hfs, p) = IndexStore.fs(spark, indexPath)
-    IndexStore.mark(hfs, p, s"g$gen")
+    IndexStore.mark(hfs, p, s"g$gen", fingerprint)
   }
 
   /** Maintenance: rewrite the band table through the resident-cap
@@ -175,7 +202,7 @@ object MinhashIndex {
     * readers pick the newest. Also sweeps orphan generation dirs left
     * by crashed, never-retried merges. */
   def compact(spark: SparkSession, indexPath: String): Unit =
-    IndexStore.withLock(indexPath) {
+    IndexStore.withLock(spark, indexPath) {
       val (oldV, newV) = writeCompacted(spark, indexPath)
       publishCompacted(spark, indexPath, newV)
       retireCompacted(spark, indexPath, oldV)
@@ -189,6 +216,12 @@ object MinhashIndex {
     require(gens.nonEmpty,
       s"no committed index under $indexPath — run build first")
     val v = bandVersion(spark, indexPath)
+    // clear the whole target tree first: a compact that crashed here
+    // after folding an OLDER generation set would leave a stale gen dir
+    // that this retry's single-dir overwrite would not replace — and
+    // publishing would then double-count every band row it holds
+    val (hfs, p) = IndexStore.fs(spark, indexPath)
+    IndexStore.deleteTree(hfs, new Path(bandsDir(indexPath, v + 1)))
     Dedup.capBucket(readBands(spark, indexPath, v, gens), "right_id")
       .repartition(col("b"))
       .sortWithinPartitions(col("k"), col("right_id"))
@@ -205,16 +238,21 @@ object MinhashIndex {
     IndexStore.mark(hfs, p, s"bands.v$newV")
   }
 
-  /** Compact step 3: retire the superseded version tree and sweep
-    * shingle orphans from crashed merges. Safe to crash mid-way:
+  /** Compact step 3: retire superseded version trees and sweep shingle
+    * orphans from crashed merges. The immediately-previous version is
+    * KEPT as a grace copy — a reader that resolved it just before
+    * [[publishCompacted]] can still finish its scan; it falls out at
+    * the NEXT compact (bounded at two live versions, the same grace
+    * discipline as table-format vacuum). Safe to crash mid-way:
     * everything deleted here is already unreachable. */
   private[graft] def retireCompacted(spark: SparkSession, indexPath: String,
                                      oldV: Long): Unit = {
     val (hfs, p) = IndexStore.fs(spark, indexPath)
-    IndexStore.unmark(hfs, p, s"bands.v$oldV")
-    // sweep EVERY unmarked band version tree, not just oldV's: a crash
-    // between a past retire's unmark and delete leaves an orphan tree
-    // no later explicit delete would ever target
+    IndexStore.markedIds(hfs, p, "bands.v").filter(_ < oldV)
+      .foreach(v => IndexStore.unmark(hfs, p, s"bands.v$v"))
+    // sweep EVERY unmarked band version tree, not just the ones just
+    // unmarked: a crash between a past retire's unmark and delete
+    // leaves an orphan tree no later explicit delete would ever target
     val live = IndexStore.markedIds(hfs, p, "bands.v").toSet
     hfs.listStatus(p).foreach { st =>
       val n = st.getPath.getName

@@ -96,12 +96,19 @@ object GraftTable {
     * commit, and a recursive walk would make commit latency grow with
     * TOTAL table size (months of batch directories) instead of with the
     * batch being committed. */
-  private val MaxPartitionDepth = 8
+  /** Runaway guard on partition nesting — NOT a coverage cap: the walk
+    * below self-terminates at the layout's real depth, so any sane
+    * depth is fully covered and a deeper-than-this tree fails loudly
+    * instead of silently dropping files from the manifest (which
+    * vacuum would later delete as unreferenced — data loss). */
+  private val MaxPartitionDepth = 64
   private def batchFiles(hfs: FileSystem, root: Path, batchId: Long): Seq[String] = {
     if (!hfs.exists(root)) return Nil
     val rootUri = root.toUri.getPath
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (depth <- 0 to MaxPartitionDepth) {
+    var depth = 0
+    var deeper = true
+    while (deeper) {
       // sink/<depth partition dirs>/batch_id=N/<file>
       val pat = new Path(root, ("*/" * (depth + 1)) + s"batch_id=$batchId/*")
       val matches = hfs.globStatus(pat)
@@ -110,19 +117,19 @@ object GraftTable {
         if (st.isFile && f.getName.endsWith(".parquet"))
           out += f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
       }
+      // descend while any DIRECTORY exists at the next nesting level:
+      // each walk still prunes at the literal batch_id=N segment, and
+      // shallow layouts now stop after (real depth + 1) globs instead
+      // of a fixed count
+      val next = hfs.globStatus(new Path(root, ("*/" * (depth + 1)) + "*"))
+      deeper = next != null && next.exists(_.isDirectory)
+      depth += 1
+      if (depth > MaxPartitionDepth)
+        throw new IllegalStateException(
+          s"partition nesting under $root exceeds $MaxPartitionDepth " +
+            "levels — refusing to commit (deeper files would be " +
+            "orphaned from the manifest)")
     }
-    // the walk is depth-capped: a layout one level deeper must fail
-    // LOUDLY at commit time — silently omitting its files would leave
-    // them out of the manifest, after which vacuum would delete them
-    // as unreferenced (data loss, not a perf nit)
-    val probe = new Path(root,
-      ("*/" * (MaxPartitionDepth + 2)) + s"batch_id=$batchId/*")
-    val deeper = hfs.globStatus(probe)
-    if (deeper != null && deeper.nonEmpty)
-      throw new IllegalStateException(
-        s"batch_id=$batchId has files nested deeper than $MaxPartitionDepth " +
-          s"partition levels (e.g. ${deeper.head.getPath}); raise " +
-          "MaxPartitionDepth — committing would orphan them")
     out.toSeq.sorted
   }
 

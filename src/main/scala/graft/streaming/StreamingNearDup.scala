@@ -83,7 +83,7 @@ object StreamingNearDup {
     eq.toDouble / a.length
   }
 
-  private def processBucket(minEst: Double)(
+  private def processBucket(minEst: Double, evictDelay: String)(
       key: String,
       rows: Iterator[BandRow],
       state: GroupState[BucketState]): Iterator[Pair] = {
@@ -114,13 +114,16 @@ object StreamingNearDup {
         members = (r.doc_id, r.sig) :: members
     }
     state.update(BucketState(members))
-    // evict the bucket one watermark-delay past the newest member; an
-    // initial-state bucket with no traffic yet (Spark invokes the
-    // function for every bootstrap key in the first batch) has no event
-    // time to anchor a timeout — it arms when the first row arrives
+    // evict the bucket one watermark-delay past the newest member (the
+    // CALLER'S delay — a hardcoded shorter horizon would evict
+    // residents while legitimately late rows are still admissible,
+    // silently dropping their pairs); an initial-state bucket with no
+    // traffic yet (Spark invokes the function for every bootstrap key
+    // in the first batch) has no event time to anchor a timeout — it
+    // arms when the first row arrives
     if (sorted.nonEmpty)
       state.setTimeoutTimestamp(
-        sorted.map(_.event_ts.getTime).max, "1 hour")
+        sorted.map(_.event_ts.getTime).max, evictDelay)
     out.iterator
   }
 
@@ -153,12 +156,12 @@ object StreamingNearDup {
       case None =>
         grouped.flatMapGroupsWithState[BucketState, Pair](
           OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-          processBucket(minEst))
+          processBucket(minEst, watermarkDelay))
       case Some(corpus) =>
         val initial = initialState(corpus)
         grouped.flatMapGroupsWithState[BucketState, Pair](
           OutputMode.Append, GroupStateTimeout.EventTimeTimeout, initial)(
-          processBucket(minEst))
+          processBucket(minEst, watermarkDelay))
     }
   }
 

@@ -157,6 +157,95 @@ class IndexDurabilitySpec extends AnyFunSuite {
     } finally Scratch.rm(new java.io.File(localRoot))
   }
 
+  test("minhash: a crashed compact's stale staging never resurfaces after later merges") {
+    import spark.implicits._
+    def identical(ids: Range) = ids.map(i => (i.toLong,
+      "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft-dur-stale").toString
+    val freshRoot = Files.createTempDirectory("graft-dur-stale2").toString
+    try {
+      val idx = s"$root/idx"
+      MinhashIndex.build(identical(0 until 300), idx)
+      MinhashIndex.merge(identical(300 until 600), idx)
+      // crash: compact stages v2 folding gens {0,1}, never publishes
+      MinhashIndex.writeCompacted(spark, idx)
+      // an intervening merge commits gen 2 under the still-live v1
+      MinhashIndex.merge(identical(600 until 900), idx)
+      // the retried compact folds gens {0,1,2} into v2 — it must CLEAR
+      // the crashed staging first: the stale v2/gen=1 fold holds every
+      // gen-0/1 row again, and surfacing it would double-count band
+      // rows and crowd genuine residents out of the cap window
+      MinhashIndex.compact(spark, idx)
+      val inc = identical(900 until 905)
+      MinhashIndex.build(identical(0 until 900), s"$freshRoot/idx")
+      assert(rows(MinhashIndex.query(spark, idx, inc)) ==
+        rows(MinhashIndex.query(spark, s"$freshRoot/idx", inc)),
+        "stale compact staging resurfaced — duplicated band rows")
+      MinhashIndex.bandTable(spark, idx).groupBy("b", "k").count()
+        .collect().foreach(r => assert(r.getLong(2) == Dedup.HotGroupCap,
+          "a bucket holds duplicated residents"))
+    } finally {
+      Scratch.rm(new java.io.File(root))
+      Scratch.rm(new java.io.File(freshRoot))
+    }
+  }
+
+  test("minhash: retrying an already-committed merge is a no-op") {
+    val docs = docsOf(sf0001)
+    val inc = docs.filter(col("doc_id") % 10 === 3)
+    val a = docs.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 2 === 1)
+    val root = Files.createTempDirectory("graft-dur-retry").toString
+    try {
+      val idx = s"$root/idx"
+      MinhashIndex.build(a, idx)
+      MinhashIndex.merge(b, idx)
+      val nBands = MinhashIndex.bandTable(spark, idx).count()
+      val before = rows(MinhashIndex.query(spark, idx, inc))
+      // the at-least-once retry: orchestrator crashed AFTER the commit
+      // marker landed, so the same batch is merged again — the batch
+      // fingerprint in the marker must make it a no-op (a second
+      // generation of the same docs would duplicate every band row)
+      MinhashIndex.merge(b, idx)
+      assert(MinhashIndex.bandTable(spark, idx).count() == nBands,
+        "retried merge committed the batch twice")
+      assert(rows(MinhashIndex.query(spark, idx, inc)) == before)
+    } finally Scratch.rm(new java.io.File(root))
+  }
+
+  test("racing writers with mixed path spellings share one monitor") {
+    val docs = docsOf(sf0001)
+    val inc = docs.filter(col("doc_id") % 10 === 3)
+    val rest = docs.filter(col("doc_id") % 10 =!= 3)
+    val a = rest.filter(col("doc_id") % 3 === 0)
+    val b = rest.filter(col("doc_id") % 3 === 1)
+    val c = rest.filter(col("doc_id") % 3 === 2)
+    val localRoot = Files.createTempDirectory("graft-dur-spell").toString
+    val freshRoot = Files.createTempDirectory("graft-dur-spell2").toString
+    try {
+      val bare = s"$localRoot/idx"
+      val qualified = s"file://$localRoot/idx"
+      MinhashIndex.build(a, bare)
+      // one writer addresses the root bare, the other file://-qualified
+      // — the lock keys on the FULLY QUALIFIED path, so they must still
+      // serialize (raw-string keying would hand them separate monitors
+      // and one batch's generation would overwrite the other's)
+      val threads = Seq(bare -> b, qualified -> c).map { case (path, batch) =>
+        new Thread(() => MinhashIndex.merge(batch, path))
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      MinhashIndex.build(rest, s"$freshRoot/idx")
+      assert(rows(MinhashIndex.query(spark, bare, inc)) ==
+        rows(MinhashIndex.query(spark, s"$freshRoot/idx", inc)),
+        "mixed-spelling writers raced — a batch was lost")
+    } finally {
+      Scratch.rm(new java.io.File(localRoot))
+      Scratch.rm(new java.io.File(freshRoot))
+    }
+  }
+
   test("concurrent same-JVM merges serialize: both batches land, union answer") {
     val docs = docsOf(sf0001)
     val inc = docs.filter(col("doc_id") % 10 === 3)
