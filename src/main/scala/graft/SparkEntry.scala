@@ -80,6 +80,7 @@ object SparkEntry {
     "dedup_decontam_persist" -> (DecontamIndex.persistedDecontam _),
     "q_stream_decontam"     -> (DecontamIndex.streamDecontam _),
     "q_stream_neardup"      -> (graft.streaming.StreamingNearDup.streamNearDup _),
+    "q_stream_sessionize"   -> (graft.streaming.StatefulSessionize.streamSessionize _),
     "dedup_spans"           -> (Corpus.spanDedup _),
     "dedup_winnow"          -> (Dedup.winnowPairs _),
     "dedup_substring"       -> (Dedup.exactSubstringSpans _),
@@ -945,6 +946,44 @@ object SparkEntry {
          |       min(ts) AS session_start, max(ts) AS session_end,
          |       count(*) AS n_events, round(sum(value), 2) AS total_value
          |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    // the stateful streaming twin emits exactly the CLOSED sessions:
+    // every non-trailing session per user (gap splits) plus trailing
+    // sessions whose ms-floored timeout the final watermark passed —
+    // the same relational sessionization with that closure predicate
+    "q_stream_sessionize" ->
+      s"""WITH wm AS (
+         |  SELECT epoch_us(max(ts)) // 1000
+         |           - ${graft.streaming.StatefulSessionize.StreamDelayMs} AS w
+         |  FROM events),
+         |g AS (
+         |  SELECT user_id, event_id, ts, value,
+         |         lag(ts) OVER (PARTITION BY user_id
+         |                       ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |f AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |                   OR epoch_ms(ts) - epoch_ms(prev_ts)
+         |                      > ${Sessionize.GapMs} THEN 1 ELSE 0 END AS new_s
+         |  FROM g),
+         |s AS (
+         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+         |                             ORDER BY ts, event_id
+         |                             ROWS UNBOUNDED PRECEDING) AS session_idx
+         |  FROM f),
+         |agg AS (
+         |  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |         min(ts) AS session_start, max(ts) AS session_end,
+         |         count(*) AS n_events, round(sum(value), 2) AS total_value
+         |  FROM s GROUP BY 1, 2),
+         |mx AS (SELECT user_id, max(session_idx) AS m FROM agg GROUP BY 1)
+         |SELECT a.user_id, a.session_idx, a.session_start, a.session_end,
+         |       a.n_events, a.total_value
+         |FROM agg a JOIN mx USING (user_id)
+         |WHERE a.session_idx < mx.m
+         |   OR (SELECT w FROM wm) >
+         |      (epoch_us(a.session_end)
+         |         + ${graft.streaming.StatefulSessionize.GapUs}) // 1000
+         |ORDER BY a.user_id, a.session_idx""".stripMargin,
     "q_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts FROM events
         |           WHERE event_type = 'purchase'),

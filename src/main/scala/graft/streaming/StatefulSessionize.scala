@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming sessionization with explicit state
@@ -12,19 +13,37 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * State per user is one open session (constant size) — at 100 TB the
   * state store scales with |active users|, not |events|.
+  *
+  * Precision contract, aligned with the batch operator
+  * ([[graft.operators.Sessionize]]) so the two are row-identical on
+  * shared input: session BOUNDARY decisions compare millisecond-floored
+  * epochs (`unix_millis` semantics — what the batch SQL and the DuckDB
+  * oracle use), while session_start/session_end OUTPUTS keep the full
+  * microsecond precision of the underlying events.
   */
 object StatefulSessionize {
 
   val GapMs: Long = 30L * 60 * 1000
+  val GapUs: Long = GapMs * 1000
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  /** Open-session state: bounds in MICROSECONDS since epoch. */
   case class Open(start: Long, end: Long, n: Long, total: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n_events: Long,
                      total_value: Double)
 
+  private def usOf(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000
+  }
+
+  private def tsOf(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000))
+
   private def toSession(uid: Long, s: Open): Session =
-    Session(uid, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+    Session(uid, tsOf(s.start), tsOf(s.end),
       s.n, math.round(s.total * 100).toDouble / 100)
 
   def update(uid: Long, events: Iterator[Ev],
@@ -34,13 +53,15 @@ object StatefulSessionize {
       state.remove()
       return out
     }
-    val sorted = events.toSeq.sortBy(_.ts.getTime)
+    val sorted = events.toSeq.sortBy(e => usOf(e.ts))
     var open = state.getOption
     val closed = Seq.newBuilder[Session]
     sorted.foreach { e =>
-      val t = e.ts.getTime
+      val t = usOf(e.ts)
       open match {
-        case Some(s) if t - s.end > GapMs =>
+        // ms-floored gap decision — identical to the batch operator's
+        // unix_millis(ts) - unix_millis(prev_ts) > GapMs
+        case Some(s) if t / 1000 - s.end / 1000 > GapMs =>
           closed += toSession(uid, s)
           open = Some(Open(t, t, 1, e.value))
         case Some(s) =>
@@ -51,8 +72,20 @@ object StatefulSessionize {
       }
     }
     open.foreach { s =>
-      state.update(s)
-      state.setTimeoutTimestamp(s.end + GapMs)
+      val timeoutMs = (s.end + GapUs) / 1000
+      if (state.getCurrentWatermarkMs() > timeoutMs) {
+        // the watermark already passed this session's horizon (a key
+        // whose data arrived late relative to other keys' progress):
+        // close it NOW — arming the timeout would throw, and the
+        // emission is identical to the timeout that can no longer fire
+        closed += toSession(uid, s)
+      } else {
+        state.update(s)
+        // fires when the (ms) watermark passes this strictly — i.e.
+        // wm_ms > (end_us + gap_us) / 1000, the exact predicate the
+        // oracle states relationally
+        state.setTimeoutTimestamp(timeoutMs)
+      }
     }
     closed.result().iterator
   }
@@ -64,5 +97,98 @@ object StatefulSessionize {
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** The stream's watermark delay in [[streamSessionize]] — also baked
+    * into that row's oracle predicate. */
+  val StreamDelayMs: Long = 30L * 60 * 1000
+
+  /** q_stream_sessionize: the stateful operator under the oracle gate.
+    * The events table is staged as ts-range-partitioned shard files, so
+    * the stream takes multiple micro-batches and the watermark advances
+    * shard by shard: sessions close mid-stream by in-data gaps AND by
+    * event-time timeout, and the final AvailableNow no-data batch
+    * flushes every session whose timeout the final watermark passed.
+    *
+    * The emitted set is exactly characterized relationally: a session
+    * is closed iff a later session of the same user exists (gap split),
+    * or `wm > (epoch_us(session_end) + gap_us) div 1000` where
+    * `wm = epoch_us(max ts) div 1000 - delay_ms` — the DuckDB oracle
+    * states that predicate over the batch sessionization, so state
+    * carry-over, µs-exact bounds, gap splits, timeout eviction, and
+    * replay-idempotent output are all hash-gated. session_idx is
+    * assigned post-hoc per user by session_start order; only TRAILING
+    * sessions per user are unemitted, so the numbering matches the
+    * batch enumeration on the closed prefix. */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-sess").toString
+    try {
+      // stage time-range shards SEQUENTIALLY (distinct mtimes): the
+      // file source orders same-mtime files arbitrarily, and an
+      // out-of-order shard would rewind event time against an already
+      // advanced watermark
+      val ev = graft.sources.Tables.events(spark, dir)
+        .select(col("user_id"), col("ts"), col("value"))
+      val mm = ev.agg(
+        min(unix_micros(col("ts").cast("timestamp"))),
+        max(unix_micros(col("ts").cast("timestamp")))).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val step = (hi - lo) / 4 + 1
+      (0 until 4).foreach { i =>
+        ev.filter(unix_micros(col("ts").cast("timestamp"))
+            .between(lo + i * step, lo + (i + 1) * step - 1))
+          .coalesce(1).write.mode("append").parquet(s"$root/src")
+        Thread.sleep(50)
+      }
+      val srcSchema = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("ts", TimestampNTZType),
+        StructField("value", DoubleType)))
+      val stream = spark.readStream.schema(srcSchema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
+        // NTZ → instant under the UTC session; Ev carries an instant
+        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+          col("value"))
+        .withWatermark("ts", s"$StreamDelayMs milliseconds")
+        .as[Ev]
+      val q = sessions(stream).toDF()
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(s"$root/out")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val outSchema = StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("session_start", TimestampType),
+        StructField("session_end", TimestampType),
+        StructField("n_events", LongType),
+        StructField("total_value", DoubleType)))
+      val closed = spark.read.schema(outSchema)
+        .option("basePath", s"$root/out").parquet(s"$root/out")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("session_start"))
+      graft.operators.Scratch.materializeAndClean(root,
+        closed
+          .withColumn("session_idx", row_number().over(w).cast("long"))
+          .select(col("user_id"), col("session_idx"),
+            col("session_start").cast("timestamp_ntz").as("session_start"),
+            col("session_end").cast("timestamp_ntz").as("session_end"),
+            col("n_events"), col("total_value"))
+          .orderBy("user_id", "session_idx"))
+    } catch {
+      case e: Throwable =>
+        graft.operators.Scratch.rm(new java.io.File(root)); throw e
+    }
   }
 }
