@@ -1,0 +1,281 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persistent winnowed-fingerprint index — the production lifecycle of
+  * [[Dedup.winnowJoin]]'s right side, completing the persisted-index
+  * family ([[MinhashIndex]] for whole-doc set similarity,
+  * [[DecontamIndex]] for benchmark overlap, this for copied-passage /
+  * exact-substring overlap): fingerprint the landed corpus ONCE and
+  * let every crawl increment join against the stored posting lists
+  * with no corpus reshuffle. Incremental code/document dedup by
+  * winnowing (Schleimer et al.) is the standard shape for catching
+  * copied passages a MinHash whole-doc signature dilutes away.
+  *
+  * Layout under `indexPath` (Hadoop FS + commit markers +
+  * write-new-then-retire versioning via [[IndexStore]] — the same
+  * crash discipline as the other two indexes):
+  * {{{
+  *   store.v<V>/postings/gen=<G>/  (fp, right_id) — posting lists
+  *                     capped at the [[Dedup.HotGroupCap]] smallest
+  *                     right ids per fingerprint at write time
+  *                     (cap-subset property: [[query]]'s re-cap over
+  *                     the union of generations reproduces a fresh
+  *                     build's cap exactly); fp-sorted files.
+  *   store.v<V>/counts/gen=<G>/    (fp, ff) — FULL per-fingerprint doc
+  *                     frequencies of the generation's batch, BEFORE
+  *                     capping: query-time hot-fingerprint dropping
+  *                     needs the true union frequency
+  *                     ([[Dedup.ShingleFreqCap]] applies to corpus +
+  *                     increment combined, exactly as in the
+  *                     in-memory join).
+  *   _commits/g<G>                 generation marker (carries the batch
+  *                     fingerprint for retry idempotence).
+  *   _commits/store.v<V>           store version marker; [[compact]]
+  *                     bumps V.
+  * }}}
+  *
+  * Query plan shape (spec-asserted): the increment side is broadcast
+  * into every join, the corpus-side tables are scanned narrowly and
+  * never shuffled; per-increment-doc work is bounded by cap ×
+  * fingerprints. Results are row-identical to
+  * [[Dedup.winnowJoin]](increment, corpus) over the same data.
+  */
+object WinnowIndex {
+
+  private val PostingSchema = StructType(Seq(
+    StructField("fp", StringType), StructField("right_id", LongType),
+    StructField("gen", LongType)))
+  private val CountSchema = StructType(Seq(
+    StructField("fp", StringType), StructField("ff", LongType),
+    StructField("gen", LongType)))
+
+  private def storeDir(root: String, v: Long) = s"$root/store.v$v"
+
+  private def committedGens(spark: SparkSession, root: String): Seq[Long] = {
+    val (hfs, p) = IndexStore.fs(spark, root)
+    IndexStore.markedIds(hfs, p, "g").sorted
+  }
+
+  private def storeVersion(spark: SparkSession, root: String): Long = {
+    val (hfs, p) = IndexStore.fs(spark, root)
+    val vs = IndexStore.markedIds(hfs, p, "store.v")
+    require(vs.nonEmpty,
+      s"no committed winnow store under $root — interrupted build? re-run build")
+    vs.max
+  }
+
+  /** The cap window: keep the HotGroupCap smallest right ids per fp. */
+  private def capFp(postings: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("right_id"))
+    postings.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= Dedup.HotGroupCap)
+      .drop("__rn")
+  }
+
+  /** Fingerprint `corpus` (doc_id, text) and write the index, replacing
+    * any prior index at `indexPath`. The only corpus-wide shuffles in
+    * the index's lifetime are this build's cap window and count
+    * aggregate. */
+  def build(corpus: DataFrame, indexPath: String): Unit =
+    IndexStore.withLock(corpus.sparkSession, indexPath) {
+      val spark = corpus.sparkSession
+      val (hfs, p) = IndexStore.fs(spark, indexPath)
+      IndexStore.deleteTree(hfs, p)
+      writeGeneration(corpus, indexPath, gen = 0L, v = 1L)
+      IndexStore.mark(hfs, p, "g0")
+      IndexStore.mark(hfs, p, "store.v1")
+    }
+
+  /** Admit a new batch: one generation holding its batch-capped
+    * postings and its full batch counts, published by a single marker.
+    * Crash before the marker → invisible orphans, retry overwrites;
+    * retry AFTER the marker → detected by the fingerprint in the
+    * marker, no-op (same discipline as [[MinhashIndex.merge]]). */
+  def merge(admitted: DataFrame, indexPath: String): Unit =
+    IndexStore.withLock(admitted.sparkSession, indexPath) {
+      val spark = admitted.sparkSession
+      val gens = committedGens(spark, indexPath)
+      require(gens.nonEmpty,
+        s"no committed index under $indexPath — run build first")
+      val fp = batchFingerprint(admitted)
+      val (hfs, p) = IndexStore.fs(spark, indexPath)
+      val alreadyCommitted =
+        IndexStore.markContent(hfs, p, s"g${gens.max}").contains(fp)
+      if (!alreadyCommitted) {
+        val g = gens.max + 1
+        writeGeneration(admitted, indexPath, g,
+          storeVersion(spark, indexPath))
+        IndexStore.mark(hfs, p, s"g$g", fp)
+      }
+    }
+
+  private def batchFingerprint(docs: DataFrame): String = {
+    val r = docs.select(
+      count(lit(1)).as("n"),
+      expr("bit_xor(xxhash64(doc_id, text))").as("h")).head()
+    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+  }
+
+  /** Write generation `gen` under store version `v` — invisible until
+    * its marker lands. */
+  private[graft] def writeGeneration(docs: DataFrame, indexPath: String,
+                                     gen: Long, v: Long): Unit = {
+    val fps = Dedup.winnowFps(docs).toDF("right_id", "fp")
+    Materialize.withCached(fps) {
+      fps.groupBy("fp").agg(count(lit(1)).as("ff"))
+        .write.mode("overwrite")
+        .parquet(s"${storeDir(indexPath, v)}/counts/gen=$gen")
+      capFp(fps)
+        .repartition(col("fp"))
+        .sortWithinPartitions(col("fp"), col("right_id"))
+        .select(col("fp"), col("right_id"))
+        .write.mode("overwrite")
+        .parquet(s"${storeDir(indexPath, v)}/postings/gen=$gen")
+      fps.sparkSession.range(0).toDF("done")
+    }
+    ()
+  }
+
+  /** Maintenance: fold the posting lists through the cap window and the
+    * counts through a per-fp sum into store version V+1, publish, then
+    * retire (grace-version discipline, orphan sweeps — identical to
+    * [[MinhashIndex.compact]]). Queries answer identically before and
+    * after. */
+  def compact(spark: SparkSession, indexPath: String): Unit =
+    IndexStore.withLock(spark, indexPath) {
+      val gens = committedGens(spark, indexPath)
+      require(gens.nonEmpty,
+        s"no committed index under $indexPath — run build first")
+      val v = storeVersion(spark, indexPath)
+      val (hfs, p) = IndexStore.fs(spark, indexPath)
+      // clear the staging target wholesale: a crashed compact's stale
+      // fold under this version number must never survive into publish
+      IndexStore.deleteTree(hfs, new Path(storeDir(indexPath, v + 1)))
+      val folded = gens.max
+      readCounts(spark, indexPath, v, gens)
+        .groupBy("fp").agg(sum(col("ff")).as("ff"))
+        .write.mode("overwrite")
+        .parquet(s"${storeDir(indexPath, v + 1)}/counts/gen=$folded")
+      capFp(readPostings(spark, indexPath, v, gens))
+        .repartition(col("fp"))
+        .sortWithinPartitions(col("fp"), col("right_id"))
+        .write.mode("overwrite")
+        .parquet(s"${storeDir(indexPath, v + 1)}/postings/gen=$folded")
+      IndexStore.mark(hfs, p, s"store.v${v + 1}")
+      // retire: unmark everything older than the grace version, then
+      // sweep every unmarked store tree (self-heals crashed retires)
+      IndexStore.markedIds(hfs, p, "store.v").filter(_ < v)
+        .foreach(w => IndexStore.unmark(hfs, p, s"store.v$w"))
+      val live = IndexStore.markedIds(hfs, p, "store.v").toSet
+      hfs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        val orphan = n.startsWith("store.v") &&
+          scala.util.Try(n.stripPrefix("store.v").toLong).toOption
+            .exists(w => !live.contains(w))
+        if (orphan) IndexStore.deleteTree(hfs, st.getPath)
+      }
+    }
+
+  private def readPostings(spark: SparkSession, indexPath: String, v: Long,
+                           gens: Seq[Long]): DataFrame = {
+    val dir = s"${storeDir(indexPath, v)}/postings"
+    spark.read.schema(PostingSchema).option("basePath", dir).parquet(dir)
+      .filter(col("gen").isin(gens: _*))
+      .select(col("fp"), col("right_id"))
+  }
+
+  private def readCounts(spark: SparkSession, indexPath: String, v: Long,
+                         gens: Seq[Long]): DataFrame = {
+    val dir = s"${storeDir(indexPath, v)}/counts"
+    spark.read.schema(CountSchema).option("basePath", dir).parquet(dir)
+      .filter(col("gen").isin(gens: _*))
+      .select(col("fp"), col("ff"))
+  }
+
+  /** The committed posting table — spec helper. */
+  private[graft] def postingTable(spark: SparkSession,
+                                  indexPath: String): DataFrame =
+    readPostings(spark, indexPath, storeVersion(spark, indexPath),
+      committedGens(spark, indexPath))
+
+  /** Shared-fingerprint pairs between `increment` (doc_id, text) and
+    * the indexed corpus: row-identical to
+    * `Dedup.winnowJoin(increment, corpus)`. Hot-fingerprint dropping
+    * uses the TRUE union frequency: stored full corpus counts (summed
+    * across generations) plus the increment's own counts — the same
+    * `ShingleFreqCap` contract as the in-memory join. The increment is
+    * broadcast everywhere; the posting and count scans are pruned to
+    * the increment's fingerprints and never shuffled. */
+  def query(spark: SparkSession, indexPath: String,
+            increment: DataFrame): DataFrame = {
+    val gens = committedGens(spark, indexPath)
+    require(gens.nonEmpty,
+      s"no committed index under $indexPath — run build first")
+    val v = storeVersion(spark, indexPath)
+    val perL = Dedup.winnowFps(increment).toDF("left_id", "fp")
+    Materialize.withCached(perL) {
+      val ffL = perL.groupBy("fp").agg(count(lit(1)).as("ffl"))
+      val ffR = readCounts(spark, indexPath, v, gens)
+        .join(broadcast(ffL.select(col("fp"))), "fp")
+        .groupBy("fp").agg(sum(col("ff")).as("ffr"))
+      val hot = ffR.join(broadcast(ffL), "fp")
+        .filter(col("ffr") + col("ffl") > Dedup.ShingleFreqCap)
+        .select(col("fp"))
+      val lc = perL.join(broadcast(hot), Seq("fp"), "left_anti")
+      val cand = readPostings(spark, indexPath, v, gens)
+        .join(broadcast(lc.select(col("fp")).distinct()), "fp")
+      // candidate-local re-cap: merged generations may hold up to cap
+      // residents each; the union's true residents are the cap
+      // smallest of what is stored (cap-subset argument)
+      capFp(cand)
+        .join(broadcast(lc), "fp")
+        .groupBy("left_id", "right_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= Dedup.MinSharedFp)
+        .orderBy("left_id", "right_id")
+    }
+  }
+
+  /** The candidate frame before aggregation — the plan the spec
+    * inspects for the no-corpus-shuffle guarantee. */
+  private[graft] def candidateFrame(spark: SparkSession, indexPath: String,
+                                    increment: DataFrame): DataFrame = {
+    val perL = Dedup.winnowFps(increment).toDF("left_id", "fp")
+    readPostings(spark, indexPath, storeVersion(spark, indexPath),
+        committedGens(spark, indexPath))
+      .join(broadcast(perL), "fp")
+      .select(col("left_id"), col("right_id"))
+  }
+
+  /** dedup_winnow_incremental: the FULL lifecycle under the oracle gate
+    * — build over most of the landed corpus (doc_id % 10 ∉ {3, 7}),
+    * merge the remaining landed batch (doc_id % 10 = 7), compact, then
+    * query the crawl increment (doc_id % 10 = 3). The final index
+    * covers exactly doc_id % 10 ≠ 3, so the DuckDB oracle states the
+    * same shared-fingerprint pairs relationally and the
+    * build→merge→compact→broadcast-query chain — including the
+    * union-frequency hot drop and the cap-subset re-cap — is
+    * hash-gated. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-winnow-index").toString
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    try {
+      val idx = s"$root/idx"
+      build(docs.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 10 =!= 7),
+        idx)
+      merge(docs.filter(col("doc_id") % 10 === 7), idx)
+      compact(spark, idx)
+      Scratch.materializeAndClean(root,
+        query(spark, idx, docs.filter(col("doc_id") % 10 === 3)))
+    } catch {
+      case e: Throwable => Scratch.rm(new java.io.File(root)); throw e
+    }
+  }
+}
