@@ -81,6 +81,7 @@ object SparkEntry {
     "q_stream_decontam"     -> (DecontamIndex.streamDecontam _),
     "q_stream_neardup"      -> (graft.streaming.StreamingNearDup.streamNearDup _),
     "q_stream_sessionize"   -> (graft.streaming.StatefulSessionize.streamSessionize _),
+    "q_stream_curation"     -> (graft.streaming.CorpusPipeline.streamCuration _),
     "dedup_spans"           -> (Corpus.spanDedup _),
     "dedup_winnow"          -> (Dedup.winnowPairs _),
     "dedup_substring"       -> (Dedup.exactSubstringSpans _),
@@ -1098,6 +1099,75 @@ object SparkEntry {
          |WHERE q.quality >= ${Curation.QualityThreshold}
          |  AND d.doc_id NOT IN (SELECT doc_id FROM drops)
          |ORDER BY d.doc_id""".stripMargin
+    },
+    // the composed streaming curation chain's survivor SET: quality
+    // gate on the PII-injected text, regex redaction, distinct-shingle
+    // decontamination of the REDACTED text against the raw eval split,
+    // then distinct content hashes (the watermarked dedup's output is
+    // order-independent as a set — duplicates share the hash)
+    "q_stream_curation" -> {
+      val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      val pii = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@example.com call 555-' || " +
+        "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+        "' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || " +
+        "CAST((doc_id // 7) % 256 AS VARCHAR) || '.9'"
+      s"""WITH p AS (
+         |  SELECT doc_id, $pii AS txt FROM documents
+         |  WHERE doc_id % ${Dedup.EvalStride} <> 0),
+         |q0 AS (
+         |  SELECT doc_id, txt,
+         |         list_filter(string_split(lower(txt), ' '), x -> len(x) > 0) AS t
+         |  FROM p),
+         |qr AS (
+         |  SELECT doc_id, txt, len(txt) AS n_chars,
+         |         len(list_filter(t, x -> list_contains($stopList, x))) * 1.0
+         |           / len(t) AS sr,
+         |         len(regexp_replace(lower(txt), '[a-z0-9 ]', '', 'g')) * 1.0
+         |           / len(txt) AS pr
+         |  FROM q0),
+         |pass AS (
+         |  SELECT doc_id, txt FROM qr
+         |  WHERE (CASE WHEN n_chars BETWEEN 50 AND 2000 THEN 4 ELSE 0 END
+         |       + CASE WHEN sr BETWEEN 0.05 AND 0.6 THEN 4 ELSE 0 END
+         |       + CASE WHEN pr < 0.05 THEN 2 ELSE 0 END) / 10.0
+         |       >= ${Curation.QualityThreshold}),
+         |red AS (
+         |  SELECT doc_id,
+         |         regexp_replace(regexp_replace(regexp_replace(txt,
+         |           '${Corpus.EmailRe}', '<EMAIL>', 'g'),
+         |           '${Corpus.PhoneRe}', '<PHONE>', 'g'),
+         |           '${Corpus.IpRe}', '<IP>', 'g') AS rtext
+         |  FROM pass),
+         |rt AS (
+         |  SELECT doc_id, rtext,
+         |         list_filter(string_split(lower(rtext), ' '), x -> len(x) > 0) AS t
+         |  FROM red),
+         |rsh AS (
+         |  SELECT doc_id, rtext,
+         |         list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+         |             i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS s
+         |  FROM rt),
+         |ev0 AS (
+         |  SELECT doc_id,
+         |         list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
+         |  FROM documents WHERE doc_id % ${Dedup.EvalStride} = 0),
+         |esh AS (
+         |  SELECT DISTINCT unnest(list_distinct(list_transform(
+         |           range(1, greatest(len(t) - 1, 1)),
+         |           i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS e
+         |  FROM ev0),
+         |shared AS (
+         |  SELECT r.doc_id, count(*) AS n_shared
+         |  FROM (SELECT doc_id, unnest(s) AS e FROM rsh) r
+         |  JOIN esh USING (e) GROUP BY 1),
+         |surv AS (
+         |  SELECT rsh.doc_id, rtext FROM rsh LEFT JOIN shared USING (doc_id)
+         |  WHERE coalesce(n_shared, 0) < ${Dedup.MinContamOverlap})
+         |SELECT DISTINCT md5(rtext) AS content_md5,
+         |       CAST(len(rtext) AS BIGINT) AS n_chars
+         |FROM surv ORDER BY content_md5""".stripMargin
     },
     "dedup_simhash" -> simhashOracle,
     "dedup_clusters" -> clustersOracle,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, QualityClassifier, TextAnalysis}
@@ -113,5 +113,70 @@ object CorpusPipeline {
       .withWatermark("__event_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__event_ts", "__content_hash")
+  }
+
+  /** q_stream_curation: the whole composed curation stream under the
+    * oracle gate. The corpus split (synthetic PII injected, so the
+    * redactor does real work) arrives as a multi-shard file stream and
+    * runs quality gate → PII redact → decontaminate-vs-eval-split →
+    * watermarked content dedup; the per-batch outputs union to the
+    * SURVIVOR SET, reported as (content_md5, n_chars) of the redacted
+    * text — deterministic regardless of shard processing order or
+    * which duplicate the stateful dedup kept first (duplicates share
+    * the hash by definition). The DuckDB oracle restates every stage
+    * relationally: same quality formula, same regex chain, same
+    * distinct-shingle overlap, distinct hashes at the end — a wrong
+    * gate threshold, a missed redaction, a decontamination leak, or a
+    * duplicate surviving all hash-fail. */
+  def streamCuration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-cur").toString
+    try {
+      val docs = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val evalShingles = evalShingleSet(
+        docs.filter(col("doc_id") % Dedup.EvalStride === 0)
+          .select(col("text"))
+          .as[String](org.apache.spark.sql.Encoders.STRING))
+      docs.filter(col("doc_id") % Dedup.EvalStride =!= 0)
+        .withColumn("text", graft.operators.Corpus
+          .withSyntheticPii(col("text"), col("doc_id")))
+        .withColumn("event_tm", lit(1700000000000L))
+        .repartition(4) // ≥2 shard files → the stream really batches
+        .write.parquet(s"$root/src")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("event_tm", LongType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2).parquet(s"$root/src")
+      val q = curate(stream, evalShingles)
+        .select(md5(col("text")).as("content_md5"),
+          length(col("text")).cast("long").as("n_chars"))
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(s"$root/out")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val outSchema = StructType(Seq(
+        StructField("content_md5", StringType),
+        StructField("n_chars", LongType)))
+      graft.operators.Scratch.materializeAndClean(root,
+        spark.read.schema(outSchema)
+          .option("basePath", s"$root/out").parquet(s"$root/out")
+          .select(col("content_md5"), col("n_chars"))
+          .orderBy("content_md5"))
+    } catch {
+      case e: Throwable =>
+        graft.operators.Scratch.rm(new java.io.File(root)); throw e
+    }
   }
 }
