@@ -302,6 +302,10 @@ object DecontamIndex {
       docs.filter(col("doc_id") % Dedup.EvalStride =!= 0)
         .repartition(4) // ≥2 shard files → the stream really batches
         .write.parquet(s"$root/src")
+      // keep the session's full shuffle width here: this stream holds
+      // no state (no per-partition store commits to amortize) and each
+      // micro-batch does real shingle+probe compute that wants the
+      // parallelism — narrowing it measured SLOWER
       val q = streamingDecontam(spark, s"$root/idx", s"$root/src",
         s"$root/out", s"$root/ckpt", maxFilesPerTrigger = 2)
       q.awaitTermination()

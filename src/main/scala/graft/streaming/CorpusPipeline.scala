@@ -150,22 +150,28 @@ object CorpusPipeline {
         StructField("event_tm", LongType)))
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 2).parquet(s"$root/src")
-      val q = curate(stream, evalShingles)
-        .select(md5(col("text")).as("content_md5"),
-          length(col("text")).cast("long").as("n_chars"))
-        .writeStream
-        .option("checkpointLocation", s"$root/ckpt")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(s"$root/out")
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // a handful of state-store partitions, not the session's 32:
+      // per-batch state commit cost scales with partitions × batches
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = curate(stream, evalShingles)
+          .select(md5(col("text")).as("content_md5"),
+            length(col("text")).cast("long").as("n_chars"))
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(s"$root/out")
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       val outSchema = StructType(Seq(
         StructField("content_md5", StringType),
         StructField("n_chars", LongType)))

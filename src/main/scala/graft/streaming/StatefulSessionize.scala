@@ -148,26 +148,33 @@ object StatefulSessionize {
         StructField("ts", TimestampNTZType),
         StructField("value", DoubleType)))
       val stream = spark.readStream.schema(srcSchema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$root/src")
+        .option("maxFilesPerTrigger", 2).parquet(s"$root/src")
         // NTZ → instant under the UTC session; Ev carries an instant
         .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
           col("value"))
         .withWatermark("ts", s"$StreamDelayMs milliseconds")
         .as[Ev]
-      val q = sessions(stream).toDF()
-        .writeStream
-        .option("checkpointLocation", s"$root/ckpt")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(s"$root/out")
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // a handful of state-store partitions, not the session's 32:
+      // per-batch state commit cost scales with partitions × batches,
+      // and this bounded harness stream holds only harness-sized state
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = sessions(stream).toDF()
+          .writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(s"$root/out")
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       val outSchema = StructType(Seq(
         StructField("user_id", LongType),
         StructField("session_start", TimestampType),
