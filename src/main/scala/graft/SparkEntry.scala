@@ -102,8 +102,10 @@ object SparkEntry {
     // --- similarity search ----------------------------------------------
     "sim_brute_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_ivf_topk"          -> (Similarity.ivfTopK _),
+    "sim_ivf_lifecycle"     -> (IvfIndex.lifecycle _),
     "sim_lsh_topk"          -> (Similarity.lshTopK _),
     "sim_pq_topk"           -> (Similarity.pqTopK _),
+    "sim_pq_lifecycle"      -> (PqIndex.lifecycle _),
     "sim_quantize"          -> (Corpus.quantizeProfile _),
     "sim_kmeans"            -> (Similarity.kmeans _),
     "dedup_semantic"        -> (Similarity.semanticDedup _),
@@ -427,23 +429,62 @@ object SparkEntry {
     * exact cosine re-rank. All chained CTEs MATERIALIZED (the codebook
     * chain references each step twice — default inlining is
     * exponential in PqIters). */
-  private def pqCtes: String = {
+  /** IVF oracle; `centPred` restricts CENTROID derivation to a vec_id
+    * subset — the landed split of the `sim_ivf_lifecycle` oracle;
+    * probing and scoring always run over the full corpus. The default
+    * averages everything (= `sim_ivf_topk`). */
+  private def ivfOracle(centPred: String = "TRUE"): String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |      WHERE vec_id % ${Similarity.QueryStride} = 0),
+       |cent AS (
+       |  SELECT label, i, avg(v[i]) AS m
+       |  FROM e, range(1, 65) r(i) WHERE $centPred GROUP BY label, i),
+       |qc AS (
+       |  SELECT q.q_id, c.label,
+       |         sum((q.qv[c.i] - c.m) * (q.qv[c.i] - c.m)) AS d2
+       |  FROM q, cent c GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT q_id, label FROM (
+       |    SELECT q_id, label,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY round(d2, 6), label) AS pr
+       |    FROM qc) WHERE pr <= ${Similarity.NProbe}),
+       |s AS (
+       |  SELECT q.q_id, e.vec_id AS n_id,
+       |         round(${cosExpr.format("q.qv", "e.v")}, 4) AS sim
+       |  FROM probes p
+       |  JOIN q ON q.q_id = p.q_id
+       |  JOIN e ON e.label = p.label AND e.vec_id <> q.q_id),
+       |r AS (
+       |  SELECT q_id, n_id, sim,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY sim DESC, n_id) AS rank
+       |  FROM s)
+       |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM r
+       |WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""".stripMargin
+
+  /** `trainPred` restricts CODEBOOK TRAINING (init + Lloyd rounds) to
+    * a vec_id subset — the landed split of the `sim_pq_lifecycle`
+    * oracle; code assignment, ADC and the re-rank always run over the
+    * full corpus. The default trains on everything (= `sim_pq_topk`). */
+  private def pqCtes(trainPred: String = "TRUE"): String = {
     import Similarity.{PqM, PqSubDim, PqK, PqIters, PqRerank}
     def d2sub(sv: String, cv: String) =
       s"""list_sum(list_transform(range(1, ${PqSubDim + 1}),
          |    i -> ($sv[i] - $cv[i]) * ($sv[i] - $cv[i])))""".stripMargin
-    def assign(name: String, cents: String) =
+    def assign(name: String, cents: String, src: String = "sub") =
       s"""$name AS MATERIALIZED (SELECT vec_id, m, cid FROM (
          |  SELECT s.vec_id, s.m, c.cid,
          |         row_number() OVER (PARTITION BY s.vec_id, s.m
          |             ORDER BY round(${d2sub("s.sv", "c.cv")}, 6), c.cid)
          |           AS rn
-         |  FROM sub s JOIN $cents c ON s.m = c.m) WHERE rn = 1)""".stripMargin
+         |  FROM $src s JOIN $cents c ON s.m = c.m) WHERE rn = 1)""".stripMargin
     val iters = (0 until PqIters).map { t =>
-      s"""${assign(s"pa$t", s"pc$t")},
+      s"""${assign(s"pa$t", s"pc$t", "subt")},
          |pm$t AS MATERIALIZED (
          |  SELECT a.m, a.cid, r.i, round(avg(s.sv[r.i]), 6) AS mu
-         |  FROM pa$t a JOIN sub s USING (vec_id, m),
+         |  FROM pa$t a JOIN subt s USING (vec_id, m),
          |       range(1, ${PqSubDim + 1}) r(i)
          |  GROUP BY a.m, a.cid, r.i),
          |pc${t + 1} AS MATERIALIZED (
@@ -462,13 +503,15 @@ object SparkEntry {
        |         list_slice(nv, r.m * $PqSubDim + 1,
        |                    r.m * $PqSubDim + $PqSubDim) AS sv
        |  FROM nrm, range(0, $PqM) r(m)),
+       |subt AS (SELECT * FROM sub WHERE $trainPred),
        |pinit AS (
        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
        |           AS cid
-       |  FROM (SELECT vec_id FROM nrm ORDER BY vec_id LIMIT $PqK)),
+       |  FROM (SELECT vec_id FROM nrm WHERE $trainPred
+       |        ORDER BY vec_id LIMIT $PqK)),
        |pc0 AS MATERIALIZED (
        |  SELECT s.m, i.cid, s.sv AS cv
-       |  FROM sub s JOIN pinit i USING (vec_id)),
+       |  FROM subt s JOIN pinit i USING (vec_id)),
        |$iters,
        |${assign("codes", s"pc$PqIters")},
        |q AS MATERIALIZED (SELECT vec_id AS q_id, nv AS qnv FROM nrm
@@ -1342,43 +1385,28 @@ object SparkEntry {
          |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM r
          |WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""".stripMargin,
     "sim_pq_topk" ->
-      s"""WITH $pqCtes
+      s"""WITH ${pqCtes()}
          |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM (
          |  SELECT q_id, n_id, sim,
          |         row_number() OVER (PARTITION BY q_id
          |                            ORDER BY sim DESC, n_id) AS rank
          |  FROM rr)
          |WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""".stripMargin,
-    "sim_ivf_topk" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
-         |      WHERE vec_id % ${Similarity.QueryStride} = 0),
-         |cent AS (
-         |  SELECT label, i, avg(v[i]) AS m
-         |  FROM e, range(1, 65) r(i) GROUP BY label, i),
-         |qc AS (
-         |  SELECT q.q_id, c.label,
-         |         sum((q.qv[c.i] - c.m) * (q.qv[c.i] - c.m)) AS d2
-         |  FROM q, cent c GROUP BY 1, 2),
-         |probes AS (
-         |  SELECT q_id, label FROM (
-         |    SELECT q_id, label,
-         |           row_number() OVER (PARTITION BY q_id
-         |                              ORDER BY round(d2, 6), label) AS pr
-         |    FROM qc) WHERE pr <= ${Similarity.NProbe}),
-         |s AS (
-         |  SELECT q.q_id, e.vec_id AS n_id,
-         |         round(${cosExpr.format("q.qv", "e.v")}, 4) AS sim
-         |  FROM probes p
-         |  JOIN q ON q.q_id = p.q_id
-         |  JOIN e ON e.label = p.label AND e.vec_id <> q.q_id),
-         |r AS (
+    // same pipeline, codebooks trained on the LANDED split only —
+    // restates PqIndex build(landed)→merge(increment)→query: the
+    // increment is encoded against the frozen landed-trained codebooks
+    "sim_pq_lifecycle" ->
+      s"""WITH ${pqCtes("vec_id % 10 <> 3")}
+         |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM (
          |  SELECT q_id, n_id, sim,
          |         row_number() OVER (PARTITION BY q_id
          |                            ORDER BY sim DESC, n_id) AS rank
-         |  FROM s)
-         |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM r
+         |  FROM rr)
          |WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""".stripMargin,
+    "sim_ivf_topk" -> ivfOracle(),
+    // centroids frozen over the LANDED split; candidates from the full
+    // corpus — restates IvfIndex build(landed)→merge(increment)→query
+    "sim_ivf_lifecycle" -> ivfOracle("vec_id % 10 <> 3"),
     "sim_lsh_topk" -> {
       val flips = (Seq(0) ++ (0 until Similarity.LshPlanes).map(1 << _))
         .mkString("[", ", ", "]")

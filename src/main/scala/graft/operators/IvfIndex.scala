@@ -3,17 +3,34 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.sources.Tables
 
 /** Persistent IVF index — the production lifecycle of [[Similarity.ivfTopK]]:
   * build once, write to storage, query many times without touching the
-  * full corpus.
+  * full corpus, and admit new corpus batches incrementally into their
+  * cells (centroids are frozen at build time — the standard IVF
+  * maintenance discipline; re-deriving them is a [[build]], not a
+  * merge).
   *
-  * Layout under `indexPath`:
+  * Layout under `indexPath` (all paths via Hadoop FileSystem — local,
+  * HDFS, or object store alike; crash discipline per [[IndexStore]]):
   * {{{
-  *   centroids.parquet            (label, cv) — one row per cell, tiny
-  *   cells/label=<L>/part….parquet (vec_id, v) — corpus partitioned by cell
+  *   centroids.v<V>.parquet      (label, cv) — one row per cell, tiny.
+  *                 Written by [[build]] only.
+  *   cells/gen=<G>/label=<L>/    (vec_id, v) — corpus partitioned by
+  *                 cell, one generation dir per committed batch,
+  *                 append-only.
+  *   _commits/g<G>               generation G's publish marker (carries
+  *                 the batch fingerprint for retry idempotency).
+  *                 Written LAST — an interrupted [[merge]] leaves only
+  *                 an invisible orphan dir; readers prune to committed
+  *                 generations on an explicit-schema scan.
+  *   _commits/centroids.v<V>     centroid version V is complete.
+  *                 [[build]] marks it AFTER gen 0, so a crashed build
+  *                 fails loudly instead of probing cells against
+  *                 centroids that never landed.
   * }}}
   *
   * The at-scale property this buys over the in-memory operator: queries
@@ -28,43 +45,155 @@ import graft.sources.Tables
   * Determinism: centroids come from the same [[VectorOps.VecMean]]
   * partial aggregation, scores round to 4 decimals before ranking —
   * query results are bit-identical to [[Similarity.ivfTopK]] over the
-  * same data (asserted in the spec).
+  * same data (asserted in the spec), and the build→merge→query
+  * lifecycle is hash-gated as `sim_ivf_lifecycle`.
+  *
+  * Writers (build/merge/vacuum) serialize per root via
+  * [[IndexStore.withLock]]; readers never block.
   */
 object IvfIndex {
 
-  /** Build the index from the embeddings table: per-label centroids +
-    * the corpus re-written partitioned by cell label. */
-  def build(spark: SparkSession, dir: String, indexPath: String): Unit = {
-    import spark.implicits._
-    val c = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("label").cast("long"),
-        col("embedding").cast("array<double>").as("v"))
-    val cent = c.select(col("label"), col("v"))
-      .as[(Long, Array[Double])]
-      .groupByKey(_._1).mapValues(_._2)
-      .agg(new VectorOps.VecMean(Similarity.Dims).toColumn.name("cv"))
-      .toDF("label", "cv")
-    cent.repartition(1)
-      .write.mode("overwrite").parquet(s"$indexPath/centroids.parquet")
-    c.repartition(col("label"))
-      .write.mode("overwrite").partitionBy("label")
-      .parquet(s"$indexPath/cells")
+  // explicit schema (data + partition columns): readers must never
+  // infer from data files — an uncommitted generation dir may hold a
+  // torn file from a crash, and inference could sample it
+  private val CellsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("v", ArrayType(DoubleType)),
+    StructField("gen", LongType), StructField("label", LongType)))
+
+  private def centroidsDir(root: String, v: Long) =
+    s"$root/centroids.v$v.parquet"
+
+  private def committedGens(spark: SparkSession, root: String): Seq[Long] = {
+    val (hfs, p) = IndexStore.fs(spark, root)
+    IndexStore.markedIds(hfs, p, "g").sorted
   }
 
-  /** The probed-cells corpus scan for a query frame — exposed so the
-    * spec can assert partition pruning on its physical plan. */
+  private def centroidVersion(spark: SparkSession, root: String): Long = {
+    val (hfs, p) = IndexStore.fs(spark, root)
+    val vs = IndexStore.markedIds(hfs, p, "centroids.v")
+    require(vs.nonEmpty,
+      s"no committed IVF centroids under $root — interrupted build? " +
+        "re-run build")
+    vs.max
+  }
+
+  /** Build the index from `vecs` (vec_id, label, v double[]):
+    * per-label centroids + the batch re-written partitioned by cell
+    * label as generation 0, replacing any prior index at `indexPath`.
+    * The centroid marker is written LAST so a crashed build is loudly
+    * unreadable, never a cells/centroids mismatch. */
+  def build(vecs: DataFrame, indexPath: String): Unit =
+    IndexStore.withLock(vecs.sparkSession, indexPath) {
+      val spark = vecs.sparkSession
+      import spark.implicits._
+      val (hfs, p) = IndexStore.fs(spark, indexPath)
+      IndexStore.deleteTree(hfs, p)
+      val c = vecs.select(col("vec_id"), col("label").cast("long"), col("v"))
+      val cent = c.select(col("label"), col("v"))
+        .as[(Long, Array[Double])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(new VectorOps.VecMean(Similarity.Dims).toColumn.name("cv"))
+        .toDF("label", "cv")
+      cent.repartition(1)
+        .write.mode("overwrite").parquet(centroidsDir(indexPath, 1L))
+      writeCells(c, indexPath, gen = 0L)
+      IndexStore.mark(hfs, p, "g0")
+      IndexStore.mark(hfs, p, "centroids.v1")
+    }
+
+  /** Build over the whole embeddings table at `dir`. */
+  def build(spark: SparkSession, dir: String, indexPath: String): Unit =
+    build(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long"),
+        col("embedding").cast("array<double>").as("v")), indexPath)
+
+  /** Admit a new corpus batch into its cells as one marker-committed
+    * generation — centroids are untouched (frozen at build), so probes
+    * keep reading a tiny static table while the cells grow. Crash
+    * before the marker: invisible orphan, a retry overwrites it; retry
+    * of an already-committed batch is a fingerprint-detected no-op. */
+  def merge(vecs: DataFrame, indexPath: String): Unit =
+    IndexStore.withLock(vecs.sparkSession, indexPath) {
+      val spark = vecs.sparkSession
+      val gens = committedGens(spark, indexPath)
+      require(gens.nonEmpty,
+        s"no committed IVF index under $indexPath — run build first")
+      val fp = batchFingerprint(vecs)
+      val (hfs, p) = IndexStore.fs(spark, indexPath)
+      val alreadyCommitted =
+        IndexStore.markContent(hfs, p, s"g${gens.max}").contains(fp)
+      if (!alreadyCommitted) {
+        val g = gens.max + 1
+        writeCells(vecs.select(col("vec_id"),
+          col("label").cast("long"), col("v")), indexPath, g)
+        IndexStore.mark(hfs, p, s"g$g", fp)
+      }
+    }
+
+  private def batchFingerprint(vecs: DataFrame): String = {
+    val r = vecs.select(
+      count(lit(1)).as("n"),
+      expr("bit_xor(xxhash64(vec_id, v))").as("h")).head()
+    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+  }
+
+  /** Maintenance: sweep orphan generation dirs left by crashed,
+    * never-retried merges. */
+  def vacuum(spark: SparkSession, indexPath: String): Unit =
+    IndexStore.withLock(spark, indexPath) {
+      val gens = committedGens(spark, indexPath).toSet
+      val (hfs, _) = IndexStore.fs(spark, indexPath)
+      val cellsRoot = new org.apache.hadoop.fs.Path(s"$indexPath/cells")
+      if (hfs.exists(cellsRoot))
+        hfs.listStatus(cellsRoot).foreach { st =>
+          val n = st.getPath.getName
+          val orphan = n.startsWith("gen=") &&
+            scala.util.Try(n.stripPrefix("gen=").toLong).toOption
+              .exists(g => !gens.contains(g))
+          if (orphan) IndexStore.deleteTree(hfs, st.getPath)
+        }
+    }
+
+  /** Write a batch's cells as generation `gen` — NOT visible to any
+    * reader until its marker lands. */
+  private def writeCells(c: DataFrame, indexPath: String, gen: Long): Unit =
+    c.repartition(col("label"))
+      .write.mode("overwrite").partitionBy("label")
+      .parquet(s"$indexPath/cells/gen=$gen")
+
+  /** Committed cell rows, pruned to the probed labels AND the committed
+    * generations — exposed so the spec can assert partition pruning on
+    * its physical plan. */
   private[graft] def probedCells(spark: SparkSession, indexPath: String,
                                  probedLabels: Seq[Long]): DataFrame =
-    spark.read.parquet(s"$indexPath/cells")
+    readCells(spark, indexPath)
       .filter(col("label").isin(probedLabels: _*))
+
+  /** Committed cell rows of every generation: partition pruning on the
+    * committed-generation list keeps uncommitted (crashed) dirs out of
+    * the scan entirely. */
+  private def readCells(spark: SparkSession, indexPath: String): DataFrame = {
+    val gens = committedGens(spark, indexPath)
+    require(gens.nonEmpty,
+      s"no committed IVF index under $indexPath — run build first")
+    val dir = s"$indexPath/cells"
+    spark.read.schema(CellsSchema).option("basePath", dir).parquet(dir)
+      .filter(col("gen").isin(gens: _*))
+      .select(col("vec_id"), col("label"), col("v"))
+  }
 
   /** Top-k cosine neighbors from the persisted index for the standard
     * deterministic query set (`vec_id % QueryStride == 0`, read from
-    * the index itself). Bit-identical to [[Similarity.ivfTopK]]. */
+    * the index itself). Bit-identical to [[Similarity.ivfTopK]] when
+    * the index covers the whole corpus; after [[merge]]s, probes use
+    * the build-time centroids and candidates include every committed
+    * generation (`sim_ivf_lifecycle`'s oracle restates exactly that). */
   def topK(spark: SparkSession, indexPath: String): DataFrame = {
     import spark.implicits._
-    val cent = spark.read.parquet(s"$indexPath/centroids.parquet")
-    val cells = spark.read.parquet(s"$indexPath/cells")
+    val cent = spark.read.parquet(
+      centroidsDir(indexPath, centroidVersion(spark, indexPath)))
+    val cells = readCells(spark, indexPath)
     val q = cells.filter(col("vec_id") % Similarity.QueryStride === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val qc = q.join(broadcast(cent))
@@ -109,5 +238,28 @@ object IvfIndex {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
       .orderBy("q_id", "rank")
+  }
+
+  /** sim_ivf_lifecycle: the FULL incremental lifecycle under the oracle
+    * gate — [[build]] derives centroids from the landed corpus
+    * (vec_id % 10 ≠ 3) and lands it as gen 0, [[merge]] files the
+    * crawl increment (vec_id % 10 = 3) into its cells against the
+    * FROZEN centroids, then [[topK]] answers the standard query set
+    * over the union. The DuckDB oracle restates exactly that (centroids
+    * averaged over the landed split, candidates from the full corpus),
+    * so frozen-centroid probing, generation commits, and the
+    * committed-gen scan are driver-checked facts. */
+  def lifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-lifecycle").toString
+    val vecs = Similarity.corpus(spark, dir)
+    try {
+      val idx = s"$root/idx"
+      build(vecs.filter(col("vec_id") % 10 =!= 3), idx)
+      merge(vecs.filter(col("vec_id") % 10 === 3), idx)
+      Scratch.materializeAndClean(root, topK(spark, idx))
+    } catch {
+      case e: Throwable => Scratch.rm(new java.io.File(root)); throw e
+    }
   }
 }

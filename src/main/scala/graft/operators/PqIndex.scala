@@ -3,15 +3,37 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Persistent PQ index — the production lifecycle of
   * [[Similarity.pqTopK]]: train codebooks and encode once, write to
-  * storage, query many times scanning ONLY the packed codes.
+  * storage, query many times scanning ONLY the packed codes, and admit
+  * new corpus batches incrementally by encoding them against the
+  * STORED codebooks (the standard PQ maintenance discipline: codebooks
+  * are frozen at train time, increments reuse them — retraining is a
+  * [[build]], not a merge).
   *
-  * Layout under `indexPath`:
+  * Layout under `indexPath` (all paths via Hadoop FileSystem — local,
+  * HDFS, or object store alike; crash discipline per [[IndexStore]]):
   * {{{
-  *   codebooks.parquet (m, cid, cv)    — PqM×PqK rows, a few KB
-  *   codes.parquet     (vec_id, code)  — ONE BIGINT per vector
+  *   codebooks.v<V>.parquet  (m, cid, cv) — PqM×PqK rows, a few KB.
+  *                 Written by [[build]] only; a merge never moves them,
+  *                 so every code in the index decodes against one
+  *                 frozen codebook version.
+  *   codes/gen=<G>/          (vec_id, code) — ONE BIGINT per vector,
+  *                 one generation dir per committed batch, append-only.
+  *   _commits/g<G>           generation G's publish marker (carries the
+  *                 batch fingerprint for retry idempotency). Written
+  *                 LAST — an interrupted [[merge]] leaves only an
+  *                 invisible orphan dir; readers prune to committed
+  *                 generations on an explicit-schema scan, so a torn
+  *                 file in an orphan can never be sampled or scanned.
+  *   _commits/codebooks.v<V> codebook version V is complete. [[build]]
+  *                 marks it AFTER gen 0, so a crashed build fails
+  *                 loudly at [[loadCodebooks]] ("re-run build") instead
+  *                 of serving codes whose codebooks never landed — the
+  *                 mismatched-artifact window the unversioned two-step
+  *                 overwrite had.
   * }}}
   *
   * The at-scale property this buys over the in-memory operator: the
@@ -25,46 +47,181 @@ import org.apache.spark.sql.functions._
   * Determinism: codebooks round-trip parquet exactly (binary doubles),
   * encoding/ADC/re-rank reuse [[Similarity.pqTopK]]'s integer-exact
   * arithmetic — query results are bit-identical to the in-memory
-  * operator over the same data (asserted in the spec).
+  * operator over the same data (asserted in the spec), and the
+  * build→merge→query lifecycle is hash-gated as `sim_pq_lifecycle`.
+  *
+  * Writers (build/merge/vacuum) serialize per root via
+  * [[IndexStore.withLock]]; readers never block.
   */
 object PqIndex {
 
   /** Bits per subspace code (log₂ PqK). */
   private val CodeBits = 4
 
-  /** Train codebooks over `dir`'s embeddings and write codebooks +
-    * packed codes. */
-  def build(spark: SparkSession, dir: String, indexPath: String): Unit = {
+  // explicit schema (data + partition column): readers must never infer
+  // from data files — an uncommitted generation dir may hold a torn
+  // file from a crash, and inference could sample it
+  private val CodesSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("code", LongType),
+    StructField("gen", LongType)))
+
+  private def codebooksDir(root: String, v: Long) =
+    s"$root/codebooks.v$v.parquet"
+
+  private def committedGens(spark: SparkSession, root: String): Seq[Long] = {
+    val (hfs, p) = IndexStore.fs(spark, root)
+    IndexStore.markedIds(hfs, p, "g").sorted
+  }
+
+  private def codebookVersion(spark: SparkSession, root: String): Long = {
+    val (hfs, p) = IndexStore.fs(spark, root)
+    val vs = IndexStore.markedIds(hfs, p, "codebooks.v")
+    require(vs.nonEmpty,
+      s"no committed PQ codebooks under $root — interrupted build? " +
+        "re-run build")
+    vs.max
+  }
+
+  /** Train codebooks over `vecs` (vec_id, v double[]) and write
+    * codebooks + packed codes, replacing any prior index at
+    * `indexPath`. Codes land as generation 0; the codebook marker is
+    * written LAST so a crashed build is loudly unreadable, never a
+    * codes/codebooks mismatch. */
+  def build(vecs: DataFrame, indexPath: String): Unit =
+    IndexStore.withLock(vecs.sparkSession, indexPath) {
+      val spark = vecs.sparkSession
+      val (hfs, p) = IndexStore.fs(spark, indexPath)
+      IndexStore.deleteTree(hfs, p)
+      val normed = Similarity.normalizedFrom(vecs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cents = Similarity.pqCodebooksFrom(normed)
+        writeCodebooks(spark, indexPath, 1L, cents)
+        writeCodes(normed, cents, indexPath, gen = 0L)
+        IndexStore.mark(hfs, p, "g0")
+        IndexStore.mark(hfs, p, "codebooks.v1")
+      } finally normed.unpersist(blocking = false)
+    }
+
+  /** Build over the whole embeddings table at `dir` — reuses the
+    * session-memoized whole-corpus codebooks so a bench pass shares
+    * one training run with [[Similarity.pqTopK]]. */
+  def build(spark: SparkSession, dir: String, indexPath: String): Unit =
+    IndexStore.withLock(spark, indexPath) {
+      val (hfs, p) = IndexStore.fs(spark, indexPath)
+      IndexStore.deleteTree(hfs, p)
+      val cents = Similarity.pqCodebooks(spark, dir)
+      writeCodebooks(spark, indexPath, 1L, cents)
+      writeCodes(Similarity.normalized(spark, dir), cents, indexPath, 0L)
+      IndexStore.mark(hfs, p, "g0")
+      IndexStore.mark(hfs, p, "codebooks.v1")
+    }
+
+  /** Admit a new corpus batch: encode against the STORED codebooks
+    * (bit-identical kernel to [[build]]'s — the reader never knows
+    * which path produced a code) and append as one marker-committed
+    * generation. Crash before the marker: invisible orphan, queries
+    * answer as before, a retry overwrites it. Retry of an
+    * already-committed batch is detected by the fingerprint in the
+    * newest generation's marker and becomes a no-op. */
+  def merge(vecs: DataFrame, indexPath: String): Unit =
+    IndexStore.withLock(vecs.sparkSession, indexPath) {
+      val spark = vecs.sparkSession
+      val gens = committedGens(spark, indexPath)
+      require(gens.nonEmpty,
+        s"no committed PQ index under $indexPath — run build first")
+      val fp = batchFingerprint(vecs)
+      val (hfs, p) = IndexStore.fs(spark, indexPath)
+      val alreadyCommitted =
+        IndexStore.markContent(hfs, p, s"g${gens.max}").contains(fp)
+      if (!alreadyCommitted) {
+        val g = gens.max + 1
+        writeCodes(Similarity.normalizedFrom(vecs),
+          loadCodebooks(spark, indexPath), indexPath, g)
+        IndexStore.mark(hfs, p, s"g$g", fp)
+      }
+    }
+
+  /** Order-independent 64-bit digest of a batch's (vec_id, v) rows plus
+    * its row count — [[merge]] retry idempotency across the marker. */
+  private def batchFingerprint(vecs: DataFrame): String = {
+    val r = vecs.select(
+      count(lit(1)).as("n"),
+      expr("bit_xor(xxhash64(vec_id, v))").as("h")).head()
+    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+  }
+
+  /** Maintenance: sweep orphan generation dirs left by crashed,
+    * never-retried merges (committed generations are untouched —
+    * codes are per-vector and never superseded, so there is nothing
+    * to fold; PQ needs no compaction). */
+  def vacuum(spark: SparkSession, indexPath: String): Unit =
+    IndexStore.withLock(spark, indexPath) {
+      val gens = committedGens(spark, indexPath).toSet
+      val (hfs, _) = IndexStore.fs(spark, indexPath)
+      val codesRoot = new org.apache.hadoop.fs.Path(s"$indexPath/codes")
+      if (hfs.exists(codesRoot))
+        hfs.listStatus(codesRoot).foreach { st =>
+          val n = st.getPath.getName
+          val orphan = n.startsWith("gen=") &&
+            scala.util.Try(n.stripPrefix("gen=").toLong).toOption
+              .exists(g => !gens.contains(g))
+          if (orphan) IndexStore.deleteTree(hfs, st.getPath)
+        }
+    }
+
+  private def writeCodebooks(spark: SparkSession, indexPath: String, v: Long,
+                             cents: Array[Array[Array[Double]]]): Unit = {
     import spark.implicits._
-    val cents = Similarity.pqCodebooks(spark, dir)
-    val m0 = Similarity.PqM
-    val sd = Similarity.PqSubDim
     cents.zipWithIndex.flatMap { case (cb, m) =>
       cb.zipWithIndex.map { case (cv, cid) => (m, cid, cv) }
     }.toSeq.toDF("m", "cid", "cv")
       .repartition(1)
-      .write.mode("overwrite").parquet(s"$indexPath/codebooks.parquet")
-    Similarity.normalized(spark, dir)
-      .map { case (id, nv) =>
+      .write.mode("overwrite").parquet(codebooksDir(indexPath, v))
+  }
+
+  /** Encode a normalized frame with `cents` and write it as generation
+    * `gen` — NOT visible to any reader until its marker lands. */
+  private def writeCodes(
+      normed: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      cents: Array[Array[Array[Double]]], indexPath: String,
+      gen: Long): Unit = {
+    val spark = normed.sparkSession
+    import spark.implicits._
+    val m0 = Similarity.PqM
+    val sd = Similarity.PqSubDim
+    normed.map { case (id, nv) =>
         var code = 0L
         var m = 0
         while (m < m0) {
-          code |= Similarity
-            .pqArgmin(cents(m), nv.slice(m * sd, (m + 1) * sd))
+          code |= Similarity.pqArgmin(cents(m), nv.slice(m * sd, (m + 1) * sd))
             .toLong << (CodeBits * m)
           m += 1
         }
         (id, code)
       }
       .toDF("vec_id", "code")
-      .write.mode("overwrite").parquet(s"$indexPath/codes.parquet")
+      .write.mode("overwrite").parquet(s"$indexPath/codes/gen=$gen")
+  }
+
+  /** Committed code rows: partition pruning on the committed-generation
+    * list keeps uncommitted (crashed) dirs out of the scan entirely. */
+  private def readCodes(spark: SparkSession, indexPath: String): DataFrame = {
+    val gens = committedGens(spark, indexPath)
+    require(gens.nonEmpty,
+      s"no committed PQ index under $indexPath — run build first")
+    val dir = s"$indexPath/codes"
+    spark.read.schema(CodesSchema).option("basePath", dir).parquet(dir)
+      .filter(col("gen").isin(gens: _*))
+      .select(col("vec_id"), col("code"))
   }
 
   /** Codebooks back from storage: cents(m)(cid). */
   private[graft] def loadCodebooks(spark: SparkSession, indexPath: String)
       : Array[Array[Array[Double]]] = {
     import spark.implicits._
-    val cbRows = spark.read.parquet(s"$indexPath/codebooks.parquet")
+    val v = codebookVersion(spark, indexPath)
+    val cbRows = spark.read.parquet(codebooksDir(indexPath, v))
       .as[(Int, Int, Array[Double])].collect()
     val nCents = cbRows.map(_._2).max + 1
     val cents = Array.ofDim[Array[Double]](Similarity.PqM, nCents)
@@ -72,14 +229,18 @@ object PqIndex {
     cents
   }
 
+  /** The committed code table — spec helper. */
+  private[graft] def codeTable(spark: SparkSession,
+                               indexPath: String): DataFrame =
+    readCodes(spark, indexPath)
+
   /** Stateless encode stage — batch OR streaming: annotate a frame
     * carrying an `embedding` array column with the packed PQ `code`,
     * using the persisted index's codebooks (read once at plan time,
-    * riding the closure). The incremental-index-maintenance path: new
-    * corpus vectors arriving on a stream are encoded in-flight and
-    * appended to the code table; codes are bit-identical to
-    * [[build]]'s (asserted in the spec), so the reader never knows
-    * which path produced a code. */
+    * riding the closure). The in-flight half of the incremental path:
+    * new corpus vectors arriving on a stream are encoded exactly as
+    * [[merge]] would encode them (asserted in the spec), so the reader
+    * never knows which path produced a code. */
   def encodeStage(vecs: org.apache.spark.sql.DataFrame,
                   indexPath: String): org.apache.spark.sql.DataFrame = {
     val cents = loadCodebooks(vecs.sparkSession, indexPath)
@@ -100,9 +261,10 @@ object PqIndex {
   }
 
   /** Top-k cosine neighbors from the persisted index for the standard
-    * deterministic query set. The ADC scan touches only
-    * `codes.parquet`; raw vectors are read for the query block and the
-    * re-rank candidates. Bit-identical to [[Similarity.pqTopK]]. */
+    * deterministic query set. The ADC scan touches only the committed
+    * code generations; raw vectors are read (from `dir`) for the query
+    * block and the re-rank candidates. Bit-identical to
+    * [[Similarity.pqTopK]] when the index covers the whole corpus. */
   def topK(spark: SparkSession, dir: String, indexPath: String)
       : DataFrame = {
     import spark.implicits._
@@ -126,7 +288,7 @@ object PqIndex {
     val r = Similarity.PqRerank
     val codeMask = (1L << CodeBits) - 1
     // the hot scan: 8-byte codes only, ADC via table lookups
-    val cand = spark.read.parquet(s"$indexPath/codes.parquet")
+    val cand = readCodes(spark, indexPath)
       .as[(Long, Long)]
       .mapPartitions { it =>
         val (qIds, t) = bc.value
@@ -169,5 +331,28 @@ object PqIndex {
       .filter(col("rank") <= Similarity.K)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
       .orderBy("q_id", "rank")
+  }
+
+  /** sim_pq_lifecycle: the FULL incremental lifecycle under the oracle
+    * gate — [[build]] trains codebooks on the landed corpus
+    * (vec_id % 10 ≠ 3) and encodes it, [[merge]] encodes the crawl
+    * increment (vec_id % 10 = 3) against the STORED codebooks, then
+    * [[topK]] answers the standard query set over the union. The DuckDB
+    * oracle replays exactly that: codebooks trained on the landed
+    * split, codes assigned to every vector, ADC + re-rank over the
+    * union — so frozen-codebook encoding, generation commits, and the
+    * committed-gen scan are driver-checked facts. */
+  def lifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pq-lifecycle").toString
+    val vecs = Similarity.corpus(spark, dir).select(col("vec_id"), col("v"))
+    try {
+      val idx = s"$root/idx"
+      build(vecs.filter(col("vec_id") % 10 =!= 3), idx)
+      merge(vecs.filter(col("vec_id") % 10 === 3), idx)
+      Scratch.materializeAndClean(root, topK(spark, dir, idx))
+    } catch {
+      case e: Throwable => Scratch.rm(new java.io.File(root)); throw e
+    }
   }
 }

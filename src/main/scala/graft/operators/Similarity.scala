@@ -70,7 +70,7 @@ object Similarity {
     }
   }
 
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
@@ -79,7 +79,17 @@ object Similarity {
   private[operators] def normalized(spark: SparkSession, dir: String)
       : Dataset[(Long, Array[Double])] = {
     import spark.implicits._
-    corpus(spark, dir).select(col("vec_id"), col("v"))
+    normalizedFrom(corpus(spark, dir))
+  }
+
+  /** L2-normalize an arbitrary (vec_id, v double[]) frame — the
+    * frame-based twin of [[normalized]] for index builds over a SUBSET
+    * of the corpus (e.g. [[PqIndex.build]] on the landed split). */
+  private[operators] def normalizedFrom(vecs: DataFrame)
+      : Dataset[(Long, Array[Double])] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.select(col("vec_id"), col("v"))
       .as[(Long, Array[Double])]
       .map { case (id, v) => (id, VectorOps.l2Normalize(v)) }
   }
@@ -294,14 +304,24 @@ object Similarity {
     * (4 KB). Memoized per (session, dir). */
   private[operators] def pqCodebooks(spark: SparkSession, dir: String)
       : Array[Array[Array[Double]]] = pqMemo.synchronized {
-    pqMemo.getOrElseUpdate((spark, dir), {
-      import spark.implicits._
+    pqMemo.getOrElseUpdate((spark, dir),
+      pqCodebooksFrom(normalized(spark, dir)))
+  }
+
+  /** The training loop itself, over an arbitrary NORMALIZED frame —
+    * lets [[PqIndex.build]] train on the landed split only, with the
+    * same deterministic mechanics as the whole-corpus memoized path. */
+  private[operators] def pqCodebooksFrom(
+      input: Dataset[(Long, Array[Double])]): Array[Array[Array[Double]]] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    {
       val m0 = PqM
       val sd = PqSubDim
       // init + every Lloyd round reads this frame: persist for the
       // training loop's duration (same device as kmeansTrain) instead
       // of re-scanning and re-normalizing the corpus per round
-      val normed = normalized(spark, dir)
+      val normed = input
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val svs = normed.flatMap { case (_, v) =>
@@ -326,7 +346,7 @@ object Similarity {
         }
         cents
       } finally normed.unpersist(blocking = false)
-    })
+    }
   }
 
   private val pqMemo = scala.collection.mutable

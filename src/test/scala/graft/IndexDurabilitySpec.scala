@@ -278,6 +278,89 @@ class IndexDurabilitySpec extends AnyFunSuite {
     }
   }
 
+  test("pq/ivf: an unmarked generation — even with a torn file — is invisible and vacuum sweeps it") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-dur-ann").toString
+    try {
+      val vecs = graft.operators.Similarity
+        .corpus(spark, sf0001).select(col("vec_id"), col("v"))
+      graft.operators.PqIndex.build(vecs, s"$root/pq")
+      val before = rows(graft.operators.PqIndex.topK(spark, sf0001, s"$root/pq"))
+      // simulated crash: a merge died mid-write, leaving an orphan
+      // generation dir holding a TORN (truncated, unreadable) parquet
+      // file — the explicit-schema scan plus committed-gen pruning must
+      // never open it
+      val torn = new java.io.File(s"$root/pq/codes/gen=1")
+      torn.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(torn, "part-00000.snappy.parquet").toPath,
+        Array[Byte](80, 65, 82, 49, 0, 1, 2, 3))
+      assert(rows(graft.operators.PqIndex.topK(spark, sf0001, s"$root/pq"))
+        == before, "an uncommitted generation must be invisible")
+      graft.operators.PqIndex.vacuum(spark, s"$root/pq")
+      assert(!torn.exists, "vacuum must sweep the orphan generation")
+      assert(rows(graft.operators.PqIndex.topK(spark, sf0001, s"$root/pq"))
+        == before)
+
+      val lvecs = graft.operators.Similarity.corpus(spark, sf0001)
+      graft.operators.IvfIndex.build(lvecs, s"$root/ivf")
+      val ivfBefore = rows(graft.operators.IvfIndex.topK(spark, s"$root/ivf"))
+      val tornIvf = new java.io.File(s"$root/ivf/cells/gen=1/label=0")
+      tornIvf.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(tornIvf, "part-00000.snappy.parquet").toPath,
+        Array[Byte](80, 65, 82, 49, 9, 9))
+      assert(rows(graft.operators.IvfIndex.topK(spark, s"$root/ivf"))
+        == ivfBefore, "an uncommitted IVF generation must be invisible")
+      graft.operators.IvfIndex.vacuum(spark, s"$root/ivf")
+      assert(!new java.io.File(s"$root/ivf/cells/gen=1").exists)
+    } finally Scratch.rm(new java.io.File(root))
+  }
+
+  test("pq/ivf: a build missing its artifact marker fails loudly, never serves mismatched artifacts") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-dur-ann2").toString
+    try {
+      val vecs = graft.operators.Similarity
+        .corpus(spark, sf0001).select(col("vec_id"), col("v"))
+      graft.operators.PqIndex.build(vecs, s"$root/pq")
+      // simulated crash: codes committed, codebook marker never written
+      // (build's last step) — every query entry point must refuse
+      val (hfs, p) = graft.operators.IndexStore.fs(spark, s"$root/pq")
+      graft.operators.IndexStore.unmark(hfs, p, "codebooks.v1")
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.PqIndex.topK(spark, sf0001, s"$root/pq")
+      }
+      assert(e.getMessage.contains("re-run build"))
+
+      graft.operators.IvfIndex.build(
+        graft.operators.Similarity.corpus(spark, sf0001), s"$root/ivf")
+      val (hfs2, p2) = graft.operators.IndexStore.fs(spark, s"$root/ivf")
+      graft.operators.IndexStore.unmark(hfs2, p2, "centroids.v1")
+      val e2 = intercept[IllegalArgumentException] {
+        graft.operators.IvfIndex.topK(spark, s"$root/ivf")
+      }
+      assert(e2.getMessage.contains("re-run build"))
+    } finally Scratch.rm(new java.io.File(root))
+  }
+
+  test("pq: whole incremental lifecycle on an explicit file:// Hadoop path") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-dur-ann3").toString
+    try {
+      val idx = s"file://$root/pq"
+      val vecs = graft.operators.Similarity
+        .corpus(spark, sf0001).select(col("vec_id"), col("v"))
+      graft.operators.PqIndex.build(
+        vecs.filter(col("vec_id") % 10 =!= 3), idx)
+      graft.operators.PqIndex.merge(
+        vecs.filter(col("vec_id") % 10 === 3), idx)
+      graft.operators.PqIndex.vacuum(spark, idx)
+      assert(graft.operators.PqIndex.codeTable(spark, idx).count() ==
+        vecs.count(), "file:// lifecycle must cover the whole corpus")
+    } finally Scratch.rm(new java.io.File(root))
+  }
+
   test("concurrent same-JVM decontam merges serialize: filter equals fresh union build") {
     val docs = docsOf(sf0001)
     val evalAll = docs.filter(col("doc_id") % Dedup.EvalStride === 0)

@@ -7,8 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{IvfIndex, Similarity}
 
 /** Persistent IVF index: build/query parity with the in-memory
-  * operator, and the partition-pruning property that justifies the
-  * persisted layout.
+  * operator, incremental merges into frozen cells, and the
+  * partition-pruning property that justifies the persisted layout.
   */
 class IvfIndexSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -41,12 +41,40 @@ class IvfIndexSpec extends AnyFunSuite {
   }
 
   test("index layout: one centroid row per cell, cells hive-partitioned") {
-    val cent = spark.read.parquet(s"$indexPath/centroids.parquet")
+    val cent = spark.read.parquet(s"$indexPath/centroids.v1.parquet")
     val labels = spark.read.parquet(s"$indexPath/cells")
       .select("label").distinct().count()
     assert(cent.count() == labels)
-    val cellDirs = new java.io.File(s"$indexPath/cells")
+    val cellDirs = new java.io.File(s"$indexPath/cells/gen=0")
       .listFiles().count(_.getName.startsWith("label="))
     assert(cellDirs == labels)
+  }
+
+  test("merge files a batch into frozen cells; retry is a no-op") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-ivf-split").toString
+    try {
+      val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+        .select(col("vec_id"), col("label").cast("long"),
+          col("embedding").cast("array<double>").as("v"))
+      IvfIndex.build(vecs.filter(col("vec_id") % 10 < 6), s"$root/idx")
+      val centBefore = spark.read
+        .parquet(s"$root/idx/centroids.v1.parquet").collect().map(_.toSeq)
+      IvfIndex.merge(vecs.filter(col("vec_id") % 10 >= 6), s"$root/idx")
+      // centroids are frozen: byte-identical before and after the merge
+      val centAfter = spark.read
+        .parquet(s"$root/idx/centroids.v1.parquet").collect().map(_.toSeq)
+      assert(centBefore.sameElements(centAfter))
+      // the cells now cover the whole corpus
+      import spark.implicits._
+      val n = vecs.count()
+      val labels = vecs.select("label").distinct().as[Long].collect().toSeq
+      val got = IvfIndex.probedCells(spark, s"$root/idx", labels)
+      assert(got.count() == n)
+      // retrying the SAME merge batch is a fingerprint-detected no-op
+      IvfIndex.merge(vecs.filter(col("vec_id") % 10 >= 6), s"$root/idx")
+      assert(IvfIndex.probedCells(spark, s"$root/idx", labels).count() == n,
+        "a retried merge must not duplicate cell rows")
+    } finally graft.operators.Scratch.rm(new java.io.File(root))
   }
 }

@@ -8,7 +8,8 @@ import graft.operators.{PqIndex, Similarity}
 
 /** Persisted PQ index lifecycle: build → storage → query, bit-identical
   * to the in-memory operator, with the hot scan touching only the
-  * packed 8-byte codes.
+  * packed 8-byte codes; incremental merges encode against the frozen
+  * stored codebooks.
   */
 class PqIndexSpec extends AnyFunSuite {
   import SparkTestSession._
@@ -20,11 +21,11 @@ class PqIndexSpec extends AnyFunSuite {
   }
 
   test("index layout: one packed BIGINT code per vector, tiny codebooks") {
-    val codes = spark.read.parquet(s"$idx/codes.parquet")
+    val codes = PqIndex.codeTable(spark, idx)
     assert(codes.columns.toSeq == Seq("vec_id", "code"))
     val n = graft.sources.Tables.embeddings(spark, sf0001).count()
     assert(codes.count() == n)
-    val cb = spark.read.parquet(s"$idx/codebooks.parquet")
+    val cb = spark.read.parquet(s"$idx/codebooks.v1.parquet")
     assert(cb.count() == Similarity.PqM * Similarity.PqK)
   }
 
@@ -34,11 +35,44 @@ class PqIndexSpec extends AnyFunSuite {
     assert(fromIndex.sameElements(inMemory))
   }
 
+  test("merge encodes against the STORED codebooks: split build+merge == one-shot build's codes") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // one-shot reference over the full corpus
+    val oneShot = PqIndex.codeTable(spark, idx).as[(Long, Long)]
+      .collect().toMap
+    // split: build on 60%, merge the rest — codebooks train on the
+    // SPLIT, so codes differ from oneShot in general; what must hold is
+    // that merged codes equal re-encoding the same vectors against the
+    // split index's stored codebooks (frozen-codebook contract)
+    val root = Files.createTempDirectory("graft-pq-split").toString
+    try {
+      val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      PqIndex.build(vecs.filter(col("vec_id") % 10 < 6), s"$root/idx")
+      PqIndex.merge(vecs.filter(col("vec_id") % 10 >= 6), s"$root/idx")
+      val all = PqIndex.codeTable(spark, s"$root/idx").as[(Long, Long)]
+        .collect().toMap
+      assert(all.size == oneShot.size, "merge must cover the whole corpus")
+      val reEncoded = PqIndex.encodeStage(
+          vecs.filter(col("vec_id") % 10 >= 6)
+            .withColumnRenamed("v", "embedding"), s"$root/idx")
+        .select(col("vec_id"), col("code")).as[(Long, Long)].collect()
+      reEncoded.foreach { case (id, code) =>
+        assert(all(id) == code, s"vec $id merged/re-encoded code mismatch")
+      }
+      // retrying the SAME merge batch is a fingerprint-detected no-op
+      PqIndex.merge(vecs.filter(col("vec_id") % 10 >= 6), s"$root/idx")
+      assert(PqIndex.codeTable(spark, s"$root/idx").count() == all.size,
+        "a retried merge must not duplicate codes")
+    } finally graft.operators.Scratch.rm(new java.io.File(root))
+  }
+
   test("streaming encode stage: in-flight codes == the built index's codes") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
-    val stored = spark.read.parquet(s"$idx/codes.parquet")
+    val stored = PqIndex.codeTable(spark, idx)
       .as[(Long, Long)].collect().toMap
     val vecs = graft.sources.Tables.embeddings(spark, sf0001)
       .select(org.apache.spark.sql.functions.col("vec_id"),
@@ -76,11 +110,11 @@ class PqIndexSpec extends AnyFunSuite {
     import spark.implicits._
     // re-encoding the corpus against the STORED codebooks must equal
     // the stored codes (parquet round-trips doubles exactly)
-    val cbRows = spark.read.parquet(s"$idx/codebooks.parquet")
+    val cbRows = spark.read.parquet(s"$idx/codebooks.v1.parquet")
       .as[(Int, Int, Array[Double])].collect()
     val cents = Array.ofDim[Array[Double]](Similarity.PqM, Similarity.PqK)
     cbRows.foreach { case (m, cid, cv) => cents(m)(cid) = cv }
-    val stored = spark.read.parquet(s"$idx/codes.parquet")
+    val stored = PqIndex.codeTable(spark, idx)
       .as[(Long, Long)].collect().toMap
     val sd = Similarity.PqSubDim
     graft.sources.Tables.embeddings(spark, sf0001)
