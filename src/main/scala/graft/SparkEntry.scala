@@ -75,6 +75,7 @@ object SparkEntry {
     },
     "dedup_incremental"     -> (MinhashIndex.incremental _),
     "dedup_index_lifecycle" -> (MinhashIndex.lifecycle _),
+    "dedup_ingest_chain"    -> (MinhashIndex.ingestChain _),
     "text_decontaminate"    -> (Dedup.decontaminate _),
     "dedup_decontam_bloom"  -> (Dedup.decontaminateBloom _),
     "dedup_decontam_persist" -> (DecontamIndex.persistedDecontam _),
@@ -1234,6 +1235,30 @@ object SparkEntry {
          |SELECT doc_a AS left_id, doc_b AS right_id, jaccard FROM j
          |WHERE jaccard >= ${Dedup.MinhashJaccardThreshold}
          |ORDER BY left_id, right_id""".stripMargin,
+    // chained admission: batch 1 is near-dup-checked against batch 0;
+    // batch 2 against batch 0 ∪ batch 1's SURVIVORS (a rejected
+    // batch-1 doc never blocks a batch-2 doc) — the relational
+    // restatement of MinhashIndex's query→admit→merge crawl loop
+    "dedup_ingest_chain" ->
+      s"""WITH ${minhashCtesWith(
+               "((x.doc_id % 3 = 1 AND y.doc_id % 3 = 0) OR " +
+               "(x.doc_id % 3 = 2 AND y.doc_id % 3 <> 2))")},
+         |p AS (SELECT doc_a, doc_b FROM j
+         |      WHERE jaccard >= ${Dedup.MinhashJaccardThreshold}),
+         |adm1 AS (
+         |  SELECT doc_id FROM documents d1 WHERE doc_id % 3 = 1
+         |  AND NOT EXISTS (SELECT 1 FROM p WHERE p.doc_a = d1.doc_id)),
+         |adm2 AS (
+         |  SELECT doc_id FROM documents d2 WHERE doc_id % 3 = 2
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM p WHERE p.doc_a = d2.doc_id
+         |    AND (p.doc_b % 3 = 0
+         |         OR p.doc_b IN (SELECT doc_id FROM adm1))))
+         |SELECT d.doc_id, CAST(d.doc_id % 3 AS INT) AS batch,
+         |       (d.doc_id % 3 = 0
+         |        OR d.doc_id IN (SELECT doc_id FROM adm1)
+         |        OR d.doc_id IN (SELECT doc_id FROM adm2)) AS admitted
+         |FROM documents d ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       s"""WITH toks AS (
          |  SELECT doc_id,

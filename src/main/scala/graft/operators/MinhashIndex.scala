@@ -399,4 +399,60 @@ object MinhashIndex {
       case e: Throwable => Scratch.rm(new java.io.File(root)); throw e
     }
   }
+
+  /** Gate one crawl batch against the index and admit the survivors:
+    * near-dups of already-landed docs are rejected, everything else is
+    * [[merge]]d in. Returns the admitted rows, MATERIALIZED before the
+    * merge so their computation can never observe the very generation
+    * it is about to write (the admission decision is frozen against the
+    * pre-merge index state). Within-batch duplicates are deliberately
+    * NOT checked here — that is [[Dedup.minhashPairs]]' job on the
+    * batch before it reaches the gate. */
+  def admit(batch: DataFrame, indexPath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val dup = query(spark, indexPath, batch)
+      .select(col("left_id")).distinct()
+    val admitted = Materialize(
+      batch.join(dup, batch("doc_id") === dup("left_id"), "left_anti"))
+    merge(admitted, indexPath)
+    admitted
+  }
+
+  /** dedup_ingest_chain: the PRODUCTION crawl loop under the oracle
+    * gate — bootstrap the index from the first corpus batch
+    * (doc_id % 3 = 0), then [[admit]] two successive crawl batches
+    * (% 3 = 1, then % 3 = 2): each is near-dup-checked against the
+    * index AS LEFT BY THE PREVIOUS STEP (batch 2 is checked against
+    * batch 0 plus batch 1's SURVIVORS — a rejected batch-1 doc never
+    * blocks a batch-2 doc), and its survivors are merged in. The
+    * output is the full admission log (doc_id, batch, admitted); the
+    * DuckDB oracle restates the chained admission relationally, so
+    * query-then-merge ordering, admission freezing, and the
+    * append-only generation lifecycle are driver-checked facts. */
+  def ingestChain(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mh-ingest").toString
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    def batch(k: Int) = docs.filter(col("doc_id") % 3 === k)
+    try {
+      val idx = s"$root/idx"
+      build(batch(0), idx)
+      val a1 = admit(batch(1), idx)
+      val a2 = admit(batch(2), idx)
+      val admittedIds = batch(0).select("doc_id")
+        .unionByName(a1.select("doc_id"))
+        .unionByName(a2.select("doc_id"))
+        .withColumn("admitted", lit(true))
+      Scratch.materializeAndClean(root,
+        docs.select(col("doc_id"),
+            (col("doc_id") % 3).cast("int").as("batch"))
+          .join(admittedIds, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("batch"),
+            coalesce(col("admitted"), lit(false)).as("admitted"))
+          .orderBy("doc_id"))
+    } catch {
+      case e: Throwable => Scratch.rm(new java.io.File(root)); throw e
+    }
+  }
 }

@@ -150,4 +150,45 @@ class MinhashIndexSpec extends AnyFunSuite {
       assert(out.count() == 300L * Dedup.HotGroupCap)
     } finally { Scratch.rm(new java.io.File(root)); Scratch.rm(new java.io.File(d)) }
   }
+
+  test("admit: survivors merge in, rejects stay out, index content == admitted set") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val novel = (k: Int) => s"completely different subject matter number $k " +
+      s"with unique vocabulary item$k token$k word$k term$k phrase$k"
+    val b0 = Seq((0L, base), (1L, novel(1))).toDF("doc_id", "text")
+    // batch 1: doc 10 duplicates base (guaranteed band collision),
+    // doc 11 is new
+    val b1 = Seq((10L, base), (11L, novel(2))).toDF("doc_id", "text")
+    // batch 2: doc 20 duplicates the landed base, doc 21 duplicates the
+    // batch-1 SURVIVOR 11 (so survivors must gate later batches),
+    // doc 22 is new
+    val b2 = Seq((20L, base), (21L, novel(2)), (22L, novel(3)))
+      .toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft-mh-admit").toString
+    try {
+      val idx = s"$root/idx"
+      MinhashIndex.build(b0, idx)
+      val a1 = MinhashIndex.admit(b1, idx).select("doc_id")
+        .as[Long].collect().toSet
+      assert(a1 == Set(11L), s"batch 1 must admit only the novel doc: $a1")
+      val a2 = MinhashIndex.admit(b2, idx).select("doc_id")
+        .as[Long].collect().toSet
+      assert(a2 == Set(22L),
+        s"batch 2 must reject dups of landed docs AND of admitted survivors: $a2")
+      // the index's committed shingle set covers exactly the admitted docs
+      val indexed = spark.read
+        .option("basePath", s"$idx/shingles").parquet(s"$idx/shingles")
+        .select("doc_id").as[Long].collect().toSet
+      assert(indexed == Set(0L, 1L, 11L, 22L),
+        s"index content must equal the admitted set: $indexed")
+      // an all-duplicate batch admits nothing and leaves the index usable
+      val a3 = MinhashIndex.admit(
+        Seq((30L, base)).toDF("doc_id", "text"), idx)
+      assert(a3.isEmpty)
+      assert(MinhashIndex.query(spark, idx,
+        Seq((40L, base)).toDF("doc_id", "text")).count() >= 1,
+        "the index must stay queryable after an empty-admission merge")
+    } finally Scratch.rm(new java.io.File(root))
+  }
 }
