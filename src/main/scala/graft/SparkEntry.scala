@@ -96,6 +96,7 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0))
     },
     "dedup_winnow_incremental" -> (WinnowIndex.incremental _),
+    "dedup_winnow_lifecycle" -> (WinnowIndex.lifecycle _),
     "dedup_url"             -> (Corpus.urlDedup _),
     "text_repetition"       -> (TextAnalysis.repetitionStats _),
     "text_tfidf"            -> (TextAnalysis.tfIdfTopTerms _),
@@ -1604,10 +1605,21 @@ object SparkEntry {
          |SELECT left_id, right_id, n_shared FROM p
          |WHERE n_shared >= ${Dedup.MinSharedFp}
          |ORDER BY left_id, right_id""".stripMargin,
-    // the persisted winnow index's build→merge→compact→query lifecycle
-    // ends at an index covering exactly doc_id % 10 <> 3: same
-    // relational shared-fingerprint pairs, split 10%/90%
+    // the persisted winnow index covers exactly doc_id % 10 <> 3 in both
+    // gates (incremental: one build; lifecycle: build ∉{3,7} → merge 7 →
+    // compact): same relational shared-fingerprint pairs, split 10%/90%
     "dedup_winnow_incremental" ->
+      s"""WITH $winnowCtes,
+         |p AS (
+         |  SELECT x.doc_id AS left_id, y.doc_id AS right_id,
+         |         count(*) AS n_shared
+         |  FROM exc x JOIN exc y ON x.fp = y.fp
+         |  WHERE x.doc_id % 10 = 3 AND y.doc_id % 10 <> 3
+         |  GROUP BY 1, 2)
+         |SELECT left_id, right_id, n_shared FROM p
+         |WHERE n_shared >= ${Dedup.MinSharedFp}
+         |ORDER BY left_id, right_id""".stripMargin,
+    "dedup_winnow_lifecycle" ->
       s"""WITH $winnowCtes,
          |p AS (
          |  SELECT x.doc_id AS left_id, y.doc_id AS right_id,

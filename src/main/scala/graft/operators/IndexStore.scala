@@ -111,4 +111,20 @@ private[graft] object IndexStore {
     monitors.getOrElseUpdate(
       hfs.makeQualified(p).toString, new Object).synchronized(body)
   }
+
+  /** Submit independent Spark actions concurrently and wait for all —
+    * the index artifacts written inside one commit step (counts +
+    * postings, codes + norms, …) have no mutual dependency, so a step
+    * costs max(job) instead of sum(job). Failures propagate after every
+    * job settles, so no write is left running past the call. */
+  def inParallel(actions: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = actions.map(a => Future(a()))
+    val settled = Future.traverse(fs)(f =>
+      f.map(Right(_): Either[Throwable, Unit]).recover { case t => Left(t) })
+    Await.result(settled, Duration.Inf).collectFirst { case Left(t) => t }
+      .foreach(throw _)
+  }
 }

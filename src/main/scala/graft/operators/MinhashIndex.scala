@@ -158,17 +158,23 @@ object MinhashIndex {
                                      gen: Long, v: Long): Unit = {
     val perDoc = Dedup.shingleSigs(docs)
     Materialize.withCached(perDoc) {
-      perDoc.select(col("doc_id"), col("sh"))
-        .write.mode("overwrite")
-        .parquet(s"$indexPath/shingles/gen=$gen")
-      val bands = Dedup.bandFrame(perDoc)
-        .select(col("doc_id").as("right_id"), col("b"), col("k"))
-      Dedup.capBucket(bands, "right_id")
-        .repartition(col("b"))
-        .sortWithinPartitions(col("k"), col("right_id"))
-        .write.mode("overwrite")
-        .partitionBy("b")
-        .parquet(s"${bandsDir(indexPath, v)}/gen=$gen")
+      // the two artifacts are independent jobs over the cached signature
+      // frame: submit them concurrently so the generation costs
+      // max(shingles, bands), not their sum
+      IndexStore.inParallel(
+        () => perDoc.select(col("doc_id"), col("sh"))
+          .write.mode("overwrite")
+          .parquet(s"$indexPath/shingles/gen=$gen"),
+        () => {
+          val bands = Dedup.bandFrame(perDoc)
+            .select(col("doc_id").as("right_id"), col("b"), col("k"))
+          Dedup.capBucket(bands, "right_id")
+            .repartition(col("b"))
+            .sortWithinPartitions(col("k"), col("right_id"))
+            .write.mode("overwrite")
+            .partitionBy("b")
+            .parquet(s"${bandsDir(indexPath, v)}/gen=$gen")
+        })
       // withCached materializes its body's result: return a frame that
       // records what was written without re-reading it
       perDoc.sparkSession.range(0).toDF("done")
@@ -292,6 +298,20 @@ object MinhashIndex {
       .select(col("doc_id"), col("sh"))
   }
 
+  /** Physical gen= partitions in version `v`'s band table — 1 right
+    * after build or compact, one per landed batch between maintenance
+    * passes. NOT `committedGens.size`: compact folds the data but keeps
+    * the generation markers (they carry retry fingerprints), so only
+    * the store layout says whether the re-cap over merged buckets is
+    * still needed. */
+  private def physicalGens(spark: SparkSession, indexPath: String,
+                           v: Long): Int = {
+    val (hfs, _) = IndexStore.fs(spark, indexPath)
+    val d = new Path(bandsDir(indexPath, v))
+    if (!hfs.exists(d)) 0
+    else hfs.listStatus(d).count(_.getPath.getName.startsWith("gen="))
+  }
+
   /** The index's current committed band table — spec helper. */
   private[graft] def bandTable(spark: SparkSession,
                                indexPath: String): DataFrame =
@@ -319,12 +339,20 @@ object MinhashIndex {
       // to cap residents per merged generation; the true residents of
       // the unioned corpus are the cap smallest of what is stored
       // (see merge's subset argument). The window runs over candidate
-      // rows only — increment-bounded, never the corpus.
-      val matched = idx.join(
-        broadcast(bandsL.select(col("b"), col("k")).distinct()),
-        Seq("b", "k"))
-      val recapped = Dedup.capBucket(matched, "right_id")
-      val cand = recapped.join(broadcast(bandsL), Seq("b", "k"))
+      // rows only — increment-bounded, never the corpus. A band table
+      // with ONE physical generation — right after build or compact,
+      // the common serving state — is already exactly capped at write,
+      // so the re-cap window (and its broadcast round) is skipped and
+      // the band join collapses to a single broadcast join.
+      val cand = (if (physicalGens(spark, indexPath, v) <= 1)
+          idx.join(broadcast(bandsL), Seq("b", "k"))
+        else {
+          val matched = idx.join(
+            broadcast(bandsL.select(col("b"), col("k"))),
+            Seq("b", "k"), "left_semi")
+          Dedup.capBucket(matched, "right_id")
+            .join(broadcast(bandsL), Seq("b", "k"))
+        })
         .select(col("left_id"), col("right_id"))
         .distinct()
       val shR = readShingles(spark, indexPath, gens)
