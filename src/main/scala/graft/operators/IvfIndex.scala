@@ -90,14 +90,20 @@ object IvfIndex {
       val (hfs, p) = IndexStore.fs(spark, indexPath)
       IndexStore.deleteTree(hfs, p)
       val c = vecs.select(col("vec_id"), col("label").cast("long"), col("v"))
-      val cent = c.select(col("label"), col("v"))
-        .as[(Long, Array[Double])]
-        .groupByKey(_._1).mapValues(_._2)
-        .agg(new VectorOps.VecMean(Similarity.Dims).toColumn.name("cv"))
-        .toDF("label", "cv")
-      cent.repartition(1)
-        .write.mode("overwrite").parquet(centroidsDir(indexPath, 1L))
-      writeCells(c, indexPath, gen = 0L)
+      // centroids and cells are independent jobs over the cached batch:
+      // submit them concurrently so the build costs max(job), not sum
+      Materialize.withCached(c) {
+        IndexStore.inParallel(
+          () => c.select(col("label"), col("v"))
+            .as[(Long, Array[Double])]
+            .groupByKey(_._1).mapValues(_._2)
+            .agg(new VectorOps.VecMean(Similarity.Dims).toColumn.name("cv"))
+            .toDF("label", "cv")
+            .repartition(1)
+            .write.mode("overwrite").parquet(centroidsDir(indexPath, 1L)),
+          () => writeCells(c, indexPath, gen = 0L))
+        spark.range(0).toDF("done")
+      }
       IndexStore.mark(hfs, p, "g0")
       IndexStore.mark(hfs, p, "centroids.v1")
     }
@@ -191,29 +197,33 @@ object IvfIndex {
     * generation (`sim_ivf_lifecycle`'s oracle restates exactly that). */
   def topK(spark: SparkSession, indexPath: String): DataFrame = {
     import spark.implicits._
+    // probe selection runs on the driver: the query block is hard-capped
+    // (MaxQueryBlock, same guard as the PQ path) and the centroid table
+    // is O(cells) — queries × cells distances cost microseconds and save
+    // three scheduling rounds (probe window, label collect, probe join)
+    // over the distributed restatement; ordering and rounding replicate
+    // the window exactly (d2 rounded at 6, ties by label).
     val cent = spark.read.parquet(
       centroidsDir(indexPath, centroidVersion(spark, indexPath)))
+      .as[(Long, Array[Double])].collect()
     val cells = readCells(spark, indexPath)
-    val q = cells.filter(col("vec_id") % Similarity.QueryStride === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val qc = q.join(broadcast(cent))
-      .select(col("q_id"), col("qv"), col("label"), col("cv"))
-      .as[(Long, Array[Double], Long, Array[Double])]
-      .map { case (qId, qv, label, cv) =>
-        (qId, label, VectorOps.roundAt(VectorOps.dist2(qv, cv), 6))
-      }
-      .toDF("q_id", "label", "d2")
-    val wProbe = Window.partitionBy(col("q_id"))
-      .orderBy(col("d2"), col("label"))
-    val probes = qc.withColumn("pr", row_number().over(wProbe))
-      .filter(col("pr") <= Similarity.NProbe)
-      .select(col("q_id"), col("label"))
-      .join(q, "q_id")
-      .select(col("q_id"), col("qv"), col("label"))
-    // the probed LABEL SET is bounded by the cell count — collecting it
-    // is O(cells), never O(corpus) — and becomes the pruning predicate
-    val probedLabels = probes.select("label").distinct()
-      .as[Long].collect().toSeq.sorted
+    val qRows = cells.filter(col("vec_id") % Similarity.QueryStride === 0)
+      .select(col("vec_id"), col("v"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    require(qRows.length <= Similarity.MaxQueryBlock,
+      s"IVF query block has ${qRows.length} vectors" +
+        s" (cap ${Similarity.MaxQueryBlock})")
+    val probeRows = qRows.toSeq.flatMap { case (qId, qv) =>
+      cent.map { case (label, cv) =>
+          (label, VectorOps.roundAt(VectorOps.dist2(qv, cv), 6))
+        }
+        .sortBy { case (label, d2) => (d2, label) }
+        .take(Similarity.NProbe)
+        .map { case (label, _) => (qId, qv, label) }
+    }
+    // the probed LABEL SET is bounded by the cell count, never the corpus
+    val probedLabels = probeRows.map(_._3).distinct.sorted
+    val probes = probeRows.toDF("q_id", "qv", "label")
     val cand = probedCells(spark, indexPath, probedLabels)
       .join(broadcast(probes),
         Seq("label"))

@@ -96,8 +96,11 @@ object PqIndex {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val cents = Similarity.pqCodebooksFrom(normed)
-        writeCodebooks(spark, indexPath, 1L, cents)
-        writeCodes(normed, cents, indexPath, gen = 0L)
+        // the codebook table and the encoded codes are independent jobs
+        // once training finishes: submit them concurrently
+        IndexStore.inParallel(
+          () => writeCodebooks(spark, indexPath, 1L, cents),
+          () => writeCodes(normed, cents, indexPath, gen = 0L))
         IndexStore.mark(hfs, p, "g0")
         IndexStore.mark(hfs, p, "codebooks.v1")
       } finally normed.unpersist(blocking = false)
@@ -111,8 +114,10 @@ object PqIndex {
       val (hfs, p) = IndexStore.fs(spark, indexPath)
       IndexStore.deleteTree(hfs, p)
       val cents = Similarity.pqCodebooks(spark, dir)
-      writeCodebooks(spark, indexPath, 1L, cents)
-      writeCodes(Similarity.normalized(spark, dir), cents, indexPath, 0L)
+      IndexStore.inParallel(
+        () => writeCodebooks(spark, indexPath, 1L, cents),
+        () => writeCodes(Similarity.normalized(spark, dir), cents,
+          indexPath, 0L))
       IndexStore.mark(hfs, p, "g0")
       IndexStore.mark(hfs, p, "codebooks.v1")
     }

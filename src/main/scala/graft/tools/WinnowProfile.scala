@@ -54,6 +54,10 @@ object WinnowProfile {
         graft.operators.MinhashIndex.lifecycle(spark, dir).count())
       time(s"pass$pass mh ingestChain")(
         graft.operators.MinhashIndex.ingestChain(spark, dir).count())
+      time(s"pass$pass pq lifecycle")(
+        graft.operators.PqIndex.lifecycle(spark, dir).count())
+      time(s"pass$pass ivf lifecycle")(
+        graft.operators.IvfIndex.lifecycle(spark, dir).count())
     }
     spark.stop()
   }
