@@ -126,10 +126,12 @@ object StatefulSessionize {
     val root = java.nio.file.Files
       .createTempDirectory("graft-stream-sess").toString
     try {
-      // stage time-range shards SEQUENTIALLY (distinct mtimes): the
-      // file source orders same-mtime files arbitrarily, and an
-      // out-of-order shard would rewind event time against an already
-      // advanced watermark
+      // stage time-range shards with ORDERED mtimes: the file source
+      // orders same-mtime files arbitrarily, and an out-of-order shard
+      // would rewind event time against an already advanced watermark.
+      // One partitioned write job stages all shards; landing them in
+      // time order is pure file moves with explicit increasing mtimes
+      // (the old shape wrote each shard as its own scan+write job).
       val ev = graft.sources.Tables.events(spark, dir)
         .select(col("user_id"), col("ts"), col("value"))
       val mm = ev.agg(
@@ -137,11 +139,24 @@ object StatefulSessionize {
         max(unix_micros(col("ts").cast("timestamp")))).head()
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
       val step = (hi - lo) / 4 + 1
+      ev.withColumn("__shard",
+          floor((unix_micros(col("ts").cast("timestamp")) - lo) / step)
+            .cast("int"))
+        .repartition(4, col("__shard"))
+        .write.mode("overwrite").partitionBy("__shard")
+        .parquet(s"$root/staged")
+      val srcDir = new java.io.File(s"$root/src")
+      srcDir.mkdirs()
+      val base = System.currentTimeMillis() - 8000
       (0 until 4).foreach { i =>
-        ev.filter(unix_micros(col("ts").cast("timestamp"))
-            .between(lo + i * step, lo + (i + 1) * step - 1))
-          .coalesce(1).write.mode("append").parquet(s"$root/src")
-        Thread.sleep(50)
+        val shardDir = new java.io.File(s"$root/staged/__shard=$i")
+        Option(shardDir.listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet")).zipWithIndex
+          .foreach { case (f, j) =>
+            val dest = new java.io.File(srcDir, s"shard-$i-$j.parquet")
+            java.nio.file.Files.move(f.toPath, dest.toPath)
+            dest.setLastModified(base + i * 1000L)
+          }
       }
       val srcSchema = StructType(Seq(
         StructField("user_id", LongType),

@@ -58,6 +58,9 @@ object WinnowProfile {
         graft.operators.PqIndex.lifecycle(spark, dir).count())
       time(s"pass$pass ivf lifecycle")(
         graft.operators.IvfIndex.lifecycle(spark, dir).count())
+      time(s"pass$pass stream sessionize")(
+        graft.streaming.StatefulSessionize.streamSessionize(spark, dir)
+          .count())
     }
     spark.stop()
   }
