@@ -101,6 +101,7 @@ object SparkEntry {
     "text_repetition"       -> (TextAnalysis.repetitionStats _),
     "text_tfidf"            -> (TextAnalysis.tfIdfTopTerms _),
     "text_rarity"           -> (TextAnalysis.rarityScore _),
+    "text_rarity_incremental" -> (TermStatsIndex.incremental _),
     // --- similarity search ----------------------------------------------
     "sim_brute_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_ivf_topk"          -> (Similarity.ivfTopK _),
@@ -1494,6 +1495,26 @@ object SparkEntry {
         |       ((2 * sum((SELECT n_docs FROM nd) * 10000 // df.df)
         |         + count(*)) // (2 * count(*))) / 10000.0 AS rarity
         |FROM ex e JOIN df USING (term)
+        |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin,
+    // the persisted term-stats index's build→merge→compact→query
+    // lifecycle ends at union statistics covering ALL documents: the
+    // oracle is the batch rarity over the whole corpus filtered to the
+    // 10% increment the index was queried with
+    "text_rarity_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split(lower(text), ' '),
+        |                     t -> len(t) > 0) AS w
+        |  FROM documents),
+        |ex AS (SELECT doc_id, unnest(w) AS term FROM toks),
+        |nd AS (SELECT count(*) AS n_docs FROM toks WHERE len(w) > 0),
+        |df AS (SELECT term, count(*) AS df FROM
+        |         (SELECT DISTINCT doc_id, term FROM ex) GROUP BY 1)
+        |SELECT e.doc_id, CAST(count(*) AS INT) AS n_terms,
+        |       ((2 * sum((SELECT n_docs FROM nd) * 10000 // df.df)
+        |         + count(*)) // (2 * count(*))) / 10000.0 AS rarity
+        |FROM ex e JOIN df USING (term)
+        |WHERE e.doc_id % 10 = 3
         |GROUP BY e.doc_id ORDER BY doc_id""".stripMargin,
     "text_token_stats" ->
       s"""WITH $toksCte

@@ -43,25 +43,31 @@ object TextAnalysis {
     * byte-identical to [[graft.functions.tokens]] (lower, split ' ',
     * drop empties). */
   private[graft] def termCounts(spark: SparkSession, dir: String): DataFrame =
-    tcMemo.getOrElseUpdate((spark, dir), {
-      import spark.implicits._
-      val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-      Materialize(docs.as[(Long, String)].mapPartitions { it =>
-        it.flatMap { case (id, text) =>
-          // Locale.ROOT, not the JVM default: SQL lower() (and the
-          // DuckDB oracle) are locale-invariant — under tr-TR the bare
-          // toLowerCase maps I→ı and the counts drift. A null text
-          // tokenizes to nothing, matching the SQL path's null no-op.
-          val ts =
-            if (text == null) Array.empty[String]
-            else text.toLowerCase(java.util.Locale.ROOT)
-              .split(' ').filter(_.nonEmpty)
-          val m = mutable.LinkedHashMap.empty[String, Long]
-          ts.foreach(t => m.updateWith(t)(c => Some(c.getOrElse(0L) + 1)))
-          m.iterator.map { case (t, c) => (id, t, c, ts.length.toLong) }
-        }
-      }.toDF("doc_id", "term", "cnt", "n"))
-    })
+    tcMemo.getOrElseUpdate((spark, dir), Materialize(termRowsOf(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))))
+
+  /** The narrow term-count pass over ANY (doc_id, text) frame — the
+    * un-memoized kernel behind [[termCounts]], reused by
+    * [[TermStatsIndex]] for batch-scoped statistics. */
+  private[graft] def termRowsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.as[(Long, String)].mapPartitions { it =>
+      it.flatMap { case (id, text) =>
+        // Locale.ROOT, not the JVM default: SQL lower() (and the
+        // DuckDB oracle) are locale-invariant — under tr-TR the bare
+        // toLowerCase maps I→ı and the counts drift. A null text
+        // tokenizes to nothing, matching the SQL path's null no-op.
+        val ts =
+          if (text == null) Array.empty[String]
+          else text.toLowerCase(java.util.Locale.ROOT)
+            .split(' ').filter(_.nonEmpty)
+        val m = mutable.LinkedHashMap.empty[String, Long]
+        ts.foreach(t => m.updateWith(t)(c => Some(c.getOrElse(0L) + 1)))
+        m.iterator.map { case (t, c) => (id, t, c, ts.length.toLong) }
+      }
+    }.toDF("doc_id", "term", "cnt", "n")
+  }
 
   private val tcMemo = scala.collection.concurrent
     .TrieMap.empty[(SparkSession, String), DataFrame]

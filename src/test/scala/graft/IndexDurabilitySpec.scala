@@ -139,6 +139,36 @@ class IndexDurabilitySpec extends AnyFunSuite {
     }
   }
 
+  test("term-stats: crash before the marker is invisible; retry converges; file:// path") {
+    import graft.operators.TermStatsIndex
+    val docs = docsOf(sf0001)
+    val inc = docs.filter(col("doc_id") % 10 === 3)
+    val a = docs.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 2 === 1)
+    val root = "file://" +
+      Files.createTempDirectory("graft-dur-ts").toString
+    val freshRoot = Files.createTempDirectory("graft-dur-ts2").toString
+    try {
+      TermStatsIndex.build(a, s"$root/idx")
+      val before = rows(TermStatsIndex.query(spark, s"$root/idx", inc))
+      // simulated crash: generation files fully written, marker never
+      // published
+      TermStatsIndex.writeGeneration(b, s"$root/idx", gen = 1L, v = 1L)
+      assert(rows(TermStatsIndex.query(spark, s"$root/idx", inc)) == before,
+        "an uncommitted generation must be invisible — no partial stats")
+      // retry the merge for real: overwrites the orphans, commits
+      TermStatsIndex.merge(b, s"$root/idx")
+      TermStatsIndex.build(a.unionByName(b), s"$freshRoot/idx")
+      assert(rows(TermStatsIndex.query(spark, s"$root/idx", inc)) ==
+        rows(TermStatsIndex.query(spark, s"$freshRoot/idx", inc)),
+        "retried merge must equal a fresh build over the union")
+    } finally {
+      Scratch.rm(new java.io.File(
+        root.stripPrefix("file://")))
+      Scratch.rm(new java.io.File(freshRoot))
+    }
+  }
+
   test("decontam: whole lifecycle on an explicit file:// Hadoop path") {
     val docs = docsOf(sf0001)
     val evalDocs = docs.filter(col("doc_id") % Dedup.EvalStride === 0)
