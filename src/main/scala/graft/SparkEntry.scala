@@ -76,6 +76,7 @@ object SparkEntry {
     "dedup_incremental"     -> (MinhashIndex.incremental _),
     "dedup_index_lifecycle" -> (MinhashIndex.lifecycle _),
     "dedup_ingest_chain"    -> (MinhashIndex.ingestChain _),
+    "q_admission_pipeline"  -> (Admission.pipeline _),
     "text_decontaminate"    -> (Dedup.decontaminate _),
     "dedup_decontam_bloom"  -> (Dedup.decontaminateBloom _),
     "dedup_decontam_persist" -> (DecontamIndex.persistedDecontam _),
@@ -1261,6 +1262,49 @@ object SparkEntry {
          |        OR d.doc_id IN (SELECT doc_id FROM adm1)
          |        OR d.doc_id IN (SELECT doc_id FROM adm2)) AS admitted
          |FROM documents d ORDER BY doc_id""".stripMargin,
+    // the composed admission decision: three independent gates against
+    // the pre-merge index state — decontam vs the held eval set, token
+    // rarity vs the UNION statistics (landed ∪ batch, eval excluded),
+    // near-dup vs the landed corpus — each restated relationally over
+    // the same splits (eval = %${Dedup.EvalStride}=0, batch = the
+    // non-eval %10=3, landed = the non-eval %10≠3)
+    "q_admission_pipeline" ->
+      s"""WITH ${minhashCtesWith(
+               s"x.doc_id % 10 = 3 AND x.doc_id % ${Dedup.EvalStride} <> 0" +
+               s" AND y.doc_id % 10 <> 3 AND y.doc_id % ${Dedup.EvalStride} <> 0")},
+         |nd AS (SELECT DISTINCT doc_a AS doc_id FROM j
+         |       WHERE jaccard >= ${Dedup.MinhashJaccardThreshold}),
+         |dex AS (SELECT doc_id, unnest(s) AS e FROM shf),
+         |dev AS (SELECT DISTINCT e FROM dex
+         |        WHERE doc_id % ${Dedup.EvalStride} = 0),
+         |dcon AS (SELECT c.doc_id FROM dex c JOIN dev USING (e)
+         |         WHERE c.doc_id % 10 = 3 AND c.doc_id % ${Dedup.EvalStride} <> 0
+         |         GROUP BY c.doc_id
+         |         HAVING count(*) >= ${Dedup.MinContamOverlap}),
+         |rex AS (SELECT doc_id, unnest(t) AS term FROM toks
+         |        WHERE doc_id % ${Dedup.EvalStride} <> 0),
+         |rnd AS (SELECT count(*) AS n_docs FROM toks
+         |        WHERE len(t) > 0 AND doc_id % ${Dedup.EvalStride} <> 0),
+         |rdf AS (SELECT term, count(*) AS df FROM
+         |          (SELECT DISTINCT doc_id, term FROM rex) GROUP BY 1),
+         |rar AS (SELECT e.doc_id,
+         |          ((2 * sum((SELECT n_docs FROM rnd) * 10000 // rdf.df)
+         |            + count(*)) // (2 * count(*))) / 10000.0 AS rarity
+         |        FROM rex e JOIN rdf USING (term)
+         |        WHERE e.doc_id % 10 = 3
+         |        GROUP BY e.doc_id),
+         |f AS (
+         |  SELECT b.doc_id,
+         |         b.doc_id NOT IN (SELECT doc_id FROM dcon) AS passed_decontam,
+         |         coalesce(r.rarity <= ${Admission.RarityMax}, false)
+         |           AS passed_rarity,
+         |         b.doc_id NOT IN (SELECT doc_id FROM nd) AS passed_neardup
+         |  FROM documents b LEFT JOIN rar r USING (doc_id)
+         |  WHERE b.doc_id % 10 = 3 AND b.doc_id % ${Dedup.EvalStride} <> 0)
+         |SELECT doc_id, passed_decontam, passed_rarity, passed_neardup,
+         |       (passed_decontam AND passed_rarity AND passed_neardup)
+         |         AS admitted
+         |FROM f ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       s"""WITH toks AS (
          |  SELECT doc_id,

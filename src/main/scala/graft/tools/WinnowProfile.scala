@@ -61,6 +61,10 @@ object WinnowProfile {
       time(s"pass$pass stream sessionize")(
         graft.streaming.StatefulSessionize.streamSessionize(spark, dir)
           .count())
+      time(s"pass$pass termstats incremental")(
+        graft.operators.TermStatsIndex.incremental(spark, dir).count())
+      time(s"pass$pass admission pipeline")(
+        graft.operators.Admission.pipeline(spark, dir).count())
     }
     spark.stop()
   }

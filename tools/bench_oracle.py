@@ -24,7 +24,8 @@ HARNESS = ("q_table_", "q_stream_", "q_jsonl_", "q_kafka_",
            "dedup_decontam_persist", "dedup_crosscorpus_persist",
            "dedup_index_lifecycle", "dedup_winnow_lifecycle",
            "sim_pq_lifecycle", "sim_ivf_lifecycle",
-           "dedup_ingest_chain", "text_rarity_incremental")
+           "dedup_ingest_chain", "text_rarity_incremental",
+           "q_admission_pipeline")
 
 con = duckdb.connect()
 con.execute("SET threads=32")
