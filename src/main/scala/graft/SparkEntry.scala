@@ -1300,10 +1300,22 @@ object SparkEntry {
          |           AS passed_rarity,
          |         b.doc_id NOT IN (SELECT doc_id FROM nd) AS passed_neardup
          |  FROM documents b LEFT JOIN rar r USING (doc_id)
-         |  WHERE b.doc_id % 10 = 3 AND b.doc_id % ${Dedup.EvalStride} <> 0)
+         |  WHERE b.doc_id % 10 = 3 AND b.doc_id % ${Dedup.EvalStride} <> 0),
+         |adm AS (SELECT doc_id FROM f
+         |        WHERE passed_decontam AND passed_rarity AND passed_neardup),
+         |mhc AS (SELECT count(*) AS n FROM shf
+         |        WHERE doc_id % ${Dedup.EvalStride} <> 0
+         |        AND (doc_id % 10 <> 3
+         |             OR doc_id IN (SELECT doc_id FROM adm))),
+         |tsc AS (SELECT count(*) AS n FROM toks
+         |        WHERE len(t) > 0 AND doc_id % ${Dedup.EvalStride} <> 0
+         |        AND (doc_id % 10 <> 3
+         |             OR doc_id IN (SELECT doc_id FROM adm)))
          |SELECT doc_id, passed_decontam, passed_rarity, passed_neardup,
          |       (passed_decontam AND passed_rarity AND passed_neardup)
-         |         AS admitted
+         |         AS admitted,
+         |       (SELECT n FROM mhc) AS mh_docs,
+         |       (SELECT n FROM tsc) AS stats_docs
          |FROM f ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       s"""WITH toks AS (

@@ -67,15 +67,12 @@ object Admission {
         () => MinhashIndex.build(landed, mhIdx),
         () => TermStatsIndex.build(landed, tsIdx))
 
-      var contaminated: DataFrame = null
-      var rarity: DataFrame = null
-      var nearDup: DataFrame = null
-      IndexStore.inParallel(
-        () => contaminated = DecontamIndex.query(spark, decIdx, batch)
+      val Seq(contaminated, rarity, nearDup) = IndexStore.inParallel(
+        () => DecontamIndex.query(spark, decIdx, batch)
           .filter(col("contaminated")).select(col("doc_id")),
-        () => rarity = TermStatsIndex.query(spark, tsIdx, batch)
+        () => TermStatsIndex.query(spark, tsIdx, batch)
           .select(col("doc_id"), col("rarity")),
-        () => nearDup = MinhashIndex.query(spark, mhIdx, batch)
+        () => MinhashIndex.query(spark, mhIdx, batch)
           .select(col("left_id").as("doc_id")).distinct())
 
       val flags = batch.select(col("doc_id"))
@@ -101,7 +98,17 @@ object Admission {
       IndexStore.inParallel(
         () => MinhashIndex.merge(survivors, mhIdx),
         () => TermStatsIndex.merge(survivors, tsIdx))
-      Scratch.materializeAndClean(root, log.orderBy("doc_id"))
+      // gate the merges by POST-MERGE state readback, not just by
+      // having run them: the committed doc populations of both grown
+      // indexes ride the log as constant columns and the oracle
+      // restates them from the admitted set — a merge that dropped,
+      // duplicated, or mis-batched survivors shifts the counts
+      val Seq(mhDocs, statsDocs) = IndexStore.inParallel(
+        () => MinhashIndex.shingleDocCount(spark, mhIdx),
+        () => TermStatsIndex.docCount(spark, tsIdx))
+      Scratch.materializeAndClean(root, log.orderBy("doc_id")
+        .withColumn("mh_docs", lit(mhDocs))
+        .withColumn("stats_docs", lit(statsDocs)))
     } catch {
       case e: Throwable => Scratch.rm(new java.io.File(root)); throw e
     }

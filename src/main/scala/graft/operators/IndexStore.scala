@@ -94,6 +94,83 @@ private[graft] object IndexStore {
       .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
   }
 
+  /** Sorted committed generation ids (markers `g<G>`). */
+  def committedGens(spark: SparkSession, root: String): Seq[Long] = {
+    val (hfs, p) = fs(spark, root)
+    markedIds(hfs, p, "g").sorted
+  }
+
+  /** The newest committed id of marker family `prefix`, failing loudly
+    * when none is committed — a crashed build must never probe
+    * half-written artifacts. */
+  def requireVersion(spark: SparkSession, root: String, prefix: String,
+                     what: String): Long = {
+    val (hfs, p) = fs(spark, root)
+    val vs = markedIds(hfs, p, prefix)
+    require(vs.nonEmpty,
+      s"no committed $what under $root — interrupted build? re-run build")
+    vs.max
+  }
+
+  /** True when batch fingerprint `fp` rides inside ANY committed
+    * generation marker. Retry detection must scan every generation, not
+    * just the newest: an at-least-once orchestrator can re-deliver an
+    * OLD batch after newer ones landed, and re-committing it would
+    * silently double-count its rows in every subsequent query. */
+  def generationCommitted(spark: SparkSession, root: String,
+                          fp: String): Boolean = {
+    val (hfs, p) = fs(spark, root)
+    markedIds(hfs, p, "g")
+      .exists(g => markContent(hfs, p, s"g$g").contains(fp))
+  }
+
+  /** Order-independent 64-bit digest of a batch's (id, payload) rows
+    * plus its row count — the [[generationCommitted]] retry token.
+    * `bit_xor`, not `sum`: order-independent AND overflow-free under
+    * ANSI mode. */
+  def batchFingerprint(df: org.apache.spark.sql.DataFrame,
+                       idCol: String, payloadCol: String): String = {
+    import org.apache.spark.sql.functions._
+    val r = df.select(
+      count(lit(1)).as("n"),
+      expr(s"bit_xor(xxhash64($idCol, $payloadCol))").as("h")).head()
+    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+  }
+
+  /** Physical `gen=` partition dirs under `dir` — 1 right after build
+    * or compact (the common serving state), one per landed batch
+    * between maintenance passes. NOT `committedGens.size`: compact
+    * folds the data but keeps the generation markers (they carry the
+    * retry fingerprints), so only the store layout says whether a
+    * query-time re-fold over merged generations is still needed. */
+  def physicalGens(spark: SparkSession, dir: String): Int = {
+    val (hfs, p) = fs(spark, dir)
+    if (!hfs.exists(p)) 0
+    else hfs.listStatus(p).count(_.getPath.getName.startsWith("gen="))
+  }
+
+  /** Retire superseded version trees of marker family `prefix` (tree
+    * dir name == marker name, e.g. `store.v3`): unmark everything older
+    * than `graceV` — the immediately-previous version is KEPT as a
+    * grace copy for readers that resolved it just before the publish —
+    * then sweep EVERY unmarked version tree, not just the ones just
+    * unmarked (a crash between a past retire's unmark and delete leaves
+    * an orphan tree no later explicit delete would target). */
+  def retireVersions(spark: SparkSession, root: String, prefix: String,
+                     graceV: Long): Unit = {
+    val (hfs, p) = fs(spark, root)
+    markedIds(hfs, p, prefix).filter(_ < graceV)
+      .foreach(v => unmark(hfs, p, s"$prefix$v"))
+    val live = markedIds(hfs, p, prefix).toSet
+    hfs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      val orphan = n.startsWith(prefix) &&
+        scala.util.Try(n.stripPrefix(prefix).toLong).toOption
+          .exists(v => !live.contains(v))
+      if (orphan) deleteTree(hfs, st.getPath)
+    }
+  }
+
   def deleteTree(hfs: FileSystem, p: Path): Unit = {
     hfs.delete(p, true)
     ()
@@ -112,19 +189,21 @@ private[graft] object IndexStore {
       hfs.makeQualified(p).toString, new Object).synchronized(body)
   }
 
-  /** Submit independent Spark actions concurrently and wait for all —
-    * the index artifacts written inside one commit step (counts +
-    * postings, codes + norms, …) have no mutual dependency, so a step
-    * costs max(job) instead of sum(job). Failures propagate after every
-    * job settles, so no write is left running past the call. */
-  def inParallel(actions: (() => Unit)*): Unit = {
+  /** Submit independent Spark actions concurrently, wait for all, and
+    * return their results in call order — the index artifacts written
+    * (or gate frames computed) inside one step have no mutual
+    * dependency, so the step costs max(job) instead of sum(job).
+    * Failures propagate only after every job settles, so no work is
+    * left running past the call. */
+  def inParallel[T](actions: (() => T)*): Seq[T] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val fs = actions.map(a => Future(a()))
     val settled = Future.traverse(fs)(f =>
-      f.map(Right(_): Either[Throwable, Unit]).recover { case t => Left(t) })
-    Await.result(settled, Duration.Inf).collectFirst { case Left(t) => t }
-      .foreach(throw _)
+      f.map(Right(_): Either[Throwable, T]).recover { case t => Left(t) })
+    val results = Await.result(settled, Duration.Inf)
+    results.collectFirst { case Left(t) => t }.foreach(throw _)
+    results.collect { case Right(v) => v }
   }
 }

@@ -64,19 +64,11 @@ object IvfIndex {
   private def centroidsDir(root: String, v: Long) =
     s"$root/centroids.v$v.parquet"
 
-  private def committedGens(spark: SparkSession, root: String): Seq[Long] = {
-    val (hfs, p) = IndexStore.fs(spark, root)
-    IndexStore.markedIds(hfs, p, "g").sorted
-  }
+  private def committedGens(spark: SparkSession, root: String): Seq[Long] =
+    IndexStore.committedGens(spark, root)
 
-  private def centroidVersion(spark: SparkSession, root: String): Long = {
-    val (hfs, p) = IndexStore.fs(spark, root)
-    val vs = IndexStore.markedIds(hfs, p, "centroids.v")
-    require(vs.nonEmpty,
-      s"no committed IVF centroids under $root — interrupted build? " +
-        "re-run build")
-    vs.max
-  }
+  private def centroidVersion(spark: SparkSession, root: String): Long =
+    IndexStore.requireVersion(spark, root, "centroids.v", "IVF centroids")
 
   /** Build the index from `vecs` (vec_id, label, v double[]):
     * per-label centroids + the batch re-written partitioned by cell
@@ -125,24 +117,15 @@ object IvfIndex {
       val gens = committedGens(spark, indexPath)
       require(gens.nonEmpty,
         s"no committed IVF index under $indexPath — run build first")
-      val fp = batchFingerprint(vecs)
+      val fp = IndexStore.batchFingerprint(vecs, "vec_id", "v")
       val (hfs, p) = IndexStore.fs(spark, indexPath)
-      val alreadyCommitted =
-        IndexStore.markContent(hfs, p, s"g${gens.max}").contains(fp)
-      if (!alreadyCommitted) {
+      if (!IndexStore.generationCommitted(spark, indexPath, fp)) {
         val g = gens.max + 1
         writeCells(vecs.select(col("vec_id"),
           col("label").cast("long"), col("v")), indexPath, g)
         IndexStore.mark(hfs, p, s"g$g", fp)
       }
     }
-
-  private def batchFingerprint(vecs: DataFrame): String = {
-    val r = vecs.select(
-      count(lit(1)).as("n"),
-      expr("bit_xor(xxhash64(vec_id, v))").as("h")).head()
-    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
-  }
 
   /** Maintenance: sweep orphan generation dirs left by crashed,
     * never-retried merges. */
@@ -207,12 +190,14 @@ object IvfIndex {
       centroidsDir(indexPath, centroidVersion(spark, indexPath)))
       .as[(Long, Array[Double])].collect()
     val cells = readCells(spark, indexPath)
+    // limit BEFORE collect: the cap must bound driver memory, not just
+    // report the overflow after the whole block already landed
     val qRows = cells.filter(col("vec_id") % Similarity.QueryStride === 0)
       .select(col("vec_id"), col("v"))
+      .limit(Similarity.MaxQueryBlock + 1)
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     require(qRows.length <= Similarity.MaxQueryBlock,
-      s"IVF query block has ${qRows.length} vectors" +
-        s" (cap ${Similarity.MaxQueryBlock})")
+      s"IVF query block exceeds the cap (${Similarity.MaxQueryBlock})")
     val probeRows = qRows.toSeq.flatMap { case (qId, qv) =>
       cent.map { case (label, cv) =>
           (label, VectorOps.roundAt(VectorOps.dist2(qv, cv), 6))

@@ -68,18 +68,11 @@ object MinhashIndex {
 
   private def bandsDir(root: String, v: Long) = s"$root/bands.v$v"
 
-  private def committedGens(spark: SparkSession, root: String): Seq[Long] = {
-    val (hfs, p) = IndexStore.fs(spark, root)
-    IndexStore.markedIds(hfs, p, "g").sorted
-  }
+  private def committedGens(spark: SparkSession, root: String): Seq[Long] =
+    IndexStore.committedGens(spark, root)
 
-  private def bandVersion(spark: SparkSession, root: String): Long = {
-    val (hfs, p) = IndexStore.fs(spark, root)
-    val vs = IndexStore.markedIds(hfs, p, "bands.v")
-    require(vs.nonEmpty,
-      s"no committed band table under $root — interrupted build? re-run build")
-    vs.max
-  }
+  private def bandVersion(spark: SparkSession, root: String): Long =
+    IndexStore.requireVersion(spark, root, "bands.v", "band table")
 
   /** Band `corpus` (doc_id, text) and write the index, replacing any
     * prior index at `indexPath`. The resident cap runs at build time:
@@ -116,39 +109,26 @@ object MinhashIndex {
     * id (the marker is absent) and overwrites the orphans wholesale.
     * Crash AFTER the marker but before the orchestrator records
     * success: the at-least-once retry is detected by the batch
-    * fingerprint stored inside the newest generation's marker and
-    * becomes a no-op — without it the retry would commit the same
-    * batch twice and the duplicate rows would crowd genuine residents
-    * out of the cap window. */
+    * fingerprint stored inside the generation markers — ANY of them,
+    * not just the newest, since a delayed retry can arrive after newer
+    * batches landed — and becomes a no-op. Without it the retry would
+    * commit the same batch twice: the duplicate band rows would crowd
+    * genuine residents out of the cap window AND inflate the
+    * shared-bucket counts every query aggregates. */
   def merge(admitted: DataFrame, indexPath: String): Unit =
     IndexStore.withLock(admitted.sparkSession, indexPath) {
       val spark = admitted.sparkSession
       val gens = committedGens(spark, indexPath)
       require(gens.nonEmpty,
         s"no committed index under $indexPath — run build first")
-      val fp = batchFingerprint(admitted)
-      val (hfs, p) = IndexStore.fs(spark, indexPath)
-      val alreadyCommitted =
-        IndexStore.markContent(hfs, p, s"g${gens.max}").contains(fp)
-      if (!alreadyCommitted) {
+      val fp = IndexStore.batchFingerprint(admitted, "doc_id", "text")
+      if (!IndexStore.generationCommitted(spark, indexPath, fp)) {
         val g = gens.max + 1
         writeGeneration(admitted, indexPath, g,
           bandVersion(spark, indexPath))
         commitGeneration(spark, indexPath, g, fp)
       }
     }
-
-  /** Order-independent 64-bit digest of a batch's (doc_id, text) rows
-    * plus its row count — one narrow pass over the (small) batch. Used
-    * to make [[merge]] retries idempotent across the commit marker.
-    * `bit_xor`, not `sum`: order-independent AND overflow-free under
-    * ANSI mode. */
-  private def batchFingerprint(docs: DataFrame): String = {
-    val r = docs.select(
-      count(lit(1)).as("n"),
-      expr("bit_xor(xxhash64(doc_id, text))").as("h")).head()
-    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
-  }
 
   /** Write generation `gen`'s shingle and band dirs under band version
     * `v` — NOT visible to any reader until [[commitGeneration]]
@@ -254,19 +234,7 @@ object MinhashIndex {
   private[graft] def retireCompacted(spark: SparkSession, indexPath: String,
                                      oldV: Long): Unit = {
     val (hfs, p) = IndexStore.fs(spark, indexPath)
-    IndexStore.markedIds(hfs, p, "bands.v").filter(_ < oldV)
-      .foreach(v => IndexStore.unmark(hfs, p, s"bands.v$v"))
-    // sweep EVERY unmarked band version tree, not just the ones just
-    // unmarked: a crash between a past retire's unmark and delete
-    // leaves an orphan tree no later explicit delete would ever target
-    val live = IndexStore.markedIds(hfs, p, "bands.v").toSet
-    hfs.listStatus(p).foreach { st =>
-      val n = st.getPath.getName
-      val orphanV = n.startsWith("bands.v") &&
-        scala.util.Try(n.stripPrefix("bands.v").toLong).toOption
-          .exists(v => !live.contains(v))
-      if (orphanV) IndexStore.deleteTree(hfs, st.getPath)
-    }
+    IndexStore.retireVersions(spark, indexPath, "bands.v", oldV)
     val gens = committedGens(spark, indexPath).toSet
     val shRoot = new Path(s"$indexPath/shingles")
     if (hfs.exists(shRoot))
@@ -298,19 +266,20 @@ object MinhashIndex {
       .select(col("doc_id"), col("sh"))
   }
 
-  /** Physical gen= partitions in version `v`'s band table — 1 right
-    * after build or compact, one per landed batch between maintenance
-    * passes. NOT `committedGens.size`: compact folds the data but keeps
-    * the generation markers (they carry retry fingerprints), so only
-    * the store layout says whether the re-cap over merged buckets is
-    * still needed. */
+  /** Physical gen= partitions in version `v`'s band table — see
+    * [[IndexStore.physicalGens]] for why this is NOT
+    * `committedGens.size`. */
   private def physicalGens(spark: SparkSession, indexPath: String,
-                           v: Long): Int = {
-    val (hfs, _) = IndexStore.fs(spark, indexPath)
-    val d = new Path(bandsDir(indexPath, v))
-    if (!hfs.exists(d)) 0
-    else hfs.listStatus(d).count(_.getPath.getName.startsWith("gen="))
-  }
+                           v: Long): Int =
+    IndexStore.physicalGens(spark, bandsDir(indexPath, v))
+
+  /** Count of docs in the committed shingle table (one row per indexed
+    * doc with ≥ 1 shingle — uncapped, unlike the band table) — the
+    * post-merge readback [[Admission]] gates its merge step with. */
+  private[graft] def shingleDocCount(spark: SparkSession,
+                                     indexPath: String): Long =
+    readShingles(spark, indexPath, committedGens(spark, indexPath))
+      .select(countDistinct(col("doc_id"))).head().getLong(0)
 
   /** The index's current committed band table — spec helper. */
   private[graft] def bandTable(spark: SparkSession,

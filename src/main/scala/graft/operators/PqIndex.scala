@@ -68,19 +68,11 @@ object PqIndex {
   private def codebooksDir(root: String, v: Long) =
     s"$root/codebooks.v$v.parquet"
 
-  private def committedGens(spark: SparkSession, root: String): Seq[Long] = {
-    val (hfs, p) = IndexStore.fs(spark, root)
-    IndexStore.markedIds(hfs, p, "g").sorted
-  }
+  private def committedGens(spark: SparkSession, root: String): Seq[Long] =
+    IndexStore.committedGens(spark, root)
 
-  private def codebookVersion(spark: SparkSession, root: String): Long = {
-    val (hfs, p) = IndexStore.fs(spark, root)
-    val vs = IndexStore.markedIds(hfs, p, "codebooks.v")
-    require(vs.nonEmpty,
-      s"no committed PQ codebooks under $root — interrupted build? " +
-        "re-run build")
-    vs.max
-  }
+  private def codebookVersion(spark: SparkSession, root: String): Long =
+    IndexStore.requireVersion(spark, root, "codebooks.v", "PQ codebooks")
 
   /** Train codebooks over `vecs` (vec_id, v double[]) and write
     * codebooks + packed codes, replacing any prior index at
@@ -135,26 +127,15 @@ object PqIndex {
       val gens = committedGens(spark, indexPath)
       require(gens.nonEmpty,
         s"no committed PQ index under $indexPath — run build first")
-      val fp = batchFingerprint(vecs)
+      val fp = IndexStore.batchFingerprint(vecs, "vec_id", "v")
       val (hfs, p) = IndexStore.fs(spark, indexPath)
-      val alreadyCommitted =
-        IndexStore.markContent(hfs, p, s"g${gens.max}").contains(fp)
-      if (!alreadyCommitted) {
+      if (!IndexStore.generationCommitted(spark, indexPath, fp)) {
         val g = gens.max + 1
         writeCodes(Similarity.normalizedFrom(vecs),
           loadCodebooks(spark, indexPath), indexPath, g)
         IndexStore.mark(hfs, p, s"g$g", fp)
       }
     }
-
-  /** Order-independent 64-bit digest of a batch's (vec_id, v) rows plus
-    * its row count — [[merge]] retry idempotency across the marker. */
-  private def batchFingerprint(vecs: DataFrame): String = {
-    val r = vecs.select(
-      count(lit(1)).as("n"),
-      expr("bit_xor(xxhash64(vec_id, v))").as("h")).head()
-    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
-  }
 
   /** Maintenance: sweep orphan generation dirs left by crashed,
     * never-retried merges (committed generations are untouched —
@@ -278,11 +259,13 @@ object PqIndex {
     val cents = loadCodebooks(spark, indexPath)
     val nCents = cents(0).length
     val normed = Similarity.normalized(spark, dir)
+    // limit BEFORE collect: the cap must bound driver memory, not just
+    // report the overflow after the whole block already landed
     val qRows = normed.filter(_._1 % Similarity.QueryStride == 0)
+      .limit(Similarity.MaxQueryBlock + 1)
       .collect().sortBy(_._1)
     require(qRows.length <= Similarity.MaxQueryBlock,
-      s"PQ query block has ${qRows.length} vectors" +
-        s" (cap ${Similarity.MaxQueryBlock})")
+      s"PQ query block exceeds the cap (${Similarity.MaxQueryBlock})")
     val adcT: Array[Array[Array[Long]]] = qRows.map { case (_, qv) =>
       Array.tabulate(m0, nCents) { (m, c) =>
         math.floor(VectorOps.dist2(

@@ -114,9 +114,11 @@ object Similarity {
                      maxQueries: Int = MaxQueryBlock): DataFrame = {
     import spark.implicits._
     val normed = normalized(spark, dir)
-    val qRows = normed.filter(_._1 % QueryStride == 0).collect().sortBy(_._1)
+    // limit BEFORE collect: the cap must bound driver memory
+    val qRows = normed.filter(_._1 % QueryStride == 0)
+      .limit(maxQueries + 1).collect().sortBy(_._1)
     require(qRows.length <= maxQueries,
-      s"brute-force query block has ${qRows.length} vectors (cap $maxQueries);" +
+      s"brute-force query block exceeds the cap ($maxQueries);" +
         " an unbounded query side needs the tiled similarity join instead")
     val qBlock = spark.sparkContext.broadcast(qRows)
     val k = K
@@ -221,11 +223,13 @@ object Similarity {
     val cents = typed.groupByKey(_._2).mapValues(_._3)
       .agg(new VectorOps.VecMean(Dims).toColumn.name("cv"))
       .collect().sortBy(_._1)
-    // job 2: the bounded query block
+    // job 2: the bounded query block — limit BEFORE collect so the cap
+    // bounds driver memory, not just reports the overflow afterwards
     val qRows = typed.filter(_._1 % QueryStride == 0)
-      .map { case (id, _, v) => (id, v) }.collect().sortBy(_._1)
+      .map { case (id, _, v) => (id, v) }
+      .limit(MaxQueryBlock + 1).collect().sortBy(_._1)
     require(qRows.length <= MaxQueryBlock,
-      s"IVF query block has ${qRows.length} vectors (cap $MaxQueryBlock)")
+      s"IVF query block exceeds the cap ($MaxQueryBlock)")
     // driver probe selection, same ordering the window form produced:
     // ascending (round6(d2), label), first NProbe cells per query —
     // then inverted to cell → probing queries for the scan pass
@@ -379,9 +383,11 @@ object Similarity {
     import spark.implicits._
     val cents = pqCodebooks(spark, dir)
     val normed = normalized(spark, dir)
-    val qRows = normed.filter(_._1 % QueryStride == 0).collect().sortBy(_._1)
+    // limit BEFORE collect: the cap must bound driver memory
+    val qRows = normed.filter(_._1 % QueryStride == 0)
+      .limit(MaxQueryBlock + 1).collect().sortBy(_._1)
     require(qRows.length <= MaxQueryBlock,
-      s"PQ query block has ${qRows.length} vectors (cap $MaxQueryBlock)")
+      s"PQ query block exceeds the cap ($MaxQueryBlock)")
     val m0 = PqM
     val sd = PqSubDim
     // ADC tables: adcT(qi)(m)(cid) = floor(d²(q_sub, centroid)·10⁶)

@@ -55,19 +55,11 @@ object TermStatsIndex {
 
   private def storeDir(root: String, v: Long) = s"$root/store.v$v"
 
-  private def committedGens(spark: SparkSession, root: String): Seq[Long] = {
-    val (hfs, p) = IndexStore.fs(spark, root)
-    IndexStore.markedIds(hfs, p, "g").sorted
-  }
+  private def committedGens(spark: SparkSession, root: String): Seq[Long] =
+    IndexStore.committedGens(spark, root)
 
-  private def storeVersion(spark: SparkSession, root: String): Long = {
-    val (hfs, p) = IndexStore.fs(spark, root)
-    val vs = IndexStore.markedIds(hfs, p, "store.v")
-    require(vs.nonEmpty,
-      s"no committed term-stats store under $root — interrupted build? " +
-        "re-run build")
-    vs.max
-  }
+  private def storeVersion(spark: SparkSession, root: String): Long =
+    IndexStore.requireVersion(spark, root, "store.v", "term-stats store")
 
   /** Tokenize `corpus` (doc_id, text) and write the index, replacing any
     * prior index at `indexPath`. The only corpus-wide shuffle in the
@@ -85,32 +77,25 @@ object TermStatsIndex {
   /** Admit a new batch: one generation holding its per-term df and its
     * doc count, published by a single marker. Crash before the marker →
     * invisible orphans, retry overwrites; retry AFTER the marker →
-    * detected by the fingerprint in the marker, no-op (same discipline
-    * as the other indexes). */
+    * detected by the fingerprint riding in ANY generation marker (a
+    * delayed retry of an OLD batch after newer ones landed would
+    * otherwise double-count its df rows — the silent-corruption case
+    * exact integer statistics can least afford), no-op. */
   def merge(admitted: DataFrame, indexPath: String): Unit =
     IndexStore.withLock(admitted.sparkSession, indexPath) {
       val spark = admitted.sparkSession
       val gens = committedGens(spark, indexPath)
       require(gens.nonEmpty,
         s"no committed index under $indexPath — run build first")
-      val fp = batchFingerprint(admitted)
+      val fp = IndexStore.batchFingerprint(admitted, "doc_id", "text")
       val (hfs, p) = IndexStore.fs(spark, indexPath)
-      val alreadyCommitted =
-        IndexStore.markContent(hfs, p, s"g${gens.max}").contains(fp)
-      if (!alreadyCommitted) {
+      if (!IndexStore.generationCommitted(spark, indexPath, fp)) {
         val g = gens.max + 1
         writeGeneration(admitted, indexPath, g,
           storeVersion(spark, indexPath))
         IndexStore.mark(hfs, p, s"g$g", fp)
       }
     }
-
-  private def batchFingerprint(docs: DataFrame): String = {
-    val r = docs.select(
-      count(lit(1)).as("n"),
-      expr("bit_xor(xxhash64(doc_id, text))").as("h")).head()
-    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
-  }
 
   /** Write generation `gen` under store version `v` — invisible until
     * its marker lands. One tokenize pass feeds both artifacts (cached),
@@ -161,18 +146,9 @@ object TermStatsIndex {
           .write.mode("overwrite")
           .parquet(s"${storeDir(indexPath, v + 1)}/meta/gen=$folded"))
       IndexStore.mark(hfs, p, s"store.v${v + 1}")
-      // retire: unmark everything older than the grace version, then
-      // sweep every unmarked store tree (self-heals crashed retires)
-      IndexStore.markedIds(hfs, p, "store.v").filter(_ < v)
-        .foreach(w => IndexStore.unmark(hfs, p, s"store.v$w"))
-      val live = IndexStore.markedIds(hfs, p, "store.v").toSet
-      hfs.listStatus(p).foreach { st =>
-        val n = st.getPath.getName
-        val orphan = n.startsWith("store.v") &&
-          scala.util.Try(n.stripPrefix("store.v").toLong).toOption
-            .exists(w => !live.contains(w))
-        if (orphan) IndexStore.deleteTree(hfs, st.getPath)
-      }
+      // retire with one grace version; sweeps every unmarked store tree
+      // (self-heals crashed retires)
+      IndexStore.retireVersions(spark, indexPath, "store.v", v)
     }
 
   private def readStats(spark: SparkSession, indexPath: String, v: Long,

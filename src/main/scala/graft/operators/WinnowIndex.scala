@@ -55,18 +55,11 @@ object WinnowIndex {
 
   private def storeDir(root: String, v: Long) = s"$root/store.v$v"
 
-  private def committedGens(spark: SparkSession, root: String): Seq[Long] = {
-    val (hfs, p) = IndexStore.fs(spark, root)
-    IndexStore.markedIds(hfs, p, "g").sorted
-  }
+  private def committedGens(spark: SparkSession, root: String): Seq[Long] =
+    IndexStore.committedGens(spark, root)
 
-  private def storeVersion(spark: SparkSession, root: String): Long = {
-    val (hfs, p) = IndexStore.fs(spark, root)
-    val vs = IndexStore.markedIds(hfs, p, "store.v")
-    require(vs.nonEmpty,
-      s"no committed winnow store under $root — interrupted build? re-run build")
-    vs.max
-  }
+  private def storeVersion(spark: SparkSession, root: String): Long =
+    IndexStore.requireVersion(spark, root, "store.v", "winnow store")
 
   /** The cap window: keep the HotGroupCap smallest right ids per fp. */
   private def capFp(postings: DataFrame): DataFrame = {
@@ -94,32 +87,25 @@ object WinnowIndex {
   /** Admit a new batch: one generation holding its batch-capped
     * postings and its full batch counts, published by a single marker.
     * Crash before the marker → invisible orphans, retry overwrites;
-    * retry AFTER the marker → detected by the fingerprint in the
-    * marker, no-op (same discipline as [[MinhashIndex.merge]]). */
+    * retry AFTER the marker → detected by the fingerprint riding in ANY
+    * generation marker (not just the newest: an at-least-once
+    * orchestrator can re-deliver an old batch after newer ones landed),
+    * no-op. Same discipline as [[MinhashIndex.merge]]. */
   def merge(admitted: DataFrame, indexPath: String): Unit =
     IndexStore.withLock(admitted.sparkSession, indexPath) {
       val spark = admitted.sparkSession
       val gens = committedGens(spark, indexPath)
       require(gens.nonEmpty,
         s"no committed index under $indexPath — run build first")
-      val fp = batchFingerprint(admitted)
+      val fp = IndexStore.batchFingerprint(admitted, "doc_id", "text")
       val (hfs, p) = IndexStore.fs(spark, indexPath)
-      val alreadyCommitted =
-        IndexStore.markContent(hfs, p, s"g${gens.max}").contains(fp)
-      if (!alreadyCommitted) {
+      if (!IndexStore.generationCommitted(spark, indexPath, fp)) {
         val g = gens.max + 1
         writeGeneration(admitted, indexPath, g,
           storeVersion(spark, indexPath))
         IndexStore.mark(hfs, p, s"g$g", fp)
       }
     }
-
-  private def batchFingerprint(docs: DataFrame): String = {
-    val r = docs.select(
-      count(lit(1)).as("n"),
-      expr("bit_xor(xxhash64(doc_id, text))").as("h")).head()
-    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}"
-  }
 
   /** Write generation `gen` under store version `v` — invisible until
     * its marker lands. The two artifacts are independent jobs over the
@@ -173,18 +159,9 @@ object WinnowIndex {
           .write.mode("overwrite")
           .parquet(s"${storeDir(indexPath, v + 1)}/postings/gen=$folded"))
       IndexStore.mark(hfs, p, s"store.v${v + 1}")
-      // retire: unmark everything older than the grace version, then
-      // sweep every unmarked store tree (self-heals crashed retires)
-      IndexStore.markedIds(hfs, p, "store.v").filter(_ < v)
-        .foreach(w => IndexStore.unmark(hfs, p, s"store.v$w"))
-      val live = IndexStore.markedIds(hfs, p, "store.v").toSet
-      hfs.listStatus(p).foreach { st =>
-        val n = st.getPath.getName
-        val orphan = n.startsWith("store.v") &&
-          scala.util.Try(n.stripPrefix("store.v").toLong).toOption
-            .exists(w => !live.contains(w))
-        if (orphan) IndexStore.deleteTree(hfs, st.getPath)
-      }
+      // retire with one grace version; sweeps every unmarked store tree
+      // (self-heals crashed retires)
+      IndexStore.retireVersions(spark, indexPath, "store.v", v)
     }
 
   private def readPostings(spark: SparkSession, indexPath: String, v: Long,
@@ -255,19 +232,12 @@ object WinnowIndex {
     }
   }
 
-  /** Physical gen= partitions in version `v`'s postings tree — 1 right
-    * after build or compact, one per landed batch between maintenance
-    * passes. Note this is NOT `committedGens.size`: compact folds the
-    * data but keeps the generation markers (they carry the retry
-    * fingerprints), so only the store layout says whether a re-cap over
-    * merged lists is still needed. */
+  /** Physical gen= partitions in version `v`'s postings tree — see
+    * [[IndexStore.physicalGens]] for why this is NOT
+    * `committedGens.size`. */
   private def physicalGens(spark: SparkSession, indexPath: String,
-                           v: Long): Int = {
-    val (hfs, _) = IndexStore.fs(spark, indexPath)
-    val d = new Path(s"${storeDir(indexPath, v)}/postings")
-    if (!hfs.exists(d)) 0
-    else hfs.listStatus(d).count(_.getPath.getName.startsWith("gen="))
-  }
+                           v: Long): Int =
+    IndexStore.physicalGens(spark, s"${storeDir(indexPath, v)}/postings")
 
   /** The candidate frame before aggregation — the plan the spec
     * inspects for the no-corpus-shuffle guarantee. */

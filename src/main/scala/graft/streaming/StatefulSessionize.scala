@@ -155,7 +155,12 @@ object StatefulSessionize {
           .foreach { case (f, j) =>
             val dest = new java.io.File(srcDir, s"shard-$i-$j.parquet")
             java.nio.file.Files.move(f.toPath, dest.toPath)
-            dest.setLastModified(base + i * 1000L)
+            // the whole staging rewrite rests on ordered mtimes — a
+            // filesystem that refuses utimes must fail loudly, not
+            // let same-mtime shards arrive in arbitrary order
+            require(dest.setLastModified(base + i * 1000L),
+              s"cannot set mtime on $dest — ordered shard arrival " +
+                "needs distinct mtimes")
           }
       }
       val srcSchema = StructType(Seq(

@@ -244,6 +244,43 @@ class IndexDurabilitySpec extends AnyFunSuite {
     } finally Scratch.rm(new java.io.File(root))
   }
 
+  test("a DELAYED duplicate merge — after newer batches landed — is still a no-op") {
+    import graft.operators.TermStatsIndex
+    val docs = docsOf(sf0001)
+    val inc = docs.filter(col("doc_id") % 10 === 3)
+    val a = docs.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 3 === 0)
+    val b = docs.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 3 === 1)
+    val c = docs.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 3 === 2)
+    val mh = Files.createTempDirectory("graft-dur-late-mh").toString
+    val ts = Files.createTempDirectory("graft-dur-late-ts").toString
+    try {
+      // at-least-once re-delivery of batch b AFTER batch c landed: the
+      // fingerprint rides in g1's marker, not the newest — scanning only
+      // the newest marker would re-commit b and double-count it
+      MinhashIndex.build(a, s"$mh/idx")
+      MinhashIndex.merge(b, s"$mh/idx")
+      MinhashIndex.merge(c, s"$mh/idx")
+      val nBands = MinhashIndex.bandTable(spark, s"$mh/idx").count()
+      val before = rows(MinhashIndex.query(spark, s"$mh/idx", inc))
+      MinhashIndex.merge(b, s"$mh/idx")
+      assert(MinhashIndex.bandTable(spark, s"$mh/idx").count() == nBands,
+        "delayed duplicate merge committed the batch twice")
+      assert(rows(MinhashIndex.query(spark, s"$mh/idx", inc)) == before)
+
+      TermStatsIndex.build(a, s"$ts/idx")
+      TermStatsIndex.merge(b, s"$ts/idx")
+      TermStatsIndex.merge(c, s"$ts/idx")
+      val nDocs = TermStatsIndex.docCount(spark, s"$ts/idx")
+      val scores = rows(TermStatsIndex.query(spark, s"$ts/idx", inc))
+      TermStatsIndex.merge(b, s"$ts/idx")
+      assert(TermStatsIndex.docCount(spark, s"$ts/idx") == nDocs,
+        "delayed duplicate merge double-counted the batch's doc stats")
+      assert(rows(TermStatsIndex.query(spark, s"$ts/idx", inc)) == scores)
+    } finally {
+      Scratch.rm(new java.io.File(mh)); Scratch.rm(new java.io.File(ts))
+    }
+  }
+
   test("racing writers with mixed path spellings share one monitor") {
     val docs = docsOf(sf0001)
     val inc = docs.filter(col("doc_id") % 10 === 3)
