@@ -94,7 +94,19 @@ private[graft] object IndexStore {
       .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong).toOption)
   }
 
-  /** Sorted committed generation ids (markers `g<G>`). */
+  /** Sorted committed generation ids (markers `g<G>`).
+    *
+    * DENSITY INVARIANT: generation ids are always assigned as
+    * `committedGens.max + 1` and a crashed merge's orphan is retried at
+    * the SAME id (its dirs are overwritten wholesale), so the committed
+    * ids are exactly `0..max` with no holes, and the only id a physical
+    * orphan dir can carry is `max + 1`. Readers therefore prune
+    * uncommitted (crashed) dirs with the O(1) range predicate
+    * `gen <= max` instead of an `isin` literal list that would grow by
+    * one literal per merged batch forever (a daily-ingest index holds
+    * thousands of generations after a few years — the markers
+    * themselves are tiny files, but a thousand-literal IN predicate in
+    * every query plan is not). */
   def committedGens(spark: SparkSession, root: String): Seq[Long] = {
     val (hfs, p) = fs(spark, root)
     markedIds(hfs, p, "g").sorted

@@ -160,7 +160,7 @@ object IvfIndex {
       .filter(col("label").isin(probedLabels: _*))
 
   /** Committed cell rows of every generation: partition pruning on the
-    * committed-generation list keeps uncommitted (crashed) dirs out of
+    * committed-generation range (gen <= max, exact by the density invariant — see [[IndexStore.committedGens]]) keeps uncommitted (crashed) dirs out of
     * the scan entirely. */
   private def readCells(spark: SparkSession, indexPath: String): DataFrame = {
     val gens = committedGens(spark, indexPath)
@@ -168,7 +168,7 @@ object IvfIndex {
       s"no committed IVF index under $indexPath — run build first")
     val dir = s"$indexPath/cells"
     spark.read.schema(CellsSchema).option("basePath", dir).parquet(dir)
-      .filter(col("gen").isin(gens: _*))
+      .filter(col("gen") <= gens.max)
       .select(col("vec_id"), col("label"), col("v"))
   }
 

@@ -248,13 +248,13 @@ object MinhashIndex {
   }
 
   /** Committed band rows of version `v`: partition pruning on the
-    * committed-generation list keeps uncommitted (crashed) dirs out of
+    * committed-generation range (gen <= max, exact by the density invariant — see [[IndexStore.committedGens]]) keeps uncommitted (crashed) dirs out of
     * the scan entirely. */
   private def readBands(spark: SparkSession, indexPath: String, v: Long,
                         gens: Seq[Long]): DataFrame = {
     val dir = bandsDir(indexPath, v)
     spark.read.schema(BandSchema).option("basePath", dir).parquet(dir)
-      .filter(col("gen").isin(gens: _*))
+      .filter(col("gen") <= gens.max)
       .select(col("right_id"), col("b"), col("k"))
   }
 
@@ -262,7 +262,7 @@ object MinhashIndex {
                            gens: Seq[Long]): DataFrame = {
     val dir = s"$indexPath/shingles"
     spark.read.schema(ShingleSchema).option("basePath", dir).parquet(dir)
-      .filter(col("gen").isin(gens: _*))
+      .filter(col("gen") <= gens.max)
       .select(col("doc_id"), col("sh"))
   }
 

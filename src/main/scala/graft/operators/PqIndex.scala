@@ -198,7 +198,7 @@ object PqIndex {
       s"no committed PQ index under $indexPath — run build first")
     val dir = s"$indexPath/codes"
     spark.read.schema(CodesSchema).option("basePath", dir).parquet(dir)
-      .filter(col("gen").isin(gens: _*))
+      .filter(col("gen") <= gens.max)
       .select(col("vec_id"), col("code"))
   }
 

@@ -155,7 +155,7 @@ object TermStatsIndex {
                         gens: Seq[Long]): DataFrame = {
     val dir = s"${storeDir(indexPath, v)}/stats"
     spark.read.schema(StatsSchema).option("basePath", dir).parquet(dir)
-      .filter(col("gen").isin(gens: _*))
+      .filter(col("gen") <= gens.max)
       .select(col("term"), col("df"))
   }
 
@@ -163,7 +163,7 @@ object TermStatsIndex {
                        gens: Seq[Long]): DataFrame = {
     val dir = s"${storeDir(indexPath, v)}/meta"
     spark.read.schema(MetaSchema).option("basePath", dir).parquet(dir)
-      .filter(col("gen").isin(gens: _*))
+      .filter(col("gen") <= gens.max)
       .select(col("n_docs"))
   }
 

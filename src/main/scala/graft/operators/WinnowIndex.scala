@@ -168,7 +168,7 @@ object WinnowIndex {
                            gens: Seq[Long]): DataFrame = {
     val dir = s"${storeDir(indexPath, v)}/postings"
     spark.read.schema(PostingSchema).option("basePath", dir).parquet(dir)
-      .filter(col("gen").isin(gens: _*))
+      .filter(col("gen") <= gens.max)
       .select(col("fp"), col("right_id"))
   }
 
@@ -176,7 +176,7 @@ object WinnowIndex {
                          gens: Seq[Long]): DataFrame = {
     val dir = s"${storeDir(indexPath, v)}/counts"
     spark.read.schema(CountSchema).option("basePath", dir).parquet(dir)
-      .filter(col("gen").isin(gens: _*))
+      .filter(col("gen") <= gens.max)
       .select(col("fp"), col("ff"))
   }
 
