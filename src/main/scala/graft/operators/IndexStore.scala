@@ -51,15 +51,31 @@ private[graft] object IndexStore {
 
   /** Publish marker `name` — the atomic commit point of a step.
     * `content` (optional) rides inside the marker, e.g. a batch
-    * fingerprint for retry detection. */
+    * fingerprint for retry detection.
+    *
+    * Written to a dot-temp name first, then renamed into place: a plain
+    * `create(name)` makes the marker VISIBLE (zero-length) before its
+    * content lands, so a crash mid-write would commit a generation
+    * without its retry token — the next delayed retry of that batch
+    * would not match the (empty) fingerprint and double-commit it. A
+    * crash anywhere in the temp path leaves the marker absent =
+    * uncommitted, which errs in the safe direction (the retry re-merges
+    * and overwrites the orphan dirs wholesale). Dot-prefixed temps are
+    * invisible to [[markedIds]]' prefix filters. */
   def mark(hfs: FileSystem, root: Path, name: String,
            content: String = ""): Unit = {
     val dir = new Path(root, CommitsDir)
     if (!hfs.exists(dir)) hfs.mkdirs(dir)
-    val out = hfs.create(new Path(dir, name), true)
+    val tmp = new Path(dir, s".$name.tmp")
+    val out = hfs.create(tmp, true)
     try if (content.nonEmpty)
       out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val dest = new Path(dir, name)
+    hfs.delete(dest, false) // re-mark (e.g. compact retry) replaces
+    if (!hfs.rename(tmp, dest))
+      throw new java.io.IOException(
+        s"cannot publish marker $dest — rename from $tmp refused")
   }
 
   /** The marker's stored content, None when the marker is absent. */
@@ -160,6 +176,21 @@ private[graft] object IndexStore {
     if (!hfs.exists(p)) 0
     else hfs.listStatus(p).count(_.getPath.getName.startsWith("gen="))
   }
+
+  /** Sweep orphan `gen=` dirs under `dir` left by crashed, never-retried
+    * merges — everything not in `committed` is unreachable (readers
+    * prune to `gen <= committedMax` and the density invariant pins any
+    * orphan at `max + 1`). */
+  def sweepOrphanGens(hfs: FileSystem, dir: Path,
+                      committed: Set[Long]): Unit =
+    if (hfs.exists(dir))
+      hfs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        val orphan = n.startsWith("gen=") &&
+          scala.util.Try(n.stripPrefix("gen=").toLong).toOption
+            .exists(g => !committed.contains(g))
+        if (orphan) deleteTree(hfs, st.getPath)
+      }
 
   /** Retire superseded version trees of marker family `prefix` (tree
     * dir name == marker name, e.g. `store.v3`): unmark everything older

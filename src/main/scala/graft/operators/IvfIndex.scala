@@ -131,17 +131,10 @@ object IvfIndex {
     * never-retried merges. */
   def vacuum(spark: SparkSession, indexPath: String): Unit =
     IndexStore.withLock(spark, indexPath) {
-      val gens = committedGens(spark, indexPath).toSet
       val (hfs, _) = IndexStore.fs(spark, indexPath)
-      val cellsRoot = new org.apache.hadoop.fs.Path(s"$indexPath/cells")
-      if (hfs.exists(cellsRoot))
-        hfs.listStatus(cellsRoot).foreach { st =>
-          val n = st.getPath.getName
-          val orphan = n.startsWith("gen=") &&
-            scala.util.Try(n.stripPrefix("gen=").toLong).toOption
-              .exists(g => !gens.contains(g))
-          if (orphan) IndexStore.deleteTree(hfs, st.getPath)
-        }
+      IndexStore.sweepOrphanGens(hfs,
+        new org.apache.hadoop.fs.Path(s"$indexPath/cells"),
+        committedGens(spark, indexPath).toSet)
     }
 
   /** Write a batch's cells as generation `gen` — NOT visible to any

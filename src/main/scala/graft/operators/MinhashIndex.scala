@@ -235,16 +235,8 @@ object MinhashIndex {
                                      oldV: Long): Unit = {
     val (hfs, p) = IndexStore.fs(spark, indexPath)
     IndexStore.retireVersions(spark, indexPath, "bands.v", oldV)
-    val gens = committedGens(spark, indexPath).toSet
-    val shRoot = new Path(s"$indexPath/shingles")
-    if (hfs.exists(shRoot))
-      hfs.listStatus(shRoot).foreach { st =>
-        val n = st.getPath.getName
-        val orphan = n.startsWith("gen=") &&
-          scala.util.Try(n.stripPrefix("gen=").toLong).toOption
-            .exists(g => !gens.contains(g))
-        if (orphan) IndexStore.deleteTree(hfs, st.getPath)
-      }
+    IndexStore.sweepOrphanGens(hfs, new Path(s"$indexPath/shingles"),
+      committedGens(spark, indexPath).toSet)
   }
 
   /** Committed band rows of version `v`: partition pruning on the

@@ -143,17 +143,10 @@ object PqIndex {
     * to fold; PQ needs no compaction). */
   def vacuum(spark: SparkSession, indexPath: String): Unit =
     IndexStore.withLock(spark, indexPath) {
-      val gens = committedGens(spark, indexPath).toSet
       val (hfs, _) = IndexStore.fs(spark, indexPath)
-      val codesRoot = new org.apache.hadoop.fs.Path(s"$indexPath/codes")
-      if (hfs.exists(codesRoot))
-        hfs.listStatus(codesRoot).foreach { st =>
-          val n = st.getPath.getName
-          val orphan = n.startsWith("gen=") &&
-            scala.util.Try(n.stripPrefix("gen=").toLong).toOption
-              .exists(g => !gens.contains(g))
-          if (orphan) IndexStore.deleteTree(hfs, st.getPath)
-        }
+      IndexStore.sweepOrphanGens(hfs,
+        new org.apache.hadoop.fs.Path(s"$indexPath/codes"),
+        committedGens(spark, indexPath).toSet)
     }
 
   private def writeCodebooks(spark: SparkSession, indexPath: String, v: Long,

@@ -324,9 +324,16 @@ object Similarity {
       val sd = PqSubDim
       // init + every Lloyd round reads this frame: persist for the
       // training loop's duration (same device as kmeansTrain) instead
-      // of re-scanning and re-normalizing the corpus per round
-      val normed = input
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // of re-scanning and re-normalizing the corpus per round. Only
+      // unpersist a cache THIS call created: PqIndex.build pre-caches
+      // the frame to share it with the gen-0 encode that follows
+      // training — evicting the caller's cache here would silently
+      // force that encode to re-scan and re-normalize the whole corpus
+      val preCached =
+        input.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+      val normed =
+        if (preCached) input
+        else input.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val svs = normed.flatMap { case (_, v) =>
           (0 until m0).iterator.map(m => (m, v.slice(m * sd, (m + 1) * sd)))
@@ -349,7 +356,7 @@ object Similarity {
           }
         }
         cents
-      } finally normed.unpersist(blocking = false)
+      } finally if (!preCached) normed.unpersist(blocking = false)
     }
   }
 

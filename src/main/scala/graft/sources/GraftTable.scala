@@ -90,11 +90,11 @@ object GraftTable {
   /** Files under `root` belonging to `batchId` (the writeBatch layout's
     * `batch_id=N` directories), as root-relative paths.
     *
-    * Listed by GLOB with the literal `batch_id=N` leaf at each possible
-    * partition depth — each walk prunes at the literal segment — NOT a
-    * full recursive listing of the table: this runs once per micro-batch
-    * commit, and a recursive walk would make commit latency grow with
-    * TOTAL table size (months of batch directories) instead of with the
+    * Walked manually, descending only through partition directories and
+    * opening only the target batch's dir — NOT a full recursive listing
+    * of the table: this runs once per micro-batch commit, and listing
+    * other batches' files would make commit latency grow with TOTAL
+    * table size (months of batch directories) instead of with the
     * batch being committed. */
   /** Runaway guard on partition nesting — NOT a coverage cap: the walk
     * below self-terminates at the layout's real depth, so any sane
@@ -105,31 +105,35 @@ object GraftTable {
   private def batchFiles(hfs: FileSystem, root: Path, batchId: Long): Seq[String] = {
     if (!hfs.exists(root)) return Nil
     val rootUri = root.toUri.getPath
+    val target = s"batch_id=$batchId"
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0
-    var deeper = true
-    while (deeper) {
-      // sink/<depth partition dirs>/batch_id=N/<file>
-      val pat = new Path(root, ("*/" * (depth + 1)) + s"batch_id=$batchId/*")
-      val matches = hfs.globStatus(pat)
-      if (matches != null) matches.foreach { st =>
-        val f = st.getPath
-        if (st.isFile && f.getName.endsWith(".parquet"))
-          out += f.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-      }
-      // descend while any DIRECTORY exists at the next nesting level:
-      // each walk still prunes at the literal batch_id=N segment, and
-      // shallow layouts now stop after (real depth + 1) globs instead
-      // of a fixed count
-      val next = hfs.globStatus(new Path(root, ("*/" * (depth + 1)) + "*"))
-      deeper = next != null && next.exists(_.isDirectory)
-      depth += 1
+    // manual walk that descends ONLY through partition directories and
+    // opens ONLY the target batch's dir: other batches contribute a
+    // name in their parent's listing (unavoidable under any listing
+    // scheme) but their FILES are never enumerated. A glob with a
+    // wildcard leaf (the previous descend probe) listed every file of
+    // every batch at the final level — O(total table files) per commit.
+    def walk(dir: Path, depth: Int): Unit = {
       if (depth > MaxPartitionDepth)
         throw new IllegalStateException(
           s"partition nesting under $root exceeds $MaxPartitionDepth " +
             "levels — refusing to commit (deeper files would be " +
             "orphaned from the manifest)")
+      hfs.listStatus(dir).foreach { st =>
+        if (st.isDirectory) {
+          val n = st.getPath.getName
+          if (n == target)
+            hfs.listStatus(st.getPath).foreach { f =>
+              if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+                out += f.getPath.toUri.getPath
+                  .stripPrefix(rootUri).stripPrefix("/")
+            }
+          else if (!n.startsWith("batch_id="))
+            walk(st.getPath, depth + 1) // a partition dir — descend
+        }
+      }
     }
+    walk(root, 0)
     out.toSeq.sorted
   }
 

@@ -150,11 +150,7 @@ object CorpusPipeline {
         StructField("event_tm", LongType)))
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 2).parquet(s"$root/src")
-      // a handful of state-store partitions, not the session's 32:
-      // per-batch state commit cost scales with partitions × batches
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      StreamHarness.withShufflePartitions(spark, 8) {
         val q = curate(stream, evalShingles)
           .select(md5(col("text")).as("content_md5"),
             length(col("text")).cast("long").as("n_chars"))
@@ -171,7 +167,7 @@ object CorpusPipeline {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       val outSchema = StructType(Seq(
         StructField("content_md5", StringType),
         StructField("n_chars", LongType)))

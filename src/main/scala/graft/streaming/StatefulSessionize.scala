@@ -77,7 +77,14 @@ object StatefulSessionize {
         // the watermark already passed this session's horizon (a key
         // whose data arrived late relative to other keys' progress):
         // close it NOW — arming the timeout would throw, and the
-        // emission is identical to the timeout that can no longer fire
+        // emission is identical to the timeout that can no longer fire.
+        // REMOVE the carried state too: the pre-merge state and its
+        // previously-armed timeout would otherwise survive this call,
+        // and the SAME batch's timed-out pass (Spark runs it after the
+        // data pass, and it does not exclude keys that just received
+        // data) would fire on the stale state and emit a second,
+        // shorter session for the same user.
+        state.remove()
         closed += toSession(uid, s)
       } else {
         state.update(s)
@@ -174,12 +181,7 @@ object StatefulSessionize {
           col("value"))
         .withWatermark("ts", s"$StreamDelayMs milliseconds")
         .as[Ev]
-      // a handful of state-store partitions, not the session's 32:
-      // per-batch state commit cost scales with partitions × batches,
-      // and this bounded harness stream holds only harness-sized state
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      StreamHarness.withShufflePartitions(spark, 8) {
         val q = sessions(stream).toDF()
           .writeStream
           .option("checkpointLocation", s"$root/ckpt")
@@ -194,7 +196,7 @@ object StatefulSessionize {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       val outSchema = StructType(Seq(
         StructField("user_id", LongType),
         StructField("session_start", TimestampType),

@@ -190,15 +190,11 @@ object StreamingAgg {
       graft.sources.Tables.events(spark, dir)
         .repartitionByRange(4, col("ts"))
         .write.parquet(s"$base/src")
-      // a handful of state-store partitions, not the session's 32:
-      // per-batch state commit cost scales with partitions × batches
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      StreamHarness.withShufflePartitions(spark, 8) {
         val q = hourlyWindowToFiles(spark, s"$base/src", s"$base/out",
           s"$base/ckpt", maxFilesPerTrigger = 64)
         q.awaitTermination()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       graft.operators.Scratch.materializeAndClean(base,
         spark.read.parquet(s"$base/out")
           .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),

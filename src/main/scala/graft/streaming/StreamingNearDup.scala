@@ -236,11 +236,7 @@ object StreamingNearDup {
         StructField("event_ts", TimestampType)))
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 2).parquet(s"$root/src")
-      // a handful of state-store partitions, not the session's 32:
-      // per-batch state commit cost scales with partitions × batches
-      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      StreamHarness.withShufflePartitions(spark, 8) {
         val q = pairs(stream, "1 hour", Some(corpus), minEst = 0.0)
           .toDF()
           .writeStream
@@ -257,7 +253,7 @@ object StreamingNearDup {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      }
       // declared schema: a collision-free increment writes no files
       val outSchema = StructType(Seq(
         StructField("doc_a", LongType), StructField("doc_b", LongType)))

@@ -52,4 +52,31 @@ class StatefulSessionizeSpec extends AnyFunSuite {
       s"timed-out session should have closed; got ${after.toSeq}")
     q.stop()
   }
+
+  test("close-now branch removes carried state — no stale timeout emission") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // key with open state S0 receives a late-but-admitted event while
+    // the eviction watermark has already jumped past the MERGED session
+    // horizon: update() must emit the merged session AND remove the
+    // carried state — otherwise the same batch's timed-out pass (which
+    // does not exclude keys that just received data) fires on the stale
+    // pre-merge state and emits a second, shorter session
+    val s0 = StatefulSessionize.Open(
+      start = 1700000000000000L, end = 1700000060000000L, n = 2, total = 3.0)
+    val evT = new Timestamp(1700000120000L) // 60 s after s0.end → merges
+    val horizonMs =
+      (1700000120000000L + StatefulSessionize.GapUs) / 1000
+    val state = TestGroupState.create[StatefulSessionize.Open](
+      Optional.of(s0), GroupStateTimeout.EventTimeTimeout(),
+      1L, Optional.of(java.lang.Long.valueOf(horizonMs + 1)),
+      hasTimedOut = false)
+    val out = StatefulSessionize.update(
+      7L, Iterator(Ev(7, evT, 4.0)), state).toSeq
+    assert(out.length == 1, s"exactly one merged session, got $out")
+    assert(out.head.n_events == 3 && out.head.total_value == 7.0)
+    assert(state.isRemoved,
+      "carried state must be removed — a stale armed timeout would " +
+        "re-emit the pre-merge session in the same batch's timeout pass")
+  }
 }
