@@ -1262,12 +1262,14 @@ object SparkEntry {
          |        OR d.doc_id IN (SELECT doc_id FROM adm1)
          |        OR d.doc_id IN (SELECT doc_id FROM adm2)) AS admitted
          |FROM documents d ORDER BY doc_id""".stripMargin,
-    // the composed admission decision: three independent gates against
+    // the composed admission decision: four independent gates against
     // the pre-merge index state — decontam vs the held eval set, token
     // rarity vs the UNION statistics (landed ∪ batch, eval excluded),
-    // near-dup vs the landed corpus — each restated relationally over
-    // the same splits (eval = %${Dedup.EvalStride}=0, batch = the
-    // non-eval %10=3, landed = the non-eval %10≠3)
+    // near-dup and copied-passage (winnow) vs the landed corpus — each
+    // restated relationally over the same splits (eval =
+    // %${Dedup.EvalStride}=0, batch = the non-eval %10=3, landed = the
+    // non-eval %10≠3), plus post-merge readback counts over
+    // landed ∪ admitted
     "q_admission_pipeline" ->
       s"""WITH ${minhashCtesWith(
                s"x.doc_id % 10 = 3 AND x.doc_id % ${Dedup.EvalStride} <> 0" +
@@ -1293,16 +1295,43 @@ object SparkEntry {
          |        FROM rex e JOIN rdf USING (term)
          |        WHERE e.doc_id % 10 = 3
          |        GROUP BY e.doc_id),
+         |wg AS (SELECT doc_id,
+         |         list_transform(range(1, greatest(len(t) - 1, 1)),
+         |             i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS gr
+         |       FROM toks WHERE doc_id % ${Dedup.EvalStride} <> 0),
+         |wh AS (SELECT doc_id,
+         |         list_transform(gr, s -> substr(md5('fp:' || s), 1, 8)) AS h
+         |       FROM wg WHERE len(gr) > 0),
+         |wsel AS (SELECT doc_id,
+         |         CASE WHEN len(h) < ${Dedup.FpWindow} THEN [list_min(h)]
+         |              ELSE list_distinct(list_transform(
+         |                     range(1, len(h) - ${Dedup.FpWindow - 2}),
+         |                     i -> list_min(list_slice(h, i,
+         |                            i + ${Dedup.FpWindow - 1})))) END AS sel
+         |       FROM wh),
+         |wex AS (SELECT doc_id, unnest(sel) AS wfp FROM wsel),
+         |whot AS (SELECT wfp FROM wex GROUP BY wfp
+         |         HAVING count(*) > ${Dedup.ShingleFreqCap}),
+         |wexc AS MATERIALIZED (
+         |  SELECT * FROM wex WHERE wfp NOT IN (SELECT wfp FROM whot)),
+         |wp AS (SELECT x.doc_id AS doc_id FROM wexc x JOIN wexc y
+         |         ON x.wfp = y.wfp
+         |       WHERE x.doc_id % 10 = 3 AND y.doc_id % 10 <> 3
+         |       GROUP BY x.doc_id, y.doc_id
+         |       HAVING count(*) >= ${Dedup.MinSharedFp}),
+         |wnd AS (SELECT DISTINCT doc_id FROM wp),
          |f AS (
          |  SELECT b.doc_id,
          |         b.doc_id NOT IN (SELECT doc_id FROM dcon) AS passed_decontam,
          |         coalesce(r.rarity <= ${Admission.RarityMax}, false)
          |           AS passed_rarity,
-         |         b.doc_id NOT IN (SELECT doc_id FROM nd) AS passed_neardup
+         |         b.doc_id NOT IN (SELECT doc_id FROM nd) AS passed_neardup,
+         |         b.doc_id NOT IN (SELECT doc_id FROM wnd) AS passed_passage
          |  FROM documents b LEFT JOIN rar r USING (doc_id)
          |  WHERE b.doc_id % 10 = 3 AND b.doc_id % ${Dedup.EvalStride} <> 0),
          |adm AS (SELECT doc_id FROM f
-         |        WHERE passed_decontam AND passed_rarity AND passed_neardup),
+         |        WHERE passed_decontam AND passed_rarity AND passed_neardup
+         |          AND passed_passage),
          |mhc AS (SELECT count(*) AS n FROM shf
          |        WHERE doc_id % ${Dedup.EvalStride} <> 0
          |        AND (doc_id % 10 <> 3
@@ -1310,12 +1339,17 @@ object SparkEntry {
          |tsc AS (SELECT count(*) AS n FROM toks
          |        WHERE len(t) > 0 AND doc_id % ${Dedup.EvalStride} <> 0
          |        AND (doc_id % 10 <> 3
-         |             OR doc_id IN (SELECT doc_id FROM adm)))
+         |             OR doc_id IN (SELECT doc_id FROM adm))),
+         |wfc AS (SELECT count(*) AS n FROM wex
+         |        WHERE doc_id % 10 <> 3
+         |           OR doc_id IN (SELECT doc_id FROM adm))
          |SELECT doc_id, passed_decontam, passed_rarity, passed_neardup,
-         |       (passed_decontam AND passed_rarity AND passed_neardup)
-         |         AS admitted,
+         |       passed_passage,
+         |       (passed_decontam AND passed_rarity AND passed_neardup
+         |        AND passed_passage) AS admitted,
          |       (SELECT n FROM mhc) AS mh_docs,
-         |       (SELECT n FROM tsc) AS stats_docs
+         |       (SELECT n FROM tsc) AS stats_docs,
+         |       (SELECT n FROM wfc) AS winnow_fps
          |FROM f ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       s"""WITH toks AS (

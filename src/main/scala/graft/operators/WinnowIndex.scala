@@ -180,6 +180,18 @@ object WinnowIndex {
       .select(col("fp"), col("ff"))
   }
 
+  /** Total stored fingerprint occurrences — Σ ff over the committed
+    * counts (the FULL pre-cap per-fingerprint doc frequencies), i.e.
+    * the count of distinct (doc, fp) pairs ever admitted. The
+    * post-merge readback [[Admission]] gates its winnow merge with. */
+  private[graft] def totalFpCount(spark: SparkSession,
+                                  indexPath: String): Long = {
+    val r = readCounts(spark, indexPath, storeVersion(spark, indexPath),
+        committedGens(spark, indexPath))
+      .agg(sum(col("ff"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** The committed posting table — spec helper. */
   private[graft] def postingTable(spark: SparkSession,
                                   indexPath: String): DataFrame =

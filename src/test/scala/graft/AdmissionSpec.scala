@@ -22,7 +22,8 @@ class AdmissionSpec extends AnyFunSuite {
       assert(out.count() == batchN, "one log row per batch doc")
       assert(out.select("doc_id").distinct().count() == batchN)
       assert(out.filter(col("admitted") =!= (col("passed_decontam") &&
-        col("passed_rarity") && col("passed_neardup"))).isEmpty,
+        col("passed_rarity") && col("passed_neardup") &&
+        col("passed_passage"))).isEmpty,
         "admitted must be exactly the conjunction of the gate flags")
       assert(out.filter(col("admitted")).count() > 0, "some docs admitted")
       assert(out.filter(!col("admitted")).count() > 0, "some docs rejected")
