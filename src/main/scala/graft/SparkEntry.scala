@@ -147,6 +147,8 @@ object SparkEntry {
     "q_table_changes"       -> (TableVerbs.changeFeed _),
     // --- JSONL interchange (gzip export → schema'd read-back) -----------
     "q_jsonl_roundtrip"     -> (Jsonl.roundtrip _),
+    // --- Arrow IPC interchange (the reference's native data plane) ------
+    "q_arrow_roundtrip"     -> (ArrowInterchange.roundtrip _),
     // --- SQL-registered operator surface (GraftExtensions) --------------
     // the curation gates run through spark.sql over the REGISTERED
     // functions — proves the SQL-first path end-to-end in the oracle gate
@@ -2203,6 +2205,22 @@ object SparkEntry {
     "q_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // arrow roundtrip likewise: the oracle is the join itself, stated
+    // relationally; list column verified via order-sensitive scalars
+    // (left fold seeded at 0.0 = Spark's aggregate(), exact for the
+    // same IEEE addition order)
+    "q_arrow_roundtrip" ->
+      """SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, e.label,
+        |       d.n_chars / 7.0 AS ratio,
+        |       d.doc_id % 3 = 0 AS flag,
+        |       CAST(len(e.embedding) AS INT) AS emb_len,
+        |       round(list_reduce(
+        |         list_prepend(0.0, list_transform(e.embedding,
+        |           x -> CAST(x AS DOUBLE))), (a, b) -> a + b), 3) AS emb_sum,
+        |       round(CAST(e.embedding[1] AS DOUBLE), 4) AS emb_first,
+        |       round(CAST(e.embedding[-1] AS DOUBLE), 4) AS emb_last
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_multimodal_features" ->
       s"""WITH d AS (
          |  SELECT doc_id,

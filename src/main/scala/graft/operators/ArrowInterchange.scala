@@ -1,0 +1,433 @@
+package graft.operators
+
+import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.ListVector
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.ipc.message.ArrowRecordBatch
+import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit => ATimeUnit}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ASchema}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Arrow IPC interchange — the reference's native data plane. The
+  * reference moves every record as Arrow: Kafka messages decode into
+  * Arrow record batches (bufarrow builders, batches of 122880 rows —
+  * /root/reference/main.go:88,249) which DuckDB ingests via
+  * ArrowScan. Spark's internal columnar format is Tungsten, so parity
+  * here means the INTERCHANGE surface: export any DataFrame as Arrow
+  * IPC files a non-JVM consumer (DuckDB, pyarrow, an inference stack)
+  * maps zero-copy, and read such files back with a declared schema —
+  * the same role [[Jsonl]] plays for text consumers, at columnar
+  * speed.
+  *
+  * Scale shape, both directions narrow per-partition codec passes:
+  *  - export writes one `.arrows` file per partition under the same
+  *    size cap as [[Jsonl.exportJsonl]] (repartition UP only), so no
+  *    single file becomes a serialized read on the way back in;
+  *  - read plans one file per task; within a file the record-batch
+  *    framing bounds peak memory to one batch, never the whole file.
+  * Batches default to [[DefaultBatchRows]] rows, not the reference's
+  * 122880: its batches carry fixed-width bid fields, ours carry
+  * corpus text where 122880 rows of documents would hold multi-GB
+  * off-heap per task. Numeric-only frames can pass the reference's
+  * number explicitly.
+  *
+  * Files are written uncompressed: IPC buffer compression (LZ4) would
+  * shrink disk at the cost of the zero-copy map that is the point of
+  * choosing Arrow over parquet for hand-off — parquet (B17) is
+  * already the compressed long-term format.
+  *
+  * Type surface: the closed set a training hand-off needs — boolean,
+  * int32/64, float32/64, utf8, binary, timestamp-micro (TZ and NTZ),
+  * date-day, and single-level lists of the primitive members (the
+  * embedding column's shape). Anything else fails loudly at plan time
+  * with the field name, never silently as a corrupt file.
+  */
+object ArrowInterchange {
+
+  /** Rows per Arrow record batch (the unit of reader memory and of
+    * writer flush). See the class doc for why this is not the
+    * reference's 122880. */
+  val DefaultBatchRows: Int = 16384
+
+  /** Max estimated bytes of row data per exported file — one
+    * comfortable read task, same contract as [[Jsonl.DefaultMaxPartBytes]]. */
+  val DefaultMaxPartBytes: Long = 128L << 20
+
+  // ---------------------------------------------------------------- schema
+
+  private def arrowField(f: StructField): Field = {
+    def prim(dt: DataType, name: String): ArrowType = dt match {
+      case BooleanType => ArrowType.Bool.INSTANCE
+      case IntegerType => new ArrowType.Int(32, true)
+      case LongType => new ArrowType.Int(64, true)
+      case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+      case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case StringType => ArrowType.Utf8.INSTANCE
+      case BinaryType => ArrowType.Binary.INSTANCE
+      case TimestampType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, "UTC")
+      case TimestampNTZType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, null)
+      case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
+      case other => throw new IllegalArgumentException(
+        s"ArrowInterchange: column '$name' has unsupported type $other " +
+          "(supported: boolean, int, bigint, float, double, string, " +
+          "binary, timestamp[_ntz], date, array of those primitives)")
+    }
+    f.dataType match {
+      case ArrayType(et, _) =>
+        new Field(f.name, FieldType.nullable(ArrowType.List.INSTANCE),
+          java.util.List.of(
+            new Field("element", FieldType.nullable(prim(et, f.name)), null)))
+      case dt =>
+        new Field(f.name, FieldType.nullable(prim(dt, f.name)), null)
+    }
+  }
+
+  private[graft] def toArrowSchema(s: StructType): ASchema =
+    new ASchema(java.util.List.copyOf(
+      java.util.Arrays.asList(s.fields.map(arrowField): _*)))
+
+  private def sparkType(t: ArrowType, name: String): DataType = t match {
+    case _: ArrowType.Bool => BooleanType
+    case i: ArrowType.Int if i.getBitWidth == 32 && i.getIsSigned => IntegerType
+    case i: ArrowType.Int if i.getBitWidth == 64 && i.getIsSigned => LongType
+    case fp: ArrowType.FloatingPoint
+        if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+    case fp: ArrowType.FloatingPoint
+        if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+    case _: ArrowType.Utf8 => StringType
+    case _: ArrowType.Binary => BinaryType
+    case ts: ArrowType.Timestamp if ts.getUnit == ATimeUnit.MICROSECOND =>
+      if (ts.getTimezone == null) TimestampNTZType else TimestampType
+    case _: ArrowType.Date => DateType
+    case other => throw new IllegalArgumentException(
+      s"ArrowInterchange: field '$name' has unsupported Arrow type $other")
+  }
+
+  private[graft] def fromArrowSchema(s: ASchema): StructType = {
+    import scala.jdk.CollectionConverters._
+    StructType(s.getFields.asScala.toSeq.map { f =>
+      f.getType match {
+        case _: ArrowType.List =>
+          val child = f.getChildren.get(0)
+          StructField(f.getName,
+            ArrayType(sparkType(child.getType, f.getName), containsNull = true))
+        case t => StructField(f.getName, sparkType(t, f.getName))
+      }
+    })
+  }
+
+  // ---------------------------------------------------------------- export
+
+  /** Hadoop Configuration is not Serializable; ship it to tasks via its
+    * own wire format (the standard wrapper pattern — Spark keeps its
+    * equivalent private). */
+  private final class SerConf(@transient var conf: Configuration)
+      extends Serializable {
+    @throws[IOException]
+    private def writeObject(out: ObjectOutputStream): Unit = conf.write(out)
+    @throws[IOException]
+    private def readObject(in: ObjectInputStream): Unit = {
+      conf = new Configuration(false); conf.readFields(in)
+    }
+  }
+
+  /** Export `df` as `part-N.arrows` IPC files under `path` (replaced
+    * wholesale). Distributed: each partition streams its rows through
+    * one [[ArrowFileWriter]] in [[batchRows]]-row record batches —
+    * no driver collection, off-heap bounded by one batch per task.
+    * Task retries write attempt-unique temp files and publish by
+    * rename, first attempt wins (same discipline as the index
+    * artifacts' staged writes). */
+  def exportArrow(df: DataFrame, path: String,
+                  batchRows: Int = DefaultBatchRows,
+                  maxPartBytes: Long = DefaultMaxPartBytes): Unit = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    toArrowSchema(schema) // validate the type surface up front, on the driver
+    val sized = ExportSizing.sizeUp(df, maxPartBytes)
+
+    val sconf = new SerConf(spark.sessionState.newHadoopConf())
+    val out = new Path(path)
+    val dfs = out.getFileSystem(sconf.conf)
+    if (dfs.exists(out)) dfs.delete(out, true)
+    dfs.mkdirs(out)
+
+    sized.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        NioAccess.ensureOpen(classOf[RootAllocator]) // executor JVMs too
+        val fs = new Path(path).getFileSystem(sconf.conf)
+        val attempt = Option(TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val tmp = new Path(path, s".part-$idx-$attempt.arrows.tmp")
+        val fin = new Path(path, f"part-$idx%05d.arrows")
+        val alloc = new RootAllocator(Long.MaxValue)
+        try {
+          val root = VectorSchemaRoot.create(toArrowSchema(schema), alloc)
+          val ch = java.nio.channels.Channels.newChannel(fs.create(tmp, true))
+          val w = new ArrowFileWriter(root, null, ch)
+          try {
+            w.start()
+            var n = 0
+            while (rows.hasNext) {
+              writeRow(root, schema, rows.next(), n)
+              n += 1
+              if (n == batchRows) { root.setRowCount(n); w.writeBatch(); clear(root); n = 0 }
+            }
+            if (n > 0) { root.setRowCount(n); w.writeBatch() }
+            w.end()
+          } finally { w.close(); ch.close(); root.close() }
+          // publish: first attempt to rename wins; a loser cleans up
+          if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
+          Iterator.single(1)
+        } finally alloc.close()
+      }
+    }.count(): Unit
+  }
+
+  private def clear(root: VectorSchemaRoot): Unit = {
+    val it = root.getFieldVectors.iterator()
+    while (it.hasNext) it.next().reset()
+  }
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    Math.multiplyExact(ts.getTime / 1000L, 1000000L) + ts.getNanos / 1000L
+
+  private def microsNtz(dt: java.time.LocalDateTime): Long =
+    Math.multiplyExact(dt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L) +
+      dt.getNano / 1000L
+
+  private def writeRow(root: VectorSchemaRoot, schema: StructType,
+                       row: Row, i: Int): Unit = {
+    var c = 0
+    while (c < schema.length) {
+      val vec = root.getVector(c)
+      if (!row.isNullAt(c)) writeValue(vec, schema(c).dataType, row.get(c), i)
+      else vec match { // unset slots already read back null; be explicit
+        case lv: ListVector => lv.setNull(i)
+        case _ => ()
+      }
+      c += 1
+    }
+  }
+
+  private def writeValue(vec: ValueVector, dt: DataType, v: Any, i: Int): Unit =
+    (vec, dt) match {
+      case (b: BitVector, BooleanType) =>
+        b.setSafe(i, if (v.asInstanceOf[Boolean]) 1 else 0)
+      case (x: IntVector, IntegerType) => x.setSafe(i, v.asInstanceOf[Int])
+      case (x: BigIntVector, LongType) => x.setSafe(i, v.asInstanceOf[Long])
+      case (x: Float4Vector, FloatType) => x.setSafe(i, v.asInstanceOf[Float])
+      case (x: Float8Vector, DoubleType) => x.setSafe(i, v.asInstanceOf[Double])
+      case (x: VarCharVector, StringType) =>
+        x.setSafe(i, v.asInstanceOf[String].getBytes(UTF_8))
+      case (x: VarBinaryVector, BinaryType) =>
+        x.setSafe(i, v.asInstanceOf[Array[Byte]])
+      case (x: TimeStampMicroTZVector, TimestampType) =>
+        x.setSafe(i, micros(v.asInstanceOf[java.sql.Timestamp]))
+      case (x: TimeStampMicroVector, TimestampNTZType) =>
+        x.setSafe(i, microsNtz(v.asInstanceOf[java.time.LocalDateTime]))
+      case (x: DateDayVector, DateType) =>
+        x.setSafe(i, v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+      case (lv: ListVector, ArrayType(et, _)) =>
+        val xs = v.asInstanceOf[scala.collection.Seq[Any]]
+        val start = lv.startNewValue(i)
+        val child = lv.getDataVector
+        var j = 0
+        while (j < xs.length) {
+          val e = xs(j)
+          if (e == null) child.asInstanceOf[FieldVector].setNull(start + j)
+          else writeValue(child, et, e, start + j)
+          j += 1
+        }
+        lv.endValue(i, xs.length)
+      case (other, t) => throw new IllegalStateException(
+        s"ArrowInterchange: vector ${other.getClass.getSimpleName} / type $t")
+    }
+
+  // ----------------------------------------------------------------- read
+
+  /** A seekable channel over Hadoop's input stream so the Arrow footer
+    * reader can seek without buffering whole files on the heap (the
+    * local FS stream rejects direct ByteBuffer reads, hence the bounce
+    * buffer). Read-only by construction. */
+  private final class HadoopChannel(in: org.apache.hadoop.fs.FSDataInputStream,
+                                    size: Long)
+      extends java.nio.channels.SeekableByteChannel {
+    private var closed = false
+    private val buf = new Array[Byte](1 << 16)
+    override def read(dst: ByteBuffer): Int = {
+      if (dst.remaining() == 0) return 0
+      val n = in.read(buf, 0, math.min(dst.remaining(), buf.length))
+      if (n > 0) dst.put(buf, 0, n)
+      n
+    }
+    override def position(): Long = in.getPos
+    override def position(p: Long): java.nio.channels.SeekableByteChannel = {
+      in.seek(p); this
+    }
+    override def size(): Long = size
+    override def isOpen: Boolean = !closed
+    override def close(): Unit = { closed = true; in.close() }
+    override def write(src: ByteBuffer): Int =
+      throw new UnsupportedOperationException("read-only channel")
+    override def truncate(l: Long): java.nio.channels.SeekableByteChannel =
+      throw new UnsupportedOperationException("read-only channel")
+  }
+
+  /** Read an [[exportArrow]] directory (or any directory of `.arrows`
+    * IPC files) back as a DataFrame. Schema comes from the first
+    * file's IPC footer — declared in the artifact, never inferred by
+    * scanning data. Plans one file per task (export part sizing is the
+    * parallelism contract, as with JSONL); each task holds one record
+    * batch off-heap at a time. */
+  def readArrow(spark: SparkSession, path: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root).filter(_.getPath.getName.endsWith(".arrows"))
+      .sortBy(_.getPath.getName).map(s => (s.getPath.toString, s.getLen)).toSeq
+    require(files.nonEmpty, s"no .arrows files under $path")
+
+    NioAccess.ensureOpen(classOf[RootAllocator])
+    val schema = {
+      val in = fs.open(new Path(files.head._1))
+      val alloc = new RootAllocator(Long.MaxValue)
+      try {
+        val r = new ArrowFileReader(new HadoopChannel(in, files.head._2), alloc)
+        try fromArrowSchema(r.getVectorSchemaRoot.getSchema) finally r.close()
+      } finally alloc.close()
+    }
+
+    val sconf = new SerConf(conf)
+    val rows = spark.sparkContext
+      .parallelize(files, files.size)
+      .mapPartitions { fit =>
+        fit.flatMap { case (file, len) =>
+          NioAccess.ensureOpen(classOf[RootAllocator])
+          val fs = new Path(file).getFileSystem(sconf.conf)
+          val alloc = new RootAllocator(Long.MaxValue)
+          val reader =
+            new ArrowFileReader(new HadoopChannel(fs.open(new Path(file)), len), alloc)
+          var done = false
+          def finish(): Unit = if (!done) { done = true; reader.close(); alloc.close() }
+          Option(TaskContext.get())
+            .foreach(_.addTaskCompletionListener[Unit](_ => finish()))
+          new Iterator[Row] {
+            private var vroot: VectorSchemaRoot = _
+            private var idx = 0
+            private def advance(): Boolean = {
+              if (done) return false
+              if (vroot != null && idx < vroot.getRowCount) true
+              else if (reader.loadNextBatch()) {
+                vroot = reader.getVectorSchemaRoot; idx = 0
+                if (vroot.getRowCount == 0) advance() else true
+              } else { finish(); false }
+            }
+            override def hasNext: Boolean = advance()
+            override def next(): Row = {
+              if (!advance()) throw new NoSuchElementException
+              val r = readRow(vroot, schema, idx); idx += 1; r
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def readRow(root: VectorSchemaRoot, schema: StructType, i: Int): Row = {
+    val vals = new Array[Any](schema.length)
+    var c = 0
+    while (c < schema.length) {
+      vals(c) = readValue(root.getVector(c), schema(c).dataType, i)
+      c += 1
+    }
+    Row.fromSeq(vals.toIndexedSeq)
+  }
+
+  private def readValue(vec: ValueVector, dt: DataType, i: Int): Any =
+    if (vec.isNull(i)) null
+    else (vec, dt) match {
+      case (b: BitVector, BooleanType) => b.get(i) == 1
+      case (x: IntVector, IntegerType) => x.get(i)
+      case (x: BigIntVector, LongType) => x.get(i)
+      case (x: Float4Vector, FloatType) => x.get(i)
+      case (x: Float8Vector, DoubleType) => x.get(i)
+      case (x: VarCharVector, StringType) => new String(x.get(i), UTF_8)
+      case (x: VarBinaryVector, BinaryType) => x.get(i)
+      case (x: TimeStampMicroTZVector, TimestampType) =>
+        val us = x.get(i)
+        val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+        ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+        ts
+      case (x: TimeStampMicroVector, TimestampNTZType) =>
+        val us = x.get(i)
+        java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+      case (x: DateDayVector, DateType) =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.get(i).toLong))
+      case (lv: ListVector, ArrayType(et, _)) =>
+        val start = lv.getElementStartIndex(i)
+        val end = lv.getElementEndIndex(i)
+        val child = lv.getDataVector
+        val out = new ArrayBuffer[Any](end - start)
+        var j = start
+        while (j < end) { out += readValue(child, et, j); j += 1 }
+        out.toSeq
+      case (other, t) => throw new IllegalStateException(
+        s"ArrowInterchange: vector ${other.getClass.getSimpleName} / type $t")
+    }
+
+  // ------------------------------------------------------------ oracle row
+
+  /** q_arrow_roundtrip: documents ⋈ embeddings → Arrow IPC files →
+    * read back → verification projection. Exercises int64, int32,
+    * utf8 (the full corpus text — any encoding defect hash-fails),
+    * float64, boolean and list&lt;float32&gt; through the wire format; the
+    * list column is verified via order-sensitive scalars (in-order
+    * left fold + ends) since the gate's comparator flattens to
+    * strings. The oracle is the same join stated relationally — the
+    * roundtrip must be lossless. */
+  def roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val staged = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(docs("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"), col("label"), col("embedding"),
+        (col("n_chars") / lit(7.0)).as("ratio"),
+        (col("doc_id") % 3 === 0).as("flag"))
+    val out = Files.createTempDirectory("graft-arrow").toString
+    try {
+      exportArrow(staged, s"$out/docs")
+      val back = readArrow(spark, s"$out/docs")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"), col("label"), col("ratio"), col("flag"),
+          size(col("embedding")).as("emb_len"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (a, x) => a + x.cast(DoubleType)), 3).as("emb_sum"),
+          round(element_at(col("embedding"), 1).cast(DoubleType), 4)
+            .as("emb_first"),
+          round(element_at(col("embedding"), -1).cast(DoubleType), 4)
+            .as("emb_last"))
+        .orderBy("doc_id")
+      Scratch.materializeAndClean(out, back)
+    } catch { case e: Throwable =>
+      Scratch.rm(new java.io.File(out)); throw e
+    }
+  }
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared part-sizing policy for the interchange exports ([[Jsonl]],
+  * [[ArrowInterchange]]): one exported part per partition, so the
+  * frame is repartitioned UP when Catalyst's size estimate says a
+  * partition would exceed the per-part byte cap — the cap is the read
+  * parallelism contract for whole-file formats. Never repartitions
+  * DOWN: a frame already wider than the target keeps its layout.
+  */
+private[graft] object ExportSizing {
+
+  /** Any estimate this large is Catalyst saying "no idea": leaves
+    * without statistics (LogicalRDD, memory streams) report the
+    * `spark.sql.defaultSizeInBytes` sentinel (Long.MaxValue ≈ 8 EiB),
+    * and derived plans scale it — a projection can bring it well BELOW
+    * the sentinel while still being garbage. 1 PiB is safely above any
+    * real single-call export (the part cap tops out at 2^20 parts ×
+    * 128 MiB = 128 TiB) and safely below the sentinel's plausible
+    * scaled-down shadows. Trusting the sentinel once cost a spec run
+    * 2^20 one-row tasks. */
+  private val UnknownEstimate = BigInt(1L << 50)
+
+  /** Number of partitions `df` will be written with under
+    * `maxPartBytes`-sized parts. */
+  def sizeUp(df: DataFrame, maxPartBytes: Long): DataFrame = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // current width from the physical plan's own partitioning when it
+    // knows it; scans and unexecuted AQE plans report
+    // UnknownPartitioning(0), and only then do we pay the df.rdd
+    // instantiation to count
+    val planned =
+      df.queryExecution.executedPlan.outputPartitioning.numPartitions
+    val current = if (planned > 0) planned else df.rdd.getNumPartitions
+    val wanted =
+      if (est >= UnknownEstimate) current
+      else (est / maxPartBytes + 1).min(BigInt(1 << 20)).toInt
+    if (current >= wanted) df else df.repartition(wanted)
+  }
+}

@@ -55,21 +55,7 @@ object Jsonl {
 
   def exportJsonl(df: DataFrame, path: String,
                   maxPartBytes: Long = DefaultMaxPartBytes): Unit = {
-    // Catalyst's size estimate (file-stat-based for scans/projections,
-    // the common export shape) decides how many parts keep each one
-    // under the cap; only ever repartitions UP — a frame already wider
-    // than the target keeps its layout and its parallelism. The
-    // current width comes from the physical plan's own partitioning
-    // when it knows it; scans and unexecuted AQE plans report
-    // UnknownPartitioning(0), and only then do we pay the df.rdd
-    // instantiation to count — never repartition DOWN on a guess
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val wanted = (est / maxPartBytes + 1).min(BigInt(1 << 20)).toInt
-    val planned =
-      df.queryExecution.executedPlan.outputPartitioning.numPartitions
-    val current = if (planned > 0) planned else df.rdd.getNumPartitions
-    val sized = if (current >= wanted) df else df.repartition(wanted)
-    sized.write.mode("overwrite")
+    ExportSizing.sizeUp(df, maxPartBytes).write.mode("overwrite")
       .option("compression", exportCodec)
       .json(path)
   }

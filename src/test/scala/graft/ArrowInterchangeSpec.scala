@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ArrowInterchange
+
+/** Arrow IPC interchange: the full declared type surface through real
+  * IPC files (footer-schema'd read-back, multi-batch framing, per-part
+  * read parallelism) plus the loud-failure contract for types outside
+  * the surface. */
+class ArrowInterchangeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-arrow-spec").toString
+
+  test("full type surface roundtrips exactly, nulls everywhere") {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("i", IntegerType),
+      StructField("f", FloatType),
+      StructField("d", DoubleType),
+      StructField("b", BooleanType),
+      StructField("s", StringType),
+      StructField("bin", BinaryType),
+      StructField("ts", TimestampType),
+      StructField("tsn", TimestampNTZType),
+      StructField("dt", DateType),
+      StructField("af", ArrayType(FloatType)),
+      StructField("as", ArrayType(StringType))))
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 12:34:56.123456")
+    val ldt = java.time.LocalDateTime.of(2024, 3, 1, 23, 59, 59, 999999000)
+    val rows = Seq(
+      Row(1L, 7, 1.5f, 2.25, true, "héllo ☃ 😀", Array[Byte](0, 1, -1),
+        ts, ldt, java.sql.Date.valueOf("2024-02-29"),
+        Seq(1.0f, -2.5f, 3.25f), Seq("a", null, "c")),
+      Row(2L, null, null, null, false, "", Array.empty[Byte],
+        null, null, null, Seq.empty[Float], null),
+      Row(3L, -1, Float.MinPositiveValue, Double.MaxValue, null, null, null,
+        ts, ldt, java.sql.Date.valueOf("1969-12-31"), null, Seq("x")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val out = tmp()
+    ArrowInterchange.exportArrow(df, s"$out/t", batchRows = 2)
+    val back = ArrowInterchange.readArrow(spark, s"$out/t")
+    assert(back.schema == schema)
+    val a = df.orderBy("id").collect()
+    val b = back.orderBy("id").collect()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) =>
+      (0 until schema.length).foreach { c =>
+        (x.get(c), y.get(c)) match {
+          case (xb: Array[Byte], yb: Array[Byte]) =>
+            assert(java.util.Arrays.equals(xb, yb), s"col $c of row ${x.get(0)}")
+          case (xv, yv) =>
+            assert(xv == yv, s"col ${schema(c).name} of row ${x.get(0)}")
+        }
+      }
+    }
+  }
+
+  test("multi-batch framing: batchRows smaller than a partition") {
+    import spark.implicits._
+    val df = (0L until 100L).toDF("v").repartition(3)
+    val out = tmp()
+    ArrowInterchange.exportArrow(df, s"$out/t", batchRows = 7)
+    val back = ArrowInterchange.readArrow(spark, s"$out/t")
+    assert(back.as[Long].collect().sorted.toSeq == (0L until 100L))
+  }
+
+  test("N parts read as N partitions; empty partitions write no file") {
+    import spark.implicits._
+    val df = (0L until 10L).toDF("v").repartition(4)
+    val out = tmp()
+    ArrowInterchange.exportArrow(df, s"$out/t")
+    val files = new java.io.File(s"$out/t").listFiles()
+      .filter(_.getName.endsWith(".arrows"))
+    assert(files.nonEmpty && files.length <= 4)
+    val back = ArrowInterchange.readArrow(spark, s"$out/t")
+    assert(back.rdd.getNumPartitions == files.length)
+    // a frame with some all-empty partitions still roundtrips
+    val sparse = (0L until 3L).toDF("v").repartition(8)
+    ArrowInterchange.exportArrow(sparse, s"$out/sparse")
+    assert(ArrowInterchange.readArrow(spark, s"$out/sparse")
+      .as[Long].collect().sorted.toSeq == (0L until 3L))
+  }
+
+  test("unsupported column types fail loudly at export, with the name") {
+    import spark.implicits._
+    val df = Seq((1L, BigDecimal(1))).toDF("ok", "dec")
+    val e = intercept[IllegalArgumentException] {
+      ArrowInterchange.exportArrow(df, tmp() + "/t")
+    }
+    assert(e.getMessage.contains("dec"))
+    val nested = Seq((1L, Seq(Seq(1)))).toDF("ok", "nest")
+    intercept[IllegalArgumentException] {
+      ArrowInterchange.exportArrow(nested, tmp() + "/t")
+    }
+  }
+
+  test("reading an empty directory fails loudly, not as an empty frame") {
+    val out = tmp()
+    new java.io.File(s"$out/e").mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      ArrowInterchange.readArrow(spark, s"$out/e")
+    }
+    assert(e.getMessage.contains("no .arrows files"))
+  }
+}

@@ -73,6 +73,26 @@ class JsonlSpec extends AnyFunSuite {
     assert(back.count() == docs.count(), "no rows lost by the sizing")
   }
 
+  test("stat-less frames export with their own layout, not the sentinel's") {
+    // a parallelized local relation has NO size statistics: Catalyst
+    // reports the defaultSizeInBytes sentinel (≈8 EiB), which taken at
+    // face value asks for 2^20 one-row parts. The sizing must detect
+    // the unknown estimate and keep the frame's own partitioning.
+    import spark.implicits._
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize((0L until 10L).map(Tuple1(_)), 2))
+      .toDF("v")
+    assert(df.queryExecution.optimizedPlan.stats.sizeInBytes
+      > BigInt(1L << 50), "precondition: the estimate IS the sentinel")
+    val out = Files.createTempDirectory("graft-jsonl-nostats").toString
+    Jsonl.exportJsonl(df, s"$out/d")
+    val parts = new java.io.File(s"$out/d").listFiles()
+      .filter(_.getName.endsWith(partExt))
+    assert(parts.length <= 2, s"expected ≤2 parts, got ${parts.length}")
+    assert(spark.read.schema("v LONG").json(s"$out/d")
+      .as[Long].collect().sorted.toSeq == (0L until 10L))
+  }
+
   test("declared schema wins over inference: missing fields are null") {
     val dir = Files.createTempDirectory("graft-jsonl-schema").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/part.json"),
