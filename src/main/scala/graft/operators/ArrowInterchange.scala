@@ -197,7 +197,23 @@ object ArrowInterchange {
           Iterator.single(1)
         } finally alloc.close()
       }
-    }.count(): Unit
+    }.count() match {
+      case 0L =>
+        // every partition was empty: write one schema-only file so the
+        // read-back is an empty frame with the declared schema, not a
+        // loud no-files failure (JSONL's empty export reads back empty
+        // the same way)
+        NioAccess.ensureOpen(classOf[RootAllocator])
+        val alloc = new RootAllocator(Long.MaxValue)
+        try {
+          val root = VectorSchemaRoot.create(toArrowSchema(schema), alloc)
+          val ch = java.nio.channels.Channels
+            .newChannel(dfs.create(new Path(out, "part-00000.arrows"), true))
+          val w = new ArrowFileWriter(root, null, ch)
+          try { w.start(); w.end() } finally { w.close(); ch.close(); root.close() }
+        } finally alloc.close()
+      case _ => ()
+    }
   }
 
   private def clear(root: VectorSchemaRoot): Unit = {
@@ -205,8 +221,12 @@ object ArrowInterchange {
     while (it.hasNext) it.next().reset()
   }
 
+  /** floorDiv, not `/`: getTime carries the (non-negative) fractional
+    * second, so truncating division shifts pre-1970 fractional
+    * timestamps forward a whole second. Mirrors the read side. */
   private def micros(ts: java.sql.Timestamp): Long =
-    Math.multiplyExact(ts.getTime / 1000L, 1000000L) + ts.getNanos / 1000L
+    Math.multiplyExact(Math.floorDiv(ts.getTime, 1000L), 1000000L) +
+      ts.getNanos / 1000L
 
   private def microsNtz(dt: java.time.LocalDateTime): Long =
     Math.multiplyExact(dt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L) +

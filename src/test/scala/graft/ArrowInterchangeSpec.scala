@@ -42,7 +42,11 @@ class ArrowInterchangeSpec extends AnyFunSuite {
       Row(2L, null, null, null, false, "", Array.empty[Byte],
         null, null, null, Seq.empty[Float], null),
       Row(3L, -1, Float.MinPositiveValue, Double.MaxValue, null, null, null,
-        ts, ldt, java.sql.Date.valueOf("1969-12-31"), null, Seq("x")))
+        // pre-1970 FRACTIONAL timestamp: getTime is negative while the
+        // nanos field is positive — truncating division wrote it a
+        // second late until the write side floorDiv'd like the reader
+        java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5"),
+        ldt, java.sql.Date.valueOf("1969-12-31"), null, Seq("x")))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), schema)
     val out = tmp()
@@ -88,6 +92,18 @@ class ArrowInterchangeSpec extends AnyFunSuite {
     ArrowInterchange.exportArrow(sparse, s"$out/sparse")
     assert(ArrowInterchange.readArrow(spark, s"$out/sparse")
       .as[Long].collect().sorted.toSeq == (0L until 3L))
+  }
+
+  test("an all-empty frame roundtrips as empty WITH its schema") {
+    import spark.implicits._
+    val df = spark.emptyDataset[Long].toDF("v").where(col("v") > 0)
+    val out = tmp()
+    ArrowInterchange.exportArrow(df, s"$out/t")
+    val back = ArrowInterchange.readArrow(spark, s"$out/t")
+    // names+types survive; the wire declares every field nullable
+    assert(back.schema.map(f => (f.name, f.dataType))
+      == df.schema.map(f => (f.name, f.dataType)))
+    assert(back.count() == 0)
   }
 
   test("unsupported column types fail loudly at export, with the name") {
