@@ -2216,9 +2216,9 @@ object SparkEntry {
         |       CAST(len(e.embedding) AS INT) AS emb_len,
         |       round(list_reduce(
         |         list_prepend(0.0, list_transform(e.embedding,
-        |           x -> CAST(x AS DOUBLE))), (a, b) -> a + b), 3) AS emb_sum,
-        |       round(CAST(e.embedding[1] AS DOUBLE), 4) AS emb_first,
-        |       round(CAST(e.embedding[-1] AS DOUBLE), 4) AS emb_last
+        |           x -> CAST(x AS DOUBLE))), (a, b) -> a + b), 3) + 0.0 AS emb_sum,
+        |       round(CAST(e.embedding[1] AS DOUBLE), 4) + 0.0 AS emb_first,
+        |       round(CAST(e.embedding[-1] AS DOUBLE), 4) + 0.0 AS emb_last
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
     "q_multimodal_features" ->

@@ -438,12 +438,15 @@ object ArrowInterchange {
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"), col("label"), col("ratio"), col("flag"),
           size(col("embedding")).as("emb_len"),
-          round(aggregate(col("embedding"), lit(0.0),
-            (a, x) => a + x.cast(DoubleType)), 3).as("emb_sum"),
-          round(element_at(col("embedding"), 1).cast(DoubleType), 4)
-            .as("emb_first"),
-          round(element_at(col("embedding"), -1).cast(DoubleType), 4)
-            .as("emb_last"))
+          // + 0.0 after each round: IEEE turns the -0.0 a tiny negative
+          // rounds to back into +0.0, matching the oracle's same trick
+          // (the two zeros hash differently as strings)
+          (round(aggregate(col("embedding"), lit(0.0),
+            (a, x) => a + x.cast(DoubleType)), 3) + lit(0.0)).as("emb_sum"),
+          (round(element_at(col("embedding"), 1).cast(DoubleType), 4)
+            + lit(0.0)).as("emb_first"),
+          (round(element_at(col("embedding"), -1).cast(DoubleType), 4)
+            + lit(0.0)).as("emb_last"))
         .orderBy("doc_id")
       Scratch.materializeAndClean(out, back)
     } catch { case e: Throwable =>

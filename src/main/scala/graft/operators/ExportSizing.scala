@@ -25,7 +25,16 @@ private[graft] object ExportSizing {
   /** Number of partitions `df` will be written with under
     * `maxPartBytes`-sized parts. */
   def sizeUp(df: DataFrame, maxPartBytes: Long): DataFrame = {
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val plan = df.queryExecution.optimizedPlan
+    // The size-only stats visitor MULTIPLIES child sizes through a
+    // join, so a 2 MB⋈0.5 MB join "weighs" a terabyte and would fan a
+    // 2000-row export into thousands of empty parts. An export can't
+    // outweigh what its scans read (modulo explode, which inflates the
+    // leaf sum's direction too, just honestly), so bound the output
+    // estimate by the leaf sum — real file statistics joins can't
+    // inflate. Filters/projections keep the smaller output estimate.
+    val leafSum = plan.collectLeaves().map(_.stats.sizeInBytes).sum
+    val est = plan.stats.sizeInBytes.min(leafSum)
     // current width from the physical plan's own partitioning when it
     // knows it; scans and unexecuted AQE plans report
     // UnknownPartitioning(0), and only then do we pay the df.rdd

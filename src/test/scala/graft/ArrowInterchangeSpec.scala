@@ -94,6 +94,26 @@ class ArrowInterchangeSpec extends AnyFunSuite {
       .as[Long].collect().sorted.toSeq == (0L until 3L))
   }
 
+  test("join-inflated size estimates don't fan the export out") {
+    // the size-only stats visitor multiplies child sizes through a
+    // join; sizing must bound by the leaf sum or a 2-row join exports
+    // thousands of empty parts (this was an 11-second bench row)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+    val joined = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(docs("doc_id"), col("text"), col("label"))
+    assert(joined.queryExecution.optimizedPlan.stats.sizeInBytes
+      > joined.queryExecution.optimizedPlan.collectLeaves()
+          .map(_.stats.sizeInBytes).sum,
+      "precondition: the join estimate IS inflated past the leaf sum")
+    val out = tmp()
+    ArrowInterchange.exportArrow(joined, s"$out/t")
+    val files = new java.io.File(s"$out/t").listFiles()
+      .filter(_.getName.endsWith(".arrows"))
+    assert(files.length <= spark.sparkContext.defaultParallelism,
+      s"tiny join exported ${files.length} parts")
+  }
+
   test("an all-empty frame roundtrips as empty WITH its schema") {
     import spark.implicits._
     val df = spark.emptyDataset[Long].toDF("v").where(col("v") > 0)
