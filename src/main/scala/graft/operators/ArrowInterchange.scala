@@ -152,7 +152,9 @@ object ArrowInterchange {
     * no driver collection, off-heap bounded by one batch per task.
     * Task retries write attempt-unique temp files and publish by
     * rename, first attempt wins (same discipline as the index
-    * artifacts' staged writes). */
+    * artifacts' staged writes). A `_SUCCESS` marker is written LAST —
+    * [[readArrow]] requires it, so a reader can never mistake a
+    * crashed half-export for the complete data set. */
   def exportArrow(df: DataFrame, path: String,
                   batchRows: Int = DefaultBatchRows,
                   maxPartBytes: Long = DefaultMaxPartBytes): Unit = {
@@ -214,6 +216,7 @@ object ArrowInterchange {
         } finally alloc.close()
       case _ => ()
     }
+    dfs.create(new Path(out, "_SUCCESS"), true).close()
   }
 
   private def clear(root: VectorSchemaRoot): Unit = {
@@ -320,6 +323,9 @@ object ArrowInterchange {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
+    require(fs.exists(new Path(root, "_SUCCESS")),
+      s"$path has no _SUCCESS marker: the export did not complete " +
+        "(reading a partial directory would silently drop rows)")
     val files = fs.listStatus(root).filter(_.getPath.getName.endsWith(".arrows"))
       .sortBy(_.getPath.getName).map(s => (s.getPath.toString, s.getLen)).toSeq
     require(files.nonEmpty, s"no .arrows files under $path")

@@ -142,9 +142,22 @@ class ArrowInterchangeSpec extends AnyFunSuite {
   test("reading an empty directory fails loudly, not as an empty frame") {
     val out = tmp()
     new java.io.File(s"$out/e").mkdirs()
+    new java.io.File(s"$out/e/_SUCCESS").createNewFile()
     val e = intercept[IllegalArgumentException] {
       ArrowInterchange.readArrow(spark, s"$out/e")
     }
     assert(e.getMessage.contains("no .arrows files"))
+  }
+
+  test("a crashed half-export is unreadable, never silently partial") {
+    import spark.implicits._
+    val out = tmp()
+    ArrowInterchange.exportArrow((0L until 10L).toDF("v"), s"$out/t")
+    // simulate a crash before the marker: files present, _SUCCESS not
+    assert(new java.io.File(s"$out/t/_SUCCESS").delete())
+    val e = intercept[IllegalArgumentException] {
+      ArrowInterchange.readArrow(spark, s"$out/t")
+    }
+    assert(e.getMessage.contains("_SUCCESS"))
   }
 }
