@@ -64,9 +64,9 @@ object ArrowInterchange {
     * reference's 122880. */
   val DefaultBatchRows: Int = 16384
 
-  /** Max estimated bytes of row data per exported file — one
-    * comfortable read task, same contract as [[Jsonl.DefaultMaxPartBytes]]. */
-  val DefaultMaxPartBytes: Long = 128L << 20
+  /** Max estimated bytes of row data per exported file — the shared
+    * interchange part-sizing contract, defined once on [[ExportSizing]]. */
+  val DefaultMaxPartBytes: Long = ExportSizing.DefaultMaxPartBytes
 
   // ---------------------------------------------------------------- schema
 
@@ -113,7 +113,10 @@ object ArrowInterchange {
     case _: ArrowType.Binary => BinaryType
     case ts: ArrowType.Timestamp if ts.getUnit == ATimeUnit.MICROSECOND =>
       if (ts.getTimezone == null) TimestampNTZType else TimestampType
-    case _: ArrowType.Date => DateType
+    // date64 (ms) would pass here but carry a DateMilliVector the row
+    // reader can't drain — reject at plan time like the timestamp units
+    case d: ArrowType.Date
+        if d.getUnit == org.apache.arrow.vector.types.DateUnit.DAY => DateType
     case other => throw new IllegalArgumentException(
       s"ArrowInterchange: field '$name' has unsupported Arrow type $other")
   }
@@ -194,8 +197,7 @@ object ArrowInterchange {
             if (n > 0) { root.setRowCount(n); w.writeBatch() }
             w.end()
           } finally { w.close(); ch.close(); root.close() }
-          // publish: first attempt to rename wins; a loser cleans up
-          if (!fs.rename(tmp, fin)) fs.delete(tmp, false)
+          publishNoReplace(fs, tmp, fin)
           Iterator.single(1)
         } finally alloc.close()
       }
@@ -217,6 +219,36 @@ object ArrowInterchange {
       case _ => ()
     }
     dfs.create(new Path(out, "_SUCCESS"), true).close()
+  }
+
+  /** Publish `tmp` as `fin` with fail-if-present semantics per
+    * filesystem (GraftTable's arbitration, same rationale): POSIX
+    * rename REPLACES an existing destination, so on file:// a zombie
+    * or speculative attempt could overwrite an already-published part
+    * whose length a reader may have captured — link(2) fails
+    * atomically iff the target exists. HDFS/object-store rename
+    * already fails-if-present. A failed publish is only benign when it
+    * LOST to a winner; anything else (quota, permission, transient FS
+    * error — Hadoop reports them all as `false`) must fail the task,
+    * or the job completes, `_SUCCESS` is written, and the reader
+    * silently misses the whole partition. */
+  private[graft] def publishNoReplace(fs: FileSystem, tmp: Path,
+                                      fin: Path): Unit = {
+    val published =
+      if (fs.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(fin.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else fs.rename(tmp, fin)
+    fs.delete(tmp, false)
+    if (!published && !fs.exists(fin))
+      throw new IOException(
+        s"publish of $fin failed with no winning attempt present")
   }
 
   private def clear(root: VectorSchemaRoot): Unit = {
@@ -261,12 +293,22 @@ object ArrowInterchange {
         x.setSafe(i, v.asInstanceOf[String].getBytes(UTF_8))
       case (x: VarBinaryVector, BinaryType) =>
         x.setSafe(i, v.asInstanceOf[Array[Byte]])
+      // external rows carry java.sql types by default and java.time
+      // types under spark.sql.datetime.java8API.enabled — accept both
       case (x: TimeStampMicroTZVector, TimestampType) =>
-        x.setSafe(i, micros(v.asInstanceOf[java.sql.Timestamp]))
+        x.setSafe(i, v match {
+          case ts: java.sql.Timestamp => micros(ts)
+          case inst: java.time.Instant =>
+            Math.multiplyExact(inst.getEpochSecond, 1000000L) +
+              inst.getNano / 1000L
+        })
       case (x: TimeStampMicroVector, TimestampNTZType) =>
         x.setSafe(i, microsNtz(v.asInstanceOf[java.time.LocalDateTime]))
       case (x: DateDayVector, DateType) =>
-        x.setSafe(i, v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt)
+        x.setSafe(i, v match {
+          case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+          case ld: java.time.LocalDate => ld.toEpochDay.toInt
+        })
       case (lv: ListVector, ArrayType(et, _)) =>
         val xs = v.asInstanceOf[scala.collection.Seq[Any]]
         val start = lv.startNewValue(i)
@@ -313,19 +355,26 @@ object ArrowInterchange {
       throw new UnsupportedOperationException("read-only channel")
   }
 
-  /** Read an [[exportArrow]] directory (or any directory of `.arrows`
-    * IPC files) back as a DataFrame. Schema comes from the first
-    * file's IPC footer — declared in the artifact, never inferred by
-    * scanning data. Plans one file per task (export part sizing is the
-    * parallelism contract, as with JSONL); each task holds one record
-    * batch off-heap at a time. */
-  def readArrow(spark: SparkSession, path: String): DataFrame = {
+  /** Read an [[exportArrow]] directory back as a DataFrame. Schema
+    * comes from the first file's IPC footer — declared in the
+    * artifact, never inferred by scanning data. Plans one file per
+    * task (export part sizing is the parallelism contract, as with
+    * JSONL); each task holds one record batch off-heap at a time.
+    * Completeness gate: requires the `_SUCCESS` marker [[exportArrow]]
+    * writes last, so a crashed half-export can never read as complete
+    * data. For a directory of `.arrows` files produced by an EXTERNAL
+    * writer (pyarrow etc., which writes no marker), pass
+    * `requireMarker = false` — the caller then owns the completeness
+    * question the marker would have answered. */
+  def readArrow(spark: SparkSession, path: String,
+                requireMarker: Boolean = true): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    require(fs.exists(new Path(root, "_SUCCESS")),
+    require(!requireMarker || fs.exists(new Path(root, "_SUCCESS")),
       s"$path has no _SUCCESS marker: the export did not complete " +
-        "(reading a partial directory would silently drop rows)")
+        "(reading a partial directory would silently drop rows); for " +
+        "externally-written directories pass requireMarker = false")
     val files = fs.listStatus(root).filter(_.getPath.getName.endsWith(".arrows"))
       .sortBy(_.getPath.getName).map(s => (s.getPath.toString, s.getLen)).toSeq
     require(files.nonEmpty, s"no .arrows files under $path")

@@ -11,6 +11,11 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object ExportSizing {
 
+  /** Max estimated (uncompressed) bytes of row data per exported part —
+    * one comfortable read task. The single definition both exporters
+    * alias, so the "same contract" claim can't silently diverge. */
+  val DefaultMaxPartBytes: Long = 128L << 20
+
   /** Any estimate this large is Catalyst saying "no idea": leaves
     * without statistics (LogicalRDD, memory streams) report the
     * `spark.sql.defaultSizeInBytes` sentinel (Long.MaxValue ≈ 8 EiB),

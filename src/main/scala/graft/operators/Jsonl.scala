@@ -31,8 +31,9 @@ import graft.sources.Tables
 object Jsonl {
 
   /** Max UNCOMPRESSED bytes of row data per exported part (gzip takes
-    * it ~4× lower on disk). 128 MB ≈ one comfortable read task. */
-  val DefaultMaxPartBytes: Long = 128L << 20
+    * it ~4× lower on disk) — the shared interchange part-sizing
+    * contract, defined once on [[ExportSizing]]. */
+  val DefaultMaxPartBytes: Long = ExportSizing.DefaultMaxPartBytes
 
   /** Export compression, probed once per JVM: Hadoop's ZStandardCodec
     * needs the native hadoop library, which plain-JVM deployments (and

@@ -27,8 +27,10 @@ private[graft] object NioAccess {
       "(Arrow's off-heap buffers need reflective java.nio access)"
 
   /** Open `java.nio` to `target`'s module if the JVM wasn't launched
-    * with the flag. Idempotent, thread-safe (lazy val), throws with
-    * the official advice when the runtime route is unavailable. */
+    * with the flag. Idempotent — concurrent first calls may both run
+    * the open, which is benign (implAddOpens is itself idempotent);
+    * throws with the official advice when the runtime route is
+    * unavailable. */
   def ensureOpen(target: Class[_]): Unit = {
     val javaBase = classOf[Object].getModule
     val mod = target.getModule

@@ -159,5 +159,56 @@ class ArrowInterchangeSpec extends AnyFunSuite {
       ArrowInterchange.readArrow(spark, s"$out/t")
     }
     assert(e.getMessage.contains("_SUCCESS"))
+    // an EXTERNAL directory (no marker, e.g. pyarrow-written) reads
+    // when the caller takes ownership of completeness
+    assert(ArrowInterchange.readArrow(spark, s"$out/t", requireMarker = false)
+      .count() == 10)
+  }
+
+  test("java8API datetime externals (Instant/LocalDate) export fine") {
+    val out = tmp()
+    spark.conf.set("spark.sql.datetime.java8API.enabled", "true")
+    try {
+      val schema = StructType(Seq(
+        StructField("ts", TimestampType), StructField("dt", DateType)))
+      val rows = Seq(Row(
+        java.time.Instant.parse("2024-03-01T12:34:56.123456Z"),
+        java.time.LocalDate.of(1969, 12, 31)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      ArrowInterchange.exportArrow(df, s"$out/t")
+      val back = ArrowInterchange.readArrow(spark, s"$out/t").collect()
+      assert(back.head.getAs[java.time.Instant]("ts")
+        == java.time.Instant.parse("2024-03-01T12:34:56.123456Z"))
+      assert(back.head.getAs[java.time.LocalDate]("dt")
+        == java.time.LocalDate.of(1969, 12, 31))
+    } finally spark.conf.set("spark.sql.datetime.java8API.enabled", "false")
+  }
+
+  test("publish arbitration: losers don't replace, hard failures throw") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmp()
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    def put(name: String, content: String): Path = {
+      val p = new Path(dir, name)
+      val o = fs.create(p, true); o.write(content.getBytes); o.close(); p
+    }
+    // winner publishes
+    val fin = new Path(dir, "part-00000.arrows")
+    ArrowInterchange.publishNoReplace(fs, put(".a.tmp", "winner"), fin)
+    // a zombie/speculative loser must neither replace nor throw
+    ArrowInterchange.publishNoReplace(fs, put(".b.tmp", "zombie"), fin)
+    val in = fs.open(fin)
+    val buf = new Array[Byte](16)
+    val n = in.read(buf); in.close()
+    assert(new String(buf, 0, n) == "winner", "loser replaced the winner")
+    assert(!fs.exists(new Path(dir, ".b.tmp")), "loser's temp not cleaned")
+    // a publish that fails with NO winner present must throw, not
+    // silently drop the partition (missing parent dir => link fails)
+    val e = intercept[Exception] {
+      ArrowInterchange.publishNoReplace(fs, put(".c.tmp", "x"),
+        new Path(dir, "nosuchdir/part-00001.arrows"))
+    }
+    assert(e.getMessage != null)
   }
 }
