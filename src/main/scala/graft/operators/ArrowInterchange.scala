@@ -327,6 +327,28 @@ object ArrowInterchange {
 
   // ----------------------------------------------------------------- read
 
+  /** Greedy first-fit packing of whole files (IPC framing can't split)
+    * into read tasks, Spark's own scan-sizing rule: the per-task byte
+    * target shrinks to `total/minTasks` when the directory is small —
+    * a handful of tiny parts still reads at session parallelism — and
+    * caps at `maxTaskBytes` when it is large, so a million small files
+    * cost ⌈total/cap⌉ tasks, not a million. An oversized file rides
+    * alone (export part sizing is the per-task upper bound). */
+  private[graft] def packFiles(files: Seq[(String, Long)], maxTaskBytes: Long,
+                               minTasks: Int): Seq[Seq[(String, Long)]] = {
+    val total = files.map(_._2).sum
+    val cap = math.min(maxTaskBytes,
+      math.max(1L, total / math.max(1, minTasks)))
+    val groups = ArrayBuffer(ArrayBuffer.empty[(String, Long)])
+    var acc = 0L
+    files.foreach { case f @ (_, len) =>
+      if (groups.last.nonEmpty && acc + len > cap) {
+        groups += ArrayBuffer(f); acc = len
+      } else { groups.last += f; acc += len }
+    }
+    groups.map(_.toSeq).toSeq
+  }
+
   /** A seekable channel over Hadoop's input stream so the Arrow footer
     * reader can seek without buffering whole files on the heap (the
     * local FS stream rejects direct ByteBuffer reads, hence the bounce
@@ -357,17 +379,21 @@ object ArrowInterchange {
 
   /** Read an [[exportArrow]] directory back as a DataFrame. Schema
     * comes from the first file's IPC footer — declared in the
-    * artifact, never inferred by scanning data. Plans one file per
-    * task (export part sizing is the parallelism contract, as with
-    * JSONL); each task holds one record batch off-heap at a time.
-    * Completeness gate: requires the `_SUCCESS` marker [[exportArrow]]
-    * writes last, so a crashed half-export can never read as complete
-    * data. For a directory of `.arrows` files produced by an EXTERNAL
-    * writer (pyarrow etc., which writes no marker), pass
-    * `requireMarker = false` — the caller then owns the completeness
-    * question the marker would have answered. */
+    * artifact, never inferred by scanning data. Files bin-pack into
+    * read tasks of ≤ [[DefaultMaxPartBytes]] (`maxTaskBytes`) each —
+    * the same contract as Spark's own file scans — so a directory of
+    * many small parts costs ⌈total/cap⌉ tasks, not one task per file;
+    * a file can't split (IPC framing), so export part sizing remains
+    * the per-task upper bound. Each task holds one record batch
+    * off-heap at a time. Completeness gate: requires the `_SUCCESS`
+    * marker [[exportArrow]] writes last, so a crashed half-export can
+    * never read as complete data. For a directory of `.arrows` files
+    * produced by an EXTERNAL writer (pyarrow etc., which writes no
+    * marker), pass `requireMarker = false` — the caller then owns the
+    * completeness question the marker would have answered. */
   def readArrow(spark: SparkSession, path: String,
-                requireMarker: Boolean = true): DataFrame = {
+                requireMarker: Boolean = true,
+                maxTaskBytes: Long = DefaultMaxPartBytes): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
@@ -389,11 +415,14 @@ object ArrowInterchange {
       } finally alloc.close()
     }
 
+    val groups =
+      packFiles(files, maxTaskBytes, spark.sparkContext.defaultParallelism)
+
     val sconf = new SerConf(conf)
     val rows = spark.sparkContext
-      .parallelize(files, files.size)
-      .mapPartitions { fit =>
-        fit.flatMap { case (file, len) =>
+      .parallelize(groups, groups.size)
+      .mapPartitions { git =>
+        git.flatten.flatMap { case (file, len) =>
           NioAccess.ensureOpen(classOf[RootAllocator])
           val fs = new Path(file).getFileSystem(sconf.conf)
           val alloc = new RootAllocator(Long.MaxValue)

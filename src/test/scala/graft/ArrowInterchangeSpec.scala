@@ -77,7 +77,8 @@ class ArrowInterchangeSpec extends AnyFunSuite {
     assert(back.as[Long].collect().sorted.toSeq == (0L until 100L))
   }
 
-  test("N parts read as N partitions; empty partitions write no file") {
+  test("reads bin-pack small files; byte cap bounds a task; empty " +
+       "partitions write no file") {
     import spark.implicits._
     val df = (0L until 10L).toDF("v").repartition(4)
     val out = tmp()
@@ -85,8 +86,28 @@ class ArrowInterchangeSpec extends AnyFunSuite {
     val files = new java.io.File(s"$out/t").listFiles()
       .filter(_.getName.endsWith(".arrows"))
     assert(files.nonEmpty && files.length <= 4)
-    val back = ArrowInterchange.readArrow(spark, s"$out/t")
-    assert(back.rdd.getNumPartitions == files.length)
+    // a small directory still reads at session parallelism (the task
+    // target shrinks to total/minTasks, one indivisible file each)…
+    val spread = ArrowInterchange.readArrow(spark, s"$out/t")
+    assert(spread.rdd.getNumPartitions == files.length)
+    assert(spread.as[Long].collect().sorted.toSeq == (0L until 10L))
+    // …and a 1-byte cap still reads whole files, one per task
+    val solo = ArrowInterchange.readArrow(spark, s"$out/t", maxTaskBytes = 1L)
+    assert(solo.rdd.getNumPartitions == files.length)
+    assert(solo.as[Long].collect().sorted.toSeq == (0L until 10L))
+    // the packing rule itself: many small files bound by the byte cap,
+    // not one task per file (the 100 TB shape), while small dirs fill
+    // parallelism
+    val tiny = (0 until 1000).map(i => (f"f$i%04d", 10L))
+    val packed = ArrowInterchange.packFiles(tiny, 100L, 4)
+    assert(packed.length == 100 && packed.forall(_.map(_._2).sum <= 100L))
+    assert(packed.flatten == tiny, "packing must keep every file once, in order")
+    val few = (0 until 3).map(i => (s"f$i", 10L))
+    assert(ArrowInterchange.packFiles(few, 128L << 20, 8).length == 3)
+    // an oversized file rides alone and doesn't block its neighbors
+    val mixed = Seq(("a", 5L), ("big", 1000L), ("b", 5L))
+    val mg = ArrowInterchange.packFiles(mixed, 10L, 1)
+    assert(mg.flatten == mixed && mg.length == 3)
     // a frame with some all-empty partitions still roundtrips
     val sparse = (0L until 3L).toDF("v").repartition(8)
     ArrowInterchange.exportArrow(sparse, s"$out/sparse")
