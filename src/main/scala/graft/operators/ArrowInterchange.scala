@@ -428,6 +428,16 @@ object ArrowInterchange {
           val alloc = new RootAllocator(Long.MaxValue)
           val reader =
             new ArrowFileReader(new HadoopChannel(fs.open(new Path(file)), len), alloc)
+          // the directory schema is the FIRST file's footer; a stray
+          // file from another export would otherwise misread by column
+          // position — fail with the file name instead
+          val declared = fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
+          if (declared != schema) {
+            reader.close(); alloc.close()
+            throw new IllegalStateException(
+              s"$file declares schema $declared but the directory's " +
+                s"first file declares $schema — mixed exports in one dir")
+          }
           var done = false
           def finish(): Unit = if (!done) { done = true; reader.close(); alloc.close() }
           Option(TaskContext.get())

@@ -186,6 +186,26 @@ class ArrowInterchangeSpec extends AnyFunSuite {
       .count() == 10)
   }
 
+  test("a stray file with a different schema fails with its name") {
+    import spark.implicits._
+    val out = tmp()
+    ArrowInterchange.exportArrow((0L until 4L).toDF("v"), s"$out/t")
+    ArrowInterchange.exportArrow(Seq(("x", 1)).toDF("s", "i"), s"$out/other")
+    val stray = new java.io.File(s"$out/other").listFiles()
+      .filter(_.getName.endsWith(".arrows")).head
+    // lands AFTER the legit parts in name order, so the directory
+    // schema stays the long one and the stray must be caught per-file
+    java.nio.file.Files.copy(stray.toPath,
+      java.nio.file.Paths.get(s"$out/t/part-zzzzz.arrows"))
+    val e = intercept[Exception] {
+      ArrowInterchange.readArrow(spark, s"$out/t").count()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("mixed exports"), s"unexpected failure: $msgs")
+  }
+
   test("java8API datetime externals (Instant/LocalDate) export fine") {
     val out = tmp()
     spark.conf.set("spark.sql.datetime.java8API.enabled", "true")
