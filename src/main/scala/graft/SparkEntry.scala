@@ -149,6 +149,7 @@ object SparkEntry {
     "q_jsonl_roundtrip"     -> (Jsonl.roundtrip _),
     // --- Arrow IPC interchange (the reference's native data plane) ------
     "q_arrow_roundtrip"     -> (ArrowInterchange.roundtrip _),
+    "q_stream_arrow"        -> (ArrowInterchange.streamShards _),
     // --- SQL-registered operator surface (GraftExtensions) --------------
     // the curation gates run through spark.sql over the REGISTERED
     // functions — proves the SQL-first path end-to-end in the oracle gate
@@ -2221,6 +2222,11 @@ object SparkEntry {
         |       round(CAST(e.embedding[-1] AS DOUBLE), 4) + 0.0 AS emb_last
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // streamed arrow shards must be lossless and boundary-invisible:
+    // the oracle is the bare source projection
+    "q_stream_arrow" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_multimodal_features" ->
       s"""WITH d AS (
          |  SELECT doc_id,

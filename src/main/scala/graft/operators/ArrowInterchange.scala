@@ -19,6 +19,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.sources.Tables
@@ -507,6 +508,47 @@ object ArrowInterchange {
         s"ArrowInterchange: vector ${other.getClass.getSimpleName} / type $t")
     }
 
+  // ------------------------------------------------------------- streaming
+
+  /** Stream a file source into Arrow IPC shard directories — the
+    * reference's actual data plane (a Kafka stream becoming Arrow
+    * record batches the query engine ingests, main.go:88,249)
+    * re-expressed as Structured Streaming: each micro-batch exports
+    * wholesale into its own `batch_id=N` directory, so a replayed
+    * batch rewrites exactly its own shard (file-level idempotence,
+    * the same discipline as the parquet streaming sink) and each
+    * shard carries its own `_SUCCESS` — a crashed half-shard is
+    * unreadable, never silently partial. */
+  def streamingArrowShards(spark: SparkSession, srcDir: String,
+                           outDir: String, ckptDir: String,
+                           maxFilesPerTrigger: Int): StreamingQuery = {
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(srcDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        exportArrow(batch, s"$outDir/batch_id=$id")
+      }
+      .start()
+  }
+
+  /** Union all committed `batch_id=N` shards of a
+    * [[streamingArrowShards]] run. Every shard must carry its
+    * `_SUCCESS` marker — one crashed shard fails the read rather than
+    * silently dropping its rows. */
+  def readShards(spark: SparkSession, outDir: String): DataFrame = {
+    val root = new Path(outDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val shards = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.toString).sorted
+    require(shards.nonEmpty, s"no batch_id=N shards under $outDir")
+    shards.map(readArrow(spark, _)).reduce(_ unionByName _)
+  }
+
   // ------------------------------------------------------------ oracle row
 
   /** q_arrow_roundtrip: documents ⋈ embeddings → Arrow IPC files →
@@ -517,6 +559,29 @@ object ArrowInterchange {
     * left fold + ends) since the gate's comparator flattens to
     * strings. The oracle is the same join stated relationally — the
     * roundtrip must be lossless. */
+  /** q_stream_arrow: documents staged as multiple parquet shard files →
+    * streamed (≥2 micro-batches) into Arrow IPC shard directories →
+    * marker-gated union read-back. The oracle is the source projection
+    * itself — the streamed interchange must be lossless, shard
+    * boundaries invisible. */
+  def streamShards(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-stream-arrow").toString
+    try {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .repartition(4) // ≥2 shard files → the stream really batches
+        .write.parquet(s"$root/src")
+      val q = streamingArrowShards(spark, s"$root/src", s"$root/out",
+        s"$root/ckpt", maxFilesPerTrigger = 2)
+      q.awaitTermination()
+      Scratch.materializeAndClean(root,
+        readShards(spark, s"$root/out").orderBy("doc_id"))
+    } catch { case e: Throwable =>
+      Scratch.rm(new java.io.File(root)); throw e
+    }
+  }
+
   def roundtrip(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val emb = Tables.embeddings(spark, dir)

@@ -147,6 +147,39 @@ class ArrowInterchangeSpec extends AnyFunSuite {
     assert(back.count() == 0)
   }
 
+  test("streaming shards: multi-batch, replay-idempotent dirs, one " +
+       "crashed shard fails the union read") {
+    import spark.implicits._
+    val root = tmp()
+    (0L until 40L).map(i => (i, s"t$i")).toDF("id", "t")
+      .repartition(4).write.parquet(s"$root/src")
+    ArrowInterchange.streamingArrowShards(spark, s"$root/src",
+      s"$root/out", s"$root/ckpt", maxFilesPerTrigger = 2)
+      .awaitTermination()
+    val shards = new java.io.File(s"$root/out").listFiles()
+      .filter(_.getName.startsWith("batch_id=")).sortBy(_.getName)
+    assert(shards.length >= 2, "stream must really micro-batch")
+    assert(shards.forall(d => new java.io.File(d, "_SUCCESS").exists()))
+    val back = ArrowInterchange.readShards(spark, s"$root/out")
+    assert(back.select("id").as[Long].collect().sorted.toSeq
+      == (0L until 40L))
+    // a replayed batch rewrites exactly its own shard: re-export into
+    // shard 0's dir and the union is unchanged (wholesale replace).
+    // Materialize before exporting — export deletes the dir first
+    val rows0 = ArrowInterchange.readArrow(spark, shards.head.getPath).collect()
+    ArrowInterchange.exportArrow(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows0.toSeq, 1),
+        back.schema), shards.head.getPath)
+    assert(ArrowInterchange.readShards(spark, s"$root/out")
+      .select("id").as[Long].collect().sorted.toSeq == (0L until 40L))
+    // a crashed shard (marker missing) fails the union read loudly
+    assert(new java.io.File(shards.last, "_SUCCESS").delete())
+    val e = intercept[IllegalArgumentException] {
+      ArrowInterchange.readShards(spark, s"$root/out").count()
+    }
+    assert(e.getMessage.contains("_SUCCESS"))
+  }
+
   test("unsupported column types fail loudly at export, with the name") {
     import spark.implicits._
     val df = Seq((1L, BigDecimal(1))).toDF("ok", "dec")
