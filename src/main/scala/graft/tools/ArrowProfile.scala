@@ -1,0 +1,49 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.operators.ArrowInterchange
+
+/** Throughput profile of the Arrow IPC interchange (dev tool): blows
+  * the sf documents corpus up `Copies`×, materializes it (so the scan
+  * doesn't pollute the write timing), then times exportArrow and the
+  * readArrow round separately. Prints rows/s and MB/s per direction.
+  *
+  * Usage: `runMain graft.tools.ArrowProfile [sfDir] [copies]`
+  */
+object ArrowProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val copies = args.lift(1).map(_.toInt).getOrElse(100)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.create(cpus, "graft-arrowprofile")
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+    val big = (1 to copies).map(i => docs.withColumn("copy", lit(i)))
+      .reduce(_ unionByName _)
+      .repartition(cpus).localCheckpoint()
+    val rows = big.count()
+    val bytes = big.agg(sum(length(col("text")))).head.getLong(0) +
+      rows * 40 // text dominates; 40 ≈ the fixed-width columns
+    val out = Files.createTempDirectory("graft-arrow-profile").toString
+    (1 to 3).foreach { pass =>
+      val t0 = System.nanoTime()
+      ArrowInterchange.exportArrow(big, s"$out/t")
+      val tw = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val n = ArrowInterchange.readArrow(spark, s"$out/t").count()
+      val tr = (System.nanoTime() - t1) / 1e9
+      require(n == rows, s"roundtrip lost rows: $n of $rows")
+      println(f"[arrowprofile] pass $pass: $rows rows ~${bytes / 1e6}%.0f MB" +
+        f" | export $tw%.2f s (${rows / tw / 1e3}%.0f krows/s, ${bytes / tw / 1e6}%.0f MB/s)" +
+        f" | read $tr%.2f s (${rows / tr / 1e3}%.0f krows/s, ${bytes / tr / 1e6}%.0f MB/s)")
+    }
+    graft.operators.Scratch.rm(new java.io.File(out))
+    spark.stop()
+  }
+}
