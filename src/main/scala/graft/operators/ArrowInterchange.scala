@@ -402,11 +402,26 @@ object ArrowInterchange {
       s"$path has no _SUCCESS marker: the export did not complete " +
         "(reading a partial directory would silently drop rows); for " +
         "externally-written directories pass requireMarker = false")
-    val files = fs.listStatus(root).filter(_.getPath.getName.endsWith(".arrows"))
-      .sortBy(_.getPath.getName).map(s => (s.getPath.toString, s.getLen)).toSeq
+    val files = listArrows(fs, root)
     require(files.nonEmpty, s"no .arrows files under $path")
+    readFiles(spark, conf, files, maxTaskBytes)
+  }
+
+  private def listArrows(fs: FileSystem, root: Path): Seq[(String, Long)] =
+    fs.listStatus(root).filter(_.getPath.getName.endsWith(".arrows"))
+      .sortBy(_.getPath.getName).map(s => (s.getPath.toString, s.getLen)).toSeq
+
+  /** One scan over an explicit file list: the shared read core of
+    * [[readArrow]] (one directory) and [[readShards]] (all committed
+    * shard directories as ONE plan — not an N-way union that grows
+    * with shard count). */
+  private def readFiles(spark: SparkSession, conf: Configuration,
+                        files: Seq[(String, Long)],
+                        maxTaskBytes: Long): DataFrame = {
+    require(files.nonEmpty, "no .arrows files to read")
 
     NioAccess.ensureOpen(classOf[RootAllocator])
+    val fs = new Path(files.head._1).getFileSystem(conf)
     val schema = {
       val in = fs.open(new Path(files.head._1))
       val alloc = new RootAllocator(Long.MaxValue)
@@ -535,18 +550,27 @@ object ArrowInterchange {
       .start()
   }
 
-  /** Union all committed `batch_id=N` shards of a
-    * [[streamingArrowShards]] run. Every shard must carry its
-    * `_SUCCESS` marker — one crashed shard fails the read rather than
-    * silently dropping its rows. */
+  /** All committed `batch_id=N` shards of a [[streamingArrowShards]]
+    * run as ONE scan (a year of micro-batches is 10⁵ shards — an
+    * N-way union plan would grow with shard count; the file lists
+    * concatenate into a single packed read instead). Every shard must
+    * carry its `_SUCCESS` marker — one crashed shard fails the read
+    * rather than silently dropping its rows. */
   def readShards(spark: SparkSession, outDir: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
     val root = new Path(outDir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = root.getFileSystem(conf)
     val shards = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-      .map(_.getPath.toString).sorted
+      .map(_.getPath).sortBy(_.getName)
     require(shards.nonEmpty, s"no batch_id=N shards under $outDir")
-    shards.map(readArrow(spark, _)).reduce(_ unionByName _)
+    val files = shards.flatMap { shard =>
+      require(fs.exists(new Path(shard, "_SUCCESS")),
+        s"$shard has no _SUCCESS marker: the shard's batch did not " +
+          "complete (reading it would silently drop rows)")
+      listArrows(fs, shard)
+    }.toSeq
+    readFiles(spark, conf, files, DefaultMaxPartBytes)
   }
 
   // ------------------------------------------------------------ oracle row
