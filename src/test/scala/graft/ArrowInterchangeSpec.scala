@@ -32,21 +32,23 @@ class ArrowInterchangeSpec extends AnyFunSuite {
       StructField("tsn", TimestampNTZType),
       StructField("dt", DateType),
       StructField("af", ArrayType(FloatType)),
-      StructField("as", ArrayType(StringType))))
+      StructField("as", ArrayType(StringType)),
+      StructField("ats", ArrayType(TimestampType))))
     val ts = java.sql.Timestamp.valueOf("2024-03-01 12:34:56.123456")
     val ldt = java.time.LocalDateTime.of(2024, 3, 1, 23, 59, 59, 999999000)
     val rows = Seq(
       Row(1L, 7, 1.5f, 2.25, true, "héllo ☃ 😀", Array[Byte](0, 1, -1),
         ts, ldt, java.sql.Date.valueOf("2024-02-29"),
-        Seq(1.0f, -2.5f, 3.25f), Seq("a", null, "c")),
+        Seq(1.0f, -2.5f, 3.25f), Seq("a", null, "c"),
+        Seq(ts, null, java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5"))),
       Row(2L, null, null, null, false, "", Array.empty[Byte],
-        null, null, null, Seq.empty[Float], null),
+        null, null, null, Seq.empty[Float], null, Seq.empty[java.sql.Timestamp]),
       Row(3L, -1, Float.MinPositiveValue, Double.MaxValue, null, null, null,
         // pre-1970 FRACTIONAL timestamp: getTime is negative while the
         // nanos field is positive — truncating division wrote it a
         // second late until the write side floorDiv'd like the reader
         java.sql.Timestamp.valueOf("1969-12-31 23:59:59.5"),
-        ldt, java.sql.Date.valueOf("1969-12-31"), null, Seq("x")))
+        ldt, java.sql.Date.valueOf("1969-12-31"), null, Seq("x"), null))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), schema)
     val out = tmp()
