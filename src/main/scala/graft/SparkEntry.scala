@@ -150,6 +150,7 @@ object SparkEntry {
     // --- Arrow IPC interchange (the reference's native data plane) ------
     "q_arrow_roundtrip"     -> (ArrowInterchange.roundtrip _),
     "q_stream_arrow"        -> (ArrowInterchange.streamShards _),
+    "q_arrow_source"        -> (ArrowInterchange.sourceAgg _),
     // --- SQL-registered operator surface (GraftExtensions) --------------
     // the curation gates run through spark.sql over the REGISTERED
     // functions — proves the SQL-first path end-to-end in the oracle gate
@@ -2227,6 +2228,13 @@ object SparkEntry {
     "q_stream_arrow" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the DSv2 pruned-scan aggregate restated over the source table
+    // (DuckDB sum(BIGINT) yields HUGEINT — cast back)
+    "q_arrow_source" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       max(doc_id) AS max_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_multimodal_features" ->
       s"""WITH d AS (
          |  SELECT doc_id,

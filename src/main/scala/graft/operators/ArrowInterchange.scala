@@ -140,7 +140,7 @@ object ArrowInterchange {
   /** Hadoop Configuration is not Serializable; ship it to tasks via its
     * own wire format (the standard wrapper pattern — Spark keeps its
     * equivalent private). */
-  private final class SerConf(@transient var conf: Configuration)
+  private[graft] final class SerConf(@transient var conf: Configuration)
       extends Serializable {
     @throws[IOException]
     private def writeObject(out: ObjectOutputStream): Unit = conf.write(out)
@@ -354,7 +354,7 @@ object ArrowInterchange {
     * reader can seek without buffering whole files on the heap (the
     * local FS stream rejects direct ByteBuffer reads, hence the bounce
     * buffer). Read-only by construction. */
-  private final class HadoopChannel(in: org.apache.hadoop.fs.FSDataInputStream,
+  private[graft] final class HadoopChannel(in: org.apache.hadoop.fs.FSDataInputStream,
                                     size: Long)
       extends java.nio.channels.SeekableByteChannel {
     private var closed = false
@@ -407,7 +407,7 @@ object ArrowInterchange {
     readFiles(spark, conf, files, maxTaskBytes)
   }
 
-  private def listArrows(fs: FileSystem, root: Path): Seq[(String, Long)] =
+  private[graft] def listArrows(fs: FileSystem, root: Path): Seq[(String, Long)] =
     fs.listStatus(root).filter(_.getPath.getName.endsWith(".arrows"))
       .sortBy(_.getPath.getName).map(s => (s.getPath.toString, s.getLen)).toSeq
 
@@ -603,6 +603,29 @@ object ArrowInterchange {
         readShards(spark, s"$root/out").orderBy("doc_id"))
     } catch { case e: Throwable =>
       Scratch.rm(new java.io.File(root)); throw e
+    }
+  }
+
+  /** q_arrow_source: documents → Arrow IPC → the DSv2 source
+    * (`format("graft-arrow")`) with a PRUNED projection feeding an
+    * aggregate — the path where column pushdown pays (text, the fat
+    * column, is never decoded). Oracle restates the aggregate over the
+    * source table. */
+  def sourceAgg(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft-arrow-src").toString
+    try {
+      exportArrow(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars")), s"$out/docs")
+      Scratch.materializeAndClean(out,
+        spark.read.format("graft-arrow").load(s"$out/docs")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy("lang"))
+    } catch { case e: Throwable =>
+      Scratch.rm(new java.io.File(out)); throw e
     }
   }
 

@@ -1,0 +1,243 @@
+package graft.sources.arrow
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.ListVector
+import org.apache.arrow.vector.ipc.ArrowFileReader
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.{ArrowInterchange, NioAccess}
+
+/** DataSource V2 read surface over [[ArrowInterchange]] directories:
+  * `spark.read.format("graft-arrow").load(dir)`. What the RDD-based
+  * [[ArrowInterchange.readArrow]] cannot give, this does:
+  *
+  *  - **column pruning reaches the file**: the scan builder receives
+  *    the pruned schema ([[SupportsPushDownRequiredColumns]]) and the
+  *    reader decodes ONLY those vectors — a 2-column projection over a
+  *    12-column corpus skips ten columns' per-row decode entirely,
+  *    which is the point of a columnar interchange format;
+  *  - **InternalRow output**: values land in catalyst form directly
+  *    (UTF8String bytes, micros longs, day ints), skipping the
+  *    external-Row materialization and re-conversion the RDD path pays.
+  *
+  * Same completeness and layout contracts as readArrow: `_SUCCESS`
+  * required unless `requireMarker=false`, whole files bin-packed into
+  * tasks by [[ArrowInterchange.packFiles]], schema declared by the
+  * first file's footer and enforced per file.
+  */
+class ArrowSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-arrow"
+
+  private def path(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-arrow: a directory path is required (load(dir))"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ArrowSource.footerSchema(path(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new ArrowTable(properties.get("path"), schema)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+private[arrow] object ArrowSource {
+  import ArrowInterchange.{HadoopChannel, fromArrowSchema, listArrows}
+
+  def footerSchema(path: String): StructType = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = listArrows(fs, root)
+    require(files.nonEmpty, s"no .arrows files under $path")
+    NioAccess.ensureOpen(classOf[RootAllocator])
+    val in = fs.open(new Path(files.head._1))
+    val alloc = new RootAllocator(Long.MaxValue)
+    try {
+      val r = new ArrowFileReader(new HadoopChannel(in, files.head._2), alloc)
+      try fromArrowSchema(r.getVectorSchemaRoot.getSchema) finally r.close()
+    } finally alloc.close()
+  }
+}
+
+private[arrow] class ArrowTable(path: String, declared: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-arrow:$path"
+  override def schema(): StructType = declared
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ArrowScanBuilder(path, declared, opts)
+}
+
+private[arrow] class ArrowScanBuilder(path: String, declared: StructType,
+                                      opts: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = declared
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new ArrowScan(path, declared, required,
+    Option(opts.get("requiremarker")).forall(_.toBoolean),
+    Option(opts.get("maxtaskbytes")).map(_.toLong)
+      .getOrElse(ArrowInterchange.DefaultMaxPartBytes))
+}
+
+private[arrow] class ArrowScan(path: String, declared: StructType,
+                               required: StructType, requireMarker: Boolean,
+                               maxTaskBytes: Long) extends Scan with Batch {
+  import ArrowInterchange.{SerConf, listArrows, packFiles}
+
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-arrow $path [${required.fieldNames.mkString(",")}]"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    require(!requireMarker || fs.exists(new Path(root, "_SUCCESS")),
+      s"$path has no _SUCCESS marker: the export did not complete; for " +
+        "externally-written directories set requireMarker=false")
+    val files = listArrows(fs, root)
+    require(files.nonEmpty, s"no .arrows files under $path")
+    val sconf = new SerConf(conf)
+    packFiles(files, maxTaskBytes, spark.sparkContext.defaultParallelism)
+      .map(g => ArrowInputPartition(g, sconf): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArrowReaderFactory(declared, required)
+}
+
+private[arrow] final case class ArrowInputPartition(
+    files: Seq[(String, Long)],
+    conf: ArrowInterchange.SerConf) extends InputPartition
+
+private[arrow] class ArrowReaderFactory(declared: StructType,
+                                        required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ArrowPartitionReader(p.asInstanceOf[ArrowInputPartition],
+      declared, required)
+}
+
+/** Executor-side reader over one packed file group: per file one
+  * [[ArrowFileReader]], per record batch only the REQUIRED columns'
+  * vectors are resolved (by name) and decoded — the pruned columns'
+  * buffers are never walked. Values are built in catalyst form, so
+  * timestamps stay micros and dates stay epoch days (no java.sql
+  * round-trips). */
+private[arrow] class ArrowPartitionReader(p: ArrowInputPartition,
+                                          declared: StructType,
+                                          required: StructType)
+    extends PartitionReader[InternalRow] {
+  import ArrowInterchange.{HadoopChannel, fromArrowSchema}
+
+  NioAccess.ensureOpen(classOf[RootAllocator])
+  private val fileIt = p.files.iterator
+  private var alloc: RootAllocator = _
+  private var reader: ArrowFileReader = _
+  private var vectors: Array[ValueVector] = _
+  private var rowCount = 0
+  private var idx = 0
+  private var row: InternalRow = _
+
+  private def closeFile(): Unit = {
+    if (reader != null) { reader.close(); reader = null }
+    if (alloc != null) { alloc.close(); alloc = null }
+  }
+
+  private def openNextFile(): Boolean =
+    if (!fileIt.hasNext) false
+    else {
+      val (file, len) = fileIt.next()
+      val fs = new Path(file).getFileSystem(p.conf.conf)
+      alloc = new RootAllocator(Long.MaxValue)
+      reader = new ArrowFileReader(
+        new HadoopChannel(fs.open(new Path(file)), len), alloc)
+      val fileSchema = fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
+      if (fileSchema != declared) {
+        closeFile()
+        throw new IllegalStateException(
+          s"$file declares schema $fileSchema but the directory's first " +
+            s"file declares $declared — mixed exports in one dir")
+      }
+      true
+    }
+
+  private def nextBatch(): Boolean = {
+    while (reader == null || !reader.loadNextBatch()) {
+      closeFile()
+      if (!openNextFile()) return false
+    }
+    val root = reader.getVectorSchemaRoot
+    // resolve the REQUIRED columns only, by name — this is where the
+    // pushed-down pruning pays: unprojected vectors are never touched
+    vectors = required.fieldNames.map(root.getVector)
+    rowCount = root.getRowCount
+    idx = 0
+    true
+  }
+
+  override def next(): Boolean = {
+    while (idx >= rowCount) if (!nextBatch()) return false
+    val vals = new Array[Any](required.length)
+    var c = 0
+    while (c < required.length) {
+      vals(c) = ArrowCatalyst.value(vectors(c), required(c).dataType, idx)
+      c += 1
+    }
+    row = new GenericInternalRow(vals)
+    idx += 1
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = closeFile()
+}
+
+/** Arrow vector slot → catalyst value (null when unset). */
+private[arrow] object ArrowCatalyst {
+  def value(vec: ValueVector, dt: DataType, i: Int): Any =
+    if (vec.isNull(i)) null
+    else (vec, dt) match {
+      case (b: BitVector, BooleanType) => b.get(i) == 1
+      case (x: IntVector, IntegerType) => x.get(i)
+      case (x: BigIntVector, LongType) => x.get(i)
+      case (x: Float4Vector, FloatType) => x.get(i)
+      case (x: Float8Vector, DoubleType) => x.get(i)
+      case (x: VarCharVector, StringType) => UTF8String.fromBytes(x.get(i))
+      case (x: VarBinaryVector, BinaryType) => x.get(i)
+      case (x: TimeStampMicroTZVector, TimestampType) => x.get(i)
+      case (x: TimeStampMicroVector, TimestampNTZType) => x.get(i)
+      case (x: DateDayVector, DateType) => x.get(i)
+      case (lv: ListVector, ArrayType(et, _)) =>
+        val start = lv.getElementStartIndex(i)
+        val end = lv.getElementEndIndex(i)
+        val child = lv.getDataVector
+        val out = new Array[Any](end - start)
+        var j = start
+        while (j < end) { out(j - start) = value(child, et, j); j += 1 }
+        new GenericArrayData(out)
+      case (other, t) => throw new IllegalStateException(
+        s"graft-arrow: vector ${other.getClass.getSimpleName} / type $t")
+    }
+}
