@@ -42,6 +42,18 @@ object ArrowProfile {
       println(f"[arrowprofile] pass $pass: $rows rows ~${bytes / 1e6}%.0f MB" +
         f" | export $tw%.2f s (${rows / tw / 1e3}%.0f krows/s, ${bytes / tw / 1e6}%.0f MB/s)" +
         f" | read $tr%.2f s (${rows / tr / 1e3}%.0f krows/s, ${bytes / tr / 1e6}%.0f MB/s)")
+      // the pruning payoff: a 2-column aggregate through the DSv2
+      // source (text never decoded) vs the RDD reader (decodes all)
+      val t2 = System.nanoTime()
+      spark.read.format("graft-arrow").load(s"$out/t")
+        .agg(sum(col("n_chars"))).head
+      val tp = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      ArrowInterchange.readArrow(spark, s"$out/t")
+        .agg(sum(col("n_chars"))).head
+      val tf = (System.nanoTime() - t3) / 1e9
+      println(f"[arrowprofile]   2-col agg: dsv2-pruned $tp%.2f s vs " +
+        f"rdd-full $tf%.2f s (${tf / tp}%.1f× from pruning)")
     }
     graft.operators.Scratch.rm(new java.io.File(out))
     spark.stop()
