@@ -39,8 +39,11 @@ import graft.sources.Tables
   *  - export writes one `.arrows` file per partition under the same
   *    size cap as [[Jsonl.exportJsonl]] (repartition UP only), so no
   *    single file becomes a serialized read on the way back in;
-  *  - read plans one file per task; within a file the record-batch
-  *    framing bounds peak memory to one batch, never the whole file.
+  *  - reads bin-pack whole files into byte-capped tasks
+  *    ([[packFiles]] — a small directory still fills session
+  *    parallelism, a huge one is bounded by the cap, never one task
+  *    per file); within a file the record-batch framing bounds peak
+  *    memory to one batch, never the whole file.
   * Batches default to [[DefaultBatchRows]] rows, not the reference's
   * 122880: its batches carry fixed-width bid fields, ours carry
   * corpus text where 122880 rows of documents would hold multi-GB
@@ -411,6 +414,20 @@ object ArrowInterchange {
     fs.listStatus(root).filter(_.getPath.getName.endsWith(".arrows"))
       .sortBy(_.getPath.getName).map(s => (s.getPath.toString, s.getLen)).toSeq
 
+  /** The Spark schema declared in one IPC file's footer. The single
+    * copy of the open-footer-close sequence (driver schema reads here
+    * and in the DSv2 provider). */
+  private[graft] def footerSchema(fs: FileSystem, file: String,
+                                  len: Long): StructType = {
+    NioAccess.ensureOpen(classOf[RootAllocator])
+    val in = fs.open(new Path(file))
+    val alloc = new RootAllocator(Long.MaxValue)
+    try {
+      val r = new ArrowFileReader(new HadoopChannel(in, len), alloc)
+      try fromArrowSchema(r.getVectorSchemaRoot.getSchema) finally r.close()
+    } finally alloc.close()
+  }
+
   /** One scan over an explicit file list: the shared read core of
     * [[readArrow]] (one directory) and [[readShards]] (all committed
     * shard directories as ONE plan — not an N-way union that grows
@@ -420,16 +437,8 @@ object ArrowInterchange {
                         maxTaskBytes: Long): DataFrame = {
     require(files.nonEmpty, "no .arrows files to read")
 
-    NioAccess.ensureOpen(classOf[RootAllocator])
     val fs = new Path(files.head._1).getFileSystem(conf)
-    val schema = {
-      val in = fs.open(new Path(files.head._1))
-      val alloc = new RootAllocator(Long.MaxValue)
-      try {
-        val r = new ArrowFileReader(new HadoopChannel(in, files.head._2), alloc)
-        try fromArrowSchema(r.getVectorSchemaRoot.getSchema) finally r.close()
-      } finally alloc.close()
-    }
+    val schema = footerSchema(fs, files.head._1, files.head._2)
 
     val groups =
       packFiles(files, maxTaskBytes, spark.sparkContext.defaultParallelism)
@@ -446,8 +455,15 @@ object ArrowInterchange {
             new ArrowFileReader(new HadoopChannel(fs.open(new Path(file)), len), alloc)
           // the directory schema is the FIRST file's footer; a stray
           // file from another export would otherwise misread by column
-          // position — fail with the file name instead
-          val declared = fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
+          // position — fail with the file name instead. Any failure
+          // here (unsupported footer type included) must release the
+          // reader and its off-heap allocator, or every task retry
+          // leaks them
+          val declared =
+            try fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
+            catch { case t: Throwable =>
+              reader.close(); alloc.close(); throw t
+            }
           if (declared != schema) {
             reader.close(); alloc.close()
             throw new IllegalStateException(

@@ -1,6 +1,5 @@
 package graft.sources.arrow
 
-import scala.collection.mutable.ArrayBuffer
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
@@ -42,23 +41,27 @@ import graft.operators.{ArrowInterchange, NioAccess}
 class ArrowSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-arrow"
 
-  private def path(options: CaseInsensitiveStringMap): String =
+  private def path(options: java.util.Map[String, String]): String =
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
-        "graft-arrow: a directory path is required (load(dir))"))
+        "graft-arrow: exactly one directory path is required (load(dir))"))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ArrowSource.footerSchema(path(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
-    new ArrowTable(properties.get("path"), schema)
+    new ArrowTable(path(properties), schema)
 
-  override def supportsExternalMetadata(): Boolean = true
+  // the schema IS declared in the artifact's footer — a user-supplied
+  // schema could only disagree with it (nullability, metadata, column
+  // subsets) and every per-file check would then misreport a clean
+  // directory as mixed exports; always infer
+  override def supportsExternalMetadata(): Boolean = false
 }
 
 private[arrow] object ArrowSource {
-  import ArrowInterchange.{HadoopChannel, fromArrowSchema, listArrows}
+  import ArrowInterchange.listArrows
 
   def footerSchema(path: String): StructType = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -66,13 +69,7 @@ private[arrow] object ArrowSource {
     val fs = root.getFileSystem(conf)
     val files = listArrows(fs, root)
     require(files.nonEmpty, s"no .arrows files under $path")
-    NioAccess.ensureOpen(classOf[RootAllocator])
-    val in = fs.open(new Path(files.head._1))
-    val alloc = new RootAllocator(Long.MaxValue)
-    try {
-      val r = new ArrowFileReader(new HadoopChannel(in, files.head._2), alloc)
-      try fromArrowSchema(r.getVectorSchemaRoot.getSchema) finally r.close()
-    } finally alloc.close()
+    ArrowInterchange.footerSchema(fs, files.head._1, files.head._2)
   }
 }
 
