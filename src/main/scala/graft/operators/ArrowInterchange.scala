@@ -55,11 +55,17 @@ import graft.sources.Tables
   * choosing Arrow over parquet for hand-off — parquet (B17) is
   * already the compressed long-term format.
   *
-  * Type surface: the closed set a training hand-off needs — boolean,
-  * int32/64, float32/64, utf8, binary, timestamp-micro (TZ and NTZ),
-  * date-day, and single-level lists of the primitive members (the
-  * embedding column's shape). Anything else fails loudly at plan time
-  * with the field name, never silently as a corrupt file.
+  * Type surface: boolean, int32/64, float32/64, utf8, binary,
+  * timestamp-micro (TZ and NTZ), date-day — plus ARBITRARY NESTING of
+  * struct and list over those members (struct-of-struct, list of
+  * struct, struct holding a list, list of list). The reference's data
+  * plane is itself a nested Arrow schema (bufarrow derives a 22-message
+  * struct tree from the proto type, /root/reference/main.go:203,
+  * proto/bidrequest.proto:7-347), so a flat-only interchange could not
+  * carry the raw `bidreq` frame; with nesting closed over the primitive
+  * set it can. Anything outside the set (map, decimal, interval, other
+  * timestamp units) fails loudly at plan time with the field name,
+  * never silently as a corrupt file.
   */
 object ArrowInterchange {
 
@@ -74,36 +80,42 @@ object ArrowInterchange {
 
   // ---------------------------------------------------------------- schema
 
-  private def arrowField(f: StructField): Field = {
-    def prim(dt: DataType, name: String): ArrowType = dt match {
-      case BooleanType => ArrowType.Bool.INSTANCE
-      case IntegerType => new ArrowType.Int(32, true)
-      case LongType => new ArrowType.Int(64, true)
-      case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
-      case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
-      case StringType => ArrowType.Utf8.INSTANCE
-      case BinaryType => ArrowType.Binary.INSTANCE
-      case TimestampType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, "UTC")
-      case TimestampNTZType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, null)
-      case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
-      case other => throw new IllegalArgumentException(
-        s"ArrowInterchange: column '$name' has unsupported type $other " +
-          "(supported: boolean, int, bigint, float, double, string, " +
-          "binary, timestamp[_ntz], date, array of those primitives)")
-    }
-    f.dataType match {
-      case ArrayType(et, _) =>
-        new Field(f.name, FieldType.nullable(ArrowType.List.INSTANCE),
-          java.util.List.of(
-            new Field("element", FieldType.nullable(prim(et, f.name)), null)))
-      case dt =>
-        new Field(f.name, FieldType.nullable(prim(dt, f.name)), null)
-    }
+  private def primType(dt: DataType, name: String): ArrowType = dt match {
+    case BooleanType => ArrowType.Bool.INSTANCE
+    case IntegerType => new ArrowType.Int(32, true)
+    case LongType => new ArrowType.Int(64, true)
+    case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+    case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+    case StringType => ArrowType.Utf8.INSTANCE
+    case BinaryType => ArrowType.Binary.INSTANCE
+    case TimestampType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, "UTC")
+    case TimestampNTZType => new ArrowType.Timestamp(ATimeUnit.MICROSECOND, null)
+    case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
+    case other => throw new IllegalArgumentException(
+      s"ArrowInterchange: column '$name' has unsupported type $other " +
+        "(supported: boolean, int, bigint, float, double, string, " +
+        "binary, timestamp[_ntz], date, and struct/array nestings of those)")
+  }
+
+  /** Spark field → Arrow field, recursing through struct and list so
+    * any nesting of the primitive surface maps (list child is named
+    * `element`, matching Spark's own Arrow writer and parquet's list
+    * convention). */
+  private def arrowField(name: String, dt: DataType): Field = dt match {
+    case StructType(fields) =>
+      new Field(name, FieldType.nullable(ArrowType.Struct.INSTANCE),
+        java.util.List.copyOf(java.util.Arrays.asList(
+          fields.map(f => arrowField(f.name, f.dataType)): _*)))
+    case ArrayType(et, _) =>
+      new Field(name, FieldType.nullable(ArrowType.List.INSTANCE),
+        java.util.List.of(arrowField("element", et)))
+    case other =>
+      new Field(name, FieldType.nullable(primType(other, name)), null)
   }
 
   private[graft] def toArrowSchema(s: StructType): ASchema =
-    new ASchema(java.util.List.copyOf(
-      java.util.Arrays.asList(s.fields.map(arrowField): _*)))
+    new ASchema(java.util.List.copyOf(java.util.Arrays.asList(
+      s.fields.map(f => arrowField(f.name, f.dataType)): _*)))
 
   private def sparkType(t: ArrowType, name: String): DataType = t match {
     case _: ArrowType.Bool => BooleanType
@@ -125,17 +137,25 @@ object ArrowInterchange {
       s"ArrowInterchange: field '$name' has unsupported Arrow type $other")
   }
 
+  /** Arrow field → Spark field, the inverse of [[arrowField]]
+    * (recursive through struct and list). */
+  private def sparkField(f: Field): StructField = {
+    import scala.jdk.CollectionConverters._
+    f.getType match {
+      case _: ArrowType.Struct =>
+        StructField(f.getName,
+          StructType(f.getChildren.asScala.toSeq.map(sparkField)))
+      case _: ArrowType.List =>
+        StructField(f.getName,
+          ArrayType(sparkField(f.getChildren.get(0)).dataType,
+            containsNull = true))
+      case t => StructField(f.getName, sparkType(t, f.getName))
+    }
+  }
+
   private[graft] def fromArrowSchema(s: ASchema): StructType = {
     import scala.jdk.CollectionConverters._
-    StructType(s.getFields.asScala.toSeq.map { f =>
-      f.getType match {
-        case _: ArrowType.List =>
-          val child = f.getChildren.get(0)
-          StructField(f.getName,
-            ArrayType(sparkType(child.getType, f.getName), containsNull = true))
-        case t => StructField(f.getName, sparkType(t, f.getName))
-      }
-    })
+    StructType(s.getFields.asScala.toSeq.map(sparkField))
   }
 
   // ---------------------------------------------------------------- export
@@ -277,10 +297,7 @@ object ArrowInterchange {
     while (c < schema.length) {
       val vec = root.getVector(c)
       if (!row.isNullAt(c)) writeValue(vec, schema(c).dataType, row.get(c), i)
-      else vec match { // unset slots already read back null; be explicit
-        case lv: ListVector => lv.setNull(i)
-        case _ => ()
-      }
+      else vec.setNull(i) // explicit — list/struct offsets must advance
       c += 1
     }
   }
