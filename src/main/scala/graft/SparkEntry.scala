@@ -151,6 +151,7 @@ object SparkEntry {
     "q_arrow_roundtrip"     -> (ArrowInterchange.roundtrip _),
     "q_stream_arrow"        -> (ArrowInterchange.streamShards _),
     "q_arrow_source"        -> (ArrowInterchange.sourceAgg _),
+    "q_arrow_nested"        -> (ArrowInterchange.nested _),
     // --- SQL-registered operator surface (GraftExtensions) --------------
     // the curation gates run through spark.sql over the REGISTERED
     // functions — proves the SQL-first path end-to-end in the oracle gate
@@ -2235,6 +2236,19 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // the nested wire (struct-of-struct + list<struct>) flattened back
+    // out: the oracle is the same flatten stated relationally — the
+    // UNION ALL mirrors the 2-element list<struct> each doc carries
+    "q_arrow_nested" ->
+      """SELECT lang, tag, count(*) AS n,
+        |       CAST(sum(v) AS BIGINT) AS sum_v,
+        |       CAST(sum(nc) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT lang, n_chars AS nc, 'chars' AS tag, n_chars AS v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT lang, n_chars, 'id', doc_id FROM documents)
+        |GROUP BY lang, tag ORDER BY lang, tag""".stripMargin,
     "q_multimodal_features" ->
       s"""WITH d AS (
          |  SELECT doc_id,

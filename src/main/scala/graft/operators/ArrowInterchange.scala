@@ -9,7 +9,7 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
-import org.apache.arrow.vector.complex.ListVector
+import org.apache.arrow.vector.complex.{ListVector, StructVector}
 import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
 import org.apache.arrow.vector.ipc.message.ArrowRecordBatch
 import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit => ATimeUnit}
@@ -56,16 +56,21 @@ import graft.sources.Tables
   * already the compressed long-term format.
   *
   * Type surface: boolean, int32/64, float32/64, utf8, binary,
-  * timestamp-micro (TZ and NTZ), date-day — plus ARBITRARY NESTING of
+  * timestamp-micro (TZ and NTZ), date-day — plus arbitrary nesting of
   * struct and list over those members (struct-of-struct, list of
-  * struct, struct holding a list, list of list). The reference's data
-  * plane is itself a nested Arrow schema (bufarrow derives a 22-message
-  * struct tree from the proto type, /root/reference/main.go:203,
+  * struct, struct holding a list, list of list), implemented through
+  * both the schema mapping AND the value codecs (write, row read, and
+  * the DSv2 catalyst read). The reference's data plane is itself a
+  * nested Arrow schema (bufarrow derives a 22-message struct tree from
+  * the proto type, /root/reference/main.go:203,
   * proto/bidrequest.proto:7-347), so a flat-only interchange could not
   * carry the raw `bidreq` frame; with nesting closed over the primitive
   * set it can. Anything outside the set (map, decimal, interval, other
   * timestamp units) fails loudly at plan time with the field name,
-  * never silently as a corrupt file.
+  * never silently as a corrupt file — and a failed or crashed export
+  * can never harm a pre-existing destination: files stage in a hidden
+  * sibling directory that replaces the target only after the marker is
+  * durable.
   */
 object ArrowInterchange {
 
@@ -193,56 +198,76 @@ object ArrowInterchange {
     val sconf = new SerConf(spark.sessionState.newHadoopConf())
     val out = new Path(path)
     val dfs = out.getFileSystem(sconf.conf)
-    if (dfs.exists(out)) dfs.delete(out, true)
-    dfs.mkdirs(out)
-
-    sized.rdd.mapPartitionsWithIndex { (idx, rows) =>
-      if (rows.isEmpty) Iterator.empty
-      else {
-        NioAccess.ensureOpen(classOf[RootAllocator]) // executor JVMs too
-        val fs = new Path(path).getFileSystem(sconf.conf)
-        val attempt = Option(TaskContext.get())
-          .map(_.taskAttemptId()).getOrElse(0L)
-        val tmp = new Path(path, s".part-$idx-$attempt.arrows.tmp")
-        val fin = new Path(path, f"part-$idx%05d.arrows")
-        val alloc = new RootAllocator(Long.MaxValue)
-        try {
-          val root = VectorSchemaRoot.create(toArrowSchema(schema), alloc)
-          val ch = java.nio.channels.Channels.newChannel(fs.create(tmp, true))
-          val w = new ArrowFileWriter(root, null, ch)
+    // Stage the whole export in a hidden SIBLING directory and swap in
+    // only after every task succeeded and the marker is written: a job
+    // that fails mid-flight (OOM, bad data, lost executors) must leave
+    // a pre-existing destination untouched — delete-then-write would
+    // destroy it before the job could fail.
+    val parent = Option(out.getParent).getOrElse(
+      throw new IllegalArgumentException(
+        s"exportArrow: cannot export to a filesystem root ($path)"))
+    val stagingPath =
+      new Path(parent, s".${out.getName}.staging-${java.util.UUID.randomUUID()}")
+    val staging = stagingPath.toString
+    dfs.mkdirs(stagingPath)
+    try {
+      sized.rdd.mapPartitionsWithIndex { (idx, rows) =>
+        if (rows.isEmpty) Iterator.empty
+        else {
+          NioAccess.ensureOpen(classOf[RootAllocator]) // executor JVMs too
+          val fs = new Path(staging).getFileSystem(sconf.conf)
+          val attempt = Option(TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val tmp = new Path(staging, s".part-$idx-$attempt.arrows.tmp")
+          val fin = new Path(staging, f"part-$idx%05d.arrows")
+          val alloc = new RootAllocator(Long.MaxValue)
           try {
-            w.start()
-            var n = 0
-            while (rows.hasNext) {
-              writeRow(root, schema, rows.next(), n)
-              n += 1
-              if (n == batchRows) { root.setRowCount(n); w.writeBatch(); clear(root); n = 0 }
-            }
-            if (n > 0) { root.setRowCount(n); w.writeBatch() }
-            w.end()
-          } finally { w.close(); ch.close(); root.close() }
-          publishNoReplace(fs, tmp, fin)
-          Iterator.single(1)
-        } finally alloc.close()
+            val root = VectorSchemaRoot.create(toArrowSchema(schema), alloc)
+            val ch = java.nio.channels.Channels.newChannel(fs.create(tmp, true))
+            val w = new ArrowFileWriter(root, null, ch)
+            try {
+              w.start()
+              var n = 0
+              while (rows.hasNext) {
+                writeRow(root, schema, rows.next(), n)
+                n += 1
+                if (n == batchRows) { root.setRowCount(n); w.writeBatch(); clear(root); n = 0 }
+              }
+              if (n > 0) { root.setRowCount(n); w.writeBatch() }
+              w.end()
+            } finally { w.close(); ch.close(); root.close() }
+            publishNoReplace(fs, tmp, fin)
+            Iterator.single(1)
+          } finally alloc.close()
+        }
+      }.count() match {
+        case 0L =>
+          // every partition was empty: write one schema-only file so the
+          // read-back is an empty frame with the declared schema, not a
+          // loud no-files failure (JSONL's empty export reads back empty
+          // the same way)
+          NioAccess.ensureOpen(classOf[RootAllocator])
+          val alloc = new RootAllocator(Long.MaxValue)
+          try {
+            val root = VectorSchemaRoot.create(toArrowSchema(schema), alloc)
+            val ch = java.nio.channels.Channels.newChannel(
+              dfs.create(new Path(stagingPath, "part-00000.arrows"), true))
+            val w = new ArrowFileWriter(root, null, ch)
+            try { w.start(); w.end() } finally { w.close(); ch.close(); root.close() }
+          } finally alloc.close()
+        case _ => ()
       }
-    }.count() match {
-      case 0L =>
-        // every partition was empty: write one schema-only file so the
-        // read-back is an empty frame with the declared schema, not a
-        // loud no-files failure (JSONL's empty export reads back empty
-        // the same way)
-        NioAccess.ensureOpen(classOf[RootAllocator])
-        val alloc = new RootAllocator(Long.MaxValue)
-        try {
-          val root = VectorSchemaRoot.create(toArrowSchema(schema), alloc)
-          val ch = java.nio.channels.Channels
-            .newChannel(dfs.create(new Path(out, "part-00000.arrows"), true))
-          val w = new ArrowFileWriter(root, null, ch)
-          try { w.start(); w.end() } finally { w.close(); ch.close(); root.close() }
-        } finally alloc.close()
-      case _ => ()
+      dfs.create(new Path(stagingPath, "_SUCCESS"), true).close()
+      // swap: the only window where the old data is gone is between
+      // these two metadata ops, after the replacement is fully durable
+      if (dfs.exists(out)) dfs.delete(out, true)
+      if (!dfs.rename(stagingPath, out))
+        throw new IOException(
+          s"exportArrow: publishing $staging as $path failed")
+    } catch { case t: Throwable =>
+      try dfs.delete(stagingPath, true) catch { case _: Throwable => () }
+      throw t
     }
-    dfs.create(new Path(out, "_SUCCESS"), true).close()
   }
 
   /** Publish `tmp` as `fin` with fail-if-present semantics per
@@ -297,7 +322,10 @@ object ArrowInterchange {
     while (c < schema.length) {
       val vec = root.getVector(c)
       if (!row.isNullAt(c)) writeValue(vec, schema(c).dataType, row.get(c), i)
-      else vec.setNull(i) // explicit — list/struct offsets must advance
+      // explicit setNull: advances ListVector offsets (lastSet) so later
+      // slots land right; a harmless no-op for fixed/variable-width
+      // vectors whose unset bits already read as null
+      else vec.setNull(i)
       c += 1
     }
   }
@@ -342,6 +370,20 @@ object ArrowInterchange {
           j += 1
         }
         lv.endValue(i, xs.length)
+      case (sv: StructVector, st: StructType) =>
+        // children are independent vectors sharing the row index: mark
+        // the struct slot valid, then recurse per field (null children
+        // set explicitly so variable-width offsets advance, mirroring
+        // writeRow's top-level discipline)
+        sv.setIndexDefined(i)
+        val r = v.asInstanceOf[Row]
+        var k = 0
+        while (k < st.length) {
+          val child = sv.getChildByOrdinal(k)
+          if (r.isNullAt(k)) child.asInstanceOf[FieldVector].setNull(i)
+          else writeValue(child, st(k).dataType, r.get(k), i)
+          k += 1
+        }
       case (other, t) => throw new IllegalStateException(
         s"ArrowInterchange: vector ${other.getClass.getSimpleName} / type $t")
     }
@@ -552,6 +594,14 @@ object ArrowInterchange {
         var j = start
         while (j < end) { out += readValue(child, et, j); j += 1 }
         out.toSeq
+      case (sv: StructVector, st: StructType) =>
+        val vals = new Array[Any](st.length)
+        var k = 0
+        while (k < st.length) {
+          vals(k) = readValue(sv.getChildByOrdinal(k), st(k).dataType, i)
+          k += 1
+        }
+        Row.fromSeq(vals.toIndexedSeq)
       case (other, t) => throw new IllegalStateException(
         s"ArrowInterchange: vector ${other.getClass.getSimpleName} / type $t")
     }
@@ -657,6 +707,49 @@ object ArrowInterchange {
             sum(col("n_chars")).as("sum_chars"),
             max(col("doc_id")).as("max_id"))
           .orderBy("lang"))
+    } catch { case e: Throwable =>
+      Scratch.rm(new java.io.File(out)); throw e
+    }
+  }
+
+  /** The nested frame shape the reference's data plane carries — a
+    * struct tree with a repeated message (bufarrow's 22-message schema,
+    * /root/reference/main.go:203, proto/bidrequest.proto:7-347) —
+    * restated over documents: a meta struct, a struct-of-struct, and a
+    * list&lt;struct&gt;. Shared by the oracle row and the interop dump. */
+  private[graft] def nestedFrame(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.select(
+      struct(col("doc_id"), col("lang"), col("n_chars")).as("meta"),
+      struct(col("source").as("src"),
+        struct(col("lang").as("l"), col("n_chars").as("nc")).as("inner"))
+        .as("info"),
+      array(
+        struct(lit("chars").as("tag"), col("n_chars").as("v")),
+        struct(lit("id").as("tag"), col("doc_id").as("v"))).as("parts"))
+  }
+
+  /** q_arrow_nested: [[nestedFrame]] → Arrow IPC wire → DSv2 read with
+    * nested access + outer explode → aggregate. Proves the nested
+    * value codec end-to-end (write, footer schema, catalyst read with
+    * nested pruning in play). Oracle restates the flattened aggregate
+    * relationally over the source table — the wire must be lossless. */
+  def nested(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft-arrow-nested").toString
+    try {
+      exportArrow(nestedFrame(spark, dir), s"$out/docs")
+      val back = spark.read.format("graft-arrow").load(s"$out/docs")
+      Scratch.materializeAndClean(out,
+        back.select(col("meta.lang").as("lang"),
+            col("info.inner.nc").as("nc"),
+            explode(col("parts")).as("p"))
+          .select(col("lang"), col("nc"),
+            col("p.tag").as("tag"), col("p.v").as("v"))
+          .groupBy(col("lang"), col("tag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("v")).as("sum_v"),
+            sum(col("nc")).as("sum_chars"))
+          .orderBy("lang", "tag"))
     } catch { case e: Throwable =>
       Scratch.rm(new java.io.File(out)); throw e
     }

@@ -3,7 +3,7 @@ package graft.sources.arrow
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
-import org.apache.arrow.vector.complex.ListVector
+import org.apache.arrow.vector.complex.{ListVector, StructVector}
 import org.apache.arrow.vector.ipc.ArrowFileReader
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
@@ -234,6 +234,17 @@ private[arrow] object ArrowCatalyst {
         var j = start
         while (j < end) { out(j - start) = value(child, et, j); j += 1 }
         new GenericArrayData(out)
+      case (sv: StructVector, st: StructType) =>
+        // children resolve BY NAME: catalyst's nested schema pruning
+        // (V2ScanRelationPushDown) can require a struct carrying a
+        // SUBSET of the vector's children, so ordinals don't line up
+        val vals = new Array[Any](st.length)
+        var k = 0
+        while (k < st.length) {
+          vals(k) = value(sv.getChild(st(k).name), st(k).dataType, i)
+          k += 1
+        }
+        new GenericInternalRow(vals)
       case (other, t) => throw new IllegalStateException(
         s"graft-arrow: vector ${other.getClass.getSimpleName} / type $t")
     }

@@ -189,10 +189,80 @@ class ArrowInterchangeSpec extends AnyFunSuite {
       ArrowInterchange.exportArrow(df, tmp() + "/t")
     }
     assert(e.getMessage.contains("dec"))
-    val nested = Seq((1L, Seq(Seq(1)))).toDF("ok", "nest")
+    val m = Seq((1L, Map("k" -> 1))).toDF("ok", "m")
     intercept[IllegalArgumentException] {
-      ArrowInterchange.exportArrow(nested, tmp() + "/t")
+      ArrowInterchange.exportArrow(m, tmp() + "/t")
     }
+    // the unsupported leaf is reported even when buried in nesting
+    val buried = Seq((1L, Seq((BigDecimal(2), 3)))).toDF("ok", "nest")
+    val e2 = intercept[IllegalArgumentException] {
+      ArrowInterchange.exportArrow(buried, tmp() + "/t")
+    }
+    assert(e2.getMessage.contains("_1"))
+  }
+
+  test("a failed export never harms a pre-existing destination") {
+    import spark.implicits._
+    val out = tmp()
+    ArrowInterchange.exportArrow((0L until 5L).toDF("v"), s"$out/t")
+    // a replacement export whose tasks all fail (bad value for the
+    // declared type) must leave the original intact and readable
+    val schema = StructType(Seq(StructField("v", LongType)))
+    val bad = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("not-a-long")), 1)
+        .map(identity), schema)
+    intercept[Exception] { ArrowInterchange.exportArrow(bad, s"$out/t") }
+    assert(ArrowInterchange.readArrow(spark, s"$out/t")
+      .as[Long].collect().sorted.toSeq == (0L until 5L))
+    // and no staging debris is left behind next to it
+    assert(new java.io.File(out).listFiles().map(_.getName).toSeq == Seq("t"))
+  }
+
+  test("nested struct/list surface roundtrips: struct, struct-of-struct, " +
+       "list<struct>, struct<list>, list<list>, nulls at every level") {
+    val inner = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType)))
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("st", inner),
+      StructField("stst", StructType(Seq(
+        StructField("x", DoubleType), StructField("in", inner)))),
+      StructField("lst", ArrayType(inner)),
+      StructField("stl", StructType(Seq(
+        StructField("tags", ArrayType(StringType)),
+        StructField("n", LongType)))),
+      StructField("ll", ArrayType(ArrayType(IntegerType)))))
+    val rows = Seq(
+      Row(1L, Row(7, "seven"), Row(1.5, Row(8, "eight")),
+        Seq(Row(1, "one"), null, Row(3, null)),
+        Row(Seq("t1", null, "t2"), 42L),
+        Seq(Seq(1, 2), null, Seq.empty[Int], Seq(3, null.asInstanceOf[Integer]))),
+      Row(2L, null, Row(null, null), Seq.empty[Row], Row(null, null), null),
+      Row(3L, Row(null, "only-b"), null, null, null, Seq(Seq.empty[Int])))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val out = tmp()
+    ArrowInterchange.exportArrow(df, s"$out/t", batchRows = 2)
+    val back = ArrowInterchange.readArrow(spark, s"$out/t")
+    assert(back.schema == schema)
+    val a = df.orderBy("id").collect()
+    val b = back.orderBy("id").collect()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"row ${x.get(0)}") }
+    // the DSv2 source reads the same nested file, including nested
+    // access surviving its column pruning
+    val src = spark.read.format("graft-arrow").load(s"$out/t")
+    assert(src.schema == schema)
+    val pruned = src.select(col("id"), col("st.b").as("b"),
+        col("stst.in.a").as("ia"), size(col("lst")).as("nl"))
+      .orderBy("id").collect()
+    assert(pruned.map(r => (r.get(0), r.get(1), r.get(2), r.get(3))).toSeq ==
+      Seq((1L, "seven", 8, 3), (2L, null, null, 0), (3L, "only-b", null, null)))
+    // explode over list<struct> read back from the wire
+    val exploded = src.select(col("id"), explode_outer(col("lst")).as("e"))
+      .select(col("id"), col("e.a").as("a")).orderBy("id", "a").collect()
+    assert(exploded.map(r => (r.get(0), r.get(1))).toSeq ==
+      Seq((1L, null), (1L, 1), (1L, 3), (2L, null), (3L, null)))
   }
 
   test("reading an empty directory fails loudly, not as an empty frame") {

@@ -36,10 +36,20 @@ def main() -> int:
             return 1
         con.register("t", t)
         n = con.sql("select count(*) from t").fetchone()[0]
-        con.unregister("t")
         if n != t.num_rows:
+            con.unregister("t")
             print(f"FAIL: {f} duckdb rows {n} != pyarrow rows {t.num_rows}")
             return 1
+        # nested columns must be QUERYABLE outside the JVM, not just
+        # parseable: flatten every struct field and unnest every list
+        for field in t.schema:
+            import pyarrow as pa
+            if pa.types.is_struct(field.type):
+                sub = field.type.field(0).name
+                con.sql(f'select "{field.name}"."{sub}" from t limit 1')
+            elif pa.types.is_list(field.type):
+                con.sql(f'select unnest("{field.name}") from t limit 1')
+        con.unregister("t")
         total += n
         print(f"OK       {f.split('/')[-1]} ({n} rows)")
     print(f"PASS: {len(files)} files, {total} rows, schema:\n{schema}")
