@@ -16,6 +16,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnVector, ColumnarBatch}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.{ArrowInterchange, NioAccess}
@@ -92,12 +93,14 @@ private[arrow] class ArrowScanBuilder(path: String, declared: StructType,
   override def build(): Scan = new ArrowScan(path, declared, required,
     Option(opts.get("requiremarker")).forall(_.toBoolean),
     Option(opts.get("maxtaskbytes")).map(_.toLong)
-      .getOrElse(ArrowInterchange.DefaultMaxPartBytes))
+      .getOrElse(ArrowInterchange.DefaultMaxPartBytes),
+    Option(opts.get("columnar")).forall(_.toBoolean))
 }
 
 private[arrow] class ArrowScan(path: String, declared: StructType,
                                required: StructType, requireMarker: Boolean,
-                               maxTaskBytes: Long) extends Scan with Batch {
+                               maxTaskBytes: Long,
+                               columnar: Boolean = true) extends Scan with Batch {
   import ArrowInterchange.{SerConf, listArrows, packFiles}
 
   override def readSchema(): StructType = required
@@ -121,7 +124,7 @@ private[arrow] class ArrowScan(path: String, declared: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArrowReaderFactory(declared, required)
+    new ArrowReaderFactory(declared, required, columnar)
 }
 
 private[arrow] final case class ArrowInputPartition(
@@ -129,11 +132,91 @@ private[arrow] final case class ArrowInputPartition(
     conf: ArrowInterchange.SerConf) extends InputPartition
 
 private[arrow] class ArrowReaderFactory(declared: StructType,
-                                        required: StructType)
+                                        required: StructType,
+                                        columnar: Boolean = true)
     extends PartitionReaderFactory {
+  // Columnar vend is safe only when every required column's type tree
+  // equals the declared one: catalyst's nested schema pruning can
+  // require a struct carrying a SUBSET of the vector's children, and
+  // ArrowColumnVector exposes the vector's FULL child list by ordinal —
+  // a pruned struct would read the wrong children. Top-level pruning
+  // (whole columns dropped) stays columnar; nested pruning falls back
+  // to the row reader, which resolves struct children by name.
+  // `columnar=false` (reader option) forces the row path — a
+  // measurement/debug knob, not a correctness one.
+  private val columnarSafe = columnar && required.fields.forall { f =>
+    declared.fields.find(_.name == f.name).exists(_.dataType == f.dataType)
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean = columnarSafe
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new ArrowPartitionReader(p.asInstanceOf[ArrowInputPartition],
       declared, required)
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[ColumnarBatch] =
+    new ArrowColumnarReader(p.asInstanceOf[ArrowInputPartition],
+      declared, required)
+}
+
+/** Columnar twin of [[ArrowPartitionReader]]: each loaded record batch
+  * is vended to Spark as a [[ColumnarBatch]] over [[ArrowColumnVector]]
+  * wrappers — zero per-row boxing on the read path; values stay in the
+  * Arrow buffers until the enclosing WholeStageCodegen's ColumnarToRow
+  * (or a columnar-capable operator) consumes them. This matches the
+  * reference's columnar-end-to-end plane (Arrow batches flow from wire
+  * to engine without row materialization, main.go:363-380). The
+  * wrappers do NOT own the vectors — the file reader does, and reuses
+  * them across loadNextBatch calls — so close() releases the reader and
+  * allocator, never the per-batch wrappers. */
+private[arrow] class ArrowColumnarReader(p: ArrowInputPartition,
+                                         declared: StructType,
+                                         required: StructType)
+    extends PartitionReader[ColumnarBatch] {
+  import ArrowInterchange.{HadoopChannel, fromArrowSchema}
+
+  NioAccess.ensureOpen(classOf[RootAllocator])
+  private val fileIt = p.files.iterator
+  private var alloc: RootAllocator = _
+  private var reader: ArrowFileReader = _
+  private var batch: ColumnarBatch = _
+
+  private def closeFile(): Unit = {
+    batch = null
+    if (reader != null) { reader.close(); reader = null }
+    if (alloc != null) { alloc.close(); alloc = null }
+  }
+
+  private def openNextFile(): Boolean =
+    if (!fileIt.hasNext) false
+    else {
+      val (file, len) = fileIt.next()
+      val fs = new Path(file).getFileSystem(p.conf.conf)
+      alloc = new RootAllocator(Long.MaxValue)
+      reader = new ArrowFileReader(
+        new HadoopChannel(fs.open(new Path(file)), len), alloc)
+      val fileSchema = fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
+      if (fileSchema != declared) {
+        closeFile()
+        throw new IllegalStateException(
+          s"$file declares schema $fileSchema but the directory's first " +
+            s"file declares $declared — mixed exports in one dir")
+      }
+      true
+    }
+
+  override def next(): Boolean = {
+    while (reader == null || !reader.loadNextBatch()) {
+      closeFile()
+      if (!openNextFile()) return false
+    }
+    val root = reader.getVectorSchemaRoot
+    val cols = required.fieldNames.map(n =>
+      new ArrowColumnVector(root.getVector(n)): ColumnVector)
+    batch = new ColumnarBatch(cols, root.getRowCount)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = closeFile()
 }
 
 /** Executor-side reader over one packed file group: per file one

@@ -54,6 +54,18 @@ object ArrowProfile {
       val tf = (System.nanoTime() - t3) / 1e9
       println(f"[arrowprofile]   2-col agg: dsv2-pruned $tp%.2f s vs " +
         f"rdd-full $tf%.2f s (${tf / tp}%.1f× from pruning)")
+      // the columnar payoff, isolated: the SAME dsv2 scan (text decode
+      // + length agg) vended as ColumnarBatch vs forced row mode
+      val t4 = System.nanoTime()
+      spark.read.format("graft-arrow").load(s"$out/t")
+        .agg(sum(length(col("text")))).head
+      val tc = (System.nanoTime() - t4) / 1e9
+      val t5 = System.nanoTime()
+      spark.read.format("graft-arrow").option("columnar", "false")
+        .load(s"$out/t").agg(sum(length(col("text")))).head
+      val trw = (System.nanoTime() - t5) / 1e9
+      println(f"[arrowprofile]   text agg: dsv2-columnar $tc%.2f s vs " +
+        f"dsv2-row $trw%.2f s (${trw / tc}%.1f× from columnar vend)")
     }
     graft.operators.Scratch.rm(new java.io.File(out))
     spark.stop()

@@ -81,6 +81,56 @@ class ArrowDataSourceSpec extends AnyFunSuite {
     assert(back(1).isNullAt(1) && back(1).isNullAt(2))
   }
 
+  test("scans vend columnar batches; nested pruning falls back to rows") {
+    val out = tmp()
+    export(s"$out/t")
+    // flat and top-level-pruned reads report columnar: Arrow buffers
+    // flow into the plan as ColumnarBatch, no per-row boxing
+    val flat = spark.read.format("graft-arrow").load(s"$out/t")
+      .select(col("doc_id"), col("n_chars"), col("embedding"))
+    val scan = flat.queryExecution.executedPlan.collect {
+      case s: BatchScanExec => s
+    }.head
+    assert(scan.supportsColumnar, "top-level-pruned scan must be columnar")
+    // …and the columnar path is value-exact, list column included
+    val got = flat.select(col("doc_id"),
+        aggregate(col("embedding"), lit(0.0d),
+          (a, x) => a + x.cast(DoubleType)).as("s"))
+      .orderBy("doc_id").collect()
+    val want = ArrowInterchange.readArrow(spark, s"$out/t")
+      .select(col("doc_id"),
+        aggregate(col("embedding"), lit(0.0d),
+          (a, x) => a + x.cast(DoubleType)).as("s"))
+      .orderBy("doc_id").collect()
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (x, y) => assert(x == y) }
+    // a NESTED-pruned struct read must not vend columnar batches:
+    // ArrowColumnVector resolves struct children by ordinal against the
+    // vector's full child list, so the pruned-subset schema would read
+    // the wrong children — the factory falls back to the by-name row
+    // reader for exactly those scans
+    val nd = tmp()
+    val nested = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        struct(col("lang").as("l"), col("source").as("s"),
+          col("n_chars").as("nc")).as("meta"))
+    ArrowInterchange.exportArrow(nested, s"$nd/t")
+    val prunedNested = spark.read.format("graft-arrow").load(s"$nd/t")
+      .select(col("doc_id"), col("meta.nc").as("nc"))
+    val scan2 = prunedNested.queryExecution.executedPlan.collect {
+      case s: BatchScanExec => s
+    }.head
+    val metaRead = scan2.scan.readSchema().find(_.name == "meta")
+    metaRead.foreach { f =>
+      val full = nested.schema("meta").dataType
+      assert(scan2.supportsColumnar == (f.dataType == full),
+        s"columnar flag must track nested pruning: read ${f.dataType}")
+    }
+    assert(prunedNested.agg(sum(col("nc"))).head.getLong(0)
+      == graft.sources.Tables.documents(spark, sf0001)
+        .agg(sum(col("n_chars"))).head.getLong(0))
+  }
+
   test("marker semantics match the RDD reader") {
     import spark.implicits._
     val out = tmp()
