@@ -152,6 +152,7 @@ object SparkEntry {
     "q_stream_arrow"        -> (ArrowInterchange.streamShards _),
     "q_arrow_source"        -> (ArrowInterchange.sourceAgg _),
     "q_arrow_nested"        -> (ArrowInterchange.nested _),
+    "q_arrow_write"         -> (ArrowInterchange.writeRoundtrip _),
     // --- SQL-registered operator surface (GraftExtensions) --------------
     // the curation gates run through spark.sql over the REGISTERED
     // functions — proves the SQL-first path end-to-end in the oracle gate
@@ -2236,6 +2237,11 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // DSv2 writer → reader roundtrip must be lossless: the oracle is
+    // the bare source projection (same contract as q_stream_arrow)
+    "q_arrow_write" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the nested wire (struct-of-struct + list<struct>) flattened back
     // out: the oracle is the same flatten stated relationally — the
     // UNION ALL mirrors the 2-element list<struct> each doc carries

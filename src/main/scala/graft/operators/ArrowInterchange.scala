@@ -246,15 +246,7 @@ object ArrowInterchange {
           // read-back is an empty frame with the declared schema, not a
           // loud no-files failure (JSONL's empty export reads back empty
           // the same way)
-          NioAccess.ensureOpen(classOf[RootAllocator])
-          val alloc = new RootAllocator(Long.MaxValue)
-          try {
-            val root = VectorSchemaRoot.create(toArrowSchema(schema), alloc)
-            val ch = java.nio.channels.Channels.newChannel(
-              dfs.create(new Path(stagingPath, "part-00000.arrows"), true))
-            val w = new ArrowFileWriter(root, null, ch)
-            try { w.start(); w.end() } finally { w.close(); ch.close(); root.close() }
-          } finally alloc.close()
+          writeSchemaOnly(dfs, new Path(stagingPath, "part-00000.arrows"), schema)
         case _ => ()
       }
       dfs.create(new Path(stagingPath, "_SUCCESS"), true).close()
@@ -268,6 +260,21 @@ object ArrowInterchange {
       try dfs.delete(stagingPath, true) catch { case _: Throwable => () }
       throw t
     }
+  }
+
+  /** One `.arrows` file carrying the schema and zero batches — how an
+    * all-empty frame stays readable with its declared schema (shared by
+    * [[exportArrow]] and the DSv2 writer's empty-input commit). */
+  private[graft] def writeSchemaOnly(fs: FileSystem, file: Path,
+                                     schema: StructType): Unit = {
+    NioAccess.ensureOpen(classOf[RootAllocator])
+    val alloc = new RootAllocator(Long.MaxValue)
+    try {
+      val root = VectorSchemaRoot.create(toArrowSchema(schema), alloc)
+      val ch = java.nio.channels.Channels.newChannel(fs.create(file, true))
+      val w = new ArrowFileWriter(root, null, ch)
+      try { w.start(); w.end() } finally { w.close(); ch.close(); root.close() }
+    } finally alloc.close()
   }
 
   /** Publish `tmp` as `fin` with fail-if-present semantics per
@@ -300,7 +307,7 @@ object ArrowInterchange {
         s"publish of $fin failed with no winning attempt present")
   }
 
-  private def clear(root: VectorSchemaRoot): Unit = {
+  private[graft] def clear(root: VectorSchemaRoot): Unit = {
     val it = root.getFieldVectors.iterator()
     while (it.hasNext) it.next().reset()
   }
@@ -750,6 +757,25 @@ object ArrowInterchange {
             sum(col("v")).as("sum_v"),
             sum(col("nc")).as("sum_chars"))
           .orderBy("lang", "tag"))
+    } catch { case e: Throwable =>
+      Scratch.rm(new java.io.File(out)); throw e
+    }
+  }
+
+  /** q_arrow_write: documents through the DSv2 WRITER
+    * (`df.write.format("graft-arrow")`, catalyst-side codec,
+    * driver-coordinated staging commit) → RDD reader → projection.
+    * Oracle is the source projection — writer and reader must agree
+    * losslessly across the two codec implementations. */
+  def writeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft-arrow-write").toString
+    try {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .write.format("graft-arrow").mode("overwrite").save(s"$out/docs")
+      Scratch.materializeAndClean(out,
+        readArrow(spark, s"$out/docs").orderBy("doc_id"))
     } catch { case e: Throwable =>
       Scratch.rm(new java.io.File(out)); throw e
     }

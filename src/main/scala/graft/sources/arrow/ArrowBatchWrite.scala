@@ -1,0 +1,240 @@
+package graft.sources.arrow
+
+import java.io.IOException
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.{ListVector, StructVector}
+import org.apache.arrow.vector.ipc.ArrowFileWriter
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+import graft.operators.{ArrowInterchange, NioAccess}
+import graft.operators.ArrowInterchange.SerConf
+
+/** DataSource V2 write surface over [[ArrowInterchange]] directories:
+  * `df.write.format("graft-arrow").mode("overwrite").save(dir)` — the
+  * standard writer spelling of [[ArrowInterchange.exportArrow]], byte-
+  * format-identical output (the reference's ingest sink is the same
+  * Arrow plane, main.go:253-256). Differences from the operator API:
+  *
+  *  - **InternalRow input**: rows arrive in catalyst form (UTF8String,
+  *    micros longs, day ints, ArrayData/InternalRow for nesting), so
+  *    the codec here ([[ArrowCatalystWrite]]) writes vectors without
+  *    the external java.sql/java.time materialization the RDD-based
+  *    exporter pays per row;
+  *  - **driver-coordinated commit**: tasks publish attempt-unique temp
+  *    files inside a hidden staging sibling (same link-publish
+  *    arbitration as exportArrow); the staging directory replaces the
+  *    destination only in [[ArrowBatchWrite.commit]], after every task
+  *    committed and `_SUCCESS` is durable — an aborted job deletes the
+  *    staging and the pre-existing destination is never touched.
+  *
+  * OVERWRITE ONLY, by design: the `dir + _SUCCESS` artifact means
+  * "one complete export" — a crash mid-append would leave a directory
+  * whose marker vouches for rows that are silently partial. Appendable,
+  * log-tracked storage is [[graft.sources.GraftTable]]'s job; this
+  * format's contract is whole-export atomicity.
+  */
+private[arrow] class ArrowWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncating = false
+  override def truncate(): WriteBuilder = { truncating = true; this }
+  override def build(): Write = {
+    if (!truncating)
+      throw new UnsupportedOperationException(
+        "graft-arrow writes are overwrite-only: the dir+_SUCCESS artifact " +
+          "is whole-export atomic and an append could crash into a " +
+          "silently-partial directory the marker still vouches for — use " +
+          ".mode(\"overwrite\") / INSERT OVERWRITE, or a GraftTable for " +
+          "appendable, log-tracked storage")
+    // plan-time validation: the full type surface, with the field name
+    // on failure — before any job runs or any directory is touched
+    ArrowInterchange.toArrowSchema(info.schema())
+    val batchRows = Option(info.options.get("batchrows")).map(_.toInt)
+      .getOrElse(ArrowInterchange.DefaultBatchRows)
+    new Write {
+      override def toBatch: BatchWrite =
+        new ArrowBatchWrite(path, info.schema(), info.queryId(), batchRows)
+      override def description(): String = s"graft-arrow $path"
+    }
+  }
+}
+
+private[arrow] class ArrowBatchWrite(path: String, schema: StructType,
+                                     queryId: String, batchRows: Int)
+    extends BatchWrite {
+  private val sconf =
+    new SerConf(SparkSession.active.sessionState.newHadoopConf())
+  private val out = new Path(path)
+  private val parent = Option(out.getParent).getOrElse(
+    throw new IllegalArgumentException(
+      s"graft-arrow: cannot write to a filesystem root ($path)"))
+  // queryId is unique per execution, so concurrent writes to the same
+  // destination stage independently; last commit's swap wins wholesale
+  private val staging = new Path(parent, s".${out.getName}.staging-$queryId")
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    staging.getFileSystem(sconf.conf).mkdirs(staging)
+    new ArrowWriterFactory(staging.toString, sconf, schema, batchRows)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = staging.getFileSystem(sconf.conf)
+    try {
+      if (!messages.exists {
+            case ArrowCommit(rows) => rows > 0
+            case _ => false
+          })
+        // all-empty input still reads back as an empty frame WITH the
+        // declared schema (exportArrow's contract)
+        ArrowInterchange.writeSchemaOnly(fs,
+          new Path(staging, "part-00000.arrows"), schema)
+      fs.create(new Path(staging, "_SUCCESS"), true).close()
+      if (fs.exists(out)) fs.delete(out, true)
+      if (!fs.rename(staging, out))
+        throw new IOException(
+          s"graft-arrow: publishing $staging as $path failed")
+    } catch { case t: Throwable =>
+      try fs.delete(staging, true) catch { case _: Throwable => () }
+      throw t
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = staging.getFileSystem(sconf.conf)
+    fs.delete(staging, true)
+  }
+}
+
+private[arrow] final case class ArrowCommit(rows: Long)
+    extends WriterCommitMessage
+
+private[arrow] class ArrowWriterFactory(staging: String, conf: SerConf,
+                                        schema: StructType, batchRows: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new ArrowDataWriter(staging, conf, schema, partitionId, taskId, batchRows)
+}
+
+/** One task's writer: streams catalyst rows through one
+  * [[ArrowFileWriter]] in [[batchRows]]-row record batches (off-heap
+  * bounded by one batch), into an attempt-unique temp the task publishes
+  * on ITS commit via the shared link-publish arbitration — first
+  * committed attempt wins, a zombie can't replace it. Empty partitions
+  * publish nothing (the driver commit writes the schema-only file if the
+  * whole input was empty). */
+private[arrow] class ArrowDataWriter(staging: String, conf: SerConf,
+                                     schema: StructType, partitionId: Int,
+                                     taskId: Long, batchRows: Int)
+    extends DataWriter[InternalRow] {
+  NioAccess.ensureOpen(classOf[RootAllocator])
+  private val fs = new Path(staging).getFileSystem(conf.conf)
+  private val tmp = new Path(staging, s".part-$partitionId-$taskId.arrows.tmp")
+  private val fin = new Path(staging, f"part-$partitionId%05d.arrows")
+  private val alloc = new RootAllocator(Long.MaxValue)
+  private val root =
+    VectorSchemaRoot.create(ArrowInterchange.toArrowSchema(schema), alloc)
+  private val ch = java.nio.channels.Channels.newChannel(fs.create(tmp, true))
+  private val writer = new ArrowFileWriter(root, null, ch)
+  writer.start()
+  private var n = 0
+  private var rows = 0L
+  private var open = true
+
+  override def write(row: InternalRow): Unit = {
+    ArrowCatalystWrite.writeRow(root, schema, row, n)
+    n += 1; rows += 1
+    if (n == batchRows) {
+      root.setRowCount(n); writer.writeBatch()
+      ArrowInterchange.clear(root); n = 0
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (n > 0) { root.setRowCount(n); writer.writeBatch(); n = 0 }
+    writer.end()
+    close()
+    if (rows > 0) ArrowInterchange.publishNoReplace(fs, tmp, fin)
+    else fs.delete(tmp, false)
+    ArrowCommit(rows)
+  }
+
+  override def abort(): Unit = { close(); fs.delete(tmp, false) }
+
+  override def close(): Unit = if (open) {
+    open = false
+    try writer.close() finally {
+      try ch.close() finally { try root.close() finally alloc.close() }
+    }
+  }
+}
+
+/** Catalyst value → Arrow vector slot, recursive through list and
+  * struct — the InternalRow twin of `ArrowInterchange.writeValue`
+  * (timestamps are already micros longs, dates day ints, strings
+  * UTF8String: no external materialization). */
+private[arrow] object ArrowCatalystWrite {
+  def writeRow(root: VectorSchemaRoot, schema: StructType,
+               row: InternalRow, i: Int): Unit = {
+    var c = 0
+    while (c < schema.length) {
+      val vec = root.getVector(c)
+      // explicit setNull advances ListVector offsets (lastSet); harmless
+      // no-op for fixed/variable-width vectors
+      if (row.isNullAt(c)) vec.setNull(i)
+      else writeValue(vec, schema(c).dataType, row, c, i)
+      c += 1
+    }
+  }
+
+  private def writeValue(vec: ValueVector, dt: DataType,
+                         g: SpecializedGetters, ord: Int, i: Int): Unit =
+    (vec, dt) match {
+      case (b: BitVector, BooleanType) =>
+        b.setSafe(i, if (g.getBoolean(ord)) 1 else 0)
+      case (x: IntVector, IntegerType) => x.setSafe(i, g.getInt(ord))
+      case (x: BigIntVector, LongType) => x.setSafe(i, g.getLong(ord))
+      case (x: Float4Vector, FloatType) => x.setSafe(i, g.getFloat(ord))
+      case (x: Float8Vector, DoubleType) => x.setSafe(i, g.getDouble(ord))
+      case (x: VarCharVector, StringType) =>
+        x.setSafe(i, g.getUTF8String(ord).getBytes)
+      case (x: VarBinaryVector, BinaryType) => x.setSafe(i, g.getBinary(ord))
+      case (x: TimeStampMicroTZVector, TimestampType) =>
+        x.setSafe(i, g.getLong(ord))
+      case (x: TimeStampMicroVector, TimestampNTZType) =>
+        x.setSafe(i, g.getLong(ord))
+      case (x: DateDayVector, DateType) => x.setSafe(i, g.getInt(ord))
+      case (lv: ListVector, ArrayType(et, _)) =>
+        val arr = g.getArray(ord)
+        val start = lv.startNewValue(i)
+        val child = lv.getDataVector
+        val len = arr.numElements()
+        var j = 0
+        while (j < len) {
+          if (arr.isNullAt(j))
+            child.asInstanceOf[FieldVector].setNull(start + j)
+          else writeValue(child, et, arr, j, start + j)
+          j += 1
+        }
+        lv.endValue(i, len)
+      case (sv: StructVector, st: StructType) =>
+        sv.setIndexDefined(i)
+        val r = g.getStruct(ord, st.length)
+        var k = 0
+        while (k < st.length) {
+          val child = sv.getChildByOrdinal(k)
+          if (r.isNullAt(k)) child.asInstanceOf[FieldVector].setNull(i)
+          else writeValue(child, st(k).dataType, r, k, i)
+          k += 1
+        }
+      case (other, t) => throw new IllegalStateException(
+        s"graft-arrow: vector ${other.getClass.getSimpleName} / type $t")
+    }
+}

@@ -10,9 +10,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -64,24 +65,43 @@ class ArrowSourceProvider extends TableProvider with DataSourceRegister {
 private[arrow] object ArrowSource {
   import ArrowInterchange.listArrows
 
+  /** Footer schema of the directory's first file; EMPTY for a missing
+    * or file-less directory. Empty can't mean "readable with no
+    * columns" — the scan builder rejects it loudly — it means "nothing
+    * declared yet", which is exactly the write-to-fresh-directory case:
+    * inferSchema runs before the writer knows the query's schema, and
+    * the table advertises ACCEPT_ANY_SCHEMA so the write resolves
+    * against the QUERY schema, not this placeholder. */
   def footerSchema(path: String): StructType = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    val files = listArrows(fs, root)
-    require(files.nonEmpty, s"no .arrows files under $path")
-    ArrowInterchange.footerSchema(fs, files.head._1, files.head._2)
+    val files =
+      if (fs.exists(root)) listArrows(fs, root) else Seq.empty
+    if (files.isEmpty) new StructType()
+    else ArrowInterchange.footerSchema(fs, files.head._1, files.head._2)
   }
 }
 
 private[arrow] class ArrowTable(path: String, declared: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-arrow:$path"
   override def schema(): StructType = declared
+  // ACCEPT_ANY_SCHEMA: writes resolve against the incoming query's
+  // schema (validated against the Arrow type surface at plan time in
+  // the write builder) — the table's own schema is just the footer of
+  // whatever export currently sits at the path, empty for a fresh one
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    require(declared.nonEmpty,
+      s"no .arrows files under $path (nothing to read)")
     new ArrowScanBuilder(path, declared, opts)
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ArrowWriteBuilder(path, info)
 }
 
 private[arrow] class ArrowScanBuilder(path: String, declared: StructType,
