@@ -79,6 +79,13 @@ object ArrowInterchange {
     * reference's 122880. */
   val DefaultBatchRows: Int = 16384
 
+  /** IPC footer custom-metadata key carrying the file's total row
+    * count, stamped by both writers: COUNT(*) and row-count planning
+    * read it footer-only — no record batch is ever loaded. Files from
+    * external writers (pyarrow etc.) lack it; readers fall back to
+    * summing batch row counts. */
+  val RowsMetaKey: String = "graft.rows"
+
   /** Max estimated bytes of row data per exported file — the shared
     * interchange part-sizing contract, defined once on [[ExportSizing]]. */
   val DefaultMaxPartBytes: Long = ExportSizing.DefaultMaxPartBytes
@@ -224,16 +231,21 @@ object ArrowInterchange {
           try {
             val root = VectorSchemaRoot.create(toArrowSchema(schema), alloc)
             val ch = java.nio.channels.Channels.newChannel(fs.create(tmp, true))
-            val w = new ArrowFileWriter(root, null, ch)
+            // the footer serializes at end(); the map is captured by
+            // reference, so the row count lands in it before then
+            val meta = new java.util.HashMap[String, String]()
+            val w = new ArrowFileWriter(root, null, ch, meta)
             try {
               w.start()
               var n = 0
+              var total = 0L
               while (rows.hasNext) {
                 writeRow(root, schema, rows.next(), n)
-                n += 1
+                n += 1; total += 1
                 if (n == batchRows) { root.setRowCount(n); w.writeBatch(); clear(root); n = 0 }
               }
               if (n > 0) { root.setRowCount(n); w.writeBatch() }
+              meta.put(RowsMetaKey, total.toString)
               w.end()
             } finally { w.close(); ch.close(); root.close() }
             publishNoReplace(fs, tmp, fin)
@@ -272,8 +284,29 @@ object ArrowInterchange {
     try {
       val root = VectorSchemaRoot.create(toArrowSchema(schema), alloc)
       val ch = java.nio.channels.Channels.newChannel(fs.create(file, true))
-      val w = new ArrowFileWriter(root, null, ch)
+      val w = new ArrowFileWriter(root, null, ch,
+        java.util.Map.of(RowsMetaKey, "0"))
       try { w.start(); w.end() } finally { w.close(); ch.close(); root.close() }
+    } finally alloc.close()
+  }
+
+  /** The file's row count, footer-only when the writer stamped
+    * [[RowsMetaKey]]; otherwise by walking the record batches (loads
+    * bodies — correctness fallback for externally-written files). */
+  private[graft] def fileRows(fs: FileSystem, file: String, len: Long): Long = {
+    NioAccess.ensureOpen(classOf[RootAllocator])
+    val in = fs.open(new Path(file))
+    val alloc = new RootAllocator(Long.MaxValue)
+    try {
+      val r = new ArrowFileReader(new HadoopChannel(in, len), alloc)
+      try {
+        r.getVectorSchemaRoot // forces footer read
+        Option(r.getMetaData.get(RowsMetaKey)).map(_.toLong).getOrElse {
+          var total = 0L
+          while (r.loadNextBatch()) total += r.getVectorSchemaRoot.getRowCount
+          total
+        }
+      } finally r.close()
     } finally alloc.close()
   }
 

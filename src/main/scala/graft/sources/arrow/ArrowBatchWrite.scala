@@ -142,7 +142,10 @@ private[arrow] class ArrowDataWriter(staging: String, conf: SerConf,
   private val root =
     VectorSchemaRoot.create(ArrowInterchange.toArrowSchema(schema), alloc)
   private val ch = java.nio.channels.Channels.newChannel(fs.create(tmp, true))
-  private val writer = new ArrowFileWriter(root, null, ch)
+  // footer metadata map is captured by reference; the row count lands
+  // in it before end() serializes the footer
+  private val meta = new java.util.HashMap[String, String]()
+  private val writer = new ArrowFileWriter(root, null, ch, meta)
   writer.start()
   private var n = 0
   private var rows = 0L
@@ -159,6 +162,7 @@ private[arrow] class ArrowDataWriter(staging: String, conf: SerConf,
 
   override def commit(): WriterCommitMessage = {
     if (n > 0) { root.setRowCount(n); writer.writeBatch(); n = 0 }
+    meta.put(ArrowInterchange.RowsMetaKey, rows.toString)
     writer.end()
     close()
     if (rows > 0) ArrowInterchange.publishNoReplace(fs, tmp, fin)

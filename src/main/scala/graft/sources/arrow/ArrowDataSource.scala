@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -106,29 +107,43 @@ private[arrow] class ArrowTable(path: String, declared: StructType)
 
 private[arrow] class ArrowScanBuilder(path: String, declared: StructType,
                                       opts: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   private var required: StructType = declared
+  private var limit: Int = -1
+  private var countCols: Int = 0
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new ArrowScan(path, declared, required,
-    Option(opts.get("requiremarker")).forall(_.toBoolean),
-    Option(opts.get("maxtaskbytes")).map(_.toLong)
-      .getOrElse(ArrowInterchange.DefaultMaxPartBytes),
-    Option(opts.get("columnar")).forall(_.toBoolean))
+  // partial push (isPartiallyPushed stays true): each task stops
+  // decoding after `limit` rows; Spark's global limit still applies on
+  // top, so correctness never depends on the source-side cap
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  // COUNT(*) with no grouping answers from the footer row counts the
+  // writers stamp — no record batch is ever loaded. Partial pushdown:
+  // the scan returns one count row per task and Spark sums them, so
+  // the final add-up is distributed, not a single-task bottleneck.
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (agg.groupByExpressions.nonEmpty || limit >= 0 ||
+        agg.aggregateExpressions.isEmpty ||
+        !agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])) false
+    else { countCols = agg.aggregateExpressions.length; true }
+  override def build(): Scan = {
+    val requireMarker = Option(opts.get("requiremarker")).forall(_.toBoolean)
+    val maxTaskBytes = Option(opts.get("maxtaskbytes")).map(_.toLong)
+      .getOrElse(ArrowInterchange.DefaultMaxPartBytes)
+    if (countCols > 0)
+      new ArrowCountScan(path, countCols, requireMarker, maxTaskBytes)
+    else new ArrowScan(path, declared, required, requireMarker, maxTaskBytes,
+      Option(opts.get("columnar")).forall(_.toBoolean), limit)
+  }
 }
 
-private[arrow] class ArrowScan(path: String, declared: StructType,
-                               required: StructType, requireMarker: Boolean,
-                               maxTaskBytes: Long,
-                               columnar: Boolean = true) extends Scan with Batch {
+private[arrow] object ArrowScan {
   import ArrowInterchange.{SerConf, listArrows, packFiles}
 
-  override def readSchema(): StructType = required
-  override def description(): String =
-    s"graft-arrow $path [${required.fieldNames.mkString(",")}]"
-  override def toBatch: Batch = this
-
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** The shared plan step: marker gate, file listing, bin-packing. */
+  def planPartitions(path: String, requireMarker: Boolean,
+                     maxTaskBytes: Long): Array[InputPartition] = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
@@ -142,9 +157,59 @@ private[arrow] class ArrowScan(path: String, declared: StructType,
     packFiles(files, maxTaskBytes, spark.sparkContext.defaultParallelism)
       .map(g => ArrowInputPartition(g, sconf): InputPartition).toArray
   }
+}
 
+private[arrow] class ArrowScan(path: String, declared: StructType,
+                               required: StructType, requireMarker: Boolean,
+                               maxTaskBytes: Long,
+                               columnar: Boolean = true,
+                               limit: Int = -1) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-arrow $path [${required.fieldNames.mkString(",")}]" +
+      (if (limit >= 0) s" limit=$limit" else "")
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    ArrowScan.planPartitions(path, requireMarker, maxTaskBytes)
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArrowReaderFactory(declared, required, columnar)
+    new ArrowReaderFactory(declared, required, columnar, limit)
+}
+
+/** COUNT(*) scan: one row per task carrying the partial count of its
+  * packed files, read footer-only via the stamped row-count metadata
+  * (batch-walk fallback for external files). Spark sums the partials. */
+private[arrow] class ArrowCountScan(path: String, countCols: Int,
+                                    requireMarker: Boolean,
+                                    maxTaskBytes: Long)
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType((0 until countCols).map(i =>
+      StructField(s"count(*)#$i", LongType, nullable = false)))
+  override def description(): String = s"graft-arrow $path [count(*)]"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    ArrowScan.planPartitions(path, requireMarker, maxTaskBytes)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArrowCountReaderFactory(countCols)
+}
+
+private[arrow] class ArrowCountReaderFactory(countCols: Int)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[ArrowInputPartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = !done && { done = true; true }
+      override def get(): InternalRow = {
+        val total = part.files.map { case (file, len) =>
+          val fs = new Path(file).getFileSystem(part.conf.conf)
+          ArrowInterchange.fileRows(fs, file, len)
+        }.sum
+        new GenericInternalRow(Array.fill[Any](countCols)(total))
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[arrow] final case class ArrowInputPartition(
@@ -153,7 +218,8 @@ private[arrow] final case class ArrowInputPartition(
 
 private[arrow] class ArrowReaderFactory(declared: StructType,
                                         required: StructType,
-                                        columnar: Boolean = true)
+                                        columnar: Boolean = true,
+                                        limit: Int = -1)
     extends PartitionReaderFactory {
   // Columnar vend is safe only when every required column's type tree
   // equals the declared one: catalyst's nested schema pruning can
@@ -170,11 +236,11 @@ private[arrow] class ArrowReaderFactory(declared: StructType,
   override def supportColumnarReads(p: InputPartition): Boolean = columnarSafe
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new ArrowPartitionReader(p.asInstanceOf[ArrowInputPartition],
-      declared, required)
+      declared, required, limit)
   override def createColumnarReader(
       p: InputPartition): PartitionReader[ColumnarBatch] =
     new ArrowColumnarReader(p.asInstanceOf[ArrowInputPartition],
-      declared, required)
+      declared, required, limit)
 }
 
 /** Columnar twin of [[ArrowPartitionReader]]: each loaded record batch
@@ -189,7 +255,8 @@ private[arrow] class ArrowReaderFactory(declared: StructType,
   * allocator, never the per-batch wrappers. */
 private[arrow] class ArrowColumnarReader(p: ArrowInputPartition,
                                          declared: StructType,
-                                         required: StructType)
+                                         required: StructType,
+                                         limit: Int = -1)
     extends PartitionReader[ColumnarBatch] {
   import ArrowInterchange.{HadoopChannel, fromArrowSchema}
 
@@ -198,6 +265,7 @@ private[arrow] class ArrowColumnarReader(p: ArrowInputPartition,
   private var alloc: RootAllocator = _
   private var reader: ArrowFileReader = _
   private var batch: ColumnarBatch = _
+  private var emitted = 0L
 
   private def closeFile(): Unit = {
     batch = null
@@ -224,6 +292,9 @@ private[arrow] class ArrowColumnarReader(p: ArrowInputPartition,
     }
 
   override def next(): Boolean = {
+    // pushed limit (partial): stop loading batches once this task has
+    // vended `limit` rows — Spark's global limit finishes the job
+    if (limit >= 0 && emitted >= limit) { closeFile(); return false }
     while (reader == null || !reader.loadNextBatch()) {
       closeFile()
       if (!openNextFile()) return false
@@ -231,7 +302,11 @@ private[arrow] class ArrowColumnarReader(p: ArrowInputPartition,
     val root = reader.getVectorSchemaRoot
     val cols = required.fieldNames.map(n =>
       new ArrowColumnVector(root.getVector(n)): ColumnVector)
-    batch = new ColumnarBatch(cols, root.getRowCount)
+    val rows =
+      if (limit >= 0) math.min(root.getRowCount.toLong, limit - emitted).toInt
+      else root.getRowCount
+    emitted += rows
+    batch = new ColumnarBatch(cols, rows)
     true
   }
 
@@ -247,7 +322,8 @@ private[arrow] class ArrowColumnarReader(p: ArrowInputPartition,
   * round-trips). */
 private[arrow] class ArrowPartitionReader(p: ArrowInputPartition,
                                           declared: StructType,
-                                          required: StructType)
+                                          required: StructType,
+                                          limit: Int = -1)
     extends PartitionReader[InternalRow] {
   import ArrowInterchange.{HadoopChannel, fromArrowSchema}
 
@@ -258,6 +334,7 @@ private[arrow] class ArrowPartitionReader(p: ArrowInputPartition,
   private var vectors: Array[ValueVector] = _
   private var rowCount = 0
   private var idx = 0
+  private var emitted = 0L
   private var row: InternalRow = _
 
   private def closeFile(): Unit = {
@@ -298,7 +375,11 @@ private[arrow] class ArrowPartitionReader(p: ArrowInputPartition,
   }
 
   override def next(): Boolean = {
+    // pushed limit (partial): this task stops decoding after `limit`
+    // rows; Spark's global limit finishes the job
+    if (limit >= 0 && emitted >= limit) { closeFile(); return false }
     while (idx >= rowCount) if (!nextBatch()) return false
+    emitted += 1
     val vals = new Array[Any](required.length)
     var c = 0
     while (c < required.length) {

@@ -66,6 +66,19 @@ object ArrowProfile {
       val trw = (System.nanoTime() - t5) / 1e9
       println(f"[arrowprofile]   text agg: dsv2-columnar $tc%.2f s vs " +
         f"dsv2-row $trw%.2f s (${trw / tc}%.1f× from columnar vend)")
+      // the count(*) pushdown payoff: footer-metadata counting vs the
+      // same count forced through a full scan (the filter blocks the
+      // pushdown without changing the row set)
+      val t6 = System.nanoTime()
+      val c1 = spark.read.format("graft-arrow").load(s"$out/t").count()
+      val tcnt = (System.nanoTime() - t6) / 1e9
+      val t7 = System.nanoTime()
+      val c2 = spark.read.format("graft-arrow").load(s"$out/t")
+        .where(col("doc_id") =!= lit(-1L)).count()
+      val tfull = (System.nanoTime() - t7) / 1e9
+      require(c1 == rows && c2 == rows, s"count mismatch: $c1/$c2 vs $rows")
+      println(f"[arrowprofile]   count(*): pushed $tcnt%.2f s vs " +
+        f"scan-count $tfull%.2f s (${tfull / tcnt}%.1f× from footer counts)")
     }
     graft.operators.Scratch.rm(new java.io.File(out))
     spark.stop()

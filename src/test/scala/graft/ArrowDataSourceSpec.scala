@@ -131,6 +131,68 @@ class ArrowDataSourceSpec extends AnyFunSuite {
         .agg(sum(col("n_chars"))).head.getLong(0))
   }
 
+  test("count(*) answers from footer row counts without decoding; " +
+       "limit stops task-side decode") {
+    import spark.implicits._
+    val out = tmp()
+    (0L until 1000L).toDF("v").repartition(4)
+      .write.format("graft-arrow").mode("overwrite").save(s"$out/t")
+    // count(*) pushes into the scan: the plan's scan is the count scan
+    // (one partial row per task from footer metadata), and the result
+    // is exact
+    val cnt = spark.read.format("graft-arrow").load(s"$out/t")
+      .groupBy().count()
+    // the agg plan is AQE-wrapped, so inspect the optimized logical plan
+    val scans = cnt.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.scan
+    }
+    assert(scans.nonEmpty && scans.head.description().contains("count(*)"),
+      s"count not pushed: ${scans.map(_.description())}")
+    assert(cnt.head.getLong(0) == 1000L)
+    assert(spark.read.format("graft-arrow").load(s"$out/t").count() == 1000L)
+    // a filter blocks the pushdown (the source can't answer it) and the
+    // count stays correct through the normal scan
+    assert(spark.read.format("graft-arrow").load(s"$out/t")
+      .where(col("v") < 10).count() == 10L)
+    // limit pushes into the scan (partial: tasks stop decoding early;
+    // Spark's global limit still finishes the job)
+    val lim = spark.read.format("graft-arrow").load(s"$out/t").limit(7)
+    val lscans = lim.queryExecution.executedPlan.collect {
+      case s: BatchScanExec => s
+    }
+    assert(lscans.nonEmpty && lscans.head.scan.description().contains("limit=7"),
+      s"limit not pushed: ${lscans.map(_.scan.description())}")
+    assert(lim.collect().length == 7)
+    // a file WITHOUT the stamped row count (external writer) still
+    // counts correctly via the batch-walk fallback
+    val ext = tmp()
+    locally {
+      import org.apache.arrow.memory.RootAllocator
+      import org.apache.arrow.vector.VectorSchemaRoot
+      import org.apache.arrow.vector.ipc.ArrowFileWriter
+      graft.operators.NioAccess.ensureOpen(classOf[RootAllocator])
+      val alloc = new RootAllocator(Long.MaxValue)
+      try {
+        val schema = StructType(Seq(StructField("v", LongType)))
+        val root = VectorSchemaRoot.create(
+          graft.operators.ArrowInterchange.toArrowSchema(schema), alloc)
+        val ch = java.nio.channels.Channels.newChannel(
+          new java.io.FileOutputStream(s"$ext/part-00000.arrows"))
+        val w = new ArrowFileWriter(root, null, ch) // 3-arg: no metadata
+        try {
+          w.start()
+          val vec = root.getVector(0)
+            .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+          (0 until 5).foreach(i => vec.setSafe(i, i.toLong))
+          root.setRowCount(5); w.writeBatch(); w.end()
+        } finally { w.close(); ch.close(); root.close() }
+      } finally alloc.close()
+    }
+    assert(spark.read.format("graft-arrow").option("requireMarker", "false")
+      .load(ext).count() == 5L)
+  }
+
   test("marker semantics match the RDD reader") {
     import spark.implicits._
     val out = tmp()
