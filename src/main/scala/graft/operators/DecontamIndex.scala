@@ -76,7 +76,7 @@ object DecontamIndex {
     IndexStore.withLock(evalDocs.sparkSession, indexPath) {
       val spark = evalDocs.sparkSession
       val (hfs, p) = IndexStore.fs(spark, indexPath)
-      IndexStore.deleteTree(hfs, p)
+      IndexStore.resetRoot(hfs, p)
       val sh = Dedup.shinglesOf(evalDocs)
         .select(explode(col("sh")).as("s")).distinct()
       sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

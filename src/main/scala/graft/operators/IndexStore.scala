@@ -33,12 +33,26 @@ import org.apache.spark.sql.SparkSession
   *    outliving two consecutive maintenance passes — fails loudly
   *    with a missing-file error, never with wrong data.
   *
-  * Same-JVM writer arbitration: [[withLock]] interns one monitor per
-  * normalized root so concurrent build/merge/compact calls against the
-  * same index serialize instead of interleaving their write steps —
-  * the per-root monitor the table format's commit log got, applied to
-  * the index artifacts. (Cross-JVM writers need an external
-  * coordinator, exactly as with the table format.)
+  * Writer arbitration, two layers under one chokepoint ([[withLock]]):
+  *  - same-JVM: one interned monitor per normalized root serializes
+  *    concurrent build/merge/compact calls;
+  *  - cross-process: a WRITER LEASE under `_commits/_writer.lease`,
+  *    acquired by HCFS atomic create-no-overwrite, carrying a
+  *    monotonically increasing FENCE number and expiring TTL ms after
+  *    the file's modification time. Contenders wait, then steal an
+  *    expired lease by RENAME (rename-as-mutex: exactly one stealer's
+  *    rename succeeds; create-after-delete would let two stealers
+  *    delete each other's fresh lease). [[mark]] — the single commit
+  *    point every index step publishes through — re-reads the lease
+  *    before each publish: a writer that lost its lease (stalled past
+  *    the TTL, then superseded) fails its commit with the two fence
+  *    numbers instead of silently interleaving generations with the
+  *    new holder. The residual window (steal between a winner's check
+  *    and its rename) is milliseconds against a TTL of minutes, and
+  *    errs as a double-commit RETRY failure, never silent corruption:
+  *    the superseding writer re-runs the same generation id wholesale.
+  *    TTL must exceed the longest maintenance op; operations outliving
+  *    it fail loudly at their commit point and are safe to re-run.
   */
 private[graft] object IndexStore {
 
@@ -64,6 +78,20 @@ private[graft] object IndexStore {
     * invisible to [[markedIds]]' prefix filters. */
   def mark(hfs: FileSystem, root: Path, name: String,
            content: String = ""): Unit = {
+    // fencing: if this JVM holds a writer lease for the root, it must
+    // STILL hold it at every commit point — a writer that stalled past
+    // the TTL and was superseded fails here, before publishing a marker
+    // that would interleave with the new holder's generations
+    activeLeases.get(hfs.makeQualified(root).toString)
+      .foreach(l => requireLeaseHeld(hfs, root, l))
+    markUnfenced(hfs, root, name, content)
+  }
+
+  /** [[mark]] without the lease check — for the lease machinery itself
+    * (the fence bump runs under a lease that is not yet, or not, this
+    * JVM's registered claim). */
+  private def markUnfenced(hfs: FileSystem, root: Path, name: String,
+                           content: String): Unit = {
     val dir = new Path(root, CommitsDir)
     if (!hfs.exists(dir)) hfs.mkdirs(dir)
     val tmp = new Path(dir, s".$name.tmp")
@@ -219,17 +247,204 @@ private[graft] object IndexStore {
     ()
   }
 
+  /** Wipe an index root for a fresh build WITHOUT destroying the writer
+    * arbitration: everything goes except the live lease file (the
+    * building writer is holding it — deleting it would hand the root to
+    * a contender mid-build) and the `_fence` marker (fence numbers stay
+    * monotone across rebuilds, so a pre-rebuild zombie still reads as
+    * superseded). Build steps must call this, never a bare
+    * [[deleteTree]] of the root. */
+  def resetRoot(hfs: FileSystem, root: Path): Unit = {
+    if (!hfs.exists(root)) return
+    hfs.listStatus(root).foreach { st =>
+      if (st.getPath.getName != CommitsDir) deleteTree(hfs, st.getPath)
+    }
+    val commits = new Path(root, CommitsDir)
+    if (hfs.exists(commits))
+      hfs.listStatus(commits).foreach { st =>
+        val n = st.getPath.getName
+        if (n != LeaseName && n != FenceMarker) deleteTree(hfs, st.getPath)
+      }
+  }
+
+  // ------------------------------------------------------ writer lease
+
+  /** Lease file name under `_commits/`. Dot-free so debugging `ls`
+    * shows it, but [[markedIds]]' numeric parse skips it. */
+  private[graft] val LeaseName = "_writer.lease"
+  private val FenceMarker = "_fence"
+
+  /** TTL must exceed the longest build/merge/compact against the root;
+    * an op outliving it can lose the lease and will fail loudly at its
+    * next commit point (safe to re-run). Overridable for tests and for
+    * slow maintenance via system property. */
+  private def defaultTtlMs: Long =
+    sys.props.get("graft.index.lease.ttlMs").map(_.toLong)
+      .getOrElse(15L * 60 * 1000)
+  private def defaultWaitMs: Long =
+    sys.props.get("graft.index.lease.waitMs").map(_.toLong)
+      .getOrElse(10L * 60 * 1000)
+
+  /** One writer's claim on an index root. `fence` increases by one per
+    * acquisition (persisted in the `_fence` marker), so any two holders
+    * in history are ordered; `ttlMs` rides in the file so contenders
+    * use the HOLDER's TTL, not their own. Expiry is measured from the
+    * lease FILE's modification time — the filesystem's clock, not a
+    * writer-embedded timestamp, so single-FS deployments don't depend
+    * on writer clock agreement (cross-machine skew only shifts the
+    * steal point by the skew, against a TTL of minutes). */
+  private[graft] final case class WriterLease(token: String, fence: Long,
+                                              ttlMs: Long, owner: String) {
+    def serialized: String = s"$token $fence $ttlMs $owner"
+  }
+
+  private def parseLease(s: String): Option[WriterLease] =
+    s.split(" ", 4) match {
+      case Array(tok, f, t, o) if f.forall(_.isDigit) && t.forall(_.isDigit) =>
+        Some(WriterLease(tok, f.toLong, t.toLong, o))
+      case _ => None
+    }
+
+  private def leasePath(root: Path) =
+    new Path(new Path(root, CommitsDir), LeaseName)
+
+  /** The current lease with its expiry instant, None when absent. An
+    * unparsable lease (a holder between create and write, or a torn
+    * read) is reported as a fresh default-TTL claim — conservative:
+    * contenders wait rather than steal a lease being born. */
+  private[graft] def currentLease(hfs: FileSystem,
+                                  root: Path): Option[(WriterLease, Long)] = {
+    val p = leasePath(root)
+    try {
+      val st = hfs.getFileStatus(p)
+      val in = hfs.open(p)
+      val content =
+        try {
+          val buf = new Array[Byte](4096)
+          val n = in.read(buf)
+          if (n <= 0) "" else new String(buf, 0, n,
+            java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+      val lease = parseLease(content).getOrElse(
+        WriterLease("<unreadable>", -1L, defaultTtlMs, "<unknown>"))
+      Some((lease, st.getModificationTime + lease.ttlMs))
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Acquire the cross-process writer lease: atomic create-no-overwrite
+    * wins; a present lease is waited on until `waitMs`, except an
+    * EXPIRED one, which is broken by rename (exactly one stealer's
+    * rename succeeds — create-after-delete would let two stealers
+    * delete each other's fresh lease). The fence number is bumped and
+    * persisted before the lease is returned, so every acquisition in
+    * history is totally ordered even across steals. */
+  private[graft] def acquireLease(hfs: FileSystem, root: Path,
+                                  ttlMs: Long = defaultTtlMs,
+                                  waitMs: Long = defaultWaitMs): WriterLease = {
+    val dir = new Path(root, CommitsDir)
+    if (!hfs.exists(dir)) hfs.mkdirs(dir)
+    val p = leasePath(root)
+    val deadline = System.currentTimeMillis() + waitMs
+    var backoffMs = 50L
+    while (true) {
+      currentLease(hfs, root) match {
+        case None =>
+          val fence = 1 + markContent(hfs, root, FenceMarker)
+            .flatMap(c => scala.util.Try(c.toLong).toOption).getOrElse(0L)
+          val lease = WriterLease(java.util.UUID.randomUUID().toString,
+            fence, ttlMs,
+            s"${ProcessHandle.current().pid()}@${
+              java.net.InetAddress.getLocalHost.getHostName}")
+          val won =
+            try {
+              val out = hfs.create(p, false) // atomic fail-if-present
+              try out.write(lease.serialized.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+              true
+            } catch { case _: java.io.IOException => false }
+          if (won) {
+            // persist the fence AFTER winning: losers never bump it
+            markUnfenced(hfs, root, FenceMarker, fence.toString)
+            return lease
+          }
+        case Some((stale, expiresAt))
+            if System.currentTimeMillis() > expiresAt =>
+          // rename-as-mutex steal: the loser's rename fails (source
+          // gone) and it loops back to the create race
+          val broken = new Path(dir, s".$LeaseName.broken-${
+            java.util.UUID.randomUUID()}")
+          if (hfs.rename(p, broken)) hfs.delete(broken, false)
+        case Some((held, expiresAt)) =>
+          if (System.currentTimeMillis() >= deadline)
+            throw new java.io.IOException(
+              s"index root $root is write-locked by ${held.owner} " +
+                s"(fence ${held.fence}, expires in " +
+                s"${math.max(0, expiresAt - System.currentTimeMillis())} ms) " +
+                "— another process is building/merging this index; " +
+                "retry later or raise graft.index.lease.waitMs")
+          Thread.sleep(math.min(backoffMs,
+            math.max(1, deadline - System.currentTimeMillis())))
+          backoffMs = math.min(backoffMs * 2, 2000L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Fail if `lease` is no longer the root's current lease — called by
+    * [[mark]] at every commit point (fencing). */
+  private def requireLeaseHeld(hfs: FileSystem, root: Path,
+                               lease: WriterLease): Unit =
+    currentLease(hfs, root) match {
+      case Some((cur, _)) if cur.token == lease.token => ()
+      case Some((cur, _)) => throw new java.io.IOException(
+        s"writer lease for $root lost: this writer's fence " +
+          s"${lease.fence} was superseded by fence ${cur.fence} " +
+          s"(${cur.owner}) — the operation stalled past the lease TTL " +
+          "and was taken over; its work is safe to re-run")
+      case None => throw new java.io.IOException(
+        s"writer lease for $root lost (fence ${lease.fence}): the lease " +
+          "expired and was released — the operation is safe to re-run")
+    }
+
+  /** Release only OUR lease: a stealer may already own the file, and
+    * deleting their fresh claim would re-open the race we just lost. */
+  private def releaseLease(hfs: FileSystem, root: Path,
+                           lease: WriterLease): Unit =
+    currentLease(hfs, root) match {
+      case Some((cur, _)) if cur.token == lease.token =>
+        hfs.delete(leasePath(root), false); ()
+      case _ => ()
+    }
+
   private val monitors =
     scala.collection.concurrent.TrieMap.empty[String, Object]
+  /** Roots this JVM currently holds a writer lease for — consulted by
+    * [[mark]] for commit-point fencing. At most one writer per root is
+    * inside the monitor, so plain get/put under it is race-free. */
+  private val activeLeases =
+    scala.collection.concurrent.TrieMap.empty[String, WriterLease]
 
-  /** Serialize same-JVM writers against one index root. The monitor is
-    * keyed on the FULLY QUALIFIED path (scheme + authority resolved by
-    * the root's FileSystem), so `file:///data/idx` and `/data/idx`
-    * spellings of one physical root share a monitor instead of racing. */
+  /** Serialize writers against one index root — same-JVM via an
+    * interned monitor, cross-process via the writer lease (acquired
+    * after the monitor, released before it). The key is the FULLY
+    * QUALIFIED path (scheme + authority resolved by the root's
+    * FileSystem), so `file:///data/idx` and `/data/idx` spellings of
+    * one physical root share a claim instead of racing. Reentrant:
+    * a writer step that invokes another step on the same root runs it
+    * under the already-held claim. */
   def withLock[T](spark: SparkSession, root: String)(body: => T): T = {
     val (hfs, p) = fs(spark, root)
-    monitors.getOrElseUpdate(
-      hfs.makeQualified(p).toString, new Object).synchronized(body)
+    val key = hfs.makeQualified(p).toString
+    monitors.getOrElseUpdate(key, new Object).synchronized {
+      if (activeLeases.contains(key)) body // reentrant inner step
+      else {
+        val lease = acquireLease(hfs, p)
+        activeLeases.put(key, lease)
+        try body
+        finally { activeLeases.remove(key); releaseLease(hfs, p, lease) }
+      }
+    }
   }
 
   /** Submit independent Spark actions concurrently, wait for all, and
@@ -237,16 +452,30 @@ private[graft] object IndexStore {
     * (or gate frames computed) inside one step have no mutual
     * dependency, so the step costs max(job) instead of sum(job).
     * Failures propagate only after every job settles, so no work is
-    * left running past the call. */
+    * left running past the call. Each call owns a dedicated pool sized
+    * to its action count (daemon threads, shut down on exit): actions
+    * block on Spark jobs, and parking them on a shared bounded pool —
+    * the global ExecutionContext — would deadlock nested uses when the
+    * pool's threads are all holding outer actions. */
   def inParallel[T](actions: (() => T)*): Seq[T] = {
-    import scala.concurrent.{Await, Future}
+    if (actions.isEmpty) return Seq.empty
+    if (actions.sizeIs == 1) return Seq(actions.head())
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val fs = actions.map(a => Future(a()))
-    val settled = Future.traverse(fs)(f =>
-      f.map(Right(_): Either[Throwable, T]).recover { case t => Left(t) })
-    val results = Await.result(settled, Duration.Inf)
-    results.collectFirst { case Left(t) => t }.foreach(throw _)
-    results.collect { case Right(v) => v }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      actions.size,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-index-parallel")
+        t.setDaemon(true); t
+      })
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = actions.map(a => Future(a()))
+      val settled = Future.traverse(fs)(f =>
+        f.map(Right(_): Either[Throwable, T]).recover { case t => Left(t) })
+      val results = Await.result(settled, Duration.Inf)
+      results.collectFirst { case Left(t) => t }.foreach(throw _)
+      results.collect { case Right(v) => v }
+    } finally pool.shutdown()
   }
 }

@@ -80,7 +80,7 @@ object IvfIndex {
       val spark = vecs.sparkSession
       import spark.implicits._
       val (hfs, p) = IndexStore.fs(spark, indexPath)
-      IndexStore.deleteTree(hfs, p)
+      IndexStore.resetRoot(hfs, p)
       val c = vecs.select(col("vec_id"), col("label").cast("long"), col("v"))
       // centroids and cells are independent jobs over the cached batch:
       // submit them concurrently so the build costs max(job), not sum

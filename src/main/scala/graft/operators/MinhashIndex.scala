@@ -82,7 +82,7 @@ object MinhashIndex {
     IndexStore.withLock(corpus.sparkSession, indexPath) {
       val spark = corpus.sparkSession
       val (hfs, p) = IndexStore.fs(spark, indexPath)
-      IndexStore.deleteTree(hfs, p)
+      IndexStore.resetRoot(hfs, p)
       writeGeneration(corpus, indexPath, gen = 0L, v = 1L)
       IndexStore.mark(hfs, p, "g0")
       IndexStore.mark(hfs, p, "bands.v1")

@@ -83,7 +83,7 @@ object PqIndex {
     IndexStore.withLock(vecs.sparkSession, indexPath) {
       val spark = vecs.sparkSession
       val (hfs, p) = IndexStore.fs(spark, indexPath)
-      IndexStore.deleteTree(hfs, p)
+      IndexStore.resetRoot(hfs, p)
       val normed = Similarity.normalizedFrom(vecs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -104,7 +104,7 @@ object PqIndex {
   def build(spark: SparkSession, dir: String, indexPath: String): Unit =
     IndexStore.withLock(spark, indexPath) {
       val (hfs, p) = IndexStore.fs(spark, indexPath)
-      IndexStore.deleteTree(hfs, p)
+      IndexStore.resetRoot(hfs, p)
       val cents = Similarity.pqCodebooks(spark, dir)
       IndexStore.inParallel(
         () => writeCodebooks(spark, indexPath, 1L, cents),
