@@ -80,17 +80,24 @@ object Bpe {
       : Seq[(String, String)] =
     mergeMemo.getOrElseUpdate((spark, dir, driverCap), {
       import spark.implicits._
-      // persisted across the size probe and whichever branch consumes
-      // it — unpersisted, the corpus scan + vocab aggregation ran twice
       val counts = Tables.documents(spark, dir)
         .select(explode(tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cnt"))
         .as[(String, Long)]
-        .persist()
-      try {
-        if (counts.count() <= driverCap) driverMerges(counts.collect())
-        else distributedMerges(counts)
-      } finally counts.unpersist(blocking = false)
+      // size probe and fetch in ONE job: collect cap+1 rows — either
+      // the whole vocabulary came back (driver path, the common case:
+      // tokenizer vocabularies are millions, not billions) or the
+      // overflow row proves it's over the cap and the distributed loop
+      // recomputes from the plan (rare path pays the second scan; the
+      // common path saves a persist + count job per training run)
+      val capped = driverCap + 1 match {
+        case n if n <= Int.MaxValue => counts.limit(n.toInt).collect()
+        case _ => counts.collect()
+      }
+      if (capped.length <= driverCap) driverMerges(capped)
+      // the distributed loop persists its own derived vocab Dataset and
+      // consumes `counts` exactly once — no extra pin needed here
+      else distributedMerges(counts)
     })
 
   private val mergeMemo = scala.collection.concurrent
