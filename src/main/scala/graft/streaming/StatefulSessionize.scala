@@ -133,12 +133,18 @@ object StatefulSessionize {
     val root = java.nio.file.Files
       .createTempDirectory("graft-stream-sess").toString
     try {
-      // stage time-range shards with ORDERED mtimes: the file source
-      // orders same-mtime files arbitrarily, and an out-of-order shard
-      // would rewind event time against an already advanced watermark.
-      // One partitioned write job stages all shards; landing them in
-      // time order is pure file moves with explicit increasing mtimes
-      // (the old shape wrote each shard as its own scan+write job).
+      // stage time-range shards and land them ONE SHARD PER
+      // AvailableNow RUN against a shared checkpoint: the file source's
+      // seen-files log guarantees each run reads exactly the newly
+      // landed shard, so shard ORDER is the staging order — no mtime
+      // dependence at all (the old shape ordered same-run files by
+      // explicit java.io mtimes, which object stores and HCFS
+      // implementations don't honor uniformly), and the watermark
+      // advances monotonically across runs exactly as it does across a
+      // production restart. One partitioned write job stages all
+      // shards; landing them is pure Hadoop-FS renames.
+      val hfs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
       val ev = graft.sources.Tables.events(spark, dir)
         .select(col("user_id"), col("ts"), col("value"))
       val mm = ev.agg(
@@ -152,36 +158,23 @@ object StatefulSessionize {
         .repartition(4, col("__shard"))
         .write.mode("overwrite").partitionBy("__shard")
         .parquet(s"$root/staged")
-      val srcDir = new java.io.File(s"$root/src")
-      srcDir.mkdirs()
-      val base = System.currentTimeMillis() - 8000
-      (0 until 4).foreach { i =>
-        val shardDir = new java.io.File(s"$root/staged/__shard=$i")
-        Option(shardDir.listFiles()).toSeq.flatten
-          .filter(_.getName.endsWith(".parquet")).zipWithIndex
-          .foreach { case (f, j) =>
-            val dest = new java.io.File(srcDir, s"shard-$i-$j.parquet")
-            java.nio.file.Files.move(f.toPath, dest.toPath)
-            // the whole staging rewrite rests on ordered mtimes — a
-            // filesystem that refuses utimes must fail loudly, not
-            // let same-mtime shards arrive in arbitrary order
-            require(dest.setLastModified(base + i * 1000L),
-              s"cannot set mtime on $dest — ordered shard arrival " +
-                "needs distinct mtimes")
-          }
-      }
+      val srcPath = new org.apache.hadoop.fs.Path(s"$root/src")
+      hfs.mkdirs(srcPath)
       val srcSchema = StructType(Seq(
         StructField("user_id", LongType),
         StructField("ts", TimestampNTZType),
         StructField("value", DoubleType)))
-      val stream = spark.readStream.schema(srcSchema)
-        .option("maxFilesPerTrigger", 2).parquet(s"$root/src")
-        // NTZ → instant under the UTC session; Ev carries an instant
-        .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
-          col("value"))
-        .withWatermark("ts", s"$StreamDelayMs milliseconds")
-        .as[Ev]
-      StreamHarness.withShufflePartitions(spark, 8) {
+      def runAvailable(): Unit = {
+        // high maxFilesPerTrigger: each run folds ALL its newly landed
+        // files into one batch, where arrival order is immaterial (a
+        // batch is an unordered set; the watermark advances after it)
+        val stream = spark.readStream.schema(srcSchema)
+          .option("maxFilesPerTrigger", 64).parquet(s"$root/src")
+          // NTZ → instant under the UTC session; Ev carries an instant
+          .select(col("user_id"), col("ts").cast("timestamp").as("ts"),
+            col("value"))
+          .withWatermark("ts", s"$StreamDelayMs milliseconds")
+          .as[Ev]
         val q = sessions(stream).toDF()
           .writeStream
           .option("checkpointLocation", s"$root/ckpt")
@@ -196,6 +189,30 @@ object StatefulSessionize {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+      }
+      StreamHarness.withShufflePartitions(spark, 8) {
+        // two shards per run: cross-SHARD order is enforced by the run
+        // boundary (seen-files log), in-run order doesn't matter (one
+        // batch) — the minimum restarts that still exercise watermark
+        // advance + session closure across micro-batches
+        Seq(Seq(0, 1), Seq(2, 3)).foreach { group =>
+          group.foreach { i =>
+            val shardDir = new org.apache.hadoop.fs.Path(
+              s"$root/staged/__shard=$i")
+            val files =
+              if (hfs.exists(shardDir))
+                hfs.listStatus(shardDir).toSeq
+                  .filter(_.getPath.getName.endsWith(".parquet"))
+              else Seq.empty
+            files.zipWithIndex.foreach { case (st, j) =>
+              val dest = new org.apache.hadoop.fs.Path(srcPath,
+                s"shard-$i-$j.parquet")
+              require(hfs.rename(st.getPath, dest),
+                s"staging rename of ${st.getPath} to $dest refused")
+            }
+          }
+          runAvailable() // this run sees exactly this group's new files
+        }
       }
       val outSchema = StructType(Seq(
         StructField("user_id", LongType),
