@@ -258,6 +258,35 @@ object GraftExtensions {
           org.apache.spark.sql.functions.col("text"))
       graft.operators.Dedup.winnowJoin(docs(l), docs(r))
         .queryExecution.analyzed
+    },
+    // the READ side of the GRAFT INDEX SQL verbs: probe a persisted
+    // index with (a predicate-filtered slice of) a documents directory.
+    // A table function, not a command, so results stay a lazy plan —
+    // composable in any SELECT, never collected to the driver
+    "graft_index_query" -> { args =>
+      require(args.length == 3 || args.length == 4,
+        "graft_index_query(kind, indexRoot, docsDir [, predicate]) " +
+          "takes three or four literal strings")
+      val kind = litString("graft_index_query", args(0)).toUpperCase
+      val root = litString("graft_index_query", args(1))
+      val dir = litString("graft_index_query", args(2))
+      val spark = org.apache.spark.sql.SparkSession.active
+      import org.apache.spark.sql.functions.{col, expr}
+      val base = graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val inc =
+        if (args.length == 4)
+          base.filter(expr(litString("graft_index_query", args(3))))
+        else base
+      (kind match {
+        case "MINHASH" => graft.operators.MinhashIndex.query(spark, root, inc)
+        case "WINNOW" => graft.operators.WinnowIndex.query(spark, root, inc)
+        case "TERMS" => graft.operators.TermStatsIndex.query(spark, root, inc)
+        case "DECONTAM" => graft.operators.DecontamIndex.query(spark, root, inc)
+        case other => throw new IllegalArgumentException(
+          s"graft_index_query: unknown index kind '$other' " +
+            "(want MINHASH | WINNOW | TERMS | DECONTAM)")
+      }).queryExecution.analyzed
     })
 
   private def litString(name: String, e: Expression): String =

@@ -22,7 +22,19 @@ import graft.sources.GraftTable
   *   GRAFT MERGE '<root>' SINK '<sink>' USING (<query>) ON k[, …]
   *         [INSERT ONLY | UPDATE ONLY]
   *   GRAFT HISTORY '<root>'
+  *   GRAFT INDEX BUILD   MINHASH|WINNOW|TERMS|DECONTAM '<root>' FROM (<query>)
+  *   GRAFT INDEX MERGE   MINHASH|WINNOW|TERMS|DECONTAM '<root>' FROM (<query>)
+  *   GRAFT INDEX COMPACT MINHASH|WINNOW|TERMS '<root>'
   * }}}
+  *
+  * The INDEX verbs drive the persisted index lifecycles
+  * ([[graft.operators.MinhashIndex]] & friends) — build/merge/compact
+  * as eager commands over an arbitrary parenthesized source query
+  * (columns must match the index's input contract: (doc_id, text)).
+  * The READ side is deliberately not a command (a command would
+  * collect corpus-sized results to the driver): it is the lazy table
+  * function `graft_index_query(kind, indexRoot, docsDir[, predicate])`
+  * registered by [[GraftExtensions]], composable inside any SELECT.
   *
   * Everything else delegates to Spark's parser. The commands are
   * `RunnableCommand`s: `spark.sql(...)` executes them eagerly (the
@@ -82,6 +94,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         insert = mode == null || !mode.equalsIgnoreCase("UPDATE ONLY"),
         deleteWhen = delWhen)
     case HistoryRe(root) => GraftHistoryCommand(root)
+    case IndexFromRe(verb, kind, root, rest) =>
+      val close = matchingParen(rest, 0)
+      require(close > 0,
+        s"GRAFT INDEX $verb: unbalanced parens around the FROM query: $sqlText")
+      require(rest.substring(close + 1).trim.stripSuffix(";").trim.isEmpty,
+        s"GRAFT INDEX $verb: unexpected trailing text after the FROM " +
+          s"query: ${rest.substring(close + 1).trim}")
+      val query = rest.substring(1, close)
+      delegate.parseQuery(query) // fail fast on bad source syntax
+      GraftIndexCommand(verb.toUpperCase, kind.toUpperCase, root, Some(query))
+    case IndexCompactRe(kind, root) =>
+      GraftIndexCommand("COMPACT", kind.toUpperCase, root, None)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -125,6 +149,10 @@ object GraftSqlParser {
     """(?is)ON\s+([\w`"]+(?:\s*,\s*[\w`"]+)*)(?:\s+(INSERT\s+ONLY|UPDATE\s+ONLY))?(?:\s+DELETE\s+WHEN\s+(.+?))?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+  private val IndexFromRe =
+    """(?is)\s*GRAFT\s+INDEX\s+(BUILD|MERGE)\s+(MINHASH|WINNOW|TERMS|DECONTAM)\s+'([^']+)'\s+FROM\s+(\(.+?)\s*;?\s*""".r
+  private val IndexCompactRe =
+    """(?is)\s*GRAFT\s+INDEX\s+COMPACT\s+(MINHASH|WINNOW|TERMS)\s+'([^']+)'\s*;?\s*""".r
 
   /** Split `a = expr1, b = expr2` on TOP-LEVEL commas (commas inside
     * parens or string literals belong to the expression), then each
@@ -293,6 +321,45 @@ case class GraftMergeCommand(root: String, sink: String,
       case Some(v) => Seq(Row(v, s"merged into version $v"))
       case None => Seq(Row(null, "merge was a no-op"))
     }
+}
+
+/** `GRAFT INDEX BUILD/MERGE/COMPACT`: the persisted index lifecycles as
+  * SQL commands, running through exactly the Scala API's code paths
+  * (writer lease, generation markers, crash discipline included). The
+  * source query executes when the command runs and must carry the
+  * index's input columns ((doc_id, text) for the text families). */
+case class GraftIndexCommand(verb: String, kind: String, root: String,
+                             sourceSql: Option[String])
+    extends LeafRunnableCommand {
+  import graft.operators.{DecontamIndex, IndexStore, MinhashIndex, TermStatsIndex, WinnowIndex}
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("kind", StringType)(),
+    AttributeReference("generations", LongType)(),
+    AttributeReference("note", StringType)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    def src = spark.sql(sourceSql.getOrElse(throw new IllegalStateException(
+      s"GRAFT INDEX $verb needs a FROM query")))
+    (kind, verb) match {
+      case ("MINHASH", "BUILD") => MinhashIndex.build(src, root)
+      case ("MINHASH", "MERGE") => MinhashIndex.merge(src, root)
+      case ("MINHASH", "COMPACT") => MinhashIndex.compact(spark, root)
+      case ("WINNOW", "BUILD") => WinnowIndex.build(src, root)
+      case ("WINNOW", "MERGE") => WinnowIndex.merge(src, root)
+      case ("WINNOW", "COMPACT") => WinnowIndex.compact(spark, root)
+      case ("TERMS", "BUILD") => TermStatsIndex.build(src, root)
+      case ("TERMS", "MERGE") => TermStatsIndex.merge(src, root)
+      case ("TERMS", "COMPACT") => TermStatsIndex.compact(spark, root)
+      case ("DECONTAM", "BUILD") => DecontamIndex.build(src, root)
+      case ("DECONTAM", "MERGE") => DecontamIndex.merge(src, root)
+      case other => throw new IllegalArgumentException(
+        s"GRAFT INDEX: unsupported verb/kind $other")
+    }
+    val gens = scala.util.Try(
+      IndexStore.committedGens(spark, root).size.toLong).getOrElse(0L)
+    Seq(Row(kind, gens, s"${verb.toLowerCase} ok"))
+  }
 }
 
 /** `GRAFT DELETE`: [[GraftTable.deleteWhere]] as a SQL command. The

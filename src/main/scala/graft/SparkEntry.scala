@@ -75,6 +75,7 @@ object SparkEntry {
     },
     "dedup_incremental"     -> (MinhashIndex.incremental _),
     "dedup_index_lifecycle" -> (MinhashIndex.lifecycle _),
+    "q_sql_index_lifecycle" -> (MinhashIndex.sqlLifecycle _),
     "dedup_ingest_chain"    -> (MinhashIndex.ingestChain _),
     "q_admission_pipeline"  -> (Admission.pipeline _),
     "text_decontaminate"    -> (Dedup.decontaminate _),
@@ -1240,6 +1241,14 @@ object SparkEntry {
     // the maintenance lifecycle (split build + merge + compact) ends at
     // an index covering exactly doc_id % 10 <> 3 — identical pairs
     "dedup_index_lifecycle" ->
+      s"""WITH ${minhashCtesWith("x.doc_id % 10 = 3 AND y.doc_id % 10 <> 3")}
+         |SELECT doc_a AS left_id, doc_b AS right_id, jaccard FROM j
+         |WHERE jaccard >= ${Dedup.MinhashJaccardThreshold}
+         |ORDER BY left_id, right_id""".stripMargin,
+    // the SAME lifecycle driven through the GRAFT INDEX SQL verbs +
+    // the graft_index_query table function — identical oracle, so the
+    // SQL surface is hash-gated to the Scala API's exact results
+    "q_sql_index_lifecycle" ->
       s"""WITH ${minhashCtesWith("x.doc_id % 10 = 3 AND y.doc_id % 10 <> 3")}
          |SELECT doc_a AS left_id, doc_b AS right_id, jaccard FROM j
          |WHERE jaccard >= ${Dedup.MinhashJaccardThreshold}

@@ -389,6 +389,37 @@ object MinhashIndex {
     }
   }
 
+  /** q_sql_index_lifecycle: [[lifecycle]] driven ENTIRELY through the
+    * SQL surface — `GRAFT INDEX BUILD/MERGE/COMPACT` commands plus the
+    * `graft_index_query` table function — against the same DuckDB
+    * oracle, so the SQL verbs are hash-gated to the Scala API's exact
+    * results (they run through the same code paths, lease and markers
+    * included). */
+  def sqlLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.install(spark)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mh-sql-lifecycle").toString
+    try {
+      graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .createOrReplaceTempView("graft_sqlidx_docs")
+      val idx = s"$root/idx"
+      spark.sql(s"GRAFT INDEX BUILD MINHASH '$idx' FROM " +
+        "(SELECT doc_id, text FROM graft_sqlidx_docs " +
+        "WHERE doc_id % 10 NOT IN (3, 7))").collect()
+      spark.sql(s"GRAFT INDEX MERGE MINHASH '$idx' FROM " +
+        "(SELECT doc_id, text FROM graft_sqlidx_docs " +
+        "WHERE doc_id % 10 = 7)").collect()
+      spark.sql(s"GRAFT INDEX COMPACT MINHASH '$idx'").collect()
+      Scratch.materializeAndClean(root,
+        spark.sql("SELECT * FROM graft_index_query('minhash', " +
+          s"'$idx', '$dir', 'doc_id % 10 = 3') " +
+          "ORDER BY left_id, right_id"))
+    } catch {
+      case e: Throwable => Scratch.rm(new java.io.File(root)); throw e
+    }
+  }
+
   /** Gate one crawl batch against the index and admit the survivors:
     * near-dups of already-landed docs are rejected, everything else is
     * [[merge]]d in. Returns the admitted rows, MATERIALIZED before the

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{MinhashIndex, TermStatsIndex, WinnowIndex}
+
+/** GRAFT INDEX SQL verbs + the graft_index_query table function: the
+  * SQL surface must produce bit-identical results to the Scala API
+  * (same code paths underneath) across the index kinds, and reject
+  * malformed statements loudly at parse time. */
+class IndexSqlVerbsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-idx-sql").toString
+
+  private def docsView(name: String): Unit =
+    graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+      .createOrReplaceTempView(name)
+
+  test("minhash: SQL build/merge/compact/query == Scala lifecycle") {
+    GraftExtensions.install(spark)
+    docsView("idx_docs")
+    val root = tmp()
+    spark.sql(s"GRAFT INDEX BUILD MINHASH '$root/s' FROM " +
+      "(SELECT doc_id, text FROM idx_docs WHERE doc_id % 10 NOT IN (3, 7))")
+      .collect()
+    val merged = spark.sql(s"GRAFT INDEX MERGE MINHASH '$root/s' FROM " +
+      "(SELECT doc_id, text FROM idx_docs WHERE doc_id % 10 = 7)").collect()
+    assert(merged.head.getLong(1) == 2L, "build + merge = two generations")
+    spark.sql(s"GRAFT INDEX COMPACT MINHASH '$root/s'").collect()
+    val viaSql = spark.sql("SELECT * FROM graft_index_query('minhash', " +
+      s"'$root/s', '$sf0001', 'doc_id % 10 = 3') ORDER BY left_id, right_id")
+      .collect()
+    // the Scala path over an identically maintained twin
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    MinhashIndex.build(
+      docs.filter(col("doc_id") % 10 =!= 3 && col("doc_id") % 10 =!= 7),
+      s"$root/t")
+    MinhashIndex.merge(docs.filter(col("doc_id") % 10 === 7), s"$root/t")
+    MinhashIndex.compact(spark, s"$root/t")
+    val viaApi = MinhashIndex.query(spark, s"$root/t",
+        docs.filter(col("doc_id") % 10 === 3))
+      .orderBy("left_id", "right_id").collect()
+    assert(viaSql.length == viaApi.length && viaSql.nonEmpty)
+    viaSql.zip(viaApi).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("winnow and terms kinds run through the same verbs") {
+    GraftExtensions.install(spark)
+    docsView("idx_docs2")
+    val root = tmp()
+    spark.sql(s"GRAFT INDEX BUILD WINNOW '$root/w' FROM " +
+      "(SELECT doc_id, text FROM idx_docs2 WHERE doc_id % 2 = 0)").collect()
+    spark.sql(s"GRAFT INDEX COMPACT WINNOW '$root/w'").collect()
+    val w = spark.sql("SELECT * FROM graft_index_query('winnow', " +
+      s"'$root/w', '$sf0001', 'doc_id % 2 = 1')").collect()
+    val wApi = WinnowIndex.query(spark, s"$root/w",
+      graft.sources.Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 2 === 1)).collect()
+    assert(w.map(_.toString).sorted.toSeq ==
+      wApi.map(_.toString).sorted.toSeq)
+    spark.sql(s"GRAFT INDEX BUILD TERMS '$root/t' FROM " +
+      "(SELECT doc_id, text FROM idx_docs2 WHERE doc_id % 2 = 0)").collect()
+    val t = spark.sql("SELECT * FROM graft_index_query('terms', " +
+      s"'$root/t', '$sf0001', 'doc_id % 2 = 1')").collect()
+    val tApi = TermStatsIndex.query(spark, s"$root/t",
+      graft.sources.Tables.documents(spark, sf0001)
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 2 === 1)).collect()
+    assert(t.map(_.toString).sorted.toSeq ==
+      tApi.map(_.toString).sorted.toSeq)
+    assert(t.nonEmpty && w.nonEmpty)
+  }
+
+  test("malformed statements fail loudly at parse time") {
+    // unbalanced FROM query
+    val e1 = intercept[Exception] {
+      spark.sql("GRAFT INDEX BUILD MINHASH '/tmp/x' FROM (SELECT 1")
+    }
+    assert(e1.getMessage.contains("unbalanced"))
+    // trailing junk after the query
+    val e2 = intercept[Exception] {
+      spark.sql("GRAFT INDEX MERGE MINHASH '/tmp/x' FROM (SELECT 1) extra")
+    }
+    assert(e2.getMessage.contains("trailing"))
+    // bad source SQL is rejected at parse time, before anything runs
+    intercept[Exception] {
+      spark.sql("GRAFT INDEX BUILD MINHASH '/tmp/x' FROM (SELEC doc_id)")
+    }
+    // DECONTAM has no compact verb — not in the grammar
+    intercept[Exception] {
+      spark.sql("GRAFT INDEX COMPACT DECONTAM '/tmp/x'")
+    }
+    // unknown kind in the table function
+    GraftExtensions.install(spark)
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_index_query('btree', '/tmp/x', '$sf0001')")
+        .collect()
+    }
+    assert(e3.getMessage.contains("unknown index kind"))
+  }
+}
