@@ -86,6 +86,96 @@ object ArrowInterchange {
     * summing batch row counts. */
   val RowsMetaKey: String = "graft.rows"
 
+  /** Footer custom-metadata keys `graft.min.<ordinal>` /
+    * `graft.max.<ordinal>` carry per-column min/max over the file's
+    * non-null values for the numeric, date, and timestamp TOP-LEVEL
+    * columns — the zone-map stats the DSv2 scan uses to SKIP whole
+    * files against pushed filters (parquet's row-group pruning, at
+    * file granularity). Keyed by schema ordinal, not name (names may
+    * contain dots). Absent keys mean "no information" and the reader
+    * keeps the file — external writers, all-null columns, and NaN
+    * floats (excluded from tracking: NaN ranges poison comparisons)
+    * all degrade to correct-but-unskipped. */
+  def minMetaKey(ordinal: Int): String = s"graft.min.$ordinal"
+  def maxMetaKey(ordinal: Int): String = s"graft.max.$ordinal"
+
+  /** Tracks per-column min/max across a file's record batches by
+    * scanning the vectors at each flush (one pass over primitives per
+    * batch — never in the per-row hot loop). Longs cover int/bigint/
+    * date-days/timestamp-micros; doubles cover float32/64. */
+  private[graft] final class StatsTracker(schema: StructType) {
+    private val n = schema.length
+    // which representation each column tracks: 0 = none, 1 = long, 2 = double
+    private val kind: Array[Int] = schema.fields.map(_.dataType match {
+      case IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType => 1
+      case FloatType | DoubleType => 2
+      case _ => 0
+    })
+    private val loL = Array.fill(n)(Long.MaxValue)
+    private val hiL = Array.fill(n)(Long.MinValue)
+    private val loD = Array.fill(n)(Double.PositiveInfinity)
+    private val hiD = Array.fill(n)(Double.NegativeInfinity)
+    private val seen = Array.fill(n)(false)
+
+    /** Fold one flushed batch's vectors into the running ranges. */
+    def update(root: VectorSchemaRoot, rows: Int): Unit = {
+      var c = 0
+      while (c < n) {
+        if (kind(c) != 0) {
+          val vec = root.getVector(c)
+          var i = 0
+          while (i < rows) {
+            if (!vec.isNull(i)) {
+              if (kind(c) == 1) {
+                val v = vec match {
+                  case x: IntVector => x.get(i).toLong
+                  case x: BigIntVector => x.get(i)
+                  case x: DateDayVector => x.get(i).toLong
+                  case x: TimeStampMicroTZVector => x.get(i)
+                  case x: TimeStampMicroVector => x.get(i)
+                }
+                if (v < loL(c)) loL(c) = v
+                if (v > hiL(c)) hiL(c) = v
+                seen(c) = true
+              } else {
+                val v = vec match {
+                  case x: Float4Vector => x.get(i).toDouble
+                  case x: Float8Vector => x.get(i)
+                }
+                if (!java.lang.Double.isNaN(v)) {
+                  if (v < loD(c)) loD(c) = v
+                  if (v > hiD(c)) hiD(c) = v
+                  seen(c) = true
+                }
+              }
+            }
+            i += 1
+          }
+        }
+        c += 1
+      }
+    }
+
+    /** Stamp the ranges into the writer's footer metadata map. */
+    def stamp(meta: java.util.Map[String, String]): Unit = {
+      var c = 0
+      while (c < n) {
+        if (seen(c)) {
+          if (kind(c) == 1) {
+            meta.put(minMetaKey(c), loL(c).toString)
+            meta.put(maxMetaKey(c), hiL(c).toString)
+          } else {
+            // Double.toString round-trips exactly through parseDouble
+            meta.put(minMetaKey(c), loD(c).toString)
+            meta.put(maxMetaKey(c), hiD(c).toString)
+          }
+        }
+        c += 1
+      }
+    }
+  }
+
   /** Max estimated bytes of row data per exported file — the shared
     * interchange part-sizing contract, defined once on [[ExportSizing]]. */
   val DefaultMaxPartBytes: Long = ExportSizing.DefaultMaxPartBytes
@@ -235,6 +325,7 @@ object ArrowInterchange {
             // reference, so the row count lands in it before then
             val meta = new java.util.HashMap[String, String]()
             val w = new ArrowFileWriter(root, null, ch, meta)
+            val stats = new StatsTracker(schema)
             try {
               w.start()
               var n = 0
@@ -242,10 +333,16 @@ object ArrowInterchange {
               while (rows.hasNext) {
                 writeRow(root, schema, rows.next(), n)
                 n += 1; total += 1
-                if (n == batchRows) { root.setRowCount(n); w.writeBatch(); clear(root); n = 0 }
+                if (n == batchRows) {
+                  root.setRowCount(n); w.writeBatch()
+                  stats.update(root, n); clear(root); n = 0
+                }
               }
-              if (n > 0) { root.setRowCount(n); w.writeBatch() }
+              if (n > 0) {
+                root.setRowCount(n); w.writeBatch(); stats.update(root, n)
+              }
               meta.put(RowsMetaKey, total.toString)
+              stats.stamp(meta)
               w.end()
             } finally { w.close(); ch.close(); root.close() }
             publishNoReplace(fs, tmp, fin)
@@ -287,6 +384,23 @@ object ArrowInterchange {
       val w = new ArrowFileWriter(root, null, ch,
         java.util.Map.of(RowsMetaKey, "0"))
       try { w.start(); w.end() } finally { w.close(); ch.close(); root.close() }
+    } finally alloc.close()
+  }
+
+  /** The file's footer custom metadata (row count, zone-map stats) —
+    * one footer read, no record batch loaded. */
+  private[graft] def footerMeta(fs: FileSystem, file: String,
+                                len: Long): Map[String, String] = {
+    NioAccess.ensureOpen(classOf[RootAllocator])
+    val in = fs.open(new Path(file))
+    val alloc = new RootAllocator(Long.MaxValue)
+    try {
+      val r = new ArrowFileReader(new HadoopChannel(in, len), alloc)
+      try {
+        r.getVectorSchemaRoot // forces footer read
+        import scala.jdk.CollectionConverters._
+        r.getMetaData.asScala.toMap
+      } finally r.close()
     } finally alloc.close()
   }
 

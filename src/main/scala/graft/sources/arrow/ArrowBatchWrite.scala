@@ -146,6 +146,7 @@ private[arrow] class ArrowDataWriter(staging: String, conf: SerConf,
   // in it before end() serializes the footer
   private val meta = new java.util.HashMap[String, String]()
   private val writer = new ArrowFileWriter(root, null, ch, meta)
+  private val stats = new ArrowInterchange.StatsTracker(schema)
   writer.start()
   private var n = 0
   private var rows = 0L
@@ -156,13 +157,16 @@ private[arrow] class ArrowDataWriter(staging: String, conf: SerConf,
     n += 1; rows += 1
     if (n == batchRows) {
       root.setRowCount(n); writer.writeBatch()
-      ArrowInterchange.clear(root); n = 0
+      stats.update(root, n); ArrowInterchange.clear(root); n = 0
     }
   }
 
   override def commit(): WriterCommitMessage = {
-    if (n > 0) { root.setRowCount(n); writer.writeBatch(); n = 0 }
+    if (n > 0) {
+      root.setRowCount(n); writer.writeBatch(); stats.update(root, n); n = 0
+    }
     meta.put(ArrowInterchange.RowsMetaKey, rows.toString)
+    stats.stamp(meta)
     writer.end()
     close()
     if (rows > 0) ArrowInterchange.publishNoReplace(fs, tmp, fin)

@@ -15,7 +15,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnVector, ColumnarBatch}
@@ -108,16 +108,28 @@ private[arrow] class ArrowTable(path: String, declared: StructType)
 private[arrow] class ArrowScanBuilder(path: String, declared: StructType,
                                       opts: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownAggregates {
+    with SupportsPushDownLimit with SupportsPushDownAggregates
+    with SupportsPushDownFilters {
   private var required: StructType = declared
   private var limit: Int = -1
   private var countCols: Int = 0
+  private var skips: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   // partial push (isPartiallyPushed stays true): each task stops
   // decoding after `limit` rows; Spark's global limit still applies on
   // top, so correctness never depends on the source-side cap
   override def pushLimit(n: Int): Boolean = { limit = n; true }
+  // zone-map pruning: comparisons on stats-tracked columns let the
+  // scan SKIP whole files whose stamped [min,max] excludes the
+  // predicate. EVERY filter is returned as residual — the source only
+  // prunes files, Spark still evaluates the predicate row by row, so
+  // a stale or missing stat can never change results
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    skips = filters.filter(ArrowFileSkip.usable(_, declared))
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = skips
   // COUNT(*) with no grouping answers from the footer row counts the
   // writers stamp — no record batch is ever loaded. Partial pushdown:
   // the scan returns one count row per task and Spark sums them, so
@@ -134,16 +146,125 @@ private[arrow] class ArrowScanBuilder(path: String, declared: StructType,
     if (countCols > 0)
       new ArrowCountScan(path, countCols, requireMarker, maxTaskBytes)
     else new ArrowScan(path, declared, required, requireMarker, maxTaskBytes,
-      Option(opts.get("columnar")).forall(_.toBoolean), limit)
+      Option(opts.get("columnar")).forall(_.toBoolean), limit,
+      skips.toSeq)
+  }
+}
+
+/** File-level zone-map pruning: evaluate pushed comparison filters
+  * against the per-file [min,max] the writers stamp in footer metadata.
+  * Strictly an ELIMINATION procedure — `skippable` answers "is this
+  * file PROVABLY empty under the conjunction?", and any missing stat,
+  * unsupported filter shape, NaN, or type surprise answers false (keep
+  * the file). Spark re-evaluates all filters on the rows, so pruning
+  * can only remove work, never rows. */
+private[arrow] object ArrowFileSkip {
+  import org.apache.spark.sql.sources._
+
+  /** Tracked representation of a column: Left = long-comparable
+    * (int/bigint/date-day/timestamp-micros), Right = double. */
+  private def repr(dt: DataType, v: Any): Option[Either[Long, Double]] =
+    (dt, v) match {
+      case (IntegerType | LongType, n: java.lang.Number)
+          if v.isInstanceOf[java.lang.Integer] || v.isInstanceOf[java.lang.Long] ||
+             v.isInstanceOf[java.lang.Short] || v.isInstanceOf[java.lang.Byte] =>
+        Some(Left(n.longValue()))
+      case (DateType, d: java.sql.Date) =>
+        Some(Left(d.toLocalDate.toEpochDay))
+      case (DateType, d: java.time.LocalDate) => Some(Left(d.toEpochDay))
+      case (TimestampType, t: java.sql.Timestamp) =>
+        Some(Left(Math.multiplyExact(Math.floorDiv(t.getTime, 1000L),
+          1000000L) + t.getNanos / 1000L))
+      case (TimestampType, t: java.time.Instant) =>
+        Some(Left(Math.multiplyExact(t.getEpochSecond, 1000000L) +
+          t.getNano / 1000L))
+      case (TimestampNTZType, t: java.time.LocalDateTime) =>
+        Some(Left(Math.multiplyExact(
+          t.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L) +
+          t.getNano / 1000L))
+      case (FloatType | DoubleType, n: java.lang.Number)
+          if !java.lang.Double.isNaN(n.doubleValue()) =>
+        Some(Right(n.doubleValue()))
+      case _ => None
+    }
+
+  private def colBound(attr: String, v: Any, schema: StructType)
+      : Option[(Int, Either[Long, Double])] = {
+    val ord = schema.fieldNames.indexOf(attr)
+    if (ord < 0 || v == null) None
+    else repr(schema(ord).dataType, v).map(r => (ord, r))
+  }
+
+  /** Can this filter ever prove a file empty from stats? */
+  def usable(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(a, v) => colBound(a, v, schema).isDefined
+    case GreaterThan(a, v) => colBound(a, v, schema).isDefined
+    case GreaterThanOrEqual(a, v) => colBound(a, v, schema).isDefined
+    case LessThan(a, v) => colBound(a, v, schema).isDefined
+    case LessThanOrEqual(a, v) => colBound(a, v, schema).isDefined
+    case _ => false
+  }
+
+  /** True iff the conjunction of `filters` PROVES the file matches no
+    * rows, given its stamped stats. */
+  def skippable(filters: Seq[Filter], schema: StructType,
+                meta: Map[String, String]): Boolean = {
+    def range(ord: Int, long: Boolean): Option[(Either[Long, Double],
+                                                Either[Long, Double])] =
+      for {
+        lo <- meta.get(ArrowInterchange.minMetaKey(ord))
+        hi <- meta.get(ArrowInterchange.maxMetaKey(ord))
+        r <- scala.util.Try {
+          if (long) (Left(lo.toLong): Either[Long, Double],
+            Left(hi.toLong): Either[Long, Double])
+          else (Right(lo.toDouble): Either[Long, Double],
+            Right(hi.toDouble): Either[Long, Double])
+        }.toOption
+      } yield r
+    def cmp(a: Either[Long, Double], b: Either[Long, Double]): Int =
+      (a, b) match {
+        case (Left(x), Left(y)) => java.lang.Long.compare(x, y)
+        case (Right(x), Right(y)) => java.lang.Double.compare(x, y)
+        case _ => 0 // representation mismatch: never prove emptiness
+      }
+    def provesEmpty(f: Filter): Boolean = {
+      val b = f match {
+        case EqualTo(a, v) => colBound(a, v, schema).map((_, "="))
+        case GreaterThan(a, v) => colBound(a, v, schema).map((_, ">"))
+        case GreaterThanOrEqual(a, v) => colBound(a, v, schema).map((_, ">="))
+        case LessThan(a, v) => colBound(a, v, schema).map((_, "<"))
+        case LessThanOrEqual(a, v) => colBound(a, v, schema).map((_, "<="))
+        case _ => None
+      }
+      b.exists { case ((ord, v), op) =>
+        range(ord, v.isLeft).exists { case (lo, hi) =>
+          op match {
+            case "=" => cmp(v, lo) < 0 || cmp(v, hi) > 0
+            case ">" => cmp(hi, v) <= 0
+            case ">=" => cmp(hi, v) < 0
+            case "<" => cmp(lo, v) >= 0
+            case "<=" => cmp(lo, v) > 0
+          }
+        }
+      }
+    }
+    filters.exists(provesEmpty)
   }
 }
 
 private[arrow] object ArrowScan {
   import ArrowInterchange.{SerConf, listArrows, packFiles}
 
-  /** The shared plan step: marker gate, file listing, bin-packing. */
+  /** The shared plan step: marker gate, file listing, zone-map file
+    * pruning (when filters are pushed — one footer read per file, the
+    * same plan-time cost shape as parquet's footer reads), bin-packing.
+    * Returns the partitions plus (kept, total) file counts for the
+    * scan description. */
   def planPartitions(path: String, requireMarker: Boolean,
-                     maxTaskBytes: Long): Array[InputPartition] = {
+                     maxTaskBytes: Long,
+                     skips: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+                     declared: StructType = new StructType())
+      : (Array[InputPartition], Int, Int) = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
@@ -153,9 +274,18 @@ private[arrow] object ArrowScan {
         "externally-written directories set requireMarker=false")
     val files = listArrows(fs, root)
     require(files.nonEmpty, s"no .arrows files under $path")
+    val kept =
+      if (skips.isEmpty) files
+      else files.filterNot { case (f, len) =>
+        ArrowFileSkip.skippable(skips, declared,
+          ArrowInterchange.footerMeta(fs, f, len))
+      }
     val sconf = new SerConf(conf)
-    packFiles(files, maxTaskBytes, spark.sparkContext.defaultParallelism)
-      .map(g => ArrowInputPartition(g, sconf): InputPartition).toArray
+    val parts =
+      if (kept.isEmpty) Array.empty[InputPartition]
+      else packFiles(kept, maxTaskBytes, spark.sparkContext.defaultParallelism)
+        .map(g => ArrowInputPartition(g, sconf): InputPartition).toArray
+    (parts, kept.size, files.size)
   }
 }
 
@@ -163,14 +293,26 @@ private[arrow] class ArrowScan(path: String, declared: StructType,
                                required: StructType, requireMarker: Boolean,
                                maxTaskBytes: Long,
                                columnar: Boolean = true,
-                               limit: Int = -1) extends Scan with Batch {
+                               limit: Int = -1,
+                               skips: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+    extends Scan with Batch {
+  private var pruned: Option[(Int, Int)] = None
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-arrow $path [${required.fieldNames.mkString(",")}]" +
-      (if (limit >= 0) s" limit=$limit" else "")
+      (if (limit >= 0) s" limit=$limit" else "") +
+      (if (skips.nonEmpty)
+        s" PushedFilters: [${skips.mkString(", ")}]" +
+          pruned.map { case (k, t) => s" files=$k/$t" }.getOrElse("")
+      else "")
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    ArrowScan.planPartitions(path, requireMarker, maxTaskBytes)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (parts, kept, total) =
+      ArrowScan.planPartitions(path, requireMarker, maxTaskBytes,
+        skips, declared)
+    pruned = Some((kept, total))
+    parts
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new ArrowReaderFactory(declared, required, columnar, limit)
 }
@@ -188,7 +330,7 @@ private[arrow] class ArrowCountScan(path: String, countCols: Int,
   override def description(): String = s"graft-arrow $path [count(*)]"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    ArrowScan.planPartitions(path, requireMarker, maxTaskBytes)
+    ArrowScan.planPartitions(path, requireMarker, maxTaskBytes)._1
   override def createReaderFactory(): PartitionReaderFactory =
     new ArrowCountReaderFactory(countCols)
 }

@@ -193,6 +193,41 @@ class ArrowDataSourceSpec extends AnyFunSuite {
       .load(ext).count() == 5L)
   }
 
+  test("zone-map stats skip whole files against pushed filters") {
+    import spark.implicits._
+    val out = tmp()
+    // range-partitioned export → disjoint per-file id ranges
+    (0L until 1000L).map(i => (i, i.toDouble / 7.0, s"d$i"))
+      .toDF("id", "score", "tag")
+      .repartitionByRange(5, col("id"))
+      .write.format("graft-arrow").mode("overwrite").save(s"$out/t")
+    def partsOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.rdd.getNumPartitions
+    val all = spark.read.format("graft-arrow").load(s"$out/t")
+    val full = partsOf(all.select("id"))
+    assert(full == 5, s"precondition: 5 files/tasks, got $full")
+    // a tight range predicate plans FEWER partitions and stays correct
+    val narrow = all.where(col("id") >= 900L)
+    assert(partsOf(narrow) < full,
+      s"skip did not prune: ${partsOf(narrow)} of $full")
+    assert(narrow.count() == 100L)
+    assert(narrow.agg(min(col("id"))).head.getLong(0) == 900L)
+    // double-typed stats prune too
+    val hi = all.where(col("score") > 141.0)
+    assert(partsOf(hi) < full)
+    assert(hi.count() == (0L until 1000L).count(_ / 7.0 > 141.0))
+    // a provably-empty predicate plans ZERO partitions
+    assert(all.where(col("id") > 5000L).count() == 0L)
+    // untracked (string) columns don't prune but stay correct
+    assert(all.where(col("tag") === "d7").count() == 1L)
+    // the scan reports its pruning
+    val scans = narrow.queryExecution.executedPlan.collect {
+      case s: BatchScanExec => s
+    }
+    assert(scans.head.scan.description().contains("files="),
+      scans.head.scan.description())
+  }
+
   test("marker semantics match the RDD reader") {
     import spark.implicits._
     val out = tmp()
