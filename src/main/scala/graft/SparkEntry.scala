@@ -154,6 +154,7 @@ object SparkEntry {
     "q_arrow_source"        -> (ArrowInterchange.sourceAgg _),
     "q_arrow_nested"        -> (ArrowInterchange.nested _),
     "q_arrow_write"         -> (ArrowInterchange.writeRoundtrip _),
+    "q_arrow_stream_read"   -> (ArrowInterchange.streamRead _),
     // --- SQL-registered operator surface (GraftExtensions) --------------
     // the curation gates run through spark.sql over the REGISTERED
     // functions — proves the SQL-first path end-to-end in the oracle gate
@@ -2249,6 +2250,11 @@ object SparkEntry {
     // DSv2 writer → reader roundtrip must be lossless: the oracle is
     // the bare source projection (same contract as q_stream_arrow)
     "q_arrow_write" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the full streaming plane (producer shards → DSv2 streaming
+    // consumer) must be lossless end to end: same oracle contract
+    "q_arrow_stream_read" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the nested wire (struct-of-struct + list<struct>) flattened back

@@ -843,6 +843,39 @@ object ArrowInterchange {
     }
   }
 
+  /** q_arrow_stream_read: the full streaming data plane, producer AND
+    * consumer — documents shard into Arrow via [[streamingArrowShards]]
+    * (the reference's ingest stream), then the DSv2 STREAMING source
+    * (`readStream.format("graft-arrow")`) tails the shard tree and
+    * drains it through a checkpointed foreachBatch. The oracle is the
+    * bare source projection — the producer→wire→consumer chain must be
+    * lossless, shard and micro-batch boundaries invisible. */
+  def streamRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-arrow-streamread").toString
+    try {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        .repartition(4)
+        .write.parquet(s"$root/src")
+      streamingArrowShards(spark, s"$root/src", s"$root/shards",
+        s"$root/pckpt", maxFilesPerTrigger = 2).awaitTermination()
+      val q = spark.readStream.format("graft-arrow").load(s"$root/shards")
+        .writeStream
+        .option("checkpointLocation", s"$root/cckpt")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$root/out"); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Scratch.materializeAndClean(root,
+        spark.read.parquet(s"$root/out").orderBy("doc_id"))
+    } catch { case e: Throwable =>
+      Scratch.rm(new java.io.File(root)); throw e
+    }
+  }
+
   /** q_arrow_source: documents → Arrow IPC → the DSv2 source
     * (`format("graft-arrow")`) with a PRUNED projection feeding an
     * aggregate — the path where column pushdown pays (text, the fat

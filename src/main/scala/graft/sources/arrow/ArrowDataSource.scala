@@ -65,20 +65,59 @@ class ArrowSourceProvider extends TableProvider with DataSourceRegister {
 
 private[arrow] object ArrowSource {
   import ArrowInterchange.listArrows
+  import org.apache.hadoop.fs.FileSystem
 
-  /** Footer schema of the directory's first file; EMPTY for a missing
-    * or file-less directory. Empty can't mean "readable with no
-    * columns" — the scan builder rejects it loudly — it means "nothing
-    * declared yet", which is exactly the write-to-fresh-directory case:
-    * inferSchema runs before the writer knows the query's schema, and
-    * the table advertises ACCEPT_ANY_SCHEMA so the write resolves
-    * against the QUERY schema, not this placeholder. */
+  /** The `batch_id=N` shard directories of a [[ArrowInterchange
+    * .streamingArrowShards]] root, as (id, path), id-sorted. */
+  def shardDirs(fs: FileSystem, root: Path): Seq[(Long, Path)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("batch_id=").toLong).toOption
+        .map(_ -> s.getPath))
+      .sortBy(_._1)
+
+  /** The CONTIGUOUS COMMITTED PREFIX of shard ids: advance while each
+    * next id exists and carries its `_SUCCESS`. A gap or an
+    * uncommitted (mid-write or mid-replay) shard stops the prefix —
+    * a streaming reader must never consume past it, or a replayed
+    * shard's rows would be read twice or not at all. */
+  def committedShardPrefix(fs: FileSystem, root: Path): Seq[(Long, Path)] = {
+    val all = shardDirs(fs, root)
+    val prefix = Seq.newBuilder[(Long, Path)]
+    var expect = all.headOption.map(_._1).getOrElse(0L)
+    var i = 0
+    var done = false
+    while (i < all.length && !done) {
+      val (id, p) = all(i)
+      if (id != expect || !fs.exists(new Path(p, "_SUCCESS"))) done = true
+      else { prefix += ((id, p)); expect = id + 1; i += 1 }
+    }
+    prefix.result()
+  }
+
+  /** Footer schema of the directory's first file — descending into the
+    * first committed shard when the root is a `batch_id=` shard tree.
+    * EMPTY for a missing or file-less directory. Empty can't mean
+    * "readable with no columns" — the scan builder rejects it loudly —
+    * it means "nothing declared yet", which is exactly the
+    * write-to-fresh-directory case: inferSchema runs before the writer
+    * knows the query's schema, and the table advertises
+    * ACCEPT_ANY_SCHEMA so the write resolves against the QUERY schema,
+    * not this placeholder. */
   def footerSchema(path: String): StructType = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val files =
-      if (fs.exists(root)) listArrows(fs, root) else Seq.empty
+      if (!fs.exists(root)) Seq.empty
+      else listArrows(fs, root) match {
+        case Seq() =>
+          shardDirs(fs, root).headOption
+            .map { case (_, d) => listArrows(fs, d) }.getOrElse(Seq.empty)
+        case fs0 => fs0
+      }
     if (files.isEmpty) new StructType()
     else ArrowInterchange.footerSchema(fs, files.head._1, files.head._2)
   }
@@ -94,6 +133,7 @@ private[arrow] class ArrowTable(path: String, declared: StructType)
   // whatever export currently sits at the path, empty for a fresh one
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
@@ -269,10 +309,23 @@ private[arrow] object ArrowScan {
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    require(!requireMarker || fs.exists(new Path(root, "_SUCCESS")),
-      s"$path has no _SUCCESS marker: the export did not complete; for " +
-        "externally-written directories set requireMarker=false")
-    val files = listArrows(fs, root)
+    // a shard tree (batch_id=N dirs) reads as ONE scan over every
+    // committed shard's files — the DSv2 spelling of readShards; a
+    // plain export dir keeps the root-marker contract
+    val files = listArrows(fs, root) match {
+      case Seq() if ArrowSource.shardDirs(fs, root).nonEmpty =>
+        ArrowSource.shardDirs(fs, root).flatMap { case (_, shard) =>
+          require(!requireMarker || fs.exists(new Path(shard, "_SUCCESS")),
+            s"$shard has no _SUCCESS marker: the shard's batch did not " +
+              "complete (reading it would silently drop rows)")
+          listArrows(fs, shard)
+        }
+      case top =>
+        require(!requireMarker || fs.exists(new Path(root, "_SUCCESS")),
+          s"$path has no _SUCCESS marker: the export did not complete; " +
+            "for externally-written directories set requireMarker=false")
+        top
+    }
     require(files.nonEmpty, s"no .arrows files under $path")
     val kept =
       if (skips.isEmpty) files
@@ -315,6 +368,9 @@ private[arrow] class ArrowScan(path: String, declared: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new ArrowReaderFactory(declared, required, columnar, limit)
+  override def toMicroBatchStream(
+      checkpointLocation: String): streaming.MicroBatchStream =
+    new ArrowMicroBatchStream(path, declared, required, maxTaskBytes)
 }
 
 /** COUNT(*) scan: one row per task carrying the partial count of its

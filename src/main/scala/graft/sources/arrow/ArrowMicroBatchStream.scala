@@ -1,0 +1,98 @@
+package graft.sources.arrow
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming._
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.ArrowInterchange
+import graft.operators.ArrowInterchange.SerConf
+
+/** Streaming READ over an Arrow shard tree —
+  * `spark.readStream.format("graft-arrow").load(shardRoot)` tails the
+  * `batch_id=N` directories a [[ArrowInterchange.streamingArrowShards]]
+  * producer (or any equivalent writer) keeps appending, the consumption
+  * side of the reference's data plane (Arrow batches flowing from the
+  * ingest stream into downstream engines, main.go:363-380).
+  *
+  * Offsets are SHARD ids: offset N means "shards < N consumed". The
+  * latest offset is the end of the CONTIGUOUS COMMITTED PREFIX of shard
+  * ids ([[ArrowSource.committedShardPrefix]]) — a gap, a mid-write
+  * shard, or a mid-replay shard (its `_SUCCESS` momentarily absent)
+  * stops admission rather than being skipped, so a late-committing
+  * shard can never be silently jumped over (the file-source analog of
+  * Kafka's "don't read past the high-watermark"). Each micro-batch
+  * reads whole shards — file lists bin-pack into byte-capped tasks with
+  * the same [[ArrowInterchange.packFiles]] contract as the batch scan,
+  * and column pruning pushes through identically. */
+private[arrow] class ArrowMicroBatchStream(path: String,
+                                           declared: StructType,
+                                           required: StructType,
+                                           maxTaskBytes: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private val sconf =
+    new SerConf(SparkSession.active.sessionState.newHadoopConf())
+  private val root = new Path(path)
+  private def fs = root.getFileSystem(sconf.conf)
+
+  /** End of the committed prefix right now: next-shard-id-to-read. */
+  private def prefixEnd(): Long = {
+    val prefix = ArrowSource.committedShardPrefix(fs, root)
+    prefix.lastOption.map(_._1 + 1).getOrElse(
+      // an empty root streams as "nothing yet", but ids must start at
+      // the FIRST shard the producer will write; 0 matches
+      // streamingArrowShards' micro-batch ids
+      ArrowSource.shardDirs(fs, root).headOption.map(_._1).getOrElse(0L))
+  }
+
+  // Trigger.AvailableNow: pin the target once, so the bounded run has a
+  // fixed finish line even while the producer keeps appending
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(prefixEnd())
+
+  override def initialOffset(): Offset = ArrowShardOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    ArrowShardOffset(json.trim.toLong)
+  override def latestOffset(): Offset =
+    ArrowShardOffset(availableNowTarget.getOrElse(prefixEnd()))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    latestOffset()
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[ArrowShardOffset].next
+    val until = end.asInstanceOf[ArrowShardOffset].next
+    if (until <= from) return Array.empty
+    val hfs = fs
+    val files = ArrowSource.shardDirs(hfs, root)
+      .filter { case (id, _) => id >= from && id < until }
+      .flatMap { case (id, shard) =>
+        // the offset range was admitted from the committed prefix; a
+        // shard going missing or uncommitted INSIDE it now means the
+        // producer replayed under us — fail loudly, never drop rows
+        require(hfs.exists(new Path(shard, "_SUCCESS")),
+          s"shard $shard lost its _SUCCESS after admission (producer " +
+            "replay in flight?) — restart the query to re-admit it")
+        ArrowInterchange.listArrows(hfs, shard)
+      }
+    if (files.isEmpty) Array.empty
+    else ArrowInterchange
+      .packFiles(files, maxTaskBytes,
+        SparkSession.active.sparkContext.defaultParallelism)
+      .map(g => ArrowInputPartition(g, sconf): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArrowReaderFactory(declared, required, columnar = false)
+}
+
+/** Shard-id offset: `next` = first shard id not yet consumed. */
+private[arrow] final case class ArrowShardOffset(next: Long) extends Offset {
+  override def json(): String = next.toString
+}
