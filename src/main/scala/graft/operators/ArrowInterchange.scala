@@ -765,12 +765,13 @@ object ArrowInterchange {
   /** Stream a file source into Arrow IPC shard directories — the
     * reference's actual data plane (a Kafka stream becoming Arrow
     * record batches the query engine ingests, main.go:88,249)
-    * re-expressed as Structured Streaming: each micro-batch exports
-    * wholesale into its own `batch_id=N` directory, so a replayed
-    * batch rewrites exactly its own shard (file-level idempotence,
-    * the same discipline as the parquet streaming sink) and each
-    * shard carries its own `_SUCCESS` — a crashed half-shard is
-    * unreadable, never silently partial. */
+    * re-expressed as Structured Streaming, through the NATIVE DSv2
+    * streaming sink (`writeStream.format("graft-arrow")`): each epoch
+    * commits wholesale into its own `batch_id=N` directory, so a
+    * replayed batch rewrites exactly its own shard (file-level
+    * idempotence, the same discipline as the parquet streaming sink)
+    * and each shard carries its own `_SUCCESS` — a crashed half-shard
+    * is unreadable, never silently partial. */
   def streamingArrowShards(spark: SparkSession, srcDir: String,
                            outDir: String, ckptDir: String,
                            maxFilesPerTrigger: Int): StreamingQuery = {
@@ -778,13 +779,10 @@ object ArrowInterchange {
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(srcDir)
-      .writeStream
+      .writeStream.format("graft-arrow")
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckptDir)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        exportArrow(batch, s"$outDir/batch_id=$id")
-      }
-      .start()
+      .start(outDir)
   }
 
   /** All committed `batch_id=N` shards of a [[streamingArrowShards]]

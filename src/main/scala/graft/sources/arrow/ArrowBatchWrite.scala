@@ -45,23 +45,108 @@ private[arrow] class ArrowWriteBuilder(path: String, info: LogicalWriteInfo)
   private var truncating = false
   override def truncate(): WriteBuilder = { truncating = true; this }
   override def build(): Write = {
-    if (!truncating)
-      throw new UnsupportedOperationException(
-        "graft-arrow writes are overwrite-only: the dir+_SUCCESS artifact " +
-          "is whole-export atomic and an append could crash into a " +
-          "silently-partial directory the marker still vouches for — use " +
-          ".mode(\"overwrite\") / INSERT OVERWRITE, or a GraftTable for " +
-          "appendable, log-tracked storage")
     // plan-time validation: the full type surface, with the field name
     // on failure — before any job runs or any directory is touched
     ArrowInterchange.toArrowSchema(info.schema())
     val batchRows = Option(info.options.get("batchrows")).map(_.toInt)
       .getOrElse(ArrowInterchange.DefaultBatchRows)
     new Write {
-      override def toBatch: BatchWrite =
+      override def toBatch: BatchWrite = {
+        if (!truncating)
+          throw new UnsupportedOperationException(
+            "graft-arrow batch writes are overwrite-only: the " +
+              "dir+_SUCCESS artifact is whole-export atomic and an " +
+              "append could crash into a silently-partial directory the " +
+              "marker still vouches for — use .mode(\"overwrite\") / " +
+              "INSERT OVERWRITE, a GraftTable for appendable log-tracked " +
+              "storage, or writeStream for per-epoch shard appends")
         new ArrowBatchWrite(path, info.schema(), info.queryId(), batchRows)
+      }
+      // streaming appends ARE safe: each epoch commits its own
+      // batch_id=<epoch> shard wholesale (per-shard marker, replay
+      // rewrites exactly its own shard) — the shard-tree contract, so
+      // no marker ever vouches for a partial directory. Complete mode
+      // arrives as truncate(): each epoch's commit then replaces the
+      // whole tree with that epoch's single shard.
+      override def toStreaming: streaming.StreamingWrite =
+        new ArrowStreamingWrite(path, info.schema(), info.queryId(),
+          batchRows, truncating)
       override def description(): String = s"graft-arrow $path"
     }
+  }
+}
+
+private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
+                                         queryId: String, batchRows: Int,
+                                         truncating: Boolean)
+    extends streaming.StreamingWrite {
+  private val sconf =
+    new SerConf(SparkSession.active.sessionState.newHadoopConf())
+  private val out = new Path(path)
+
+  private def stagingFor(epochId: Long) =
+    new Path(out, s".epoch-$epochId.staging-$queryId")
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
+    val fs = out.getFileSystem(sconf.conf)
+    fs.mkdirs(out)
+    new ArrowStreamingWriterFactory(path, queryId, sconf, schema, batchRows)
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val fs = out.getFileSystem(sconf.conf)
+    val staging = stagingFor(epochId)
+    try {
+      if (!fs.exists(staging)) fs.mkdirs(staging) // all-empty epoch
+      if (!messages.exists {
+            case ArrowCommit(rows) => rows > 0
+            case _ => false
+          })
+        ArrowInterchange.writeSchemaOnly(fs,
+          new Path(staging, "part-00000.arrows"), schema)
+      fs.create(new Path(staging, "_SUCCESS"), true).close()
+      val dest = new Path(out, s"batch_id=$epochId")
+      if (truncating)
+        // Complete mode: this epoch's output IS the whole result —
+        // retire every other shard before publishing
+        ArrowSource.shardDirs(fs, out)
+          .filter(_._1 != epochId)
+          .foreach { case (_, d) => fs.delete(d, true) }
+      // a replayed epoch rewrites exactly its own shard, wholesale
+      if (fs.exists(dest)) fs.delete(dest, true)
+      if (!fs.rename(staging, dest))
+        throw new IOException(
+          s"graft-arrow: publishing epoch $epochId as $dest failed")
+    } catch { case t: Throwable =>
+      try fs.delete(staging, true) catch { case _: Throwable => () }
+      throw t
+    }
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val fs = out.getFileSystem(sconf.conf)
+    fs.delete(stagingFor(epochId), true)
+    ()
+  }
+}
+
+private[arrow] class ArrowStreamingWriterFactory(path: String,
+                                                 queryId: String,
+                                                 conf: SerConf,
+                                                 schema: StructType,
+                                                 batchRows: Int)
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] = {
+    val staging = new Path(new Path(path),
+      s".epoch-$epochId.staging-$queryId")
+    val fs = staging.getFileSystem(conf.conf)
+    fs.mkdirs(staging) // idempotent; first task of the epoch creates it
+    new ArrowDataWriter(staging.toString, conf, schema,
+      partitionId, taskId, batchRows)
   }
 }
 

@@ -134,8 +134,8 @@ private[arrow] class ArrowTable(path: String, declared: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     require(declared.nonEmpty,
       s"no .arrows files under $path (nothing to read)")
