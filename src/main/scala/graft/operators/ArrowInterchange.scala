@@ -93,9 +93,11 @@ object ArrowInterchange {
     * files against pushed filters (parquet's row-group pruning, at
     * file granularity). Keyed by schema ordinal, not name (names may
     * contain dots). Absent keys mean "no information" and the reader
-    * keeps the file — external writers, all-null columns, and NaN
-    * floats (excluded from tracking: NaN ranges poison comparisons)
-    * all degrade to correct-but-unskipped. */
+    * keeps the file — external writers, all-null columns, and columns
+    * containing ANY NaN (Spark's nan-safe comparison orders NaN above
+    * every double, so `c > v` MATCHES NaN rows a finite [min,max]
+    * would wrongly prune; such columns stamp nothing) all degrade to
+    * correct-but-unskipped. */
   def minMetaKey(ordinal: Int): String = s"graft.min.$ordinal"
   def maxMetaKey(ordinal: Int): String = s"graft.max.$ordinal"
 
@@ -117,6 +119,10 @@ object ArrowInterchange {
     private val loD = Array.fill(n)(Double.PositiveInfinity)
     private val hiD = Array.fill(n)(Double.NegativeInfinity)
     private val seen = Array.fill(n)(false)
+    // a single NaN disqualifies the column: Spark's comparisons order
+    // NaN ABOVE every double, so a finite range would wrongly prune
+    // files whose NaN rows match `c > v` / `c = NaN`
+    private val sawNaN = Array.fill(n)(false)
 
     /** Fold one flushed batch's vectors into the running ranges. */
     def update(root: VectorSchemaRoot, rows: Int): Unit = {
@@ -143,7 +149,8 @@ object ArrowInterchange {
                   case x: Float4Vector => x.get(i).toDouble
                   case x: Float8Vector => x.get(i)
                 }
-                if (!java.lang.Double.isNaN(v)) {
+                if (java.lang.Double.isNaN(v)) sawNaN(c) = true
+                else {
                   if (v < loD(c)) loD(c) = v
                   if (v > hiD(c)) hiD(c) = v
                   seen(c) = true
@@ -161,7 +168,7 @@ object ArrowInterchange {
     def stamp(meta: java.util.Map[String, String]): Unit = {
       var c = 0
       while (c < n) {
-        if (seen(c)) {
+        if (seen(c) && !sawNaN(c)) {
           if (kind(c) == 1) {
             meta.put(minMetaKey(c), loL(c).toString)
             meta.put(maxMetaKey(c), hiL(c).toString)
@@ -359,16 +366,32 @@ object ArrowInterchange {
         case _ => ()
       }
       dfs.create(new Path(stagingPath, "_SUCCESS"), true).close()
-      // swap: the only window where the old data is gone is between
-      // these two metadata ops, after the replacement is fully durable
-      if (dfs.exists(out)) dfs.delete(out, true)
-      if (!dfs.rename(stagingPath, out))
-        throw new IOException(
-          s"exportArrow: publishing $staging as $path failed")
     } catch { case t: Throwable =>
+      // failures up to here never touched the destination: staging is
+      // disposable
       try dfs.delete(stagingPath, true) catch { case _: Throwable => () }
       throw t
     }
+    // swap OUTSIDE the cleanup scope: once the old destination is
+    // deleted, staging is the only copy and must survive any failure
+    publishStaged(dfs, stagingPath, out)
+  }
+
+  /** Swap a fully-durable staging directory into `dest` — the LAST
+    * step of every export/commit path (batch operator, DSv2 batch
+    * write, DSv2 streaming epoch). Failures BEFORE this call are the
+    * caller's to clean (delete staging; the destination is untouched).
+    * From the moment the old destination is deleted here, staging is
+    * the ONLY copy of the data: a failed rename must LEAVE it in place
+    * and say where it is — deleting it would destroy both copies. */
+  private[graft] def publishStaged(fs: FileSystem, staging: Path,
+                                   dest: Path): Unit = {
+    if (fs.exists(dest)) fs.delete(dest, true)
+    if (!fs.rename(staging, dest))
+      throw new IOException(
+        s"publishing $staging as $dest failed AFTER the old destination " +
+          s"was removed — the staged data is intact at $staging; rename " +
+          "it into place to recover")
   }
 
   /** One `.arrows` file carrying the schema and zero batches — how an
@@ -390,39 +413,23 @@ object ArrowInterchange {
   /** The file's footer custom metadata (row count, zone-map stats) —
     * one footer read, no record batch loaded. */
   private[graft] def footerMeta(fs: FileSystem, file: String,
-                                len: Long): Map[String, String] = {
-    NioAccess.ensureOpen(classOf[RootAllocator])
-    val in = fs.open(new Path(file))
-    val alloc = new RootAllocator(Long.MaxValue)
-    try {
-      val r = new ArrowFileReader(new HadoopChannel(in, len), alloc)
-      try {
-        r.getVectorSchemaRoot // forces footer read
-        import scala.jdk.CollectionConverters._
-        r.getMetaData.asScala.toMap
-      } finally r.close()
-    } finally alloc.close()
-  }
+                                len: Long): Map[String, String] =
+    withFooterReader(fs, file, len) { r =>
+      import scala.jdk.CollectionConverters._
+      r.getMetaData.asScala.toMap
+    }
 
   /** The file's row count, footer-only when the writer stamped
     * [[RowsMetaKey]]; otherwise by walking the record batches (loads
     * bodies — correctness fallback for externally-written files). */
-  private[graft] def fileRows(fs: FileSystem, file: String, len: Long): Long = {
-    NioAccess.ensureOpen(classOf[RootAllocator])
-    val in = fs.open(new Path(file))
-    val alloc = new RootAllocator(Long.MaxValue)
-    try {
-      val r = new ArrowFileReader(new HadoopChannel(in, len), alloc)
-      try {
-        r.getVectorSchemaRoot // forces footer read
-        Option(r.getMetaData.get(RowsMetaKey)).map(_.toLong).getOrElse {
-          var total = 0L
-          while (r.loadNextBatch()) total += r.getVectorSchemaRoot.getRowCount
-          total
-        }
-      } finally r.close()
-    } finally alloc.close()
-  }
+  private[graft] def fileRows(fs: FileSystem, file: String, len: Long): Long =
+    withFooterReader(fs, file, len) { r =>
+      Option(r.getMetaData.get(RowsMetaKey)).map(_.toLong).getOrElse {
+        var total = 0L
+        while (r.loadNextBatch()) total += r.getVectorSchemaRoot.getRowCount
+        total
+      }
+    }
 
   /** Publish `tmp` as `fin` with fail-if-present semantics per
     * filesystem (GraftTable's arbitration, same rationale): POSIX
@@ -627,19 +634,27 @@ object ArrowInterchange {
     fs.listStatus(root).filter(_.getPath.getName.endsWith(".arrows"))
       .sortBy(_.getPath.getName).map(s => (s.getPath.toString, s.getLen)).toSeq
 
-  /** The Spark schema declared in one IPC file's footer. The single
-    * copy of the open-footer-close sequence (driver schema reads here
-    * and in the DSv2 provider). */
-  private[graft] def footerSchema(fs: FileSystem, file: String,
-                                  len: Long): StructType = {
+  /** The single copy of the open-footer-use-close sequence: allocator
+    * + channel + reader lifecycle for footer-only reads (schema,
+    * custom metadata, stamped row counts). `f` runs with the footer
+    * loaded; no record batch body is read unless `f` loads one. */
+  private[graft] def withFooterReader[T](fs: FileSystem, file: String,
+                                         len: Long)
+                                        (f: ArrowFileReader => T): T = {
     NioAccess.ensureOpen(classOf[RootAllocator])
     val in = fs.open(new Path(file))
     val alloc = new RootAllocator(Long.MaxValue)
     try {
       val r = new ArrowFileReader(new HadoopChannel(in, len), alloc)
-      try fromArrowSchema(r.getVectorSchemaRoot.getSchema) finally r.close()
+      try { r.getVectorSchemaRoot; f(r) } finally r.close()
     } finally alloc.close()
   }
+
+  /** The Spark schema declared in one IPC file's footer. */
+  private[graft] def footerSchema(fs: FileSystem, file: String,
+                                  len: Long): StructType =
+    withFooterReader(fs, file, len)(r =>
+      fromArrowSchema(r.getVectorSchemaRoot.getSchema))
 
   /** One scan over an explicit file list: the shared read core of
     * [[readArrow]] (one directory) and [[readShards]] (all committed

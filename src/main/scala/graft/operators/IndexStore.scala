@@ -320,9 +320,14 @@ private[graft] object IndexStore {
       val in = hfs.open(p)
       val content =
         try {
+          // read to EOF: a single read() may legally return short on
+          // HCFS streams, and torn lease content would make a healthy
+          // writer's own fencing check fail spuriously
+          val bytes = new java.io.ByteArrayOutputStream()
           val buf = new Array[Byte](4096)
-          val n = in.read(buf)
-          if (n <= 0) "" else new String(buf, 0, n,
+          var n = in.read(buf)
+          while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+          new String(bytes.toByteArray,
             java.nio.charset.StandardCharsets.UTF_8)
         } finally in.close()
       val lease = parseLease(content).getOrElse(
@@ -351,22 +356,37 @@ private[graft] object IndexStore {
         case None =>
           val fence = 1 + markContent(hfs, root, FenceMarker)
             .flatMap(c => scala.util.Try(c.toLong).toOption).getOrElse(0L)
-          val lease = WriterLease(java.util.UUID.randomUUID().toString,
-            fence, ttlMs,
-            s"${ProcessHandle.current().pid()}@${
-              java.net.InetAddress.getLocalHost.getHostName}")
-          val won =
-            try {
-              val out = hfs.create(p, false) // atomic fail-if-present
-              try out.write(lease.serialized.getBytes(
-                java.nio.charset.StandardCharsets.UTF_8))
-              finally out.close()
-              true
-            } catch { case _: java.io.IOException => false }
-          if (won) {
-            // persist the fence AFTER winning: losers never bump it
-            markUnfenced(hfs, root, FenceMarker, fence.toString)
-            return lease
+          // persist the bumped fence BEFORE creating the lease that
+          // carries it: a crash between the two would otherwise let the
+          // next acquirer reuse this fence number. A create-race loser
+          // leaves a harmless gap (its bump is superseded on retry);
+          // fences stay strictly increasing across successful acquires.
+          // Two contenders can collide on the marker rename itself —
+          // that's fine iff SOMEONE persisted >= our fence; otherwise
+          // retry the whole round.
+          val persisted =
+            try { markUnfenced(hfs, root, FenceMarker, fence.toString); true }
+            catch { case _: java.io.IOException =>
+              markContent(hfs, root, FenceMarker)
+                .flatMap(c => scala.util.Try(c.toLong).toOption)
+                .exists(_ >= fence)
+            }
+          if (!persisted) {
+            Thread.sleep(10)
+          } else {
+            val lease = WriterLease(java.util.UUID.randomUUID().toString,
+              fence, ttlMs,
+              s"${ProcessHandle.current().pid()}@${
+                java.net.InetAddress.getLocalHost.getHostName}")
+            val won =
+              try {
+                val out = hfs.create(p, false) // atomic fail-if-present
+                try out.write(lease.serialized.getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8))
+                finally out.close()
+                true
+              } catch { case _: java.io.IOException => false }
+            if (won) return lease
           }
         case Some((stale, expiresAt))
             if System.currentTimeMillis() > expiresAt =>

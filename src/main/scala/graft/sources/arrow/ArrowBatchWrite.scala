@@ -91,6 +91,16 @@ private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
     val fs = out.getFileSystem(sconf.conf)
     fs.mkdirs(out)
+    // sweep staging orphans a CRASHED prior run left in the tree (its
+    // queryId differs, so its dirs can never be claimed by this run;
+    // concurrent writers to one tree are unsupported, as with any
+    // streaming sink path)
+    fs.listStatus(out).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(".epoch-") && n.contains(".staging-") &&
+          !n.endsWith(s".staging-$queryId"))
+        fs.delete(st.getPath, true)
+    }
     new ArrowStreamingWriterFactory(path, queryId, sconf, schema, batchRows)
   }
 
@@ -107,22 +117,23 @@ private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
         ArrowInterchange.writeSchemaOnly(fs,
           new Path(staging, "part-00000.arrows"), schema)
       fs.create(new Path(staging, "_SUCCESS"), true).close()
-      val dest = new Path(out, s"batch_id=$epochId")
       if (truncating)
         // Complete mode: this epoch's output IS the whole result —
         // retire every other shard before publishing
         ArrowSource.shardDirs(fs, out)
           .filter(_._1 != epochId)
           .foreach { case (_, d) => fs.delete(d, true) }
-      // a replayed epoch rewrites exactly its own shard, wholesale
-      if (fs.exists(dest)) fs.delete(dest, true)
-      if (!fs.rename(staging, dest))
-        throw new IOException(
-          s"graft-arrow: publishing epoch $epochId as $dest failed")
     } catch { case t: Throwable =>
+      // an epoch is replayable from the checkpoint: staging is
+      // disposable up to the publish step
       try fs.delete(staging, true) catch { case _: Throwable => () }
       throw t
     }
+    // a replayed epoch rewrites exactly its own shard, wholesale; on a
+    // failed rename the staged epoch stays put (the restarted run
+    // replays the epoch and sweeps this staging dir)
+    ArrowInterchange.publishStaged(fs, staging,
+      new Path(out, s"batch_id=$epochId"))
   }
 
   override def abort(epochId: Long,
@@ -181,14 +192,14 @@ private[arrow] class ArrowBatchWrite(path: String, schema: StructType,
         ArrowInterchange.writeSchemaOnly(fs,
           new Path(staging, "part-00000.arrows"), schema)
       fs.create(new Path(staging, "_SUCCESS"), true).close()
-      if (fs.exists(out)) fs.delete(out, true)
-      if (!fs.rename(staging, out))
-        throw new IOException(
-          s"graft-arrow: publishing $staging as $path failed")
     } catch { case t: Throwable =>
+      // failures up to here never touched the destination
       try fs.delete(staging, true) catch { case _: Throwable => () }
       throw t
     }
+    // once the destination is deleted, staging is the only copy — the
+    // shared publish step leaves it in place on failure
+    ArrowInterchange.publishStaged(fs, staging, out)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -82,8 +82,13 @@ private[arrow] object ArrowSource {
     * next id exists and carries its `_SUCCESS`. A gap or an
     * uncommitted (mid-write or mid-replay) shard stops the prefix —
     * a streaming reader must never consume past it, or a replayed
-    * shard's rows would be read twice or not at all. */
-  def committedShardPrefix(fs: FileSystem, root: Path): Seq[(Long, Path)] = {
+    * shard's rows would be read twice or not at all. With
+    * `requireMarker = false` (externally-written trees that stamp no
+    * markers) only contiguity gates; the caller owns completeness,
+    * exactly as on the batch path. */
+  def committedShardPrefix(fs: FileSystem, root: Path,
+                           requireMarker: Boolean = true)
+      : Seq[(Long, Path)] = {
     val all = shardDirs(fs, root)
     val prefix = Seq.newBuilder[(Long, Path)]
     var expect = all.headOption.map(_._1).getOrElse(0L)
@@ -91,7 +96,8 @@ private[arrow] object ArrowSource {
     var done = false
     while (i < all.length && !done) {
       val (id, p) = all(i)
-      if (id != expect || !fs.exists(new Path(p, "_SUCCESS"))) done = true
+      if (id != expect ||
+          (requireMarker && !fs.exists(new Path(p, "_SUCCESS")))) done = true
       else { prefix += ((id, p)); expect = id + 1; i += 1 }
     }
     prefix.result()
@@ -245,6 +251,33 @@ private[arrow] object ArrowFileSkip {
     case _ => false
   }
 
+  /** Drop the files whose stamped stats prove them empty under the
+    * pushed conjunction. Footer reads fan out over a bounded pool —
+    * one sequential remote open per file would serialize planning on
+    * the driver for large directories. A file whose footer read FAILS
+    * is kept (the scan itself will surface the real error). */
+  def prune(fs: org.apache.hadoop.fs.FileSystem,
+            files: Seq[(String, Long)], skips: Seq[Filter],
+            declared: StructType): Seq[(String, Long)] = {
+    if (skips.isEmpty || files.isEmpty) return files
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.size),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-arrow-prune"); t.setDaemon(true); t
+      })
+    try {
+      val futures = files.map { case (f, len) =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean =
+            try skippable(skips, declared,
+              ArrowInterchange.footerMeta(fs, f, len))
+            catch { case _: Exception => false }
+        })
+      }
+      files.zip(futures).collect { case (f, fut) if !fut.get() => f }
+    } finally pool.shutdown()
+  }
+
   /** True iff the conjunction of `filters` PROVES the file matches no
     * rows, given its stamped stats. */
   def skippable(filters: Seq[Filter], schema: StructType,
@@ -327,12 +360,7 @@ private[arrow] object ArrowScan {
         top
     }
     require(files.nonEmpty, s"no .arrows files under $path")
-    val kept =
-      if (skips.isEmpty) files
-      else files.filterNot { case (f, len) =>
-        ArrowFileSkip.skippable(skips, declared,
-          ArrowInterchange.footerMeta(fs, f, len))
-      }
+    val kept = ArrowFileSkip.prune(fs, files, skips, declared)
     val sconf = new SerConf(conf)
     val parts =
       if (kept.isEmpty) Array.empty[InputPartition]
@@ -370,7 +398,8 @@ private[arrow] class ArrowScan(path: String, declared: StructType,
     new ArrowReaderFactory(declared, required, columnar, limit)
   override def toMicroBatchStream(
       checkpointLocation: String): streaming.MicroBatchStream =
-    new ArrowMicroBatchStream(path, declared, required, maxTaskBytes)
+    new ArrowMicroBatchStream(path, declared, required, maxTaskBytes,
+      skips, requireMarker)
 }
 
 /** COUNT(*) scan: one row per task carrying the partial count of its

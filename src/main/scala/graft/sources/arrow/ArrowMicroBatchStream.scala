@@ -26,10 +26,13 @@ import graft.operators.ArrowInterchange.SerConf
   * reads whole shards — file lists bin-pack into byte-capped tasks with
   * the same [[ArrowInterchange.packFiles]] contract as the batch scan,
   * and column pruning pushes through identically. */
-private[arrow] class ArrowMicroBatchStream(path: String,
-                                           declared: StructType,
-                                           required: StructType,
-                                           maxTaskBytes: Long)
+private[arrow] class ArrowMicroBatchStream(
+    path: String,
+    declared: StructType,
+    required: StructType,
+    maxTaskBytes: Long,
+    skips: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+    requireMarker: Boolean = true)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val sconf =
@@ -37,9 +40,23 @@ private[arrow] class ArrowMicroBatchStream(path: String,
   private val root = new Path(path)
   private def fs = root.getFileSystem(sconf.conf)
 
+  // a PLAIN export directory (top-level .arrows, no batch_id= shards)
+  // must fail loudly here: offsets are shard ids, so it would stream
+  // as "nothing yet" forever — silently empty, the worst failure mode
+  locally {
+    val hfs = fs
+    require(!hfs.exists(root) ||
+        ArrowInterchange.listArrows(hfs, root).isEmpty ||
+        ArrowSource.shardDirs(hfs, root).nonEmpty,
+      s"$path is a plain Arrow export (top-level .arrows files), not a " +
+        "batch_id=N shard tree — streaming reads tail shard trees " +
+        "(streamingArrowShards / the graft-arrow streaming sink); use " +
+        "a batch read for one-shot exports")
+  }
+
   /** End of the committed prefix right now: next-shard-id-to-read. */
   private def prefixEnd(): Long = {
-    val prefix = ArrowSource.committedShardPrefix(fs, root)
+    val prefix = ArrowSource.committedShardPrefix(fs, root, requireMarker)
     prefix.lastOption.map(_._1 + 1).getOrElse(
       // an empty root streams as "nothing yet", but ids must start at
       // the FIRST shard the producer will write; 0 matches
@@ -76,14 +93,18 @@ private[arrow] class ArrowMicroBatchStream(path: String,
         // the offset range was admitted from the committed prefix; a
         // shard going missing or uncommitted INSIDE it now means the
         // producer replayed under us — fail loudly, never drop rows
-        require(hfs.exists(new Path(shard, "_SUCCESS")),
+        require(!requireMarker || hfs.exists(new Path(shard, "_SUCCESS")),
           s"shard $shard lost its _SUCCESS after admission (producer " +
             "replay in flight?) — restart the query to re-admit it")
         ArrowInterchange.listArrows(hfs, shard)
       }
-    if (files.isEmpty) Array.empty
+    // zone-map pruning applies per micro-batch too: files whose stamped
+    // [min,max] provably excludes the pushed conjunction are never
+    // opened (Spark still re-evaluates the filters on rows)
+    val pruned = ArrowFileSkip.prune(hfs, files, skips, declared)
+    if (pruned.isEmpty) Array.empty
     else ArrowInterchange
-      .packFiles(files, maxTaskBytes,
+      .packFiles(pruned, maxTaskBytes,
         SparkSession.active.sparkContext.defaultParallelism)
       .map(g => ArrowInputPartition(g, sconf): InputPartition).toArray
   }

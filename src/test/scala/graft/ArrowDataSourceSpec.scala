@@ -220,6 +220,18 @@ class ArrowDataSourceSpec extends AnyFunSuite {
     assert(all.where(col("id") > 5000L).count() == 0L)
     // untracked (string) columns don't prune but stay correct
     assert(all.where(col("tag") === "d7").count() == 1L)
+    // a NaN anywhere in a double column disables its stats: Spark's
+    // comparisons order NaN ABOVE every value, so `c > bound` MATCHES
+    // NaN rows a finite [min,max] would wrongly prune
+    val nd = tmp()
+    Seq((1L, 1.0), (2L, Double.NaN)).toDF("id", "score")
+      .coalesce(1).write.format("graft-arrow").mode("overwrite")
+      .save(s"$nd/t")
+    val nanHits = spark.read.format("graft-arrow").load(s"$nd/t")
+      .where(col("score") > 5.0)
+    assert(nanHits.count() == 1L,
+      "the NaN row matches score > 5.0 and must not be file-skipped")
+    assert(nanHits.head.getLong(0) == 2L)
     // the scan reports its pruning
     val scans = narrow.queryExecution.executedPlan.collect {
       case s: BatchScanExec => s

@@ -76,6 +76,44 @@ class ArrowStreamReadSpec extends AnyFunSuite {
       .as[Long].collect().sorted.toSeq == (0L until 15L))
   }
 
+  test("a plain export dir fails the streaming read loudly; " +
+       "marker-less external trees stream with requireMarker=false") {
+    import spark.implicits._
+    val root = tmp()
+    // plain export: offsets are shard ids, so streaming it would yield
+    // an empty stream forever — must fail at start instead
+    ArrowInterchange.exportArrow((0L until 5L).toDF("v"), s"$root/plain")
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft-arrow").load(s"$root/plain")
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$root/ck0")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("shard tree"), s"unexpected failure: $msgs")
+    // an externally-written tree (no markers anywhere) streams when the
+    // caller takes ownership of completeness — same batch-path contract
+    writeShard(s"$root/ext", 0L, 0L, 5L)
+    writeShard(s"$root/ext", 1L, 5L, 10L)
+    (0 to 1).foreach { i =>
+      assert(new java.io.File(s"$root/ext/batch_id=$i/_SUCCESS").delete())
+    }
+    val q = spark.readStream.format("graft-arrow")
+      .option("requireMarker", "false").load(s"$root/ext")
+      .writeStream
+      .option("checkpointLocation", s"$root/ck1")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").parquet(s"$root/out"); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$root/out").select("v")
+      .as[Long].collect().sorted.toSeq == (0L until 10L))
+  }
+
   test("the DSv2 batch scan reads a shard tree as one scan") {
     import spark.implicits._
     val root = tmp()
