@@ -315,7 +315,7 @@ object ArrowInterchange {
     val staging = stagingPath.toString
     dfs.mkdirs(stagingPath)
     try {
-      sized.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      val written = sized.rdd.mapPartitionsWithIndex { (idx, rows) =>
         if (rows.isEmpty) Iterator.empty
         else {
           NioAccess.ensureOpen(classOf[RootAllocator]) // executor JVMs too
@@ -352,19 +352,28 @@ object ArrowInterchange {
               stats.stamp(meta)
               w.end()
             } finally { w.close(); ch.close(); root.close() }
-            publishNoReplace(fs, tmp, fin)
-            Iterator.single(1)
+            // only the attempt whose bytes actually stand may describe
+            // the file — a publish-race loser's stats would belong to
+            // its own discarded temp (the file then falls back to its
+            // footer, which is always authoritative)
+            val won = publishNoReplace(fs, tmp, fin)
+            import scala.jdk.CollectionConverters._
+            if (won) Iterator.single((fin.getName, meta.asScala.toMap))
+            else Iterator.empty
           } finally alloc.close()
         }
-      }.count() match {
-        case 0L =>
+      }.collect().toSeq
+      val entries =
+        if (listArrows(dfs, stagingPath).nonEmpty) written
+        else {
           // every partition was empty: write one schema-only file so the
           // read-back is an empty frame with the declared schema, not a
           // loud no-files failure (JSONL's empty export reads back empty
           // the same way)
           writeSchemaOnly(dfs, new Path(stagingPath, "part-00000.arrows"), schema)
-        case _ => ()
-      }
+          Seq(("part-00000.arrows", Map(RowsMetaKey -> "0")))
+        }
+      writeStatsManifest(dfs, stagingPath, entries)
       dfs.create(new Path(stagingPath, "_SUCCESS"), true).close()
     } catch { case t: Throwable =>
       // failures up to here never touched the destination: staging is
@@ -376,6 +385,61 @@ object ArrowInterchange {
     // deleted, staging is the only copy and must survive any failure
     publishStaged(dfs, stagingPath, out)
   }
+
+  /** Per-directory stats manifest: the same footer metadata every file
+    * already carries (row count + zone-map min/max), folded into ONE
+    * `_stats.tsv` the writers emit next to `_SUCCESS` — so filter-time
+    * file pruning costs one read per DIRECTORY, not one footer open
+    * per FILE (an 800k-file export would otherwise pay 800k remote
+    * opens at every plan). Format: `file<TAB>key<TAB>value` lines —
+    * no JSON parser needed, keys never contain tabs. The manifest is
+    * an optimization CACHE, never the source of truth: files absent
+    * from it (external writers, older exports) fall back to their own
+    * footers, and directories are immutable post-publish so a manifest
+    * can never go stale. */
+  private[graft] val StatsManifest = "_stats.tsv"
+
+  private[graft] def writeStatsManifest(
+      fs: FileSystem, dir: Path,
+      entries: Seq[(String, Map[String, String])]): Unit = {
+    val sb = new StringBuilder
+    entries.sortBy(_._1).foreach { case (f, m) =>
+      m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        sb.append(f).append('\t').append(k).append('\t').append(v)
+          .append('\n')
+      }
+    }
+    val out = fs.create(new Path(dir, StatsManifest), true)
+    try out.write(sb.toString.getBytes(UTF_8)) finally out.close()
+  }
+
+  /** file name → footer-metadata map, None when the directory carries
+    * no manifest (or an unreadable one — the per-file fallback is
+    * always correct). */
+  private[graft] def readStatsManifest(
+      fs: FileSystem, dir: Path): Option[Map[String, Map[String, String]]] =
+    try {
+      val p = new Path(dir, StatsManifest)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text =
+          try {
+            val bytes = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+            new String(bytes.toByteArray, UTF_8)
+          } finally in.close()
+        Some(text.split('\n').iterator.filter(_.nonEmpty)
+          .map(_.split('\t'))
+          .collect { case Array(f, k, v) => (f, k, v) }
+          .toSeq.groupBy(_._1)
+          .map { case (f, kvs) =>
+            f -> kvs.map(t => t._2 -> t._3).toMap
+          })
+      }
+    } catch { case _: Exception => None }
 
   /** Swap a fully-durable staging directory into `dest` — the LAST
     * step of every export/commit path (batch operator, DSv2 batch
@@ -441,9 +505,11 @@ object ArrowInterchange {
     * LOST to a winner; anything else (quota, permission, transient FS
     * error — Hadoop reports them all as `false`) must fail the task,
     * or the job completes, `_SUCCESS` is written, and the reader
-    * silently misses the whole partition. */
+    * silently misses the whole partition. Returns whether THIS attempt
+    * published (a losing attempt's stats must not describe the winning
+    * attempt's file). */
   private[graft] def publishNoReplace(fs: FileSystem, tmp: Path,
-                                      fin: Path): Unit = {
+                                      fin: Path): Boolean = {
     val published =
       if (fs.getScheme == "file") {
         try {
@@ -459,6 +525,7 @@ object ArrowInterchange {
     if (!published && !fs.exists(fin))
       throw new IOException(
         s"publish of $fin failed with no winning attempt present")
+    published
   }
 
   private[graft] def clear(root: VectorSchemaRoot): Unit = {

@@ -110,12 +110,18 @@ private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
     val staging = stagingFor(epochId)
     try {
       if (!fs.exists(staging)) fs.mkdirs(staging) // all-empty epoch
-      if (!messages.exists {
-            case ArrowCommit(rows) => rows > 0
-            case _ => false
-          })
-        ArrowInterchange.writeSchemaOnly(fs,
-          new Path(staging, "part-00000.arrows"), schema)
+      val entries = messages.toSeq.collect {
+        case ArrowCommit(f, _, m) if f != null => (f, m)
+      }
+      val manifest =
+        if (entries.nonEmpty) entries
+        else {
+          ArrowInterchange.writeSchemaOnly(fs,
+            new Path(staging, "part-00000.arrows"), schema)
+          Seq(("part-00000.arrows",
+            Map(ArrowInterchange.RowsMetaKey -> "0")))
+        }
+      ArrowInterchange.writeStatsManifest(fs, staging, manifest)
       fs.create(new Path(staging, "_SUCCESS"), true).close()
       if (truncating)
         // Complete mode: this epoch's output IS the whole result —
@@ -183,14 +189,20 @@ private[arrow] class ArrowBatchWrite(path: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val fs = staging.getFileSystem(sconf.conf)
     try {
-      if (!messages.exists {
-            case ArrowCommit(rows) => rows > 0
-            case _ => false
-          })
-        // all-empty input still reads back as an empty frame WITH the
-        // declared schema (exportArrow's contract)
-        ArrowInterchange.writeSchemaOnly(fs,
-          new Path(staging, "part-00000.arrows"), schema)
+      val entries = messages.toSeq.collect {
+        case ArrowCommit(f, _, m) if f != null => (f, m)
+      }
+      val manifest =
+        if (entries.nonEmpty) entries
+        else {
+          // all-empty input still reads back as an empty frame WITH the
+          // declared schema (exportArrow's contract)
+          ArrowInterchange.writeSchemaOnly(fs,
+            new Path(staging, "part-00000.arrows"), schema)
+          Seq(("part-00000.arrows",
+            Map(ArrowInterchange.RowsMetaKey -> "0")))
+        }
+      ArrowInterchange.writeStatsManifest(fs, staging, manifest)
       fs.create(new Path(staging, "_SUCCESS"), true).close()
     } catch { case t: Throwable =>
       // failures up to here never touched the destination
@@ -208,7 +220,13 @@ private[arrow] class ArrowBatchWrite(path: String, schema: StructType,
   }
 }
 
-private[arrow] final case class ArrowCommit(rows: Long)
+/** One task's published file (null when the partition was empty), its
+  * row count, and the footer metadata it stamped — the driver folds
+  * these into the directory's `_stats.tsv` manifest at commit. The
+  * commit coordinator guarantees exactly one committed attempt per
+  * partition, so the stats always describe the standing file. */
+private[arrow] final case class ArrowCommit(file: String, rows: Long,
+                                            meta: Map[String, String])
     extends WriterCommitMessage
 
 private[arrow] class ArrowWriterFactory(staging: String, conf: SerConf,
@@ -265,9 +283,14 @@ private[arrow] class ArrowDataWriter(staging: String, conf: SerConf,
     stats.stamp(meta)
     writer.end()
     close()
-    if (rows > 0) ArrowInterchange.publishNoReplace(fs, tmp, fin)
-    else fs.delete(tmp, false)
-    ArrowCommit(rows)
+    if (rows > 0) {
+      ArrowInterchange.publishNoReplace(fs, tmp, fin)
+      import scala.jdk.CollectionConverters._
+      ArrowCommit(fin.getName, rows, meta.asScala.toMap)
+    } else {
+      fs.delete(tmp, false)
+      ArrowCommit(null, 0L, Map.empty)
+    }
   }
 
   override def abort(): Unit = { close(); fs.delete(tmp, false) }

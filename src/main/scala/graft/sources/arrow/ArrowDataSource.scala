@@ -252,30 +252,53 @@ private[arrow] object ArrowFileSkip {
   }
 
   /** Drop the files whose stamped stats prove them empty under the
-    * pushed conjunction. Footer reads fan out over a bounded pool —
-    * one sequential remote open per file would serialize planning on
-    * the driver for large directories. A file whose footer read FAILS
-    * is kept (the scan itself will surface the real error). */
+    * pushed conjunction. Stats come from each directory's `_stats.tsv`
+    * manifest when present (ONE read per directory — the writers emit
+    * it at commit); files the manifest doesn't cover fall back to
+    * their own footers, fanned out over a bounded pool so planning
+    * never serializes one remote open per file. A file whose stats
+    * can't be read at all is kept (the scan itself surfaces the real
+    * error). */
   def prune(fs: org.apache.hadoop.fs.FileSystem,
             files: Seq[(String, Long)], skips: Seq[Filter],
             declared: StructType): Seq[(String, Long)] = {
     if (skips.isEmpty || files.isEmpty) return files
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, files.size),
-      (r: Runnable) => {
-        val t = new Thread(r, "graft-arrow-prune"); t.setDaemon(true); t
-      })
-    try {
-      val futures = files.map { case (f, len) =>
-        pool.submit(new java.util.concurrent.Callable[Boolean] {
-          override def call(): Boolean =
-            try skippable(skips, declared,
-              ArrowInterchange.footerMeta(fs, f, len))
-            catch { case _: Exception => false }
-        })
+    val manifests: Map[Path, Map[String, Map[String, String]]] =
+      files.map(f => new Path(f._1).getParent).distinct
+        .flatMap(d =>
+          ArrowInterchange.readStatsManifest(fs, d).map(d -> _)).toMap
+    def manifested(file: String): Option[Map[String, String]] = {
+      val p = new Path(file)
+      manifests.get(p.getParent).flatMap(_.get(p.getName))
+    }
+    val (known, unknown) =
+      files.partition(f => manifested(f._1).isDefined)
+    val keptKnown = known.filterNot(f =>
+      skippable(skips, declared, manifested(f._1).get))
+    val keptUnknown =
+      if (unknown.isEmpty) Seq.empty
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, unknown.size),
+          (r: Runnable) => {
+            val t = new Thread(r, "graft-arrow-prune"); t.setDaemon(true); t
+          })
+        try {
+          val futures = unknown.map { case (f, len) =>
+            pool.submit(new java.util.concurrent.Callable[Boolean] {
+              override def call(): Boolean =
+                try skippable(skips, declared,
+                  ArrowInterchange.footerMeta(fs, f, len))
+                catch { case _: Exception => false }
+            })
+          }
+          unknown.zip(futures).collect { case (f, fut) if !fut.get() => f }
+        } finally pool.shutdown()
       }
-      files.zip(futures).collect { case (f, fut) if !fut.get() => f }
-    } finally pool.shutdown()
+    // preserve the original listing order (packing and schema checks
+    // key off the FIRST file)
+    val kept = (keptKnown ++ keptUnknown).map(_._1).toSet
+    files.filter(f => kept.contains(f._1))
   }
 
   /** True iff the conjunction of `filters` PROVES the file matches no
@@ -428,9 +451,19 @@ private[arrow] class ArrowCountReaderFactory(countCols: Int)
       private var done = false
       override def next(): Boolean = !done && { done = true; true }
       override def get(): InternalRow = {
+        // one manifest read per distinct parent dir covers most files;
+        // unmanifested ones read their own footers
+        val manifests = scala.collection.mutable.Map
+          .empty[Path, Option[Map[String, Map[String, String]]]]
         val total = part.files.map { case (file, len) =>
           val fs = new Path(file).getFileSystem(part.conf.conf)
-          ArrowInterchange.fileRows(fs, file, len)
+          val p = new Path(file)
+          manifests.getOrElseUpdate(p.getParent,
+            ArrowInterchange.readStatsManifest(fs, p.getParent))
+            .flatMap(_.get(p.getName))
+            .flatMap(_.get(ArrowInterchange.RowsMetaKey))
+            .flatMap(s => scala.util.Try(s.toLong).toOption)
+            .getOrElse(ArrowInterchange.fileRows(fs, file, len))
         }.sum
         new GenericInternalRow(Array.fill[Any](countCols)(total))
       }

@@ -220,6 +220,14 @@ class ArrowDataSourceSpec extends AnyFunSuite {
     assert(all.where(col("id") > 5000L).count() == 0L)
     // untracked (string) columns don't prune but stay correct
     assert(all.where(col("tag") === "d7").count() == 1L)
+    // the manifest is a cache, not the source of truth: with it gone,
+    // pruning falls back to per-file footers and behaves identically
+    assert(new java.io.File(s"$out/t/_stats.tsv").exists(),
+      "writers must emit the stats manifest")
+    assert(new java.io.File(s"$out/t/_stats.tsv").delete())
+    val narrowNoManifest = all.where(col("id") >= 900L)
+    assert(partsOf(narrowNoManifest) < full)
+    assert(narrowNoManifest.count() == 100L)
     // a NaN anywhere in a double column disables its stats: Spark's
     // comparisons order NaN ABOVE every value, so `c > bound` MATCHES
     // NaN rows a finite [min,max] would wrongly prune
