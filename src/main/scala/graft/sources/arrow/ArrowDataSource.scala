@@ -248,6 +248,10 @@ private[arrow] object ArrowFileSkip {
     case GreaterThanOrEqual(a, v) => colBound(a, v, schema).isDefined
     case LessThan(a, v) => colBound(a, v, schema).isDefined
     case LessThanOrEqual(a, v) => colBound(a, v, schema).isDefined
+    // IN proves emptiness only when EVERY non-null value is provably
+    // outside the range — one unconvertible value keeps the file
+    case In(a, vs) => vs.nonEmpty &&
+      vs.forall(v => v == null || colBound(a, v, schema).isDefined)
     case _ => false
   }
 
@@ -323,26 +327,39 @@ private[arrow] object ArrowFileSkip {
         case (Right(x), Right(y)) => java.lang.Double.compare(x, y)
         case _ => 0 // representation mismatch: never prove emptiness
       }
-    def provesEmpty(f: Filter): Boolean = {
-      val b = f match {
-        case EqualTo(a, v) => colBound(a, v, schema).map((_, "="))
-        case GreaterThan(a, v) => colBound(a, v, schema).map((_, ">"))
-        case GreaterThanOrEqual(a, v) => colBound(a, v, schema).map((_, ">="))
-        case LessThan(a, v) => colBound(a, v, schema).map((_, "<"))
-        case LessThanOrEqual(a, v) => colBound(a, v, schema).map((_, "<="))
-        case _ => None
+    def outOfRange(ord: Int, v: Either[Long, Double]): Boolean =
+      range(ord, v.isLeft).exists { case (lo, hi) =>
+        cmp(v, lo) < 0 || cmp(v, hi) > 0
       }
-      b.exists { case ((ord, v), op) =>
-        range(ord, v.isLeft).exists { case (lo, hi) =>
-          op match {
-            case "=" => cmp(v, lo) < 0 || cmp(v, hi) > 0
-            case ">" => cmp(hi, v) <= 0
-            case ">=" => cmp(hi, v) < 0
-            case "<" => cmp(lo, v) >= 0
-            case "<=" => cmp(lo, v) > 0
+    def provesEmpty(f: Filter): Boolean = f match {
+      case In(a, vs) =>
+        // a null element never matches, so it doesn't block the proof;
+        // every remaining value must be provably outside the range
+        val nonNull = vs.filter(_ != null)
+        nonNull.nonEmpty && nonNull.forall(v =>
+          colBound(a, v, schema).exists { case (ord, b) =>
+            outOfRange(ord, b)
+          })
+      case other =>
+        val b = other match {
+          case EqualTo(a, v) => colBound(a, v, schema).map((_, "="))
+          case GreaterThan(a, v) => colBound(a, v, schema).map((_, ">"))
+          case GreaterThanOrEqual(a, v) => colBound(a, v, schema).map((_, ">="))
+          case LessThan(a, v) => colBound(a, v, schema).map((_, "<"))
+          case LessThanOrEqual(a, v) => colBound(a, v, schema).map((_, "<="))
+          case _ => None
+        }
+        b.exists { case ((ord, v), op) =>
+          range(ord, v.isLeft).exists { case (lo, hi) =>
+            op match {
+              case "=" => cmp(v, lo) < 0 || cmp(v, hi) > 0
+              case ">" => cmp(hi, v) <= 0
+              case ">=" => cmp(hi, v) < 0
+              case "<" => cmp(lo, v) >= 0
+              case "<=" => cmp(lo, v) > 0
+            }
           }
         }
-      }
     }
     filters.exists(provesEmpty)
   }

@@ -220,6 +220,13 @@ class ArrowDataSourceSpec extends AnyFunSuite {
     assert(all.where(col("id") > 5000L).count() == 0L)
     // untracked (string) columns don't prune but stay correct
     assert(all.where(col("tag") === "d7").count() == 1L)
+    // IN prunes when every value is provably out of range…
+    val inNarrow = all.where(col("id").isin(950L, 990L))
+    assert(partsOf(inNarrow) < full,
+      s"IN did not prune: ${partsOf(inNarrow)} of $full")
+    assert(inNarrow.count() == 2L)
+    // …and stays correct when values straddle files
+    assert(all.where(col("id").isin(5L, 995L)).count() == 2L)
     // the manifest is a cache, not the source of truth: with it gone,
     // pruning falls back to per-file footers and behaves identically
     assert(new java.io.File(s"$out/t/_stats.tsv").exists(),
