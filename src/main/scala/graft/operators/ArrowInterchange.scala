@@ -422,15 +422,7 @@ object ArrowInterchange {
       val p = new Path(dir, StatsManifest)
       if (!fs.exists(p)) None
       else {
-        val in = fs.open(p)
-        val text =
-          try {
-            val bytes = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](1 << 16)
-            var n = in.read(buf)
-            while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-            new String(bytes.toByteArray, UTF_8)
-          } finally in.close()
+        val text = HadoopText.readUtf8(fs, p)
         Some(text.split('\n').iterator.filter(_.nonEmpty)
           .map(_.split('\t'))
           .collect { case Array(f, k, v) => (f, k, v) }

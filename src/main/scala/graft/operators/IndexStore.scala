@@ -111,17 +111,7 @@ private[graft] object IndexStore {
                   name: String): Option[String] = {
     val p = new Path(new Path(root, CommitsDir), name)
     if (!hfs.exists(p)) None
-    else {
-      val in = hfs.open(p)
-      try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](4096)
-        var n = in.read(buf)
-        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        Some(new String(bytes.toByteArray,
-          java.nio.charset.StandardCharsets.UTF_8))
-      } finally in.close()
-    }
+    else Some(HadoopText.readUtf8(hfs, p))
   }
 
   def unmark(hfs: FileSystem, root: Path, name: String): Unit = {
@@ -263,7 +253,8 @@ private[graft] object IndexStore {
     if (hfs.exists(commits))
       hfs.listStatus(commits).foreach { st =>
         val n = st.getPath.getName
-        if (n != LeaseName && n != FenceMarker) deleteTree(hfs, st.getPath)
+        if (n != LeaseName && !n.startsWith(FencePrefix))
+          deleteTree(hfs, st.getPath)
       }
   }
 
@@ -272,7 +263,14 @@ private[graft] object IndexStore {
   /** Lease file name under `_commits/`. Dot-free so debugging `ls`
     * shows it, but [[markedIds]]' numeric parse skips it. */
   private[graft] val LeaseName = "_writer.lease"
-  private val FenceMarker = "_fence"
+  // fence numbers are ALLOCATED, not counted: each acquisition claims
+  // `_fence.N` by atomic create-no-overwrite, so two holders can never
+  // share a fence and no stalled writer can regress the counter by
+  // overwriting a marker (a content-counter bump is delete+rename —
+  // a loser waking from a GC pause could write an old value over a
+  // newer one). Files below the new claim are swept on allocation, so
+  // the set stays O(contenders), not O(history).
+  private val FencePrefix = "_fence."
 
   /** TTL must exceed the longest build/merge/compact against the root;
     * an op outliving it can lose the lease and will fail loudly at its
@@ -317,19 +315,9 @@ private[graft] object IndexStore {
     val p = leasePath(root)
     try {
       val st = hfs.getFileStatus(p)
-      val in = hfs.open(p)
-      val content =
-        try {
-          // read to EOF: a single read() may legally return short on
-          // HCFS streams, and torn lease content would make a healthy
-          // writer's own fencing check fail spuriously
-          val bytes = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](4096)
-          var n = in.read(buf)
-          while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-          new String(bytes.toByteArray,
-            java.nio.charset.StandardCharsets.UTF_8)
-        } finally in.close()
+      // full drain (HadoopText): torn lease content would make a
+      // healthy writer's own fencing check fail spuriously
+      val content = HadoopText.readUtf8(hfs, p)
       val lease = parseLease(content).getOrElse(
         WriterLease("<unreadable>", -1L, defaultTtlMs, "<unknown>"))
       Some((lease, st.getModificationTime + lease.ttlMs))
@@ -354,40 +342,24 @@ private[graft] object IndexStore {
     while (true) {
       currentLease(hfs, root) match {
         case None =>
-          val fence = 1 + markContent(hfs, root, FenceMarker)
-            .flatMap(c => scala.util.Try(c.toLong).toOption).getOrElse(0L)
-          // persist the bumped fence BEFORE creating the lease that
-          // carries it: a crash between the two would otherwise let the
-          // next acquirer reuse this fence number. A create-race loser
-          // leaves a harmless gap (its bump is superseded on retry);
-          // fences stay strictly increasing across successful acquires.
-          // Two contenders can collide on the marker rename itself —
-          // that's fine iff SOMEONE persisted >= our fence; otherwise
-          // retry the whole round.
-          val persisted =
-            try { markUnfenced(hfs, root, FenceMarker, fence.toString); true }
-            catch { case _: java.io.IOException =>
-              markContent(hfs, root, FenceMarker)
-                .flatMap(c => scala.util.Try(c.toLong).toOption)
-                .exists(_ >= fence)
-            }
-          if (!persisted) {
-            Thread.sleep(10)
-          } else {
-            val lease = WriterLease(java.util.UUID.randomUUID().toString,
-              fence, ttlMs,
-              s"${ProcessHandle.current().pid()}@${
-                java.net.InetAddress.getLocalHost.getHostName}")
-            val won =
-              try {
-                val out = hfs.create(p, false) // atomic fail-if-present
-                try out.write(lease.serialized.getBytes(
-                  java.nio.charset.StandardCharsets.UTF_8))
-                finally out.close()
-                true
-              } catch { case _: java.io.IOException => false }
-            if (won) return lease
-          }
+          // allocate the fence BEFORE creating the lease that carries
+          // it: unique by atomic create, monotone because allocation
+          // starts above every existing claim — a crash between the
+          // two leaves only a harmless gap
+          val fence = allocateFence(hfs, root)
+          val lease = WriterLease(java.util.UUID.randomUUID().toString,
+            fence, ttlMs,
+            s"${ProcessHandle.current().pid()}@${
+              java.net.InetAddress.getLocalHost.getHostName}")
+          val won =
+            try {
+              val out = hfs.create(p, false) // atomic fail-if-present
+              try out.write(lease.serialized.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+              true
+            } catch { case _: java.io.IOException => false }
+          if (won) return lease
         case Some((stale, expiresAt))
             if System.currentTimeMillis() > expiresAt =>
           // rename-as-mutex steal: the loser's rename fails (source
@@ -407,6 +379,29 @@ private[graft] object IndexStore {
             math.max(1, deadline - System.currentTimeMillis())))
           backoffMs = math.min(backoffMs * 2, 2000L)
       }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Claim the next fence number: atomic create of `_fence.N` for the
+    * first free N above every existing claim. The create is the
+    * allocation — no two claimants can hold the same N, and a stalled
+    * claimant resuming an old loop skips occupied slots, so its claim
+    * is still above everything that existed when it landed. Older
+    * fence files are swept after the claim (max stays ours). */
+  private def allocateFence(hfs: FileSystem, root: Path): Long = {
+    val dir = new Path(root, CommitsDir)
+    var n = markedIds(hfs, root, FencePrefix).maxOption.getOrElse(0L) + 1
+    while (true) {
+      val claimed =
+        try { hfs.create(new Path(dir, s"$FencePrefix$n"), false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (claimed) {
+        markedIds(hfs, root, FencePrefix).filter(_ < n).foreach(o =>
+          unmark(hfs, root, s"$FencePrefix$o"))
+        return n
+      }
+      n += 1
     }
     throw new IllegalStateException("unreachable")
   }

@@ -84,24 +84,37 @@ private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
     new SerConf(SparkSession.active.sessionState.newHadoopConf())
   private val out = new Path(path)
 
+  // staging is keyed by a PER-RUN token, not queryId: Spark's streaming
+  // queryId is the STABLE query id, identical across restarts, so a
+  // replayed epoch after a crash would otherwise reuse the crashed
+  // run's staging dir DIRTY (its leftover part files would publish
+  // alongside the replay's — duplicated rows). One StreamingWrite is
+  // built per run, so a fresh token here is a fresh run.
+  private val runToken = java.util.UUID.randomUUID().toString
+
   private def stagingFor(epochId: Long) =
-    new Path(out, s".epoch-$epochId.staging-$queryId")
+    new Path(out, s".epoch-$epochId.staging-$runToken")
+
+  // sweep staging orphans ANY prior run left in the tree — including
+  // crashed runs of this same query (different token). Once per run,
+  // at write construction: concurrent writers to one tree are
+  // unsupported, as with any streaming sink path.
+  locally {
+    val fs = out.getFileSystem(sconf.conf)
+    if (fs.exists(out))
+      fs.listStatus(out).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".epoch-") && n.contains(".staging-") &&
+            !n.endsWith(s".staging-$runToken"))
+          fs.delete(st.getPath, true)
+      }
+  }
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
     val fs = out.getFileSystem(sconf.conf)
     fs.mkdirs(out)
-    // sweep staging orphans a CRASHED prior run left in the tree (its
-    // queryId differs, so its dirs can never be claimed by this run;
-    // concurrent writers to one tree are unsupported, as with any
-    // streaming sink path)
-    fs.listStatus(out).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith(".epoch-") && n.contains(".staging-") &&
-          !n.endsWith(s".staging-$queryId"))
-        fs.delete(st.getPath, true)
-    }
-    new ArrowStreamingWriterFactory(path, queryId, sconf, schema, batchRows)
+    new ArrowStreamingWriterFactory(path, runToken, sconf, schema, batchRows)
   }
 
   override def commit(epochId: Long,
@@ -113,8 +126,9 @@ private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
       val entries = messages.toSeq.collect {
         case ArrowCommit(f, _, m) if f != null => (f, m)
       }
+      // listing decides empty-ness (see the batch commit's note)
       val manifest =
-        if (entries.nonEmpty) entries
+        if (ArrowInterchange.listArrows(fs, staging).nonEmpty) entries
         else {
           ArrowInterchange.writeSchemaOnly(fs,
             new Path(staging, "part-00000.arrows"), schema)
@@ -151,7 +165,7 @@ private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
 }
 
 private[arrow] class ArrowStreamingWriterFactory(path: String,
-                                                 queryId: String,
+                                                 runToken: String,
                                                  conf: SerConf,
                                                  schema: StructType,
                                                  batchRows: Int)
@@ -159,7 +173,7 @@ private[arrow] class ArrowStreamingWriterFactory(path: String,
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] = {
     val staging = new Path(new Path(path),
-      s".epoch-$epochId.staging-$queryId")
+      s".epoch-$epochId.staging-$runToken")
     val fs = staging.getFileSystem(conf.conf)
     fs.mkdirs(staging) // idempotent; first task of the epoch creates it
     new ArrowDataWriter(staging.toString, conf, schema,
@@ -192,8 +206,11 @@ private[arrow] class ArrowBatchWrite(path: String, schema: StructType,
       val entries = messages.toSeq.collect {
         case ArrowCommit(f, _, m) if f != null => (f, m)
       }
+      // empty-ness is decided by LISTING, not by messages: a partition
+      // whose winning attempt died post-publish reports no stats but
+      // its file stands — a schema-only file must never land next to it
       val manifest =
-        if (entries.nonEmpty) entries
+        if (ArrowInterchange.listArrows(fs, staging).nonEmpty) entries
         else {
           // all-empty input still reads back as an empty frame WITH the
           // declared schema (exportArrow's contract)
@@ -284,9 +301,15 @@ private[arrow] class ArrowDataWriter(staging: String, conf: SerConf,
     writer.end()
     close()
     if (rows > 0) {
-      ArrowInterchange.publishNoReplace(fs, tmp, fin)
+      // stats may only describe bytes that actually stand: if a prior
+      // attempt of this partition died AFTER publishing, this attempt's
+      // publish loses and its meta belongs to its own discarded temp —
+      // report no stats and let the standing file answer from its
+      // footer (same discipline as exportArrow's task path)
+      val won = ArrowInterchange.publishNoReplace(fs, tmp, fin)
       import scala.jdk.CollectionConverters._
-      ArrowCommit(fin.getName, rows, meta.asScala.toMap)
+      if (won) ArrowCommit(fin.getName, rows, meta.asScala.toMap)
+      else ArrowCommit(null, rows, Map.empty)
     } else {
       fs.delete(tmp, false)
       ArrowCommit(null, 0L, Map.empty)

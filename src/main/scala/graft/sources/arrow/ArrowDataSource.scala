@@ -384,21 +384,24 @@ private[arrow] object ArrowScan {
     val fs = root.getFileSystem(conf)
     // a shard tree (batch_id=N dirs) reads as ONE scan over every
     // committed shard's files — the DSv2 spelling of readShards; a
-    // plain export dir keeps the root-marker contract
-    val files = listArrows(fs, root) match {
-      case Seq() if ArrowSource.shardDirs(fs, root).nonEmpty =>
-        ArrowSource.shardDirs(fs, root).flatMap { case (_, shard) =>
+    // plain export dir keeps the root-marker contract. One listing
+    // serves both probes (shard trees can hold thousands of dirs).
+    val top = listArrows(fs, root)
+    val shards = if (top.isEmpty) ArrowSource.shardDirs(fs, root) else Seq.empty
+    val files =
+      if (top.isEmpty && shards.nonEmpty)
+        shards.flatMap { case (_, shard) =>
           require(!requireMarker || fs.exists(new Path(shard, "_SUCCESS")),
             s"$shard has no _SUCCESS marker: the shard's batch did not " +
               "complete (reading it would silently drop rows)")
           listArrows(fs, shard)
         }
-      case top =>
+      else {
         require(!requireMarker || fs.exists(new Path(root, "_SUCCESS")),
           s"$path has no _SUCCESS marker: the export did not complete; " +
             "for externally-written directories set requireMarker=false")
         top
-    }
+      }
     require(files.nonEmpty, s"no .arrows files under $path")
     val kept = ArrowFileSkip.prune(fs, files, skips, declared)
     val sconf = new SerConf(conf)

@@ -75,8 +75,16 @@ private[arrow] class ArrowMicroBatchStream(
     ArrowShardOffset(json.trim.toLong)
   override def latestOffset(): Offset =
     ArrowShardOffset(availableNowTarget.getOrElse(prefixEnd()))
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    latestOffset()
+  // clamped to the consumer's own position: a producer replaying shard
+  // k has its dir momentarily absent, which shrinks the committed
+  // prefix BELOW an already-committed offset — advancing "latest"
+  // backwards would make the next trigger re-read shard k (duplicate
+  // rows). Offsets only move forward.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[ArrowShardOffset].next
+    ArrowShardOffset(math.max(from,
+      availableNowTarget.getOrElse(prefixEnd())))
+  }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
