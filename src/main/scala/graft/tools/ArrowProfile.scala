@@ -79,6 +79,31 @@ object ArrowProfile {
       require(c1 == rows && c2 == rows, s"count mismatch: $c1/$c2 vs $rows")
       println(f"[arrowprofile]   count(*): pushed $tcnt%.2f s vs " +
         f"scan-count $tfull%.2f s (${tfull / tcnt}%.1f× from footer counts)")
+      // zone-map PLANNING cost at many files: a provably-empty filter
+      // over a many-file export, planned from the directory manifest
+      // (one read) vs per-file footers (manifest deleted)
+      if (pass == 1) {
+        // tiny parts force a many-file directory; on local FS footer
+        // opens are cheap syscalls, so the manifest's win here is a
+        // LOWER BOUND — object stores pay tens of ms per open
+        ArrowInterchange.exportArrow(big, s"$out/many",
+          maxPartBytes = 64L << 10)
+        val nf = new java.io.File(s"$out/many").listFiles()
+          .count(_.getName.endsWith(".arrows"))
+        def planEmpty(): Double = {
+          val t = System.nanoTime()
+          val c = spark.read.format("graft-arrow").load(s"$out/many")
+            .where(col("doc_id") < lit(-1L)).count()
+          require(c == 0L)
+          (System.nanoTime() - t) / 1e9
+        }
+        val tm = planEmpty()
+        require(new java.io.File(s"$out/many/_stats.tsv").delete())
+        val tf2 = planEmpty()
+        println(f"[arrowprofile]   zone-map plan over $nf files: " +
+          f"manifest $tm%.2f s vs per-file footers $tf2%.2f s " +
+          f"(${tf2 / tm}%.1f× from the manifest)")
+      }
     }
     graft.operators.Scratch.rm(new java.io.File(out))
     spark.stop()
