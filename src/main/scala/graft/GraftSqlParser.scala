@@ -22,19 +22,24 @@ import graft.sources.GraftTable
   *   GRAFT MERGE '<root>' SINK '<sink>' USING (<query>) ON k[, …]
   *         [INSERT ONLY | UPDATE ONLY]
   *   GRAFT HISTORY '<root>'
-  *   GRAFT INDEX BUILD   MINHASH|WINNOW|TERMS|DECONTAM '<root>' FROM (<query>)
-  *   GRAFT INDEX MERGE   MINHASH|WINNOW|TERMS|DECONTAM '<root>' FROM (<query>)
+  *   GRAFT INDEX BUILD   <kind> '<root>' FROM (<query>)
+  *   GRAFT INDEX MERGE   <kind> '<root>' FROM (<query>)
   *   GRAFT INDEX COMPACT MINHASH|WINNOW|TERMS '<root>'
+  *   GRAFT INDEX VACUUM  IVF|PQ '<root>'
   * }}}
   *
-  * The INDEX verbs drive the persisted index lifecycles
-  * ([[graft.operators.MinhashIndex]] & friends) — build/merge/compact
-  * as eager commands over an arbitrary parenthesized source query
-  * (columns must match the index's input contract: (doc_id, text)).
-  * The READ side is deliberately not a command (a command would
-  * collect corpus-sized results to the driver): it is the lazy table
+  * `<kind>` ∈ MINHASH | WINNOW | TERMS | DECONTAM | IVF | PQ. The
+  * INDEX verbs drive the persisted index lifecycles
+  * ([[graft.operators.MinhashIndex]] & friends) — build/merge/compact/
+  * vacuum as eager commands over an arbitrary parenthesized source
+  * query whose columns must match the index's input contract:
+  * `(doc_id, text)` for the text kinds, `(vec_id, v: array<double>)`
+  * for PQ, `(vec_id, label, v: array<double>)` for IVF. The READ side
+  * is deliberately not a command (a command would collect corpus-sized
+  * results to the driver): for the text kinds it is the lazy table
   * function `graft_index_query(kind, indexRoot, docsDir[, predicate])`
-  * registered by [[GraftExtensions]], composable inside any SELECT.
+  * registered by [[GraftExtensions]], composable inside any SELECT;
+  * the vector kinds' probes are the existing sim_* query surface.
   *
   * Everything else delegates to Spark's parser. The commands are
   * `RunnableCommand`s: `spark.sql(...)` executes them eagerly (the
@@ -106,6 +111,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftIndexCommand(verb.toUpperCase, kind.toUpperCase, root, Some(query))
     case IndexCompactRe(kind, root) =>
       GraftIndexCommand("COMPACT", kind.toUpperCase, root, None)
+    case IndexVacuumRe(kind, root) =>
+      GraftIndexCommand("VACUUM", kind.toUpperCase, root, None)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -150,9 +157,11 @@ object GraftSqlParser {
   private val HistoryRe =
     """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
   private val IndexFromRe =
-    """(?is)\s*GRAFT\s+INDEX\s+(BUILD|MERGE)\s+(MINHASH|WINNOW|TERMS|DECONTAM)\s+'([^']+)'\s+FROM\s+(\(.+?)\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+INDEX\s+(BUILD|MERGE)\s+(MINHASH|WINNOW|TERMS|DECONTAM|IVF|PQ)\s+'([^']+)'\s+FROM\s+(\(.+?)\s*;?\s*""".r
   private val IndexCompactRe =
     """(?is)\s*GRAFT\s+INDEX\s+COMPACT\s+(MINHASH|WINNOW|TERMS)\s+'([^']+)'\s*;?\s*""".r
+  private val IndexVacuumRe =
+    """(?is)\s*GRAFT\s+INDEX\s+VACUUM\s+(IVF|PQ)\s+'([^']+)'\s*;?\s*""".r
 
   /** Split `a = expr1, b = expr2` on TOP-LEVEL commas (commas inside
     * parens or string literals belong to the expression), then each
@@ -331,7 +340,7 @@ case class GraftMergeCommand(root: String, sink: String,
 case class GraftIndexCommand(verb: String, kind: String, root: String,
                              sourceSql: Option[String])
     extends LeafRunnableCommand {
-  import graft.operators.{DecontamIndex, IndexStore, MinhashIndex, TermStatsIndex, WinnowIndex}
+  import graft.operators.{DecontamIndex, IndexStore, IvfIndex, MinhashIndex, PqIndex, TermStatsIndex, WinnowIndex}
 
   override val output: Seq[Attribute] = Seq(
     AttributeReference("kind", StringType)(),
@@ -353,6 +362,12 @@ case class GraftIndexCommand(verb: String, kind: String, root: String,
       case ("TERMS", "COMPACT") => TermStatsIndex.compact(spark, root)
       case ("DECONTAM", "BUILD") => DecontamIndex.build(src, root)
       case ("DECONTAM", "MERGE") => DecontamIndex.merge(src, root)
+      case ("IVF", "BUILD") => IvfIndex.build(src, root)
+      case ("IVF", "MERGE") => IvfIndex.merge(src, root)
+      case ("IVF", "VACUUM") => IvfIndex.vacuum(spark, root)
+      case ("PQ", "BUILD") => PqIndex.build(src, root)
+      case ("PQ", "MERGE") => PqIndex.merge(src, root)
+      case ("PQ", "VACUUM") => PqIndex.vacuum(spark, root)
       case other => throw new IllegalArgumentException(
         s"GRAFT INDEX: unsupported verb/kind $other")
     }

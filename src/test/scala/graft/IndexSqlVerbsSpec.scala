@@ -79,6 +79,30 @@ class IndexSqlVerbsSpec extends AnyFunSuite {
     assert(t.nonEmpty && w.nonEmpty)
   }
 
+  test("vector kinds: SQL-built IVF/PQ answer identically to the Scala API") {
+    val root = tmp()
+    graft.sources.Tables.embeddings(spark, sf0001)
+      .createOrReplaceTempView("idx_vecs")
+    spark.sql(s"GRAFT INDEX BUILD IVF '$root/ivf-sql' FROM " +
+      "(SELECT vec_id, CAST(label AS BIGINT) AS label, " +
+      "CAST(embedding AS array<double>) AS v FROM idx_vecs)").collect()
+    graft.operators.IvfIndex.build(spark, sf0001, s"$root/ivf-api")
+    val a = graft.operators.IvfIndex.topK(spark, s"$root/ivf-sql").collect()
+    val b = graft.operators.IvfIndex.topK(spark, s"$root/ivf-api").collect()
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+    spark.sql(s"GRAFT INDEX BUILD PQ '$root/pq-sql' FROM " +
+      "(SELECT vec_id, CAST(embedding AS array<double>) AS v " +
+      "FROM idx_vecs)").collect()
+    graft.operators.PqIndex.build(spark, sf0001, s"$root/pq-api")
+    val c = graft.operators.PqIndex.topK(spark, sf0001, s"$root/pq-sql").collect()
+    val d = graft.operators.PqIndex.topK(spark, sf0001, s"$root/pq-api").collect()
+    assert(c.nonEmpty && c.toSeq == d.toSeq)
+    // vacuum runs through the same verb surface
+    spark.sql(s"GRAFT INDEX VACUUM IVF '$root/ivf-sql'").collect()
+    assert(graft.operators.IvfIndex.topK(spark, s"$root/ivf-sql")
+      .collect().toSeq == b.toSeq)
+  }
+
   test("malformed statements fail loudly at parse time") {
     // unbalanced FROM query
     val e1 = intercept[Exception] {
