@@ -283,14 +283,18 @@ private[graft] object IndexStore {
     sys.props.get("graft.index.lease.waitMs").map(_.toLong)
       .getOrElse(10L * 60 * 1000)
 
-  /** One writer's claim on an index root. `fence` increases by one per
-    * acquisition (persisted in the `_fence` marker), so any two holders
-    * in history are ordered; `ttlMs` rides in the file so contenders
-    * use the HOLDER's TTL, not their own. Expiry is measured from the
-    * lease FILE's modification time — the filesystem's clock, not a
-    * writer-embedded timestamp, so single-FS deployments don't depend
-    * on writer clock agreement (cross-machine skew only shifts the
-    * steal point by the skew, against a TTL of minutes). */
+  /** One writer's claim on an index root. `fence` is a UNIQUE number
+    * (allocated by atomic create of `_fence.N`) ordered by ALLOCATION
+    * time — a claimant stalled between allocating and winning the
+    * lease can hold a lower fence than an intervening holder, so fence
+    * order is diagnostic, not the safety mechanism: validity is always
+    * the token comparison in [[requireLeaseHeld]]. `ttlMs` rides in
+    * the file so contenders use the HOLDER's TTL, not their own.
+    * Expiry is measured from the lease FILE's modification time — the
+    * filesystem's clock, not a writer-embedded timestamp, so
+    * single-FS deployments don't depend on writer clock agreement
+    * (cross-machine skew only shifts the steal point by the skew,
+    * against a TTL of minutes). */
   private[graft] final case class WriterLease(token: String, fence: Long,
                                               ttlMs: Long, owner: String) {
     def serialized: String = s"$token $fence $ttlMs $owner"
@@ -343,9 +347,11 @@ private[graft] object IndexStore {
       currentLease(hfs, root) match {
         case None =>
           // allocate the fence BEFORE creating the lease that carries
-          // it: unique by atomic create, monotone because allocation
-          // starts above every existing claim — a crash between the
-          // two leaves only a harmless gap
+          // it: unique by atomic create, and allocation-ordered (a
+          // claimant stalled between here and winning the lease can
+          // hold a lower fence than an intervening holder — see the
+          // WriterLease doc; safety is the token check, not the
+          // number). A crash between the two leaves a harmless gap.
           val fence = allocateFence(hfs, root)
           val lease = WriterLease(java.util.UUID.randomUUID().toString,
             fence, ttlMs,
@@ -391,7 +397,15 @@ private[graft] object IndexStore {
     * fence files are swept after the claim (max stays ours). */
   private def allocateFence(hfs: FileSystem, root: Path): Long = {
     val dir = new Path(root, CommitsDir)
-    var n = markedIds(hfs, root, FencePrefix).maxOption.getOrElse(0L) + 1
+    // seed above the pre-allocation scheme's content counter too (a
+    // `_fence` marker holding the count), so fence ordering survives
+    // the upgrade of an existing root; the legacy marker is retired
+    // once a fence file exists above it
+    val legacy = markContent(hfs, root, "_fence")
+      .flatMap(c => scala.util.Try(c.toLong).toOption)
+    var n = math.max(
+      markedIds(hfs, root, FencePrefix).maxOption.getOrElse(0L),
+      legacy.getOrElse(0L)) + 1
     while (true) {
       val claimed =
         try { hfs.create(new Path(dir, s"$FencePrefix$n"), false).close(); true }
@@ -399,6 +413,7 @@ private[graft] object IndexStore {
       if (claimed) {
         markedIds(hfs, root, FencePrefix).filter(_ < n).foreach(o =>
           unmark(hfs, root, s"$FencePrefix$o"))
+        if (legacy.isDefined) unmark(hfs, root, "_fence")
         return n
       }
       n += 1

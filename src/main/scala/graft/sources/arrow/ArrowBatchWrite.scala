@@ -69,15 +69,14 @@ private[arrow] class ArrowWriteBuilder(path: String, info: LogicalWriteInfo)
       // arrives as truncate(): each epoch's commit then replaces the
       // whole tree with that epoch's single shard.
       override def toStreaming: streaming.StreamingWrite =
-        new ArrowStreamingWrite(path, info.schema(), info.queryId(),
-          batchRows, truncating)
+        new ArrowStreamingWrite(path, info.schema(), batchRows, truncating)
       override def description(): String = s"graft-arrow $path"
     }
   }
 }
 
 private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
-                                         queryId: String, batchRows: Int,
+                                         batchRows: Int,
                                          truncating: Boolean)
     extends streaming.StreamingWrite {
   private val sconf =
@@ -237,11 +236,16 @@ private[arrow] class ArrowBatchWrite(path: String, schema: StructType,
   }
 }
 
-/** One task's published file (null when the partition was empty), its
-  * row count, and the footer metadata it stamped — the driver folds
-  * these into the directory's `_stats.tsv` manifest at commit. The
-  * commit coordinator guarantees exactly one committed attempt per
-  * partition, so the stats always describe the standing file. */
+/** One task's published file — null when the partition was empty OR
+  * when this attempt LOST the publish (a prior attempt of the same
+  * partition died after publishing; the coordinator then authorizes a
+  * retry whose bytes are discarded) — plus its row count and the
+  * footer metadata it stamped. The driver folds non-null entries into
+  * the directory's `_stats.tsv` manifest at commit; files without an
+  * entry answer from their own footers, so stats NEVER describe bytes
+  * the reporting attempt didn't write. Commit-side emptiness is
+  * decided by LISTING staging, not by these messages, for the same
+  * reason. */
 private[arrow] final case class ArrowCommit(file: String, rows: Long,
                                             meta: Map[String, String])
     extends WriterCommitMessage

@@ -73,6 +73,38 @@ class ArrowStreamWriteSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L), (2L, 3L), (3L, 1L)))
   }
 
+  test("a crashed prior run's staging is swept, never published dirty") {
+    import spark.implicits._
+    val root = tmp()
+    new java.io.File(s"$root/out").mkdirs()
+    // debris a crashed run left mid-epoch-0: a staged part that would
+    // otherwise publish ALONGSIDE the replay's files (duplicated rows)
+    ArrowInterchange.exportArrow((900L until 905L).toDF("value"),
+      s"$root/debris")
+    val staged = new java.io.File(s"$root/out/.epoch-0.staging-deadrun")
+    staged.mkdirs()
+    val part = new java.io.File(s"$root/debris").listFiles()
+      .filter(_.getName.endsWith(".arrows")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(staged, "part-00099.arrows").toPath)
+    // the "replayed" run writes epoch 0 fresh
+    (0L until 8L).toDF("value").repartition(1)
+      .write.parquet(s"$root/src")
+    val q = spark.readStream
+      .schema(StructType(Seq(StructField("value", LongType))))
+      .parquet(s"$root/src")
+      .writeStream.format("graft-arrow")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start(s"$root/out")
+    q.awaitTermination()
+    assert(!staged.exists(), "prior run's staging must be swept")
+    val got = spark.read.format("graft-arrow").load(s"$root/out")
+      .as[Long].collect().sorted.toSeq
+    assert(got == (0L until 8L),
+      s"debris rows leaked into the published shard: $got")
+  }
+
   test("arrow-to-arrow relay: streaming source feeds the streaming sink") {
     import spark.implicits._
     val root = tmp()
