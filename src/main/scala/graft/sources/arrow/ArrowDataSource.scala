@@ -193,7 +193,8 @@ private[arrow] class ArrowScanBuilder(path: String, declared: StructType,
       new ArrowCountScan(path, countCols, requireMarker, maxTaskBytes)
     else new ArrowScan(path, declared, required, requireMarker, maxTaskBytes,
       Option(opts.get("columnar")).forall(_.toBoolean), limit,
-      skips.toSeq)
+      skips.toSeq,
+      Option(opts.get("maxshardspertrigger")).map(_.toLong))
   }
 }
 
@@ -418,7 +419,8 @@ private[arrow] class ArrowScan(path: String, declared: StructType,
                                maxTaskBytes: Long,
                                columnar: Boolean = true,
                                limit: Int = -1,
-                               skips: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+                               skips: Seq[org.apache.spark.sql.sources.Filter] = Nil,
+                               maxShardsPerTrigger: Option[Long] = None)
     extends Scan with Batch {
   private var pruned: Option[(Int, Int)] = None
   override def readSchema(): StructType = required
@@ -442,7 +444,7 @@ private[arrow] class ArrowScan(path: String, declared: StructType,
   override def toMicroBatchStream(
       checkpointLocation: String): streaming.MicroBatchStream =
     new ArrowMicroBatchStream(path, declared, required, maxTaskBytes,
-      skips, requireMarker)
+      skips, requireMarker, maxShardsPerTrigger)
 }
 
 /** COUNT(*) scan: one row per task carrying the partial count of its

@@ -32,7 +32,8 @@ private[arrow] class ArrowMicroBatchStream(
     required: StructType,
     maxTaskBytes: Long,
     skips: Seq[org.apache.spark.sql.sources.Filter] = Nil,
-    requireMarker: Boolean = true)
+    requireMarker: Boolean = true,
+    maxShardsPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private val sconf =
@@ -79,11 +80,17 @@ private[arrow] class ArrowMicroBatchStream(
   // k has its dir momentarily absent, which shrinks the committed
   // prefix BELOW an already-committed offset — advancing "latest"
   // backwards would make the next trigger re-read shard k (duplicate
-  // rows). Offsets only move forward.
+  // rows). Offsets only move forward. Admission control caps each
+  // micro-batch at `maxShardsPerTrigger` shards (a consumer restarted
+  // against a long backlog would otherwise fold the whole history into
+  // one giant batch); AvailableNow still drains to its pinned target,
+  // just in capped steps.
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[ArrowShardOffset].next
-    ArrowShardOffset(math.max(from,
-      availableNowTarget.getOrElse(prefixEnd())))
+    val target = availableNowTarget.getOrElse(prefixEnd())
+    val capped = maxShardsPerTrigger
+      .map(cap => math.min(target, from + cap)).getOrElse(target)
+    ArrowShardOffset(math.max(from, capped))
   }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def commit(end: Offset): Unit = ()

@@ -76,6 +76,30 @@ class ArrowStreamReadSpec extends AnyFunSuite {
       .as[Long].collect().sorted.toSeq == (0L until 15L))
   }
 
+  test("maxShardsPerTrigger caps each micro-batch; AvailableNow still " +
+       "drains the backlog in steps") {
+    import spark.implicits._
+    val root = tmp()
+    (0 until 5).foreach(i =>
+      writeShard(s"$root/src", i.toLong, i * 10L, i * 10L + 10L))
+    val q = spark.readStream.format("graft-arrow")
+      .option("maxShardsPerTrigger", "2").load(s"$root/src")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.withColumn("b", lit(id)).write.mode("append").parquet(s"$root/out")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.select("v").as[Long].collect().sorted.toSeq == (0L until 50L),
+      "the capped drain must still cover the whole backlog")
+    val batches = out.select("b").distinct().count()
+    assert(batches >= 3, s"5 shards / cap 2 must take >= 3 batches, got $batches")
+  }
+
   test("a plain export dir fails the streaming read loudly; " +
        "marker-less external trees stream with requireMarker=false") {
     import spark.implicits._
