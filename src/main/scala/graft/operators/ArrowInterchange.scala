@@ -173,9 +173,19 @@ object ArrowInterchange {
             meta.put(minMetaKey(c), loL(c).toString)
             meta.put(maxMetaKey(c), hiL(c).toString)
           } else {
-            // Double.toString round-trips exactly through parseDouble
-            meta.put(minMetaKey(c), loD(c).toString)
-            meta.put(maxMetaKey(c), hiD(c).toString)
+            // Double.toString round-trips exactly through parseDouble.
+            // Signed zero takes parquet's discipline: the primitive
+            // < / > tracking above treats -0.0 == 0.0, so whichever
+            // sign arrived first would stamp — but predicate semantics
+            // (Spark's compareDoubles, like java.lang.Double.compare)
+            // order -0.0 < 0.0, and a file holding -0.0 stamped as
+            // [0.0, …] would be wrongly pruned for `c = -0.0`. Widen:
+            // a zero min stamps as -0.0 and a zero max as +0.0, so the
+            // range covers both signs whenever either was seen.
+            val lo = if (loD(c) == 0.0d) -0.0d else loD(c)
+            val hi = if (hiD(c) == 0.0d) 0.0d else hiD(c)
+            meta.put(minMetaKey(c), lo.toString)
+            meta.put(maxMetaKey(c), hi.toString)
           }
         }
         c += 1

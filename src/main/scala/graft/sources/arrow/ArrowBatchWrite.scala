@@ -94,12 +94,23 @@ private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
   private def stagingFor(epochId: Long) =
     new Path(out, s".epoch-$epochId.staging-$runToken")
 
-  // sweep staging orphans ANY prior run left in the tree — including
-  // crashed runs of this same query (different token). Once per run,
-  // at write construction: concurrent writers to one tree are
-  // unsupported, as with any streaming sink path.
-  locally {
-    val fs = out.getFileSystem(sconf.conf)
+  // The sweep + fence happen at FACTORY CREATION, not construction:
+  // Spark's V2Writes rule rebuilds the Write more than once per
+  // micro-batch, and only the instance whose factory is created
+  // actually executes — a constructor-time claim would let a
+  // non-executing twin overwrite the executing instance's token.
+  //
+  // Sweep: delete staging orphans ANY prior run left in the tree —
+  // including crashed runs of this same query (different token);
+  // concurrent writers to one tree are unsupported, as with any
+  // streaming sink path. Fence: stamp this run's token so a zombie
+  // driver of the swept run that later wakes up inside commit()
+  // re-reads the token before publishing and finds itself superseded —
+  // without the fence it would recreate its (now-empty) staging, stamp
+  // _SUCCESS, and publishStaged would replace the live run's real
+  // shard with an empty one (last delete+rename wins).
+  private val tokenFile = new Path(out, ".writer-token")
+  private def claimTree(fs: org.apache.hadoop.fs.FileSystem): Unit = {
     if (fs.exists(out))
       fs.listStatus(out).foreach { st =>
         val n = st.getPath.getName
@@ -107,12 +118,32 @@ private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
             !n.endsWith(s".staging-$runToken"))
           fs.delete(st.getPath, true)
       }
+    else fs.mkdirs(out)
+    val os = fs.create(tokenFile, true)
+    try os.write(runToken.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
   }
+
+  /** True iff this run still owns the tree (its token stands). A
+    * missing or unreadable token reads as NOT owned: the conservative
+    * answer for a fencing check — failing a live run's epoch is
+    * replayable from the checkpoint; publishing a superseded run's
+    * epoch destroys a committed shard. */
+  private def ownsTree(fs: org.apache.hadoop.fs.FileSystem): Boolean =
+    try {
+      val in = fs.open(tokenFile)
+      try {
+        val buf = new Array[Byte](runToken.length + 1)
+        val n = in.read(buf)
+        n == runToken.length &&
+          new String(buf, 0, n,
+            java.nio.charset.StandardCharsets.UTF_8) == runToken
+      } finally in.close()
+    } catch { case _: Exception => false }
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
-    val fs = out.getFileSystem(sconf.conf)
-    fs.mkdirs(out)
+    claimTree(out.getFileSystem(sconf.conf))
     new ArrowStreamingWriterFactory(path, runToken, sconf, schema, batchRows)
   }
 
@@ -121,9 +152,20 @@ private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
     val fs = out.getFileSystem(sconf.conf)
     val staging = stagingFor(epochId)
     try {
-      if (!fs.exists(staging)) fs.mkdirs(staging) // all-empty epoch
       val entries = messages.toSeq.collect {
         case ArrowCommit(f, _, m) if f != null => (f, m)
+      }
+      if (!fs.exists(staging)) {
+        // a missing staging dir is a genuine all-empty epoch ONLY when
+        // no task reported a winning publish into it; winners with no
+        // staging means a newer run swept this one's directory — a
+        // zombie driver waking up here must NOT synthesize an empty
+        // shard over the live run's real one
+        require(entries.isEmpty,
+          s"graft-arrow streaming commit: staging $staging is gone but " +
+            s"${entries.size} task(s) reported published files — this " +
+            "run was superseded by a restart; aborting the stale commit")
+        fs.mkdirs(staging)
       }
       // listing decides empty-ness (see the batch commit's note)
       val manifest =
@@ -136,6 +178,13 @@ private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
         }
       ArrowInterchange.writeStatsManifest(fs, staging, manifest)
       fs.create(new Path(staging, "_SUCCESS"), true).close()
+      // fence check at the point of no return: everything above only
+      // touched this run's own staging; from here on we delete shards
+      // and rename into the tree, so a superseded run must stop NOW
+      require(ownsTree(fs),
+        s"graft-arrow streaming commit: writer token at $tokenFile no " +
+          "longer belongs to this run — a restarted run owns the tree; " +
+          "aborting the stale commit")
       if (truncating)
         // Complete mode: this epoch's output IS the whole result —
         // retire every other shard before publishing

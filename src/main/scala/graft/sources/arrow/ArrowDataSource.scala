@@ -325,7 +325,15 @@ private[arrow] object ArrowFileSkip {
     def cmp(a: Either[Long, Double], b: Either[Long, Double]): Int =
       (a, b) match {
         case (Left(x), Left(y)) => java.lang.Long.compare(x, y)
-        case (Right(x), Right(y)) => java.lang.Double.compare(x, y)
+        // `+ 0.0` collapses -0.0 to +0.0 before the compare: Spark's
+        // row-level predicate semantics treat -0.0 == 0.0 (normalized
+        // before comparison), while Double.compare orders -0.0 < 0.0 —
+        // an elimination proof built on the stricter ordering would
+        // prune files whose rows Spark matches (externally-stamped
+        // manifests may carry either sign; our own writers widen zero
+        // bounds at stamp time as well)
+        case (Right(x), Right(y)) =>
+          java.lang.Double.compare(x + 0.0d, y + 0.0d)
         case _ => 0 // representation mismatch: never prove emptiness
       }
     def outOfRange(ord: Int, v: Either[Long, Double]): Boolean =

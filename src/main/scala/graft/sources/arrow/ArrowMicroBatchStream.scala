@@ -71,7 +71,14 @@ private[arrow] class ArrowMicroBatchStream(
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(prefixEnd())
 
-  override def initialOffset(): Offset = ArrowShardOffset(0L)
+  // start at the tree's FIRST existing shard id, not a hardcoded 0: a
+  // Complete-mode-truncated tree (only batch_id=N survives) or a
+  // producer resumed at epoch N>0 begins above zero, and with strict
+  // per-id admission below, a 0-based start would demand directories
+  // that never existed. An empty tree starts at 0 (matches
+  // streamingArrowShards' first micro-batch id).
+  override def initialOffset(): Offset = ArrowShardOffset(
+    ArrowSource.shardDirs(fs, root).headOption.map(_._1).getOrElse(0L))
   override def deserializeOffset(json: String): Offset =
     ArrowShardOffset(json.trim.toLong)
   override def latestOffset(): Offset =
@@ -102,17 +109,29 @@ private[arrow] class ArrowMicroBatchStream(
     val until = end.asInstanceOf[ArrowShardOffset].next
     if (until <= from) return Array.empty
     val hfs = fs
-    val files = ArrowSource.shardDirs(hfs, root)
-      .filter { case (id, _) => id >= from && id < until }
-      .flatMap { case (id, shard) =>
-        // the offset range was admitted from the committed prefix; a
-        // shard going missing or uncommitted INSIDE it now means the
-        // producer replayed under us — fail loudly, never drop rows
-        require(!requireMarker || hfs.exists(new Path(shard, "_SUCCESS")),
-          s"shard $shard lost its _SUCCESS after admission (producer " +
-            "replay in flight?) — restart the query to re-admit it")
-        ArrowInterchange.listArrows(hfs, shard)
-      }
+    // iterate the admitted ids EXPLICITLY, not the directories that
+    // happen to exist: a shard whose directory vanished entirely (a
+    // producer replay sits between publishStaged's delete and rename)
+    // must fail exactly like one that lost only its _SUCCESS — a
+    // filter over the listing would silently drop it while the offset
+    // advances past it, losing its rows forever
+    val dirs = ArrowSource.shardDirs(hfs, root)
+      .filter { case (id, _) => id >= from && id < until }.toMap
+    val files = (from until until).flatMap { id =>
+      val shard = dirs.getOrElse(id,
+        throw new IllegalStateException(
+          s"shard batch_id=$id under $path vanished after admission " +
+            "(producer replay in flight, or the producer's first shard " +
+            "id is above this query's start offset?) — restart the " +
+            "query to re-admit it"))
+      // the offset range was admitted from the committed prefix; a
+      // shard going missing or uncommitted INSIDE it now means the
+      // producer replayed under us — fail loudly, never drop rows
+      require(!requireMarker || hfs.exists(new Path(shard, "_SUCCESS")),
+        s"shard $shard lost its _SUCCESS after admission (producer " +
+          "replay in flight?) — restart the query to re-admit it")
+      ArrowInterchange.listArrows(hfs, shard)
+    }
     // zone-map pruning applies per micro-batch too: files whose stamped
     // [min,max] provably excludes the pushed conjunction are never
     // opened (Spark still re-evaluates the filters on rows)

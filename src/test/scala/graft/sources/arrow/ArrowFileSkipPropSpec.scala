@@ -32,8 +32,13 @@ class ArrowFileSkipPropSpec extends AnyFunSuite {
   // row sets drawn from a narrow range so filters land inside, outside,
   // and on the boundaries with similar likelihood
   private val genLongs = Gen.nonEmptyListOf(Gen.chooseNum(-20L, 20L))
+  // signed zero appears explicitly: chooseNum never draws -0.0, and the
+  // zone-map eliminator must treat ±0.0 equal the way Spark's predicate
+  // semantics do (a file whose min/max stamped as one sign must not be
+  // pruned for a filter literal of the other)
   private val genDoubles = Gen.nonEmptyListOf(Gen.frequency(
-    9 -> Gen.chooseNum(-20.0, 20.0), 1 -> Gen.const(Double.NaN)))
+    8 -> Gen.chooseNum(-20.0, 20.0), 1 -> Gen.const(Double.NaN),
+    1 -> Gen.oneOf(-0.0d, 0.0d)))
 
   private val genLongFilter: Gen[Filter] = for {
     v <- Gen.chooseNum(-25L, 25L)
@@ -43,7 +48,8 @@ class ArrowFileSkipPropSpec extends AnyFunSuite {
   } yield f
 
   private val genDoubleFilter: Gen[Filter] = for {
-    v <- Gen.chooseNum(-25.0, 25.0)
+    v <- Gen.frequency(8 -> Gen.chooseNum(-25.0, 25.0),
+      2 -> Gen.oneOf(-0.0d, 0.0d))
     f <- Gen.oneOf[Filter](EqualTo("d", v), GreaterThan("d", v),
       GreaterThanOrEqual("d", v), LessThan("d", v), LessThanOrEqual("d", v),
       In("d", Array[Any](v, v + 1.5)))
@@ -55,18 +61,24 @@ class ArrowFileSkipPropSpec extends AnyFunSuite {
     m += (ArrowInterchange.minMetaKey(0) -> ls.min.toString)
     m += (ArrowInterchange.maxMetaKey(0) -> ls.max.toString)
     val finite = ds.filterNot(_.isNaN)
-    // any NaN disables the column's stats, exactly like StatsTracker
+    // any NaN disables the column's stats, exactly like StatsTracker;
+    // zero bounds widen to cover both signs, exactly like stamp()
     if (finite.nonEmpty && finite.size == ds.size) {
-      m += (ArrowInterchange.minMetaKey(1) -> finite.min.toString)
-      m += (ArrowInterchange.maxMetaKey(1) -> finite.max.toString)
+      val lo = finite.min; val hi = finite.max
+      m += (ArrowInterchange.minMetaKey(1) ->
+        (if (lo == 0.0d) -0.0d else lo).toString)
+      m += (ArrowInterchange.maxMetaKey(1) ->
+        (if (hi == 0.0d) 0.0d else hi).toString)
     }
     m.result()
   }
 
   /** Spark's comparison semantics: NaN orders ABOVE every double and
-    * equals itself (nan-safe compare). */
+    * equals itself, and -0.0 == 0.0 (SQLOrderingUtil.compareDoubles
+    * short-circuits on primitive ==, unlike raw Double.compare which
+    * orders -0.0 < 0.0 — the `+ 0.0` collapses the signs first). */
   private def cmpD(a: Double, b: Double): Int =
-    java.lang.Double.compare(a, b) // JDK compare IS nan-safe: NaN > all
+    java.lang.Double.compare(a + 0.0d, b + 0.0d)
 
   private def rowMatches(f: Filter, l: Long, d: Double): Boolean = f match {
     case EqualTo("l", v: Long) => l == v
