@@ -1,0 +1,424 @@
+package graft
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.ArrowInterchange
+import graft.sources.GraftTable
+import graft.sources.arrow.ArrowSourceProvider
+
+/** TableCatalog plugin — NAMED tables over the engine's two storage
+  * planes, so the SQL surface stops passing quoted paths around. The
+  * reference addresses destinations and queries by table NAME
+  * (`WithDestinationTable("bidreq")`, /root/reference/main.go:255;
+  * `FROM bidreq`, main.go:97,118); this is that addressing for Spark:
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /data/graft
+  *
+  *   CREATE NAMESPACE graft.db;
+  *   CREATE TABLE graft.db.docs (doc_id BIGINT, text STRING)
+  *     USING graft-arrow;                        -- managed arrow table
+  *   INSERT INTO graft.db.docs SELECT …;         -- appends one shard
+  *   INSERT OVERWRITE graft.db.docs SELECT …;    -- replaces the tree
+  *   SELECT … FROM graft.db.docs;                -- full DSv2 scan
+  *   CREATE TABLE graft.db.bids USING graft-log
+  *     LOCATION '/exports/table' OPTIONS (sink 'raw');  -- external
+  *   SELECT … FROM graft.db.bids VERSION AS OF 3;       -- time travel
+  *   DROP TABLE graft.db.docs;                   -- managed: data too
+  * }}}
+  *
+  * Two providers:
+  *
+  *  - **`graft-arrow`** (default): the table IS a graft-arrow SHARD
+  *    TREE ([[graft.sources.arrow.ArrowSourceProvider]] with
+  *    `appendable=true`) — batch read with column pruning / zone maps /
+  *    COUNT(*) pushdown, INSERT INTO as whole-shard appends, INSERT
+  *    OVERWRITE as a wholesale tree swap, and streaming read/write
+  *    (`spark.readStream.table(…)` tails the shards). CREATE TABLE
+  *    with columns publishes a schema-only `batch_id=0` shard so the
+  *    empty table reads back with its declared schema.
+  *  - **`graft-log`**: registers an existing [[GraftTable]] commit-log
+  *    sink (`LOCATION` = table root, `sink` option = sink name) as a
+  *    read-only named table. Reads resolve the committed snapshot at
+  *    table-resolution time (consistent within a query) and delegate
+  *    the scan to Spark's own vectorized parquet source — full
+  *    filter/column pushdown for free. `VERSION AS OF n` maps to
+  *    [[GraftTable.readAsOf]]. Writes go through the GraftTable verbs
+  *    (GRAFT MERGE/DELETE/OPTIMIZE… or the Scala API), which own the
+  *    commit protocol — an uncoordinated INSERT here would land files
+  *    the log never references (invisible to readers, swept by
+  *    vacuum), so the catalog refuses it loudly.
+  *
+  * Catalog METADATA is files, like everything else in the engine: one
+  * regex-parseable JSON file per table under
+  * `<warehouse>/_graft_catalog/<ns…>/<table>.json`, namespaces are the
+  * directories — no metastore service, works on any HCFS. Scale: a
+  * lookup is one file read; a listing is one directory listing. The
+  * data plane's own commit protocols (shard markers, the commit log)
+  * carry all correctness weight; losing catalog metadata loses only
+  * name→path bindings, never data.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog '$name' needs spark.sql.catalog.$name.warehouse"))
+    warehouse = new Path(w)
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+  private def fs: FileSystem =
+    warehouse.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private val MetaDir = "_graft_catalog"
+
+  // name segments become path segments: refuse anything that could
+  // escape the metadata tree or collide with the format's own markers
+  private val SegmentRe = "[A-Za-z0-9_][A-Za-z0-9_.-]*".r
+  private def checkSegment(s: String): String = {
+    require(SegmentRe.pattern.matcher(s).matches() && !s.startsWith("_"),
+      s"invalid catalog name segment '$s' (want [A-Za-z0-9_.-]+, not " +
+        "starting with '_')")
+    s
+  }
+
+  private def nsPath(ns: Array[String]): Path =
+    ns.map(checkSegment).foldLeft(new Path(warehouse, MetaDir))(new Path(_, _))
+  private def metaPath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace), s"${checkSegment(ident.name)}.json")
+  private def managedLocation(ident: Identifier): Path =
+    (ident.namespace.map(checkSegment) :+ checkSegment(ident.name))
+      .foldLeft(warehouse)(new Path(_, _))
+
+  /** One registered table's binding. */
+  private case class Meta(provider: String, location: String,
+                          sink: Option[String], managed: Boolean)
+
+  private val MetaRe =
+    ("""\{"provider":"([^"]+)","location":"([^"]+)"""" +
+      """(?:,"sink":"([^"]+)")?,"managed":(true|false)\}""").r
+
+  private def metaJson(m: Meta): String = {
+    val sink = m.sink.map(s => s""","sink":"$s"""").getOrElse("")
+    s"""{"provider":"${m.provider}","location":"${m.location}"$sink,"managed":${m.managed}}"""
+  }
+
+  private def readMeta(ident: Identifier): Option[Meta] = {
+    val p = metaPath(ident)
+    val hfs = fs
+    if (!hfs.exists(p)) None
+    else {
+      val in = hfs.open(p)
+      val text =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      text.trim match {
+        case MetaRe(provider, location, sink, managed) =>
+          Some(Meta(provider, location, Option(sink), managed.toBoolean))
+        case other => throw new IllegalStateException(
+          s"unparseable catalog metadata at $p: $other")
+      }
+    }
+  }
+
+  // ---- namespaces -------------------------------------------------------
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    fs.exists(nsPath(namespace))
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse, MetaDir)
+    val hfs = fs
+    if (!hfs.exists(root)) Array.empty
+    else hfs.listStatus(root).filter(_.isDirectory)
+      .map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val p = nsPath(namespace)
+    val hfs = fs
+    if (!hfs.exists(p)) throw new NoSuchNamespaceException(
+      name() +: namespace)
+    hfs.listStatus(p).filter(_.isDirectory)
+      .map(s => namespace :+ s.getPath.getName)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(name() +: namespace)
+    util.Map.of("location", nsPath(namespace).toString)
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(name() +: namespace)
+    fs.mkdirs(nsPath(namespace))
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog namespaces carry no alterable metadata")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    val hfs = fs
+    if (!hfs.exists(p)) return false
+    if (!cascade && hfs.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty " +
+          "(use CASCADE); managed tables' DATA is only deleted by " +
+          "explicit DROP TABLE, never by a namespace drop")
+    hfs.delete(p, true)
+  }
+
+  // ---- tables -----------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    val hfs = fs
+    if (!hfs.exists(p)) throw new NoSuchNamespaceException(
+      name() +: namespace)
+    hfs.listStatus(p).filter(_.isFile)
+      .map(_.getPath.getName).filter(_.endsWith(".json"))
+      .map(n => Identifier.of(namespace, n.stripSuffix(".json")))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    readMeta(ident).isDefined
+
+  private def arrowTable(location: String): Table = {
+    val provider = new ArrowSourceProvider
+    val props = util.Map.of("path", location, "appendable", "true")
+    val schema = provider.inferSchema(new CaseInsensitiveStringMap(props))
+    provider.getTable(schema, Array.empty[Transform], props)
+  }
+
+  private def logTable(meta: Meta, ident: Identifier,
+                       asOf: Option[Long]): Table = {
+    val root = meta.location
+    val sink = meta.sink.getOrElse(throw new IllegalStateException(
+      s"graft-log table ${ident} has no sink recorded"))
+    val (files, mergeNeeded) = GraftTable.snapshotFiles(spark, root, sink, asOf)
+    val display = s"$catalogName.${(ident.namespace :+ ident.name).mkString(".")}"
+    if (files.isEmpty) {
+      // a sink emptied by DELETE keeps its committed schema; a
+      // never-written one reads as zero columns, zero rows — the same
+      // contract as GraftTable.read
+      val schema = GraftTable.snapshotSchema(spark, root, sink, asOf)
+        .getOrElse(new StructType())
+      new GraftEmptySnapshotTable(display, schema)
+    } else {
+      // delegate the scan to Spark's own vectorized parquet source —
+      // identical file set and options as GraftTable.read, with full
+      // filter/column pushdown; wrapped read-only so an INSERT cannot
+      // bypass the commit log (its files would be invisible to log
+      // readers and swept by vacuum)
+      import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+      val opts = new CaseInsensitiveStringMap(util.Map.of(
+        "basePath", s"$root/$sink", "mergeSchema", mergeNeeded.toString))
+      new GraftReadOnlyTable(
+        ParquetTable(display, spark, opts,
+          files.map(f => s"$root/$f").toList, None,
+          classOf[ParquetFileFormat]),
+        "graft-log tables are written through the commit log (GRAFT " +
+          "MERGE/DELETE/OPTIMIZE or the GraftTable API) — a direct " +
+          "INSERT would land files no commit references")
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    readMeta(ident) match {
+      case None => throw new NoSuchTableException(ident)
+      case Some(m) if m.provider == "graft-log" => logTable(m, ident, None)
+      case Some(m) => arrowTable(m.location)
+    }
+
+  /** `VERSION AS OF n` — time travel by NAME for commit-log tables
+    * ([[GraftTable.readAsOf]]'s catalog spelling). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    readMeta(ident) match {
+      case None => throw new NoSuchTableException(ident)
+      case Some(m) if m.provider == "graft-log" =>
+        val v = scala.util.Try(version.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"VERSION AS OF wants a batch id (long), got '$version'"))
+        logTable(m, ident, Some(v))
+      case Some(_) => throw new UnsupportedOperationException(
+        "graft-arrow tables are not versioned (shard trees keep no " +
+          "history) — VERSION AS OF addresses graft-log tables")
+    }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog tables are unpartitioned (shard trees and the " +
+        "commit log manage their own layout)")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val props = properties.asScala
+    val provider = props.getOrElse(TableCatalog.PROP_PROVIDER, "graft-arrow")
+      .toLowerCase
+    val location = props.get(TableCatalog.PROP_LOCATION)
+    val meta = provider match {
+      case "graft-arrow" =>
+        val loc = location.getOrElse(managedLocation(ident).toString)
+        if (schema.nonEmpty) {
+          // declared columns: validate the full type surface NOW, then
+          // publish a schema-only batch_id=0 shard so the empty table
+          // reads back with its schema (and appends number from 1)
+          ArrowInterchange.toArrowSchema(schema)
+          val hfs = fs
+          val shard0 = new Path(new Path(loc), "batch_id=0")
+          if (!hfs.exists(shard0)) {
+            hfs.mkdirs(shard0)
+            ArrowInterchange.writeSchemaOnly(hfs,
+              new Path(shard0, "part-00000.arrows"), schema)
+            ArrowInterchange.writeStatsManifest(hfs, shard0, Seq(
+              ("part-00000.arrows",
+                Map(ArrowInterchange.RowsMetaKey -> "0"))))
+            hfs.create(new Path(shard0, "_SUCCESS"), true).close()
+          }
+        }
+        Meta("graft-arrow", loc, None, managed = location.isEmpty)
+      case "graft-log" =>
+        val loc = location.getOrElse(throw new IllegalArgumentException(
+          "graft-log tables register an EXISTING commit-log root: " +
+            "LOCATION '<table root>' is required"))
+        val sink = props.get("sink")
+          .orElse(props.get(TableCatalog.OPTION_PREFIX + "sink"))
+          .getOrElse(throw new IllegalArgumentException(
+            "graft-log tables need OPTIONS (sink '<sink name>')"))
+        require(schema.isEmpty,
+          "graft-log tables infer their schema from the commit log — " +
+            "register without columns")
+        Meta("graft-log", loc, Some(sink), managed = false)
+      case other => throw new UnsupportedOperationException(
+        s"unknown provider '$other' for the graft catalog " +
+          "(want graft-arrow | graft-log)")
+    }
+    val p = metaPath(ident)
+    val hfs = fs
+    hfs.mkdirs(p.getParent)
+    val out = hfs.create(p, false) // no-overwrite: the exists race loses
+    try out.write(metaJson(meta)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog tables carry no alterable metadata — schema lives " +
+        "in the data plane (shard footers / the commit log)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    readMeta(ident) match {
+      case None => false
+      case Some(m) =>
+        val hfs = fs
+        // managed data goes with the binding; external data is only
+        // UNREGISTERED — its lifecycle (vacuum, retention) stays with
+        // the storage plane that owns it
+        if (m.managed) hfs.delete(new Path(m.location), true)
+        hfs.delete(metaPath(ident), false)
+    }
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit = {
+    val meta = readMeta(oldIdent).getOrElse(
+      throw new NoSuchTableException(oldIdent))
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val hfs = fs
+    hfs.mkdirs(metaPath(newIdent).getParent)
+    // a managed table's data directory moves with its name so the
+    // binding stays self-describing; external locations are untouched
+    val moved =
+      if (meta.managed) {
+        val dest = managedLocation(newIdent)
+        if (hfs.exists(new Path(meta.location)))
+          require(hfs.rename(new Path(meta.location), dest),
+            s"renaming managed data ${meta.location} -> $dest failed")
+        meta.copy(location = dest.toString)
+      } else meta
+    val out = hfs.create(metaPath(newIdent), false)
+    try out.write(metaJson(moved)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    hfs.delete(metaPath(oldIdent), false)
+    ()
+  }
+}
+
+/** Read-only wrapper: exposes exactly the delegate's scan surface and
+  * nothing else, with a domain-specific refusal for writes. */
+private[graft] class GraftReadOnlyTable(delegate: Table with SupportsRead,
+                                        whyReadOnly: String)
+    extends Table with SupportsRead {
+  override def name(): String = delegate.name()
+  override def schema(): StructType = delegate.schema()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
+  override def properties(): util.Map[String, String] = delegate.properties()
+}
+
+/** An empty snapshot with a pinned schema — what a commit-log sink with
+  * no committed files reads as (same contract as GraftTable.read). */
+private[graft] class GraftEmptySnapshotTable(tableName: String,
+                                             declared: StructType)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read._
+
+  override def name(): String = tableName
+  override def schema(): StructType = declared
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = declared
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          Array.empty
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(
+                p: InputPartition): PartitionReader[InternalRow] =
+              throw new IllegalStateException("empty scan has no partitions")
+          }
+      }
+    }
+}

@@ -146,6 +146,7 @@ object SparkEntry {
     // --- table-format verbs (scratch log-tracked table, end-to-end) -----
     "q_table_merge"         -> (TableVerbs.mergeFinalState _),
     "q_table_changes"       -> (TableVerbs.changeFeed _),
+    "q_catalog_lifecycle"   -> (CatalogLifecycle.lifecycle _),
     // --- JSONL interchange (gzip export → schema'd read-back) -----------
     "q_jsonl_roundtrip"     -> (Jsonl.roundtrip _),
     // --- Arrow IPC interchange (the reference's native data plane) ------
@@ -2215,6 +2216,7 @@ object SparkEntry {
     // change-feed MUST produce, relationally from `documents` alone
     "q_table_merge" -> operators.TableVerbs.mergeFinalStateOracle,
     "q_table_changes" -> operators.TableVerbs.changeFeedOracle,
+    "q_catalog_lifecycle" -> operators.CatalogLifecycle.lifecycleOracle,
     // jsonl roundtrip must be lossless — the oracle IS the source table
     "q_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars

@@ -527,6 +527,31 @@ object GraftTable {
   def read(spark: SparkSession, root: String, sink: String): DataFrame =
     readFiles(spark, root, sink, None)
 
+  /** The inputs an EXTERNAL reader (the `graft` catalog's named log
+    * tables) needs to reproduce [[read]]/[[readAsOf]] semantics without
+    * a DataFrame in hand: (root-relative committed files of the sink,
+    * whether committed versions disagree on the sink's schema — i.e.
+    * whether the reader must merge footers, [[schemasDisagree]]'s law,
+    * computed over the SAME version cut as the files so a post-`asOf`
+    * evolution never forces a merge the snapshot doesn't need). */
+  def snapshotFiles(spark: SparkSession, root: String, sink: String,
+                    asOf: Option[Long] = None): (Seq[String], Boolean) = {
+    val hist = history(spark, root)
+    val cut = asOf.map(a => hist.filter(_.batchId <= a)).getOrElse(hist)
+    (foldFiles(cut).filter(_.startsWith(sink + "/")),
+      cut.flatMap(_.schemas.get(sink)).distinct.size > 1)
+  }
+
+  /** Latest recorded footer schema of `sink` as of a version cut —
+    * what an empty catalog-named table reports (matches [[readFiles]]'
+    * empty-sink contract). */
+  def snapshotSchema(spark: SparkSession, root: String, sink: String,
+                     asOf: Option[Long] = None): Option[StructType] = {
+    val hist = history(spark, root)
+    val cut = asOf.map(a => hist.filter(_.batchId <= a)).getOrElse(hist)
+    cut.flatMap(_.schemas.get(sink)).lastOption.map(decodeSchema)
+  }
+
   /** Time travel: the sink exactly as of batch `asOfBatchId` (Delta's
     * `versionAsOf`). History survives [[checkpoint]] folding, so any
     * published version stays addressable. */

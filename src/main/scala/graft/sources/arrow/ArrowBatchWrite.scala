@@ -40,7 +40,8 @@ import graft.operators.ArrowInterchange.SerConf
   * log-tracked storage is [[graft.sources.GraftTable]]'s job; this
   * format's contract is whole-export atomicity.
   */
-private[arrow] class ArrowWriteBuilder(path: String, info: LogicalWriteInfo)
+private[arrow] class ArrowWriteBuilder(path: String, info: LogicalWriteInfo,
+                                       appendable: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   private var truncating = false
   override def truncate(): WriteBuilder = { truncating = true; this }
@@ -52,6 +53,17 @@ private[arrow] class ArrowWriteBuilder(path: String, info: LogicalWriteInfo)
       .getOrElse(ArrowInterchange.DefaultBatchRows)
     new Write {
       override def toBatch: BatchWrite = {
+        // appendable (catalog-named) tables use the SHARD-TREE write
+        // contract: INSERT INTO commits one whole batch_id=N directory
+        // (safe to append — a crash leaves an unmarked staging dir, no
+        // marker ever vouches for partial data), INSERT OVERWRITE
+        // replaces the tree with a fresh single-shard one wholesale
+        if (appendable && !truncating)
+          return new ArrowShardAppendWrite(path, info.schema(),
+            info.queryId(), batchRows)
+        if (appendable)
+          return new ArrowBatchWrite(path, info.schema(), info.queryId(),
+            batchRows, asShardTree = true)
         if (!truncating)
           throw new UnsupportedOperationException(
             "graft-arrow batch writes are overwrite-only: the " +
@@ -59,7 +71,8 @@ private[arrow] class ArrowWriteBuilder(path: String, info: LogicalWriteInfo)
               "append could crash into a silently-partial directory the " +
               "marker still vouches for — use .mode(\"overwrite\") / " +
               "INSERT OVERWRITE, a GraftTable for appendable log-tracked " +
-              "storage, or writeStream for per-epoch shard appends")
+              "storage, a catalog-named table (appendable shard trees), " +
+              "or writeStream for per-epoch shard appends")
         new ArrowBatchWrite(path, info.schema(), info.queryId(), batchRows)
       }
       // streaming appends ARE safe: each epoch commits its own
@@ -230,7 +243,8 @@ private[arrow] class ArrowStreamingWriterFactory(path: String,
 }
 
 private[arrow] class ArrowBatchWrite(path: String, schema: StructType,
-                                     queryId: String, batchRows: Int)
+                                     queryId: String, batchRows: Int,
+                                     asShardTree: Boolean = false)
     extends BatchWrite {
   private val sconf =
     new SerConf(SparkSession.active.sessionState.newHadoopConf())
@@ -241,11 +255,17 @@ private[arrow] class ArrowBatchWrite(path: String, schema: StructType,
   // queryId is unique per execution, so concurrent writes to the same
   // destination stage independently; last commit's swap wins wholesale
   private val staging = new Path(parent, s".${out.getName}.staging-$queryId")
+  // asShardTree (appendable-table OVERWRITE): the published tree holds
+  // ONE batch_id=0 shard so later INSERT INTOs can append batch_id=1…
+  // — files, manifest, and marker all land inside the shard dir, and
+  // the root-level swap below replaces the whole previous tree
+  private val dataDir =
+    if (asShardTree) new Path(staging, "batch_id=0") else staging
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
-    staging.getFileSystem(sconf.conf).mkdirs(staging)
-    new ArrowWriterFactory(staging.toString, sconf, schema, batchRows)
+    dataDir.getFileSystem(sconf.conf).mkdirs(dataDir)
+    new ArrowWriterFactory(dataDir.toString, sconf, schema, batchRows)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -258,17 +278,17 @@ private[arrow] class ArrowBatchWrite(path: String, schema: StructType,
       // whose winning attempt died post-publish reports no stats but
       // its file stands — a schema-only file must never land next to it
       val manifest =
-        if (ArrowInterchange.listArrows(fs, staging).nonEmpty) entries
+        if (ArrowInterchange.listArrows(fs, dataDir).nonEmpty) entries
         else {
           // all-empty input still reads back as an empty frame WITH the
           // declared schema (exportArrow's contract)
           ArrowInterchange.writeSchemaOnly(fs,
-            new Path(staging, "part-00000.arrows"), schema)
+            new Path(dataDir, "part-00000.arrows"), schema)
           Seq(("part-00000.arrows",
             Map(ArrowInterchange.RowsMetaKey -> "0")))
         }
-      ArrowInterchange.writeStatsManifest(fs, staging, manifest)
-      fs.create(new Path(staging, "_SUCCESS"), true).close()
+      ArrowInterchange.writeStatsManifest(fs, dataDir, manifest)
+      fs.create(new Path(dataDir, "_SUCCESS"), true).close()
     } catch { case t: Throwable =>
       // failures up to here never touched the destination
       try fs.delete(staging, true) catch { case _: Throwable => () }
@@ -282,6 +302,115 @@ private[arrow] class ArrowBatchWrite(path: String, schema: StructType,
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = staging.getFileSystem(sconf.conf)
     fs.delete(staging, true)
+  }
+}
+
+/** Shard-tree APPEND (`INSERT INTO` a catalog-named graft-arrow table):
+  * tasks stage one epoch-shaped shard under a hidden staging dir inside
+  * the tree, and commit publishes it wholesale as `batch_id=<next>` —
+  * the batch spelling of the streaming sink's per-epoch shard commit,
+  * with the same safety shape: a crash before the publish leaves only
+  * an unmarked staging dir (readers gate on per-shard `_SUCCESS`), so
+  * no marker ever vouches for partial data, which is exactly why plain
+  * flat exports stay overwrite-only while shard trees may append.
+  *
+  * The shard id is claimed AT COMMIT (max existing id + 1, retried past
+  * collisions): two concurrent appends stage independently and both
+  * land, in arbitration order. An all-empty insert publishes nothing —
+  * appending zero rows should not grow the tree. */
+private[arrow] class ArrowShardAppendWrite(path: String, schema: StructType,
+                                           queryId: String, batchRows: Int)
+    extends BatchWrite {
+  private val sconf =
+    new SerConf(SparkSession.active.sessionState.newHadoopConf())
+  private val out = new Path(path)
+  private val staging = new Path(out, s".append-$queryId.staging")
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val fs = staging.getFileSystem(sconf.conf)
+    if (fs.exists(out)) {
+      // appending top-level .arrows files to a FLAT export would make
+      // the artifact lie (its root _SUCCESS vouches for one complete
+      // overwrite) — appends are a shard-tree verb only
+      require(ArrowInterchange.listArrows(fs, out).isEmpty,
+        s"$path is a flat graft-arrow export (top-level .arrows files) " +
+          "— appends target shard trees; use overwrite for flat exports")
+    }
+    // the table advertises ACCEPT_ANY_SCHEMA (writes must resolve
+    // against the query for fresh dirs), so append-time schema safety
+    // is this writer's job: a shard whose footer disagrees with the
+    // tree's declared schema would fail EVERY later read as "mixed
+    // exports" — reject it before a single byte is staged
+    val existing = ArrowSource.footerSchema(path)
+    if (existing.nonEmpty) {
+      val incoming = ArrowInterchange.fromArrowSchema(
+        ArrowInterchange.toArrowSchema(schema))
+      require(incoming == existing,
+        s"graft-arrow append: incoming schema $incoming does not match " +
+          s"the table's declared schema $existing (shard trees are " +
+          "schema-homogeneous; evolve via overwrite or a GraftTable)")
+    }
+    fs.mkdirs(staging)
+    new ArrowWriterFactory(staging.toString, sconf, schema, batchRows)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = staging.getFileSystem(sconf.conf)
+    try {
+      val entries = messages.toSeq.collect {
+        case ArrowCommit(f, _, m) if f != null => (f, m)
+      }
+      // zero rows staged → no shard: the tree is unchanged and the
+      // staging dir is swept (listing decides, same law as overwrite)
+      if (ArrowInterchange.listArrows(fs, staging).isEmpty) {
+        fs.delete(staging, true)
+        return
+      }
+      ArrowInterchange.writeStatsManifest(fs, staging, entries)
+      fs.create(new Path(staging, "_SUCCESS"), true).close()
+    } catch { case t: Throwable =>
+      try fs.delete(staging, true) catch { case _: Throwable => () }
+      throw t
+    }
+    // claim the next shard id: existence-check then rename, advancing
+    // past ids a concurrent append claimed first. Local-FS rename onto
+    // an EXISTING directory moves the source INSIDE it (POSIX mv
+    // semantics) — the post-rename nested check detects that race and
+    // pulls the staging back out to retry under the next id.
+    var id = ArrowSource.shardDirs(fs, out).lastOption
+      .map(_._1 + 1L).getOrElse(0L)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 10000,
+        s"could not claim a shard id under $path after $attempts tries " +
+          s"— staged data is intact at $staging")
+      val dest = new Path(out, s"batch_id=$id")
+      if (fs.exists(dest)) id += 1
+      else if (fs.rename(staging, dest)) {
+        val nested = new Path(dest, staging.getName)
+        if (fs.exists(nested)) { // lost the claim via mv-into semantics
+          if (!fs.rename(nested, staging))
+            throw new IOException(
+              s"append lost the claim for $dest and recovering the " +
+                s"staging from $nested failed — staged data is there")
+          id += 1
+        } else done = true
+      } else {
+        if (!fs.exists(dest))
+          throw new IOException(
+            s"publishing $staging as $dest failed — staged data intact")
+        id += 1
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = staging.getFileSystem(sconf.conf)
+    fs.delete(staging, true)
+    ()
   }
 }
 

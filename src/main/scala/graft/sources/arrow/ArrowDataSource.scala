@@ -54,7 +54,12 @@ class ArrowSourceProvider extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
-    new ArrowTable(path(properties), schema)
+    new ArrowTable(path(properties), schema,
+      // appendable = the SHARD-TREE write contract (each INSERT commits
+      // one whole batch_id=N directory, like a streaming epoch), the
+      // layout catalog-named tables use; plain path writes keep the
+      // flat whole-export overwrite-only artifact
+      Option(properties.get("appendable")).exists(_.toBoolean))
 
   // the schema IS declared in the artifact's footer — a user-supplied
   // schema could only disagree with it (nullability, metadata, column
@@ -129,26 +134,35 @@ private[arrow] object ArrowSource {
   }
 }
 
-private[arrow] class ArrowTable(path: String, declared: StructType)
+private[arrow] class ArrowTable(path: String, declared: StructType,
+                                appendable: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-arrow:$path"
   override def schema(): StructType = declared
-  // ACCEPT_ANY_SCHEMA: writes resolve against the incoming query's
-  // schema (validated against the Arrow type surface at plan time in
-  // the write builder) — the table's own schema is just the footer of
-  // whatever export currently sits at the path, empty for a fresh one
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+  // ACCEPT_ANY_SCHEMA — for PATH-addressed tables only: writes resolve
+  // against the incoming query's schema (validated against the Arrow
+  // type surface at plan time in the write builder) because the
+  // table's own schema is just the footer of whatever export currently
+  // sits at the path, empty for a fresh one. Catalog-named (appendable)
+  // tables have a REAL declared schema (create stamps a schema-only
+  // shard), so they do NOT advertise it — Spark then resolves and
+  // casts every INSERT against the table schema, the standard append
+  // contract.
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val base = java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.TRUNCATE)
+    if (!appendable) base.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    base
+  }
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     require(declared.nonEmpty,
       s"no .arrows files under $path (nothing to read)")
     new ArrowScanBuilder(path, declared, opts)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ArrowWriteBuilder(path, info)
+    new ArrowWriteBuilder(path, info, appendable)
 }
 
 private[arrow] class ArrowScanBuilder(path: String, declared: StructType,
@@ -429,8 +443,35 @@ private[arrow] class ArrowScan(path: String, declared: StructType,
                                limit: Int = -1,
                                skips: Seq[org.apache.spark.sql.sources.Filter] = Nil,
                                maxShardsPerTrigger: Option[Long] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
   private var pruned: Option[(Int, Int)] = None
+  // runtime (join-side) filters land AFTER planning, BEFORE execution:
+  // Spark collects a broadcast join's build-side keys and hands the
+  // probe-side scan an IN-set over them. Zone maps then prune files at
+  // EXECUTION time — a star-shape join against a small filtered dim
+  // scans only the shards whose [min,max] can hold the surviving keys,
+  // which at 100 TB is the difference between a day and a year of
+  // shards. Same soundness law as static skips: pruning only ever
+  // removes provably-empty files; Spark re-evaluates the join itself.
+  private var runtimeSkips: Seq[org.apache.spark.sql.sources.Filter] = Nil
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    declared.fields.collect {
+      case f if ArrowFileSkip.usable(
+          org.apache.spark.sql.sources.EqualTo(f.name, f.dataType match {
+            case IntegerType => Int.box(0)
+            case LongType => Long.box(0L)
+            case FloatType | DoubleType => Double.box(0.0)
+            case DateType => java.time.LocalDate.ofEpochDay(0)
+            case TimestampType => java.time.Instant.EPOCH
+            case TimestampNTZType => java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
+            case _ => null
+          }), declared) =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Unit =
+    runtimeSkips = filters.toSeq.filter(ArrowFileSkip.usable(_, declared))
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-arrow $path [${required.fieldNames.mkString(",")}]" +
@@ -443,7 +484,7 @@ private[arrow] class ArrowScan(path: String, declared: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val (parts, kept, total) =
       ArrowScan.planPartitions(path, requireMarker, maxTaskBytes,
-        skips, declared)
+        skips ++ runtimeSkips, declared)
     pruned = Some((kept, total))
     parts
   }

@@ -143,8 +143,14 @@ private[arrow] class ArrowMicroBatchStream(
       .map(g => ArrowInputPartition(g, sconf): InputPartition).toArray
   }
 
+  // columnar vend, exactly like the batch scan: each record batch is
+  // handed to Spark as a ColumnarBatch over ArrowColumnVector wrappers
+  // (zero per-row boxing on a columnar format — the reference's plane
+  // is columnar end-to-end, main.go:363-380); the factory itself falls
+  // back to the by-name row reader under NESTED schema pruning, where
+  // ordinal-based vector wrappers would read the wrong children
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArrowReaderFactory(declared, required, columnar = false)
+    new ArrowReaderFactory(declared, required, columnar = true)
 }
 
 /** Shard-id offset: `next` = first shard id not yet consumed. */

@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.AnalysisException
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.GraftTable
+
+/** The `graft` TableCatalog: named tables over graft-arrow shard trees
+  * (full CRUD + streaming) and GraftTable commit-log sinks (read +
+  * time travel), replacing path-string addressing with
+  * `graft.db.table` — the reference's named-destination model
+  * (main.go:255 queried at main.go:97). */
+class GraftCatalogSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  // one catalog per suite run; tests share namespaces but use distinct
+  // table names
+  private lazy val wh = {
+    val dir = Files.createTempDirectory("graft-catalog-wh").toString
+    spark.conf.set("spark.sql.catalog.cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cat.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.db")
+    dir
+  }
+
+  test("create / insert (append) / overwrite / select / drop on a " +
+       "managed graft-arrow table") {
+    wh
+    spark.sql("CREATE TABLE cat.db.docs (doc_id BIGINT, txt STRING) " +
+      "USING `graft-arrow`")
+    // the empty created table reads back with its declared schema
+    val empty = spark.sql("SELECT * FROM cat.db.docs")
+    assert(empty.columns.toSeq == Seq("doc_id", "txt") && empty.count() == 0)
+    spark.sql("INSERT INTO cat.db.docs VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO cat.db.docs VALUES (3, 'c')")
+    assert(spark.sql("SELECT count(*) FROM cat.db.docs").head.getLong(0) == 3)
+    // each INSERT INTO committed one whole shard
+    val loc = s"$wh/db/docs"
+    val shards = new java.io.File(loc).list().count(_.startsWith("batch_id="))
+    assert(shards == 3, s"expected schema shard + 2 appends, got $shards")
+    spark.sql("INSERT OVERWRITE cat.db.docs VALUES (9, 'z')")
+    assert(spark.sql("SELECT doc_id, txt FROM cat.db.docs")
+      .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    assert(spark.sql("SHOW TABLES IN cat.db").collect()
+      .exists(_.getString(1) == "docs"))
+    spark.sql("DROP TABLE cat.db.docs")
+    assert(!new java.io.File(loc).exists(), "managed drop deletes data")
+    intercept[AnalysisException](spark.sql("SELECT * FROM cat.db.docs"))
+  }
+
+  test("CTAS + aggregate through the catalog matches the direct frame") {
+    wh
+    val src = Seq((1L, "en", 10), (2L, "fr", 20), (3L, "en", 30))
+      .toDF("id", "lang", "n")
+    src.createOrReplaceTempView("cat_src")
+    spark.sql("DROP TABLE IF EXISTS cat.db.ctas")
+    spark.sql("CREATE TABLE cat.db.ctas USING `graft-arrow` AS " +
+      "SELECT * FROM cat_src")
+    val got = spark.sql("SELECT lang, sum(n) AS total FROM cat.db.ctas " +
+      "GROUP BY lang ORDER BY lang").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("en", 40L), ("fr", 20L)))
+    // an append with a MISMATCHED schema is rejected before staging
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO cat.db.ctas VALUES (4, 'de')"))
+    assert(TestErrors.messageChain(e).exists(_.contains("not enough data columns")) ||
+      TestErrors.messageChain(e).exists(_.contains("does not match")))
+    spark.sql("DROP TABLE cat.db.ctas")
+  }
+
+  test("graft-log sink registers as a read-only named table with " +
+       "VERSION AS OF time travel") {
+    wh
+    val root = Files.createTempDirectory("graft-catalog-log").toString
+    // two committed versions of a 'raw' sink
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(0L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$root/raw")
+    GraftTable.commit(spark, root, 0L)
+    Seq((3L, "c")).toDF("id", "v")
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(1L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$root/raw")
+    GraftTable.commit(spark, root, 1L)
+
+    spark.sql("CREATE TABLE cat.db.rawlog USING `graft-log` " +
+      s"LOCATION '$root' OPTIONS (sink 'raw')")
+    assert(spark.sql("SELECT count(*) FROM cat.db.rawlog")
+      .head.getLong(0) == 3)
+    // snapshot parity with the Scala API, column for column
+    val byName = spark.sql("SELECT id, v FROM cat.db.rawlog ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    val byApi = GraftTable.read(spark, root, "raw")
+      .select($"id", $"v").orderBy($"id")
+      .as[(Long, String)].collect().toSeq
+    assert(byName == byApi)
+    // time travel by name
+    assert(spark.sql(
+      "SELECT count(*) FROM cat.db.rawlog VERSION AS OF 0")
+      .head.getLong(0) == 2)
+    // filters push into the delegated parquet scan
+    assert(spark.sql("SELECT v FROM cat.db.rawlog WHERE id = 2")
+      .as[String].collect().toSeq == Seq("b"))
+    // read-only: a direct INSERT must fail (its files would bypass the
+    // commit log)
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO cat.db.rawlog VALUES (9, 'x', 9)"))
+    assert(TestErrors.messageChain(e).exists(m =>
+      m.contains("does not support append") || m.contains("commit log")))
+    // DROP unregisters without touching external data
+    spark.sql("DROP TABLE cat.db.rawlog")
+    assert(GraftTable.read(spark, root, "raw").count() == 3)
+  }
+
+  test("streaming read tails a catalog-named arrow table's shards") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS cat.db.feed")
+    spark.sql("CREATE TABLE cat.db.feed (v BIGINT) USING `graft-arrow`")
+    spark.sql("INSERT INTO cat.db.feed VALUES (1), (2)")
+    spark.sql("INSERT INTO cat.db.feed VALUES (3)")
+    val q = spark.readStream.table("cat.db.feed")
+      .writeStream.format("memory").queryName("cat_feed")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT v FROM cat_feed ORDER BY v")
+      .as[Long].collect().toSeq == Seq(1L, 2L, 3L))
+    spark.sql("DROP TABLE cat.db.feed")
+  }
+
+  test("rename moves a managed table's data with its name; namespaces " +
+       "list and drop") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS cat.db.rn1")
+    spark.sql("CREATE TABLE cat.db.rn1 (v BIGINT) USING `graft-arrow`")
+    spark.sql("INSERT INTO cat.db.rn1 VALUES (7)")
+    spark.sql("ALTER TABLE cat.db.rn1 RENAME TO db.rn2")
+    assert(spark.sql("SELECT v FROM cat.db.rn2").as[Long].head() == 7L)
+    assert(!new java.io.File(s"$wh/db/rn1").exists())
+    intercept[AnalysisException](spark.sql("SELECT * FROM cat.db.rn1"))
+    spark.sql("DROP TABLE cat.db.rn2")
+    spark.sql("CREATE NAMESPACE cat.scratch")
+    assert(spark.sql("SHOW NAMESPACES IN cat").collect()
+      .map(_.getString(0)).contains("scratch"))
+    spark.sql("DROP NAMESPACE cat.scratch")
+    assert(!spark.sql("SHOW NAMESPACES IN cat").collect()
+      .map(_.getString(0)).contains("scratch"))
+  }
+}

@@ -40,4 +40,25 @@ class ArrowStreamInternalsSpec extends AnyFunSuite {
     assert(stream.latestOffset(ArrowShardOffset(0), ReadLimit.allAvailable())
       .asInstanceOf[ArrowShardOffset].next == 1L)
   }
+
+  test("the streaming reader vends columnar batches like the batch " +
+       "scan; nested pruning falls back to the by-name row reader") {
+    import org.apache.spark.sql.types._
+    val flat = StructType(Seq(StructField("v", LongType),
+      StructField("s", StructType(Seq(
+        StructField("a", LongType), StructField("b", StringType))))))
+    val root = Files.createTempDirectory("graft-stream-columnar").toString
+    def factory(required: StructType) =
+      new ArrowMicroBatchStream(root, flat, required,
+        ArrowInterchange.DefaultMaxPartBytes).createReaderFactory()
+    // full and TOP-LEVEL-pruned reads stay columnar (Arrow buffers vend
+    // straight into ColumnarBatch, zero per-row boxing)
+    assert(factory(flat).supportColumnarReads(null))
+    assert(factory(StructType(flat.take(1))).supportColumnarReads(null))
+    // a NESTED-pruned struct must fall back: ArrowColumnVector resolves
+    // children by ORDINAL and a subset struct would read wrong children
+    val nestedPruned = StructType(Seq(
+      StructField("s", StructType(Seq(StructField("b", StringType))))))
+    assert(!factory(nestedPruned).supportColumnarReads(null))
+  }
 }
