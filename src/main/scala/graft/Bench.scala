@@ -98,7 +98,15 @@ object Bench {
     val allFailed = results.filter(_._2.isInfinity).map(_._1).toSet
     val failed = failures.toSeq.filter(kv => allFailed(kv._1)).sortBy(_._1)
       .map { case (k, m) => s"\"$k\":\"$m\"" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$Rounds,"failed":$failed}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$Rounds,"failed":$failed}"""
+    println(line)
+    // the driver's log capture keeps only the TAIL of long stdout
+    // lines, losing the head rows of "queries" — persist the full line
+    // to a file next to the run so per-query timings survive intact
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    catch { case _: Exception => () } // best-effort: stdout is primary
     spark.stop()
   }
 }

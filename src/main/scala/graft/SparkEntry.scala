@@ -153,6 +153,7 @@ object SparkEntry {
     "q_arrow_roundtrip"     -> (ArrowInterchange.roundtrip _),
     "q_stream_arrow"        -> (ArrowInterchange.streamShards _),
     "q_arrow_source"        -> (ArrowInterchange.sourceAgg _),
+    "q_arrow_stats_agg"     -> (ArrowInterchange.statsAgg _),
     "q_arrow_nested"        -> (ArrowInterchange.nested _),
     "q_arrow_write"         -> (ArrowInterchange.writeRoundtrip _),
     "q_arrow_stream_read"   -> (ArrowInterchange.streamRead _),
@@ -2249,6 +2250,15 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |       max(doc_id) AS max_id
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // un-grouped MIN/MAX/COUNT served from the export's stamped stats
+    // (zero record batches loaded — the plan is required to carry the
+    // stats-served scan); the oracle computes the same extremes from
+    // the raw table
+    "q_arrow_stats_agg" ->
+      """SELECT min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |       count(*) AS n_docs
+        |FROM documents""".stripMargin,
     // DSv2 writer → reader roundtrip must be lossless: the oracle is
     // the bare source projection (same contract as q_stream_arrow)
     "q_arrow_write" ->

@@ -981,6 +981,33 @@ object ArrowInterchange {
     }
   }
 
+  /** Oracle row for the stats-served aggregate pushdown: un-grouped
+    * MIN/MAX/COUNT over an Arrow export answer from the stamped
+    * per-file stats — the plan is REQUIRED to carry the stats-served
+    * scan (a silent decline would still match the oracle but lose the
+    * zero-files-opened property this row exists to gate). */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val out = Files.createTempDirectory("graft-arrow-statsagg").toString
+    try {
+      exportArrow(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars")), s"$out/docs")
+      val agg = spark.read.format("graft-arrow").load(s"$out/docs")
+        .agg(min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          count(lit(1)).as("n_docs"))
+      val desc = agg.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.mkString("; ")
+      require(desc.contains("stats-served"),
+        s"MIN/MAX did not push to the stamped stats: $desc")
+      Scratch.materializeAndClean(out, agg)
+    } catch { case e: Throwable =>
+      Scratch.rm(new java.io.File(out)); throw e
+    }
+  }
+
   /** The nested frame shape the reference's data plane carries — a
     * struct tree with a repeated message (bufarrow's 22-message schema,
     * /root/reference/main.go:203, proto/bidrequest.proto:7-347) —

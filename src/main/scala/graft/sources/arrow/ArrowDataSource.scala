@@ -190,20 +190,135 @@ private[arrow] class ArrowScanBuilder(path: String, declared: StructType,
     filters
   }
   override def pushedFilters(): Array[Filter] = skips
-  // COUNT(*) with no grouping answers from the footer row counts the
-  // writers stamp — no record batch is ever loaded. Partial pushdown:
-  // the scan returns one count row per task and Spark sums them, so
-  // the final add-up is distributed, not a single-task bottleneck.
-  override def pushAggregation(agg: Aggregation): Boolean =
+  private def requireMarker = Option(opts.get("requiremarker")).forall(_.toBoolean)
+  private var statsAggRow: Option[(StructType, Array[Any])] = None
+  // Un-grouped COUNT(*) answers from the footer row counts the writers
+  // stamp — no record batch is ever loaded. Partial pushdown: the scan
+  // returns one count row per task and Spark sums them, so the final
+  // add-up is distributed, not a single-task bottleneck. Un-grouped
+  // MIN/MAX over zone-mapped columns answer from the SAME stamped
+  // stats (manifest or footer — zero record batches): the push is
+  // accepted only when EVERY non-empty file carries the stat, so a
+  // NaN-poisoned column (stamps nothing), an all-null column, or an
+  // externally-written file declines to the normal scan. Schema-only
+  // (0-row) files are exempt — they contribute no rows to MIN/MAX.
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Max, Min}
     if (agg.groupByExpressions.nonEmpty || limit >= 0 ||
-        agg.aggregateExpressions.isEmpty ||
-        !agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])) false
-    else { countCols = agg.aggregateExpressions.length; true }
+        agg.aggregateExpressions.isEmpty) return false
+    if (agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])) {
+      countCols = agg.aggregateExpressions.length
+      return true
+    }
+    // min/max (with count(*) mixed in freely): resolve each function to
+    // a stamped-stats request; anything else declines
+    def ordOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Int] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        val ord = declared.fieldNames.indexOf(nr.fieldNames.head)
+        if (ord >= 0 && ArrowFileSkip.trackable(declared(ord).dataType))
+          Some(ord)
+        else None
+      case _ => None
+    }
+    val wants: Seq[Option[Either[Int, Either[Int, Unit]]]] =
+      agg.aggregateExpressions.toSeq.map {
+        case m: Min => ordOf(m.column).map(o => Left(o))
+        case m: Max => ordOf(m.column).map(o => Right(Left(o)): Either[Int, Either[Int, Unit]])
+        case _: CountStar => Some(Right(Right(())))
+        case _ => None
+      }
+    if (wants.exists(_.isEmpty)) return false
+    // gather the stats NOW (one manifest read per dir + footer reads
+    // for unmanifested files — the plan-time cost shape zone-map
+    // pruning already pays); declining cleanly falls back to the scan
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    val files =
+      try ArrowScan.listScanFiles(fs, path, requireMarker)
+      catch { case _: Exception => return false } // scan surfaces errors
+    val manifests = scala.collection.mutable.Map
+      .empty[Path, Option[Map[String, Map[String, String]]]]
+    val metas: Seq[Map[String, String]] =
+      try files.map { case (f, len) =>
+        val p = new Path(f)
+        manifests.getOrElseUpdate(p.getParent,
+          ArrowInterchange.readStatsManifest(fs, p.getParent))
+          .flatMap(_.get(p.getName))
+          .getOrElse(ArrowInterchange.footerMeta(fs, f, len))
+      } catch { case _: Exception => return false }
+    val rowCounts = metas.map(_.get(ArrowInterchange.RowsMetaKey)
+      .flatMap(s => scala.util.Try(s.toLong).toOption))
+    if (rowCounts.exists(_.isEmpty)) return false // external writer
+    val nonEmpty = metas.zip(rowCounts).collect {
+      case (m, Some(n)) if n > 0 => m
+    }
+    def statVal(ord: Int, key: Int => String): Option[Any] = {
+      // fold the per-file stats; every non-empty file must carry the key
+      val raw = nonEmpty.map(_.get(key(ord)))
+      if (raw.exists(_.isEmpty)) return None
+      val isMin = key(0) == ArrowInterchange.minMetaKey(0)
+      declared(ord).dataType match {
+        case IntegerType | DateType =>
+          val vs = raw.map(_.get.toInt)
+          Some(if (vs.isEmpty) null else if (isMin) vs.min else vs.max)
+        case LongType | TimestampType | TimestampNTZType =>
+          val vs = raw.map(_.get.toLong)
+          Some(if (vs.isEmpty) null else if (isMin) vs.min else vs.max)
+        // a folded ZERO extreme declines: the stamp widens zero bounds
+        // across both signs for sound zone-map pruning (min 0.0 stamps
+        // as -0.0), so a zero stat is a conservative BOUND, not the
+        // exact extreme MIN/MAX must return — the sign could be wrong
+        case FloatType =>
+          val vs = raw.map(_.get.toFloat)
+          if (vs.isEmpty) Some(null)
+          else {
+            val v = if (isMin) vs.min else vs.max
+            if (v == 0.0f) None else Some(v)
+          }
+        case DoubleType =>
+          val vs = raw.map(_.get.toDouble)
+          if (vs.isEmpty) Some(null)
+          else {
+            val v = if (isMin) vs.min else vs.max
+            if (v == 0.0d) None else Some(v)
+          }
+        case _ => None
+      }
+    }
+    val totalRows = rowCounts.map(_.get).sum
+    val values = new Array[Any](wants.length)
+    val fields = new Array[StructField](wants.length)
+    wants.zipWithIndex.foreach {
+      case (Some(Left(ord)), i) =>
+        statVal(ord, ArrowInterchange.minMetaKey) match {
+          case Some(v) =>
+            values(i) = v
+            fields(i) = StructField(s"min#$i", declared(ord).dataType)
+          case None => return false
+        }
+      case (Some(Right(Left(ord))), i) =>
+        statVal(ord, ArrowInterchange.maxMetaKey) match {
+          case Some(v) =>
+            values(i) = v
+            fields(i) = StructField(s"max#$i", declared(ord).dataType)
+          case None => return false
+        }
+      case (Some(Right(Right(()))), i) =>
+        values(i) = totalRows
+        fields(i) = StructField(s"count(*)#$i", LongType, nullable = false)
+      case (None, _) => return false
+    }
+    statsAggRow = Some((StructType(fields.toIndexedSeq), values))
+    true
+  }
   override def build(): Scan = {
-    val requireMarker = Option(opts.get("requiremarker")).forall(_.toBoolean)
     val maxTaskBytes = Option(opts.get("maxtaskbytes")).map(_.toLong)
       .getOrElse(ArrowInterchange.DefaultMaxPartBytes)
-    if (countCols > 0)
+    if (statsAggRow.isDefined)
+      new ArrowStatsAggScan(path, statsAggRow.get._1, statsAggRow.get._2)
+    else if (countCols > 0)
       new ArrowCountScan(path, countCols, requireMarker, maxTaskBytes)
     else new ArrowScan(path, declared, required, requireMarker, maxTaskBytes,
       Option(opts.get("columnar")).forall(_.toBoolean), limit,
@@ -221,6 +336,14 @@ private[arrow] class ArrowScanBuilder(path: String, declared: StructType,
   * can only remove work, never rows. */
 private[arrow] object ArrowFileSkip {
   import org.apache.spark.sql.sources._
+
+  /** Column types the writers' StatsTracker stamps zone maps for —
+    * the attributes worth advertising to runtime (join-side) filtering. */
+  def trackable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | FloatType | DoubleType => true
+    case _ => false
+  }
 
   /** Tracked representation of a column: Left = long-comparable
     * (int/bigint/date-day/timestamp-micros), Right = double. */
@@ -396,6 +519,30 @@ private[arrow] object ArrowScan {
     * same plan-time cost shape as parquet's footer reads), bin-packing.
     * Returns the partitions plus (kept, total) file counts for the
     * scan description. */
+  /** Marker-gated file listing shared by the row scan, the COUNT(*)
+    * scan, and the stats-served aggregate path: a shard tree
+    * (batch_id=N dirs) lists every committed shard's files, a plain
+    * export dir keeps the root-marker contract. */
+  def listScanFiles(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                    requireMarker: Boolean): Seq[(String, Long)] = {
+    val root = new Path(path)
+    val top = listArrows(fs, root)
+    val shards = if (top.isEmpty) ArrowSource.shardDirs(fs, root) else Seq.empty
+    if (top.isEmpty && shards.nonEmpty)
+      shards.flatMap { case (_, shard) =>
+        require(!requireMarker || fs.exists(new Path(shard, "_SUCCESS")),
+          s"$shard has no _SUCCESS marker: the shard's batch did not " +
+            "complete (reading it would silently drop rows)")
+        listArrows(fs, shard)
+      }
+    else {
+      require(!requireMarker || fs.exists(new Path(root, "_SUCCESS")),
+        s"$path has no _SUCCESS marker: the export did not complete; " +
+          "for externally-written directories set requireMarker=false")
+      top
+    }
+  }
+
   def planPartitions(path: String, requireMarker: Boolean,
                      maxTaskBytes: Long,
                      skips: Seq[org.apache.spark.sql.sources.Filter] = Nil,
@@ -403,28 +550,8 @@ private[arrow] object ArrowScan {
       : (Array[InputPartition], Int, Int) = {
     val spark = SparkSession.active
     val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(path)
-    val fs = root.getFileSystem(conf)
-    // a shard tree (batch_id=N dirs) reads as ONE scan over every
-    // committed shard's files — the DSv2 spelling of readShards; a
-    // plain export dir keeps the root-marker contract. One listing
-    // serves both probes (shard trees can hold thousands of dirs).
-    val top = listArrows(fs, root)
-    val shards = if (top.isEmpty) ArrowSource.shardDirs(fs, root) else Seq.empty
-    val files =
-      if (top.isEmpty && shards.nonEmpty)
-        shards.flatMap { case (_, shard) =>
-          require(!requireMarker || fs.exists(new Path(shard, "_SUCCESS")),
-            s"$shard has no _SUCCESS marker: the shard's batch did not " +
-              "complete (reading it would silently drop rows)")
-          listArrows(fs, shard)
-        }
-      else {
-        require(!requireMarker || fs.exists(new Path(root, "_SUCCESS")),
-          s"$path has no _SUCCESS marker: the export did not complete; " +
-            "for externally-written directories set requireMarker=false")
-        top
-      }
+    val fs = new Path(path).getFileSystem(conf)
+    val files = listScanFiles(fs, path, requireMarker)
     require(files.nonEmpty, s"no .arrows files under $path")
     val kept = ArrowFileSkip.prune(fs, files, skips, declared)
     val sconf = new SerConf(conf)
@@ -457,16 +584,7 @@ private[arrow] class ArrowScan(path: String, declared: StructType,
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     declared.fields.collect {
-      case f if ArrowFileSkip.usable(
-          org.apache.spark.sql.sources.EqualTo(f.name, f.dataType match {
-            case IntegerType => Int.box(0)
-            case LongType => Long.box(0L)
-            case FloatType | DoubleType => Double.box(0.0)
-            case DateType => java.time.LocalDate.ofEpochDay(0)
-            case TimestampType => java.time.Instant.EPOCH
-            case TimestampNTZType => java.time.LocalDateTime.of(1970, 1, 1, 0, 0)
-            case _ => null
-          }), declared) =>
+      case f if ArrowFileSkip.trackable(f.dataType) =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter])
@@ -495,6 +613,36 @@ private[arrow] class ArrowScan(path: String, declared: StructType,
     new ArrowMicroBatchStream(path, declared, required, maxTaskBytes,
       skips, requireMarker, maxShardsPerTrigger)
 }
+
+/** Stats-served aggregate scan (un-grouped MIN/MAX ± COUNT(*)): the
+  * values were already folded from the stamped per-file stats at PUSH
+  * time — zero files are opened at execution; this scan just vends the
+  * one partial row Spark's final aggregate consumes. */
+private[arrow] class ArrowStatsAggScan(path: String, out: StructType,
+                                       values: Array[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = out
+  override def description(): String =
+    s"graft-arrow $path [stats-served ${out.fieldNames.mkString(",")}]"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ArrowStatsAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = !done && { done = true; true }
+          override def get(): InternalRow = new GenericInternalRow(
+            p.asInstanceOf[ArrowStatsAggPartition].values)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+private[arrow] final case class ArrowStatsAggPartition(values: Array[Any])
+    extends InputPartition
 
 /** COUNT(*) scan: one row per task carrying the partial count of its
   * packed files, read footer-only via the stamped row-count metadata
