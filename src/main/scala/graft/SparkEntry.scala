@@ -108,9 +108,11 @@ object SparkEntry {
     "sim_brute_topk"        -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "sim_ivf_topk"          -> (Similarity.ivfTopK _),
     "sim_ivf_lifecycle"     -> (IvfIndex.lifecycle _),
+    "sim_ivf_incremental"   -> (IvfIndex.incremental _),
     "sim_lsh_topk"          -> (Similarity.lshTopK _),
     "sim_pq_topk"           -> (Similarity.pqTopK _),
     "sim_pq_lifecycle"      -> (PqIndex.lifecycle _),
+    "sim_pq_incremental"    -> (PqIndex.incremental _),
     "sim_quantize"          -> (Corpus.quantizeProfile _),
     "sim_kmeans"            -> (Similarity.kmeans _),
     "dedup_semantic"        -> (Similarity.semanticDedup _),
@@ -1542,6 +1544,34 @@ object SparkEntry {
     // centroids frozen over the LANDED split; candidates from the full
     // corpus — restates IvfIndex build(landed)→merge(increment)→query
     "sim_ivf_lifecycle" -> ivfOracle("vec_id % 10 <> 3"),
+    // assign-only ingest: centroids frozen over the LANDED split
+    // (per-label means), crawl vectors take their argmin cell — the
+    // relational restatement of IvfIndex.ingest's distributed
+    // assignment (round d2 at 6, ties to the lowest label)
+    "sim_ivf_incremental" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cent AS (
+         |  SELECT label, i, avg(v[i]) AS m
+         |  FROM e, range(1, ${Similarity.Dims + 1}) r(i)
+         |  WHERE vec_id % 10 <> 3 GROUP BY label, i),
+         |inc AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 3),
+         |d AS (
+         |  SELECT inc.vec_id, c.label,
+         |         sum((inc.v[c.i] - c.m) * (inc.v[c.i] - c.m)) AS d2
+         |  FROM inc, cent c GROUP BY 1, 2)
+         |SELECT vec_id, label AS cell FROM (
+         |  SELECT vec_id, label,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY round(d2, 6), label) AS rn
+         |  FROM d) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // assign-only PQ encode: codebooks trained on the LANDED split,
+    // crawl vectors take their per-subspace argmin cid — pins the
+    // packed-code assignment itself, not just the downstream top-k
+    "sim_pq_incremental" ->
+      s"""WITH ${pqCtes("vec_id % 10 <> 3")}
+         |SELECT vec_id, m, cid FROM codes WHERE vec_id % 10 = 3
+         |ORDER BY vec_id, m""".stripMargin,
     "sim_lsh_topk" -> {
       val flips = (Seq(0) ++ (0 until Similarity.LshPlanes).map(1 << _))
         .mkString("[", ", ", "]")

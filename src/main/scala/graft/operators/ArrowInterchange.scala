@@ -50,10 +50,14 @@ import graft.sources.Tables
   * off-heap per task. Numeric-only frames can pass the reference's
   * number explicitly.
   *
-  * Files are written uncompressed: IPC buffer compression (LZ4) would
-  * shrink disk at the cost of the zero-copy map that is the point of
-  * choosing Arrow over parquet for hand-off — parquet (B17) is
-  * already the compressed long-term format.
+  * Files are written uncompressed BY DEFAULT: IPC buffer compression
+  * would shrink disk at the cost of the zero-copy map that is the
+  * point of choosing Arrow over parquet for hand-off — parquet (B17)
+  * is already the compressed long-term format. At 100 TB shard trees
+  * the trade flips for cold data, so `compression = zstd | lz4`
+  * opts in per export/write (standard IPC body compression — pyarrow
+  * and every conforming reader decompress transparently; readers here
+  * always carry the codec factory, so mixed trees read fine).
   *
   * Type surface: boolean, int32/64, float32/64, utf8, binary,
   * timestamp-micro (TZ and NTZ), date-day — plus arbitrary nesting of
@@ -78,6 +82,44 @@ object ArrowInterchange {
     * writer flush). See the class doc for why this is not the
     * reference's 122880. */
   val DefaultBatchRows: Int = 16384
+
+  /** `compression` option value → IPC body-compression codec (None =
+    * uncompressed, the default — see the class doc for the trade).
+    * Validates LOUDLY: a typo'd codec must fail the plan, not silently
+    * write uncompressed. */
+  private[graft] def codecType(compression: String)
+      : Option[org.apache.arrow.vector.compression.CompressionUtil.CodecType] =
+    compression.toLowerCase match {
+      case "none" | "" => None
+      case "zstd" =>
+        Some(org.apache.arrow.vector.compression.CompressionUtil.CodecType.ZSTD)
+      case "lz4" =>
+        Some(org.apache.arrow.vector.compression.CompressionUtil.CodecType.LZ4_FRAME)
+      case other => throw new IllegalArgumentException(
+        s"unknown Arrow IPC compression '$other' (want zstd | lz4 | none)")
+    }
+
+  /** The shared writer constructor: every write path (batch export,
+    * DSv2 batch/streaming/append writers) builds its ArrowFileWriter
+    * here so the compression option behaves identically everywhere. */
+  private[graft] def newFileWriter(
+      root: VectorSchemaRoot, ch: java.nio.channels.WritableByteChannel,
+      meta: java.util.Map[String, String],
+      compression: String): ArrowFileWriter =
+    codecType(compression) match {
+      case None => new ArrowFileWriter(root, null, ch, meta)
+      case Some(ct) => new ArrowFileWriter(root, null, ch, meta,
+        org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT,
+        org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE, ct)
+    }
+
+  /** The shared reader codec factory: readers ALWAYS carry it, so
+    * compressed and uncompressed files (and mixed trees) read
+    * identically — the codec only engages when a record batch declares
+    * a compressed body. */
+  private[graft] val ReadCodecs
+      : org.apache.arrow.vector.compression.CompressionCodec.Factory =
+    org.apache.arrow.compression.CommonsCompressionFactory.INSTANCE
 
   /** IPC footer custom-metadata key carrying the file's total row
     * count, stamped by both writers: COUNT(*) and row-count planning
@@ -303,10 +345,12 @@ object ArrowInterchange {
     * crashed half-export for the complete data set. */
   def exportArrow(df: DataFrame, path: String,
                   batchRows: Int = DefaultBatchRows,
-                  maxPartBytes: Long = DefaultMaxPartBytes): Unit = {
+                  maxPartBytes: Long = DefaultMaxPartBytes,
+                  compression: String = "none"): Unit = {
     val spark = df.sparkSession
     val schema = df.schema
     toArrowSchema(schema) // validate the type surface up front, on the driver
+    codecType(compression) // …and the codec name, before any job runs
     val sized = ExportSizing.sizeUp(df, maxPartBytes)
 
     val sconf = new SerConf(spark.sessionState.newHadoopConf())
@@ -341,7 +385,7 @@ object ArrowInterchange {
             // the footer serializes at end(); the map is captured by
             // reference, so the row count lands in it before then
             val meta = new java.util.HashMap[String, String]()
-            val w = new ArrowFileWriter(root, null, ch, meta)
+            val w = newFileWriter(root, ch, meta, compression)
             val stats = new StatsTracker(schema)
             try {
               w.start()
@@ -714,7 +758,7 @@ object ArrowInterchange {
     val in = fs.open(new Path(file))
     val alloc = new RootAllocator(Long.MaxValue)
     try {
-      val r = new ArrowFileReader(new HadoopChannel(in, len), alloc)
+      val r = new ArrowFileReader(new HadoopChannel(in, len), alloc, ReadCodecs)
       try { r.getVectorSchemaRoot; f(r) } finally r.close()
     } finally alloc.close()
   }
@@ -748,8 +792,8 @@ object ArrowInterchange {
           NioAccess.ensureOpen(classOf[RootAllocator])
           val fs = new Path(file).getFileSystem(sconf.conf)
           val alloc = new RootAllocator(Long.MaxValue)
-          val reader =
-            new ArrowFileReader(new HadoopChannel(fs.open(new Path(file)), len), alloc)
+          val reader = new ArrowFileReader(
+            new HadoopChannel(fs.open(new Path(file)), len), alloc, ReadCodecs)
           // the directory schema is the FIRST file's footer; a stray
           // file from another export would otherwise misread by column
           // position — fail with the file name instead. Any failure

@@ -127,6 +127,76 @@ object IvfIndex {
       }
     }
 
+  /** Assign-only INGEST — the streaming-era half of the IVF lifecycle:
+    * the batch arrives as bare vectors (vec_id, v) and the INDEX
+    * assigns each to its nearest FROZEN centroid (train is frozen at
+    * [[build]]; re-deriving centroids is a build, not an ingest), then
+    * files the batch as one marker-committed generation exactly like
+    * [[merge]]. Assignment is distributed (centroids broadcast — an
+    * O(cells) array, never the corpus) and deterministic: distances
+    * round at 6 decimals, ties take the LOWEST cell label, the same
+    * discipline the query path's probe selection uses, so the DuckDB
+    * oracle can restate it row for row (`sim_ivf_incremental`). */
+  def ingest(vecs: DataFrame, indexPath: String): Unit =
+    IndexStore.withLock(vecs.sparkSession, indexPath) {
+      val spark = vecs.sparkSession
+      import spark.implicits._
+      val gens = committedGens(spark, indexPath)
+      require(gens.nonEmpty,
+        s"no committed IVF index under $indexPath — run build first")
+      val fp = IndexStore.batchFingerprint(vecs, "vec_id", "v")
+      val (hfs, p) = IndexStore.fs(spark, indexPath)
+      if (!IndexStore.generationCommitted(spark, indexPath, fp)) {
+        val cent = spark.read.parquet(
+            centroidsDir(indexPath, centroidVersion(spark, indexPath)))
+          .as[(Long, Array[Double])].collect().sortBy(_._1)
+        val bc = spark.sparkContext.broadcast(cent)
+        val assigned = vecs.select(col("vec_id"), col("v"))
+          .as[(Long, Array[Double])]
+          .mapPartitions { it =>
+            val cs = bc.value // label-ascending: strict < keeps ties low
+            it.map { case (id, v) =>
+              var bestL = -1L
+              var bestD = Double.PositiveInfinity
+              cs.foreach { case (l, cv) =>
+                val d = VectorOps.roundAt(VectorOps.dist2(v, cv), 6)
+                if (d < bestD) { bestD = d; bestL = l }
+              }
+              (id, bestL, v)
+            }
+          }.toDF("vec_id", "label", "v")
+        val g = gens.max + 1
+        writeCells(assigned, indexPath, g)
+        IndexStore.mark(hfs, p, s"g$g", fp)
+      }
+    }
+
+  /** sim_ivf_incremental: [[build]] on the landed split (cells = the
+    * corpus labels), then [[ingest]] the crawl split as BARE vectors —
+    * the returned frame is the ingested generation's (vec_id, cell)
+    * assignments, which the DuckDB oracle restates as argmin distance
+    * to the landed split's per-label centroids. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ivf-incremental").toString
+    val vecs = Similarity.corpus(spark, dir)
+    try {
+      val idx = s"$root/idx"
+      build(vecs.filter(col("vec_id") % 10 =!= 3), idx)
+      ingest(vecs.filter(col("vec_id") % 10 === 3)
+        .select(col("vec_id"), col("v")), idx)
+      val maxGen = committedGens(spark, idx).max
+      val assigned = spark.read.schema(CellsSchema)
+        .option("basePath", s"$idx/cells").parquet(s"$idx/cells")
+        .filter(col("gen") === maxGen)
+        .select(col("vec_id"), col("label").as("cell"))
+        .orderBy("vec_id")
+      Scratch.materializeAndClean(root, assigned)
+    } catch {
+      case e: Throwable => Scratch.rm(new java.io.File(root)); throw e
+    }
+  }
+
   /** Maintenance: sweep orphan generation dirs left by crashed,
     * never-retried merges. */
   def vacuum(spark: SparkSession, indexPath: String): Unit =

@@ -314,6 +314,43 @@ object PqIndex {
       .orderBy("q_id", "rank")
   }
 
+  /** sim_pq_incremental: gate the ASSIGN-ONLY half of the lifecycle
+    * exactly — [[build]] trains codebooks on the landed split,
+    * [[merge]] encodes the crawl split against the FROZEN codebooks,
+    * and the returned frame is the ingested generation's codes
+    * UNPACKED to (vec_id, m, cid), which the DuckDB oracle restates by
+    * replaying the training on the landed split and assigning the
+    * crawl vectors to their argmin sub-centroids. (sim_pq_lifecycle
+    * gates the end-to-end query; this row pins the per-subspace code
+    * assignment itself, so an encode drift that happens not to change
+    * the top-k cannot hide.) */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pq-incremental").toString
+    val vecs = Similarity.corpus(spark, dir).select(col("vec_id"), col("v"))
+    try {
+      val idx = s"$root/idx"
+      build(vecs.filter(col("vec_id") % 10 =!= 3), idx)
+      merge(vecs.filter(col("vec_id") % 10 === 3), idx)
+      val maxGen = committedGens(spark, idx).max
+      val m0 = Similarity.PqM
+      val codeMask = (1L << CodeBits) - 1
+      val unpacked = spark.read.schema(CodesSchema)
+        .option("basePath", s"$idx/codes").parquet(s"$idx/codes")
+        .filter(col("gen") === maxGen)
+        .select(col("vec_id"), col("code")).as[(Long, Long)]
+        .flatMap { case (id, code) =>
+          (0 until m0).map(m =>
+            (id, m, ((code >> (CodeBits * m)) & codeMask).toInt))
+        }.toDF("vec_id", "m", "cid")
+        .orderBy("vec_id", "m")
+      Scratch.materializeAndClean(root, unpacked)
+    } catch {
+      case e: Throwable => Scratch.rm(new java.io.File(root)); throw e
+    }
+  }
+
   /** sim_pq_lifecycle: the FULL incremental lifecycle under the oracle
     * gate — [[build]] trains codebooks on the landed corpus
     * (vec_id % 10 ≠ 3) and encodes it, [[merge]] encodes the crawl

@@ -51,6 +51,10 @@ private[arrow] class ArrowWriteBuilder(path: String, info: LogicalWriteInfo,
     ArrowInterchange.toArrowSchema(info.schema())
     val batchRows = Option(info.options.get("batchrows")).map(_.toInt)
       .getOrElse(ArrowInterchange.DefaultBatchRows)
+    // optional IPC body compression (zstd | lz4 | none): validated at
+    // plan time, identical codec path to exportArrow's
+    val compression = Option(info.options.get("compression")).getOrElse("none")
+    ArrowInterchange.codecType(compression)
     new Write {
       override def toBatch: BatchWrite = {
         // appendable (catalog-named) tables use the SHARD-TREE write
@@ -60,10 +64,10 @@ private[arrow] class ArrowWriteBuilder(path: String, info: LogicalWriteInfo,
         // replaces the tree with a fresh single-shard one wholesale
         if (appendable && !truncating)
           return new ArrowShardAppendWrite(path, info.schema(),
-            info.queryId(), batchRows)
+            info.queryId(), batchRows, compression)
         if (appendable)
           return new ArrowBatchWrite(path, info.schema(), info.queryId(),
-            batchRows, asShardTree = true)
+            batchRows, asShardTree = true, compression = compression)
         if (!truncating)
           throw new UnsupportedOperationException(
             "graft-arrow batch writes are overwrite-only: the " +
@@ -73,7 +77,8 @@ private[arrow] class ArrowWriteBuilder(path: String, info: LogicalWriteInfo,
               "INSERT OVERWRITE, a GraftTable for appendable log-tracked " +
               "storage, a catalog-named table (appendable shard trees), " +
               "or writeStream for per-epoch shard appends")
-        new ArrowBatchWrite(path, info.schema(), info.queryId(), batchRows)
+        new ArrowBatchWrite(path, info.schema(), info.queryId(), batchRows,
+          compression = compression)
       }
       // streaming appends ARE safe: each epoch commits its own
       // batch_id=<epoch> shard wholesale (per-shard marker, replay
@@ -82,7 +87,8 @@ private[arrow] class ArrowWriteBuilder(path: String, info: LogicalWriteInfo,
       // arrives as truncate(): each epoch's commit then replaces the
       // whole tree with that epoch's single shard.
       override def toStreaming: streaming.StreamingWrite =
-        new ArrowStreamingWrite(path, info.schema(), batchRows, truncating)
+        new ArrowStreamingWrite(path, info.schema(), batchRows, truncating,
+          compression)
       override def description(): String = s"graft-arrow $path"
     }
   }
@@ -90,7 +96,8 @@ private[arrow] class ArrowWriteBuilder(path: String, info: LogicalWriteInfo,
 
 private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
                                          batchRows: Int,
-                                         truncating: Boolean)
+                                         truncating: Boolean,
+                                         compression: String = "none")
     extends streaming.StreamingWrite {
   private val sconf =
     new SerConf(SparkSession.active.sessionState.newHadoopConf())
@@ -157,7 +164,8 @@ private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
     claimTree(out.getFileSystem(sconf.conf))
-    new ArrowStreamingWriterFactory(path, runToken, sconf, schema, batchRows)
+    new ArrowStreamingWriterFactory(path, runToken, sconf, schema, batchRows,
+      compression)
   }
 
   override def commit(epochId: Long,
@@ -229,7 +237,8 @@ private[arrow] class ArrowStreamingWriterFactory(path: String,
                                                  runToken: String,
                                                  conf: SerConf,
                                                  schema: StructType,
-                                                 batchRows: Int)
+                                                 batchRows: Int,
+                                                 compression: String = "none")
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] = {
@@ -238,13 +247,14 @@ private[arrow] class ArrowStreamingWriterFactory(path: String,
     val fs = staging.getFileSystem(conf.conf)
     fs.mkdirs(staging) // idempotent; first task of the epoch creates it
     new ArrowDataWriter(staging.toString, conf, schema,
-      partitionId, taskId, batchRows)
+      partitionId, taskId, batchRows, compression)
   }
 }
 
 private[arrow] class ArrowBatchWrite(path: String, schema: StructType,
                                      queryId: String, batchRows: Int,
-                                     asShardTree: Boolean = false)
+                                     asShardTree: Boolean = false,
+                                     compression: String = "none")
     extends BatchWrite {
   private val sconf =
     new SerConf(SparkSession.active.sessionState.newHadoopConf())
@@ -265,7 +275,8 @@ private[arrow] class ArrowBatchWrite(path: String, schema: StructType,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     dataDir.getFileSystem(sconf.conf).mkdirs(dataDir)
-    new ArrowWriterFactory(dataDir.toString, sconf, schema, batchRows)
+    new ArrowWriterFactory(dataDir.toString, sconf, schema, batchRows,
+      compression)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -319,7 +330,8 @@ private[arrow] class ArrowBatchWrite(path: String, schema: StructType,
   * land, in arbitration order. An all-empty insert publishes nothing —
   * appending zero rows should not grow the tree. */
 private[arrow] class ArrowShardAppendWrite(path: String, schema: StructType,
-                                           queryId: String, batchRows: Int)
+                                           queryId: String, batchRows: Int,
+                                           compression: String = "none")
     extends BatchWrite {
   private val sconf =
     new SerConf(SparkSession.active.sessionState.newHadoopConf())
@@ -352,7 +364,8 @@ private[arrow] class ArrowShardAppendWrite(path: String, schema: StructType,
           "schema-homogeneous; evolve via overwrite or a GraftTable)")
     }
     fs.mkdirs(staging)
-    new ArrowWriterFactory(staging.toString, sconf, schema, batchRows)
+    new ArrowWriterFactory(staging.toString, sconf, schema, batchRows,
+      compression)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -429,11 +442,13 @@ private[arrow] final case class ArrowCommit(file: String, rows: Long,
     extends WriterCommitMessage
 
 private[arrow] class ArrowWriterFactory(staging: String, conf: SerConf,
-                                        schema: StructType, batchRows: Int)
+                                        schema: StructType, batchRows: Int,
+                                        compression: String = "none")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
-    new ArrowDataWriter(staging, conf, schema, partitionId, taskId, batchRows)
+    new ArrowDataWriter(staging, conf, schema, partitionId, taskId,
+      batchRows, compression)
 }
 
 /** One task's writer: streams catalyst rows through one
@@ -445,7 +460,8 @@ private[arrow] class ArrowWriterFactory(staging: String, conf: SerConf,
   * whole input was empty). */
 private[arrow] class ArrowDataWriter(staging: String, conf: SerConf,
                                      schema: StructType, partitionId: Int,
-                                     taskId: Long, batchRows: Int)
+                                     taskId: Long, batchRows: Int,
+                                     compression: String = "none")
     extends DataWriter[InternalRow] {
   NioAccess.ensureOpen(classOf[RootAllocator])
   private val fs = new Path(staging).getFileSystem(conf.conf)
@@ -458,7 +474,7 @@ private[arrow] class ArrowDataWriter(staging: String, conf: SerConf,
   // footer metadata map is captured by reference; the row count lands
   // in it before end() serializes the footer
   private val meta = new java.util.HashMap[String, String]()
-  private val writer = new ArrowFileWriter(root, null, ch, meta)
+  private val writer = ArrowInterchange.newFileWriter(root, ch, meta, compression)
   private val stats = new ArrowInterchange.StatsTracker(schema)
   writer.start()
   private var n = 0

@@ -759,7 +759,8 @@ private[arrow] class ArrowColumnarReader(p: ArrowInputPartition,
       val fs = new Path(file).getFileSystem(p.conf.conf)
       alloc = new RootAllocator(Long.MaxValue)
       reader = new ArrowFileReader(
-        new HadoopChannel(fs.open(new Path(file)), len), alloc)
+        new HadoopChannel(fs.open(new Path(file)), len), alloc,
+        ArrowInterchange.ReadCodecs)
       val fileSchema = fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
       if (fileSchema != declared) {
         closeFile()
@@ -828,7 +829,8 @@ private[arrow] class ArrowPartitionReader(p: ArrowInputPartition,
       val fs = new Path(file).getFileSystem(p.conf.conf)
       alloc = new RootAllocator(Long.MaxValue)
       reader = new ArrowFileReader(
-        new HadoopChannel(fs.open(new Path(file)), len), alloc)
+        new HadoopChannel(fs.open(new Path(file)), len), alloc,
+        ArrowInterchange.ReadCodecs)
       val fileSchema = fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
       if (fileSchema != declared) {
         closeFile()

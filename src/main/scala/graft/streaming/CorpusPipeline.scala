@@ -91,11 +91,16 @@ object CorpusPipeline {
   def scoreQuality(docs: DataFrame, weights: Array[Long]): DataFrame = {
     require(weights.length == QualityClassifier.NumFeatures,
       s"weight vector must be ${QualityClassifier.NumFeatures} long")
-    val score = udf((text: String) => QualityClassifier.probMicro(
-      QualityClassifier.logitMicro(weights,
-        QualityClassifier.featureIds(text))))
+    // native codegen expression, not a UDF: the weights ride the plan
+    // as ONE reference object and scoring is a static call per row
+    // inside whole-stage codegen — no encoder round-trip in the
+    // streaming curation hot path (kernel identical to the batch
+    // scorer's, see graft.functions.ClassifierScore)
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val score = column(
+      graft.functions.ClassifierScore(expression(col("text")), weights))
     docs
-      .withColumn("score_micro", score(col("text")))
+      .withColumn("score_micro", score)
       .withColumn("pred_pass",
         col("score_micro") >= QualityClassifier.LabelMicro / 2)
   }

@@ -23,8 +23,14 @@ object ArrowInteropDump {
     val spark = GraftSession.create(8, "graft-arrow-interop")
     ArrowInterchange.exportArrow(
       ArrowInterchange.nestedFrame(spark, dir), s"$out/nested")
-    println(s"nested .arrows export at $out/nested — verify with: " +
-      s"python3 tools/check_arrow_interop.py $out/nested")
+    // the optional IPC body compression must stay standard: the same
+    // nested fixture, zstd-compressed, read by the same pyarrow check
+    ArrowInterchange.exportArrow(
+      ArrowInterchange.nestedFrame(spark, dir), s"$out/nested_zstd",
+      compression = "zstd")
+    println(s"nested .arrows exports at $out — verify with: " +
+      s"python3 tools/check_arrow_interop.py $out/nested && " +
+      s"python3 tools/check_arrow_interop.py $out/nested_zstd")
     spark.stop()
   }
 }

@@ -357,4 +357,45 @@ class ArrowInterchangeSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("zstd/lz4 IPC body compression round-trips exactly and shrinks " +
+       "compressible data; readers handle mixed trees transparently") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // highly compressible corpus: repeated text
+    val df = (0L until 2000L)
+      .map(i => (i, ("lorem ipsum dolor sit amet " * 20) + (i % 7)))
+      .toDF("id", "text")
+    def dirSize(d: String): Long =
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".arrows"))
+        .map(_.length()).sum
+    val plain = tmp(); val zstd = tmp(); val lz4 = tmp()
+    ArrowInterchange.exportArrow(df, s"$plain/t")
+    ArrowInterchange.exportArrow(df, s"$zstd/t", compression = "zstd")
+    df.coalesce(2).write.format("graft-arrow")
+      .option("compression", "lz4").mode("overwrite").save(s"$lz4/t")
+    // byte-exact round-trips through BOTH read paths
+    val want = df.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    Seq(s"$zstd/t", s"$lz4/t").foreach { d =>
+      val viaRdd = ArrowInterchange.readArrow(spark, d)
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(viaRdd.sameElements(want), s"RDD read of $d drifted")
+      val viaDsv2 = spark.read.format("graft-arrow").load(d)
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      assert(viaDsv2.sameElements(want), s"DSv2 read of $d drifted")
+    }
+    // compression actually bites on this corpus
+    assert(dirSize(s"$zstd/t") < dirSize(s"$plain/t") / 2,
+      s"zstd ${dirSize(s"$zstd/t")} vs plain ${dirSize(s"$plain/t")}")
+    // zone maps and count(*) pushdown still work over compressed files
+    assert(spark.read.format("graft-arrow").load(s"$zstd/t").count() == 2000L)
+    assert(spark.read.format("graft-arrow").load(s"$zstd/t")
+      .where(col("id") > 5000L).count() == 0L)
+    // a typo'd codec fails at plan time, before any directory is touched
+    val e = intercept[Exception](
+      df.write.format("graft-arrow").option("compression", "snappy")
+        .mode("overwrite").save(s"$plain/bad"))
+    assert(TestErrors.messageChain(e).exists(_.contains("zstd | lz4 | none")))
+    assert(!new java.io.File(s"$plain/bad").exists())
+  }
 }

@@ -77,4 +77,52 @@ class IvfIndexSpec extends AnyFunSuite {
         "a retried merge must not duplicate cell rows")
     } finally graft.operators.Scratch.rm(new java.io.File(root))
   }
+
+  test("ingest assigns bare vectors to their nearest frozen cell; " +
+       "retry is a no-op; build-first is enforced") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ivf-ingest").toString
+    try {
+      val vecs = graft.operators.Similarity.corpus(spark, sf0001)
+      val landed = vecs.filter(col("vec_id") % 10 =!= 3)
+      val crawl = vecs.filter(col("vec_id") % 10 === 3)
+        .select(col("vec_id"), col("v"))
+      // ingest before build fails loudly
+      val e = intercept[IllegalArgumentException](
+        IvfIndex.ingest(crawl, s"$root/none"))
+      assert(e.getMessage.contains("run build first"))
+      IvfIndex.build(landed, s"$root/idx")
+      val centBefore = spark.read
+        .parquet(s"$root/idx/centroids.v1.parquet").collect().map(_.toSeq)
+      IvfIndex.ingest(crawl, s"$root/idx")
+      // centroids frozen; every crawl vector landed in exactly one cell
+      val centAfter = spark.read
+        .parquet(s"$root/idx/centroids.v1.parquet").collect().map(_.toSeq)
+      assert(centBefore.sameElements(centAfter))
+      val labels = landed.select(col("label").cast("long"))
+        .distinct().as[Long].collect().toSeq
+      val cells = IvfIndex.probedCells(spark, s"$root/idx", labels)
+      assert(cells.count() == vecs.count())
+      // assignment is the argmin over frozen centroids (brute-check a
+      // few rows against the centroid table)
+      val cents = spark.read.parquet(s"$root/idx/centroids.v1.parquet")
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      val crawlRows = crawl.as[(Long, Array[Double])].collect().take(10)
+      val assigned = cells.join(crawl.select(col("vec_id")), "vec_id")
+        .select(col("vec_id"), col("label")).as[(Long, Long)]
+        .collect().toMap
+      crawlRows.foreach { case (id, v) =>
+        val want = cents.minBy { case (l, cv) =>
+          (graft.operators.VectorOps.roundAt(
+            graft.operators.VectorOps.dist2(v, cv), 6), l)
+        }._1
+        assert(assigned(id) == want, s"vec $id assigned ${assigned(id)}")
+      }
+      // retry of the same batch is fingerprint-detected
+      IvfIndex.ingest(crawl, s"$root/idx")
+      assert(IvfIndex.probedCells(spark, s"$root/idx", labels).count() ==
+        vecs.count(), "a retried ingest must not duplicate cell rows")
+    } finally graft.operators.Scratch.rm(new java.io.File(root))
+  }
 }
