@@ -110,37 +110,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     (ident.namespace.map(checkSegment) :+ checkSegment(ident.name))
       .foldLeft(warehouse)(new Path(_, _))
 
-  /** One registered table's binding. */
-  private case class Meta(provider: String, location: String,
-                          sink: Option[String], managed: Boolean)
+  import GraftCatalog.{Meta, metaJson, parseMeta}
 
-  private val MetaRe =
-    ("""\{"provider":"([^"]+)","location":"([^"]+)"""" +
-      """(?:,"sink":"([^"]+)")?,"managed":(true|false)\}""").r
-
-  private def metaJson(m: Meta): String = {
-    val sink = m.sink.map(s => s""","sink":"$s"""").getOrElse("")
-    s"""{"provider":"${m.provider}","location":"${m.location}"$sink,"managed":${m.managed}}"""
-  }
-
-  private def readMeta(ident: Identifier): Option[Meta] = {
-    val p = metaPath(ident)
-    val hfs = fs
-    if (!hfs.exists(p)) None
-    else {
-      val in = hfs.open(p)
-      val text =
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      text.trim match {
-        case MetaRe(provider, location, sink, managed) =>
-          Some(Meta(provider, location, Option(sink), managed.toBoolean))
-        case other => throw new IllegalStateException(
-          s"unparseable catalog metadata at $p: $other")
-      }
-    }
-  }
+  private def readMeta(ident: Identifier): Option[Meta] =
+    GraftCatalog.readMetaFile(fs, metaPath(ident))
 
   // ---- namespaces -------------------------------------------------------
 
@@ -377,6 +350,73 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     finally out.close()
     hfs.delete(metaPath(oldIdent), false)
     ()
+  }
+}
+
+object GraftCatalog {
+  /** One registered table's binding. */
+  private[graft] case class Meta(provider: String, location: String,
+                                 sink: Option[String], managed: Boolean)
+
+  private val MetaRe =
+    ("""\{"provider":"([^"]+)","location":"([^"]+)"""" +
+      """(?:,"sink":"([^"]+)")?,"managed":(true|false)\}""").r
+
+  private[graft] def metaJson(m: Meta): String = {
+    val sink = m.sink.map(s => s""","sink":"$s"""").getOrElse("")
+    s"""{"provider":"${m.provider}","location":"${m.location}"$sink,"managed":${m.managed}}"""
+  }
+
+  private[graft] def parseMeta(text: String, at: Path): Meta =
+    text.trim match {
+      case MetaRe(provider, location, sink, managed) =>
+        Meta(provider, location, Option(sink), managed.toBoolean)
+      case other => throw new IllegalStateException(
+        s"unparseable catalog metadata at $at: $other")
+    }
+
+  private[graft] def readMetaFile(hfs: FileSystem, p: Path): Option[Meta] =
+    if (!hfs.exists(p)) None
+    else {
+      val in = hfs.open(p)
+      val text =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      Some(parseMeta(text, p))
+    }
+
+  /** Resolve a catalog-qualified name (`cat.ns….table`) to its
+    * commit-log binding (root, sink) — the hook the GRAFT maintenance
+    * verbs use to accept NAMED tables. Reads the catalog's own conf
+    * keys + metadata file, so it needs no Spark-internal catalog-
+    * manager access and works whether or not the catalog was touched
+    * yet this session. */
+  def resolveLogTable(spark: SparkSession,
+                      parts: Seq[String]): (String, String) = {
+    require(parts.length >= 3,
+      s"expected catalog.namespace….table, got ${parts.mkString(".")}")
+    val cat = parts.head
+    val cls = spark.conf.getOption(s"spark.sql.catalog.$cat")
+    require(cls.contains(classOf[GraftCatalog].getName),
+      s"'$cat' is not a graft catalog (spark.sql.catalog.$cat = " +
+        s"${cls.getOrElse("<unset>")})")
+    val wh = spark.conf.getOption(s"spark.sql.catalog.$cat.warehouse")
+      .getOrElse(throw new IllegalArgumentException(
+        s"spark.sql.catalog.$cat.warehouse is not set"))
+    val metaFile = (parts.tail.init :+ s"${parts.last}.json")
+      .foldLeft(new Path(new Path(wh), "_graft_catalog"))(new Path(_, _))
+    val hfs = metaFile.getFileSystem(spark.sessionState.newHadoopConf())
+    val meta = readMetaFile(hfs, metaFile).getOrElse(
+      throw new IllegalArgumentException(
+        s"no table '${parts.mkString(".")}' registered (expected " +
+          s"metadata at $metaFile)"))
+    require(meta.provider == "graft-log",
+      s"'${parts.mkString(".")}' is a ${meta.provider} table — the GRAFT " +
+        "maintenance verbs address commit-log (graft-log) tables; " +
+        "graft-arrow tables take INSERT/OVERWRITE/DROP directly")
+    (meta.location, meta.sink.getOrElse(throw new IllegalStateException(
+      s"graft-log table ${parts.mkString(".")} has no sink recorded")))
   }
 }
 

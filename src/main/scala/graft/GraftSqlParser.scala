@@ -24,9 +24,18 @@ import graft.sources.GraftTable
   *   GRAFT HISTORY '<root>'
   *   GRAFT INDEX BUILD   <kind> '<root>' FROM (<query>)
   *   GRAFT INDEX MERGE   <kind> '<root>' FROM (<query>)
-  *   GRAFT INDEX COMPACT MINHASH|WINNOW|TERMS '<root>'
+  *   GRAFT INDEX COMPACT MINHASH|WINNOW|TERMS|IVF '<root>'
   *   GRAFT INDEX VACUUM  IVF|PQ '<root>'
   * }}}
+  *
+  * Every table verb also takes a CATALOG-NAMED table in place of
+  * `'<root>' SINK '<sink>'` — `GRAFT OPTIMIZE cat.db.t`,
+  * `GRAFT DELETE cat.db.t WHERE …`, `GRAFT HISTORY cat.db.t` — where
+  * `cat` is a [[GraftCatalog]] and the name resolves to a `graft-log`
+  * binding through its metadata ([[GraftCatalog.resolveLogTable]]),
+  * making the SQL surface self-contained: register once, then read
+  * (`SELECT … FROM cat.db.t`), time-travel (`VERSION AS OF`), and
+  * maintain by name.
   *
   * `<kind>` ∈ MINHASH | WINNOW | TERMS | DECONTAM | IVF | PQ. The
   * INDEX verbs drive the persisted index lifecycles
@@ -56,15 +65,45 @@ import graft.sources.GraftTable
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
+  /** `catalog.ns….table` → (root, sink) via the graft catalog's
+    * metadata — the named-table spelling of every maintenance verb
+    * (`GRAFT OPTIMIZE cat.db.t` ≡ `GRAFT OPTIMIZE '<root>' SINK
+    * '<sink>'`). Resolved AT PARSE time against the active session:
+    * these are eager maintenance commands, so parse and run are one
+    * `spark.sql(...)` call apart. */
+  private def named(ident: String): (String, String) =
+    GraftCatalog.resolveLogTable(org.apache.spark.sql.SparkSession.active,
+      ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`")))
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeRe(root, sink, small, target) =>
       GraftOptimizeCommand(root, sink,
         Option(small).map(_.toLong), Option(target).map(_.toLong))
+    case OptimizeNamedRe(ident, small, target) =>
+      val (root, sink) = named(ident)
+      GraftOptimizeCommand(root, sink,
+        Option(small).map(_.toLong), Option(target).map(_.toLong))
     case VacuumRe(root, retain) =>
       GraftVacuumCommand(root, retain.toLong)
+    case VacuumNamedRe(ident, retain) =>
+      GraftVacuumCommand(named(ident)._1, retain.toLong)
     case DeleteRe(root, sink, cond) =>
       delegate.parseExpression(cond) // fail fast on bad syntax at parse time
       GraftDeleteCommand(root, sink, cond)
+    case DeleteNamedRe(ident, cond) =>
+      delegate.parseExpression(cond)
+      val (root, sink) = named(ident)
+      GraftDeleteCommand(root, sink, cond)
+    case UpdateNamedRe(ident, rest) =>
+      val wh = topLevelIndexOfWord(rest, "WHERE")
+      require(wh > 0,
+        s"GRAFT UPDATE needs a top-level WHERE clause: $sqlText")
+      val set = splitAssignments(rest.take(wh))
+      val cond = rest.drop(wh + 5).trim
+      set.foreach { case (_, rhs) => delegate.parseExpression(rhs) }
+      delegate.parseExpression(cond)
+      val (root, sink) = named(ident)
+      GraftUpdateCommand(root, sink, set, cond)
     case UpdateRe(root, sink, rest) =>
       // SET / WHERE split by the top-level scanner, not a regex: a
       // 'WHERE' inside a string literal or parens belongs to the SET
@@ -98,7 +137,27 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         update = mode == null || !mode.equalsIgnoreCase("INSERT ONLY"),
         insert = mode == null || !mode.equalsIgnoreCase("UPDATE ONLY"),
         deleteWhen = delWhen)
+    case MergeNamedRe(ident, rest) =>
+      val close = matchingParen(rest, 0)
+      require(close > 0,
+        s"GRAFT MERGE: unbalanced parens around the USING query: $sqlText")
+      val query = rest.substring(1, close)
+      val (keys, mode, delWhen) = rest.substring(close + 1).trim match {
+        case MergeTailRe(ks, m, d) => (ks, m, Option(d).map(_.trim))
+        case tail => throw new IllegalArgumentException(
+          s"GRAFT MERGE: expected 'ON key[, …] [INSERT ONLY|UPDATE " +
+            s"ONLY] [DELETE WHEN <expr>]' after the USING query, got: $tail")
+      }
+      delegate.parseQuery(query)
+      delWhen.foreach(delegate.parseExpression)
+      val (root, sink) = named(ident)
+      GraftMergeCommand(root, sink, query,
+        keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        update = mode == null || !mode.equalsIgnoreCase("INSERT ONLY"),
+        insert = mode == null || !mode.equalsIgnoreCase("UPDATE ONLY"),
+        deleteWhen = delWhen)
     case HistoryRe(root) => GraftHistoryCommand(root)
+    case HistoryNamedRe(ident) => GraftHistoryCommand(named(ident)._1)
     case IndexFromRe(verb, kind, root, rest) =>
       val close = matchingParen(rest, 0)
       require(close > 0,
@@ -156,10 +215,26 @@ object GraftSqlParser {
     """(?is)ON\s+([\w`"]+(?:\s*,\s*[\w`"]+)*)(?:\s+(INSERT\s+ONLY|UPDATE\s+ONLY))?(?:\s+DELETE\s+WHEN\s+(.+?))?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+  // NAMED-table spellings: a ≥3-part dotted identifier
+  // (catalog.namespace….table) in place of '<root>' SINK '<sink>' —
+  // resolved against the graft catalog's metadata at parse time
+  private val Ident = """((?:[\w`]+\.){2,}[\w`]+)"""
+  private val OptimizeNamedRe =
+    s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$Ident(?:\\s+SMALL\\s+(\\d+))?(?:\\s+TARGET\\s+(\\d+))?\\s*;?\\s*""".r
+  private val VacuumNamedRe =
+    s"""(?is)\\s*GRAFT\\s+VACUUM\\s+$Ident\\s+RETAIN\\s+(\\d+)\\s*;?\\s*""".r
+  private val DeleteNamedRe =
+    s"""(?is)\\s*GRAFT\\s+DELETE\\s+$Ident\\s+WHERE\\s+(.+?)\\s*;?\\s*""".r
+  private val UpdateNamedRe =
+    s"""(?is)\\s*GRAFT\\s+UPDATE\\s+$Ident\\s+SET\\s+(.+?)\\s*;?\\s*""".r
+  private val MergeNamedRe =
+    s"""(?is)\\s*GRAFT\\s+MERGE\\s+$Ident\\s+USING\\s+(\\(.+?)\\s*;?\\s*""".r
+  private val HistoryNamedRe =
+    s"""(?is)\\s*GRAFT\\s+HISTORY\\s+$Ident\\s*;?\\s*""".r
   private val IndexFromRe =
     """(?is)\s*GRAFT\s+INDEX\s+(BUILD|MERGE)\s+(MINHASH|WINNOW|TERMS|DECONTAM|IVF|PQ)\s+'([^']+)'\s+FROM\s+(\(.+?)\s*;?\s*""".r
   private val IndexCompactRe =
-    """(?is)\s*GRAFT\s+INDEX\s+COMPACT\s+(MINHASH|WINNOW|TERMS)\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+INDEX\s+COMPACT\s+(MINHASH|WINNOW|TERMS|IVF)\s+'([^']+)'\s*;?\s*""".r
   private val IndexVacuumRe =
     """(?is)\s*GRAFT\s+INDEX\s+VACUUM\s+(IVF|PQ)\s+'([^']+)'\s*;?\s*""".r
 
@@ -364,6 +439,7 @@ case class GraftIndexCommand(verb: String, kind: String, root: String,
       case ("DECONTAM", "MERGE") => DecontamIndex.merge(src, root)
       case ("IVF", "BUILD") => IvfIndex.build(src, root)
       case ("IVF", "MERGE") => IvfIndex.merge(src, root)
+      case ("IVF", "COMPACT") => IvfIndex.compact(spark, root)
       case ("IVF", "VACUUM") => IvfIndex.vacuum(spark, root)
       case ("PQ", "BUILD") => PqIndex.build(src, root)
       case ("PQ", "MERGE") => PqIndex.merge(src, root)

@@ -19,9 +19,12 @@ import graft.sources.Tables
   * {{{
   *   centroids.v<V>.parquet      (label, cv) — one row per cell, tiny.
   *                 Written by [[build]] only.
-  *   cells/gen=<G>/label=<L>/    (vec_id, v) — corpus partitioned by
-  *                 cell, one generation dir per committed batch,
-  *                 append-only.
+  *   cells.v<V>/gen=<G>/label=<L>/  (vec_id, v) — corpus partitioned
+  *                 by cell, one generation dir per committed batch,
+  *                 append-only within a version; [[compact]] folds the
+  *                 committed generations into version V+1 (one dir,
+  *                 one file set per cell) and retires V-1 with the
+  *                 same one-version grace as the text indexes.
   *   _commits/g<G>               generation G's publish marker (carries
   *                 the batch fingerprint for retry idempotency).
   *                 Written LAST — an interrupted [[merge]] leaves only
@@ -64,6 +67,11 @@ object IvfIndex {
   private def centroidsDir(root: String, v: Long) =
     s"$root/centroids.v$v.parquet"
 
+  private def cellsDir(root: String, v: Long) = s"$root/cells.v$v"
+
+  private def cellsVersion(spark: SparkSession, root: String): Long =
+    IndexStore.requireVersion(spark, root, "cells.v", "IVF cells")
+
   private def committedGens(spark: SparkSession, root: String): Seq[Long] =
     IndexStore.committedGens(spark, root)
 
@@ -93,10 +101,11 @@ object IvfIndex {
             .toDF("label", "cv")
             .repartition(1)
             .write.mode("overwrite").parquet(centroidsDir(indexPath, 1L)),
-          () => writeCells(c, indexPath, gen = 0L))
+          () => writeCells(c, indexPath, 1L, gen = 0L))
         spark.range(0).toDF("done")
       }
       IndexStore.mark(hfs, p, "g0")
+      IndexStore.mark(hfs, p, "cells.v1")
       IndexStore.mark(hfs, p, "centroids.v1")
     }
 
@@ -122,7 +131,8 @@ object IvfIndex {
       if (!IndexStore.generationCommitted(spark, indexPath, fp)) {
         val g = gens.max + 1
         writeCells(vecs.select(col("vec_id"),
-          col("label").cast("long"), col("v")), indexPath, g)
+          col("label").cast("long"), col("v")), indexPath,
+          cellsVersion(spark, indexPath), g)
         IndexStore.mark(hfs, p, s"g$g", fp)
       }
     }
@@ -166,7 +176,7 @@ object IvfIndex {
             }
           }.toDF("vec_id", "label", "v")
         val g = gens.max + 1
-        writeCells(assigned, indexPath, g)
+        writeCells(assigned, indexPath, cellsVersion(spark, indexPath), g)
         IndexStore.mark(hfs, p, s"g$g", fp)
       }
     }
@@ -186,8 +196,9 @@ object IvfIndex {
       ingest(vecs.filter(col("vec_id") % 10 === 3)
         .select(col("vec_id"), col("v")), idx)
       val maxGen = committedGens(spark, idx).max
+      val cells = cellsDir(idx, cellsVersion(spark, idx))
       val assigned = spark.read.schema(CellsSchema)
-        .option("basePath", s"$idx/cells").parquet(s"$idx/cells")
+        .option("basePath", cells).parquet(cells)
         .filter(col("gen") === maxGen)
         .select(col("vec_id"), col("label").as("cell"))
         .orderBy("vec_id")
@@ -203,16 +214,48 @@ object IvfIndex {
     IndexStore.withLock(spark, indexPath) {
       val (hfs, _) = IndexStore.fs(spark, indexPath)
       IndexStore.sweepOrphanGens(hfs,
-        new org.apache.hadoop.fs.Path(s"$indexPath/cells"),
+        new org.apache.hadoop.fs.Path(
+          cellsDir(indexPath, cellsVersion(spark, indexPath))),
         committedGens(spark, indexPath).toSet)
+    }
+
+  /** Small-file compaction: every committed generation appended one
+    * `gen=G/label=L` directory of per-batch files, so a long ingest
+    * history turns each probed cell into many tiny reads. Fold the
+    * committed generations into cells version V+1 — one dir, one
+    * file set per cell — with the SAME three-step crash discipline as
+    * the text indexes ([[MinhashIndex.compact]]): write unmarked
+    * (invisible), mark (the atomic switch), retire superseded trees
+    * with a one-version grace for in-flight readers. Generation
+    * markers are untouched: the folded tree carries everything as
+    * `gen=<max>` and later merges append gen max+1 into V+1. */
+  def compact(spark: SparkSession, indexPath: String): Unit =
+    IndexStore.withLock(spark, indexPath) {
+      val gens = committedGens(spark, indexPath)
+      require(gens.nonEmpty,
+        s"no committed IVF index under $indexPath — run build first")
+      val v = cellsVersion(spark, indexPath)
+      val (hfs, p) = IndexStore.fs(spark, indexPath)
+      // clear the target first: a crashed compact's leftover dir would
+      // otherwise survive this retry's single-dir overwrite and
+      // double-count its rows once published
+      IndexStore.deleteTree(hfs,
+        new org.apache.hadoop.fs.Path(cellsDir(indexPath, v + 1)))
+      readCells(spark, indexPath)
+        .repartition(col("label"))
+        .write.mode("overwrite").partitionBy("label")
+        .parquet(s"${cellsDir(indexPath, v + 1)}/gen=${gens.max}")
+      IndexStore.mark(hfs, p, s"cells.v${v + 1}")
+      IndexStore.retireVersions(spark, indexPath, "cells.v", v)
     }
 
   /** Write a batch's cells as generation `gen` — NOT visible to any
     * reader until its marker lands. */
-  private def writeCells(c: DataFrame, indexPath: String, gen: Long): Unit =
+  private def writeCells(c: DataFrame, indexPath: String, version: Long,
+                         gen: Long): Unit =
     c.repartition(col("label"))
       .write.mode("overwrite").partitionBy("label")
-      .parquet(s"$indexPath/cells/gen=$gen")
+      .parquet(s"${cellsDir(indexPath, version)}/gen=$gen")
 
   /** Committed cell rows, pruned to the probed labels AND the committed
     * generations — exposed so the spec can assert partition pruning on
@@ -229,7 +272,7 @@ object IvfIndex {
     val gens = committedGens(spark, indexPath)
     require(gens.nonEmpty,
       s"no committed IVF index under $indexPath — run build first")
-    val dir = s"$indexPath/cells"
+    val dir = cellsDir(indexPath, cellsVersion(spark, indexPath))
     spark.read.schema(CellsSchema).option("basePath", dir).parquet(dir)
       .filter(col("gen") <= gens.max)
       .select(col("vec_id"), col("label"), col("v"))

@@ -117,6 +117,38 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(GraftTable.read(spark, root, "raw").count() == 3)
   }
 
+  test("GRAFT maintenance verbs accept catalog-named log tables") {
+    wh
+    val root = Files.createTempDirectory("graft-catalog-verbs").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(0L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$root/raw")
+    GraftTable.commit(spark, root, 0L)
+    spark.sql("DROP TABLE IF EXISTS cat.db.verbs")
+    spark.sql("CREATE TABLE cat.db.verbs USING `graft-log` " +
+      s"LOCATION '$root' OPTIONS (sink 'raw')")
+    // HISTORY by name
+    assert(spark.sql("GRAFT HISTORY cat.db.verbs").count() == 1)
+    // DELETE by name rewrites through the commit log
+    val del = spark.sql("GRAFT DELETE cat.db.verbs WHERE id = 2").head
+    assert(del.getLong(0) == 1L)
+    assert(spark.sql("SELECT id FROM cat.db.verbs ORDER BY id")
+      .as[Long].collect().toSeq == Seq(1L, 3L))
+    // time travel still sees the pre-delete snapshot
+    assert(spark.sql("SELECT count(*) FROM cat.db.verbs VERSION AS OF 0")
+      .head.getLong(0) == 3)
+    // a graft-arrow table refuses the log verbs with a pointer
+    spark.sql("DROP TABLE IF EXISTS cat.db.arrowt")
+    spark.sql("CREATE TABLE cat.db.arrowt (v BIGINT) USING `graft-arrow`")
+    val e = intercept[Exception](
+      spark.sql("GRAFT HISTORY cat.db.arrowt"))
+    assert(TestErrors.messageChain(e).exists(_.contains("graft-arrow")))
+    spark.sql("DROP TABLE cat.db.verbs")
+    spark.sql("DROP TABLE cat.db.arrowt")
+  }
+
   test("streaming read tails a catalog-named arrow table's shards") {
     wh
     spark.sql("DROP TABLE IF EXISTS cat.db.feed")

@@ -372,7 +372,7 @@ class IndexDurabilitySpec extends AnyFunSuite {
       val lvecs = graft.operators.Similarity.corpus(spark, sf0001)
       graft.operators.IvfIndex.build(lvecs, s"$root/ivf")
       val ivfBefore = rows(graft.operators.IvfIndex.topK(spark, s"$root/ivf"))
-      val tornIvf = new java.io.File(s"$root/ivf/cells/gen=1/label=0")
+      val tornIvf = new java.io.File(s"$root/ivf/cells.v1/gen=1/label=0")
       tornIvf.mkdirs()
       java.nio.file.Files.write(
         new java.io.File(tornIvf, "part-00000.snappy.parquet").toPath,
@@ -380,7 +380,7 @@ class IndexDurabilitySpec extends AnyFunSuite {
       assert(rows(graft.operators.IvfIndex.topK(spark, s"$root/ivf"))
         == ivfBefore, "an uncommitted IVF generation must be invisible")
       graft.operators.IvfIndex.vacuum(spark, s"$root/ivf")
-      assert(!new java.io.File(s"$root/ivf/cells/gen=1").exists)
+      assert(!new java.io.File(s"$root/ivf/cells.v1/gen=1").exists)
     } finally Scratch.rm(new java.io.File(root))
   }
 

@@ -34,7 +34,7 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(scan.contains("label"),
       "the pruning predicate must be on the cell label")
     // the pruned scan must read strictly fewer files than the full corpus
-    val all = spark.read.parquet(s"$indexPath/cells")
+    val all = spark.read.parquet(s"$indexPath/cells.v1")
     val pruned = IvfIndex.probedCells(spark, indexPath, Seq(0L, 1L))
     assert(pruned.count() < all.count())
     assert(pruned.select("label").distinct().count() == 2)
@@ -42,10 +42,10 @@ class IvfIndexSpec extends AnyFunSuite {
 
   test("index layout: one centroid row per cell, cells hive-partitioned") {
     val cent = spark.read.parquet(s"$indexPath/centroids.v1.parquet")
-    val labels = spark.read.parquet(s"$indexPath/cells")
+    val labels = spark.read.parquet(s"$indexPath/cells.v1")
       .select("label").distinct().count()
     assert(cent.count() == labels)
-    val cellDirs = new java.io.File(s"$indexPath/cells/gen=0")
+    val cellDirs = new java.io.File(s"$indexPath/cells.v1/gen=0")
       .listFiles().count(_.getName.startsWith("label="))
     assert(cellDirs == labels)
   }
@@ -123,6 +123,42 @@ class IvfIndexSpec extends AnyFunSuite {
       IvfIndex.ingest(crawl, s"$root/idx")
       assert(IvfIndex.probedCells(spark, s"$root/idx", labels).count() ==
         vecs.count(), "a retried ingest must not duplicate cell rows")
+    } finally graft.operators.Scratch.rm(new java.io.File(root))
+  }
+
+  test("compact folds generations into one versioned cell tree; " +
+       "queries are unchanged and later merges keep appending") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-ivf-compact").toString
+    try {
+      val vecs = graft.operators.Similarity.corpus(spark, sf0001)
+      IvfIndex.build(vecs.filter(col("vec_id") % 10 < 5), s"$root/idx")
+      IvfIndex.merge(vecs.filter(col("vec_id") % 10 >= 5)
+        .filter(col("vec_id") % 10 < 8), s"$root/idx")
+      IvfIndex.ingest(vecs.filter(col("vec_id") % 10 >= 8)
+        .select(col("vec_id"), col("v")), s"$root/idx")
+      val before = IvfIndex.topK(spark, s"$root/idx").collect()
+      IvfIndex.compact(spark, s"$root/idx")
+      // one folded generation dir in the new version; old version
+      // retired down to the one-version grace
+      assert(new java.io.File(s"$root/idx/cells.v2")
+        .listFiles().count(_.getName.startsWith("gen=")) == 1)
+      // queries over the compacted tree are bit-identical
+      val after = IvfIndex.topK(spark, s"$root/idx").collect()
+      assert(after.sameElements(before))
+      // a second compact retires v1 (grace window moves forward)
+      IvfIndex.compact(spark, s"$root/idx")
+      assert(!new java.io.File(s"$root/idx/cells.v1").exists())
+      assert(IvfIndex.topK(spark, s"$root/idx").collect()
+        .sameElements(before))
+      // merges after compaction append into the live version
+      IvfIndex.merge(vecs.filter(col("vec_id") % 10 >= 5)
+        .filter(col("vec_id") % 10 < 8)
+        .withColumn("vec_id", col("vec_id") + 1000000L), s"$root/idx")
+      val labels = vecs.select(col("label").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      assert(IvfIndex.probedCells(spark, s"$root/idx", labels).count() >
+        vecs.count())
     } finally graft.operators.Scratch.rm(new java.io.File(root))
   }
 }
