@@ -110,7 +110,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     (ident.namespace.map(checkSegment) :+ checkSegment(ident.name))
       .foldLeft(warehouse)(new Path(_, _))
 
-  import GraftCatalog.{Meta, metaJson, parseMeta}
+  import GraftCatalog.{Meta, metaJson}
 
   private def readMeta(ident: Identifier): Option[Meta] =
     GraftCatalog.readMetaFile(fs, metaPath(ident))
@@ -189,9 +189,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     readMeta(ident).isDefined
 
-  private def arrowTable(location: String): Table = {
+  private def arrowTable(meta: Meta): Table = {
     val provider = new ArrowSourceProvider
-    val props = util.Map.of("path", location, "appendable", "true")
+    // the registered table OPTIONS (compression, batchrows,
+    // requiremarker) ride the binding and become the table's DEFAULTS —
+    // an INSERT INTO has no write options of its own, so without this
+    // a perfectly valid `OPTIONS (compression 'zstd')` would be
+    // silently discarded
+    val props = new util.HashMap[String, String]()
+    props.put("path", meta.location)
+    props.put("appendable", "true")
+    meta.options.foreach { case (k, v) => props.put(k, v) }
     val schema = provider.inferSchema(new CaseInsensitiveStringMap(props))
     provider.getTable(schema, Array.empty[Transform], props)
   }
@@ -234,7 +242,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     readMeta(ident) match {
       case None => throw new NoSuchTableException(ident)
       case Some(m) if m.provider == "graft-log" => logTable(m, ident, None)
-      case Some(m) => arrowTable(m.location)
+      case Some(m) => arrowTable(m)
     }
 
   /** `VERSION AS OF n` — time travel by NAME for commit-log tables
@@ -263,6 +271,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val provider = props.getOrElse(TableCatalog.PROP_PROVIDER, "graft-arrow")
       .toLowerCase
     val location = props.get(TableCatalog.PROP_LOCATION)
+    // metadata fields land in a regex-parseable JSON line: reject values
+    // the writer cannot round-trip (quotes, backslashes, control chars)
+    // at CREATE time — an unreadable binding could otherwise never even
+    // be dropped through SQL
+    def jsonSafe(what: String, v: String): String = {
+      require(v.forall(c => c >= ' ' && c != '"' && c != '\\'),
+        s"$what '$v' contains characters the catalog metadata cannot " +
+          "carry (no quotes, backslashes, or control characters)")
+      v
+    }
+    location.foreach(jsonSafe("LOCATION", _))
+    // writer options persisted with the binding (validated NOW):
+    // OPTIONS(...) arrive under TableCatalog.OPTION_PREFIX or bare
+    def opt(k: String): Option[String] =
+      props.get(k).orElse(props.get(TableCatalog.OPTION_PREFIX + k))
+        .map(jsonSafe(s"option $k", _))
+    val writerOpts = Seq(
+      opt("compression").map { c =>
+        ArrowInterchange.codecType(c); "compression" -> c
+      },
+      opt("batchrows").map { b =>
+        require(scala.util.Try(b.toInt).toOption.exists(_ > 0),
+          s"batchrows must be a positive integer, got '$b'")
+        "batchrows" -> b
+      },
+      opt("requiremarker").map { r =>
+        require(r.equalsIgnoreCase("true") || r.equalsIgnoreCase("false"),
+          s"requiremarker must be true|false, got '$r'")
+        "requiremarker" -> r
+      }).flatten.toMap
     val meta = provider match {
       case "graft-arrow" =>
         val loc = location.getOrElse(managedLocation(ident).toString)
@@ -283,7 +321,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             hfs.create(new Path(shard0, "_SUCCESS"), true).close()
           }
         }
-        Meta("graft-arrow", loc, None, managed = location.isEmpty)
+        Meta("graft-arrow", loc, None, managed = location.isEmpty,
+          options = writerOpts)
       case "graft-log" =>
         val loc = location.getOrElse(throw new IllegalArgumentException(
           "graft-log tables register an EXISTING commit-log root: " +
@@ -295,7 +334,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(schema.isEmpty,
           "graft-log tables infer their schema from the commit log — " +
             "register without columns")
-        Meta("graft-log", loc, Some(sink), managed = false)
+        Meta("graft-log", loc, Some(jsonSafe("sink", sink)),
+          managed = false)
       case other => throw new UnsupportedOperationException(
         s"unknown provider '$other' for the graft catalog " +
           "(want graft-arrow | graft-log)")
@@ -356,21 +396,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 object GraftCatalog {
   /** One registered table's binding. */
   private[graft] case class Meta(provider: String, location: String,
-                                 sink: Option[String], managed: Boolean)
+                                 sink: Option[String], managed: Boolean,
+                                 options: Map[String, String] = Map.empty)
 
   private val MetaRe =
     ("""\{"provider":"([^"]+)","location":"([^"]+)"""" +
-      """(?:,"sink":"([^"]+)")?,"managed":(true|false)\}""").r
+      """(?:,"sink":"([^"]+)")?,"managed":(true|false)""" +
+      """(?:,"options":\{([^}]*)\})?\}""").r
+  private val OptRe = """"([^"]+)":"([^"]*)"""".r
 
   private[graft] def metaJson(m: Meta): String = {
     val sink = m.sink.map(s => s""","sink":"$s"""").getOrElse("")
-    s"""{"provider":"${m.provider}","location":"${m.location}"$sink,"managed":${m.managed}}"""
+    val opts =
+      if (m.options.isEmpty) ""
+      else m.options.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":"$v"""" }
+        .mkString(""","options":{""", ",", "}")
+    s"""{"provider":"${m.provider}","location":"${m.location}"$sink,"managed":${m.managed}$opts}"""
   }
 
   private[graft] def parseMeta(text: String, at: Path): Meta =
     text.trim match {
-      case MetaRe(provider, location, sink, managed) =>
-        Meta(provider, location, Option(sink), managed.toBoolean)
+      case MetaRe(provider, location, sink, managed, opts) =>
+        val options = Option(opts).map(o =>
+          OptRe.findAllMatchIn(o)
+            .map(m => m.group(1) -> m.group(2)).toMap)
+          .getOrElse(Map.empty[String, String])
+        Meta(provider, location, Option(sink), managed.toBoolean, options)
       case other => throw new IllegalStateException(
         s"unparseable catalog metadata at $at: $other")
     }
@@ -420,17 +472,27 @@ object GraftCatalog {
   }
 }
 
-/** Read-only wrapper: exposes exactly the delegate's scan surface and
-  * nothing else, with a domain-specific refusal for writes. */
+/** Read-only wrapper: exposes exactly the delegate's scan surface; the
+  * write capability IS advertised but its builder refuses with the
+  * domain-specific reason — without the capability, Spark would emit
+  * only its generic "does not support append" and the operator would
+  * never learn that writes go through the commit log. */
 private[graft] class GraftReadOnlyTable(delegate: Table with SupportsRead,
                                         whyReadOnly: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = delegate.name()
   override def schema(): StructType = delegate.schema()
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.newScanBuilder(options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    throw new UnsupportedOperationException(
+      s"${name()} is read-only: $whyReadOnly")
   override def properties(): util.Map[String, String] = delegate.properties()
 }
 

@@ -73,7 +73,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     * `spark.sql(...)` call apart. */
   private def named(ident: String): (String, String) =
     GraftCatalog.resolveLogTable(org.apache.spark.sql.SparkSession.active,
-      ident.split('.').toSeq.map(_.stripPrefix("`").stripSuffix("`")))
+      splitIdentifier(ident))
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeRe(root, sink, small, target) =>
@@ -237,6 +237,23 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+INDEX\s+COMPACT\s+(MINHASH|WINNOW|TERMS|IVF)\s+'([^']+)'\s*;?\s*""".r
   private val IndexVacuumRe =
     """(?is)\s*GRAFT\s+INDEX\s+VACUUM\s+(IVF|PQ)\s+'([^']+)'\s*;?\s*""".r
+
+  /** Split a dotted identifier into its segments, honoring backtick
+    * quoting — `cat.db.`my.table`` is three segments, the last
+    * containing a dot (the catalog's own SegmentRe allows dots in
+    * names, so a naive split('.') would mis-resolve it). */
+  private[graft] def splitIdentifier(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    s.foreach {
+      case '`' => inQ = !inQ
+      case '.' if !inQ => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    out += cur.result()
+    out.result()
+  }
 
   /** Split `a = expr1, b = expr2` on TOP-LEVEL commas (commas inside
     * parens or string literals belong to the expression), then each

@@ -67,10 +67,24 @@ object IvfIndex {
   private def centroidsDir(root: String, v: Long) =
     s"$root/centroids.v$v.parquet"
 
-  private def cellsDir(root: String, v: Long) = s"$root/cells.v$v"
+  // version 0 IS the legacy unversioned layout: indexes built before
+  // cells were versioned carry `cells/` and no `cells.v` marker — they
+  // keep reading and merging in place (no forced rebuild), and the
+  // first [[compact]] migrates them into `cells.v1`
+  private def cellsDir(root: String, v: Long) =
+    if (v == 0L) s"$root/cells" else s"$root/cells.v$v"
 
-  private def cellsVersion(spark: SparkSession, root: String): Long =
-    IndexStore.requireVersion(spark, root, "cells.v", "IVF cells")
+  private def cellsVersion(spark: SparkSession, root: String): Long = {
+    val (hfs, p) = IndexStore.fs(spark, root)
+    val vs = IndexStore.markedIds(hfs, p, "cells.v")
+    if (vs.nonEmpty) vs.max
+    else {
+      require(hfs.exists(new org.apache.hadoop.fs.Path(s"$root/cells")),
+        s"no committed IVF cells under $root — interrupted build? " +
+          "re-run build")
+      0L // pre-versioning index
+    }
+  }
 
   private def committedGens(spark: SparkSession, root: String): Seq[Long] =
     IndexStore.committedGens(spark, root)
@@ -247,6 +261,13 @@ object IvfIndex {
         .parquet(s"${cellsDir(indexPath, v + 1)}/gen=${gens.max}")
       IndexStore.mark(hfs, p, s"cells.v${v + 1}")
       IndexStore.retireVersions(spark, indexPath, "cells.v", v)
+      // the legacy unversioned tree (version 0, plain `cells/`) has no
+      // marker for retireVersions to sweep: once a VERSIONED tree is
+      // beyond the one-version grace (v ≥ 1 means v-1 ≥ 0 is retired),
+      // delete it explicitly
+      if (v >= 1L)
+        IndexStore.deleteTree(hfs,
+          new org.apache.hadoop.fs.Path(s"$indexPath/cells"))
     }
 
   /** Write a batch's cells as generation `gen` — NOT visible to any

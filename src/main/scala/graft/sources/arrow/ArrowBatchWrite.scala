@@ -41,7 +41,8 @@ import graft.operators.ArrowInterchange.SerConf
   * format's contract is whole-export atomicity.
   */
 private[arrow] class ArrowWriteBuilder(path: String, info: LogicalWriteInfo,
-                                       appendable: Boolean = false)
+                                       appendable: Boolean = false,
+                                       defaults: Map[String, String] = Map.empty)
     extends WriteBuilder with SupportsTruncate {
   private var truncating = false
   override def truncate(): WriteBuilder = { truncating = true; this }
@@ -49,11 +50,15 @@ private[arrow] class ArrowWriteBuilder(path: String, info: LogicalWriteInfo,
     // plan-time validation: the full type surface, with the field name
     // on failure — before any job runs or any directory is touched
     ArrowInterchange.toArrowSchema(info.schema())
-    val batchRows = Option(info.options.get("batchrows")).map(_.toInt)
+    // write options fall back to the TABLE-level defaults a
+    // catalog-named table registered (per-write options win)
+    def option(k: String): Option[String] =
+      Option(info.options.get(k)).orElse(defaults.get(k))
+    val batchRows = option("batchrows").map(_.toInt)
       .getOrElse(ArrowInterchange.DefaultBatchRows)
     // optional IPC body compression (zstd | lz4 | none): validated at
     // plan time, identical codec path to exportArrow's
-    val compression = Option(info.options.get("compression")).getOrElse("none")
+    val compression = option("compression").getOrElse("none")
     ArrowInterchange.codecType(compression)
     new Write {
       override def toBatch: BatchWrite = {
@@ -88,7 +93,7 @@ private[arrow] class ArrowWriteBuilder(path: String, info: LogicalWriteInfo,
       // whole tree with that epoch's single shard.
       override def toStreaming: streaming.StreamingWrite =
         new ArrowStreamingWrite(path, info.schema(), batchRows, truncating,
-          compression)
+          compression, info.queryId())
       override def description(): String = s"graft-arrow $path"
     }
   }
@@ -97,7 +102,8 @@ private[arrow] class ArrowWriteBuilder(path: String, info: LogicalWriteInfo,
 private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
                                          batchRows: Int,
                                          truncating: Boolean,
-                                         compression: String = "none")
+                                         compression: String = "none",
+                                         queryId: String = "")
     extends streaming.StreamingWrite {
   private val sconf =
     new SerConf(SparkSession.active.sessionState.newHadoopConf())
@@ -153,8 +159,14 @@ private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
     try {
       val in = fs.open(tokenFile)
       try {
+        // loop to EOF: a single read() may legally return short
         val buf = new Array[Byte](runToken.length + 1)
-        val n = in.read(buf)
+        var n = 0
+        var r = 0
+        while (n < buf.length && r >= 0) {
+          r = in.read(buf, n, buf.length - n)
+          if (r > 0) n += r
+        }
         n == runToken.length &&
           new String(buf, 0, n,
             java.nio.charset.StandardCharsets.UTF_8) == runToken
@@ -198,6 +210,20 @@ private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
             Map(ArrowInterchange.RowsMetaKey -> "0")))
         }
       ArrowInterchange.writeStatsManifest(fs, staging, manifest)
+      // every streaming-published shard is STAMPED with its owning
+      // query id: a replay may replace exactly the shards this query
+      // wrote — a shard claimed by a batch INSERT INTO (appendable
+      // catalog tables number shards max+1, which can collide with a
+      // later epoch id) or by another query must NEVER be deleted by
+      // this commit's publish (silent data loss); it fails loudly
+      // below instead. One writer KIND per tree: streaming queries own
+      // their trees; batch appends and streaming epochs don't mix.
+      if (queryId.nonEmpty) {
+        val os = fs.create(new Path(staging, "_writer"), true)
+        try os.write(
+          queryId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
+      }
       fs.create(new Path(staging, "_SUCCESS"), true).close()
       // fence check at the point of no return: everything above only
       // touched this run's own staging; from here on we delete shards
@@ -206,12 +232,49 @@ private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
         s"graft-arrow streaming commit: writer token at $tokenFile no " +
           "longer belongs to this run — a restarted run owns the tree; " +
           "aborting the stale commit")
+      // foreign-shard guard, same point of no return: if the epoch's
+      // destination already exists it must be THIS query's own shard
+      // (a replay); anything else — an appended shard, another query's
+      // epoch, a legacy unstamped shard — refuses rather than being
+      // destroyed by the publish's delete+rename
+      val dest0 = new Path(out, s"batch_id=$epochId")
+      if (fs.exists(dest0)) {
+        val owner =
+          try {
+            val in = fs.open(new Path(dest0, "_writer"))
+            try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+            finally in.close()
+          } catch { case _: Exception => "" }
+        require(queryId.nonEmpty && owner == queryId,
+          s"graft-arrow streaming commit: $dest0 exists but was not " +
+            "written by this query (a batch INSERT INTO or another " +
+            "query owns it) — refusing to replace it; stream to a " +
+            "tree this query owns exclusively, or drop the foreign " +
+            "shards first")
+      }
       if (truncating)
         // Complete mode: this epoch's output IS the whole result —
-        // retire every other shard before publishing
+        // retire every other shard before publishing. The ownership
+        // guard applies to each retired shard too: truncation may only
+        // clear THIS query's earlier epochs, never a foreign shard.
         ArrowSource.shardDirs(fs, out)
           .filter(_._1 != epochId)
-          .foreach { case (_, d) => fs.delete(d, true) }
+          .foreach { case (_, d) =>
+            val owner =
+              try {
+                val in = fs.open(new Path(d, "_writer"))
+                try new String(in.readAllBytes(),
+                  java.nio.charset.StandardCharsets.UTF_8)
+                finally in.close()
+              } catch { case _: Exception => "" }
+            require(queryId.nonEmpty && owner == queryId,
+              s"graft-arrow streaming commit (Complete mode): $d was " +
+                "not written by this query — refusing to truncate a " +
+                "foreign shard; stream to a tree this query owns " +
+                "exclusively")
+            fs.delete(d, true)
+          }
     } catch { case t: Throwable =>
       // an epoch is replayable from the checkpoint: staging is
       // disposable up to the publish step
@@ -399,7 +462,8 @@ private[arrow] class ArrowShardAppendWrite(path: String, schema: StructType,
       attempts += 1
       require(attempts <= 10000,
         s"could not claim a shard id under $path after $attempts tries " +
-          s"— staged data is intact at $staging")
+          "— re-run the INSERT (batch appends are re-runnable; the " +
+          "aborted staging is swept)")
       val dest = new Path(out, s"batch_id=$id")
       if (fs.exists(dest)) id += 1
       else if (fs.rename(staging, dest)) {
@@ -408,13 +472,16 @@ private[arrow] class ArrowShardAppendWrite(path: String, schema: StructType,
           if (!fs.rename(nested, staging))
             throw new IOException(
               s"append lost the claim for $dest and recovering the " +
-                s"staging from $nested failed — staged data is there")
+                s"staging from $nested failed — re-run the INSERT and " +
+                s"delete the stray dot-directory at $nested (invisible " +
+                "to readers, but debris)")
           id += 1
         } else done = true
       } else {
         if (!fs.exists(dest))
           throw new IOException(
-            s"publishing $staging as $dest failed — staged data intact")
+            s"publishing $staging as $dest failed — re-run the INSERT " +
+              "(batch appends are re-runnable)")
         id += 1
       }
     }

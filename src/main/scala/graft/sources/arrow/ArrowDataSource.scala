@@ -53,13 +53,20 @@ class ArrowSourceProvider extends TableProvider with DataSourceRegister {
     ArrowSource.footerSchema(path(options))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
+                        properties: java.util.Map[String, String]): Table = {
+    // table-level DEFAULTS for read/write options: a catalog-named
+    // table registers its OPTIONS once and every INSERT/scan inherits
+    // them; per-operation options still win
+    val defaults = Seq("compression", "batchrows", "requiremarker")
+      .flatMap(k => Option(properties.get(k)).map(k -> _)).toMap
     new ArrowTable(path(properties), schema,
       // appendable = the SHARD-TREE write contract (each INSERT commits
       // one whole batch_id=N directory, like a streaming epoch), the
       // layout catalog-named tables use; plain path writes keep the
       // flat whole-export overwrite-only artifact
-      Option(properties.get("appendable")).exists(_.toBoolean))
+      Option(properties.get("appendable")).exists(_.toBoolean),
+      defaults)
+  }
 
   // the schema IS declared in the artifact's footer — a user-supplied
   // schema could only disagree with it (nullability, metadata, column
@@ -135,7 +142,8 @@ private[arrow] object ArrowSource {
 }
 
 private[arrow] class ArrowTable(path: String, declared: StructType,
-                                appendable: Boolean = false)
+                                appendable: Boolean = false,
+                                defaults: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-arrow:$path"
   override def schema(): StructType = declared
@@ -159,10 +167,14 @@ private[arrow] class ArrowTable(path: String, declared: StructType,
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     require(declared.nonEmpty,
       s"no .arrows files under $path (nothing to read)")
-    new ArrowScanBuilder(path, declared, opts)
+    // table defaults under the per-scan options (scan options win)
+    val merged = new java.util.HashMap[String, String]()
+    defaults.foreach { case (k, v) => merged.put(k, v) }
+    merged.putAll(opts.asCaseSensitiveMap())
+    new ArrowScanBuilder(path, declared, new CaseInsensitiveStringMap(merged))
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ArrowWriteBuilder(path, info, appendable)
+    new ArrowWriteBuilder(path, info, appendable, defaults)
 }
 
 private[arrow] class ArrowScanBuilder(path: String, declared: StructType,
@@ -238,16 +250,9 @@ private[arrow] class ArrowScanBuilder(path: String, declared: StructType,
     val files =
       try ArrowScan.listScanFiles(fs, path, requireMarker)
       catch { case _: Exception => return false } // scan surfaces errors
-    val manifests = scala.collection.mutable.Map
-      .empty[Path, Option[Map[String, Map[String, String]]]]
     val metas: Seq[Map[String, String]] =
-      try files.map { case (f, len) =>
-        val p = new Path(f)
-        manifests.getOrElseUpdate(p.getParent,
-          ArrowInterchange.readStatsManifest(fs, p.getParent))
-          .flatMap(_.get(p.getName))
-          .getOrElse(ArrowInterchange.footerMeta(fs, f, len))
-      } catch { case _: Exception => return false }
+      try ArrowFileSkip.fileMetas(fs, files)
+      catch { case _: Exception => return false }
     val rowCounts = metas.map(_.get(ArrowInterchange.RowsMetaKey)
       .flatMap(s => scala.util.Try(s.toLong).toOption))
     if (rowCounts.exists(_.isEmpty)) return false // external writer
@@ -391,6 +396,49 @@ private[arrow] object ArrowFileSkip {
     case In(a, vs) => vs.nonEmpty &&
       vs.forall(v => v == null || colBound(a, v, schema).isDefined)
     case _ => false
+  }
+
+  /** Per-file footer metadata in listing order: manifest-served when
+    * the directory carries `_stats.tsv` (one read per dir), otherwise
+    * the file's own footer — unmanifested footers fan out over a
+    * bounded pool so plan-time metadata never serializes one remote
+    * open per file (shared by the stats-served aggregate push; the
+    * zone-map prune keeps its own decide-in-pool path). Throws on an
+    * unreadable footer — callers decline their optimization and let
+    * the scan surface the real error. */
+  def fileMetas(fs: org.apache.hadoop.fs.FileSystem,
+                files: Seq[(String, Long)]): Seq[Map[String, String]] = {
+    val manifests: Map[Path, Map[String, Map[String, String]]] =
+      files.map(f => new Path(f._1).getParent).distinct
+        .flatMap(d =>
+          ArrowInterchange.readStatsManifest(fs, d).map(d -> _)).toMap
+    def manifested(file: String): Option[Map[String, String]] = {
+      val p = new Path(file)
+      manifests.get(p.getParent).flatMap(_.get(p.getName))
+    }
+    val unknownIdx = files.zipWithIndex.collect {
+      case ((f, len), i) if manifested(f).isEmpty => (f, len, i)
+    }
+    val fromFooters: Map[Int, Map[String, String]] =
+      if (unknownIdx.isEmpty) Map.empty
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, unknownIdx.size),
+          (r: Runnable) => {
+            val t = new Thread(r, "graft-arrow-meta"); t.setDaemon(true); t
+          })
+        try unknownIdx.map { case (f, len, i) =>
+          i -> pool.submit(
+            new java.util.concurrent.Callable[Map[String, String]] {
+              override def call(): Map[String, String] =
+                ArrowInterchange.footerMeta(fs, f, len)
+            })
+        }.map { case (i, fut) => i -> fut.get() }.toMap
+        finally pool.shutdown()
+      }
+    files.zipWithIndex.map { case ((f, _), i) =>
+      manifested(f).getOrElse(fromFooters(i))
+    }
   }
 
   /** Drop the files whose stamped stats prove them empty under the

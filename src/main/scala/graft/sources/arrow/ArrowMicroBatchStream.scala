@@ -114,16 +114,27 @@ private[arrow] class ArrowMicroBatchStream(
     // producer replay sits between publishStaged's delete and rename)
     // must fail exactly like one that lost only its _SUCCESS — a
     // filter over the listing would silently drop it while the offset
-    // advances past it, losing its rows forever
-    val dirs = ArrowSource.shardDirs(hfs, root)
-      .filter { case (id, _) => id >= from && id < until }.toMap
-    val files = (from until until).flatMap { id =>
+    // advances past it, losing its rows forever.
+    //
+    // EXCEPT ids below the tree's FIRST existing shard: those are
+    // "never existed or were retired" — a consumer whose checkpoint
+    // started at 0 on an empty tree, fed by a producer resumed at
+    // epoch N (or a Complete-mode sink that truncated old shards),
+    // would otherwise crash-loop forever: the offending offset is
+    // CHECKPOINTED, so "restart the query" can never re-admit it.
+    // The strict check applies from the first existing id onward,
+    // where a hole can only mean a replay in flight — and that
+    // failure is transient (the replayed shard reappears under the
+    // same id, and the restarted query reads it).
+    val all = ArrowSource.shardDirs(hfs, root)
+    val minExisting = all.headOption.map(_._1).getOrElse(Long.MaxValue)
+    val dirs = all.filter { case (id, _) => id >= from && id < until }.toMap
+    val files = (math.max(from, minExisting) until until).flatMap { id =>
       val shard = dirs.getOrElse(id,
         throw new IllegalStateException(
           s"shard batch_id=$id under $path vanished after admission " +
-            "(producer replay in flight, or the producer's first shard " +
-            "id is above this query's start offset?) — restart the " +
-            "query to re-admit it"))
+            "(producer replay in flight?) — restart the query to " +
+            "re-admit it"))
       // the offset range was admitted from the committed prefix; a
       // shard going missing or uncommitted INSIDE it now means the
       // producer replayed under us — fail loudly, never drop rows

@@ -117,6 +117,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(GraftTable.read(spark, root, "raw").count() == 3)
   }
 
+  test("registered table OPTIONS persist and take effect on inserts") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS cat.db.zc")
+    spark.sql("DROP TABLE IF EXISTS cat.db.zp")
+    spark.sql("CREATE TABLE cat.db.zc (v STRING) USING `graft-arrow` " +
+      "OPTIONS (compression 'zstd')")
+    spark.sql("CREATE TABLE cat.db.zp (v STRING) USING `graft-arrow`")
+    val text = "'" + ("lorem ipsum dolor sit amet " * 40) + "'"
+    val rows = (0 until 300).map(_ => s"($text)").mkString(", ")
+    spark.sql(s"INSERT INTO cat.db.zc VALUES $rows")
+    spark.sql(s"INSERT INTO cat.db.zp VALUES $rows")
+    def shardBytes(t: String): Long =
+      new java.io.File(s"$wh/db/$t/batch_id=1").listFiles()
+        .filter(_.getName.endsWith(".arrows")).map(_.length()).sum
+    assert(shardBytes("zc") < shardBytes("zp") / 2,
+      s"table-level compression did not reach the insert: " +
+        s"zstd=${shardBytes("zc")} plain=${shardBytes("zp")}")
+    assert(spark.sql("SELECT count(*) FROM cat.db.zc").head.getLong(0) == 300)
+    // a bad codec fails at CREATE, and unescapable metadata is rejected
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE cat.db.bad (v STRING) USING `graft-arrow` " +
+        "OPTIONS (compression 'snappy')"))
+    assert(TestErrors.messageChain(e1).exists(_.contains("zstd | lz4")))
+    assert(!spark.sql("SHOW TABLES IN cat.db").collect()
+      .exists(_.getString(1) == "bad"))
+    spark.sql("DROP TABLE cat.db.zc")
+    spark.sql("DROP TABLE cat.db.zp")
+  }
+
   test("GRAFT maintenance verbs accept catalog-named log tables") {
     wh
     val root = Files.createTempDirectory("graft-catalog-verbs").toString

@@ -86,6 +86,64 @@ class ArrowZombieFenceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vanished"))
   }
 
+  test("ids below the tree's first shard are skipped (never-existed / " +
+       "retired), so a 0-checkpointed consumer of a late-start " +
+       "producer cannot crash-loop") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-below-min").toString
+    // producer resumed at epoch 7: the tree's first shard is 7, but the
+    // consumer's CHECKPOINTED offset is 0 (it started on an empty tree)
+    ArrowInterchange.exportArrow((0L until 5L).toDF("v"), s"$root/batch_id=7")
+    val s = spark.read.format("graft-arrow").load(root).schema
+    val stream = new ArrowMicroBatchStream(root, s, s,
+      ArrowInterchange.DefaultMaxPartBytes)
+    // ids 0..6 never existed — the batch must read shard 7 and move on,
+    // not throw forever on an offset no restart can change
+    val parts = stream.planInputPartitions(
+      ArrowShardOffset(0), ArrowShardOffset(8))
+    assert(parts.nonEmpty)
+    // …while a hole ABOVE the first shard still fails loudly
+    ArrowInterchange.exportArrow((5L until 9L).toDF("v"), s"$root/batch_id=9")
+    val e = intercept[IllegalStateException](
+      stream.planInputPartitions(ArrowShardOffset(7), ArrowShardOffset(10)))
+    assert(e.getMessage.contains("vanished"))
+  }
+
+  test("a streaming commit refuses to replace or truncate a shard it " +
+       "does not own") {
+    import org.apache.spark.sql.functions.lit
+    val out = Files.createTempDirectory("graft-foreign-shard").toString
+    // a FOREIGN shard at batch_id=0 (e.g. a batch INSERT's claim, or a
+    // schema-only create shard) — unstamped, so no query owns it
+    ArrowInterchange.exportArrow(
+      spark.range(3).select(lit(1L).as("v")), s"$out/batch_id=0")
+    val w = new ArrowStreamingWrite(out, schema, 1024, truncating = false,
+      queryId = "query-A")
+    val msgs = writeEpoch(w, 0L, Seq(7L))
+    val e = intercept[IllegalArgumentException](w.commit(0L, msgs))
+    assert(e.getMessage.contains("not written by this query"))
+    // the foreign shard is intact
+    assert(spark.read.format("graft-arrow").load(s"$out/batch_id=0")
+      .count() == 3L)
+    // the same query replacing ITS OWN shard (a replay) is allowed
+    val w2 = new ArrowStreamingWrite(out, schema, 1024, truncating = false,
+      queryId = "query-B")
+    w2.commit(5L, writeEpoch(w2, 5L, Seq(1L, 2L)))
+    val w3 = new ArrowStreamingWrite(out, schema, 1024, truncating = false,
+      queryId = "query-B")
+    w3.commit(5L, writeEpoch(w3, 5L, Seq(1L, 2L)))
+    assert(spark.read.format("graft-arrow").load(s"$out/batch_id=5")
+      .count() == 2L)
+    // Complete-mode truncation must also refuse foreign shards
+    val wc = new ArrowStreamingWrite(out, schema, 1024, truncating = true,
+      queryId = "query-C")
+    val ec = intercept[IllegalArgumentException](
+      wc.commit(9L, writeEpoch(wc, 9L, Seq(3L))))
+    assert(ec.getMessage.contains("refusing to truncate"))
+    assert(spark.read.format("graft-arrow").load(s"$out/batch_id=0")
+      .count() == 3L)
+  }
+
   test("initialOffset starts at the tree's first existing shard id, " +
        "not a hardcoded zero") {
     import spark.implicits._
