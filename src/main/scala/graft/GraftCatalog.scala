@@ -221,17 +221,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     } else {
       // delegate the scan to Spark's own vectorized parquet source —
       // identical file set and options as GraftTable.read, with full
-      // filter/column pushdown; wrapped read-only so an INSERT cannot
-      // bypass the commit log (its files would be invisible to log
-      // readers and swept by vacuum)
+      // filter/column pushdown; batch reads see the resolution-time
+      // snapshot, streaming reads tail the commit log's VERSIONS
+      // (graft.sources.GraftLogTable), and writes refuse with the
+      // commit-log explanation (a direct INSERT would land files no
+      // commit references)
       import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
       import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
       val opts = new CaseInsensitiveStringMap(util.Map.of(
         "basePath", s"$root/$sink", "mergeSchema", mergeNeeded.toString))
-      new GraftReadOnlyTable(
+      new graft.sources.GraftLogTable(
         ParquetTable(display, spark, opts,
           files.map(f => s"$root/$f").toList, None,
           classOf[ParquetFileFormat]),
+        root, sink,
         "graft-log tables are written through the commit log (GRAFT " +
           "MERGE/DELETE/OPTIMIZE or the GraftTable API) — a direct " +
           "INSERT would land files no commit references")
@@ -470,30 +473,6 @@ object GraftCatalog {
     (meta.location, meta.sink.getOrElse(throw new IllegalStateException(
       s"graft-log table ${parts.mkString(".")} has no sink recorded")))
   }
-}
-
-/** Read-only wrapper: exposes exactly the delegate's scan surface; the
-  * write capability IS advertised but its builder refuses with the
-  * domain-specific reason — without the capability, Spark would emit
-  * only its generic "does not support append" and the operator would
-  * never learn that writes go through the commit log. */
-private[graft] class GraftReadOnlyTable(delegate: Table with SupportsRead,
-                                        whyReadOnly: String)
-    extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  override def name(): String = delegate.name()
-  override def schema(): StructType = delegate.schema()
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
-  override def newWriteBuilder(
-      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
-    throw new UnsupportedOperationException(
-      s"${name()} is read-only: $whyReadOnly")
-  override def properties(): util.Map[String, String] = delegate.properties()
 }
 
 /** An empty snapshot with a pinned schema — what a commit-log sink with

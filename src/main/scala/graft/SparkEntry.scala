@@ -149,6 +149,7 @@ object SparkEntry {
     "q_table_merge"         -> (TableVerbs.mergeFinalState _),
     "q_table_changes"       -> (TableVerbs.changeFeed _),
     "q_catalog_lifecycle"   -> (CatalogLifecycle.lifecycle _),
+    "q_stream_table"        -> (TableVerbs.streamTable _),
     // --- JSONL interchange (gzip export → schema'd read-back) -----------
     "q_jsonl_roundtrip"     -> (Jsonl.roundtrip _),
     // --- Arrow IPC interchange (the reference's native data plane) ------
@@ -2248,6 +2249,7 @@ object SparkEntry {
     "q_table_merge" -> operators.TableVerbs.mergeFinalStateOracle,
     "q_table_changes" -> operators.TableVerbs.changeFeedOracle,
     "q_catalog_lifecycle" -> operators.CatalogLifecycle.lifecycleOracle,
+    "q_stream_table" -> operators.TableVerbs.streamTableOracle,
     // jsonl roundtrip must be lossless — the oracle IS the source table
     "q_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars

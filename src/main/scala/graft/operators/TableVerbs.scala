@@ -170,6 +170,62 @@ object TableVerbs {
         .orderBy("doc_id", GraftTable.ChangeTypeCol))
   }
 
+  /** q_stream_table: the commit-log STREAMING source under the oracle
+    * gate — two committed appends land in a scratch log table, the
+    * table is registered in a graft catalog, and
+    * `spark.readStream.table(...)` drains it with AvailableNow through
+    * the version-id offsets. The collected stream must equal the union
+    * of the appends (every committed row exactly once, partition
+    * columns included) — a dropped version, a double-read, or a
+    * mis-planned per-batch parquet scan all surface as a hash
+    * mismatch against DuckDB's restatement over the raw corpus. */
+  def streamTable(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-tv-stream").toString
+    try streamTableAt(spark, dir, root)
+    catch { case e: Throwable => Scratch.rm(new java.io.File(root)); throw e }
+  }
+
+  private def streamTableAt(
+      spark: SparkSession, dir: String, root: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Seq(0L, 1L).foreach { b =>
+      docs.filter(col("doc_id") % 2 === b)
+        .withColumn("batch_id", lit(b))
+        .repartition(col("lang"))
+        .write.mode("append")
+        .partitionBy("lang", "batch_id")
+        .parquet(s"$root/docs")
+      GraftTable.commit(spark, root, b)
+    }
+    val cat = "graft_oracle_logcat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$root/wh")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.docs USING `graft-log` " +
+      s"LOCATION '$root' OPTIONS (sink 'docs')")
+    val q = spark.readStream.table(s"$cat.db.docs")
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$root/out")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Scratch.materializeAndClean(root,
+      spark.read.parquet(s"$root/out")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id"))
+  }
+
+  /** The DuckDB twin of [[streamTable]]: every committed row once. */
+  val streamTableOracle: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** The DuckDB twin of [[changeFeed]]'s feed contents. */
   val changeFeedOracle: String =
     """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),

@@ -1,0 +1,217 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+/** Streaming READ over a [[GraftTable]] commit log — the Delta-
+  * streaming-source analog for catalog-named log tables:
+  * `spark.readStream.table("cat.db.t")` tails the log's VERSIONS.
+  *
+  * Offsets are committed version ids: offset N means "versions ≤ N
+  * consumed". Each micro-batch reads exactly the files the versions in
+  * `(start, end]` ADDED to the sink — an incremental consumer never
+  * re-scans the snapshot it already saw, which at 100 TB is the
+  * difference between reading a micro-batch and re-reading a corpus.
+  * The actual bytes are read by Spark's own vectorized parquet source
+  * (each batch plans a parquet scan over its own file list; every
+  * partition carries its batch's serialized reader factory, so the
+  * stream-level factory is a stateless dispatcher and no ordering
+  * between planInputPartitions and createReaderFactory is assumed).
+  *
+  * APPEND-ONLY by default, exactly like Delta's streaming source: a
+  * version that REMOVED files (DELETE / UPDATE / MERGE / OPTIMIZE
+  * rewrote survivors) fails the stream loudly — its added files
+  * re-materialize rows the consumer already received, and silently
+  * streaming them would double-count. `ignoreChanges=true` opts into
+  * streaming those files anyway (at-least-once for rewritten rows, the
+  * consumer dedups), Delta's same-named escape hatch.
+  * `maxVersionsPerTrigger=N` caps admission per micro-batch (a
+  * restarted consumer against a long history drains in steps instead
+  * of one giant batch).
+  *
+  * The schema is PINNED at stream construction (the log enforces
+  * additive-only evolution; a mid-stream schema change needs a restart
+  * — Delta's contract as well). */
+private[graft] class GraftLogTable(delegate: ParquetTable,
+                                   root: String, sink: String,
+                                   whyReadOnly: String)
+    extends Table with SupportsRead with SupportsWrite {
+  // ParquetTable declares `name` and `schema` as vals (FileTable), so
+  // no parens on the delegate side
+  override def name(): String = delegate.name
+  override def schema(): StructType = delegate.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftLogScanBuilder(delegate.newScanBuilder(options),
+      root, sink, delegate.dataSchema, options)
+  // the write capability IS advertised but refuses with the domain
+  // reason — without it Spark's generic "does not support append"
+  // would never tell the operator that writes go through the commit log
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    throw new UnsupportedOperationException(
+      s"${name()} is read-only: $whyReadOnly")
+  override def properties(): java.util.Map[String, String] =
+    delegate.properties()
+}
+
+/** Forwards pushdown to the delegate parquet builder (batch reads keep
+  * full filter/column pushdown) while remembering the pruned schema for
+  * the streaming path. */
+private[graft] class GraftLogScanBuilder(delegate: ScanBuilder,
+                                         root: String, sink: String,
+                                         dataSchema: StructType,
+                                         opts: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    delegate match {
+      case d: SupportsPushDownRequiredColumns => d.pruneColumns(requiredSchema)
+      case _ => ()
+    }
+  override def pushFilters(filters: Array[Filter]): Array[Filter] =
+    delegate match {
+      case d: SupportsPushDownFilters => d.pushFilters(filters)
+      case _ => filters
+    }
+  override def pushedFilters(): Array[Filter] = delegate match {
+    case d: SupportsPushDownFilters => d.pushedFilters()
+    case _ => Array.empty
+  }
+  override def build(): Scan =
+    new GraftLogScan(delegate.build(), root, sink, dataSchema, opts)
+}
+
+private[graft] class GraftLogScan(inner: Scan, root: String, sink: String,
+                                  dataSchema: StructType,
+                                  opts: CaseInsensitiveStringMap)
+    extends Scan {
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String = s"graft-log $root/$sink"
+  override def toBatch: Batch = inner.toBatch
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new GraftLogMicroBatchStream(root, sink, dataSchema,
+      inner.readSchema(), opts)
+}
+
+/** Version-id offset: `last` = newest version consumed (-1 = none). */
+private[graft] final case class GraftLogOffset(last: Long) extends Offset {
+  override def json(): String = last.toString
+}
+
+private[graft] class GraftLogMicroBatchStream(root: String, sink: String,
+                                              dataSchema: StructType,
+                                              required: StructType,
+                                              opts: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  private def spark = SparkSession.active
+  private val ignoreChanges =
+    Option(opts.get("ignorechanges")).exists(_.toBoolean)
+  private val maxVersionsPerTrigger =
+    Option(opts.get("maxversionspertrigger")).map(_.toLong)
+
+  private def maxCommitted(): Long =
+    GraftTable.versions(spark, root).lastOption.getOrElse(-1L)
+
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(maxCommitted())
+
+  override def initialOffset(): Offset = GraftLogOffset(-1L)
+  override def deserializeOffset(json: String): Offset =
+    GraftLogOffset(json.trim.toLong)
+  override def latestOffset(): Offset =
+    GraftLogOffset(availableNowTarget.getOrElse(maxCommitted()))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftLogOffset].last
+    val target = availableNowTarget.getOrElse(maxCommitted())
+    val capped = maxVersionsPerTrigger
+      .map(cap => math.min(target, from + cap)).getOrElse(target)
+    GraftLogOffset(math.max(from, capped))
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GraftLogOffset].last
+    val until = end.asInstanceOf[GraftLogOffset].last
+    if (until <= from) return Array.empty
+    val versions = GraftTable.history(spark, root)
+      .filter(v => v.batchId > from && v.batchId <= until)
+    if (!ignoreChanges) versions.find(_.removed.nonEmpty).foreach { v =>
+      throw new IllegalStateException(
+        s"version ${v.batchId} of $root rewrote files (DELETE/UPDATE/" +
+          "MERGE/OPTIMIZE) — streaming a log table requires append-only " +
+          "versions, because rewrite versions re-materialize rows the " +
+          "stream already delivered; set ignoreChanges=true to stream " +
+          "them anyway (at-least-once for rewritten rows)")
+    }
+    val files = versions
+      .flatMap(_.files.filter(_.startsWith(sink + "/")))
+      .map(f => s"$root/$f")
+    if (files.isEmpty) return Array.empty
+    // one parquet scan per micro-batch over exactly this batch's files,
+    // schema PINNED to the stream's (no per-batch inference — the log's
+    // additive evolution can't reshape rows mid-stream)
+    val batchOpts = new CaseInsensitiveStringMap(
+      java.util.Map.of("basePath", s"$root/$sink"))
+    val table = ParquetTable(s"graft-log-stream:$root/$sink", spark,
+      batchOpts, files.toList, Some(dataSchema), classOf[ParquetFileFormat])
+    val builder = table.newScanBuilder(batchOpts)
+    builder match {
+      case b: SupportsPushDownRequiredColumns => b.pruneColumns(required)
+      case _ => ()
+    }
+    val batch = builder.build().toBatch
+    val factory = batch.createReaderFactory()
+    batch.planInputPartitions()
+      .map(p => GraftLogStreamPartition(p, factory): InputPartition)
+  }
+
+  // stateless dispatcher: each partition carries its own batch's
+  // serialized parquet reader factory, so no ordering between
+  // planInputPartitions and createReaderFactory is assumed and a
+  // replayed (checkpoint-recovered) batch rebuilds its factory with
+  // its own plan
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLogDispatchFactory
+}
+
+private[graft] final case class GraftLogStreamPartition(
+    inner: InputPartition,
+    factory: PartitionReaderFactory) extends InputPartition {
+  override def preferredLocations(): Array[String] =
+    inner.preferredLocations()
+}
+
+private[graft] class GraftLogDispatchFactory extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): (InputPartition, PartitionReaderFactory) = {
+    val q = p.asInstanceOf[GraftLogStreamPartition]
+    (q.inner, q.factory)
+  }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val (inner, f) = unwrap(p); f.createReader(inner)
+  }
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val (inner, f) = unwrap(p); f.createColumnarReader(inner)
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val (inner, f) = unwrap(p); f.supportColumnarReads(inner)
+  }
+}
