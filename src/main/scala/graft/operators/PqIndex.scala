@@ -55,8 +55,10 @@ import org.apache.spark.sql.types._
   */
 object PqIndex {
 
-  /** Bits per subspace code (log₂ PqK). */
-  private val CodeBits = 4
+  /** Bits per subspace code (log₂ PqK) — single source of truth on
+    * [[Similarity.PqCodeBits]], shared with the native encode
+    * expression. */
+  private val CodeBits = Similarity.PqCodeBits
 
   // explicit schema (data + partition column): readers must never infer
   // from data files — an uncommitted generation dir may hold a torn
@@ -223,20 +225,13 @@ object PqIndex {
   def encodeStage(vecs: org.apache.spark.sql.DataFrame,
                   indexPath: String): org.apache.spark.sql.DataFrame = {
     val cents = loadCodebooks(vecs.sparkSession, indexPath)
-    val m0 = Similarity.PqM
-    val sd = Similarity.PqSubDim
-    val enc = udf((v: Seq[Double]) => {
-      val nv = VectorOps.l2Normalize(v.toArray)
-      var code = 0L
-      var m = 0
-      while (m < m0) {
-        code |= Similarity.pqArgmin(cents(m), nv.slice(m * sd, (m + 1) * sd))
-          .toLong << (CodeBits * m)
-        m += 1
-      }
-      code
-    })
-    vecs.withColumn("code", enc(col("embedding").cast("array<double>")))
+    // native codegen expression, not a UDF: the frozen codebooks ride
+    // the plan as ONE reference object and encoding is a static call
+    // per row inside whole-stage codegen — no per-row encoder
+    // round-trip in the streaming stage (graft.functions.PqEncode)
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    vecs.withColumn("code", column(graft.functions.PqEncode(
+      expression(col("embedding").cast("array<double>")), cents)))
   }
 
   /** Top-k cosine neighbors from the persisted index for the standard

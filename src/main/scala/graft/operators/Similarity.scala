@@ -282,6 +282,9 @@ object Similarity {
   val PqSubDim = 4
   val PqK = 16
   val PqIters = 2
+  /** Bits per subspace code in the packed BIGINT (log₂ PqK) — shared
+    * by the index writer and the native encode expression. */
+  val PqCodeBits = 4
 
   /** ADC candidates re-ranked exactly per query. */
   val PqRerank = 100
