@@ -16,6 +16,7 @@ import graft.sources.GraftTable
   *
   * {{{
   *   GRAFT OPTIMIZE '<root>' SINK '<sink>' [SMALL <bytes>] [TARGET <bytes>]
+  *   GRAFT OPTIMIZE '<root>' SINK '<sink>' ZORDER BY (c1, c2) [TARGET <bytes>]
   *   GRAFT VACUUM '<root>' RETAIN <millis>
   *   GRAFT DELETE '<root>' SINK '<sink>' WHERE <predicate>
   *   GRAFT UPDATE '<root>' SINK '<sink>' SET c = expr[, …] WHERE <predicate>
@@ -76,6 +77,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       splitIdentifier(ident))
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case ZorderRe(root, sink, cols, target) =>
+      GraftZorderCommand(root, sink,
+        cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq,
+        Option(target).map(_.toLong))
+    case ZorderNamedRe(ident, cols, target) =>
+      val (root, sink) = named(ident)
+      GraftZorderCommand(root, sink,
+        cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq,
+        Option(target).map(_.toLong))
     case OptimizeRe(root, sink, small, target) =>
       GraftOptimizeCommand(root, sink,
         Option(small).map(_.toLong), Option(target).map(_.toLong))
@@ -196,6 +206,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
   private val OptimizeRe =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+SINK\s+'([^']+)'(?:\s+SMALL\s+(\d+))?(?:\s+TARGET\s+(\d+))?\s*;?\s*""".r
+  // ZORDER must match BEFORE the plain OPTIMIZE forms (its prefix is
+  // identical through the sink)
+  private val ZorderRe =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+SINK\s+'([^']+)'\s+ZORDER\s+BY\s*\(([^)]+)\)(?:\s+TARGET\s+(\d+))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s*;?\s*""".r
   private val DeleteRe =
@@ -221,6 +235,8 @@ object GraftSqlParser {
   private val Ident = """((?:[\w`]+\.){2,}[\w`]+)"""
   private val OptimizeNamedRe =
     s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$Ident(?:\\s+SMALL\\s+(\\d+))?(?:\\s+TARGET\\s+(\\d+))?\\s*;?\\s*""".r
+  private val ZorderNamedRe =
+    s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$Ident\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)(?:\\s+TARGET\\s+(\\d+))?\\s*;?\\s*""".r
   private val VacuumNamedRe =
     s"""(?is)\\s*GRAFT\\s+VACUUM\\s+$Ident\\s+RETAIN\\s+(\\d+)\\s*;?\\s*""".r
   private val DeleteNamedRe =
@@ -355,6 +371,24 @@ case class GraftOptimizeCommand(root: String, sink: String,
       small.getOrElse(32L << 20), target.getOrElse(128L << 20)) match {
       case Some(v) => Seq(Row(v, s"compacted '$sink' into version $v"))
       case None => Seq(Row(null, "nothing to compact"))
+    }
+}
+
+/** `GRAFT OPTIMIZE … ZORDER BY`: [[GraftTable.zorder]] as a SQL
+  * command — the whole sink rewritten clustered on the Morton
+  * interleave of two numeric columns. */
+case class GraftZorderCommand(root: String, sink: String,
+                              cols: Seq[String], target: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("note", StringType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftTable.zorder(spark, root, sink, cols,
+      target.getOrElse(128L << 20)) match {
+      case Some(v) => Seq(Row(v,
+        s"z-ordered '$sink' on (${cols.mkString(", ")}) into version $v"))
+      case None => Seq(Row(null, "nothing to rewrite"))
     }
 }
 

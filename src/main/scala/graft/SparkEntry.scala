@@ -150,6 +150,7 @@ object SparkEntry {
     "q_table_changes"       -> (TableVerbs.changeFeed _),
     "q_catalog_lifecycle"   -> (CatalogLifecycle.lifecycle _),
     "q_stream_table"        -> (TableVerbs.streamTable _),
+    "q_table_zorder"        -> (TableVerbs.zorderTable _),
     // --- JSONL interchange (gzip export → schema'd read-back) -----------
     "q_jsonl_roundtrip"     -> (Jsonl.roundtrip _),
     // --- Arrow IPC interchange (the reference's native data plane) ------
@@ -2250,6 +2251,7 @@ object SparkEntry {
     "q_table_changes" -> operators.TableVerbs.changeFeedOracle,
     "q_catalog_lifecycle" -> operators.CatalogLifecycle.lifecycleOracle,
     "q_stream_table" -> operators.TableVerbs.streamTableOracle,
+    "q_table_zorder" -> operators.TableVerbs.zorderTableOracle,
     // jsonl roundtrip must be lossless — the oracle IS the source table
     "q_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars

@@ -170,6 +170,47 @@ object TableVerbs {
         .orderBy("doc_id", GraftTable.ChangeTypeCol))
   }
 
+  /** q_table_zorder: the Z-ORDER rewrite under the oracle gate — two
+    * lang-partitioned appends, then `GRAFT OPTIMIZE … ZORDER BY
+    * (doc_id, n_chars)` rewrites the whole sink clustered on the
+    * Morton interleave (within each lang partition). Content must be
+    * EXACTLY the union of the appends — a clustering rewrite that
+    * drops, duplicates, or mangles a row hash-mismatches; the layout
+    * property itself (per-file ranges narrow) is spec-asserted, since
+    * an oracle can only see content. */
+  def zorderTable(spark: SparkSession, dir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-tv-zorder").toString
+    try zorderTableAt(spark, dir, root)
+    catch { case e: Throwable => Scratch.rm(new java.io.File(root)); throw e }
+  }
+
+  private def zorderTableAt(
+      spark: SparkSession, dir: String, root: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    Seq(0L, 1L).foreach { b =>
+      docs.filter(col("doc_id") % 2 === b)
+        .withColumn("batch_id", lit(b))
+        .repartition(col("lang"))
+        .write.mode("append")
+        .partitionBy("lang", "batch_id")
+        .parquet(s"$root/docs")
+      GraftTable.commit(spark, root, b)
+    }
+    val res = spark.sql(s"GRAFT OPTIMIZE '$root' SINK 'docs' " +
+      "ZORDER BY (doc_id, n_chars)").head
+    require(!res.isNullAt(0), s"zorder was a no-op: ${res.getString(1)}")
+    Scratch.materializeAndClean(root,
+      GraftTable.read(spark, root, "docs")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id"))
+  }
+
+  /** The DuckDB twin of [[zorderTable]]: content is layout-invariant. */
+  val zorderTableOracle: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** q_stream_table: the commit-log STREAMING source under the oracle
     * gate — two committed appends land in a scratch log table, the
     * table is registered in a graft catalog, and

@@ -956,4 +956,98 @@ class GraftTableSpec extends AnyFunSuite {
     GraftTable.checkpoint(spark, root, throughBatchId = 3)
     assert(!legacy.exists(), "legacy manifest must be retired by the fold")
   }
+
+  test("zorder rewrites the sink clustered: content identical, per-file " +
+       "ranges narrow, layout preserved, time travel intact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    try {
+      // rows arrive SHUFFLED so pre-zorder files span the id range
+      val n = 4000
+      val rnd = new scala.util.Random(7)
+      val rows = rnd.shuffle((0 until n).toVector)
+        .map(i => (i.toLong, if (i % 2 == 0) "en" else "fr", (i * 37 % n).toLong))
+      rows.toDF("id", "lang", "v")
+        .withColumn("batch_id", lit(0L))
+        .repartition(8)
+        .write.mode("append").partitionBy("lang", "batch_id")
+        .parquet(s"$root/docs")
+      GraftTable.commit(spark, root, 0L)
+      // the z expression exactly as zorder computes it (uniform
+      // width_bucket over the observed [min,max], Morton interleave) —
+      // the DIRECT clustering invariant is on z, not on either single
+      // dimension (z-order trades per-dim locality for both-dim)
+      val buckets = 1 << graft.operators.Layout.ZBits
+      def zCol = {
+        val idHi = (n - 1).toDouble
+        graft.operators.Layout.zValue(
+          (width_bucket(col("id").cast("double"), lit(0.0), lit(idHi),
+            lit(buckets)) - 1).cast("long"),
+          (width_bucket(col("v").cast("double"), lit(0.0), lit(idHi),
+            lit(buckets)) - 1).cast("long"))
+      }
+      def zRanges(): Seq[(String, Long, Long)] = {
+        val withF = GraftTable.read(spark, root, "docs")
+          .withColumn("__f", input_file_name())
+          .withColumn("__z", zCol)
+        withF.groupBy("lang", "__f")
+          .agg(min("__z").as("lo"), max("__z").as("hi"))
+          .select("lang", "lo", "hi")
+          .as[(String, Long, Long)].collect().toSeq
+      }
+      def filesTouching(lo: Long, hi: Long): Int = {
+        val withF = GraftTable.read(spark, root, "docs")
+          .withColumn("__f", input_file_name())
+        withF.where(col("id") >= lo && col("id") < hi)
+          .select("__f").distinct().count().toInt
+      }
+      val beforeFiles = filesTouching(0L, n / 16L)
+      // small target so the rewrite produces several files per partition
+      val ver = GraftTable.zorder(spark, root, "docs", Seq("id", "v"),
+        targetFileBytes = 8L << 10)
+      assert(ver.contains(1L))
+      val after = zRanges()
+      assert(after.size > 2, s"expected several clustered files, got $after")
+      // the direct invariant, PER hive partition (clustering happens
+      // within each lang dir, Delta's ZORDER shape): per-file z-ranges
+      // are (nearly) disjoint — repartitionByRange + sort on
+      // (partCols, z) means each partition's sum of per-file z spans
+      // ~= its global z span, not files x span
+      after.groupBy(_._1).foreach { case (lang, files) =>
+        val global = files.map(_._3).max - files.map(_._2).min
+        val sumSpans = files.map { case (_, lo, hi) => hi - lo }.sum
+        assert(sumSpans <= global * 3 / 2,
+          s"$lang files overlap in z: sum $sumSpans vs global $global")
+      }
+      // and a range query on one dimension touches FEWER files than the
+      // shuffled layout did
+      val afterFiles = filesTouching(0L, n / 16L)
+      assert(afterFiles < beforeFiles,
+        s"range query touched $afterFiles files (was $beforeFiles)")
+      // content is exactly preserved
+      assert(GraftTable.read(spark, root, "docs")
+        .select("id", "lang", "v").orderBy("id")
+        .as[(Long, String, Long)].collect().toSeq ==
+        rows.sortBy(_._1))
+      // hive layout survived (lang partitions still resolve)...
+      assert(GraftTable.read(spark, root, "docs")
+        .where(col("lang") === "en").count() == n / 2)
+      // ...and time travel to the pre-zorder version still works
+      assert(GraftTable.readAsOf(spark, root, "docs", 0L).count() == n)
+      // the named-verb spelling parses and no-ops idempotently on a
+      // re-clustered single-version... (re-running re-publishes a new
+      // version — just assert it stays content-exact)
+      spark.sql(s"GRAFT OPTIMIZE '$root' SINK 'docs' " +
+        "ZORDER BY (id, v) TARGET 8192").collect()
+      assert(GraftTable.read(spark, root, "docs").count() == n)
+      // non-numeric and wrong-arity columns refuse loudly
+      val e = intercept[IllegalArgumentException](
+        GraftTable.zorder(spark, root, "docs", Seq("lang", "id")))
+      assert(e.getMessage.contains("numeric"))
+      val e2 = intercept[IllegalArgumentException](
+        GraftTable.zorder(spark, root, "docs", Seq("id")))
+      assert(e2.getMessage.contains("two"))
+    } finally graft.operators.Scratch.rm(new java.io.File(root))
+  }
 }
