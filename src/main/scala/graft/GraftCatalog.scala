@@ -212,12 +212,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val (files, mergeNeeded) = GraftTable.snapshotFiles(spark, root, sink, asOf)
     val display = s"$catalogName.${(ident.namespace :+ ident.name).mkString(".")}"
     if (files.isEmpty) {
-      // a sink emptied by DELETE keeps its committed schema; a
-      // never-written one reads as zero columns, zero rows — the same
-      // contract as GraftTable.read
-      val schema = GraftTable.snapshotSchema(spark, root, sink, asOf)
-        .getOrElse(new StructType())
-      new GraftEmptySnapshotTable(display, schema)
+      // a sink emptied by DELETE keeps its committed schema — and stays
+      // STREAMABLE (the standard bootstrap order starts the consumer
+      // before the producer's next commit): delegate to a parquet table
+      // over zero files with the recorded schema pinned. Only a
+      // never-written sink (no schema anywhere) degrades to the
+      // zero-column, batch-only empty table.
+      GraftTable.snapshotSchema(spark, root, sink, asOf) match {
+        case Some(schema) =>
+          import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+          import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+          val opts = new CaseInsensitiveStringMap(util.Map.of(
+            "basePath", s"$root/$sink"))
+          new graft.sources.GraftLogTable(
+            ParquetTable(display, spark, opts, Nil, Some(schema),
+              classOf[ParquetFileFormat]),
+            root, sink,
+            "graft-log tables are written through the commit log (GRAFT " +
+              "MERGE/DELETE/OPTIMIZE or the GraftTable API) — a direct " +
+              "INSERT would land files no commit references")
+        case None =>
+          new GraftEmptySnapshotTable(display, new StructType())
+      }
     } else {
       // delegate the scan to Spark's own vectorized parquet source —
       // identical file set and options as GraftTable.read, with full
@@ -287,9 +303,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     location.foreach(jsonSafe("LOCATION", _))
     // writer options persisted with the binding (validated NOW):
     // OPTIONS(...) arrive under TableCatalog.OPTION_PREFIX or bare
+    // case-INSENSITIVE lookup (OPTIONS preserve user case under the
+    // option. prefix; per-write options are case-insensitive, so the
+    // table-level defaults must not be stricter)
     def opt(k: String): Option[String] =
-      props.get(k).orElse(props.get(TableCatalog.OPTION_PREFIX + k))
-        .map(jsonSafe(s"option $k", _))
+      props.collectFirst {
+        case (key, v) if key.equalsIgnoreCase(k) ||
+            key.equalsIgnoreCase(TableCatalog.OPTION_PREFIX + k) => v
+      }.map(jsonSafe(s"option $k", _))
     val writerOpts = Seq(
       opt("compression").map { c =>
         ArrowInterchange.codecType(c); "compression" -> c
@@ -330,8 +351,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val loc = location.getOrElse(throw new IllegalArgumentException(
           "graft-log tables register an EXISTING commit-log root: " +
             "LOCATION '<table root>' is required"))
-        val sink = props.get("sink")
-          .orElse(props.get(TableCatalog.OPTION_PREFIX + "sink"))
+        val sink = opt("sink")
           .getOrElse(throw new IllegalArgumentException(
             "graft-log tables need OPTIONS (sink '<sink name>')"))
         require(schema.isEmpty,

@@ -54,9 +54,16 @@ private[graft] class GraftLogTable(delegate: ParquetTable,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  // pushdown-preserving wrap: the delegating builder (sql-package
+  // bridge) forwards the INTERNAL catalyst-filter trait Spark's file
+  // sources actually use, so named log tables keep full filter /
+  // partition / aggregate pushdown; only build() is intercepted to
+  // hang the streaming path off the produced scan
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLogScanBuilder(delegate.newScanBuilder(options),
-      root, sink, delegate.dataSchema, options)
+    new org.apache.spark.sql.GraftDelegatingScanBuilder(
+      delegate.newScanBuilder(options),
+      inner => new GraftLogScan(inner, root, sink,
+        delegate.dataSchema, options))
   // the write capability IS advertised but refuses with the domain
   // reason — without it Spark's generic "does not support append"
   // would never tell the operator that writes go through the commit log
@@ -67,40 +74,27 @@ private[graft] class GraftLogTable(delegate: ParquetTable,
     delegate.properties()
 }
 
-/** Forwards pushdown to the delegate parquet builder (batch reads keep
-  * full filter/column pushdown) while remembering the pruned schema for
-  * the streaming path. */
-private[graft] class GraftLogScanBuilder(delegate: ScanBuilder,
-                                         root: String, sink: String,
-                                         dataSchema: StructType,
-                                         opts: CaseInsensitiveStringMap)
-    extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    delegate match {
-      case d: SupportsPushDownRequiredColumns => d.pruneColumns(requiredSchema)
-      case _ => ()
-    }
-  override def pushFilters(filters: Array[Filter]): Array[Filter] =
-    delegate match {
-      case d: SupportsPushDownFilters => d.pushFilters(filters)
-      case _ => filters
-    }
-  override def pushedFilters(): Array[Filter] = delegate match {
-    case d: SupportsPushDownFilters => d.pushedFilters()
-    case _ => Array.empty
-  }
-  override def build(): Scan =
-    new GraftLogScan(delegate.build(), root, sink, dataSchema, opts)
-}
-
 private[graft] class GraftLogScan(inner: Scan, root: String, sink: String,
                                   dataSchema: StructType,
                                   opts: CaseInsensitiveStringMap)
-    extends Scan {
+    extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = inner.readSchema()
-  override def description(): String = s"graft-log $root/$sink"
+  // the inner parquet scan's description carries the evidence the plan
+  // reader needs (PushedFilters, ReadSchema) — don't hide it
+  override def description(): String =
+    s"graft-log $root/$sink ${inner.description()}"
   override def toBatch: Batch = inner.toBatch
+  // size/row estimates keep flowing to the optimizer (join sizing)
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = inner match {
+    case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+      s.estimateStatistics()
+    case _ => new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.empty()
+      override def numRows() = java.util.OptionalLong.empty()
+    }
+  }
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
     new GraftLogMicroBatchStream(root, sink, dataSchema,
@@ -123,8 +117,22 @@ private[graft] class GraftLogMicroBatchStream(root: String, sink: String,
   private val maxVersionsPerTrigger =
     Option(opts.get("maxversionspertrigger")).map(_.toLong)
 
+  // the log is append-only per version file, so history content is
+  // immutable once listed: cache the parse keyed by the log's FILE
+  // NAME SET (one listStatus per probe, zero content reads when
+  // unchanged) — without this a capped drain re-reads the whole log
+  // twice per trigger, O(versions^2) metadata reads over a long history
+  private var histCache: (Set[String], Seq[GraftTable.Version]) =
+    (null, Nil)
+  private def cachedHistory(): Seq[GraftTable.Version] = synchronized {
+    val names = GraftTable.logListing(spark, root).toSet
+    if (histCache._1 != names)
+      histCache = (names, GraftTable.history(spark, root))
+    histCache._2
+  }
+
   private def maxCommitted(): Long =
-    GraftTable.versions(spark, root).lastOption.getOrElse(-1L)
+    cachedHistory().lastOption.map(_.batchId).getOrElse(-1L)
 
   private var availableNowTarget: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
@@ -151,9 +159,12 @@ private[graft] class GraftLogMicroBatchStream(root: String, sink: String,
     val from = start.asInstanceOf[GraftLogOffset].last
     val until = end.asInstanceOf[GraftLogOffset].last
     if (until <= from) return Array.empty
-    val versions = GraftTable.history(spark, root)
+    val versions = cachedHistory()
       .filter(v => v.batchId > from && v.batchId <= until)
-    if (!ignoreChanges) versions.find(_.removed.nonEmpty).foreach { v =>
+    // only removals of THIS SINK's files gate the stream: a rewrite on
+    // a sibling sink of the same root is invisible to this consumer
+    if (!ignoreChanges) versions
+        .find(_.removed.exists(_.startsWith(sink + "/"))).foreach { v =>
       throw new IllegalStateException(
         s"version ${v.batchId} of $root rewrote files (DELETE/UPDATE/" +
           "MERGE/OPTIMIZE) — streaming a log table requires append-only " +

@@ -358,6 +358,19 @@ object GraftTable {
   def versions(spark: SparkSession, root: String): Seq[Long] =
     history(spark, root).map(_.batchId)
 
+  /** The log directory's current file NAMES (one listStatus, zero
+    * content reads) — a cheap change-detection key: commit and
+    * checkpoint files are immutable once named, so an unchanged name
+    * set means an unchanged [[history]] (the streaming source's
+    * per-trigger cache keys on this). */
+  def logListing(spark: SparkSession, root: String): Seq[String] = {
+    val (hfs, rootPath) = fs(spark, root)
+    val log = new Path(rootPath, LogDir)
+    if (!hfs.exists(log)) Nil
+    else hfs.listStatus(log).map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).toSeq
+  }
+
   /** Fold a version prefix into its snapshot file set: adds then
     * removals, in version order (row-level deletes publish `removed`
     * entries — the bytes stay on disk for time travel). */

@@ -150,6 +150,34 @@ private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
     finally os.close()
   }
 
+  /** The query id stamped in a published shard's `_writer`, "" when
+    * absent or unreadable (legacy shards, batch-append shards). */
+  private def ownerOf(fs: org.apache.hadoop.fs.FileSystem,
+                      d: Path): String =
+    try {
+      val in = fs.open(new Path(d, "_writer"))
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    } catch { case _: Exception => "" }
+
+  /** True iff the shard PROVABLY holds zero rows: every .arrows file is
+    * covered by the directory's manifest with a zero row count — the
+    * shape of CREATE TABLE's schema-only shard and of all-empty epoch
+    * commits. A provably-empty shard may be replaced or truncated by
+    * any query (nothing can be lost); anything unproven is foreign. */
+  private def provablyEmptyShard(fs: org.apache.hadoop.fs.FileSystem,
+                                 d: Path): Boolean = {
+    val files = ArrowInterchange.listArrows(fs, d)
+    if (files.isEmpty) return true
+    ArrowInterchange.readStatsManifest(fs, d) match {
+      case Some(m) => files.forall(f =>
+        m.get(new Path(f._1).getName)
+          .flatMap(_.get(ArrowInterchange.RowsMetaKey)).contains("0"))
+      case None => false
+    }
+  }
+
   /** True iff this run still owns the tree (its token stands). A
     * missing or unreadable token reads as NOT owned: the conservative
     * answer for a fencing check — failing a live run's epoch is
@@ -239,14 +267,12 @@ private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
       // destroyed by the publish's delete+rename
       val dest0 = new Path(out, s"batch_id=$epochId")
       if (fs.exists(dest0)) {
-        val owner =
-          try {
-            val in = fs.open(new Path(dest0, "_writer"))
-            try new String(in.readAllBytes(),
-              java.nio.charset.StandardCharsets.UTF_8)
-            finally in.close()
-          } catch { case _: Exception => "" }
-        require(queryId.nonEmpty && owner == queryId,
+        // a PROVABLY-EMPTY shard (CREATE TABLE's schema-only shard, an
+        // all-empty epoch) is replaceable by anyone — zero rows can be
+        // lost — so writeStream.toTable onto a freshly created catalog
+        // table works; anything holding rows must be this query's own
+        require((queryId.nonEmpty && ownerOf(fs, dest0) == queryId) ||
+            provablyEmptyShard(fs, dest0),
           s"graft-arrow streaming commit: $dest0 exists but was not " +
             "written by this query (a batch INSERT INTO or another " +
             "query owns it) — refusing to replace it; stream to a " +
@@ -261,14 +287,8 @@ private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
         ArrowSource.shardDirs(fs, out)
           .filter(_._1 != epochId)
           .foreach { case (_, d) =>
-            val owner =
-              try {
-                val in = fs.open(new Path(d, "_writer"))
-                try new String(in.readAllBytes(),
-                  java.nio.charset.StandardCharsets.UTF_8)
-                finally in.close()
-              } catch { case _: Exception => "" }
-            require(queryId.nonEmpty && owner == queryId,
+            require((queryId.nonEmpty && ownerOf(fs, d) == queryId) ||
+                provablyEmptyShard(fs, d),
               s"graft-arrow streaming commit (Complete mode): $d was " +
                 "not written by this query — refusing to truncate a " +
                 "foreign shard; stream to a tree this query owns " +

@@ -97,7 +97,20 @@ private[arrow] class ArrowMicroBatchStream(
     val target = availableNowTarget.getOrElse(prefixEnd())
     val capped = maxShardsPerTrigger
       .map(cap => math.min(target, from + cap)).getOrElse(target)
-    ArrowShardOffset(math.max(from, capped))
+    val end = math.max(from, capped)
+    // BOOTSTRAP GAP-ADVANCE: a consumer whose checkpoint pinned offset
+    // 0 on an empty tree, fed by a producer that starts above 0 (a
+    // resumed producer, a truncated tree), must never receive a range
+    // MIXING never-existed ids with real shards — admission is strict
+    // per id and would fail forever on the checkpointed 0. Drain the
+    // [0, head) gap as its own EMPTY batch first; from any non-zero
+    // offset, ids are never skipped (a vanished shard fails loudly).
+    val head = ArrowSource.shardDirs(fs, root).headOption.map(_._1)
+    head match {
+      case Some(h) if from == 0L && h > 0L =>
+        ArrowShardOffset(math.min(math.max(end, h), h))
+      case _ => ArrowShardOffset(end)
+    }
   }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def commit(end: Offset): Unit = ()
@@ -114,22 +127,25 @@ private[arrow] class ArrowMicroBatchStream(
     // producer replay sits between publishStaged's delete and rename)
     // must fail exactly like one that lost only its _SUCCESS — a
     // filter over the listing would silently drop it while the offset
-    // advances past it, losing its rows forever.
-    //
-    // EXCEPT ids below the tree's FIRST existing shard: those are
-    // "never existed or were retired" — a consumer whose checkpoint
-    // started at 0 on an empty tree, fed by a producer resumed at
-    // epoch N (or a Complete-mode sink that truncated old shards),
-    // would otherwise crash-loop forever: the offending offset is
-    // CHECKPOINTED, so "restart the query" can never re-admit it.
-    // The strict check applies from the first existing id onward,
-    // where a hole can only mean a replay in flight — and that
-    // failure is transient (the replayed shard reappears under the
-    // same id, and the restarted query reads it).
+    // advances past it, losing its rows forever. The ONLY skippable
+    // range is the bootstrap gap latestOffset hands out as its own
+    // empty batch (offset 0 on a tree whose first shard id is above
+    // the whole range — those ids never existed for this consumer);
+    // everywhere else a missing id is a replay in flight, and the
+    // failure is transient: the replayed shard reappears under the
+    // same id and the restarted query re-reads the same range.
     val all = ArrowSource.shardDirs(hfs, root)
-    val minExisting = all.headOption.map(_._1).getOrElse(Long.MaxValue)
     val dirs = all.filter { case (id, _) => id >= from && id < until }.toMap
-    val files = (math.max(from, minExisting) until until).flatMap { id =>
+    if (dirs.isEmpty) {
+      val head = all.headOption.map(_._1)
+      require(from == 0L && head.exists(h => until <= h),
+        s"shards [$from, $until) under $path vanished after admission " +
+          "(producer replay in flight, or a Complete-mode truncation " +
+          "retired them?) — restart the query to re-admit a replay; " +
+          "Complete-mode trees are snapshots, not streamable sources")
+      return Array.empty // the bootstrap gap: nothing ever existed here
+    }
+    val files = (from until until).flatMap { id =>
       val shard = dirs.getOrElse(id,
         throw new IllegalStateException(
           s"shard batch_id=$id under $path vanished after admission " +

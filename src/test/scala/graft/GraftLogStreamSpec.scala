@@ -112,6 +112,40 @@ class GraftLogStreamSpec extends AnyFunSuite {
       s"rewrite survivors must re-deliver, got $counts")
   }
 
+  test("a rewrite on a SIBLING sink does not wedge the stream; an " +
+       "emptied sink stays streamable") {
+    wh
+    val root = Files.createTempDirectory("graft-logstream-sib").toString
+    commitBatch(root, 0L, 0L, 10L)
+    // sibling sink 'other' gets its own commit + a row-level DELETE
+    Seq((100L, "x")).toDF("id", "v")
+      .withColumn("batch_id", lit(1L))
+      .write.mode("append").partitionBy("batch_id").parquet(s"$root/other")
+    GraftTable.commit(spark, root, 1L)
+    assert(GraftTable.deleteWhere(spark, root, "other",
+      col("id") === 100L).nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS lcat.db.sib")
+    spark.sql("CREATE TABLE lcat.db.sib USING `graft-log` " +
+      s"LOCATION '$root' OPTIONS (sink 'raw')")
+    // 'raw' is append-only even though the ROOT now has a rewrite
+    // version (it removed only other/ files) — the stream must drain
+    drain("lcat.db.sib", s"$root/out", s"$root/ckpt")
+    assert(spark.read.parquet(s"$root/out").count() == 10L)
+    // an EMPTIED sink (schema recorded, zero files) still resolves
+    // with MICRO_BATCH_READ: register 'other' post-delete and stream
+    // it with ignoreChanges (its history contains the rewrite)
+    spark.sql("DROP TABLE IF EXISTS lcat.db.emptied")
+    spark.sql("CREATE TABLE lcat.db.emptied USING `graft-log` " +
+      s"LOCATION '$root' OPTIONS (sink 'other')")
+    assert(spark.sql("SELECT count(*) FROM lcat.db.emptied")
+      .head.getLong(0) == 0L)
+    drain("lcat.db.emptied", s"$root/out2", s"$root/ckpt2",
+      Map("ignoreChanges" -> "true"))
+    // the one row streamed from version 1 (before its deletion);
+    // the delete's rewrite added no survivors
+    assert(spark.read.parquet(s"$root/out2").count() == 1L)
+  }
+
   test("maxVersionsPerTrigger caps each micro-batch; AvailableNow " +
        "still drains to its pinned target") {
     wh

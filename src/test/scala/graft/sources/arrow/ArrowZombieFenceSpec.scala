@@ -86,9 +86,10 @@ class ArrowZombieFenceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("vanished"))
   }
 
-  test("ids below the tree's first shard are skipped (never-existed / " +
-       "retired), so a 0-checkpointed consumer of a late-start " +
-       "producer cannot crash-loop") {
+  test("a 0-checkpointed consumer of a late-start producer drains the " +
+       "bootstrap gap as an empty batch instead of crash-looping; " +
+       "every other hole fails loudly") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
     import spark.implicits._
     val root = Files.createTempDirectory("graft-below-min").toString
     // producer resumed at epoch 7: the tree's first shard is 7, but the
@@ -97,16 +98,29 @@ class ArrowZombieFenceSpec extends AnyFunSuite {
     val s = spark.read.format("graft-arrow").load(root).schema
     val stream = new ArrowMicroBatchStream(root, s, s,
       ArrowInterchange.DefaultMaxPartBytes)
-    // ids 0..6 never existed — the batch must read shard 7 and move on,
-    // not throw forever on an offset no restart can change
-    val parts = stream.planInputPartitions(
-      ArrowShardOffset(0), ArrowShardOffset(8))
-    assert(parts.nonEmpty)
-    // …while a hole ABOVE the first shard still fails loudly
+    // step 1: latestOffset from 0 hands out the never-existed gap
+    // [0, 7) as its own batch…
+    val gapEnd = stream.latestOffset(ArrowShardOffset(0),
+      ReadLimit.allAvailable()).asInstanceOf[ArrowShardOffset].next
+    assert(gapEnd == 7L)
+    // …which reads as EMPTY (ids 0..6 never existed), not as a throw
+    // on an offset no restart could change
+    assert(stream.planInputPartitions(
+      ArrowShardOffset(0), ArrowShardOffset(7)).isEmpty)
+    // step 2: from the gap's end, admission is strict and reads shard 7
+    assert(stream.planInputPartitions(
+      ArrowShardOffset(7), ArrowShardOffset(8)).nonEmpty)
+    // a hole anywhere PAST the bootstrap still fails loudly — both a
+    // mid-range vanish…
     ArrowInterchange.exportArrow((5L until 9L).toDF("v"), s"$root/batch_id=9")
     val e = intercept[IllegalStateException](
       stream.planInputPartitions(ArrowShardOffset(7), ArrowShardOffset(10)))
     assert(e.getMessage.contains("vanished"))
+    // …and a whole-range vanish from a non-zero offset (the lowest
+    // admitted shard mid-replay must NOT be silently skipped)
+    val e2 = intercept[IllegalArgumentException](
+      stream.planInputPartitions(ArrowShardOffset(10), ArrowShardOffset(11)))
+    assert(e2.getMessage.contains("vanished"))
   }
 
   test("a streaming commit refuses to replace or truncate a shard it " +
