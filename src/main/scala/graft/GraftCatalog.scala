@@ -209,52 +209,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val root = meta.location
     val sink = meta.sink.getOrElse(throw new IllegalStateException(
       s"graft-log table ${ident} has no sink recorded"))
-    val (files, mergeNeeded) = GraftTable.snapshotFiles(spark, root, sink, asOf)
     val display = s"$catalogName.${(ident.namespace :+ ident.name).mkString(".")}"
-    if (files.isEmpty) {
-      // a sink emptied by DELETE keeps its committed schema — and stays
-      // STREAMABLE (the standard bootstrap order starts the consumer
-      // before the producer's next commit): delegate to a parquet table
-      // over zero files with the recorded schema pinned. Only a
-      // never-written sink (no schema anywhere) degrades to the
-      // zero-column, batch-only empty table.
-      GraftTable.snapshotSchema(spark, root, sink, asOf) match {
-        case Some(schema) =>
-          import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-          import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-          val opts = new CaseInsensitiveStringMap(util.Map.of(
-            "basePath", s"$root/$sink"))
-          new graft.sources.GraftLogTable(
-            ParquetTable(display, spark, opts, Nil, Some(schema),
-              classOf[ParquetFileFormat]),
-            root, sink,
-            "graft-log tables are written through the commit log (GRAFT " +
-              "MERGE/DELETE/OPTIMIZE or the GraftTable API) — a direct " +
-              "INSERT would land files no commit references")
-        case None =>
-          new GraftEmptySnapshotTable(display, new StructType())
-      }
-    } else {
-      // delegate the scan to Spark's own vectorized parquet source —
-      // identical file set and options as GraftTable.read, with full
-      // filter/column pushdown; batch reads see the resolution-time
-      // snapshot, streaming reads tail the commit log's VERSIONS
-      // (graft.sources.GraftLogTable), and writes refuse with the
-      // commit-log explanation (a direct INSERT would land files no
-      // commit references)
-      import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-      import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-      val opts = new CaseInsensitiveStringMap(util.Map.of(
-        "basePath", s"$root/$sink", "mergeSchema", mergeNeeded.toString))
-      new graft.sources.GraftLogTable(
-        ParquetTable(display, spark, opts,
-          files.map(f => s"$root/$f").toList, None,
-          classOf[ParquetFileFormat]),
-        root, sink,
-        "graft-log tables are written through the commit log (GRAFT " +
-          "MERGE/DELETE/OPTIMIZE or the GraftTable API) — a direct " +
-          "INSERT would land files no commit references")
-    }
+    // shared factory with the path-based format("graft-log") provider:
+    // parquet delegation with full pushdown, streaming over versions;
+    // only a NEVER-written sink (no schema anywhere) degrades to the
+    // zero-column, batch-only empty table
+    graft.sources.GraftLogTable.forSink(spark, root, sink, asOf, display)
+      .getOrElse(new GraftEmptySnapshotTable(display, new StructType()))
   }
 
   override def loadTable(ident: Identifier): Table =
@@ -305,12 +266,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // OPTIONS(...) arrive under TableCatalog.OPTION_PREFIX or bare
     // case-INSENSITIVE lookup (OPTIONS preserve user case under the
     // option. prefix; per-write options are case-insensitive, so the
-    // table-level defaults must not be stricter)
+    // table-level defaults must not be stricter). Deterministic
+    // preference: the bare key (TBLPROPERTIES) wins over the
+    // option.-prefixed one — never map-iteration order.
     def opt(k: String): Option[String] =
-      props.collectFirst {
-        case (key, v) if key.equalsIgnoreCase(k) ||
-            key.equalsIgnoreCase(TableCatalog.OPTION_PREFIX + k) => v
-      }.map(jsonSafe(s"option $k", _))
+      props.find(_._1.equalsIgnoreCase(k)).map(_._2)
+        .orElse(props.find(
+          _._1.equalsIgnoreCase(TableCatalog.OPTION_PREFIX + k)).map(_._2))
+        .map(jsonSafe(s"option $k", _))
     val writerOpts = Seq(
       opt("compression").map { c =>
         ArrowInterchange.codecType(c); "compression" -> c

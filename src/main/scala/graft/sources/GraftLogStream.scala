@@ -8,7 +8,6 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
@@ -78,7 +77,25 @@ private[graft] class GraftLogScan(inner: Scan, root: String, sink: String,
                                   dataSchema: StructType,
                                   opts: CaseInsensitiveStringMap)
     extends Scan
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  // runtime (join-side) filtering keeps flowing to the file scan —
+  // without the forward, a broadcast join against a named log table
+  // would scan the whole snapshot at execution time
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+        s.filterAttributes()
+      case _ => Array.empty
+    }
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = inner match {
+    case s: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+      s.filter(predicates)
+    case _ => ()
+  }
   override def readSchema(): StructType = inner.readSchema()
   // the inner parquet scan's description carries the evidence the plan
   // reader needs (PushedFilters, ReadSchema) — don't hide it
@@ -99,6 +116,79 @@ private[graft] class GraftLogScan(inner: Scan, root: String, sink: String,
       checkpointLocation: String): MicroBatchStream =
     new GraftLogMicroBatchStream(root, sink, dataSchema,
       inner.readSchema(), opts)
+}
+
+object GraftLogTable {
+  private[graft] val WhyReadOnly =
+    "graft-log tables are written through the commit log (GRAFT " +
+      "MERGE/DELETE/OPTIMIZE or the GraftTable API) — a direct INSERT " +
+      "would land files no commit references"
+
+  /** The shared table factory for one commit-log sink — used by the
+    * catalog (named tables) and the path-based
+    * `format("graft-log")` provider: resolution-time snapshot, parquet
+    * delegation, streaming over versions. An EMPTIED sink (schema
+    * recorded, zero files) stays streamable; a NEVER-written sink has
+    * no schema to offer and the caller degrades it. Returns None only
+    * in that no-schema case. */
+  private[graft] def forSink(spark: SparkSession, root: String,
+                             sink: String, asOf: Option[Long],
+                             display: String): Option[Table] = {
+    val (files, mergeNeeded) = GraftTable.snapshotFiles(spark, root, sink, asOf)
+    if (files.isEmpty) {
+      GraftTable.snapshotSchema(spark, root, sink, asOf).map { schema =>
+        val opts = new CaseInsensitiveStringMap(
+          java.util.Map.of("basePath", s"$root/$sink"))
+        new GraftLogTable(
+          ParquetTable(display, spark, opts, Nil, Some(schema),
+            classOf[ParquetFileFormat]),
+          root, sink, WhyReadOnly)
+      }
+    } else {
+      val opts = new CaseInsensitiveStringMap(java.util.Map.of(
+        "basePath", s"$root/$sink", "mergeSchema", mergeNeeded.toString))
+      Some(new GraftLogTable(
+        ParquetTable(display, spark, opts,
+          files.map(f => s"$root/$f").toList, None,
+          classOf[ParquetFileFormat]),
+        root, sink, WhyReadOnly))
+    }
+  }
+}
+
+/** Path-based spelling of the commit-log source —
+  * `spark.read.format("graft-log").option("sink", "raw").load(root)`
+  * and the same through `readStream`: exactly the catalog-named
+  * table's behavior (snapshot batch reads with full pushdown,
+  * version-id streaming) for users without a catalog configured. */
+class GraftLogSourceProvider
+    extends org.apache.spark.sql.connector.catalog.TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-log"
+
+  private def tableFor(options: java.util.Map[String, String]): Table = {
+    val root = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-log: a commit-log root path is required (load(root))"))
+    val sink = Option(options.get("sink")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-log: option(\"sink\", \"<sink name>\") is required"))
+    GraftLogTable.forSink(SparkSession.active, root, sink, None,
+      s"graft-log:$root/$sink").getOrElse(
+      throw new IllegalArgumentException(
+        s"sink '$sink' under $root has no committed schema (never " +
+          "written) — commit a batch first"))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    tableFor(options).schema()
+
+  override def getTable(schema: StructType,
+                        partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+                        properties: java.util.Map[String, String]): Table =
+    tableFor(properties)
+
+  override def supportsExternalMetadata(): Boolean = false
 }
 
 /** Version-id offset: `last` = newest version consumed (-1 = none). */

@@ -105,12 +105,16 @@ private[arrow] class ArrowMicroBatchStream(
     // per id and would fail forever on the checkpointed 0. Drain the
     // [0, head) gap as its own EMPTY batch first; from any non-zero
     // offset, ids are never skipped (a vanished shard fails loudly).
-    val head = ArrowSource.shardDirs(fs, root).headOption.map(_._1)
-    head match {
-      case Some(h) if from == 0L && h > 0L =>
-        ArrowShardOffset(math.min(math.max(end, h), h))
-      case _ => ArrowShardOffset(end)
-    }
+    // Guarded on from == 0 AND something admitted, so steady-state
+    // triggers pay no extra listing and an AvailableNow run pinned at
+    // "nothing" never moves.
+    if (from == 0L && end > from) {
+      val head = ArrowSource.shardDirs(fs, root).headOption.map(_._1)
+      head match {
+        case Some(h) if h > 0L => ArrowShardOffset(math.min(end, h))
+        case _ => ArrowShardOffset(end)
+      }
+    } else ArrowShardOffset(end)
   }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def commit(end: Offset): Unit = ()
@@ -137,15 +141,26 @@ private[arrow] class ArrowMicroBatchStream(
     val all = ArrowSource.shardDirs(hfs, root)
     val dirs = all.filter { case (id, _) => id >= from && id < until }.toMap
     if (dirs.isEmpty) {
+      // the bootstrap gap: nothing ever existed here. from == 0 is the
+      // only offset that can sit below a late-start producer's first
+      // shard; the residual ambiguity (shard 0 existed, was admitted,
+      // and vanished mid-replay exactly during bootstrap) is accepted —
+      // it requires a replay racing the consumer's very first batch.
       val head = all.headOption.map(_._1)
       require(from == 0L && head.exists(h => until <= h),
         s"shards [$from, $until) under $path vanished after admission " +
           "(producer replay in flight, or a Complete-mode truncation " +
           "retired them?) — restart the query to re-admit a replay; " +
           "Complete-mode trees are snapshots, not streamable sources")
-      return Array.empty // the bootstrap gap: nothing ever existed here
+      return Array.empty
     }
-    val files = (from until until).flatMap { id =>
+    // a MIXED range can only arise from a checkpoint written before the
+    // gap-advance existed (old admissions folded the bootstrap gap and
+    // the first shards into one batch): tolerate it exactly at the
+    // bootstrap offset, strict everywhere else
+    val strictFrom =
+      if (from == 0L) math.max(from, dirs.keys.min) else from
+    val files = (strictFrom until until).flatMap { id =>
       val shard = dirs.getOrElse(id,
         throw new IllegalStateException(
           s"shard batch_id=$id under $path vanished after admission " +

@@ -112,6 +112,36 @@ class GraftLogStreamSpec extends AnyFunSuite {
       s"rewrite survivors must re-deliver, got $counts")
   }
 
+  test("the path-based format(\"graft-log\") spelling reads and " +
+       "streams without a catalog") {
+    val root = Files.createTempDirectory("graft-logfmt").toString
+    commitBatch(root, 0L, 0L, 10L)
+    // uncommitted debris is invisible, exactly like the named table
+    Seq((99L, "x", "en")).toDF("id", "v", "lang")
+      .withColumn("batch_id", lit(7L))
+      .write.mode("append").partitionBy("lang", "batch_id")
+      .parquet(s"$root/raw")
+    val batch = spark.read.format("graft-log")
+      .option("sink", "raw").load(root)
+    assert(batch.count() == 10L)
+    // filters still push through the delegation
+    assert(batch.where(col("id") === 3L).count() == 1L)
+    // streaming spelling
+    val q = spark.readStream.format("graft-log").option("sink", "raw")
+      .load(root)
+      .writeStream.format("memory").queryName("logfmt")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-logfmt-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.sql("SELECT count(*) FROM logfmt").head.getLong(0) == 10L)
+    // a missing sink option fails loudly
+    val e = intercept[Exception](
+      spark.read.format("graft-log").load(root).count())
+    assert(TestErrors.messageChain(e).exists(_.contains("sink")))
+  }
+
   test("a rewrite on a SIBLING sink does not wedge the stream; an " +
        "emptied sink stays streamable") {
     wh
