@@ -236,8 +236,16 @@ private[graft] class GraftLogMicroBatchStream(root: String, sink: String,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftLogOffset].last
     val target = availableNowTarget.getOrElse(maxCommitted())
-    val capped = maxVersionsPerTrigger
-      .map(cap => math.min(target, from + cap)).getOrElse(target)
+    // cap by COMMITTED versions in range, not id arithmetic: batch ids
+    // may be sparse (multi-sink roots, crash gaps) and `from + cap`
+    // would emit one checkpointed empty micro-batch per missing id
+    // before reaching data
+    val capped = maxVersionsPerTrigger.map { cap =>
+      cachedHistory()
+        .filter(v => v.batchId > from && v.batchId <= target)
+        .take(math.min(cap, Int.MaxValue.toLong).toInt)
+        .lastOption.map(_.batchId).getOrElse(from)
+    }.getOrElse(target)
     GraftLogOffset(math.max(from, capped))
   }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
@@ -249,23 +257,61 @@ private[graft] class GraftLogMicroBatchStream(root: String, sink: String,
     val from = start.asInstanceOf[GraftLogOffset].last
     val until = end.asInstanceOf[GraftLogOffset].last
     if (until <= from) return Array.empty
-    val versions = cachedHistory()
-      .filter(v => v.batchId > from && v.batchId <= until)
-    // only removals of THIS SINK's files gate the stream: a rewrite on
-    // a sibling sink of the same root is invisible to this consumer
-    if (!ignoreChanges) versions
-        .find(_.removed.exists(_.startsWith(sink + "/"))).foreach { v =>
-      throw new IllegalStateException(
-        s"version ${v.batchId} of $root rewrote files (DELETE/UPDATE/" +
-          "MERGE/OPTIMIZE) — streaming a log table requires append-only " +
-          "versions, because rewrite versions re-materialize rows the " +
-          "stream already delivered; set ignoreChanges=true to stream " +
-          "them anyway (at-least-once for rewritten rows)")
+    val hist = cachedHistory()
+    val rel: Seq[String] =
+      if (from < 0L) {
+        // fresh start: the first batch is the current SNAPSHOT as of
+        // `until` (adds minus removals folded), Delta's initial-snapshot
+        // semantics — pre-stream rewrites are invisible and rows already
+        // deleted from the table are never delivered, so a table with
+        // past DELETE/OPTIMIZE history stays streamable for new
+        // consumers without ignoreChanges. The rewrite gate below
+        // applies only to versions AFTER this pinned start.
+        GraftTable.snapshotFilesFrom(hist, sink, until)
+      } else {
+        val versions = hist
+          .filter(v => v.batchId > from && v.batchId <= until)
+        // only removals of THIS SINK's files gate the stream: a rewrite
+        // on a sibling sink of the same root is invisible to this
+        // consumer
+        if (!ignoreChanges) versions
+            .find(_.removed.exists(_.startsWith(sink + "/"))).foreach { v =>
+          throw new IllegalStateException(
+            s"version ${v.batchId} of $root rewrote files (DELETE/UPDATE/" +
+              "MERGE/OPTIMIZE) — streaming a log table requires append-only " +
+              "versions, because rewrite versions re-materialize rows the " +
+              "stream already delivered; set ignoreChanges=true to stream " +
+              "them anyway (at-least-once for rewritten rows)")
+        }
+        versions.flatMap(_.files.filter(_.startsWith(sink + "/")))
+      }
+    if (rel.isEmpty) return Array.empty
+    // retention guard for lagging consumers: versions stay addressable
+    // forever, but their FILES may have been removed from storage out of
+    // band (aggressive vacuum policy, external cleanup). Probing the
+    // planned files driver-side (one exists per file, bounded by the
+    // micro-batch's admission) turns a mid-batch executor FileNotFound
+    // into an actionable error. The bootstrap snapshot skips the probe:
+    // its files are the CURRENT snapshot (vacuum never deletes
+    // snapshot-referenced files), and probing a 100 TB snapshot's file
+    // list would be O(corpus) namenode RPCs for a case that cannot be a
+    // retention lag.
+    if (from >= 0L) {
+      val (hfs, rootPath) = {
+        val p = new org.apache.hadoop.fs.Path(root)
+        (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+      }
+      rel.find(f => !hfs.exists(new org.apache.hadoop.fs.Path(rootPath, f)))
+        .foreach { missing =>
+          throw new IllegalStateException(
+            s"file $missing of a version in ($from, $until] no longer " +
+              s"exists under $root — this stream's offset predates the " +
+              "table's retention (the files were vacuumed or externally " +
+              "deleted). Restart the query from a fresh checkpoint to " +
+              "bootstrap from the current snapshot.")
+        }
     }
-    val files = versions
-      .flatMap(_.files.filter(_.startsWith(sink + "/")))
-      .map(f => s"$root/$f")
-    if (files.isEmpty) return Array.empty
+    val files = rel.map(f => s"$root/$f")
     // one parquet scan per micro-batch over exactly this batch's files,
     // schema PINNED to the stream's (no per-batch inference — the log's
     // additive evolution can't reshape rows mid-stream)

@@ -383,6 +383,15 @@ object GraftTable {
     out.toSeq
   }
 
+  /** Snapshot file set of one sink as of `asOf`, folded from an
+    * ALREADY-READ history — the streaming source's bootstrap batch uses
+    * this against its per-trigger cached history instead of re-listing
+    * the log. */
+  private[sources] def snapshotFilesFrom(hist: Seq[Version], sink: String,
+                                         asOf: Long): Seq[String] =
+    foldFiles(hist.filter(_.batchId <= asOf))
+      .filter(_.startsWith(sink + "/"))
+
   /** All committed root-relative files — optionally the snapshot as of
     * batch `asOf` (adds minus removals over the version prefix). */
   def committedFiles(spark: SparkSession, root: String,

@@ -95,21 +95,92 @@ class GraftLogStreamSpec extends AnyFunSuite {
       drain("lcat.db.rwfeed", s"$root/out", s"$root/ckpt"))
     assert(TestErrors.messageChain(e).exists(_.contains("append-only")),
       "a rewrite version must fail the stream loudly")
-    // ignoreChanges: survivors of the rewritten files RE-deliver
-    // (at-least-once; the consumer dedups). The DELETE itself is not
-    // representable in an append stream — id 4 was delivered by
-    // version 0 and simply never re-delivered, exactly Delta's
-    // ignoreChanges contract.
+    // mid-stream rewrite + ignoreChanges: the RESUMED consumer streams
+    // the rewrite's re-materialized survivors (at-least-once; the
+    // consumer dedups) — id 4's delete is not representable in an
+    // append stream, it simply never re-delivers. Exactly Delta's
+    // ignoreChanges contract. (Copy the pre-rewrite checkpoint+output
+    // so the resume starts where the gated stream stood.)
+    drain("lcat.db.rwfeed", s"$root/out2", s"$root/ckpt2")
+    // … but ckpt2 was created AFTER the delete, so its bootstrap is the
+    // post-delete snapshot: 9 rows, delivered once each
+    val boot = spark.read.parquet(s"$root/out2")
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(boot.keySet == (0L until 10L).toSet - 4L,
+      "a fresh stream bootstraps from the CURRENT snapshot — the " +
+        "deleted row must not appear, no ignoreChanges needed")
+    assert(boot.values.forall(_ == 1L), s"snapshot rows deliver once: $boot")
+    // now a SECOND delete lands mid-stream; the resumed ckpt2 consumer
+    // needs ignoreChanges and re-receives the co-located survivors
+    assert(GraftTable.deleteWhere(spark, root, "raw",
+      col("id") === 6L).nonEmpty)
+    val e2 = intercept[Exception](
+      drain("lcat.db.rwfeed", s"$root/out2", s"$root/ckpt2"))
+    assert(TestErrors.messageChain(e2).exists(_.contains("append-only")))
     drain("lcat.db.rwfeed", s"$root/out2", s"$root/ckpt2",
       Map("ignoreChanges" -> "true"))
     val counts = spark.read.parquet(s"$root/out2")
       .groupBy("id").count().as[(Long, Long)].collect().toMap
-    assert(counts.keySet == (0L until 10L).toSet)
-    assert(counts(4L) == 1L, "the deleted row must not re-deliver")
-    // the delete rewrote its containing files; every co-located
+    assert(!counts.contains(4L) && counts(6L) == 1L,
+      s"deleted rows never re-deliver: $counts")
+    // the second delete rewrote its containing files; every co-located
     // survivor re-delivers exactly once more
-    assert(counts.count { case (id, n) => id != 4L && n == 2L } > 0,
+    assert(counts.count { case (id, n) => id != 6L && n == 2L } > 0,
       s"rewrite survivors must re-deliver, got $counts")
+  }
+
+  test("a fresh stream over a table with rewrite HISTORY bootstraps " +
+       "from the snapshot — streamable without ignoreChanges") {
+    wh
+    val root = Files.createTempDirectory("graft-logstream-boot").toString
+    commitBatch(root, 0L, 0L, 10L)
+    assert(GraftTable.deleteWhere(spark, root, "raw",
+      col("id") < 3L).nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS lcat.db.bootfeed")
+    spark.sql("CREATE TABLE lcat.db.bootfeed USING `graft-log` " +
+      s"LOCATION '$root' OPTIONS (sink 'raw')")
+    // the pre-stream DELETE is folded into the bootstrap snapshot: no
+    // gate, no deleted rows, each survivor exactly once
+    drain("lcat.db.bootfeed", s"$root/out", s"$root/ckpt")
+    val got = spark.read.parquet(s"$root/out")
+    assert(got.select("id").as[Long].collect().sorted.toSeq ==
+      (3L until 10L))
+    // tail continues incrementally after the bootstrap
+    commitBatch(root, 99L, 100L, 105L)
+    drain("lcat.db.bootfeed", s"$root/out", s"$root/ckpt")
+    assert(spark.read.parquet(s"$root/out").count() == 12L)
+  }
+
+  test("a lagging consumer whose planned files were removed from " +
+       "storage gets the retention guidance error, not FileNotFound") {
+    wh
+    val root = Files.createTempDirectory("graft-logstream-ret").toString
+    commitBatch(root, 0L, 0L, 10L)
+    spark.sql("DROP TABLE IF EXISTS lcat.db.retfeed")
+    spark.sql("CREATE TABLE lcat.db.retfeed USING `graft-log` " +
+      s"LOCATION '$root' OPTIONS (sink 'raw')")
+    drain("lcat.db.retfeed", s"$root/out", s"$root/ckpt")
+    // a new version lands, a rewrite then REPLACES it in the snapshot,
+    // and the superseded files are physically removed before the
+    // lagging consumer catches up (an aggressive external retention
+    // sweep — the in-tree vacuum keeps version-referenced files, so
+    // this is how a history-only file disappears). The consumer's
+    // offset predates the rewrite, so its next batch plans the deleted
+    // files.
+    commitBatch(root, 1L, 10L, 20L)
+    val v1Files = GraftTable.history(spark, root)
+      .find(_.batchId == 1L).get.files
+    assert(GraftTable.deleteWhere(spark, root, "raw",
+      col("id") >= 10L && col("id") < 12L).nonEmpty)
+    val hfs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    v1Files.foreach(f => hfs.delete(
+      new org.apache.hadoop.fs.Path(s"$root/$f"), false))
+    val e = intercept[Exception](
+      drain("lcat.db.retfeed", s"$root/out", s"$root/ckpt",
+        Map("ignoreChanges" -> "true")))
+    assert(TestErrors.messageChain(e).exists(_.contains("retention")),
+      s"want the retention guidance error, got: ${TestErrors.messageChain(e)}")
   }
 
   test("the path-based format(\"graft-log\") spelling reads and " +
@@ -163,7 +234,9 @@ class GraftLogStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/out").count() == 10L)
     // an EMPTIED sink (schema recorded, zero files) still resolves
     // with MICRO_BATCH_READ: register 'other' post-delete and stream
-    // it with ignoreChanges (its history contains the rewrite)
+    // it fresh — the bootstrap is the CURRENT (empty) snapshot, so the
+    // row deleted before the stream existed is never delivered (the
+    // pre-fix behavior replayed it from history)
     spark.sql("DROP TABLE IF EXISTS lcat.db.emptied")
     spark.sql("CREATE TABLE lcat.db.emptied USING `graft-log` " +
       s"LOCATION '$root' OPTIONS (sink 'other')")
@@ -171,9 +244,12 @@ class GraftLogStreamSpec extends AnyFunSuite {
       .head.getLong(0) == 0L)
     drain("lcat.db.emptied", s"$root/out2", s"$root/ckpt2",
       Map("ignoreChanges" -> "true"))
-    // the one row streamed from version 1 (before its deletion);
-    // the delete's rewrite added no survivors
-    assert(spark.read.parquet(s"$root/out2").count() == 1L)
+    val out2 = new java.io.File(s"$root/out2")
+    val streamed =
+      if (out2.exists()) spark.read.parquet(s"$root/out2").count() else 0L
+    assert(streamed == 0L,
+      "a fresh stream over an emptied sink delivers NOTHING — its " +
+        "snapshot is empty; history rows deleted pre-stream stay deleted")
   }
 
   test("maxVersionsPerTrigger caps each micro-batch; AvailableNow " +
