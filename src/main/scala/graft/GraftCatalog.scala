@@ -170,7 +170,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty " +
           "(use CASCADE); managed tables' DATA is only deleted by " +
-          "explicit DROP TABLE, never by a namespace drop")
+          "explicit DROP TABLE, never by a non-cascading namespace drop")
+    // CASCADE owns the tables it drops: MANAGED tables' data goes with
+    // the binding (V2 CASCADE semantics) — deleting only the metadata
+    // tree would orphan their data under the warehouse with no
+    // remaining SQL path to it. External locations stay untouched, as
+    // in dropTable. Nested namespaces are walked (metadata dirs nest).
+    if (cascade) {
+      def walk(dir: Path): Unit =
+        hfs.listStatus(dir).foreach { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.getPath.getName.endsWith(".json"))
+            GraftCatalog.readMetaFile(hfs, st.getPath)
+              .filter(_.managed)
+              .foreach(m => hfs.delete(new Path(m.location), true))
+        }
+      walk(p)
+    }
     hfs.delete(p, true)
   }
 
@@ -365,6 +381,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val moved =
       if (meta.managed) {
         val dest = managedLocation(newIdent)
+        // a stale directory at the new managed location would turn the
+        // rename into a POSIX/HDFS mv-INTO (the data nests one level
+        // down inside dest while the binding points at dest) — refuse
+        // up front; the operator clears the debris explicitly
+        if (hfs.exists(dest)) throw new IllegalStateException(
+          s"cannot rename to ${newIdent}: the managed location $dest " +
+            "already exists (stale data from a dropped table?) — " +
+            "remove it first, or rename to a different name")
         if (hfs.exists(new Path(meta.location)))
           require(hfs.rename(new Path(meta.location), dest),
             s"renaming managed data ${meta.location} -> $dest failed")

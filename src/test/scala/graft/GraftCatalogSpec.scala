@@ -237,4 +237,43 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!spark.sql("SHOW NAMESPACES IN cat").collect()
       .map(_.getString(0)).contains("scratch"))
   }
+
+  test("rename refuses a stale directory at the destination's managed " +
+       "location (mv-into would nest the data)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS cat.db.mv1")
+    spark.sql("CREATE TABLE cat.db.mv1 (v BIGINT) USING `graft-arrow`")
+    spark.sql("INSERT INTO cat.db.mv1 VALUES (5)")
+    // stale debris where the renamed table's data would live
+    val stale = new java.io.File(s"$wh/db/mv2")
+    stale.mkdirs()
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE cat.db.mv1 RENAME TO db.mv2"))
+    assert(TestErrors.messageChain(e).exists(_.contains("already exists")))
+    // the source table is untouched by the refused rename
+    assert(spark.sql("SELECT v FROM cat.db.mv1").as[Long].head() == 5L)
+    stale.delete()
+    spark.sql("ALTER TABLE cat.db.mv1 RENAME TO db.mv2")
+    assert(spark.sql("SELECT v FROM cat.db.mv2").as[Long].head() == 5L)
+    spark.sql("DROP TABLE cat.db.mv2")
+  }
+
+  test("DROP NAMESPACE CASCADE deletes managed tables' data, keeps " +
+       "external data") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cat.casc")
+    spark.sql("CREATE TABLE cat.casc.m (v BIGINT) USING `graft-arrow`")
+    spark.sql("INSERT INTO cat.casc.m VALUES (1)")
+    val extLoc = Files.createTempDirectory("graft-casc-ext").toString
+    spark.sql("CREATE TABLE cat.casc.x (v BIGINT) USING `graft-arrow` " +
+      s"LOCATION '$extLoc/t'")
+    spark.sql("INSERT INTO cat.casc.x VALUES (2)")
+    val managedDir = new java.io.File(s"$wh/casc/m")
+    assert(managedDir.exists())
+    spark.sql("DROP NAMESPACE cat.casc CASCADE")
+    assert(!managedDir.exists(),
+      "CASCADE must delete managed tables' data, not orphan it")
+    assert(new java.io.File(s"$extLoc/t").exists(),
+      "CASCADE must not touch external table data")
+  }
 }
