@@ -51,15 +51,16 @@ import graft.sources.arrow.ArrowSourceProvider
   *    empty table reads back with its declared schema.
   *  - **`graft-log`**: registers an existing [[GraftTable]] commit-log
   *    sink (`LOCATION` = table root, `sink` option = sink name) as a
-  *    read-only named table. Reads resolve the committed snapshot at
+  *    named table. Reads resolve the committed snapshot at
   *    table-resolution time (consistent within a query) and delegate
   *    the scan to Spark's own vectorized parquet source — full
   *    filter/column pushdown for free. `VERSION AS OF n` maps to
-  *    [[GraftTable.readAsOf]]. Writes go through the GraftTable verbs
-  *    (GRAFT MERGE/DELETE/OPTIMIZE… or the Scala API), which own the
-  *    commit protocol — an uncoordinated INSERT here would land files
-  *    the log never references (invisible to readers, swept by
-  *    vacuum), so the catalog refuses it loudly.
+  *    [[GraftTable.readAsOf]]. `INSERT INTO` / `INSERT OVERWRITE` /
+  *    `writeStream.toTable` publish through the commit protocol (one
+  *    staged-then-promoted version per write, txn-stamped per
+  *    streaming epoch); row-level mutation stays with the GRAFT verbs
+  *    (MERGE/DELETE/UPDATE/OPTIMIZE). `batch_id` is log metadata, not
+  *    a table column — lineage readers use the path API.
   *
   * Catalog METADATA is files, like everything else in the engine: one
   * regex-parseable JSON file per table under

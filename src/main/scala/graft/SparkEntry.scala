@@ -149,6 +149,7 @@ object SparkEntry {
     "q_table_merge"         -> (TableVerbs.mergeFinalState _),
     "q_table_changes"       -> (TableVerbs.changeFeed _),
     "q_catalog_lifecycle"   -> (CatalogLifecycle.lifecycle _),
+    "q_log_insert"          -> (CatalogLifecycle.logInsert _),
     "q_stream_table"        -> (TableVerbs.streamTable _),
     "q_table_zorder"        -> (TableVerbs.zorderTable _),
     // --- JSONL interchange (gzip export → schema'd read-back) -----------
@@ -2250,6 +2251,7 @@ object SparkEntry {
     "q_table_merge" -> operators.TableVerbs.mergeFinalStateOracle,
     "q_table_changes" -> operators.TableVerbs.changeFeedOracle,
     "q_catalog_lifecycle" -> operators.CatalogLifecycle.lifecycleOracle,
+    "q_log_insert" -> operators.CatalogLifecycle.logInsertOracle,
     "q_stream_table" -> operators.TableVerbs.streamTableOracle,
     "q_table_zorder" -> operators.TableVerbs.zorderTableOracle,
     // jsonl roundtrip must be lossless — the oracle IS the source table

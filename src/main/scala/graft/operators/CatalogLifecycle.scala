@@ -49,4 +49,50 @@ object CatalogLifecycle {
       |       CAST(sum(len(text)) AS BIGINT) AS chars,
       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** `INSERT INTO` a named COMMIT-LOG table — the reference's
+    * append-to-destination-table loop (main.go:255) as SQL over the
+    * transactional log: a third of the corpus seeds the sink through
+    * the raw commit protocol (the streaming pipeline's layout), two
+    * INSERTs publish one version each through the V1 write path, and
+    * the aggregate over the named table must match DuckDB over the
+    * whole corpus — any dropped/duplicated row, broken partition
+    * routing, or staging leak shifts the totals. */
+  def logInsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = Files.createTempDirectory("graft-loginsert-oracle").toString
+    val cat = "graft_oracle_logins"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$root/wh")
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "n_chars")
+    docs.createOrReplaceTempView("log_insert_src")
+    docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("batch_id", lit(0L))
+      .repartition(col("lang"))
+      .write.mode("append").partitionBy("lang", "batch_id")
+      .parquet(s"$root/docs")
+    graft.sources.GraftTable.commit(spark, root, 0L)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.docs")
+    spark.sql(s"CREATE TABLE $cat.db.docs USING `graft-log` " +
+      s"LOCATION '$root' OPTIONS (sink 'docs')")
+    // table column order = footer (doc_id, n_chars) then partition (lang)
+    spark.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, n_chars, lang " +
+      "FROM log_insert_src WHERE doc_id % 3 = 1")
+    spark.sql(s"INSERT INTO $cat.db.docs SELECT doc_id, n_chars, lang " +
+      "FROM log_insert_src WHERE doc_id % 3 = 2")
+    val out = spark.sql(
+      s"""SELECT lang, count(*) AS docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS chars,
+         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM $cat.db.docs GROUP BY lang ORDER BY lang""".stripMargin)
+    Scratch.materializeAndClean(root, out)
+  }
+
+  val logInsertOracle: String =
+    """SELECT lang, count(*) AS docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS chars,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -12,9 +12,15 @@ import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
 
-/** Streaming READ over a [[GraftTable]] commit log — the Delta-
-  * streaming-source analog for catalog-named log tables:
-  * `spark.readStream.table("cat.db.t")` tails the log's VERSIONS.
+/** A catalog-named [[GraftTable]] commit-log table — batch reads over
+  * the resolution-time snapshot (full parquet pushdown via delegation),
+  * streaming READS that tail the log's versions, and WRITES that
+  * publish through the commit protocol (`INSERT INTO` via the V1
+  * fallback, `writeStream.toTable` via per-task parquet writers — see
+  * [[GraftLogWriteBuilder]]). The Delta-table analog, addressed by
+  * name.
+  *
+  * Streaming read: `spark.readStream.table("cat.db.t")`.
   *
   * Offsets are committed version ids: offset N means "versions ≤ N
   * consumed". Each micro-batch reads exactly the files the versions in
@@ -42,17 +48,24 @@ import org.apache.spark.sql.vectorized.ColumnarBatch
   * additive-only evolution; a mid-stream schema change needs a restart
   * — Delta's contract as well). */
 private[graft] class GraftLogTable(delegate: ParquetTable,
-                                   root: String, sink: String,
-                                   whyReadOnly: String)
+                                   root: String, sink: String)
     extends Table with SupportsRead with SupportsWrite {
   // ParquetTable declares `name` and `schema` as vals (FileTable), so
   // no parens on the delegate side
   override def name(): String = delegate.name
-  override def schema(): StructType = delegate.schema
+  // batch_id is HIDDEN from the named-table schema: it is commit-log
+  // metadata (the version that added the row), log-assigned on every
+  // write — surfacing it would force INSERT/streaming inputs to carry
+  // a column whose value the log overrides. Lineage consumers read it
+  // through the path API (GraftTable.read / readChanges), the Delta
+  // model of commit metadata living beside the table, not in it.
+  override def schema(): StructType =
+    StructType(delegate.schema.filterNot(_.name == "batch_id"))
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   // pushdown-preserving wrap: the delegating builder (sql-package
   // bridge) forwards the INTERNAL catalyst-filter trait Spark's file
   // sources actually use, so named log tables keep full filter /
@@ -63,12 +76,12 @@ private[graft] class GraftLogTable(delegate: ParquetTable,
       delegate.newScanBuilder(options),
       inner => new GraftLogScan(inner, root, sink,
         delegate.dataSchema, options))
-  // the write capability IS advertised but refuses with the domain
-  // reason — without it Spark's generic "does not support append"
-  // would never tell the operator that writes go through the commit log
+  // writes publish through the commit protocol: batch INSERT stages
+  // driver-side (V1 fallback), streaming epochs get per-task parquet
+  // writers; both promote staged files under the root's write lock and
+  // publish ONE version (see GraftLogWrite)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    throw new UnsupportedOperationException(
-      s"${name()} is read-only: $whyReadOnly")
+    new GraftLogWriteBuilder(root, sink, info)
   override def properties(): java.util.Map[String, String] =
     delegate.properties()
 }
@@ -119,11 +132,6 @@ private[graft] class GraftLogScan(inner: Scan, root: String, sink: String,
 }
 
 object GraftLogTable {
-  private[graft] val WhyReadOnly =
-    "graft-log tables are written through the commit log (GRAFT " +
-      "MERGE/DELETE/OPTIMIZE or the GraftTable API) — a direct INSERT " +
-      "would land files no commit references"
-
   /** The shared table factory for one commit-log sink — used by the
     * catalog (named tables) and the path-based
     * `format("graft-log")` provider: resolution-time snapshot, parquet
@@ -142,7 +150,7 @@ object GraftLogTable {
         new GraftLogTable(
           ParquetTable(display, spark, opts, Nil, Some(schema),
             classOf[ParquetFileFormat]),
-          root, sink, WhyReadOnly)
+          root, sink)
       }
     } else {
       val opts = new CaseInsensitiveStringMap(java.util.Map.of(
@@ -151,7 +159,7 @@ object GraftLogTable {
         ParquetTable(display, spark, opts,
           files.map(f => s"$root/$f").toList, None,
           classOf[ParquetFileFormat]),
-        root, sink, WhyReadOnly))
+        root, sink))
     }
   }
 }

@@ -57,11 +57,15 @@ object GraftTable {
 
   /** One published version: the files batch `batchId` added, the files
     * it logically REMOVED from the snapshot (copy-on-write row-level
-    * deletes — bytes stay on disk for time travel), and the footer
-    * schema (base64 of Spark schema JSON) per sink it touched. */
+    * deletes — bytes stay on disk for time travel), the footer
+    * schema (base64 of Spark schema JSON) per sink it touched, and an
+    * optional idempotence marker (`queryId:epochId`) stamped by the
+    * streaming sink — a restarted stream finds its replayed epoch's
+    * marker and skips re-publication (Delta's `txn` action). */
   final case class Version(batchId: Long, files: Seq[String],
                            schemas: Map[String, String],
-                           removed: Seq[String] = Nil)
+                           removed: Seq[String] = Nil,
+                           txn: Option[String] = None)
 
   private def fs(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
@@ -84,7 +88,7 @@ object GraftTable {
     * cross-process collision after the fact but cannot undo it. */
   private val writeLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
-  private def writeLock(root: String): Object =
+  private[sources] def writeLock(root: String): Object =
     writeLocks.getOrElseUpdate(root, new Object)
 
   /** Files under `root` belonging to `batchId` (the writeBatch layout's
@@ -128,8 +132,12 @@ object GraftTable {
                 out += f.getPath.toUri.getPath
                   .stripPrefix(rootUri).stripPrefix("/")
             }
-          else if (!n.startsWith("batch_id="))
+          else if (!n.startsWith("batch_id=") && !n.startsWith(".") &&
+                   !n.startsWith("_"))
             walk(st.getPath, depth + 1) // a partition dir — descend
+          // dot/underscore dirs are invisible everywhere in the layout:
+          // the DSv2 writers stage under `.staging-…` and a commit walk
+          // that descended into one could claim in-flight bytes
         }
       }
     }
@@ -224,6 +232,47 @@ object GraftTable {
       versionJson(Version(batchId, files, schemas)), files)
   }
 
+  /** Publish an EXPLICIT file list as version `batchId` — the commit
+    * the DSv2 write paths use: tasks report the exact root-relative
+    * files they wrote, so there is no batch-directory walk and the
+    * staged directory id never has to equal the version id until the
+    * caller promotes it. Evolution-checked like [[commit]]. `removed`
+    * marks a truncating write (INSERT OVERWRITE / Complete mode);
+    * a removal-only version re-records the sink's latest schema so the
+    * emptied sink stays schema'd. `txn` stamps streaming idempotence.
+    * The caller must hold [[writeLock]] for `root`. */
+  private[sources] def commitFiles(spark: SparkSession, root: String,
+                                   batchId: Long, files: Seq[String],
+                                   removed: Seq[String] = Nil,
+                                   txn: Option[String] = None): Seq[String] = {
+    val (hfs, rootPath) = fs(spark, root)
+    val hist = history(spark, root)
+    val schemas =
+      if (files.nonEmpty) {
+        val ss = sinkSchemas(spark, root, files)
+        ss.foreach { case (sink, b64) =>
+          hist.filter(_.batchId < batchId)
+            .flatMap(_.schemas.get(sink)).lastOption.map(decodeSchema)
+            .foreach(prev => checkEvolution(sink, prev, decodeSchema(b64)))
+        }
+        ss
+      } else
+        removed.map(sinkOf).distinct.flatMap { sink =>
+          hist.flatMap(_.schemas.get(sink)).lastOption.map(sink -> _)
+        }.toMap
+    val log = new Path(rootPath, LogDir)
+    hfs.mkdirs(log)
+    publish(hfs, log, batchId,
+      versionJson(Version(batchId, files.sorted, schemas, removed, txn)),
+      files.sorted)
+  }
+
+  /** The version a streaming epoch already published under this
+    * idempotence marker, if any — the replay check. */
+  private[sources] def txnVersion(spark: SparkSession, root: String,
+                                  txn: String): Option[Long] =
+    history(spark, root).find(_.txn.contains(txn)).map(_.batchId)
+
   /** Atomically publish a version file, arbitrating racing writers:
     * the rename onto the version name is the commit point; a loser
     * whose content matches the winner's (replayed batch) succeeds
@@ -297,17 +346,19 @@ object GraftTable {
         .mkString(""","removed":[""", ",", "]")
     val ss = v.schemas.toSeq.sortBy(_._1)
       .map { case (k, s) => "\"" + k + "\":\"" + s + "\"" }.mkString(",")
-    s"""{"batchId":${v.batchId},"files":[$fs]$rm,"schemas":{$ss}}"""
+    val tx = v.txn.map(t => s""","txn":"$t"""").getOrElse("")
+    s"""{"batchId":${v.batchId},"files":[$fs]$rm,"schemas":{$ss}$tx}"""
   }
 
   // A commit file and a checkpoint's version entries share one shape;
   // file paths contain no quotes/brackets and schemas are base64, so a
   // non-greedy regex parse is exact. "removed" is optional (row-level
   // deletes only), "schemas" is optional for logs written before schema
-  // tracking.
+  // tracking, "txn" is optional (streaming-sink versions only).
   private val VersionRe =
     ("""\{"batchId":(\d+),"files":\[([^\]]*)\]""" +
-      """(?:,"removed":\[([^\]]*)\])?(?:,"schemas":\{([^}]*)\})?\}""").r
+      """(?:,"removed":\[([^\]]*)\])?(?:,"schemas":\{([^}]*)\})?""" +
+      """(?:,"txn":"([^"]+)")?\}""").r
   private val StrRe = "\"([^\"]+)\"".r
   private val PairRe = "\"([^\"]+)\":\"([^\"]+)\"".r
 
@@ -319,7 +370,8 @@ object GraftTable {
       val schemas = Option(m.group(4)).map { g =>
         PairRe.findAllMatchIn(g).map(x => x.group(1) -> x.group(2)).toMap
       }.getOrElse(Map.empty[String, String])
-      Version(m.group(1).toLong, strs(m.group(2)), schemas, strs(m.group(3)))
+      Version(m.group(1).toLong, strs(m.group(2)), schemas, strs(m.group(3)),
+        Option(m.group(5)))
     }.toSeq
 
   private def parseVersion(json: String): Option[Version] =

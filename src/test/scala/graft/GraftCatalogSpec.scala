@@ -70,8 +70,8 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cat.db.ctas")
   }
 
-  test("graft-log sink registers as a read-only named table with " +
-       "VERSION AS OF time travel") {
+  test("graft-log sink registers as a named table with VERSION AS OF " +
+       "time travel and commit-protocol INSERT") {
     wh
     val root = Files.createTempDirectory("graft-catalog-log").toString
     // two committed versions of a 'raw' sink
@@ -112,15 +112,16 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(planStr.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2")
       || planStr.contains("PushedFilters: [EqualTo(id,2"),
       s"filter did not reach the parquet scan:\n$planStr")
-    // read-only: a direct INSERT must fail (its files would bypass the
-    // commit log)
-    val e = intercept[Exception](
-      spark.sql("INSERT INTO cat.db.rawlog VALUES (9, 'x', 9)"))
-    assert(TestErrors.messageChain(e).exists(m =>
-      m.contains("does not support append") || m.contains("commit log")))
+    // INSERT publishes through the commit protocol (batch_id is log
+    // metadata, hidden from the named schema — two columns, not three)
+    spark.sql("INSERT INTO cat.db.rawlog VALUES (9, 'x')")
+    assert(spark.sql("SELECT count(*) FROM cat.db.rawlog")
+      .head.getLong(0) == 4)
+    assert(GraftTable.versions(spark, root).size == 3,
+      "the INSERT must have published exactly one new version")
     // DROP unregisters without touching external data
     spark.sql("DROP TABLE cat.db.rawlog")
-    assert(GraftTable.read(spark, root, "raw").count() == 3)
+    assert(GraftTable.read(spark, root, "raw").count() == 4)
   }
 
   test("registered table OPTIONS persist and take effect on inserts") {
