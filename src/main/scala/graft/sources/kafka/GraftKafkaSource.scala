@@ -122,7 +122,11 @@ object GraftKafka {
       startingTimestamp: Option[Long] = None,
       startingOffsetsByTimestamp: Option[OffsetMap] = None,
       endingTimestamp: Option[Long] = None,
-      endingOffsetsByTimestamp: Option[OffsetMap] = None)
+      endingOffsetsByTimestamp: Option[OffsetMap] = None,
+      // 0 = read_uncommitted (franz-go's and the reference's default),
+      // 1 = read_committed: aborted transactions' rows are dropped at
+      // the fetch decode and open transactions gate the readable end
+      isolation: Int = 0)
 
   /** Bootstrap + security options — the subset both the read and write
     * paths need (`subscribe` is read-only; the sink takes `topic`). */
@@ -186,7 +190,15 @@ object GraftKafka {
       // same JSON shape as offsets: {"topic":{"0":<epoch-ms>}}
       Option(options.get("startingOffsetsByTimestamp")).map(offsetsFromJson),
       Option(options.get("endingTimestamp")).map(_.toLong),
-      Option(options.get("endingOffsetsByTimestamp")).map(offsetsFromJson))
+      Option(options.get("endingOffsetsByTimestamp")).map(offsetsFromJson),
+      Option(options.get("kafka.isolation.level"))
+        .map(_.trim.toLowerCase) match {
+        case None | Some("read_uncommitted") => 0
+        case Some("read_committed") => 1
+        case Some(other) => throw new IllegalArgumentException(
+          s"kafka.isolation.level must be read_uncommitted or " +
+            s"read_committed, got '$other'")
+      })
   }
 
   /** Resolve the query's start offsets with the official precedence:
@@ -424,7 +436,7 @@ class GraftKafkaBatch(opts: GraftKafka.Options) extends Batch {
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftKafkaReaderFactory(opts.fetchMaxBytes)
+    new GraftKafkaReaderFactory(opts.fetchMaxBytes, opts.isolation)
 }
 
 class GraftKafkaMicroBatchStream(opts: GraftKafka.Options)
@@ -496,7 +508,7 @@ class GraftKafkaMicroBatchStream(opts: GraftKafka.Options)
       end.asInstanceOf[GraftKafkaOffset].offsets))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftKafkaReaderFactory(opts.fetchMaxBytes)
+    new GraftKafkaReaderFactory(opts.fetchMaxBytes, opts.isolation)
 
   override def deserializeOffset(json: String): Offset =
     new GraftKafkaOffset(offsetsFromJson(json))
@@ -554,11 +566,12 @@ object GraftKafkaPlanner {
   }
 }
 
-class GraftKafkaReaderFactory(fetchMaxBytes: Int)
+class GraftKafkaReaderFactory(fetchMaxBytes: Int, isolation: Int = 0)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GraftKafkaPartitionReader(
-      partition.asInstanceOf[GraftKafkaInputPartition], fetchMaxBytes)
+      partition.asInstanceOf[GraftKafkaInputPartition], fetchMaxBytes,
+      isolation)
 }
 
 /** Executor-side reader: one connection to the range's leader, fetches
@@ -570,9 +583,15 @@ object GraftKafkaPartitionReader {
     * Spark's task retry; backoff doubles from [[RetryBackoffMs]]. */
   val MaxFetchRetries = 3
   val RetryBackoffMs = 100L
+  /** read_committed open-transaction wait: polls of [[StableWaitMs]]
+    * before declaring the transaction stuck. */
+  val MaxStableWaits = 150
+  val StableWaitMs = 200L
 }
 
-class GraftKafkaPartitionReader(p: GraftKafkaInputPartition, fetchMaxBytes: Int)
+class GraftKafkaPartitionReader(p: GraftKafkaInputPartition,
+                                fetchMaxBytes: Int,
+                                isolation: Int = 0)
     extends PartitionReader[InternalRow] {
   import GraftKafkaPartitionReader._
 
@@ -583,6 +602,7 @@ class GraftKafkaPartitionReader(p: GraftKafkaInputPartition, fetchMaxBytes: Int)
   private var nextOffset = p.startOffset
   private var buffer: Iterator[KafkaWire.Record] = Iterator.empty
   private var current: KafkaWire.Record = _
+  private var stableWaits = 0
 
   /** Fetch with leader-failover: on NotLeaderOrFollower / transient
     * metadata errors / connection loss, re-resolve the partition leader
@@ -603,7 +623,8 @@ class GraftKafkaPartitionReader(p: GraftKafkaInputPartition, fetchMaxBytes: Int)
             p.bootstrap.sasl, p.bootstrap.tls,
             tlsVerifyHostname = p.bootstrap.tlsVerifyHostname)
         }
-        return client.fetch(p.topic, p.partition, offset, fetchMaxBytes)
+        return client.fetch(p.topic, p.partition, offset, fetchMaxBytes,
+          isolation = isolation)
       } catch {
         case e: Throwable if retriable(e) && attempt < MaxFetchRetries =>
           attempt += 1
@@ -632,6 +653,20 @@ class GraftKafkaPartitionReader(p: GraftKafkaInputPartition, fetchMaxBytes: Int)
           // reader that only advances via decoded records wedges here.
           nextOffset = result.nextOffset
           if (nextOffset >= p.endOffset) return false
+        } else if (isolation == 1 && result.lastStableOffset >= 0 &&
+                   nextOffset >= result.lastStableOffset) {
+          // read_committed: the planned range extends past the last
+          // stable offset — an OPEN transaction holds the tail back.
+          // Offsets were planned from the log end (ListOffsets v1 has
+          // no isolation), so wait for the producer to resolve, like
+          // the official consumer blocking at the LSO.
+          stableWaits += 1
+          if (stableWaits > MaxStableWaits) throw new IllegalStateException(
+            s"${p.topic}-${p.partition}: offsets up to ${p.endOffset} " +
+              s"were planned but the last stable offset is stuck at " +
+              s"${result.lastStableOffset} — an open transaction has " +
+              "not committed or aborted within the wait budget")
+          Thread.sleep(StableWaitMs)
         } else {
           // planned range but no bytes at all — truncated under us
           throw new IllegalStateException(

@@ -113,6 +113,48 @@ final class KafkaStubBroker(
     }
   }
 
+  /** Test hook: append a TRANSACTIONAL data batch for `producerId` —
+    * what a transactional producer sends mid-transaction. The
+    * transaction stays open (pinning the last stable offset) until
+    * [[endTxn]]. */
+  def appendTransactional(topic: String, partition: Int, producerId: Long,
+                          records: Seq[(Long, Array[Byte], Array[Byte])]): Unit = {
+    val log = logFor(topic, partition)
+    log.synchronized {
+      val base = log.logEndOffset
+      log.batches += ((base, records.size,
+        encodeBatch(base, records, Codec.None, producerId = producerId)))
+      log.logEndOffset = base + records.size
+      if (!log.openTxns.contains(producerId))
+        log.openTxns(producerId) = base
+    }
+  }
+
+  /** Test hook: end `producerId`'s open transaction with a COMMIT or
+    * ABORT control marker — the batch a transaction coordinator writes.
+    * An abort is recorded in the log's aborted-transaction index, which
+    * read_committed fetches serve. */
+  def endTxn(topic: String, partition: Int, producerId: Long,
+             commit: Boolean): Unit = {
+    val log = logFor(topic, partition)
+    log.synchronized {
+      val first = log.openTxns.getOrElse(producerId,
+        throw new IllegalStateException(
+          s"no open transaction for producer $producerId"))
+      val base = log.logEndOffset
+      // control record: key = version int16 (0) + type int16
+      // (0 abort, 1 commit); value = version int16 + coordinatorEpoch
+      val key = Array[Byte](0, 0, 0, if (commit) 1 else 0)
+      val value = Array[Byte](0, 0, 0, 0, 0, 0)
+      log.batches += ((base, 1,
+        encodeBatch(base, Seq((System.currentTimeMillis(), key, value)),
+          Codec.None, producerId = producerId, control = true)))
+      log.logEndOffset = base + 1
+      log.openTxns -= producerId
+      if (!commit) log.abortedTxns += ((producerId, first, base))
+    }
+  }
+
   private def logFor(topic: String, partition: Int): PartitionLog = {
     topics.add(topic)
     logs.computeIfAbsent((topic, partition), _ => new PartitionLog)
@@ -281,7 +323,9 @@ final class KafkaStubBroker(
   }
 
   private def fetchResp(r: Reader, w: Writer): Unit = {
-    r.int32(); r.int32(); r.int32(); r.int32(); r.int8() // replica, wait, min, max, isolation
+    r.int32(); r.int32(); r.int32(); r.int32() // replica, wait, min, max
+    val isolation = r.int8()
+    val readCommitted = isolation == 1
     val topicCount = r.int32()
     w.int32(0) // throttle_time_ms
     w.int32(topicCount)
@@ -300,32 +344,57 @@ final class KafkaStubBroker(
           w.int64(-1L); w.int64(-1L); w.int32(0)
           w.bytes(Array.emptyByteArray)
         } else {
-        val (err, hwm, payload) = log.synchronized {
+        val (err, hwm, lso, abortedList, payload) = log.synchronized {
           val end = log.logEndOffset
-          if (fetchOffset > end) (Err.OffsetOutOfRange, end, Array.emptyByteArray)
+          val stable = log.lastStableOffset
+          // read_committed consumers see data only up to the LSO — a
+          // batch of an OPEN transaction is invisible until resolved
+          val visibleEnd = if (readCommitted) stable else end
+          if (fetchOffset > end)
+            (Err.OffsetOutOfRange, end, stable,
+              Seq.empty[(Long, Long)], Array.emptyByteArray)
           else {
             // serve whole stored batches starting at the one containing
             // fetchOffset, up to partMaxBytes (always ≥ 1 batch)
             val fromIdx = log.batches.indexWhere {
               case (base, count, _) => base + count > fetchOffset
             }
-            if (fromIdx < 0) (Err.None, end, Array.emptyByteArray)
+            if (fromIdx < 0)
+              (Err.None, end, stable,
+                Seq.empty[(Long, Long)], Array.emptyByteArray)
             else {
               val out = new java.io.ByteArrayOutputStream()
               var i = fromIdx
+              var servedThrough = fetchOffset
               while (i < log.batches.size &&
+                     log.batches(i)._1 < visibleEnd &&
                      (out.size == 0 || out.size + log.batches(i)._3.length <= partMaxBytes)) {
                 out.write(log.batches(i)._3)
+                servedThrough = log.batches(i)._1 + log.batches(i)._2
                 i += 1
               }
-              (Err.None, end, out.toByteArray)
+              // the aborted-txn index entries a reader of this range
+              // needs: markers at/after the fetch offset (an older
+              // marker means the whole aborted range precedes the
+              // fetch), first offsets before the served end
+              val aborted =
+                if (!readCommitted) Seq.empty[(Long, Long)]
+                else log.abortedTxns.collect {
+                  case (pid, first, marker)
+                    if marker >= fetchOffset && first < servedThrough =>
+                      (pid, first)
+                }.toSeq
+              (Err.None, end, stable, aborted, out.toByteArray)
             }
           }
         }
         w.int32(partition); w.int16(err)
         w.int64(hwm)  // high_watermark
-        w.int64(hwm)  // last_stable_offset
-        w.int32(0)    // aborted_transactions
+        w.int64(lso)  // last_stable_offset
+        w.int32(abortedList.size)
+        abortedList.foreach { case (pid, first) =>
+          w.int64(pid); w.int64(first)
+        }
         w.bytes(payload)
         }
       }
@@ -384,6 +453,14 @@ object KafkaStubBroker {
   private[kafka] final class PartitionLog {
     val batches = new ArrayBuffer[(Long, Int, Array[Byte])] // (base, count, bytes)
     var logEndOffset = 0L
+    // transaction bookkeeping, exactly what a broker's producer-state
+    // and aborted-txn index keep: open transactions (pid → first
+    // offset) pin the last stable offset; resolved aborts are served to
+    // read_committed fetches as (pid, firstOffset, markerOffset)
+    val openTxns = scala.collection.mutable.Map.empty[Long, Long]
+    val abortedTxns = new ArrayBuffer[(Long, Long, Long)]
+    def lastStableOffset: Long =
+      if (openTxns.isEmpty) logEndOffset else openTxns.values.min
   }
 
   /** The log + topic registry — per broker standalone, shared across a

@@ -203,11 +203,16 @@ object KafkaWire {
 
   /** Encode one v2 batch. `records` are (timestampMs, key, value);
     * offsets are assigned `baseOffset + index`. With a non-None codec
-    * the records block (NOT the header) is compressed, per the spec. */
+    * the records block (NOT the header) is compressed, per the spec.
+    * `producerId >= 0` marks the batch transactional (attributes bit
+    * 4); `control` additionally sets bit 5 — the transaction-marker
+    * batches a broker writes when a coordinator ends a transaction. */
   def encodeBatch(baseOffset: Long,
                   records: Seq[(Long, Array[Byte], Array[Byte])],
                   codec: Int = Codec.None,
-                  logAppendTime: Boolean = false): Array[Byte] = {
+                  logAppendTime: Boolean = false,
+                  producerId: Long = -1L,
+                  control: Boolean = false): Array[Byte] = {
     require(records.nonEmpty, "empty record batch")
     val baseTs = records.iterator.map(_._1).min
     val maxTs = records.iterator.map(_._1).max
@@ -221,13 +226,15 @@ object KafkaWire {
     w.int32(0)                     // partitionLeaderEpoch
     w.int8(2)                      // magic
     val crcSlot = w.reserveInt32()
-    // attributes: codec bits 0-2, timestampType bit 3
-    w.int16((codec & 0x07) | (if (logAppendTime) 0x08 else 0))
+    // attributes: codec bits 0-2, timestampType bit 3, transactional
+    // bit 4, control bit 5
+    w.int16((codec & 0x07) | (if (logAppendTime) 0x08 else 0) |
+      (if (producerId >= 0L) 0x10 else 0) | (if (control) 0x20 else 0))
     w.int32(records.size - 1)      // lastOffsetDelta
     w.int64(baseTs)
     w.int64(maxTs)
-    w.int64(-1L)                   // producerId
-    w.int16(-1)                    // producerEpoch
+    w.int64(producerId)
+    w.int16(if (producerId >= 0L) 0 else -1) // producerEpoch
     w.int32(-1)                    // baseSequence
     w.int32(records.size)
 
@@ -270,7 +277,24 @@ object KafkaWire {
     * markers) and compacted batches whose surviving records all precede
     * the fetch offset are legal and common on a real broker; a consumer
     * that only advances via decoded records wedges on them forever. */
-  def decodeBatchesWithNext(recordSet: Array[Byte]): (Seq[Record], Long) = {
+  def decodeBatchesWithNext(recordSet: Array[Byte]): (Seq[Record], Long) =
+    decodeBatchesWithNext(recordSet, Nil)
+
+  /** Isolation-aware decode: `aborted` is the fetch response's
+    * aborted-transactions list, `(producerId, firstOffset)` pairs. The
+    * official consumer's algorithm: walking batches in offset order, a
+    * producer id becomes "aborted" once its entry's firstOffset is
+    * reached, every TRANSACTIONAL data batch from an aborted producer
+    * is dropped whole, and the producer leaves the set at its ABORT
+    * control marker (so a later, committed transaction from the same
+    * producer streams normally). Non-transactional batches are never
+    * filtered. Pass Nil (read_uncommitted) and this is exactly the
+    * 1-arg decode. */
+  def decodeBatchesWithNext(recordSet: Array[Byte],
+                            aborted: Seq[(Long, Long)]): (Seq[Record], Long) = {
+    val abortQueue = aborted.sortBy(_._2)
+    var abortIdx = 0
+    val abortedPids = scala.collection.mutable.Set.empty[Long]
     if (recordSet == null || recordSet.isEmpty) return (Nil, -1L)
     val out = Vector.newBuilder[Record]
     var nextAfter = -1L
@@ -298,13 +322,43 @@ object KafkaWire {
         // records are protocol metadata, never data rows (the official
         // consumer filters them); decode NOTHING but still advance.
         val isControl = (attributes & 0x20) != 0
+        val isTransactional = (attributes & 0x10) != 0
         val lastOffsetDelta = hdr.int32()
         val baseTs = hdr.int64()
         val maxTs = hdr.int64()      // broker append time under bit 3
-        hdr.int64(); hdr.int16(); hdr.int32() // producer id/epoch, baseSequence
+        val producerId = hdr.int64()
+        hdr.int16(); hdr.int32()     // producer epoch, baseSequence
         val count = hdr.int32()
         nextAfter = math.max(nextAfter, baseOffset + lastOffsetDelta + 1)
-        if (!isControl) {
+        // read_committed: producers whose aborted range starts at/before
+        // this batch are active until their ABORT marker passes
+        while (abortIdx < abortQueue.length &&
+               abortQueue(abortIdx)._2 <= baseOffset) {
+          abortedPids += abortQueue(abortIdx)._1
+          abortIdx += 1
+        }
+        if (isControl) {
+          // decode the marker key (int16 version, int16 type; 0 = ABORT)
+          // only when its producer is being tracked — an abort marker
+          // ends the range, so the producer's NEXT transaction streams
+          if (abortedPids.contains(producerId) && count > 0) {
+            val r =
+              if (codec == Codec.None) hdr
+              else new Reader(decompressed(codec, hdr.raw(hdr.remaining)))
+            r.varInt()               // record length
+            r.int8()                 // record attributes
+            r.varLong(); r.varInt()  // ts/offset deltas
+            val keyLen = r.varInt()
+            if (keyLen >= 4) {
+              val key = r.raw(keyLen)
+              val markerType = ((key(2) & 0xff) << 8) | (key(3) & 0xff)
+              if (markerType == 0) abortedPids -= producerId
+            }
+          }
+        } else if (isTransactional && abortedPids.contains(producerId)) {
+          // a whole data batch of an aborted transaction: dropped — its
+          // rows were never committed. nextAfter already advanced.
+        } else {
           val r =
             if (codec == Codec.None) hdr
             else new Reader(decompressed(codec, hdr.raw(hdr.remaining)))

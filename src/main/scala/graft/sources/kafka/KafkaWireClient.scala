@@ -159,15 +159,22 @@ final class KafkaWireClient(
 
   /** Fetch v4 from one partition. Returns whole batches as stored; the
     * caller filters records below `offset` (broker zero-copy contract,
-    * see [[KafkaWire.decodeBatches]]). */
+    * see [[KafkaWire.decodeBatches]]).
+    *
+    * `isolation` 0 = read_uncommitted (franz-go's and the reference's
+    * default), 1 = read_committed: the broker serves data only up to
+    * the last stable offset plus the aborted-transactions list, and the
+    * decode drops every data batch of an aborted transaction
+    * ([[KafkaWire.decodeBatchesWithNext]]'s consumer-side half). */
   def fetch(topic: String, partition: Int, offset: Long,
-            maxBytes: Int = 8 << 20, maxWaitMs: Int = 500): FetchResult = {
+            maxBytes: Int = 8 << 20, maxWaitMs: Int = 500,
+            isolation: Int = 0): FetchResult = {
     val r = send(Api.Fetch, 4) { w =>
       w.int32(-1)          // replica_id
       w.int32(maxWaitMs)
       w.int32(1)           // min_bytes
       w.int32(maxBytes)    // max_bytes (whole response)
-      w.int8(0)            // isolation_level: read_uncommitted
+      w.int8(isolation.toByte)
       w.int32(1); w.string(topic)
       w.int32(1); w.int32(partition); w.int64(offset); w.int32(maxBytes)
     }
@@ -180,13 +187,16 @@ final class KafkaWireClient(
     r.int32() // partition index
     Err.check(r.int16().toInt, s"Fetch($topic-$partition@$offset)")
     val highWatermark = r.int64()
-    r.int64() // last_stable_offset
-    val aborted = r.int32()
-    if (aborted > 0) r.skip(16 * aborted)
+    val lastStable = r.int64()
+    val abortedCount = r.int32()
+    val aborted =
+      if (abortedCount <= 0) Nil
+      else Seq.fill(abortedCount)((r.int64(), r.int64()))
     val recordSet = r.bytes()
-    val (records, nextAfter) = decodeBatchesWithNext(recordSet)
+    val (records, nextAfter) = decodeBatchesWithNext(recordSet,
+      if (isolation == 1) aborted else Nil)
     FetchResult(highWatermark,
-      records.filter(_.offset >= offset), nextAfter)
+      records.filter(_.offset >= offset), nextAfter, lastStable)
   }
 
   /** Produce v3 (acks=-1) — the test/tool producer twin. Returns the
@@ -230,7 +240,11 @@ object KafkaWireClient {
   /** One partition fetch: the post-filter records plus `nextOffset`,
     * the offset AFTER the last complete batch returned (-1 when none) —
     * the consumer's advance position even when every record was
-    * filtered (control batches, compaction holes). */
+    * filtered (control batches, compaction holes). `lastStableOffset`
+    * is the broker's LSO (-1 on old brokers): under read_committed,
+    * records at/after it are invisible until their transaction
+    * resolves. */
   final case class FetchResult(highWatermark: Long, records: Seq[Record],
-                               nextOffset: Long)
+                               nextOffset: Long,
+                               lastStableOffset: Long = -1L)
 }

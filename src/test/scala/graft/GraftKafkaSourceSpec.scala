@@ -695,6 +695,75 @@ class GraftKafkaSourceSpec extends AnyFunSuite {
     assert(graft.TestErrors.messageChain(e).exists(_.contains("TIMESTAMP")))
   }
 
+  test("read_committed drops aborted transactions' rows; " +
+       "read_uncommitted surfaces them (franz-go default parity)") {
+    withBroker() { broker =>
+      // interleave: plain rows, an ABORTED transaction, a COMMITTED one
+      // from the same producer, a second producer aborted, more plain
+      produceStrings(broker, "t", 0, Seq("p0", "p1"))
+      broker.appendTransactional("t", 0, producerId = 7L,
+        Seq((2000L, b("ka"), b("aborted-1")), (2001L, b("kb"), b("aborted-2"))))
+      broker.endTxn("t", 0, producerId = 7L, commit = false)
+      broker.appendTransactional("t", 0, producerId = 7L,
+        Seq((2002L, b("kc"), b("committed-1"))))
+      broker.endTxn("t", 0, producerId = 7L, commit = true)
+      broker.appendTransactional("t", 0, producerId = 9L,
+        Seq((2003L, b("kd"), b("aborted-3"))))
+      broker.endTxn("t", 0, producerId = 9L, commit = false)
+      produceStrings(broker, "t", 0, Seq("p2"))
+      def values(iso: String): Set[String] = spark.read
+        .format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "t")
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .option("kafka.isolation.level", iso)
+        .load()
+        .selectExpr("cast(value as string) v")
+        .collect().map(_.getString(0)).toSet
+      assert(values("read_uncommitted") == Set(
+        "p0", "p1", "aborted-1", "aborted-2", "committed-1", "aborted-3",
+        "p2"), "read_uncommitted (the default) surfaces aborted rows")
+      assert(values("read_committed") == Set(
+        "p0", "p1", "committed-1", "p2"),
+        "read_committed must drop aborted transactions whole and keep " +
+          "the same producer's later committed transaction")
+      // bad spelling fails fast
+      val e = intercept[Exception](values("read_repeatable"))
+      assert(graft.TestErrors.messageChain(e)
+        .exists(_.contains("kafka.isolation.level")))
+    }
+  }
+
+  test("read_committed streaming waits out an open transaction instead " +
+       "of declaring data loss") {
+    withBroker() { broker =>
+      produceStrings(broker, "t", 0, Seq("p0"))
+      broker.appendTransactional("t", 0, producerId = 5L,
+        Seq((3000L, b("k"), b("in-flight"))))
+      // the open transaction pins the LSO at its first offset; a batch
+      // read planned to the log end must WAIT, then deliver once the
+      // producer commits
+      val resolver = new Thread(() => {
+        Thread.sleep(1500)
+        broker.endTxn("t", 0, producerId = 5L, commit = true)
+      })
+      resolver.setDaemon(true); resolver.start()
+      val vals = spark.read.format("graft-kafka")
+        .option("kafka.bootstrap.servers", broker.bootstrapServers)
+        .option("subscribe", "t")
+        .option("startingOffsets", "earliest")
+        .option("endingOffsets", "latest")
+        .option("kafka.isolation.level", "read_committed")
+        .load()
+        .selectExpr("cast(value as string) v")
+        .collect().map(_.getString(0)).toSet
+      resolver.join()
+      assert(vals == Set("p0", "in-flight"),
+        "the committed transaction's rows must arrive after resolution")
+    }
+  }
+
   test("config surface errors: missing bootstrap, bad connector name") {
     intercept[IllegalArgumentException] {
       GraftKafka.parseOptions(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
