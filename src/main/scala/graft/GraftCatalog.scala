@@ -353,10 +353,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog tables carry no alterable metadata — schema lives " +
-        "in the data plane (shard footers / the commit log)")
+  /** `ALTER TABLE … ADD COLUMNS` for commit-log tables: maps to the
+    * data plane's additive evolution ([[GraftTable.evolveSchema]] — a
+    * files-empty version recording the extended schema). Old versions
+    * keep reading (VERSION AS OF a pre-evolution id shows the old
+    * schema); existing files null-fill the new columns. Added columns
+    * must be nullable — rows that predate them have no value to give.
+    * Everything else stays unalterable: shard-tree (graft-arrow)
+    * schemas live in their footers, and non-additive changes are the
+    * commit log's hard law. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val meta = readMeta(ident).getOrElse(throw new NoSuchTableException(ident))
+    if (meta.provider != "graft-log")
+      throw new UnsupportedOperationException(
+        "graft-arrow tables carry no alterable metadata — their schema " +
+          "lives in shard footers (recreate, or use a graft-log table " +
+          "for evolvable schemas)")
+    val sink = meta.sink.getOrElse(throw new IllegalStateException(
+      s"graft-log table $ident has no sink recorded"))
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "ADD COLUMNS supports top-level columns only (nested struct " +
+            s"evolution is not supported): ${a.fieldNames().mkString(".")}")
+        require(a.isNullable,
+          s"added column '${a.fieldNames().head}' must be nullable — " +
+            "rows that predate it have no value to carry")
+        StructType(Seq.empty).add(a.fieldNames().head, a.dataType(),
+          nullable = true).fields.head
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER for a graft-log table: $other (additive " +
+          "ADD COLUMNS only — types, renames, and drops would break " +
+          "committed files)")
+    }
+    GraftTable.evolveSchema(spark, meta.location, sink, StructType(adds))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     readMeta(ident) match {

@@ -150,6 +150,7 @@ object SparkEntry {
     "q_table_changes"       -> (TableVerbs.changeFeed _),
     "q_catalog_lifecycle"   -> (CatalogLifecycle.lifecycle _),
     "q_log_insert"          -> (CatalogLifecycle.logInsert _),
+    "q_log_evolve"          -> (CatalogLifecycle.logEvolve _),
     "q_stream_table"        -> (TableVerbs.streamTable _),
     "q_table_zorder"        -> (TableVerbs.zorderTable _),
     // --- JSONL interchange (gzip export → schema'd read-back) -----------
@@ -2252,6 +2253,7 @@ object SparkEntry {
     "q_table_changes" -> operators.TableVerbs.changeFeedOracle,
     "q_catalog_lifecycle" -> operators.CatalogLifecycle.lifecycleOracle,
     "q_log_insert" -> operators.CatalogLifecycle.logInsertOracle,
+    "q_log_evolve" -> operators.CatalogLifecycle.logEvolveOracle,
     "q_stream_table" -> operators.TableVerbs.streamTableOracle,
     "q_table_zorder" -> operators.TableVerbs.zorderTableOracle,
     // jsonl roundtrip must be lossless — the oracle IS the source table

@@ -95,4 +95,47 @@ object CatalogLifecycle {
       |       CAST(sum(n_chars) AS BIGINT) AS chars,
       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** `ALTER TABLE ADD COLUMNS` on a named commit-log table: the even
+    * half of the corpus predates the column (reads back null), the odd
+    * half materializes it through `INSERT INTO` with a deterministic
+    * value — the aggregate proves null-fill of pre-evolution files,
+    * schema pinning, and the evolved write path in one row. */
+  def logEvolve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = Files.createTempDirectory("graft-logevolve-oracle").toString
+    val cat = "graft_oracle_logev"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$root/wh")
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "lang", "n_chars")
+    docs.createOrReplaceTempView("log_evolve_src")
+    docs.filter(col("doc_id") % 2 === 0)
+      .withColumn("batch_id", lit(0L))
+      .repartition(col("lang"))
+      .write.mode("append").partitionBy("lang", "batch_id")
+      .parquet(s"$root/docs")
+    graft.sources.GraftTable.commit(spark, root, 0L)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.db.docs")
+    spark.sql(s"CREATE TABLE $cat.db.docs USING `graft-log` " +
+      s"LOCATION '$root' OPTIONS (sink 'docs')")
+    spark.sql(s"ALTER TABLE $cat.db.docs ADD COLUMNS (score DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.db.docs " +
+      "SELECT doc_id, n_chars, CAST(n_chars AS DOUBLE) * 0.5 AS score, " +
+      "lang FROM log_evolve_src WHERE doc_id % 2 = 1")
+    val out = spark.sql(
+      s"""SELECT lang, count(*) AS docs, count(score) AS scored,
+         |       round(sum(coalesce(score, CAST(0 AS DOUBLE))), 2) AS score_sum
+         |FROM $cat.db.docs GROUP BY lang ORDER BY lang""".stripMargin)
+    Scratch.materializeAndClean(root, out)
+  }
+
+  val logEvolveOracle: String =
+    """SELECT lang, count(*) AS docs,
+      |       count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS scored,
+      |       round(sum(CASE WHEN doc_id % 2 = 1
+      |                 THEN CAST(n_chars AS DOUBLE) * 0.5
+      |                 ELSE CAST(0 AS DOUBLE) END), 2) AS score_sum
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 }

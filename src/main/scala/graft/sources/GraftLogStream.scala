@@ -153,11 +153,20 @@ object GraftLogTable {
           root, sink)
       }
     } else {
+      // the read schema is PINNED to the union of recorded footer
+      // schemas (snapshotSchema): files that predate an additively
+      // added column null-fill it — including a column declared by
+      // ALTER TABLE ADD COLUMNS that no file carries yet. Partition
+      // columns are appended by discovery (recorded schemas are
+      // footer-only). Legacy logs without schema tracking fall back to
+      // footer inference with mergeSchema.
+      val pinned = GraftTable.snapshotSchema(spark, root, sink, asOf)
       val opts = new CaseInsensitiveStringMap(java.util.Map.of(
-        "basePath", s"$root/$sink", "mergeSchema", mergeNeeded.toString))
+        "basePath", s"$root/$sink",
+        "mergeSchema", (pinned.isEmpty && mergeNeeded).toString))
       Some(new GraftLogTable(
         ParquetTable(display, spark, opts,
-          files.map(f => s"$root/$f").toList, None,
+          files.map(f => s"$root/$f").toList, pinned,
           classOf[ParquetFileFormat]),
         root, sink))
     }

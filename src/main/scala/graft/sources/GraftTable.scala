@@ -223,13 +223,40 @@ object GraftTable {
     }
     val files = batchFiles(hfs, rootPath, batchId)
     val schemas = sinkSchemas(spark, root, files)
+    val prior = history(spark, root).filter(_.batchId < batchId)
     schemas.foreach { case (sink, b64) =>
-      latestSchema(spark, root, sink, beforeBatch = batchId).foreach { prev =>
-        checkEvolution(sink, prev, decodeSchema(b64))
-      }
+      checkCommitEvolution(prior, sink, decodeSchema(b64))
     }
     publish(hfs, log, batchId,
       versionJson(Version(batchId, files, schemas)), files)
+  }
+
+  /** Commit-side evolution gate. DROPS are judged against the latest
+    * FILE-BEARING version's schema — the lineage of actual data — so an
+    * [[evolveSchema]]-declared column a writer has not materialized yet
+    * never bricks that writer; a column real files carried that
+    * vanishes still aborts (the data-loss signal this gate exists for).
+    * TYPES are judged against the full recorded lineage: a declared
+    * column must arrive with its declared type. */
+  private def checkCommitEvolution(prior: Seq[Version], sink: String,
+                                   next: StructType): Unit = {
+    prior.filter(v => v.files.exists(_.startsWith(sink + "/")))
+      .flatMap(_.schemas.get(sink)).lastOption.map(decodeSchema)
+      .foreach(prev => checkEvolution(sink, prev, next))
+    prior.flatMap(_.schemas.get(sink)).lastOption.map(decodeSchema)
+      .foreach { full =>
+        val nextByName = next.fields.map(f => f.name -> f).toMap
+        full.fields.foreach { pf =>
+          nextByName.get(pf.name).foreach { nf =>
+            if (!DataType.equalsStructurally(pf.dataType, nf.dataType,
+                ignoreNullability = true))
+              throw new IllegalStateException(
+                s"schema evolution rejected for sink '$sink': column " +
+                  s"'${pf.name}' changed type ${pf.dataType.simpleString} " +
+                  s"→ ${nf.dataType.simpleString}")
+          }
+        }
+      }
   }
 
   /** Publish an EXPLICIT file list as version `batchId` — the commit
@@ -251,9 +278,8 @@ object GraftTable {
       if (files.nonEmpty) {
         val ss = sinkSchemas(spark, root, files)
         ss.foreach { case (sink, b64) =>
-          hist.filter(_.batchId < batchId)
-            .flatMap(_.schemas.get(sink)).lastOption.map(decodeSchema)
-            .foreach(prev => checkEvolution(sink, prev, decodeSchema(b64)))
+          checkCommitEvolution(hist.filter(_.batchId < batchId), sink,
+            decodeSchema(b64))
         }
         ss
       } else
@@ -272,6 +298,39 @@ object GraftTable {
   private[sources] def txnVersion(spark: SparkSession, root: String,
                                   txn: String): Option[Long] =
     history(spark, root).find(_.txn.contains(txn)).map(_.batchId)
+
+  /** Declarative schema evolution — `ALTER TABLE … ADD COLUMNS`:
+    * publish a FILES-EMPTY version whose recorded schema is the sink's
+    * latest plus `newCols`. Readers that pin the recorded schema (the
+    * catalog's named tables) surface the new columns immediately,
+    * null-filled from files that predate them; writers materialize the
+    * columns whenever they start including them. Additive only, like
+    * every other evolution here: adding a column that exists aborts.
+    * Returns the published version. */
+  def evolveSchema(spark: SparkSession, root: String, sink: String,
+                   newCols: StructType): Long =
+      writeLock(root).synchronized {
+    require(newCols.nonEmpty, "ADD COLUMNS needs at least one column")
+    val hist = history(spark, root)
+    val prev = hist.flatMap(_.schemas.get(sink)).lastOption.map(decodeSchema)
+      .getOrElse(throw new IllegalStateException(
+        s"sink '$sink' has no recorded schema (never committed) — " +
+          "evolution needs a base schema; commit a first batch"))
+    newCols.fields.foreach { f =>
+      require(!prev.fieldNames.contains(f.name),
+        s"column '${f.name}' already exists in sink '$sink'")
+    }
+    val next = StructType(prev.fields ++ newCols.fields)
+    val b64 = b64e.encodeToString(
+      next.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val id = nextBatchIdFrom(hist)
+    val (hfs, rootPath) = fs(spark, root)
+    val log = new Path(rootPath, LogDir)
+    hfs.mkdirs(log)
+    publish(hfs, log, id,
+      versionJson(Version(id, Nil, Map(sink -> b64))), Nil)
+    id
+  }
 
   /** Atomically publish a version file, arbitrating racing writers:
     * the rename onto the version name is the commit point; a loser
@@ -616,14 +675,24 @@ object GraftTable {
       cut.flatMap(_.schemas.get(sink)).distinct.size > 1)
   }
 
-  /** Latest recorded footer schema of `sink` as of a version cut —
-    * what an empty catalog-named table reports (matches [[readFiles]]'
-    * empty-sink contract). */
+  /** The UNION of recorded footer schemas of `sink` over a version cut,
+    * columns in order of first appearance — what a catalog-named table
+    * pins as its read schema: additive evolution means later schemas
+    * extend earlier ones, and the union also covers a commit that
+    * landed after an [[evolveSchema]] without materializing the
+    * declared column yet (its footer records the smaller schema; the
+    * declaration must survive). Types can never conflict across the
+    * cut — the commit gate rejects changes. */
   def snapshotSchema(spark: SparkSession, root: String, sink: String,
                      asOf: Option[Long] = None): Option[StructType] = {
     val hist = history(spark, root)
     val cut = asOf.map(a => hist.filter(_.batchId <= a)).getOrElse(hist)
-    cut.flatMap(_.schemas.get(sink)).lastOption.map(decodeSchema)
+    val recorded = cut.flatMap(_.schemas.get(sink)).map(decodeSchema)
+    if (recorded.isEmpty) None
+    else Some(recorded.reduce { (a, b) =>
+      StructType(a.fields ++
+        b.fields.filterNot(f => a.fieldNames.contains(f.name)))
+    })
   }
 
   /** Time travel: the sink exactly as of batch `asOfBatchId` (Delta's

@@ -259,6 +259,63 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cat.db.mv2")
   }
 
+  test("ALTER TABLE ADD COLUMNS evolves a named log table: old files " +
+       "null-fill, VERSION AS OF pre-evolution keeps the old schema, " +
+       "old writers keep committing until the column materializes") {
+    wh
+    val root = Files.createTempDirectory("graft-catalog-evolve").toString
+    def seed(b: Long, rows: Seq[(Long, String, String)]): Unit = {
+      rows.toDF("id", "v", "lang")
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(b))
+        .write.mode("append").partitionBy("lang", "batch_id")
+        .parquet(s"$root/raw")
+      GraftTable.commit(spark, root, b)
+      ()
+    }
+    seed(0L, Seq((1L, "a", "en"), (2L, "b", "fr")))
+    spark.sql("DROP TABLE IF EXISTS cat.db.ev")
+    spark.sql("CREATE TABLE cat.db.ev USING `graft-log` " +
+      s"LOCATION '$root' OPTIONS (sink 'raw')")
+    assert(spark.table("cat.db.ev").columns.toSeq == Seq("id", "v", "lang"))
+    spark.sql("ALTER TABLE cat.db.ev ADD COLUMNS (score DOUBLE)")
+    // the declared column is visible immediately, null for old rows
+    val evolved = spark.sql("SELECT id, score FROM cat.db.ev ORDER BY id")
+    assert(evolved.columns.toSeq == Seq("id", "score"))
+    assert(evolved.collect().forall(_.isNullAt(1)))
+    // pre-evolution time travel shows the old schema
+    assert(!spark.sql("SELECT * FROM cat.db.ev VERSION AS OF 0")
+      .columns.contains("score"))
+    // an OLD writer (footer without score) is not bricked by the
+    // declaration — the column has not materialized in any file yet
+    seed(5L, Seq((3L, "c", "en")))
+    assert(spark.sql(
+      "SELECT count(*) FROM cat.db.ev WHERE score IS NULL")
+      .head.getLong(0) == 3)
+    // a writer materializes the column through the named table
+    spark.sql("INSERT INTO cat.db.ev VALUES (4, 'd', 0.9, 'fr')")
+    assert(spark.sql(
+      "SELECT count(*) FROM cat.db.ev WHERE score IS NOT NULL")
+      .head.getLong(0) == 1)
+    // once real files carry it, dropping it again IS a data-loss signal
+    val e = intercept[Exception](
+      seed(9L, Seq((5L, "e", "en"))))
+    assert(TestErrors.messageChain(e).exists(_.contains("dropped")))
+    // guard rails: non-nullable adds and non-add changes refuse
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE cat.db.ev ADD COLUMNS (w INT NOT NULL)"))
+    assert(TestErrors.messageChain(e2).exists(_.contains("nullable")))
+    val e3 = intercept[Exception](spark.sql(
+      "ALTER TABLE cat.db.ev RENAME COLUMN v TO w"))
+    assert(TestErrors.messageChain(e3).exists(_.contains("ADD COLUMNS")))
+    // graft-arrow tables stay unalterable
+    spark.sql("DROP TABLE IF EXISTS cat.db.noev")
+    spark.sql("CREATE TABLE cat.db.noev (x BIGINT) USING `graft-arrow`")
+    val e4 = intercept[Exception](spark.sql(
+      "ALTER TABLE cat.db.noev ADD COLUMNS (y INT)"))
+    assert(TestErrors.messageChain(e4).exists(_.contains("graft-arrow")))
+    spark.sql("DROP TABLE cat.db.noev")
+  }
+
   test("DROP NAMESPACE CASCADE deletes managed tables' data, keeps " +
        "external data") {
     wh
