@@ -71,7 +71,8 @@ import graft.sources.arrow.ArrowSourceProvider
   * carry all correctness weight; losing catalog metadata loses only
   * name→path bindings, never data.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -115,6 +116,66 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def readMeta(ident: Identifier): Option[Meta] =
     GraftCatalog.readMetaFile(fs, metaPath(ident))
+
+  // metadata fields land in a regex-parseable JSON line: reject values
+  // the writer cannot round-trip (quotes, backslashes, control chars)
+  // at CREATE time — an unreadable binding could otherwise never even
+  // be dropped through SQL
+  private def jsonSafe(what: String, v: String): String = {
+    require(v.forall(c => c >= ' ' && c != '"' && c != '\\'),
+      s"$what '$v' contains characters the catalog metadata cannot " +
+        "carry (no quotes, backslashes, or control characters)")
+    v
+  }
+
+  // OPTIONS(...) arrive under TableCatalog.OPTION_PREFIX or bare
+  // case-INSENSITIVE lookup (OPTIONS preserve user case under the
+  // option. prefix; per-write options are case-insensitive, so the
+  // table-level defaults must not be stricter). Deterministic
+  // preference: the bare key (TBLPROPERTIES) wins over the
+  // option.-prefixed one — never map-iteration order.
+  private def tableOpt(props: scala.collection.Map[String, String],
+                       k: String): Option[String] =
+    props.find(_._1.equalsIgnoreCase(k)).map(_._2)
+      .orElse(props.find(
+        _._1.equalsIgnoreCase(TableCatalog.OPTION_PREFIX + k)).map(_._2))
+      .map(jsonSafe(s"option $k", _))
+
+  /** Writer options persisted with the binding, validated NOW. */
+  private def writerOptsOf(props: scala.collection.Map[String, String])
+      : Map[String, String] = Seq(
+    tableOpt(props, "compression").map { c =>
+      ArrowInterchange.codecType(c); "compression" -> c
+    },
+    tableOpt(props, "batchrows").map { b =>
+      require(scala.util.Try(b.toInt).toOption.exists(_ > 0),
+        s"batchrows must be a positive integer, got '$b'")
+      "batchrows" -> b
+    },
+    tableOpt(props, "requiremarker").map { r =>
+      require(r.equalsIgnoreCase("true") || r.equalsIgnoreCase("false"),
+        s"requiremarker must be true|false, got '$r'")
+      "requiremarker" -> r
+    }).flatten.toMap
+
+  /** Declared columns: validate the full type surface NOW, then publish
+    * a schema-only `batch_id=0` shard so the empty table reads back
+    * with its schema (and appends number from 1). */
+  private def ensureSchemaShard(loc: String,
+                                schema: StructType): Unit = {
+    ArrowInterchange.toArrowSchema(schema)
+    val hfs = fs
+    val shard0 = new Path(new Path(loc), "batch_id=0")
+    if (!hfs.exists(shard0)) {
+      hfs.mkdirs(shard0)
+      ArrowInterchange.writeSchemaOnly(hfs,
+        new Path(shard0, "part-00000.arrows"), schema)
+      ArrowInterchange.writeStatsManifest(hfs, shard0, Seq(
+        ("part-00000.arrows",
+          Map(ArrowInterchange.RowsMetaKey -> "0"))))
+      hfs.create(new Path(shard0, "_SUCCESS"), true).close()
+    }
+  }
 
   // ---- namespaces -------------------------------------------------------
 
@@ -268,63 +329,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val provider = props.getOrElse(TableCatalog.PROP_PROVIDER, "graft-arrow")
       .toLowerCase
     val location = props.get(TableCatalog.PROP_LOCATION)
-    // metadata fields land in a regex-parseable JSON line: reject values
-    // the writer cannot round-trip (quotes, backslashes, control chars)
-    // at CREATE time — an unreadable binding could otherwise never even
-    // be dropped through SQL
-    def jsonSafe(what: String, v: String): String = {
-      require(v.forall(c => c >= ' ' && c != '"' && c != '\\'),
-        s"$what '$v' contains characters the catalog metadata cannot " +
-          "carry (no quotes, backslashes, or control characters)")
-      v
-    }
     location.foreach(jsonSafe("LOCATION", _))
-    // writer options persisted with the binding (validated NOW):
-    // OPTIONS(...) arrive under TableCatalog.OPTION_PREFIX or bare
-    // case-INSENSITIVE lookup (OPTIONS preserve user case under the
-    // option. prefix; per-write options are case-insensitive, so the
-    // table-level defaults must not be stricter). Deterministic
-    // preference: the bare key (TBLPROPERTIES) wins over the
-    // option.-prefixed one — never map-iteration order.
-    def opt(k: String): Option[String] =
-      props.find(_._1.equalsIgnoreCase(k)).map(_._2)
-        .orElse(props.find(
-          _._1.equalsIgnoreCase(TableCatalog.OPTION_PREFIX + k)).map(_._2))
-        .map(jsonSafe(s"option $k", _))
-    val writerOpts = Seq(
-      opt("compression").map { c =>
-        ArrowInterchange.codecType(c); "compression" -> c
-      },
-      opt("batchrows").map { b =>
-        require(scala.util.Try(b.toInt).toOption.exists(_ > 0),
-          s"batchrows must be a positive integer, got '$b'")
-        "batchrows" -> b
-      },
-      opt("requiremarker").map { r =>
-        require(r.equalsIgnoreCase("true") || r.equalsIgnoreCase("false"),
-          s"requiremarker must be true|false, got '$r'")
-        "requiremarker" -> r
-      }).flatten.toMap
+    val writerOpts = writerOptsOf(props)
+    def opt(k: String): Option[String] = tableOpt(props, k)
     val meta = provider match {
       case "graft-arrow" =>
         val loc = location.getOrElse(managedLocation(ident).toString)
-        if (schema.nonEmpty) {
-          // declared columns: validate the full type surface NOW, then
-          // publish a schema-only batch_id=0 shard so the empty table
-          // reads back with its schema (and appends number from 1)
-          ArrowInterchange.toArrowSchema(schema)
-          val hfs = fs
-          val shard0 = new Path(new Path(loc), "batch_id=0")
-          if (!hfs.exists(shard0)) {
-            hfs.mkdirs(shard0)
-            ArrowInterchange.writeSchemaOnly(hfs,
-              new Path(shard0, "part-00000.arrows"), schema)
-            ArrowInterchange.writeStatsManifest(hfs, shard0, Seq(
-              ("part-00000.arrows",
-                Map(ArrowInterchange.RowsMetaKey -> "0"))))
-            hfs.create(new Path(shard0, "_SUCCESS"), true).close()
-          }
-        }
+        if (schema.nonEmpty) ensureSchemaShard(loc, schema)
         Meta("graft-arrow", loc, None, managed = location.isEmpty,
           options = writerOpts)
       case "graft-log" =>
@@ -433,6 +444,127 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     finally out.close()
     hfs.delete(metaPath(oldIdent), false)
     ()
+  }
+
+  // ---- staged (atomic) CTAS / RTAS ---------------------------------------
+  //
+  // CREATE TABLE … AS SELECT and REPLACE TABLE … AS SELECT write the
+  // query's rows BEFORE the table exists; the non-staging path would
+  // bind the name first and clean up best-effort on failure (and
+  // non-atomic RTAS drops the OLD table before the new data exists —
+  // a failed query loses it). Staged semantics: data lands in a
+  // DOT-PREFIXED staging tree beside the final location, the binding is
+  // written only in commitStagedChanges() after a successful rename,
+  // and abort deletes only staging — a failed CTAS leaves no binding,
+  // no data at the final location, and a failed RTAS leaves the old
+  // table byte-identical.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties,
+      replace = false, orCreate = false)
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable =
+    stage(ident, schema, partitions, properties,
+      replace = true, orCreate = false)
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String])
+      : StagedTable =
+    stage(ident, schema, partitions, properties,
+      replace = true, orCreate = true)
+
+  private def stage(ident: Identifier, schema: StructType,
+                    partitions: Array[Transform],
+                    properties: util.Map[String, String],
+                    replace: Boolean, orCreate: Boolean): StagedTable = {
+    require(partitions.isEmpty,
+      "graft catalog tables are unpartitioned (shard trees manage " +
+        "their own layout)")
+    val props = properties.asScala
+    val provider = props.getOrElse(TableCatalog.PROP_PROVIDER, "graft-arrow")
+      .toLowerCase
+    if (provider != "graft-arrow") throw new UnsupportedOperationException(
+      "CTAS/RTAS creates a table from query rows — only graft-arrow " +
+        "tables are created that way (graft-log tables register an " +
+        "EXISTING commit log; use CREATE TABLE … USING `graft-log` " +
+        "LOCATION …)")
+    if (!replace && tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    if (replace && !orCreate && !tableExists(ident))
+      throw new NoSuchTableException(ident)
+    val location = props.get(TableCatalog.PROP_LOCATION)
+    location.foreach(jsonSafe("LOCATION", _))
+    val writerOpts = writerOptsOf(props)
+    val finalLoc = new Path(
+      location.getOrElse(managedLocation(ident).toString))
+    new StagedArrow(ident, finalLoc, managed = location.isEmpty,
+      writerOpts, schema, replace)
+  }
+
+  /** One staged CTAS/RTAS target: a real, writable arrow table over the
+    * staging tree; commit renames it into place and binds the name. */
+  private class StagedArrow(ident: Identifier, finalLoc: Path,
+                            managed: Boolean,
+                            writerOpts: Map[String, String],
+                            declared: StructType,
+                            replace: Boolean)
+      extends StagedTable with SupportsRead with SupportsWrite {
+    private val staging = new Path(finalLoc.getParent,
+      s".${finalLoc.getName}.ctas-${java.util.UUID.randomUUID()}")
+    locally {
+      fs.mkdirs(staging)
+      if (declared.nonEmpty) ensureSchemaShard(staging.toString, declared)
+    }
+    private val delegate = arrowTable(
+      Meta("graft-arrow", staging.toString, None, managed, writerOpts))
+
+    override def name(): String = ident.toString
+    override def schema(): StructType = declared
+    override def capabilities(): util.Set[TableCapability] =
+      delegate.capabilities()
+    override def newScanBuilder(options: CaseInsensitiveStringMap)
+        : ScanBuilder =
+      delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder =
+      delegate.asInstanceOf[SupportsWrite].newWriteBuilder(info)
+
+    override def commitStagedChanges(): Unit = {
+      val hfs = fs
+      val metaP = metaPath(ident)
+      if (replace) {
+        // the OLD table dies only now, with the new data complete
+        readMeta(ident).foreach { old =>
+          if (old.managed) hfs.delete(new Path(old.location), true)
+          else if (old.location == finalLoc.toString)
+            throw new IllegalStateException(
+              s"REPLACE of external table $ident at its own location " +
+                "would delete data the catalog does not own — drop and " +
+                "re-create instead")
+        }
+        hfs.delete(metaP, false)
+      }
+      if (hfs.exists(finalLoc)) throw new IllegalStateException(
+        s"cannot commit $ident: $finalLoc already exists (stale data " +
+          "from a dropped table?) — remove it first")
+      hfs.mkdirs(finalLoc.getParent)
+      require(hfs.rename(staging, finalLoc),
+        s"staged CTAS promotion failed: $staging -> $finalLoc")
+      hfs.mkdirs(metaP.getParent)
+      val out = hfs.create(metaP, false) // no-overwrite: races lose
+      try out.write(metaJson(
+        Meta("graft-arrow", finalLoc.toString, None, managed, writerOpts))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+    override def abortStagedChanges(): Unit = { fs.delete(staging, true); () }
   }
 }
 

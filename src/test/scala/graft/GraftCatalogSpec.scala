@@ -259,6 +259,51 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE cat.db.mv2")
   }
 
+  test("CTAS is staged: a mid-write failure leaves no binding and no " +
+       "data at the final location") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS cat.db.boom")
+    intercept[Exception](spark.sql(
+      "CREATE TABLE cat.db.boom USING `graft-arrow` AS " +
+        "SELECT IF(id = 7, CAST(raise_error('mid-write failure') AS " +
+        "STRING), CAST(id AS STRING)) AS v FROM range(10)"))
+    assert(spark.sql("SHOW TABLES IN cat.db").collect()
+      .forall(_.getString(1) != "boom"), "failed CTAS must not bind")
+    assert(!new java.io.File(s"$wh/db/boom").exists(),
+      "failed CTAS must leave nothing at the final location")
+    // the name is immediately reusable, with no adopted debris
+    spark.sql("CREATE TABLE cat.db.boom USING `graft-arrow` AS " +
+      "SELECT CAST(id AS STRING) AS v FROM range(3)")
+    assert(spark.sql("SELECT count(*) FROM cat.db.boom")
+      .head.getLong(0) == 3)
+    spark.sql("DROP TABLE cat.db.boom")
+  }
+
+  test("RTAS is atomic: a failed REPLACE keeps the old table intact; " +
+       "a successful one swaps; CREATE OR REPLACE bootstraps") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS cat.db.rt")
+    spark.sql("CREATE TABLE cat.db.rt USING `graft-arrow` AS " +
+      "SELECT id FROM range(2)")
+    intercept[Exception](spark.sql(
+      "REPLACE TABLE cat.db.rt USING `graft-arrow` AS " +
+        "SELECT IF(id = 5, CAST(raise_error('replace failure') AS " +
+        "BIGINT), id) AS id FROM range(9)"))
+    assert(spark.sql("SELECT count(*) FROM cat.db.rt").head.getLong(0) == 2,
+      "a failed REPLACE must leave the old table byte-identical")
+    spark.sql("REPLACE TABLE cat.db.rt USING `graft-arrow` AS " +
+      "SELECT id FROM range(5)")
+    assert(spark.sql("SELECT count(*) FROM cat.db.rt").head.getLong(0) == 5)
+    // REPLACE of a nonexistent table refuses; OR REPLACE bootstraps
+    spark.sql("DROP TABLE cat.db.rt")
+    intercept[Exception](spark.sql(
+      "REPLACE TABLE cat.db.rt USING `graft-arrow` AS SELECT 1 AS x"))
+    spark.sql("CREATE OR REPLACE TABLE cat.db.rt USING `graft-arrow` AS " +
+      "SELECT id FROM range(4)")
+    assert(spark.sql("SELECT count(*) FROM cat.db.rt").head.getLong(0) == 4)
+    spark.sql("DROP TABLE cat.db.rt")
+  }
+
   test("ALTER TABLE ADD COLUMNS evolves a named log table: old files " +
        "null-fill, VERSION AS OF pre-evolution keeps the old schema, " +
        "old writers keep committing until the column materializes") {
