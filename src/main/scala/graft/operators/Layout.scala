@@ -32,10 +32,22 @@ object Layout {
     * and monotone in the locality sense that matters: nearby (x, y)
     * cells share code prefixes. */
   def zValue(x: Column, y: Column, bits: Int = ZBits): Column =
-    (0 until bits).map { i =>
-      (shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    zValueN(Seq(x, y), bits)
+
+  /** N-dimensional Morton code: bit i of dimension d lands at position
+    * i·n + d — the 2-D form above, generalized. Callers shrink `bits`
+    * as dimensions grow (bits·n ≤ 63) so the code stays in one long;
+    * [[graft.sources.GraftTable.zorder]] uses `min(ZBits, 62/n)`. */
+  def zValueN(dims: Seq[Column], bits: Int = ZBits): Column = {
+    val n = dims.length
+    require(n >= 1 && bits >= 1 && bits * n <= 63,
+      s"interleave overflow: $n dims x $bits bits")
+    dims.zipWithIndex.map { case (c, d) =>
+      (0 until bits).map { i =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + d)
+      }.reduce(_ + _)
     }.reduce(_ + _)
+  }
 
   /** The two bucketed dimensions for the events-table layout: user and
     * value, each ranked into 2^[[ZBits]] buckets by cheap arithmetic

@@ -1147,21 +1147,23 @@ object GraftTable {
   }
 
   /** Z-ORDER rewrite (Delta's `OPTIMIZE … ZORDER BY` analog): rewrite
-    * the WHOLE sink clustered on the Morton interleave of two numeric
-    * columns, so range predicates on either column land in few files —
-    * at 100 TB the difference between parquet row-group stats pruning
-    * a couple of files and scanning the corpus. One commit atomically
-    * publishes {added clustered files, removed: the whole prior
-    * snapshot}; replaced bytes stay on disk for [[readAsOf]].
+    * the WHOLE sink clustered on the Morton interleave of 1–8 columns,
+    * so range predicates on any of them land in few files — at 100 TB
+    * the difference between parquet row-group stats pruning a couple of
+    * files and scanning the corpus. One commit atomically publishes
+    * {added clustered files, removed: the whole prior snapshot};
+    * replaced bytes stay on disk for [[readAsOf]].
     *
-    * Bucketing is UNIFORM (`width_bucket` over the column's observed
-    * [min,max], 2^[[graft.operators.Layout.ZBits]] buckets/dim — one
-    * cheap agg pass, no quantile sketch): heavy skew clusters less
-    * tightly but never incorrectly, and the verb is re-runnable after
-    * the distribution shifts. Exactly two columns, both numeric — the
-    * Morton helper is 2-D, which covers the standard
-    * (entity, time)/(user, value) layouts; more dims dilute z-order
-    * locality anyway.
+    * Bucketing is by QUANTILE: one `approx_percentile` pass computes
+    * 2^bits−1 interior quantiles per column (bits = min([[
+    * graft.operators.Layout.ZBits]], 62/n)), and each row's bucket is a
+    * codegen'd binary search against them
+    * ([[graft.functions.QuantileBucket]]). Every bucket holds ~equal
+    * ROW MASS, so a zipfian column clusters as tightly as a uniform
+    * one — uniform-width buckets would cram the head into one bucket
+    * and cluster nothing — and the bucket index is clamped by
+    * construction (no max-edge overflow into dropped interleave bits).
+    * The verb is re-runnable after the distribution shifts.
     *
     * Output files: `ceil(snapshot bytes / targetFileBytes)` range
     * partitions of the z-value, rows sorted by z within each — every
@@ -1176,39 +1178,58 @@ object GraftTable {
              cols: Seq[String],
              targetFileBytes: Long = 128L << 20): Option[Long] =
       writeLock(root).synchronized {
-    import org.apache.spark.sql.functions.{col, lit, max => smax, min => smin, width_bucket}
-    require(cols.length == 2,
-      s"ZORDER BY takes exactly two numeric columns, got ${cols.length}")
+    import org.apache.spark.sql.functions.{col, lit, percentile_approx}
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
+    require(cols.nonEmpty && cols.length <= 8,
+      s"ZORDER BY takes 1 to 8 columns, got ${cols.length}")
+    require(cols.distinct.length == cols.length,
+      s"ZORDER BY columns must be distinct: ${cols.mkString(", ")}")
     val hist = history(spark, root)
     val snap = foldFiles(hist).filter(_.startsWith(sink + "/"))
     if (snap.isEmpty) return None
     val (hfs, rootPath) = fs(spark, root)
     val mergeNeeded = schemasDisagree(hist, sink)
     val data = mutationRead(spark, root, sink, snap, mergeNeeded)
+    // each dimension as a double: the quantile sketch and the bucket
+    // search share one representation
+    def dim(c: String): org.apache.spark.sql.Column =
+      data.schema(c).dataType match {
+        case _: NumericType => col(c).cast("double")
+        case TimestampType | TimestampNTZType => col(c).cast("double")
+        case DateType => col(c).cast("timestamp").cast("double")
+        case other => throw new IllegalArgumentException(
+          s"ZORDER column '$c' must be numeric, timestamp, or date " +
+            s"(orderable for quantile bucketing), got ${other.simpleString}")
+      }
     cols.foreach { c =>
       require(data.columns.contains(c),
         s"ZORDER column '$c' is not a column of sink '$sink'")
-      require(data.schema(c).dataType.isInstanceOf[
-          org.apache.spark.sql.types.NumericType],
-        s"ZORDER column '$c' must be numeric for uniform bucketing, " +
-          s"got ${data.schema(c).dataType.simpleString}")
+      dim(c) // type check now
     }
-    // one agg pass for the bucket ranges (driver gets 4 numbers)
-    val r = data.agg(
-      smin(col(cols.head)).cast("double"), smax(col(cols.head)).cast("double"),
-      smin(col(cols(1))).cast("double"), smax(col(cols(1))).cast("double"))
-      .head
-    if (r.isNullAt(0) || r.isNullAt(2)) return None // all-null dims
-    val buckets = 1 << graft.operators.Layout.ZBits
-    // width_bucket needs max > min; a constant column degrades to one
-    // bucket (epsilon keeps the call legal)
-    def hi(lo: Double, h: Double) = if (h > lo) h else lo + 1.0
-    def bucketOf(c: String, lo: Double, h: Double) =
-      (width_bucket(col(c).cast("double"), lit(lo), lit(hi(lo, h)),
-        lit(buckets)) - 1).cast("long")
-    val z = graft.operators.Layout.zValue(
-      bucketOf(cols.head, r.getDouble(0), r.getDouble(1)),
-      bucketOf(cols(1), r.getDouble(2), r.getDouble(3)))
+    val bits = math.min(graft.operators.Layout.ZBits, 62 / cols.length)
+    val buckets = 1 << bits
+    // ONE quantile pass for every dimension's bucket boundaries (the
+    // driver gets n arrays of 2^bits−1 doubles)
+    val qs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val aggs = cols.map(c =>
+      percentile_approx(dim(c), lit(qs), lit(10000)))
+    val row = data.agg(aggs.head, aggs.tail: _*).head
+    val dims = cols.zipWithIndex.map { case (c, i) =>
+      val raw =
+        if (row.isNullAt(i)) Seq.empty[Double]
+        else row.getSeq[Double](i)
+      // sorted interior boundaries, DUPLICATES kept: repeated
+      // boundaries are the rank scaling that spreads a skewed column
+      // over the full bit range (see QuantileBucket). An all-null or
+      // constant column degrades to one bucket — harmless.
+      val bs = raw.filterNot(_.isNaN).sorted.toArray
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.QuantileBucket(
+          org.apache.spark.sql.GraftColumnBridge.resolvedExpression(dim(c)),
+          bs))
+    }
+    if (dims.isEmpty) return None
+    val z = graft.operators.Layout.zValueN(dims, bits)
     val totalBytes = {
       val dirs = snap.map(rel => rel.take(rel.lastIndexOf('/'))).distinct
       val names = snap.toSet

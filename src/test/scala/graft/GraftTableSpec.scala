@@ -974,18 +974,23 @@ class GraftTableSpec extends AnyFunSuite {
         .write.mode("append").partitionBy("lang", "batch_id")
         .parquet(s"$root/docs")
       GraftTable.commit(spark, root, 0L)
-      // the z expression exactly as zorder computes it (uniform
-      // width_bucket over the observed [min,max], Morton interleave) —
-      // the DIRECT clustering invariant is on z, not on either single
-      // dimension (z-order trades per-dim locality for both-dim)
+      // the z expression exactly as zorder computes it (quantile rank
+      // buckets, Morton interleave) — the DIRECT clustering invariant
+      // is on z, not on either single dimension (z-order trades
+      // per-dim locality for both-dim)
       val buckets = 1 << graft.operators.Layout.ZBits
       def zCol = {
-        val idHi = (n - 1).toDouble
-        graft.operators.Layout.zValue(
-          (width_bucket(col("id").cast("double"), lit(0.0), lit(idHi),
-            lit(buckets)) - 1).cast("long"),
-          (width_bucket(col("v").cast("double"), lit(0.0), lit(idHi),
-            lit(buckets)) - 1).cast("long"))
+        import org.apache.spark.sql.GraftColumnBridge.{column, resolvedExpression}
+        val qs = (1 until buckets).map(_.toDouble / buckets).toArray
+        val data = GraftTable.read(spark, root, "docs")
+        val row = data.agg(
+          percentile_approx(col("id").cast("double"), lit(qs), lit(10000)),
+          percentile_approx(col("v").cast("double"), lit(qs), lit(10000)))
+          .head
+        def bucket(c: String, i: Int) = column(graft.functions.QuantileBucket(
+          resolvedExpression(col(c).cast("double")),
+          row.getSeq[Double](i).toArray.sorted))
+        graft.operators.Layout.zValue(bucket("id", 0), bucket("v", 1))
       }
       def zRanges(): Seq[(String, Long, Long)] = {
         val withF = GraftTable.read(spark, root, "docs")
@@ -1041,13 +1046,90 @@ class GraftTableSpec extends AnyFunSuite {
       spark.sql(s"GRAFT OPTIMIZE '$root' SINK 'docs' " +
         "ZORDER BY (id, v) TARGET 8192").collect()
       assert(GraftTable.read(spark, root, "docs").count() == n)
-      // non-numeric and wrong-arity columns refuse loudly
+      // non-orderable and wrong-arity columns refuse loudly
       val e = intercept[IllegalArgumentException](
         GraftTable.zorder(spark, root, "docs", Seq("lang", "id")))
       assert(e.getMessage.contains("numeric"))
       val e2 = intercept[IllegalArgumentException](
-        GraftTable.zorder(spark, root, "docs", Seq("id")))
-      assert(e2.getMessage.contains("two"))
+        GraftTable.zorder(spark, root, "docs", Seq.empty))
+      assert(e2.getMessage.contains("1 to 8"))
+      val e3 = intercept[IllegalArgumentException](
+        GraftTable.zorder(spark, root, "docs", Seq("id", "id")))
+      assert(e3.getMessage.contains("distinct"))
+    } finally graft.operators.Scratch.rm(new java.io.File(root))
+  }
+
+  test("quantile z-order clusters a ZIPFIAN column where uniform " +
+       "buckets would collapse; 3 columns and single column work") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.width_bucket
+    val root = java.nio.file.Files.createTempDirectory("graft-zorder-skew")
+      .toString
+    try {
+      val n = 4000
+      // v is zipf-ish and INDEPENDENT of id (a multiplicative-hash
+      // permutation breaks the functional correlation)
+      val rows = (0 until n).map { i =>
+        val r = ((i * 2654435761L) % n + n) % n
+        (i.toLong, n.toLong / (r + 1L), (i * 13 % n).toLong)
+      }
+      rows.toDF("id", "v", "w")
+        .withColumn("batch_id", lit(0L))
+        .repartition(8)
+        .write.mode("append").partitionBy("batch_id")
+        .parquet(s"$root/docs")
+      GraftTable.commit(spark, root, 0L)
+      // the counterfactual, asserted directly: uniform width_bucket
+      // over v's [min,max] crams MOST rows into one bucket — nothing
+      // for an interleave to cluster on
+      val buckets = 1 << graft.operators.Layout.ZBits
+      val data0 = GraftTable.read(spark, root, "docs")
+      val vMax = data0.agg(max("v")).head.getLong(0).toDouble
+      val topUniform = data0
+        .groupBy(width_bucket(col("v").cast("double"), lit(1.0),
+          lit(vMax), lit(buckets)))
+        .count().agg(max("count")).head.getLong(0)
+      assert(topUniform > n / 2,
+        s"fixture not skewed enough: top uniform bucket $topUniform")
+      assert(GraftTable.zorder(spark, root, "docs", Seq("id", "v"),
+        targetFileBytes = 4L << 10).nonEmpty)
+      def filesFor(cond: org.apache.spark.sql.Column): Int =
+        GraftTable.read(spark, root, "docs")
+          .withColumn("__f", input_file_name())
+          .where(cond).select("__f").distinct().count().toInt
+      val totalFiles = GraftTable.read(spark, root, "docs")
+        .select(input_file_name()).distinct().count().toInt
+      assert(totalFiles >= 6, s"want several files, got $totalFiles")
+      // a value inside the zipfian HEAD (v = 2 covers ~17% of rows —
+      // one quantile-bucket stripe) prunes to a minority of files;
+      // under uniform buckets the whole head shared bucket 0 and every
+      // file would carry it
+      val headFiles = filesFor(col("v") === 2L)
+      assert(headFiles <= (totalFiles * 2) / 3,
+        s"zipfian head not clustered: $headFiles of $totalFiles files")
+      // the other dimension still prunes too (that's the interleave)
+      val idFiles = filesFor(col("id") < n / 8)
+      assert(idFiles < totalFiles,
+        s"id range touched every file: $idFiles of $totalFiles")
+      // content preserved exactly
+      assert(GraftTable.read(spark, root, "docs")
+        .select("id", "v", "w").orderBy("id")
+        .as[(Long, Long, Long)].collect().toSeq == rows.sortBy(_._1))
+      // 3-column interleave publishes and preserves content (bits/dim
+      // shrink to fit one long)
+      assert(GraftTable.zorder(spark, root, "docs", Seq("id", "v", "w"),
+        targetFileBytes = 8L << 10).nonEmpty)
+      assert(GraftTable.read(spark, root, "docs").count() == n)
+      // single-column z-order = plain range clustering
+      assert(GraftTable.zorder(spark, root, "docs", Seq("id"),
+        targetFileBytes = 8L << 10).nonEmpty)
+      val spans = GraftTable.read(spark, root, "docs")
+        .withColumn("__f", input_file_name())
+        .groupBy("__f").agg(min("id").as("lo"), max("id").as("hi"))
+        .select("lo", "hi").as[(Long, Long)].collect().toSeq
+      val sumSpans = spans.map { case (lo, hi) => hi - lo }.sum
+      assert(sumSpans <= (n * 3) / 2,
+        s"single-column ranges overlap: $spans")
     } finally graft.operators.Scratch.rm(new java.io.File(root))
   }
 }
