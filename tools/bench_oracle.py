@@ -21,9 +21,11 @@ bench_json = sys.argv[3] if len(sys.argv) > 3 else None
 rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 
 HARNESS = ("q_table_", "q_stream_", "q_jsonl_", "q_arrow_", "q_kafka_",
+           "q_catalog_lifecycle", "q_log_insert", "q_log_evolve",
            "dedup_decontam_persist", "dedup_crosscorpus_persist",
            "dedup_index_lifecycle", "dedup_winnow_lifecycle",
            "sim_pq_lifecycle", "sim_ivf_lifecycle",
+           "sim_pq_incremental", "sim_ivf_incremental",
            "dedup_ingest_chain", "text_rarity_incremental",
            "q_admission_pipeline")
 
