@@ -182,6 +182,27 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftIndexCommand("COMPACT", kind.toUpperCase, root, None)
     case IndexVacuumRe(kind, root) =>
       GraftIndexCommand("VACUUM", kind.toUpperCase, root, None)
+    case IndexRebuildIvfRe(root, threshold) =>
+      GraftIndexCommand("REBUILD", "IVF", root, None,
+        Option(threshold).map(_.toDouble))
+    case IndexRebuildPqRe(root, rest) =>
+      val close = matchingParen(rest, 0)
+      require(close > 0,
+        s"GRAFT INDEX REBUILD: unbalanced parens around the FROM " +
+          s"query: $sqlText")
+      val (queryPart, tail) =
+        (rest.substring(1, close), rest.substring(close + 1).trim)
+      val threshold = tail.stripSuffix(";").trim match {
+        case "" => None
+        case t =>
+          val m = "(?is)THRESHOLD\\s+([0-9.]+)".r.pattern.matcher(t)
+          require(m.matches(),
+            s"GRAFT INDEX REBUILD PQ: expected [THRESHOLD <frac>] after " +
+              s"the FROM query, got: $t")
+          Some(m.group(1).toDouble)
+      }
+      delegate.parseQuery(queryPart)
+      GraftIndexCommand("REBUILD", "PQ", root, Some(queryPart), threshold)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -253,6 +274,12 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+INDEX\s+COMPACT\s+(MINHASH|WINNOW|TERMS|IVF)\s+'([^']+)'\s*;?\s*""".r
   private val IndexVacuumRe =
     """(?is)\s*GRAFT\s+INDEX\s+VACUUM\s+(IVF|PQ)\s+'([^']+)'\s*;?\s*""".r
+  // drift maintenance: IVF rebuilds from its own stored vectors; PQ
+  // stores only codes, so its rebuild input arrives as a FROM query
+  private val IndexRebuildIvfRe =
+    """(?is)\s*GRAFT\s+INDEX\s+REBUILD\s+IVF\s+'([^']+)'(?:\s+THRESHOLD\s+([0-9.]+))?\s*;?\s*""".r
+  private val IndexRebuildPqRe =
+    """(?is)\s*GRAFT\s+INDEX\s+REBUILD\s+PQ\s+'([^']+)'\s+FROM\s+(\(.+?)\s*;?\s*""".r
 
   /** Split a dotted identifier into its segments, honoring backtick
     * quoting — `cat.db.`my.table`` is three segments, the last
@@ -464,7 +491,8 @@ case class GraftMergeCommand(root: String, sink: String,
   * source query executes when the command runs and must carry the
   * index's input columns ((doc_id, text) for the text families). */
 case class GraftIndexCommand(verb: String, kind: String, root: String,
-                             sourceSql: Option[String])
+                             sourceSql: Option[String],
+                             threshold: Option[Double] = None)
     extends LeafRunnableCommand {
   import graft.operators.{DecontamIndex, IndexStore, IvfIndex, MinhashIndex, PqIndex, TermStatsIndex, WinnowIndex}
 
@@ -495,6 +523,18 @@ case class GraftIndexCommand(verb: String, kind: String, root: String,
       case ("PQ", "BUILD") => PqIndex.build(src, root)
       case ("PQ", "MERGE") => PqIndex.merge(src, root)
       case ("PQ", "VACUUM") => PqIndex.vacuum(spark, root)
+      case ("IVF", "REBUILD") | ("PQ", "REBUILD") =>
+        // drift-triggered retrain: a no-op below the threshold, so a
+        // scheduled maintenance pass is safe to run unconditionally
+        val th = threshold.getOrElse(0.3)
+        val (rebuilt, drift) =
+          if (kind == "IVF") IvfIndex.rebuildIfDrifted(spark, root, th)
+          else PqIndex.rebuildIfDrifted(src, root, th)
+        val gens = scala.util.Try(
+          IndexStore.committedGens(spark, root).size.toLong).getOrElse(0L)
+        return Seq(Row(kind, gens,
+          if (rebuilt) f"rebuilt (drift $drift%.3f >= $th%.3f)"
+          else f"skipped (drift $drift%.3f < $th%.3f)"))
       case other => throw new IllegalArgumentException(
         s"GRAFT INDEX: unsupported verb/kind $other")
     }

@@ -106,6 +106,7 @@ object IvfIndex {
       val c = vecs.select(col("vec_id"), col("label").cast("long"), col("v"))
       // centroids and cells are independent jobs over the cached batch:
       // submit them concurrently so the build costs max(job), not sum
+      var baseCount = 0L
       Materialize.withCached(c) {
         IndexStore.inParallel(
           () => c.select(col("label"), col("v"))
@@ -115,12 +116,14 @@ object IvfIndex {
             .toDF("label", "cv")
             .repartition(1)
             .write.mode("overwrite").parquet(centroidsDir(indexPath, 1L)),
-          () => writeCells(c, indexPath, 1L, gen = 0L))
+          () => writeCells(c, indexPath, 1L, gen = 0L),
+          () => baseCount = c.count())
         spark.range(0).toDF("done")
       }
       IndexStore.mark(hfs, p, "g0")
       IndexStore.mark(hfs, p, "cells.v1")
       IndexStore.mark(hfs, p, "centroids.v1")
+      IndexStore.mark(hfs, p, BaseCountMarker, baseCount.toString)
     }
 
   /** Build over the whole embeddings table at `dir`. */
@@ -221,6 +224,94 @@ object IvfIndex {
       case e: Throwable => Scratch.rm(new java.io.File(root)); throw e
     }
   }
+
+  /** Rows the centroids were TRAINED on — persisted at build so the
+    * drift fraction survives [[compact]] (which folds generation
+    * provenance away). */
+  private val BaseCountMarker = "basecount"
+
+  /** Fraction of the index's rows the FROZEN centroids were never
+    * trained on — assign-only [[ingest]]s and [[merge]]s accumulate it,
+    * and recall decays as the live distribution drifts from the
+    * build-time one. Legacy indexes without the marker fall back to
+    * gen-0 row provenance (or read as undrifted once compaction folded
+    * that away — they predate the maintenance contract). */
+  def driftFraction(spark: SparkSession, indexPath: String): Double = {
+    val total = readCells(spark, indexPath).count()
+    if (total == 0L) return 0.0
+    val (hfs, p) = IndexStore.fs(spark, indexPath)
+    val base = IndexStore.markContent(hfs, p, BaseCountMarker)
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .getOrElse {
+        val dir = cellsDir(indexPath, cellsVersion(spark, indexPath))
+        val g0 = spark.read.schema(CellsSchema).option("basePath", dir)
+          .parquet(dir).filter(col("gen") === 0L).count()
+        if (g0 > 0L) g0 else total
+      }
+    math.max(0.0, 1.0 - base.toDouble / total.toDouble)
+  }
+
+  /** Re-train on the CURRENT corpus — the drift maintenance [[ingest]]
+    * makes necessary: deterministic Lloyd k-means over every committed
+    * vector (the SAME branch-adaptive trainer as [[Similarity.kmeans]]:
+    * k = kFor(n) so cells track corpus growth, lowest-id init, rounded
+    * distances, strict-< ties, exact quantized sums — bit-identical
+    * driver-side or distributed), every vector re-assigned to its
+    * nearest new centroid, landed as a fresh [[build]]: new centroid
+    * version, everything at gen 0, a reset drift clock. Old cell labels
+    * are retired — a rebuild's labels are its cluster indices. Current
+    * rows are staged OUTSIDE the root first (build resets the root
+    * before writing; a lazy read over the tree being deleted would
+    * corrupt the rebuild). */
+  def rebuild(spark: SparkSession, indexPath: String): Unit =
+    IndexStore.withLock(spark, indexPath) {
+      import spark.implicits._
+      val staging = s"$indexPath.rebuild-${java.util.UUID.randomUUID()}"
+      try {
+        readCells(spark, indexPath)
+          .select(col("vec_id"), col("v"))
+          .write.mode("overwrite").parquet(staging)
+        val all = spark.read.parquet(staging)
+          .as[(Long, Array[Double])]
+        val n = all.count()
+        val k = Similarity.kFor(n)
+        val cents =
+          if (n * Similarity.Dims <= Similarity.DriverKmeansMaxCells)
+            Similarity.trainDriverSide(all, k)
+          else Similarity.trainDistributed(all, k)
+        val bc = spark.sparkContext.broadcast(cents)
+        val reassigned = all
+          .mapPartitions { it =>
+            val cs = bc.value // index-ascending: strict < keeps ties low
+            it.map { case (id, v) =>
+              var bestL = -1L
+              var bestD = Double.PositiveInfinity
+              var c = 0
+              while (c < cs.length) {
+                val d = VectorOps.roundAt(VectorOps.dist2(v, cs(c)), 6)
+                if (d < bestD) { bestD = d; bestL = c.toLong }
+                c += 1
+              }
+              (id, bestL, v)
+            }
+          }.toDF("vec_id", "label", "v")
+        build(reassigned, indexPath)
+      } finally {
+        val (hfs, _) = IndexStore.fs(spark, staging)
+        IndexStore.deleteTree(hfs, new org.apache.hadoop.fs.Path(staging))
+      }
+    }
+
+  /** The maintenance TRIGGER: rebuild when the assign-only fraction
+    * exceeds `threshold` (frozen centroids lose recall as the
+    * distribution shifts). Returns (rebuilt, drift-at-decision). */
+  def rebuildIfDrifted(spark: SparkSession, indexPath: String,
+                       threshold: Double = 0.3): (Boolean, Double) =
+    IndexStore.withLock(spark, indexPath) {
+      val drift = driftFraction(spark, indexPath)
+      if (drift >= threshold) { rebuild(spark, indexPath); (true, drift) }
+      else (false, drift)
+    }
 
   /** Maintenance: sweep orphan generation dirs left by crashed,
     * never-retried merges. */

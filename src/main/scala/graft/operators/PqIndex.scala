@@ -92,11 +92,14 @@ object PqIndex {
         val cents = Similarity.pqCodebooksFrom(normed)
         // the codebook table and the encoded codes are independent jobs
         // once training finishes: submit them concurrently
+        var baseCount = 0L
         IndexStore.inParallel(
           () => writeCodebooks(spark, indexPath, 1L, cents),
-          () => writeCodes(normed, cents, indexPath, gen = 0L))
+          () => writeCodes(normed, cents, indexPath, gen = 0L),
+          () => baseCount = normed.count())
         IndexStore.mark(hfs, p, "g0")
         IndexStore.mark(hfs, p, "codebooks.v1")
+        IndexStore.mark(hfs, p, BaseCountMarker, baseCount.toString)
       } finally normed.unpersist(blocking = false)
     }
 
@@ -108,12 +111,15 @@ object PqIndex {
       val (hfs, p) = IndexStore.fs(spark, indexPath)
       IndexStore.resetRoot(hfs, p)
       val cents = Similarity.pqCodebooks(spark, dir)
+      var baseCount = 0L
       IndexStore.inParallel(
         () => writeCodebooks(spark, indexPath, 1L, cents),
         () => writeCodes(Similarity.normalized(spark, dir), cents,
-          indexPath, 0L))
+          indexPath, 0L),
+        () => baseCount = Similarity.normalized(spark, dir).count())
       IndexStore.mark(hfs, p, "g0")
       IndexStore.mark(hfs, p, "codebooks.v1")
+      IndexStore.mark(hfs, p, BaseCountMarker, baseCount.toString)
     }
 
   /** Admit a new corpus batch: encode against the STORED codebooks
@@ -137,6 +143,44 @@ object PqIndex {
           loadCodebooks(spark, indexPath), indexPath, g)
         IndexStore.mark(hfs, p, s"g$g", fp)
       }
+    }
+
+  /** Rows the codebooks were TRAINED on — persisted at build so the
+    * drift fraction is an O(1) marker read plus a code count. */
+  private val BaseCountMarker = "basecount"
+
+  /** Fraction of the index's codes encoded against codebooks that never
+    * saw them in training — [[merge]]s accumulate it, and quantization
+    * error grows as the live distribution drifts from the build-time
+    * one. Legacy indexes without the marker fall back to gen-0 row
+    * provenance. */
+  def driftFraction(spark: SparkSession, indexPath: String): Double = {
+    val total = readCodes(spark, indexPath).count()
+    if (total == 0L) return 0.0
+    val (hfs, p) = IndexStore.fs(spark, indexPath)
+    val base = IndexStore.markContent(hfs, p, BaseCountMarker)
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+      .getOrElse {
+        val dir = s"$indexPath/codes"
+        val g0 = spark.read.schema(CodesSchema).option("basePath", dir)
+          .parquet(dir).filter(org.apache.spark.sql.functions.col("gen") === 0L)
+          .count()
+        if (g0 > 0L) g0 else total
+      }
+    math.max(0.0, 1.0 - base.toDouble / total.toDouble)
+  }
+
+  /** The maintenance TRIGGER: retrain codebooks over `vecs` (the
+    * CURRENT corpus — PQ stores only codes, so unlike IVF the rebuild
+    * input must be supplied) when the post-build fraction exceeds
+    * `threshold`. Returns (rebuilt, drift-at-decision). */
+  def rebuildIfDrifted(vecs: org.apache.spark.sql.DataFrame,
+                       indexPath: String,
+                       threshold: Double = 0.3): (Boolean, Double) =
+    IndexStore.withLock(vecs.sparkSession, indexPath) {
+      val drift = driftFraction(vecs.sparkSession, indexPath)
+      if (drift >= threshold) { build(vecs, indexPath); (true, drift) }
+      else (false, drift)
     }
 
   /** Maintenance: sweep orphan generation dirs left by crashed,

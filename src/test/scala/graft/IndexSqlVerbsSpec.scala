@@ -130,4 +130,39 @@ class IndexSqlVerbsSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("unknown index kind"))
   }
+
+  test("GRAFT INDEX REBUILD: PQ drift trigger retrains codebooks over " +
+       "the FROM query only past the threshold") {
+    val root = tmp()
+    val vecs = graft.sources.Tables.embeddings(spark, sf0001)
+    vecs.createOrReplaceTempView("rebuild_vecs")
+    val idx = s"$root/pq"
+    // build on the 0-half, merge the 1-half: drift = merged fraction
+    graft.operators.PqIndex.build(
+      vecs.filter("vec_id % 2 = 0")
+        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v"), idx)
+    graft.operators.PqIndex.merge(
+      vecs.filter("vec_id % 2 = 1")
+        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v"), idx)
+    val drift = graft.operators.PqIndex.driftFraction(spark, idx)
+    assert(drift > 0.4 && drift < 0.6, s"expected ~half drift: $drift")
+    val from = "(SELECT vec_id, CAST(embedding AS array<double>) AS v " +
+      "FROM rebuild_vecs)"
+    // above the merged fraction: skip
+    val skip = spark.sql(
+      s"GRAFT INDEX REBUILD PQ '$idx' FROM $from THRESHOLD 0.9")
+      .head.getString(2)
+    assert(skip.startsWith("skipped"), skip)
+    // below it: retrain over the full corpus; drift clock resets and
+    // queries match a fresh whole-corpus build bit for bit
+    val note = spark.sql(
+      s"GRAFT INDEX REBUILD PQ '$idx' FROM $from THRESHOLD 0.3")
+      .head.getString(2)
+    assert(note.startsWith("rebuilt"), note)
+    assert(graft.operators.PqIndex.driftFraction(spark, idx) == 0.0)
+    graft.operators.PqIndex.build(spark, sf0001, s"$root/pq-fresh")
+    assert(graft.operators.PqIndex.topK(spark, sf0001, idx).collect().toSeq
+      == graft.operators.PqIndex.topK(spark, sf0001, s"$root/pq-fresh")
+        .collect().toSeq)
+  }
 }

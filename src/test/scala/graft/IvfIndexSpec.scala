@@ -161,4 +161,77 @@ class IvfIndexSpec extends AnyFunSuite {
         vecs.count())
     } finally graft.operators.Scratch.rm(new java.io.File(root))
   }
+
+  test("drift maintenance: a shifted distribution ingested against " +
+       "frozen centroids degrades recall@k; REBUILD restores it and " +
+       "resets the drift clock") {
+    import spark.implicits._
+    import graft.operators.VectorOps
+    val root = Files.createTempDirectory("graft-ivf-drift").toString
+    try {
+      val idx = s"$root/idx"
+      val dims = Similarity.Dims
+      val n = 300 // per blob
+      // deterministic per-id noise so frame ordering cannot matter
+      def vecFor(id: Long, axis: Int): Array[Double] = {
+        val r = new scala.util.Random(id)
+        Array.tabulate(dims)(d =>
+          (if (d == axis) 10.0 else 0.0) + r.nextGaussian() * 0.5)
+      }
+      // BUILD population: 8 blobs on axes 0..7, ids on ODD residues
+      // mod 16 — multiples of 50 are even mod 16, so the query set
+      // (vec_id % QueryStride == 0) comes entirely from the SHIFTED
+      // population below
+      val original = for (b <- 0 until 8; j <- 0 until n)
+        yield (16L * j + 2 * b + 1, b.toLong, vecFor(16L * j + 2 * b + 1, b))
+      IvfIndex.build(original.toDF("vec_id", "label", "v"), idx)
+      // DRIFT: 8 NEW blobs on axes 8..15 (orthogonal to every trained
+      // centroid — assign-only ingest scatters each blob across the
+      // old cells by noise), ids on EVEN residues
+      val shifted = for (b <- 0 until 8; j <- 0 until n)
+        yield (16L * j + 2 * b, vecFor(16L * j + 2 * b, 8 + b))
+      IvfIndex.ingest(shifted.toDF("vec_id", "v"), idx)
+      val drift = IvfIndex.driftFraction(spark, idx)
+      assert(math.abs(drift - 0.5) < 0.01, s"drift should be ~0.5: $drift")
+
+      // recall@K against driver-side brute force, same rounding and
+      // tie discipline as the index path
+      val allVecs = (original.map(t => (t._1, t._3)) ++ shifted).toMap
+      def recall(): Double = {
+        val got = IvfIndex.topK(spark, idx).collect()
+          .groupBy(_.getLong(0))
+          .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+        val queries = allVecs.keys.filter(_ % Similarity.QueryStride == 0)
+          .toSeq.sorted
+        assert(queries.nonEmpty && got.keySet == queries.toSet)
+        val hits = queries.map { q =>
+          val qv = allVecs(q)
+          val truth = allVecs.iterator.filter(_._1 != q)
+            .map { case (id, v) =>
+              (id, VectorOps.roundAt(VectorOps.cosineRaw(qv, v), 4))
+            }
+            .toSeq.sortBy { case (id, s) => (-s, id) }
+            .take(Similarity.K).map(_._1).toSet
+          (got(q) intersect truth).size.toDouble / Similarity.K
+        }
+        hits.sum / hits.size
+      }
+      val before = recall()
+      assert(before < 0.6,
+        s"fixture broken: frozen-centroid recall should be poor, got $before")
+      val (rebuilt, atDecision) = IvfIndex.rebuildIfDrifted(spark, idx, 0.3)
+      assert(rebuilt && atDecision >= 0.3)
+      val after = recall()
+      assert(after > 0.8 && after > before + 0.3,
+        s"rebuild must restore recall: before $before, after $after")
+      // the drift clock reset: a second trigger is a no-op
+      val (again, post) = IvfIndex.rebuildIfDrifted(spark, idx, 0.3)
+      assert(!again && post == 0.0, s"post-rebuild drift: $post")
+      // the SQL spelling reports the skip/rebuild decision
+      GraftExtensions.install(spark)
+      val note = spark.sql(s"GRAFT INDEX REBUILD IVF '$idx' THRESHOLD 0.3")
+        .head.getString(2)
+      assert(note.startsWith("skipped"), note)
+    } finally graft.operators.Scratch.rm(new java.io.File(root))
+  }
 }
