@@ -318,6 +318,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "history) — VERSION AS OF addresses graft-log tables")
     }
 
+  /** `TIMESTAMP AS OF t` — time travel by commit INSTANT: resolves to
+    * the latest version whose (monotone-adjusted) commit timestamp is
+    * ≤ t via [[graft.sources.GraftTable.versionAt]], then loads that
+    * snapshot exactly as `VERSION AS OF` would. Spark hands the
+    * instant in MICROSECONDS since the epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    readMeta(ident) match {
+      case None => throw new NoSuchTableException(ident)
+      case Some(m) if m.provider == "graft-log" =>
+        val v = graft.sources.GraftTable.versionAt(
+          spark, m.location, Math.floorDiv(timestamp, 1000L))
+        logTable(m, ident, Some(v))
+      case Some(_) => throw new UnsupportedOperationException(
+        "graft-arrow tables are not versioned (shard trees keep no " +
+          "history) — TIMESTAMP AS OF addresses graft-log tables")
+    }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {

@@ -436,12 +436,21 @@ case class GraftHistoryCommand(root: String) extends LeafRunnableCommand {
     AttributeReference("version", LongType)(),
     AttributeReference("added_files", LongType)(),
     AttributeReference("removed_files", LongType)(),
-    AttributeReference("sinks", StringType)())
-  override def run(spark: SparkSession): Seq[Row] =
+    AttributeReference("sinks", StringType)(),
+    AttributeReference("committed_at",
+      org.apache.spark.sql.types.TimestampType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    // effective (monotone-adjusted) commit instants — the same values
+    // TIMESTAMP AS OF resolves against, so a user can copy a row's
+    // committed_at straight into a time-travel query
+    val ts = GraftTable.versionTimestamps(spark, root).toMap
     GraftTable.history(spark, root).map { v =>
       Row(v.batchId, v.files.size.toLong, v.removed.size.toLong,
-        v.schemas.keys.toSeq.sorted.mkString(","))
+        v.schemas.keys.toSeq.sorted.mkString(","),
+        ts.get(v.batchId).flatten
+          .map(m => new java.sql.Timestamp(m)).orNull)
     }
+  }
 }
 
 /** `GRAFT UPDATE`: [[GraftTable.updateWhere]] as a SQL command. SET

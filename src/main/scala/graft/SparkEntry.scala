@@ -163,6 +163,9 @@ object SparkEntry {
     "q_arrow_nested"        -> (ArrowInterchange.nested _),
     "q_arrow_write"         -> (ArrowInterchange.writeRoundtrip _),
     "q_arrow_stream_read"   -> (ArrowInterchange.streamRead _),
+    // --- file skipping: per-file equality blooms + string zone maps -----
+    "q_bloom_lookup"        -> (Layout.bloomLookup _),
+    "q_string_prune"        -> (Layout.stringPrune _),
     // --- SQL-registered operator surface (GraftExtensions) --------------
     // the curation gates run through spark.sql over the REGISTERED
     // functions — proves the SQL-first path end-to-end in the oracle gate
@@ -2307,6 +2310,26 @@ object SparkEntry {
     "q_arrow_stream_read" ->
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // per-file equality blooms (hash-spread layout, zone maps useless):
+    // the oracle pins the exact surviving rows; the pruning itself is
+    // spec-asserted (planned partitions < files)
+    "q_bloom_lookup" ->
+      """SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS key,
+        |       doc_id, lang, n_chars
+        |FROM documents
+        |WHERE doc_id IN (3, 57, 123, 222, 404)
+        |ORDER BY key""".stripMargin,
+    // string zone maps (range-clustered layout): key-range + prefix
+    // predicates prune files; the oracle pins the aggregate
+    "q_string_prune" ->
+      """SELECT lang, count(*) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM (SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 9, '0') AS key,
+        |             lang, n_chars
+        |      FROM documents)
+        |WHERE key >= 'doc-000000100' AND key < 'doc-000000300'
+        |  AND key LIKE 'doc-0000001%'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // the nested wire (struct-of-struct + list<struct>) flattened back
     // out: the oracle is the same flatten stated relationally — the
     // UNION ALL mirrors the 2-element list<struct> each doc carries

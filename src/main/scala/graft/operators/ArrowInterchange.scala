@@ -143,31 +143,144 @@ object ArrowInterchange {
   def minMetaKey(ordinal: Int): String = s"graft.min.$ordinal"
   def maxMetaKey(ordinal: Int): String = s"graft.max.$ordinal"
 
+  /** String zone maps: `graft.smin.<ordinal>` / `graft.smax.<ordinal>`
+    * carry base64 of UTF-8 byte BOUNDS on a top-level string column —
+    * base64 because bounds may contain tabs/newlines the `_stats.tsv`
+    * manifest cannot (and Arrow footer metadata shouldn't) hold raw.
+    * Bounds, not extrema: values longer than [[StringStatMaxBytes]]
+    * stamp a truncated lower bound (truncation only shrinks) and a
+    * truncate-then-increment upper bound (parquet's discipline), so
+    * the stamped range is a SUPERSET of the true one — always sound
+    * for elimination, never served as an exact MIN/MAX aggregate.
+    * Comparison semantics are Spark's own: UTF8String orders by
+    * unsigned bytewise comparison, which is exactly how these bounds
+    * are folded and probed. An all-0xFF truncation window cannot
+    * produce an upper bound — such files stamp nothing and stay
+    * unskippable. */
+  def strMinMetaKey(ordinal: Int): String = s"graft.smin.$ordinal"
+  def strMaxMetaKey(ordinal: Int): String = s"graft.smax.$ordinal"
+
+  /** `graft.nulls.<ordinal>` — the column's null count over the whole
+    * file, for EVERY top-level column (read off each record batch's
+    * validity words via `getNullCount`, O(rows/64) — no per-row work).
+    * With [[RowsMetaKey]] it proves `IS NULL` empty (zero nulls) and
+    * `IS NOT NULL` empty (all null) — and since Spark pushes
+    * `IsNotNull(key)` alongside every equality join and most filters,
+    * all-null-key files prune from joins for free. */
+  def nullsMetaKey(ordinal: Int): String = s"graft.nulls.$ordinal"
+
+  /** Stamped string bounds are capped at this many bytes — bounds live
+    * in every file's footer and every directory's `_stats.tsv`, and a
+    * 2 KiB document-text "min" would bloat both for no pruning power
+    * (64 bytes of prefix decide almost any real comparison). */
+  val StringStatMaxBytes: Int = 64
+
+  /** Unsigned bytewise compare — Spark's string ordering
+    * (UTF8String.compareTo), the ordering all string zone-map folds
+    * and proofs use. */
+  private[graft] def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Truncate to a LOWER bound: a prefix never exceeds the original. */
+  private[graft] def truncLower(v: Array[Byte]): Array[Byte] =
+    if (v.length <= StringStatMaxBytes) v
+    else java.util.Arrays.copyOf(v, StringStatMaxBytes)
+
+  /** Truncate to an UPPER bound: keep the prefix and increment its last
+    * non-0xFF byte (dropping the tail), yielding the smallest prefix
+    * string strictly above every extension of the original. None when
+    * the whole window is 0xFF — no finite upper bound exists at this
+    * width. */
+  private[graft] def truncUpper(v: Array[Byte]): Option[Array[Byte]] =
+    if (v.length <= StringStatMaxBytes) Some(v)
+    else {
+      var i = StringStatMaxBytes - 1
+      while (i >= 0 && v(i) == 0xff.toByte) i -= 1
+      if (i < 0) None
+      else {
+        val out = java.util.Arrays.copyOf(v, i + 1)
+        out(i) = (out(i) + 1).toByte
+        Some(out)
+      }
+    }
+
   /** Tracks per-column min/max across a file's record batches by
     * scanning the vectors at each flush (one pass over primitives per
     * batch — never in the per-row hot loop). Longs cover int/bigint/
     * date-days/timestamp-micros; doubles cover float32/64. */
-  private[graft] final class StatsTracker(schema: StructType) {
+  private[graft] final class StatsTracker(schema: StructType,
+                                          bloomSpec: String = "") {
+    // opt-in per-file equality blooms ([[ArrowBloom]]): fixed geometry
+    // from the spec's fpp/ndv, built incrementally batch by batch —
+    // O(bits) task memory, no value buffering
+    private val (bloomFpp, bloomNdv, bloomOrds) =
+      ArrowBloom.specOrdinals(bloomSpec, schema)
+    private val blooms: Map[Int, ArrowBloom.Builder] = bloomOrds.map { o =>
+      val (k, m) = ArrowBloom.geometry(bloomNdv, bloomFpp)
+      o -> new ArrowBloom.Builder(k, m)
+    }.toMap
     private val n = schema.length
-    // which representation each column tracks: 0 = none, 1 = long, 2 = double
+    // which representation each column tracks:
+    // 0 = none, 1 = long, 2 = double, 3 = utf8 bytes
     private val kind: Array[Int] = schema.fields.map(_.dataType match {
       case IntegerType | LongType | DateType |
            TimestampType | TimestampNTZType => 1
       case FloatType | DoubleType => 2
+      case StringType => 3
       case _ => 0
     })
     private val loL = Array.fill(n)(Long.MaxValue)
     private val hiL = Array.fill(n)(Long.MinValue)
     private val loD = Array.fill(n)(Double.PositiveInfinity)
     private val hiD = Array.fill(n)(Double.NegativeInfinity)
+    // full running extrema (truncation happens only at stamp time — a
+    // truncated running max could lose to a longer value it actually
+    // exceeds)
+    private val loB = Array.fill[Array[Byte]](n)(null)
+    private val hiB = Array.fill[Array[Byte]](n)(null)
     private val seen = Array.fill(n)(false)
     // a single NaN disqualifies the column: Spark's comparisons order
     // NaN ABOVE every double, so a finite range would wrongly prune
     // files whose NaN rows match `c > v` / `c = NaN`
     private val sawNaN = Array.fill(n)(false)
 
+    private val nulls = Array.fill(n)(0L)
+
     /** Fold one flushed batch's vectors into the running ranges. */
     def update(root: VectorSchemaRoot, rows: Int): Unit = {
+      var nc = 0
+      while (nc < n) { // validity-word read, not per-row
+        nulls(nc) += root.getVector(nc).getNullCount
+        nc += 1
+      }
+      blooms.foreach { case (c, b) =>
+        val vec = root.getVector(c)
+        var i = 0
+        while (i < rows) {
+          if (!vec.isNull(i)) {
+            // canonical forms must match the probe side byte for byte:
+            // the zone-map long for the long family, UTF-8 for strings
+            vec match {
+              case x: VarCharVector => b.add(ArrowBloom.hashBytesPair(x.get(i)))
+              case x: IntVector => b.add(ArrowBloom.hashLongPair(x.get(i).toLong))
+              case x: BigIntVector => b.add(ArrowBloom.hashLongPair(x.get(i)))
+              case x: DateDayVector => b.add(ArrowBloom.hashLongPair(x.get(i).toLong))
+              case x: TimeStampMicroTZVector => b.add(ArrowBloom.hashLongPair(x.get(i)))
+              case x: TimeStampMicroVector => b.add(ArrowBloom.hashLongPair(x.get(i)))
+              case _ => ()
+            }
+          }
+          i += 1
+        }
+      }
       var c = 0
       while (c < n) {
         if (kind(c) != 0) {
@@ -185,6 +298,11 @@ object ArrowInterchange {
                 }
                 if (v < loL(c)) loL(c) = v
                 if (v > hiL(c)) hiL(c) = v
+                seen(c) = true
+              } else if (kind(c) == 3) {
+                val v = vec.asInstanceOf[VarCharVector].get(i)
+                if (loB(c) == null || cmpBytes(v, loB(c)) < 0) loB(c) = v
+                if (hiB(c) == null || cmpBytes(v, hiB(c)) > 0) hiB(c) = v
                 seen(c) = true
               } else {
                 val v = vec match {
@@ -208,12 +326,30 @@ object ArrowInterchange {
 
     /** Stamp the ranges into the writer's footer metadata map. */
     def stamp(meta: java.util.Map[String, String]): Unit = {
+      blooms.foreach { case (c, b) =>
+        if (b.nonEmpty) meta.put(ArrowBloom.bloomMetaKey(c), b.serialize)
+      }
+      var nc = 0
+      while (nc < n) {
+        meta.put(nullsMetaKey(nc), nulls(nc).toString)
+        nc += 1
+      }
       var c = 0
       while (c < n) {
         if (seen(c) && !sawNaN(c)) {
           if (kind(c) == 1) {
             meta.put(minMetaKey(c), loL(c).toString)
             meta.put(maxMetaKey(c), hiL(c).toString)
+          } else if (kind(c) == 3) {
+            // bounds-or-nothing: a max whose truncation window is all
+            // 0xFF has no finite upper bound — stamp neither key, so
+            // readers never see a half-open range
+            truncUpper(hiB(c)).foreach { hi =>
+              val b64 = java.util.Base64.getEncoder
+              meta.put(strMinMetaKey(c),
+                b64.encodeToString(truncLower(loB(c))))
+              meta.put(strMaxMetaKey(c), b64.encodeToString(hi))
+            }
           } else {
             // Double.toString round-trips exactly through parseDouble.
             // Signed zero takes parquet's discipline: the primitive
@@ -346,11 +482,15 @@ object ArrowInterchange {
   def exportArrow(df: DataFrame, path: String,
                   batchRows: Int = DefaultBatchRows,
                   maxPartBytes: Long = DefaultMaxPartBytes,
-                  compression: String = "none"): Unit = {
+                  compression: String = "none",
+                  bloom: String = ""): Unit = {
     val spark = df.sparkSession
     val schema = df.schema
     toArrowSchema(schema) // validate the type surface up front, on the driver
     codecType(compression) // …and the codec name, before any job runs
+    if (bloom.nonEmpty) // …and the bloom spec's column names and types
+      ArrowBloom.validate(
+        bloom.split(":", 3)(2).split(',').map(_.trim).toSeq, schema)
     val sized = ExportSizing.sizeUp(df, maxPartBytes)
 
     val sconf = new SerConf(spark.sessionState.newHadoopConf())
@@ -386,7 +526,7 @@ object ArrowInterchange {
             // reference, so the row count lands in it before then
             val meta = new java.util.HashMap[String, String]()
             val w = newFileWriter(root, ch, meta, compression)
-            val stats = new StatsTracker(schema)
+            val stats = new StatsTracker(schema, bloom)
             try {
               w.start()
               var n = 0

@@ -84,4 +84,64 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(outPath)
+
+  /** The derived high-cardinality string key both skipping queries
+    * share — spelled identically in the oracle SQL
+    * (`'doc-' || lpad(doc_id, 9, '0')`). */
+  private def docKey: Column =
+    concat(lit("doc-"), lpad(col("doc_id").cast("string"), 9, "0"))
+
+  /** Per-file equality blooms end to end: export the documents under a
+    * hash-SPREAD layout (each file's key range spans the whole domain —
+    * the layout zone maps cannot prune) with `bloomcolumns` on the
+    * key, then point-look-up a fixed key set. At 100 TB this is the
+    * "find these N documents by id in an unsorted corpus" shape: the
+    * blooms turn a full-corpus scan into opening only the files that
+    * might hold the keys; the oracle pins the surviving rows. */
+  def bloomLookup(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    try {
+      Tables.documents(spark, dir)
+        .select(docKey.as("key"), col("doc_id"), col("lang"), col("n_chars"))
+        .repartition(8) // round-robin: per-file key ranges all overlap
+        .write.format("graft-arrow")
+        .option("bloomcolumns", "key")
+        .mode("overwrite").save(s"$out/docs")
+      val probes = Seq(3L, 57L, 123L, 222L, 404L)
+        .map(i => f"doc-$i%09d")
+      val back = spark.read.format("graft-arrow").load(s"$out/docs")
+        .where(col("key").isin(probes: _*))
+        .select(col("key"), col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("key")
+      Scratch.materializeAndClean(out, back)
+    } catch { case e: Throwable =>
+      Scratch.rm(new java.io.File(out)); throw e
+    }
+  }
+
+  /** String zone maps end to end: export the documents RANGE-CLUSTERED
+    * on the derived key (repartitionByRange — each file covers a
+    * disjoint key interval, the layout blooms don't need), then run a
+    * key-range + prefix aggregate. The stamped string bounds prune the
+    * files outside the range at plan time; the oracle pins the
+    * aggregate. */
+  def stringPrune(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-sprune").toString
+    try {
+      Tables.documents(spark, dir)
+        .select(docKey.as("key"), col("doc_id"), col("lang"), col("n_chars"))
+        .repartitionByRange(8, col("key"))
+        .sortWithinPartitions(col("key"))
+        .write.format("graft-arrow").mode("overwrite").save(s"$out/docs")
+      val back = spark.read.format("graft-arrow").load(s"$out/docs")
+        .where(col("key") >= "doc-000000100" && col("key") < "doc-000000300"
+          && col("key").startsWith("doc-0000001"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("lang")
+      Scratch.materializeAndClean(out, back)
+    } catch { case e: Throwable =>
+      Scratch.rm(new java.io.File(out)); throw e
+    }
+  }
 }

@@ -184,13 +184,25 @@ class GraftLogSourceProvider
   override def shortName(): String = "graft-log"
 
   private def tableFor(options: java.util.Map[String, String]): Table = {
-    val root = Option(options.get("path")).getOrElse(
+    val opts = new CaseInsensitiveStringMap(options)
+    val root = Option(opts.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-log: a commit-log root path is required (load(root))"))
-    val sink = Option(options.get("sink")).getOrElse(
+    val sink = Option(opts.get("sink")).getOrElse(
       throw new IllegalArgumentException(
         "graft-log: option(\"sink\", \"<sink name>\") is required"))
-    GraftLogTable.forSink(SparkSession.active, root, sink, None,
+    // time travel for catalog-less users (Delta's reader options):
+    // versionAsOf pins a batch id directly; timestampAsOf resolves an
+    // instant — epoch millis, ISO-8601, or UTC 'yyyy-MM-dd[ HH:mm:ss]'
+    // — through the same monotone commit timestamps the catalog uses
+    val spark = SparkSession.active
+    require(opts.get("versionasof") == null || opts.get("timestampasof") == null,
+      "graft-log: versionAsOf and timestampAsOf are mutually exclusive")
+    val asOf: Option[Long] = Option(opts.get("versionasof")).map(_.toLong)
+      .orElse(Option(opts.get("timestampasof")).map(t =>
+        GraftTable.versionAt(spark, root,
+          GraftLogSourceProvider.parseInstantMillis(t))))
+    GraftLogTable.forSink(spark, root, sink, asOf,
       s"graft-log:$root/$sink").getOrElse(
       throw new IllegalArgumentException(
         s"sink '$sink' under $root has no committed schema (never " +
@@ -206,6 +218,25 @@ class GraftLogSourceProvider
     tableFor(properties)
 
   override def supportsExternalMetadata(): Boolean = false
+}
+
+private[graft] object GraftLogSourceProvider {
+  /** `timestampAsOf` value → epoch millis. Digits are millis verbatim;
+    * otherwise ISO-8601 (`2026-08-16T01:00:00Z`), or the SQL spellings
+    * `yyyy-MM-dd HH:mm:ss[.SSS]` / `yyyy-MM-dd`, read as UTC — the
+    * engine's session timezone contract. */
+  def parseInstantMillis(s: String): Long =
+    if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+    else scala.util.Try(java.time.Instant.parse(s).toEpochMilli)
+      .orElse(scala.util.Try(
+        java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+      .orElse(scala.util.Try(
+        java.time.LocalDate.parse(s).atStartOfDay(java.time.ZoneOffset.UTC)
+          .toInstant.toEpochMilli))
+      .getOrElse(throw new IllegalArgumentException(
+        s"timestampAsOf: cannot parse '$s' (want epoch millis, " +
+          "ISO-8601, 'yyyy-MM-dd HH:mm:ss[.SSS]' UTC, or 'yyyy-MM-dd')"))
 }
 
 /** Version-id offset: `last` = newest version consumed (-1 = none). */

@@ -65,7 +65,8 @@ object GraftTable {
   final case class Version(batchId: Long, files: Seq[String],
                            schemas: Map[String, String],
                            removed: Seq[String] = Nil,
-                           txn: Option[String] = None)
+                           txn: Option[String] = None,
+                           ts: Option[Long] = None)
 
   private def fs(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
@@ -228,7 +229,7 @@ object GraftTable {
       checkCommitEvolution(prior, sink, decodeSchema(b64))
     }
     publish(hfs, log, batchId,
-      versionJson(Version(batchId, files, schemas)), files)
+      versionJson(stampNow(Version(batchId, files, schemas))), files)
   }
 
   /** Commit-side evolution gate. DROPS are judged against the latest
@@ -289,7 +290,7 @@ object GraftTable {
     val log = new Path(rootPath, LogDir)
     hfs.mkdirs(log)
     publish(hfs, log, batchId,
-      versionJson(Version(batchId, files.sorted, schemas, removed, txn)),
+      versionJson(stampNow(Version(batchId, files.sorted, schemas, removed, txn))),
       files.sorted)
   }
 
@@ -328,7 +329,7 @@ object GraftTable {
     val log = new Path(rootPath, LogDir)
     hfs.mkdirs(log)
     publish(hfs, log, id,
-      versionJson(Version(id, Nil, Map(sink -> b64))), Nil)
+      versionJson(stampNow(Version(id, Nil, Map(sink -> b64)))), Nil)
     id
   }
 
@@ -406,8 +407,17 @@ object GraftTable {
     val ss = v.schemas.toSeq.sortBy(_._1)
       .map { case (k, s) => "\"" + k + "\":\"" + s + "\"" }.mkString(",")
     val tx = v.txn.map(t => s""","txn":"$t"""").getOrElse("")
-    s"""{"batchId":${v.batchId},"files":[$fs]$rm,"schemas":{$ss}$tx}"""
+    val ts = v.ts.map(t => s""","ts":$t""").getOrElse("")
+    s"""{"batchId":${v.batchId},"files":[$fs]$rm,"schemas":{$ss}$tx$ts}"""
   }
+
+  /** Stamp the commit wall-clock (epoch millis) a version is published
+    * with — the `TIMESTAMP AS OF` resolution key. Stamped at publish
+    * time by every commit path; versions written by older engines lack
+    * it and resolve through their commit file's modification time
+    * (Delta's pre-ICT behavior). */
+  private def stampNow(v: Version): Version =
+    v.copy(ts = Some(System.currentTimeMillis()))
 
   // A commit file and a checkpoint's version entries share one shape;
   // file paths contain no quotes/brackets and schemas are base64, so a
@@ -417,7 +427,7 @@ object GraftTable {
   private val VersionRe =
     ("""\{"batchId":(\d+),"files":\[([^\]]*)\]""" +
       """(?:,"removed":\[([^\]]*)\])?(?:,"schemas":\{([^}]*)\})?""" +
-      """(?:,"txn":"([^"]+)")?\}""").r
+      """(?:,"txn":"([^"]+)")?(?:,"ts":(\d+))?\}""").r
   private val StrRe = "\"([^\"]+)\"".r
   private val PairRe = "\"([^\"]+)\":\"([^\"]+)\"".r
 
@@ -430,7 +440,7 @@ object GraftTable {
         PairRe.findAllMatchIn(g).map(x => x.group(1) -> x.group(2)).toMap
       }.getOrElse(Map.empty[String, String])
       Version(m.group(1).toLong, strs(m.group(2)), schemas, strs(m.group(3)),
-        Option(m.group(5)))
+        Option(m.group(5)), Option(m.group(6)).map(_.toLong))
     }.toSeq
 
   private def parseVersion(json: String): Option[Version] =
@@ -468,6 +478,69 @@ object GraftTable {
   /** Committed batch ids, oldest first (Delta's `DESCRIBE HISTORY`). */
   def versions(spark: SparkSession, root: String): Seq[Long] =
     history(spark, root).map(_.batchId)
+
+  /** Per-version EFFECTIVE commit timestamps (epoch millis), oldest
+    * first, aligned with [[history]]. Three layers, weakest last:
+    * the stamped `ts` (every commit since it exists), the commit
+    * file's modification time (pre-ts logs whose files still exist),
+    * and carry-forward of the previous version's value (pre-ts
+    * versions already folded into a checkpoint). A final running-max
+    * pass makes the sequence monotone in version order — wall clocks
+    * can step backwards between commits, but `TIMESTAMP AS OF` must
+    * map each instant to exactly one version prefix (Delta adjusts
+    * file mtimes the same way). */
+  def versionTimestamps(spark: SparkSession, root: String)
+      : Seq[(Long, Option[Long])] = {
+    val (hfs, rootPath) = fs(spark, root)
+    val log = new Path(rootPath, LogDir)
+    val raw = history(spark, root).map { v =>
+      val eff = v.ts.orElse {
+        val cf = new Path(log, version(v.batchId))
+        try {
+          if (hfs.exists(cf))
+            Some(hfs.getFileStatus(cf).getModificationTime)
+          else None
+        } catch { case _: Exception => None }
+      }
+      (v.batchId, eff)
+    }
+    // carry-forward then running max: an unknown version inherits its
+    // predecessor's instant (it cannot be EARLIER than what preceded
+    // it), and a clock step backwards clamps to the prefix's max
+    var last: Option[Long] = None
+    raw.map { case (id, eff) =>
+      val carried = eff.orElse(last)
+      val mono = (carried, last) match {
+        case (Some(c), Some(l)) => Some(math.max(c, l))
+        case (c, _) => c
+      }
+      last = mono
+      (id, mono)
+    }
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the LATEST version whose effective
+    * commit timestamp is ≤ `tsMillis` (Delta's contract). Throws when
+    * the instant predates the table's first commit — "a table that
+    * didn't exist yet" must be loud, not an empty table. */
+  def versionAt(spark: SparkSession, root: String, tsMillis: Long): Long = {
+    val stamped = versionTimestamps(spark, root)
+    require(stamped.nonEmpty, s"$root has no committed versions")
+    val eligible = stamped.takeWhile {
+      case (_, Some(t)) => t <= tsMillis
+      case (_, None) => true // no older instant known: can't exclude
+    }
+    if (eligible.isEmpty) {
+      val earliest = stamped.head._2
+        .map(t => java.time.Instant.ofEpochMilli(t).toString)
+        .getOrElse("unknown")
+      throw new IllegalArgumentException(
+        s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tsMillis)} " +
+          s"predates $root's first commit ($earliest) — the table did " +
+          "not exist at that instant")
+    }
+    eligible.last._1
+  }
 
   /** The log directory's current file NAMES (one listStatus, zero
     * content reads) — a cheap change-detection key: commit and
@@ -539,7 +612,21 @@ object GraftTable {
     val (hfs, rootPath) = fs(spark, root)
     val log = new Path(rootPath, LogDir)
     if (!hfs.exists(log)) return
-    val hist = history(spark, root)
+    // Folding DESTROYS the commit files — the last chance to preserve a
+    // pre-ts-era version's commit wall-clock is NOW, from its commit
+    // file's modification time (the same fallback resolution uses).
+    // Baked in here, TIMESTAMP AS OF keeps working after the fold.
+    val hist = history(spark, root).map { v =>
+      if (v.ts.isDefined) v
+      else {
+        val cf = new Path(log, version(v.batchId))
+        try {
+          if (hfs.exists(cf))
+            v.copy(ts = Some(hfs.getFileStatus(cf).getModificationTime))
+          else v
+        } catch { case _: Exception => v }
+      }
+    }
     val json = s"""{"through":$throughBatchId,"versions":[${
       hist.map(versionJson).mkString(",")}]}"""
     val name = f"checkpoint.v$throughBatchId%020d.json"
@@ -868,7 +955,7 @@ object GraftTable {
     val log = new Path(rootPath, LogDir)
     hfs.mkdirs(log)
     publish(hfs, log, newId,
-      versionJson(Version(newId, files, schemas, affected)), files)
+      versionJson(stampNow(Version(newId, files, schemas, affected))), files)
     Some(newId)
   }
 
@@ -940,7 +1027,7 @@ object GraftTable {
     val log = new Path(rootPath, LogDir)
     hfs.mkdirs(log)
     publish(hfs, log, newId,
-      versionJson(Version(newId, files, schemas, affected)), files)
+      versionJson(stampNow(Version(newId, files, schemas, affected))), files)
     Some(newId)
   }
 
@@ -1046,7 +1133,7 @@ object GraftTable {
       val log = new Path(rootPath, LogDir)
       hfs.mkdirs(log)
       publish(hfs, log, newId,
-        versionJson(Version(newId, files, sinkSchemas(spark, root, files))),
+        versionJson(stampNow(Version(newId, files, sinkSchemas(spark, root, files)))),
         files)
       return Some(newId)
     }
@@ -1141,7 +1228,7 @@ object GraftTable {
       val log = new Path(rootPath, LogDir)
       hfs.mkdirs(log)
       publish(hfs, log, newId,
-        versionJson(Version(newId, files, schemas, affected)), files)
+        versionJson(stampNow(Version(newId, files, schemas, affected))), files)
       Some(newId)
     } finally srcProj.unpersist()
   }
@@ -1178,8 +1265,8 @@ object GraftTable {
              cols: Seq[String],
              targetFileBytes: Long = 128L << 20): Option[Long] =
       writeLock(root).synchronized {
-    import org.apache.spark.sql.functions.{col, lit, percentile_approx}
-    import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.{col, lit, max, min, percentile_approx}
+    import org.apache.spark.sql.types.{DateType, NumericType, StringType, TimestampNTZType, TimestampType}
     require(cols.nonEmpty && cols.length <= 8,
       s"ZORDER BY takes 1 to 8 columns, got ${cols.length}")
     require(cols.distinct.length == cols.length,
@@ -1190,6 +1277,39 @@ object GraftTable {
     val (hfs, rootPath) = fs(spark, root)
     val mergeNeeded = schemasDisagree(hist, sink)
     val data = mutationRead(spark, root, sink, snap, mergeNeeded)
+    cols.foreach { c =>
+      require(data.columns.contains(c),
+        s"ZORDER column '$c' is not a column of sink '$sink'")
+      data.schema(c).dataType match {
+        case _: NumericType | TimestampType | TimestampNTZType | DateType |
+             StringType => ()
+        case other => throw new IllegalArgumentException(
+          s"ZORDER column '$c' must be numeric, timestamp, date, or " +
+            s"string (orderable for quantile bucketing), got " +
+            s"${other.simpleString}")
+      }
+    }
+    // String dimensions rank through an order-preserving numeric
+    // surrogate ([[graft.functions.StringPrefixRank]]: 6 UTF-8 bytes
+    // past the column's common prefix, exact in a double) so they share
+    // the ONE quantile pipeline below. The common prefix of min and max
+    // is by definition shared by every value — one column-pruned agg
+    // pass over just the string dims (URLs' 'https://…' contributes no
+    // discrimination and would otherwise eat the whole rank window).
+    val strCols = cols.filter(c => data.schema(c).dataType == StringType)
+    val strSkip: Map[String, Int] =
+      if (strCols.isEmpty) Map.empty
+      else {
+        val aggs = strCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+        val r = data.agg(aggs.head, aggs.tail: _*).head
+        strCols.zipWithIndex.map { case (c, i) =>
+          val lo = Option(r.getString(2 * i)).getOrElse("")
+          val hi = Option(r.getString(2 * i + 1)).getOrElse("")
+          c -> graft.functions.StringPrefixRank.commonPrefixBytes(
+            org.apache.spark.unsafe.types.UTF8String.fromString(lo),
+            org.apache.spark.unsafe.types.UTF8String.fromString(hi))
+        }.toMap
+      }
     // each dimension as a double: the quantile sketch and the bucket
     // search share one representation
     def dim(c: String): org.apache.spark.sql.Column =
@@ -1197,15 +1317,15 @@ object GraftTable {
         case _: NumericType => col(c).cast("double")
         case TimestampType | TimestampNTZType => col(c).cast("double")
         case DateType => col(c).cast("timestamp").cast("double")
+        case StringType =>
+          org.apache.spark.sql.GraftColumnBridge.column(
+            graft.functions.StringPrefixRank(
+              org.apache.spark.sql.GraftColumnBridge.resolvedExpression(
+                col(c)),
+              strSkip(c)))
         case other => throw new IllegalArgumentException(
-          s"ZORDER column '$c' must be numeric, timestamp, or date " +
-            s"(orderable for quantile bucketing), got ${other.simpleString}")
+          s"ZORDER column '$c' has unexpected type ${other.simpleString}")
       }
-    cols.foreach { c =>
-      require(data.columns.contains(c),
-        s"ZORDER column '$c' is not a column of sink '$sink'")
-      dim(c) // type check now
-    }
     val bits = math.min(graft.operators.Layout.ZBits, 62 / cols.length)
     val buckets = 1 << bits
     // ONE quantile pass for every dimension's bucket boundaries (the
@@ -1270,7 +1390,7 @@ object GraftTable {
     val log = new Path(rootPath, LogDir)
     hfs.mkdirs(log)
     publish(hfs, log, newId,
-      versionJson(Version(newId, files, schemas, snap)), files)
+      versionJson(stampNow(Version(newId, files, schemas, snap))), files)
     Some(newId)
   }
 
@@ -1411,7 +1531,7 @@ object GraftTable {
     val log = new Path(rootPath, LogDir)
     hfs.mkdirs(log)
     publish(hfs, log, newId,
-      versionJson(Version(newId, files, schemas, candidates)), files)
+      versionJson(stampNow(Version(newId, files, schemas, candidates))), files)
     Some(newId)
   }
 }

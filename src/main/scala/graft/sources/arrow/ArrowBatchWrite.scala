@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 
-import graft.operators.{ArrowInterchange, NioAccess}
+import graft.operators.{ArrowBloom, ArrowInterchange, NioAccess}
 import graft.operators.ArrowInterchange.SerConf
 
 /** DataSource V2 write surface over [[ArrowInterchange]] directories:
@@ -60,6 +60,15 @@ private[arrow] class ArrowWriteBuilder(path: String, info: LogicalWriteInfo,
     // plan time, identical codec path to exportArrow's
     val compression = option("compression").getOrElse("none")
     ArrowInterchange.codecType(compression)
+    // optional per-file equality blooms (see ArrowBloom): validated at
+    // plan time with the failing column name; the compact spec string
+    // rides the same constructor path as the codec
+    val bloomCols = option("bloomcolumns")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    ArrowBloom.validate(bloomCols, info.schema())
+    val bloom = ArrowBloom.spec(bloomCols,
+      option("bloomfpp").map(_.toDouble).getOrElse(ArrowBloom.DefaultFpp),
+      option("bloomndv").map(_.toLong).getOrElse(ArrowBloom.DefaultNdv))
     new Write {
       override def toBatch: BatchWrite = {
         // appendable (catalog-named) tables use the SHARD-TREE write
@@ -69,10 +78,11 @@ private[arrow] class ArrowWriteBuilder(path: String, info: LogicalWriteInfo,
         // replaces the tree with a fresh single-shard one wholesale
         if (appendable && !truncating)
           return new ArrowShardAppendWrite(path, info.schema(),
-            info.queryId(), batchRows, compression)
+            info.queryId(), batchRows, compression, bloom)
         if (appendable)
           return new ArrowBatchWrite(path, info.schema(), info.queryId(),
-            batchRows, asShardTree = true, compression = compression)
+            batchRows, asShardTree = true, compression = compression,
+            bloom = bloom)
         if (!truncating)
           throw new UnsupportedOperationException(
             "graft-arrow batch writes are overwrite-only: the " +
@@ -83,7 +93,7 @@ private[arrow] class ArrowWriteBuilder(path: String, info: LogicalWriteInfo,
               "storage, a catalog-named table (appendable shard trees), " +
               "or writeStream for per-epoch shard appends")
         new ArrowBatchWrite(path, info.schema(), info.queryId(), batchRows,
-          compression = compression)
+          compression = compression, bloom = bloom)
       }
       // streaming appends ARE safe: each epoch commits its own
       // batch_id=<epoch> shard wholesale (per-shard marker, replay
@@ -93,7 +103,7 @@ private[arrow] class ArrowWriteBuilder(path: String, info: LogicalWriteInfo,
       // whole tree with that epoch's single shard.
       override def toStreaming: streaming.StreamingWrite =
         new ArrowStreamingWrite(path, info.schema(), batchRows, truncating,
-          compression, info.queryId())
+          compression, info.queryId(), bloom)
       override def description(): String = s"graft-arrow $path"
     }
   }
@@ -103,7 +113,8 @@ private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
                                          batchRows: Int,
                                          truncating: Boolean,
                                          compression: String = "none",
-                                         queryId: String = "")
+                                         queryId: String = "",
+                                         bloom: String = "")
     extends streaming.StreamingWrite {
   private val sconf =
     new SerConf(SparkSession.active.sessionState.newHadoopConf())
@@ -205,7 +216,7 @@ private[arrow] class ArrowStreamingWrite(path: String, schema: StructType,
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
     claimTree(out.getFileSystem(sconf.conf))
     new ArrowStreamingWriterFactory(path, runToken, sconf, schema, batchRows,
-      compression)
+      compression, bloom)
   }
 
   override def commit(epochId: Long,
@@ -321,7 +332,8 @@ private[arrow] class ArrowStreamingWriterFactory(path: String,
                                                  conf: SerConf,
                                                  schema: StructType,
                                                  batchRows: Int,
-                                                 compression: String = "none")
+                                                 compression: String = "none",
+                                                 bloom: String = "")
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] = {
@@ -330,14 +342,15 @@ private[arrow] class ArrowStreamingWriterFactory(path: String,
     val fs = staging.getFileSystem(conf.conf)
     fs.mkdirs(staging) // idempotent; first task of the epoch creates it
     new ArrowDataWriter(staging.toString, conf, schema,
-      partitionId, taskId, batchRows, compression)
+      partitionId, taskId, batchRows, compression, bloom)
   }
 }
 
 private[arrow] class ArrowBatchWrite(path: String, schema: StructType,
                                      queryId: String, batchRows: Int,
                                      asShardTree: Boolean = false,
-                                     compression: String = "none")
+                                     compression: String = "none",
+                                     bloom: String = "")
     extends BatchWrite {
   private val sconf =
     new SerConf(SparkSession.active.sessionState.newHadoopConf())
@@ -359,7 +372,7 @@ private[arrow] class ArrowBatchWrite(path: String, schema: StructType,
       info: PhysicalWriteInfo): DataWriterFactory = {
     dataDir.getFileSystem(sconf.conf).mkdirs(dataDir)
     new ArrowWriterFactory(dataDir.toString, sconf, schema, batchRows,
-      compression)
+      compression, bloom)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -414,7 +427,8 @@ private[arrow] class ArrowBatchWrite(path: String, schema: StructType,
   * appending zero rows should not grow the tree. */
 private[arrow] class ArrowShardAppendWrite(path: String, schema: StructType,
                                            queryId: String, batchRows: Int,
-                                           compression: String = "none")
+                                           compression: String = "none",
+                                           bloom: String = "")
     extends BatchWrite {
   private val sconf =
     new SerConf(SparkSession.active.sessionState.newHadoopConf())
@@ -448,7 +462,7 @@ private[arrow] class ArrowShardAppendWrite(path: String, schema: StructType,
     }
     fs.mkdirs(staging)
     new ArrowWriterFactory(staging.toString, sconf, schema, batchRows,
-      compression)
+      compression, bloom)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -530,12 +544,13 @@ private[arrow] final case class ArrowCommit(file: String, rows: Long,
 
 private[arrow] class ArrowWriterFactory(staging: String, conf: SerConf,
                                         schema: StructType, batchRows: Int,
-                                        compression: String = "none")
+                                        compression: String = "none",
+                                        bloom: String = "")
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new ArrowDataWriter(staging, conf, schema, partitionId, taskId,
-      batchRows, compression)
+      batchRows, compression, bloom)
 }
 
 /** One task's writer: streams catalyst rows through one
@@ -548,7 +563,8 @@ private[arrow] class ArrowWriterFactory(staging: String, conf: SerConf,
 private[arrow] class ArrowDataWriter(staging: String, conf: SerConf,
                                      schema: StructType, partitionId: Int,
                                      taskId: Long, batchRows: Int,
-                                     compression: String = "none")
+                                     compression: String = "none",
+                                     bloom: String = "")
     extends DataWriter[InternalRow] {
   NioAccess.ensureOpen(classOf[RootAllocator])
   private val fs = new Path(staging).getFileSystem(conf.conf)
@@ -562,7 +578,7 @@ private[arrow] class ArrowDataWriter(staging: String, conf: SerConf,
   // in it before end() serializes the footer
   private val meta = new java.util.HashMap[String, String]()
   private val writer = ArrowInterchange.newFileWriter(root, ch, meta, compression)
-  private val stats = new ArrowInterchange.StatsTracker(schema)
+  private val stats = new ArrowInterchange.StatsTracker(schema, bloom)
   writer.start()
   private var n = 0
   private var rows = 0L

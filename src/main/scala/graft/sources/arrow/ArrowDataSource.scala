@@ -21,7 +21,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnVector, ColumnarBatch}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.operators.{ArrowInterchange, NioAccess}
+import graft.operators.{ArrowBloom, ArrowInterchange, NioAccess}
 
 /** DataSource V2 read surface over [[ArrowInterchange]] directories:
   * `spark.read.format("graft-arrow").load(dir)`. What the RDD-based
@@ -57,7 +57,8 @@ class ArrowSourceProvider extends TableProvider with DataSourceRegister {
     // table-level DEFAULTS for read/write options: a catalog-named
     // table registers its OPTIONS once and every INSERT/scan inherits
     // them; per-operation options still win
-    val defaults = Seq("compression", "batchrows", "requiremarker")
+    val defaults = Seq("compression", "batchrows", "requiremarker",
+      "bloomcolumns", "bloomfpp", "bloomndv")
       .flatMap(k => Option(properties.get(k)).map(k -> _)).toMap
     new ArrowTable(path(properties), schema,
       // appendable = the SHARD-TREE write contract (each INSERT commits
@@ -229,7 +230,9 @@ private[arrow] class ArrowScanBuilder(path: String, declared: StructType,
         : Option[Int] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
         val ord = declared.fieldNames.indexOf(nr.fieldNames.head)
-        if (ord >= 0 && ArrowFileSkip.trackable(declared(ord).dataType))
+        // aggServable, NOT trackable: string zone maps are truncated
+        // BOUNDS — sound for pruning, wrong as served MIN/MAX answers
+        if (ord >= 0 && ArrowFileSkip.aggServable(declared(ord).dataType))
           Some(ord)
         else None
       case _ => None
@@ -343,45 +346,75 @@ private[arrow] object ArrowFileSkip {
   import org.apache.spark.sql.sources._
 
   /** Column types the writers' StatsTracker stamps zone maps for —
-    * the attributes worth advertising to runtime (join-side) filtering. */
+    * the attributes worth advertising to runtime (join-side) filtering.
+    * Strings included: their stamped BOUNDS (truncated prefixes) are
+    * elimination-sound like any other zone map. */
   def trackable(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | FloatType | DoubleType |
+         StringType => true
+    case _ => false
+  }
+
+  /** Types whose stamped stats are EXACT extrema and may be served as
+    * MIN/MAX aggregate answers. Strings are excluded: their stamps are
+    * truncated bounds — sound for pruning, wrong as answers. */
+  def aggServable(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | DateType |
          TimestampType | TimestampNTZType | FloatType | DoubleType => true
     case _ => false
   }
 
-  /** Tracked representation of a column: Left = long-comparable
-    * (int/bigint/date-day/timestamp-micros), Right = double. */
-  private def repr(dt: DataType, v: Any): Option[Either[Long, Double]] =
+  /** Tracked representation of a value: long-comparable (int/bigint/
+    * date-day/timestamp-micros), double, or UTF-8 bytes (Spark orders
+    * strings by unsigned bytewise compare — UTF8String.compareTo). */
+  private sealed trait Bound
+  private final case class LongBound(v: Long) extends Bound
+  private final case class DoubleBound(v: Double) extends Bound
+  private final case class BytesBound(v: Array[Byte]) extends Bound
+
+  private def repr(dt: DataType, v: Any): Option[Bound] =
     (dt, v) match {
       case (IntegerType | LongType, n: java.lang.Number)
           if v.isInstanceOf[java.lang.Integer] || v.isInstanceOf[java.lang.Long] ||
              v.isInstanceOf[java.lang.Short] || v.isInstanceOf[java.lang.Byte] =>
-        Some(Left(n.longValue()))
+        Some(LongBound(n.longValue()))
       case (DateType, d: java.sql.Date) =>
-        Some(Left(d.toLocalDate.toEpochDay))
-      case (DateType, d: java.time.LocalDate) => Some(Left(d.toEpochDay))
+        Some(LongBound(d.toLocalDate.toEpochDay))
+      case (DateType, d: java.time.LocalDate) => Some(LongBound(d.toEpochDay))
       case (TimestampType, t: java.sql.Timestamp) =>
-        Some(Left(Math.multiplyExact(Math.floorDiv(t.getTime, 1000L),
+        Some(LongBound(Math.multiplyExact(Math.floorDiv(t.getTime, 1000L),
           1000000L) + t.getNanos / 1000L))
       case (TimestampType, t: java.time.Instant) =>
-        Some(Left(Math.multiplyExact(t.getEpochSecond, 1000000L) +
+        Some(LongBound(Math.multiplyExact(t.getEpochSecond, 1000000L) +
           t.getNano / 1000L))
       case (TimestampNTZType, t: java.time.LocalDateTime) =>
-        Some(Left(Math.multiplyExact(
+        Some(LongBound(Math.multiplyExact(
           t.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L) +
           t.getNano / 1000L))
       case (FloatType | DoubleType, n: java.lang.Number)
           if !java.lang.Double.isNaN(n.doubleValue()) =>
-        Some(Right(n.doubleValue()))
+        Some(DoubleBound(n.doubleValue()))
+      case (StringType, s: String) =>
+        Some(BytesBound(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      case (StringType, s: UTF8String) => Some(BytesBound(s.getBytes))
       case _ => None
     }
 
   private def colBound(attr: String, v: Any, schema: StructType)
-      : Option[(Int, Either[Long, Double])] = {
+      : Option[(Int, Bound)] = {
     val ord = schema.fieldNames.indexOf(attr)
     if (ord < 0 || v == null) None
     else repr(schema(ord).dataType, v).map(r => (ord, r))
+  }
+
+  /** The string-prefix bytes of a StartsWith probe against a STRING
+    * column — prefix pruning is range pruning on the byte bounds. */
+  private def prefixBytes(attr: String, p: String, schema: StructType)
+      : Option[Array[Byte]] = {
+    val ord = schema.fieldNames.indexOf(attr)
+    if (ord < 0 || p == null || schema(ord).dataType != StringType) None
+    else Some(p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Can this filter ever prove a file empty from stats? */
@@ -395,6 +428,11 @@ private[arrow] object ArrowFileSkip {
     // outside the range — one unconvertible value keeps the file
     case In(a, vs) => vs.nonEmpty &&
       vs.forall(v => v == null || colBound(a, v, schema).isDefined)
+    // prefix match = range probe [p, increment(p)) on the byte bounds
+    case StringStartsWith(a, p) => prefixBytes(a, p, schema).isDefined
+    // null-count proofs work for ANY top-level column type
+    case IsNull(a) => schema.fieldNames.contains(a)
+    case IsNotNull(a) => schema.fieldNames.contains(a)
     case _ => false
   }
 
@@ -495,21 +533,37 @@ private[arrow] object ArrowFileSkip {
     * rows, given its stamped stats. */
   def skippable(filters: Seq[Filter], schema: StructType,
                 meta: Map[String, String]): Boolean = {
-    def range(ord: Int, long: Boolean): Option[(Either[Long, Double],
-                                                Either[Long, Double])] =
-      for {
-        lo <- meta.get(ArrowInterchange.minMetaKey(ord))
-        hi <- meta.get(ArrowInterchange.maxMetaKey(ord))
-        r <- scala.util.Try {
-          if (long) (Left(lo.toLong): Either[Long, Double],
-            Left(hi.toLong): Either[Long, Double])
-          else (Right(lo.toDouble): Either[Long, Double],
-            Right(hi.toDouble): Either[Long, Double])
-        }.toOption
-      } yield r
-    def cmp(a: Either[Long, Double], b: Either[Long, Double]): Int =
+    // bounds are loaded in the PROBE VALUE's representation, so cmp
+    // below never sees a representation mismatch
+    def range(ord: Int, like: Bound): Option[(Bound, Bound)] = like match {
+      case _: LongBound =>
+        for {
+          lo <- meta.get(ArrowInterchange.minMetaKey(ord))
+          hi <- meta.get(ArrowInterchange.maxMetaKey(ord))
+          r <- scala.util.Try(
+            (LongBound(lo.toLong): Bound, LongBound(hi.toLong): Bound)).toOption
+        } yield r
+      case _: DoubleBound =>
+        for {
+          lo <- meta.get(ArrowInterchange.minMetaKey(ord))
+          hi <- meta.get(ArrowInterchange.maxMetaKey(ord))
+          r <- scala.util.Try(
+            (DoubleBound(lo.toDouble): Bound,
+              DoubleBound(hi.toDouble): Bound)).toOption
+        } yield r
+      case _: BytesBound =>
+        for {
+          lo <- meta.get(ArrowInterchange.strMinMetaKey(ord))
+          hi <- meta.get(ArrowInterchange.strMaxMetaKey(ord))
+          r <- scala.util.Try {
+            val d = java.util.Base64.getDecoder
+            (BytesBound(d.decode(lo)): Bound, BytesBound(d.decode(hi)): Bound)
+          }.toOption
+        } yield r
+    }
+    def cmp(a: Bound, b: Bound): Int =
       (a, b) match {
-        case (Left(x), Left(y)) => java.lang.Long.compare(x, y)
+        case (LongBound(x), LongBound(y)) => java.lang.Long.compare(x, y)
         // `+ 0.0` collapses -0.0 to +0.0 before the compare: Spark's
         // row-level predicate semantics treat -0.0 == 0.0 (normalized
         // before comparison), while Double.compare orders -0.0 < 0.0 —
@@ -517,23 +571,81 @@ private[arrow] object ArrowFileSkip {
         // prune files whose rows Spark matches (externally-stamped
         // manifests may carry either sign; our own writers widen zero
         // bounds at stamp time as well)
-        case (Right(x), Right(y)) =>
+        case (DoubleBound(x), DoubleBound(y)) =>
           java.lang.Double.compare(x + 0.0d, y + 0.0d)
+        case (BytesBound(x), BytesBound(y)) =>
+          ArrowInterchange.cmpBytes(x, y)
         case _ => 0 // representation mismatch: never prove emptiness
       }
-    def outOfRange(ord: Int, v: Either[Long, Double]): Boolean =
-      range(ord, v.isLeft).exists { case (lo, hi) =>
+    // per-file equality blooms (ArrowBloom): "definitely absent" is an
+    // elimination proof of the same strength as an out-of-range bound —
+    // parsed at most once per file per call, shared across IN values
+    val bloomCache =
+      scala.collection.mutable.Map.empty[Int, Option[ArrowBloom.Probe]]
+    def bloomExcludes(ord: Int, v: Bound): Boolean =
+      bloomCache.getOrElseUpdate(ord,
+        meta.get(ArrowBloom.bloomMetaKey(ord)).flatMap(ArrowBloom.parse))
+        .exists { probe =>
+          v match {
+            case LongBound(l) => !probe.mightContain(ArrowBloom.hashLongPair(l))
+            case BytesBound(b) => !probe.mightContain(ArrowBloom.hashBytesPair(b))
+            case _: DoubleBound => false // doubles are never bloomed
+          }
+        }
+    def outOfRange(ord: Int, v: Bound): Boolean =
+      range(ord, v).exists { case (lo, hi) =>
         cmp(v, lo) < 0 || cmp(v, hi) > 0
       }
+    // null-count proofs: both need the stamped per-column null count;
+    // IS NOT NULL additionally needs the file's row count
+    def nullCount(ord: Int): Option[Long] =
+      meta.get(ArrowInterchange.nullsMetaKey(ord))
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
     def provesEmpty(f: Filter): Boolean = f match {
+      case IsNull(a) =>
+        // zero nulls stamped → IS NULL matches no row of this file
+        val ord = schema.fieldNames.indexOf(a)
+        ord >= 0 && nullCount(ord).contains(0L)
+      case IsNotNull(a) =>
+        // every row null (or an empty file) → IS NOT NULL matches none
+        val ord = schema.fieldNames.indexOf(a)
+        ord >= 0 && (for {
+          nulls <- nullCount(ord)
+          rows <- meta.get(ArrowInterchange.RowsMetaKey)
+            .flatMap(s => scala.util.Try(s.toLong).toOption)
+        } yield nulls == rows).getOrElse(false)
       case In(a, vs) =>
         // a null element never matches, so it doesn't block the proof;
-        // every remaining value must be provably outside the range
+        // every remaining value must be provably outside the range OR
+        // definitely absent from the file's bloom
         val nonNull = vs.filter(_ != null)
         nonNull.nonEmpty && nonNull.forall(v =>
           colBound(a, v, schema).exists { case (ord, b) =>
-            outOfRange(ord, b)
+            outOfRange(ord, b) || bloomExcludes(ord, b)
           })
+      case StringStartsWith(a, p) =>
+        // every p-prefixed string s satisfies p ≤ s < increment(p); the
+        // file is provably empty when its range misses that window:
+        // hi < p, or lo ≥ increment(p). increment = bump the last
+        // non-0xFF byte and drop the tail; an all-0xFF prefix has no
+        // finite successor, leaving only the hi-side proof.
+        prefixBytes(a, p, schema).exists { pb =>
+          val ord = schema.fieldNames.indexOf(a)
+          range(ord, BytesBound(pb)).exists { case (lo, hi) =>
+            val above = {
+              var i = pb.length - 1
+              while (i >= 0 && pb(i) == 0xff.toByte) i -= 1
+              if (i < 0) None
+              else {
+                val u = java.util.Arrays.copyOf(pb, i + 1)
+                u(i) = (u(i) + 1).toByte
+                Some(u)
+              }
+            }
+            cmp(hi, BytesBound(pb)) < 0 ||
+              above.exists(u => cmp(lo, BytesBound(u)) >= 0)
+          }
+        }
       case other =>
         val b = other match {
           case EqualTo(a, v) => colBound(a, v, schema).map((_, "="))
@@ -544,7 +656,7 @@ private[arrow] object ArrowFileSkip {
           case _ => None
         }
         b.exists { case ((ord, v), op) =>
-          range(ord, v.isLeft).exists { case (lo, hi) =>
+          range(ord, v).exists { case (lo, hi) =>
             op match {
               case "=" => cmp(v, lo) < 0 || cmp(v, hi) > 0
               case ">" => cmp(hi, v) <= 0
@@ -552,7 +664,7 @@ private[arrow] object ArrowFileSkip {
               case "<" => cmp(lo, v) >= 0
               case "<=" => cmp(lo, v) > 0
             }
-          }
+          } || (op == "=" && bloomExcludes(ord, v))
         }
     }
     filters.exists(provesEmpty)

@@ -218,7 +218,8 @@ class ArrowDataSourceSpec extends AnyFunSuite {
     assert(hi.count() == (0L until 1000L).count(_ / 7.0 > 141.0))
     // a provably-empty predicate plans ZERO partitions
     assert(all.where(col("id") > 5000L).count() == 0L)
-    // untracked (string) columns don't prune but stay correct
+    // string columns are zone-mapped too (see the dedicated test) and
+    // stay correct when the range can't eliminate
     assert(all.where(col("tag") === "d7").count() == 1L)
     // IN prunes when every value is provably out of range…
     val inNarrow = all.where(col("id").isin(950L, 990L))
@@ -253,6 +254,146 @@ class ArrowDataSourceSpec extends AnyFunSuite {
     }
     assert(scans.head.scan.description().contains("files="),
       scans.head.scan.description())
+  }
+
+  test("string zone maps: equality, range, IN, and prefix predicates " +
+       "skip whole files; truncated bounds stay sound") {
+    import spark.implicits._
+    val out = tmp()
+    // range-partitioned on the string key → disjoint per-file key ranges
+    (0 until 1000).map(i => (f"k$i%06d", i.toLong))
+      .toDF("key", "n")
+      .repartitionByRange(5, col("key"))
+      .write.format("graft-arrow").mode("overwrite").save(s"$out/t")
+    def partsOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.rdd.getNumPartitions
+    val all = spark.read.format("graft-arrow").load(s"$out/t")
+    val full = partsOf(all.select("key"))
+    assert(full == 5, s"precondition: 5 files/tasks, got $full")
+    // point lookup plans fewer tasks and stays exact
+    val eq = all.where(col("key") === "k000950")
+    assert(partsOf(eq) < full, s"string = did not prune: ${partsOf(eq)}")
+    assert(eq.count() == 1L && eq.head.getLong(1) == 950L)
+    // range predicate prunes
+    val range = all.where(col("key") >= "k000900")
+    assert(partsOf(range) < full)
+    assert(range.count() == 100L)
+    // IN prunes when all values land in one tail file
+    val in = all.where(col("key").isin("k000990", "k000999"))
+    assert(partsOf(in) < full && in.count() == 2L)
+    // prefix (LIKE 'k00099%') prunes to the tail and stays exact
+    val pre = all.where(col("key").startsWith("k00099"))
+    assert(partsOf(pre) < full,
+      s"startsWith did not prune: ${partsOf(pre)} of $full")
+    assert(pre.count() == 10L)
+    // provably-empty prefix plans zero partitions
+    assert(all.where(col("key").startsWith("z")).count() == 0L)
+    // values longer than the 64-byte stamp window: bounds truncate
+    // (min) / truncate-and-increment (max) — elimination stays sound
+    val long = tmp()
+    val pad = "p" * 80
+    (0 until 100).map(i => (f"$pad$i%04d", i)).toDF("key", "n")
+      .repartitionByRange(4, col("key"))
+      .write.format("graft-arrow").mode("overwrite").save(s"$long/t")
+    val lt = spark.read.format("graft-arrow").load(s"$long/t")
+    // shared 64-byte prefix → per-file bounds collapse to the same
+    // window: no pruning possible, every row still found
+    assert(lt.where(col("key") === s"${pad}0042").count() == 1L)
+    assert(lt.where(col("key") > s"${pad}0090").count() == 9L)
+    // a probe OUTSIDE the shared prefix window still prunes to zero
+    assert(lt.where(col("key") === "q").rdd.getNumPartitions == 0)
+    // equality on a string column of the mixed table from footers only
+    // (manifest deleted): identical behavior
+    assert(new java.io.File(s"$out/t/_stats.tsv").delete())
+    val eq2 = all.where(col("key") === "k000950")
+    assert(partsOf(eq2) < full && eq2.count() == 1L)
+  }
+
+  test("per-file equality blooms prune where zone maps can't: " +
+       "unsorted high-cardinality keys") {
+    import spark.implicits._
+    val out = tmp()
+    // hash-spread keys: every file's [min,max] spans the whole domain,
+    // so zone maps are useless for point lookups — the bloom's case
+    val rows = (0 until 1000).map { i =>
+      (f"doc-${(i * 2654435761L) % 999983}%09d", i.toLong)
+    }
+    rows.toDF("key", "n").repartition(5)
+      .write.format("graft-arrow")
+      .option("bloomcolumns", "key")
+      .mode("overwrite").save(s"$out/t")
+    def partsOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.rdd.getNumPartitions
+    val all = spark.read.format("graft-arrow").load(s"$out/t")
+    val full = partsOf(all.select("key"))
+    assert(full == 5, s"precondition: 5 files/tasks, got $full")
+    // zone maps alone cannot prune this layout (ranges overlap), but
+    // the bloom pins an existing key to its file(s)
+    val probe = rows(500)._1
+    val eq = all.where(col("key") === probe)
+    assert(partsOf(eq) < full,
+      s"bloom did not prune: ${partsOf(eq)} of $full")
+    assert(eq.count() == 1L && eq.head.getLong(1) == 500L)
+    // an absent key prunes everything (deterministic: same data, same
+    // hashes, same bits every run)
+    assert(all.where(col("key") === "doc-absent").count() == 0L)
+    // IN over present + absent keys stays exact
+    assert(all.where(col("key").isin(probe, "doc-absent")).count() == 1L)
+    // long-typed blooms prune too
+    val lt = tmp()
+    rows.toDF("key", "n").withColumn("id", col("n") * 7919L % 104729L)
+      .repartition(4)
+      .write.format("graft-arrow")
+      .option("bloomcolumns", "id")
+      .mode("overwrite").save(s"$lt/t")
+    val la = spark.read.format("graft-arrow").load(s"$lt/t")
+    val lfull = partsOf(la.select("id"))
+    val lprobe = (500L * 7919L) % 104729L
+    val leq = la.where(col("id") === lprobe)
+    assert(partsOf(leq) < lfull || lfull == 1)
+    assert(leq.count() == 1L)
+    // un-bloomed columns stamp nothing extra; the manifest carries the
+    // bloom key only for the opted-in ordinal
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/t/_stats.tsv")), "UTF-8")
+    assert(manifest.contains("graft.bloom.0"), "key bloom missing")
+    assert(!manifest.contains("graft.bloom.1"), "n was not opted in")
+    // plan-time validation: unknown column and un-bloomable type fail
+    // with the offending name before any job runs
+    val e1 = intercept[Exception](rows.toDF("key", "n")
+      .write.format("graft-arrow").option("bloomcolumns", "nope")
+      .mode("overwrite").save(s"$out/bad1"))
+    assert(TestErrors.messageChain(e1).exists(_.contains("nope")))
+    val e2 = intercept[Exception](Seq((1.0, "x")).toDF("d", "s")
+      .write.format("graft-arrow").option("bloomcolumns", "d")
+      .mode("overwrite").save(s"$out/bad2"))
+    assert(TestErrors.messageChain(e2).exists(_.contains("blooms cover")))
+  }
+
+  test("null-count stats prune IS NULL / IS NOT NULL files") {
+    import spark.implicits._
+    val out = tmp()
+    // file 0: all-null v; file 1: no-null v (range split on k)
+    val rows = (0 until 100).map(i =>
+      if (i < 50) (0, i.toLong, None: Option[String])
+      else (1, i.toLong, Some(s"v$i")))
+    rows.toDF("k", "id", "v")
+      .repartitionByRange(2, col("k"))
+      .write.format("graft-arrow").mode("overwrite").save(s"$out/t")
+    def partsOf(df: org.apache.spark.sql.DataFrame): Int =
+      df.rdd.getNumPartitions
+    val all = spark.read.format("graft-arrow").load(s"$out/t")
+    assert(partsOf(all.select("id")) == 2, "precondition: 2 files")
+    // IS NOT NULL skips the all-null file; IS NULL skips the full one
+    val nn = all.where(col("v").isNotNull)
+    assert(partsOf(nn) == 1, s"IS NOT NULL kept ${partsOf(nn)} files")
+    assert(nn.count() == 50L)
+    val nl = all.where(col("v").isNull)
+    assert(partsOf(nl) == 1, s"IS NULL kept ${partsOf(nl)} files")
+    assert(nl.count() == 50L)
+    // the implicit IsNotNull Spark pushes with equality predicates
+    // prunes the all-null file even though v's zone range can't
+    assert(all.where(col("v") === "v73").count() == 1L)
   }
 
   test("marker semantics match the RDD reader") {

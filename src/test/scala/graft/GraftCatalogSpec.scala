@@ -124,6 +124,75 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(GraftTable.read(spark, root, "raw").count() == 4)
   }
 
+  test("TIMESTAMP AS OF resolves commit instants: between-commit " +
+       "instants see the earlier snapshot, folding preserves them, " +
+       "pre-table instants fail loudly") {
+    wh
+    val root = Files.createTempDirectory("graft-catalog-tt").toString
+    def append(id: Long, batch: Long): Unit = {
+      Seq((id, s"r$id")).toDF("id", "v")
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(batch))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(s"$root/raw")
+      GraftTable.commit(spark, root, batch)
+    }
+    val before = System.currentTimeMillis() - 5
+    append(1L, 0L)
+    Thread.sleep(15) // commits must land in distinct instants
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    append(2L, 1L)
+    spark.sql("DROP TABLE IF EXISTS cat.db.tt")
+    spark.sql("CREATE TABLE cat.db.tt USING `graft-log` " +
+      s"LOCATION '$root' OPTIONS (sink 'raw')")
+    def fmt(ms: Long): String =
+      java.time.Instant.ofEpochMilli(ms).toString.replace("T", " ")
+        .stripSuffix("Z")
+    // the between-commits instant sees ONLY the first version
+    assert(spark.sql(
+      s"SELECT count(*) FROM cat.db.tt TIMESTAMP AS OF '${fmt(mid)}'")
+      .head.getLong(0) == 1)
+    // now (any instant after the last commit) sees everything
+    assert(spark.sql("SELECT count(*) FROM cat.db.tt TIMESTAMP AS OF " +
+      s"'${fmt(System.currentTimeMillis() + 1000)}'").head.getLong(0) == 2)
+    // GRAFT HISTORY exposes the instants TIMESTAMP AS OF resolves
+    // against, monotone in version order
+    val hist = spark.sql("GRAFT HISTORY cat.db.tt")
+      .select("version", "committed_at").collect()
+    assert(hist.length == 2 && hist.forall(_.getTimestamp(1) != null))
+    assert(!hist(1).getTimestamp(1).before(hist(0).getTimestamp(1)))
+    // checkpoint folding destroys the commit files but BAKES the
+    // instants into the manifest — time travel keeps resolving
+    GraftTable.checkpoint(spark, root, 1L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM cat.db.tt TIMESTAMP AS OF '${fmt(mid)}'")
+      .head.getLong(0) == 1)
+    // an instant before the table existed is an error, not empty
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM cat.db.tt TIMESTAMP AS OF '${fmt(before)}'").collect())
+    assert(TestErrors.messageChain(e).exists(_.contains("predates")))
+    // the path-based reader spells the same thing as options
+    assert(spark.read.format("graft-log").option("sink", "raw")
+      .option("timestampAsOf", fmt(mid)).load(root).count() == 1)
+    assert(spark.read.format("graft-log").option("sink", "raw")
+      .option("timestampAsOf", mid.toString).load(root).count() == 1)
+    assert(spark.read.format("graft-log").option("sink", "raw")
+      .option("versionAsOf", "0").load(root).count() == 1)
+    val e3 = intercept[Exception](spark.read.format("graft-log")
+      .option("sink", "raw").option("versionAsOf", "0")
+      .option("timestampAsOf", fmt(mid)).load(root))
+    assert(TestErrors.messageChain(e3).exists(_.contains("mutually exclusive")))
+    // graft-arrow tables refuse with a pointer
+    spark.sql("DROP TABLE IF EXISTS cat.db.ttarrow")
+    spark.sql("CREATE TABLE cat.db.ttarrow (v BIGINT) USING `graft-arrow`")
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT * FROM cat.db.ttarrow TIMESTAMP AS OF '2026-01-01'").collect())
+    assert(TestErrors.messageChain(e2).exists(_.contains("not versioned")))
+    spark.sql("DROP TABLE cat.db.tt")
+    spark.sql("DROP TABLE cat.db.ttarrow")
+  }
+
   test("registered table OPTIONS persist and take effect on inserts") {
     wh
     spark.sql("DROP TABLE IF EXISTS cat.db.zc")

@@ -1132,4 +1132,53 @@ class GraftTableSpec extends AnyFunSuite {
         s"single-column ranges overlap: $spans")
     } finally graft.operators.Scratch.rm(new java.io.File(root))
   }
+
+  test("z-order on a STRING column: URL-style keys cluster past their " +
+       "shared prefix; content exact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-zorder-str")
+      .toString
+    try {
+      val n = 2000
+      // URLs share a 25-byte prefix — the rank window must start AFTER
+      // it or every key would rank identically; keys arrive permuted
+      // (multiplicative hash) so the input layout carries no order
+      val rows = (0 until n).map { i =>
+        val r = ((i * 2654435761L) % n + n) % n
+        (f"https://example.com/docs/$r%05d", i.toLong)
+      }
+      rows.toDF("url", "id")
+        .withColumn("batch_id", lit(0L))
+        .repartition(8)
+        .write.mode("append").partitionBy("batch_id")
+        .parquet(s"$root/docs")
+      GraftTable.commit(spark, root, 0L)
+      assert(GraftTable.zorder(spark, root, "docs", Seq("url", "id"),
+        targetFileBytes = 4L << 10).nonEmpty)
+      def filesFor(cond: org.apache.spark.sql.Column): Int =
+        GraftTable.read(spark, root, "docs")
+          .withColumn("__f", input_file_name())
+          .where(cond).select("__f").distinct().count().toInt
+      val totalFiles = GraftTable.read(spark, root, "docs")
+        .select(input_file_name()).distinct().count().toInt
+      assert(totalFiles >= 6, s"want several files, got $totalFiles")
+      // a URL range (a 10% slice of the key space) touches a minority
+      // of files — the interleave clustered the string dimension
+      val urlFiles = filesFor(col("url") < "https://example.com/docs/00200")
+      assert(urlFiles <= (totalFiles * 2) / 3,
+        s"string dim not clustered: $urlFiles of $totalFiles files")
+      // the numeric dimension prunes too
+      val idFiles = filesFor(col("id") < n / 8)
+      assert(idFiles < totalFiles,
+        s"id range touched every file: $idFiles of $totalFiles")
+      // content preserved exactly
+      assert(GraftTable.read(spark, root, "docs")
+        .select("url", "id").orderBy("id")
+        .as[(String, Long)].collect().toSeq == rows.sortBy(_._2))
+      // SQL spelling accepts the string column
+      spark.sql(
+        s"GRAFT OPTIMIZE '$root' SINK 'docs' ZORDER BY (url) TARGET 8192")
+      assert(GraftTable.read(spark, root, "docs").count() == n)
+    } finally graft.operators.Scratch.rm(new java.io.File(root))
+  }
 }
