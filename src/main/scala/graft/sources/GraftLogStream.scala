@@ -254,6 +254,13 @@ private[graft] class GraftLogMicroBatchStream(root: String, sink: String,
     Option(opts.get("ignorechanges")).exists(_.toBoolean)
   private val maxVersionsPerTrigger =
     Option(opts.get("maxversionspertrigger")).map(_.toLong)
+  // admission by FILE COUNT — the log records each version's file list,
+  // so this cap is free; a bytes cap would cost one namenode RPC per
+  // file per trigger (the log stores no sizes) and is deliberately
+  // absent. Both caps compose; at least one version always admits so a
+  // single over-cap version can't stall the stream.
+  private val maxFilesPerTrigger =
+    Option(opts.get("maxfilespertrigger")).map(_.toLong)
 
   // the log is append-only per version file, so history content is
   // immutable once listed: cache the parse keyed by the log's FILE
@@ -288,12 +295,29 @@ private[graft] class GraftLogMicroBatchStream(root: String, sink: String,
     // may be sparse (multi-sink roots, crash gaps) and `from + cap`
     // would emit one checkpointed empty micro-batch per missing id
     // before reaching data
-    val capped = maxVersionsPerTrigger.map { cap =>
-      cachedHistory()
-        .filter(v => v.batchId > from && v.batchId <= target)
-        .take(math.min(cap, Int.MaxValue.toLong).toInt)
-        .lastOption.map(_.batchId).getOrElse(from)
-    }.getOrElse(target)
+    val capped =
+      if (maxVersionsPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty) target
+      else {
+        val inRange = cachedHistory()
+          .filter(v => v.batchId > from && v.batchId <= target)
+        val byVersions = maxVersionsPerTrigger.map(cap =>
+          inRange.take(math.min(cap, Int.MaxValue.toLong).toInt))
+          .getOrElse(inRange)
+        val byFiles = maxFilesPerTrigger.map { cap =>
+          var admitted = 0L
+          byVersions.takeWhile { v =>
+            val n = v.files.count(_.startsWith(sink + "/")).toLong
+            // the first file-bearing version always admits — one
+            // over-cap version must move the stream forward, not stall
+            // it forever; file-less versions (schema-only, other sinks)
+            // ride along free
+            val ok = admitted == 0L || admitted + n <= cap
+            if (ok) admitted += n
+            ok
+          }
+        }.getOrElse(byVersions)
+        byFiles.lastOption.map(_.batchId).getOrElse(from)
+      }
     GraftLogOffset(math.max(from, capped))
   }
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()

@@ -269,4 +269,33 @@ class GraftLogStreamSpec extends AnyFunSuite {
     assert(all.select("b").distinct().count() == 4,
       "expected 4 capped micro-batches")
   }
+
+  test("maxFilesPerTrigger caps admission by file count; an over-cap " +
+       "version still advances the stream") {
+    wh
+    val root = Files.createTempDirectory("graft-logstream-fcap").toString
+    (0L until 4L).foreach(b => commitBatch(root, b, b * 10, b * 10 + 10))
+    val perVersion = GraftTable.history(spark, root).head.files
+      .count(_.startsWith("raw/"))
+    assert(perVersion >= 1)
+    spark.sql("DROP TABLE IF EXISTS lcat.db.fcapfeed")
+    spark.sql("CREATE TABLE lcat.db.fcapfeed USING `graft-log` " +
+      s"LOCATION '$root' OPTIONS (sink 'raw')")
+    // budget for exactly two versions per trigger → 2 micro-batches
+    drain("lcat.db.fcapfeed", s"$root/out", s"$root/ckpt",
+      Map("maxFilesPerTrigger" -> (perVersion * 2).toString))
+    val all = spark.read.parquet(s"$root/out")
+    assert(all.select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 40L))
+    assert(all.select("b").distinct().count() == 2,
+      "expected 2 file-capped micro-batches")
+    // a cap below ONE version's file count: the first version always
+    // admits (progress over starvation) → one version per batch
+    drain("lcat.db.fcapfeed", s"$root/out1", s"$root/ckpt1",
+      Map("maxFilesPerTrigger" -> "1"))
+    val one = spark.read.parquet(s"$root/out1")
+    assert(one.count() == 40L &&
+      one.select("b").distinct().count() == 4,
+      "an over-cap version must still advance, one version per batch")
+  }
 }

@@ -123,6 +123,75 @@ class ArrowFileSkipPropSpec extends AnyFunSuite {
       "— generators drifted, the soundness check isn't biting")
   }
 
+  test("string skippable is sound under truncation: a pruned file can " +
+       "hold no matching row") {
+    val sSchema = StructType(Seq(StructField("s", StringType)))
+    // short keys, shared-prefix families, and >64-byte strings so the
+    // truncated lower / truncate-and-increment upper bounds both fire
+    val longPrefix = "p" * 70
+    val genStr: Gen[String] = Gen.frequency(
+      5 -> (for {
+        n <- Gen.chooseNum(0, 4)
+        cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'z'))
+      } yield cs.mkString),
+      2 -> Gen.chooseNum(0, 99).map(i => f"$longPrefix$i%02d"),
+      1 -> Gen.chooseNum(0, 99).map(i => f"key-$i%02d"))
+    val genStrFilter: Gen[Filter] = for {
+      v <- genStr
+      f <- Gen.oneOf[Filter](EqualTo("s", v), GreaterThan("s", v),
+        GreaterThanOrEqual("s", v), LessThan("s", v),
+        LessThanOrEqual("s", v), In("s", Array[Any](v, v + "a")),
+        StringStartsWith("s", v.take(3)))
+    } yield f
+    def utf8(s: String) =
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def stampS(ss: List[String]): Map[String, String] = {
+      // exactly StatsTracker's string stamp: full extrema by bytewise
+      // order, truncation only at stamp time, bounds-or-nothing
+      val bytes = ss.map(_.getBytes("UTF-8"))
+      val lo = bytes.reduce((a, b) =>
+        if (ArrowInterchange.cmpBytes(a, b) <= 0) a else b)
+      val hi = bytes.reduce((a, b) =>
+        if (ArrowInterchange.cmpBytes(a, b) >= 0) a else b)
+      ArrowInterchange.truncUpper(hi) match {
+        case Some(u) =>
+          val b64 = java.util.Base64.getEncoder
+          Map(ArrowInterchange.strMinMetaKey(0) ->
+            b64.encodeToString(ArrowInterchange.truncLower(lo)),
+            ArrowInterchange.strMaxMetaKey(0) -> b64.encodeToString(u))
+        case None => Map.empty
+      }
+    }
+    def rowMatchesS(f: Filter, s: String): Boolean = f match {
+      case EqualTo("s", v: String) => utf8(s).compareTo(utf8(v)) == 0
+      case GreaterThan("s", v: String) => utf8(s).compareTo(utf8(v)) > 0
+      case GreaterThanOrEqual("s", v: String) => utf8(s).compareTo(utf8(v)) >= 0
+      case LessThan("s", v: String) => utf8(s).compareTo(utf8(v)) < 0
+      case LessThanOrEqual("s", v: String) => utf8(s).compareTo(utf8(v)) <= 0
+      case In("s", vs) => vs.exists(v =>
+        utf8(s).compareTo(utf8(v.asInstanceOf[String])) == 0)
+      case StringStartsWith("s", p) => s.startsWith(p)
+      case other => fail(s"unexpected filter $other")
+    }
+    val gen = for {
+      ss <- Gen.nonEmptyListOf(genStr)
+      fs <- Gen.nonEmptyListOf(genStrFilter).map(_.take(3))
+    } yield (ss, fs)
+    var pruned = 0
+    forAllSeeded(gen) { case (ss, fs) =>
+      val meta = stampS(ss)
+      if (ArrowFileSkip.skippable(fs, sSchema, meta)) {
+        pruned += 1
+        val survivor = ss.find(s => fs.forall(f => rowMatchesS(f, s)))
+        assert(survivor.isEmpty,
+          s"pruned a file containing matching row '$survivor' " +
+            s"(filters $fs, rows $ss, stats $meta)")
+      }
+    }
+    assert(pruned > 20, s"property exercised only $pruned pruned cases " +
+      "— generators drifted, the soundness check isn't biting")
+  }
+
   test("missing stats and unknown shapes never prune") {
     // no stats at all
     assert(!ArrowFileSkip.skippable(

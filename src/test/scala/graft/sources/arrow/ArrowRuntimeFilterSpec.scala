@@ -21,16 +21,18 @@ class ArrowRuntimeFilterSpec extends AnyFunSuite {
        "static pushdown") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-runtime-filter").toString
-    (0L until 1000L).map(i => (i, i.toDouble, s"t$i")).toDF("id", "d", "tag")
+    (0L until 1000L).map(i => (i, i.toDouble, s"t$i", i % 2 == 0))
+      .toDF("id", "d", "tag", "flag")
       .repartitionByRange(5, col("id"))
       .write.format("graft-arrow").mode("overwrite").save(out)
     val declared = spark.read.format("graft-arrow").load(out).schema
     def scan() = new ArrowScanBuilder(out, declared,
       new CaseInsensitiveStringMap(java.util.Map.of())).build()
-    // zone-mapped columns are advertised; untracked (string) are not
+    // zone-mapped columns are advertised — strings included (their
+    // byte bounds prune IN-sets too); untracked (boolean) are not
     val attrs = scan().asInstanceOf[SupportsRuntimeFiltering]
       .filterAttributes().map(_.fieldNames().mkString(".")).toSet
-    assert(attrs == Set("id", "d"))
+    assert(attrs == Set("id", "d", "tag"))
     val full = scan().toBatch.planInputPartitions().length
     assert(full == 5, s"precondition: 5 files, got $full")
     // an IN-set landing in one file's range prunes to that file
@@ -43,10 +45,16 @@ class ArrowRuntimeFilterSpec extends AnyFunSuite {
     s2.asInstanceOf[SupportsRuntimeFiltering]
       .filter(Array[org.apache.spark.sql.sources.Filter](In("id", Array[Any](5000L, 6000L))))
     assert(s2.toBatch.planInputPartitions().length == 0)
+    // a STRING IN-set provably outside every file's byte bounds
+    // prunes everything — string join keys runtime-filter too
+    val s4 = scan()
+    s4.asInstanceOf[SupportsRuntimeFiltering]
+      .filter(Array[org.apache.spark.sql.sources.Filter](In("tag", Array[Any]("zzz"))))
+    assert(s4.toBatch.planInputPartitions().length == 0)
     // an unusable runtime filter keeps everything (sound degrade)
     val s3 = scan()
     s3.asInstanceOf[SupportsRuntimeFiltering]
-      .filter(Array[org.apache.spark.sql.sources.Filter](In("tag", Array[Any]("t1"))))
+      .filter(Array[org.apache.spark.sql.sources.Filter](In("flag", Array[Any](true))))
     assert(s3.toBatch.planInputPartitions().length == full)
   }
 

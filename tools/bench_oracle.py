@@ -22,6 +22,10 @@ rounds = int(sys.argv[4]) if len(sys.argv) > 4 else 2
 
 HARNESS = ("q_table_", "q_stream_", "q_jsonl_", "q_arrow_", "q_kafka_",
            "q_catalog_lifecycle", "q_log_insert", "q_log_evolve",
+           # skipping rows: Spark side exports the corpus to an arrow
+           # tree (a write job) before the pruned read; the oracle runs
+           # only the final SELECT
+           "q_bloom_lookup", "q_string_prune",
            "dedup_decontam_persist", "dedup_crosscorpus_persist",
            "dedup_index_lifecycle", "dedup_winnow_lifecycle",
            "sim_pq_lifecycle", "sim_ivf_lifecycle",
