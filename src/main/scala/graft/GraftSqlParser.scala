@@ -16,6 +16,7 @@ import graft.sources.GraftTable
   *
   * {{{
   *   GRAFT OPTIMIZE '<root>' SINK '<sink>' [SMALL <bytes>] [TARGET <bytes>]
+  *         [WHERE <partition predicate>]
   *   GRAFT OPTIMIZE '<root>' SINK '<sink>' ZORDER BY (c1, c2) [TARGET <bytes>]
   *   GRAFT VACUUM '<root>' RETAIN <millis>
   *   GRAFT DELETE '<root>' SINK '<sink>' WHERE <predicate>
@@ -86,13 +87,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftZorderCommand(root, sink,
         cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq,
         Option(target).map(_.toLong))
-    case OptimizeRe(root, sink, small, target) =>
+    case OptimizeRe(root, sink, small, target, where) =>
+      Option(where).foreach(delegate.parseExpression) // fail fast
       GraftOptimizeCommand(root, sink,
-        Option(small).map(_.toLong), Option(target).map(_.toLong))
-    case OptimizeNamedRe(ident, small, target) =>
+        Option(small).map(_.toLong), Option(target).map(_.toLong),
+        Option(where))
+    case OptimizeNamedRe(ident, small, target, where) =>
+      Option(where).foreach(delegate.parseExpression)
       val (root, sink) = named(ident)
       GraftOptimizeCommand(root, sink,
-        Option(small).map(_.toLong), Option(target).map(_.toLong))
+        Option(small).map(_.toLong), Option(target).map(_.toLong),
+        Option(where))
     case VacuumRe(root, retain) =>
       GraftVacuumCommand(root, retain.toLong)
     case VacuumNamedRe(ident, retain) =>
@@ -226,7 +231,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 object GraftSqlParser {
   private val OptimizeRe =
-    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+SINK\s+'([^']+)'(?:\s+SMALL\s+(\d+))?(?:\s+TARGET\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+SINK\s+'([^']+)'(?:\s+SMALL\s+(\d+))?(?:\s+TARGET\s+(\d+))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   // ZORDER must match BEFORE the plain OPTIMIZE forms (its prefix is
   // identical through the sink)
   private val ZorderRe =
@@ -255,7 +260,7 @@ object GraftSqlParser {
   // resolved against the graft catalog's metadata at parse time
   private val Ident = """((?:[\w`]+\.){2,}[\w`]+)"""
   private val OptimizeNamedRe =
-    s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$Ident(?:\\s+SMALL\\s+(\\d+))?(?:\\s+TARGET\\s+(\\d+))?\\s*;?\\s*""".r
+    s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$Ident(?:\\s+SMALL\\s+(\\d+))?(?:\\s+TARGET\\s+(\\d+))?(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*""".r
   private val ZorderNamedRe =
     s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$Ident\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)(?:\\s+TARGET\\s+(\\d+))?\\s*;?\\s*""".r
   private val VacuumNamedRe =
@@ -388,14 +393,16 @@ object GraftSqlParser {
 
 /** `GRAFT OPTIMIZE`: [[GraftTable.compact]] as a SQL command. */
 case class GraftOptimizeCommand(root: String, sink: String,
-                                small: Option[Long], target: Option[Long])
+                                small: Option[Long], target: Option[Long],
+                                where: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType)(),
     AttributeReference("note", StringType)())
   override def run(spark: SparkSession): Seq[Row] =
     GraftTable.compact(spark, root, sink,
-      small.getOrElse(32L << 20), target.getOrElse(128L << 20)) match {
+      small.getOrElse(32L << 20), target.getOrElse(128L << 20),
+      where) match {
       case Some(v) => Seq(Row(v, s"compacted '$sink' into version $v"))
       case None => Seq(Row(null, "nothing to compact"))
     }

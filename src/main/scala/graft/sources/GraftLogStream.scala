@@ -261,6 +261,28 @@ private[graft] class GraftLogMicroBatchStream(root: String, sink: String,
   // single over-cap version can't stall the stream.
   private val maxFilesPerTrigger =
     Option(opts.get("maxfilespertrigger")).map(_.toLong)
+  // where a FRESH stream starts (Delta's startingVersion /
+  // startingTimestamp): by default the current snapshot is the first
+  // batch; startingVersion=N tails version N onward as CHANGES
+  // (N=0 degrades to the snapshot bootstrap — identical rows for
+  // append-only history, and the sound choice over a rewrite history);
+  // startingVersion=latest tails only commits after stream start;
+  // startingTimestamp resolves to the first version committed at or
+  // after the instant (after the last commit → behaves like latest).
+  // Checkpointed streams never consult these again — the offset wins.
+  private val startingVersion: Option[Long] =
+    Option(opts.get("startingversion")).map {
+      case v if v.equalsIgnoreCase("latest") => Long.MaxValue
+      case v => scala.util.Try(v.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"startingVersion: want a version id or 'latest', got '$v'"))
+    }
+  private val startingTimestamp: Option[Long] =
+    Option(opts.get("startingtimestamp"))
+      .map(GraftLogSourceProvider.parseInstantMillis)
+  require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+    "graft-log: startingVersion and startingTimestamp are mutually " +
+      "exclusive")
 
   // the log is append-only per version file, so history content is
   // immutable once listed: cache the parse keyed by the log's FILE
@@ -283,7 +305,20 @@ private[graft] class GraftLogMicroBatchStream(root: String, sink: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(maxCommitted())
 
-  override def initialOffset(): Offset = GraftLogOffset(-1L)
+  override def initialOffset(): Offset = GraftLogOffset(
+    startingVersion match {
+      case Some(Long.MaxValue) => maxCommitted() // 'latest'
+      case Some(v) => v - 1 // tail version v onward as changes
+      case None => startingTimestamp match {
+        case Some(ts) =>
+          // first version committed AT OR AFTER the instant, tailed as
+          // changes; an instant past the last commit = only the future
+          GraftTable.versionTimestamps(spark, root)
+            .find(_._2.exists(_ >= ts)).map(_._1 - 1)
+            .getOrElse(maxCommitted())
+        case None => -1L // default: snapshot bootstrap
+      }
+    })
   override def deserializeOffset(json: String): Offset =
     GraftLogOffset(json.trim.toLong)
   override def latestOffset(): Offset =

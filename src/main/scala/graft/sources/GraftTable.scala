@@ -1422,7 +1422,8 @@ object GraftTable {
     * Spark job per bin, the wrong trade at thousands of bins. */
   def compact(spark: SparkSession, root: String, sink: String,
               smallFileBytes: Long = 32L << 20,
-              targetFileBytes: Long = 128L << 20): Option[Long] =
+              targetFileBytes: Long = 128L << 20,
+              partitionPredicate: Option[String] = None): Option[Long] =
       writeLock(root).synchronized {
     import org.apache.spark.sql.functions.{col, lit, udf}
     val (hfs, rootPath) = fs(spark, root)
@@ -1450,8 +1451,45 @@ object GraftTable {
     val smalls = snap.flatMap { rel =>
       sizeByRel.get(rel).filter(_ < smallFileBytes).map(len => (rel, len))
     }
-    val groups = smalls.groupBy { case (rel, _) => logicalDir(rel) }
+    val allGroups = smalls.groupBy { case (rel, _) => logicalDir(rel) }
       .filter(_._2.size >= 2)
+    // partition scoping (Delta's `OPTIMIZE … WHERE`): evaluate the
+    // predicate against each candidate directory's hive key=value
+    // pairs — METADATA-ONLY, via a tiny local frame, so a daily
+    // "compact yesterday's partition" never lists or rewrites the rest
+    // of a 100 TB sink. Values are offered as strings; Spark's implicit
+    // casts make `hour = 5` and `dt >= '2026-01-01'` both work.
+    val groups = partitionPredicate match {
+      case None => allGroups
+      case Some(pred) =>
+        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        val dirs = allGroups.keys.toSeq.sorted
+        val kvs: Seq[Map[String, String]] = dirs.map(d =>
+          d.split('/').filter(_.nonEmpty).map { seg =>
+            val eq = seg.indexOf('=')
+            require(eq > 0, s"non-hive path segment '$seg' under '$sink'")
+            ExternalCatalogUtils.unescapePathName(seg.take(eq)) ->
+              ExternalCatalogUtils.unescapePathName(seg.drop(eq + 1))
+          }.toMap)
+        val names = kvs.flatMap(_.keys).distinct.sorted
+        require(names.nonEmpty,
+          s"OPTIMIZE … WHERE addresses hive partition columns, but " +
+            s"sink '$sink' is unpartitioned (beyond batch_id)")
+        val schema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("__dir",
+            org.apache.spark.sql.types.StringType) +:
+            names.map(n => org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.StringType)))
+        val rows = dirs.zip(kvs).map { case (d, kv) =>
+          org.apache.spark.sql.Row.fromSeq(
+            d +: names.map(n => kv.getOrElse(n, null)))
+        }
+        val kept = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schema)
+          .filter(org.apache.spark.sql.functions.expr(pred))
+          .select("__dir").collect().map(_.getString(0)).toSet
+        allGroups.filter { case (d, _) => kept(d) }
+    }
     if (groups.isEmpty) return None
 
     // first-fit bin-packing per partition; bins are globally numbered so

@@ -224,8 +224,13 @@ private[arrow] class ArrowScanBuilder(path: String, declared: StructType,
       countCols = agg.aggregateExpressions.length
       return true
     }
-    // min/max (with count(*) mixed in freely): resolve each function to
-    // a stamped-stats request; anything else declines
+    // min/max/count(col) (with count(*) mixed in freely): resolve each
+    // function to a stamped-stats request; anything else declines
+    sealed trait Want
+    case class WantMin(ord: Int) extends Want
+    case class WantMax(ord: Int) extends Want
+    case object WantCountStar extends Want
+    case class WantCountCol(ord: Int) extends Want
     def ordOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[Int] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -237,11 +242,21 @@ private[arrow] class ArrowScanBuilder(path: String, declared: StructType,
         else None
       case _ => None
     }
-    val wants: Seq[Option[Either[Int, Either[Int, Unit]]]] =
+    // count(col) works for ANY top-level column: it needs only the
+    // stamped null count (rows − nulls), not an ordered zone map
+    def anyOrdOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Int] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(declared.fieldNames.indexOf(nr.fieldNames.head)).filter(_ >= 0)
+      case _ => None
+    }
+    val wants: Seq[Option[Want]] =
       agg.aggregateExpressions.toSeq.map {
-        case m: Min => ordOf(m.column).map(o => Left(o))
-        case m: Max => ordOf(m.column).map(o => Right(Left(o)): Either[Int, Either[Int, Unit]])
-        case _: CountStar => Some(Right(Right(())))
+        case m: Min => ordOf(m.column).map(WantMin)
+        case m: Max => ordOf(m.column).map(WantMax)
+        case _: CountStar => Some(WantCountStar)
+        case c: org.apache.spark.sql.connector.expressions.aggregate.Count
+            if !c.isDistinct => anyOrdOf(c.column).map(WantCountCol)
         case _ => None
       }
     if (wants.exists(_.isEmpty)) return false
@@ -296,26 +311,45 @@ private[arrow] class ArrowScanBuilder(path: String, declared: StructType,
       }
     }
     val totalRows = rowCounts.map(_.get).sum
+    // non-null count of a column: Σ(rows − stamped nulls) — declines
+    // when any non-empty file lacks the nulls stamp (external writer,
+    // pre-nulls export)
+    def nonNullCount(ord: Int): Option[Long] = {
+      val raw = nonEmpty.zip(rowCounts.collect { case Some(n) if n > 0 => n })
+        .map { case (m, rows) =>
+          m.get(ArrowInterchange.nullsMetaKey(ord))
+            .flatMap(s => scala.util.Try(s.toLong).toOption)
+            .map(rows - _)
+        }
+      if (raw.exists(_.isEmpty)) None else Some(raw.flatten.sum)
+    }
     val values = new Array[Any](wants.length)
     val fields = new Array[StructField](wants.length)
     wants.zipWithIndex.foreach {
-      case (Some(Left(ord)), i) =>
+      case (Some(WantMin(ord)), i) =>
         statVal(ord, ArrowInterchange.minMetaKey) match {
           case Some(v) =>
             values(i) = v
             fields(i) = StructField(s"min#$i", declared(ord).dataType)
           case None => return false
         }
-      case (Some(Right(Left(ord))), i) =>
+      case (Some(WantMax(ord)), i) =>
         statVal(ord, ArrowInterchange.maxMetaKey) match {
           case Some(v) =>
             values(i) = v
             fields(i) = StructField(s"max#$i", declared(ord).dataType)
           case None => return false
         }
-      case (Some(Right(Right(()))), i) =>
+      case (Some(WantCountStar), i) =>
         values(i) = totalRows
         fields(i) = StructField(s"count(*)#$i", LongType, nullable = false)
+      case (Some(WantCountCol(ord)), i) =>
+        nonNullCount(ord) match {
+          case Some(v) =>
+            values(i) = v
+            fields(i) = StructField(s"count#$i", LongType, nullable = false)
+          case None => return false
+        }
       case (None, _) => return false
     }
     statsAggRow = Some((StructType(fields.toIndexedSeq), values))

@@ -270,6 +270,48 @@ class GraftLogStreamSpec extends AnyFunSuite {
       "expected 4 capped micro-batches")
   }
 
+  test("startingVersion / startingTimestamp place a fresh stream: " +
+       "tail-from-version, tail-from-instant, latest-only") {
+    wh
+    val root = Files.createTempDirectory("graft-logstream-start").toString
+    commitBatch(root, 0L, 0L, 10L)
+    Thread.sleep(15)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    commitBatch(root, 1L, 10L, 20L)
+    commitBatch(root, 2L, 20L, 30L)
+    spark.sql("DROP TABLE IF EXISTS lcat.db.startfeed")
+    spark.sql("CREATE TABLE lcat.db.startfeed USING `graft-log` " +
+      s"LOCATION '$root' OPTIONS (sink 'raw')")
+    // tail from version 1: v0's rows are never delivered
+    drain("lcat.db.startfeed", s"$root/outv", s"$root/ckptv",
+      Map("startingVersion" -> "1"))
+    assert(spark.read.parquet(s"$root/outv")
+      .select("id").as[Long].collect().sorted.toSeq == (10L until 30L))
+    // tail from the between-commit instant: same cut, resolved by time
+    drain("lcat.db.startfeed", s"$root/outt", s"$root/ckptt",
+      Map("startingTimestamp" -> mid.toString))
+    assert(spark.read.parquet(s"$root/outt")
+      .select("id").as[Long].collect().sorted.toSeq == (10L until 30L))
+    // latest: the first drain delivers nothing; commits after the
+    // checkpoint exists arrive on the next drain
+    drain("lcat.db.startfeed", s"$root/outl", s"$root/ckptl",
+      Map("startingVersion" -> "latest"))
+    assert(!new java.io.File(s"$root/outl").exists() ||
+      spark.read.parquet(s"$root/outl").count() == 0L)
+    commitBatch(root, 3L, 30L, 40L)
+    drain("lcat.db.startfeed", s"$root/outl", s"$root/ckptl",
+      Map("startingVersion" -> "latest"))
+    assert(spark.read.parquet(s"$root/outl")
+      .select("id").as[Long].collect().sorted.toSeq == (30L until 40L))
+    // the two options are mutually exclusive
+    val e = intercept[Exception](
+      drain("lcat.db.startfeed", s"$root/oute", s"$root/ckpte",
+        Map("startingVersion" -> "1", "startingTimestamp" -> "0")))
+    assert(TestErrors.messageChain(e).exists(
+      _.contains("mutually exclusive")))
+  }
+
   test("maxFilesPerTrigger caps admission by file count; an over-cap " +
        "version still advances the stream") {
     wh

@@ -1046,10 +1046,16 @@ class GraftTableSpec extends AnyFunSuite {
       spark.sql(s"GRAFT OPTIMIZE '$root' SINK 'docs' " +
         "ZORDER BY (id, v) TARGET 8192").collect()
       assert(GraftTable.read(spark, root, "docs").count() == n)
-      // non-orderable and wrong-arity columns refuse loudly
+      // string columns are orderable since r15 (StringPrefixRank rank
+      // surrogate — see the dedicated STRING z-order test): the mixed
+      // (string, numeric) interleave publishes and stays content-exact
+      assert(GraftTable.zorder(spark, root, "docs", Seq("lang", "id"),
+        targetFileBytes = 8L << 10).nonEmpty)
+      assert(GraftTable.read(spark, root, "docs").count() == n)
+      // unknown and wrong-arity columns refuse loudly
       val e = intercept[IllegalArgumentException](
-        GraftTable.zorder(spark, root, "docs", Seq("lang", "id")))
-      assert(e.getMessage.contains("numeric"))
+        GraftTable.zorder(spark, root, "docs", Seq("nope", "id")))
+      assert(e.getMessage.contains("not a column"))
       val e2 = intercept[IllegalArgumentException](
         GraftTable.zorder(spark, root, "docs", Seq.empty))
       assert(e2.getMessage.contains("1 to 8"))
@@ -1131,6 +1137,60 @@ class GraftTableSpec extends AnyFunSuite {
       assert(sumSpans <= (n * 3) / 2,
         s"single-column ranges overlap: $spans")
     } finally graft.operators.Scratch.rm(new java.io.File(root))
+  }
+
+  test("OPTIMIZE WHERE scopes compaction to matching partitions: " +
+       "others keep their original files") {
+    val root = Files.createTempDirectory("gt-compact-where").toString
+    import spark.implicits._
+    // four tiny batches across two lang partitions
+    (0L until 4L).foreach { b =>
+      (b * 10 until b * 10 + 10)
+        .map(i => (i, s"doc $i", if (i % 2 == 0) "en" else "fr"))
+        .toDF("id", "text", "lang")
+        .withColumn("batch_id", lit(b))
+        .repartition(col("lang"))
+        .write.mode("append").partitionBy("lang", "batch_id")
+        .parquet(s"$root/docs")
+      GraftTable.commit(spark, root, b)
+    }
+    val before = GraftTable.committedFiles(spark, root)
+    val beforeFr = before.filter(_.contains("lang=fr")).toSet
+    val rows = GraftTable.read(spark, root, "docs")
+      .select("id").as[Long].collect().sorted.toSeq
+    // scope to lang=en: fr's files survive untouched, en's compact
+    val v = spark.sql(
+      s"GRAFT OPTIMIZE '$root' SINK 'docs' WHERE lang = 'en'").head
+    assert(!v.isNullAt(0), "en partition had small files to compact")
+    val after = GraftTable.committedFiles(spark, root)
+    assert(after.filter(_.contains("lang=fr")).toSet == beforeFr,
+      "out-of-scope partition files must be untouched")
+    assert(after.count(_.contains("lang=en")) <
+      before.count(_.contains("lang=en")),
+      "in-scope partition must have compacted")
+    assert(GraftTable.read(spark, root, "docs")
+      .select("id").as[Long].collect().sorted.toSeq == rows,
+      "scoped compaction must not change the snapshot")
+    // a predicate matching nothing is a no-op
+    assert(GraftTable.compact(spark, root, "docs",
+      partitionPredicate = Some("lang = 'zz'")).isEmpty)
+    // arbitrary expressions over the partition columns work (fr still
+    // holds its 4 small originals → this pass compacts them)
+    assert(GraftTable.compact(spark, root, "docs",
+      partitionPredicate = Some("length(lang) = 2")).nonEmpty)
+    // an unpartitioned sink refuses WHERE loudly
+    (0L until 2L).foreach { b =>
+      (0 until 5).map(i => (b, i)).toDF("b", "i")
+        .withColumn("batch_id", lit(b + 10))
+        .coalesce(1)
+        .write.mode("append").partitionBy("batch_id")
+        .parquet(s"$root/flat")
+      GraftTable.commit(spark, root, b + 10)
+    }
+    val e = intercept[Exception](GraftTable.compact(spark, root, "flat",
+      partitionPredicate = Some("lang = 'en'")))
+    assert(TestErrors.messageChain(e).exists(_.contains("unpartitioned")))
+    graft.operators.Scratch.rm(new java.io.File(root))
   }
 
   test("z-order on a STRING column: URL-style keys cluster past their " +

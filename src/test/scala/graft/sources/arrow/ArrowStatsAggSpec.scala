@@ -78,6 +78,33 @@ class ArrowStatsAggSpec extends AnyFunSuite {
     assert(g.count() == 2)
   }
 
+  test("count(col) serves from stamped null counts: rows minus nulls, " +
+       "any column type; count(distinct) declines") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft-statsagg-cnt").toString
+    (1L to 900L).map(i =>
+        (i, if (i % 3 == 0) None else Some(s"v$i"),
+          if (i % 5 == 0) None else Some(i.toDouble)))
+      .toDF("id", "s", "d")
+      .repartition(4)
+      .write.format("graft-arrow").mode("overwrite").save(out)
+    val t = spark.read.format("graft-arrow").load(out)
+    // string AND double columns both serve (null counts are typeless),
+    // mixed freely with count(*) and min/max
+    val agg = t.agg(count(col("s")), count(col("d")), count(lit(1)),
+      max("id"))
+    assert(scanDesc(agg).contains("stats-served"),
+      s"count(col) not pushed: ${scanDesc(agg)}")
+    val row = agg.head
+    assert(row.getLong(0) == 600L, "900 rows, every 3rd s null")
+    assert(row.getLong(1) == 720L, "900 rows, every 5th d null")
+    assert(row.getLong(2) == 900L && row.getLong(3) == 900L)
+    // count(DISTINCT col) cannot answer from null counts → declines
+    val d = t.agg(countDistinct(col("s")))
+    assert(!scanDesc(d).contains("stats-served"))
+    assert(d.head.getLong(0) == 600L)
+  }
+
   test("an all-empty export serves null MIN/MAX and zero COUNT from " +
        "its schema-only file") {
     import spark.implicits._
