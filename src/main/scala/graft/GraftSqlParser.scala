@@ -18,7 +18,7 @@ import graft.sources.GraftTable
   *   GRAFT OPTIMIZE '<root>' SINK '<sink>' [SMALL <bytes>] [TARGET <bytes>]
   *         [WHERE <partition predicate>]
   *   GRAFT OPTIMIZE '<root>' SINK '<sink>' ZORDER BY (c1, c2) [TARGET <bytes>]
-  *   GRAFT VACUUM '<root>' RETAIN <millis>
+  *   GRAFT VACUUM '<root>' RETAIN <millis> [DRY RUN]
   *   GRAFT DELETE '<root>' SINK '<sink>' WHERE <predicate>
   *   GRAFT UPDATE '<root>' SINK '<sink>' SET c = expr[, …] WHERE <predicate>
   *   GRAFT MERGE '<root>' SINK '<sink>' USING (<query>) ON k[, …]
@@ -98,10 +98,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftOptimizeCommand(root, sink,
         Option(small).map(_.toLong), Option(target).map(_.toLong),
         Option(where))
-    case VacuumRe(root, retain) =>
-      GraftVacuumCommand(root, retain.toLong)
-    case VacuumNamedRe(ident, retain) =>
-      GraftVacuumCommand(named(ident)._1, retain.toLong)
+    case VacuumRe(root, retain, dry) =>
+      GraftVacuumCommand(root, retain.toLong, dry != null)
+    case VacuumNamedRe(ident, retain, dry) =>
+      GraftVacuumCommand(named(ident)._1, retain.toLong, dry != null)
     case DeleteRe(root, sink, cond) =>
       delegate.parseExpression(cond) // fail fast on bad syntax at parse time
       GraftDeleteCommand(root, sink, cond)
@@ -237,7 +237,7 @@ object GraftSqlParser {
   private val ZorderRe =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+SINK\s+'([^']+)'\s+ZORDER\s+BY\s*\(([^)]+)\)(?:\s+TARGET\s+(\d+))?\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val DeleteRe =
     """(?is)\s*GRAFT\s+DELETE\s+'([^']+)'\s+SINK\s+'([^']+)'\s+WHERE\s+(.+?)\s*;?\s*""".r
   // SET/WHERE and USING/ON splits happen in the quote- and paren-aware
@@ -264,7 +264,7 @@ object GraftSqlParser {
   private val ZorderNamedRe =
     s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$Ident\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)(?:\\s+TARGET\\s+(\\d+))?\\s*;?\\s*""".r
   private val VacuumNamedRe =
-    s"""(?is)\\s*GRAFT\\s+VACUUM\\s+$Ident\\s+RETAIN\\s+(\\d+)\\s*;?\\s*""".r
+    s"""(?is)\\s*GRAFT\\s+VACUUM\\s+$Ident\\s+RETAIN\\s+(\\d+)(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   private val DeleteNamedRe =
     s"""(?is)\\s*GRAFT\\s+DELETE\\s+$Ident\\s+WHERE\\s+(.+?)\\s*;?\\s*""".r
   private val UpdateNamedRe =
@@ -427,12 +427,19 @@ case class GraftZorderCommand(root: String, sink: String,
 }
 
 /** `GRAFT VACUUM`: [[GraftTable.vacuum]] as a SQL command. */
-case class GraftVacuumCommand(root: String, retainMs: Long)
+case class GraftVacuumCommand(root: String, retainMs: Long,
+                              dryRun: Boolean = false)
     extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = Seq(
-    AttributeReference("removed", LongType)())
-  override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(GraftTable.vacuum(spark, root, retainMs).size.toLong))
+  // DRY RUN returns the would-be victims one per row (actionable
+  // output); the destructive form keeps its count-only contract
+  override val output: Seq[Attribute] =
+    if (dryRun) Seq(AttributeReference("would_remove", StringType)())
+    else Seq(AttributeReference("removed", LongType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val victims = GraftTable.vacuum(spark, root, retainMs, dryRun)
+    if (dryRun) victims.map(Row(_))
+    else Seq(Row(victims.size.toLong))
+  }
 }
 
 /** `GRAFT HISTORY`: Delta's `DESCRIBE HISTORY` analog — one row per

@@ -111,6 +111,7 @@ object SparkEntry {
     "sim_ivf_incremental"   -> (IvfIndex.incremental _),
     "sim_lsh_topk"          -> (Similarity.lshTopK _),
     "sim_pq_topk"           -> (Similarity.pqTopK _),
+    "sim_ivfpq_topk"        -> (IvfPq.topK _),
     "sim_pq_lifecycle"      -> (PqIndex.lifecycle _),
     "sim_pq_incremental"    -> (PqIndex.incremental _),
     "sim_quantize"          -> (Corpus.quantizeProfile _),
@@ -1536,6 +1537,52 @@ object SparkEntry {
          |                            ORDER BY sim DESC, n_id) AS rank
          |  FROM rr)
          |WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""".stripMargin,
+    // IVF+PQ composed (FAISS's IVFPQ + refine): the PQ pipeline's ADC
+    // scores restricted to the IVF-probed cells (labels), then the
+    // exact re-rank — the ivfOracle's probe CTEs grafted onto pqCtes'
+    // score CTEs, each already proven against its own index
+    "sim_ivfpq_topk" ->
+      s"""WITH ${pqCtes()},
+         |el AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS rv
+         |       FROM embeddings),
+         |iq AS (SELECT vec_id AS q_id, rv AS qrv FROM el
+         |       WHERE vec_id % ${Similarity.QueryStride} = 0),
+         |icent AS (
+         |  SELECT label, i, avg(rv[i]) AS m
+         |  FROM el, range(1, ${Similarity.Dims + 1}) r(i) GROUP BY label, i),
+         |iqc AS (
+         |  SELECT iq.q_id, c.label,
+         |         sum((iq.qrv[c.i] - c.m) * (iq.qrv[c.i] - c.m)) AS d2
+         |  FROM iq, icent c GROUP BY 1, 2),
+         |iprobes AS (
+         |  SELECT q_id, label FROM (
+         |    SELECT q_id, label,
+         |           row_number() OVER (PARTITION BY q_id
+         |                              ORDER BY round(d2, 6), label) AS pr
+         |    FROM iqc) WHERE pr <= ${Similarity.NProbe}),
+         |adcf AS (
+         |  SELECT a.q_id, a.n_id, a.adc
+         |  FROM adc a
+         |  JOIN el ON el.vec_id = a.n_id
+         |  JOIN iprobes p ON p.q_id = a.q_id AND p.label = el.label),
+         |candf AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |                              ORDER BY adc, n_id) AS pr
+         |    FROM adcf) WHERE pr <= ${Similarity.PqRerank}),
+         |rrf AS (
+         |  SELECT c.q_id, c.n_id,
+         |         round(list_sum(list_transform(range(1, ${Similarity.Dims + 1}),
+         |               i -> q.qnv[i] * n.nv[i])), 4) AS sim
+         |  FROM candf c JOIN q ON q.q_id = c.q_id
+         |  JOIN nrm n ON n.vec_id = c.n_id)
+         |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM (
+         |  SELECT q_id, n_id, sim,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY sim DESC, n_id) AS rank
+         |  FROM rrf) WHERE rank <= ${Similarity.K}
+         |ORDER BY q_id, rank""".stripMargin,
     // same pipeline, codebooks trained on the LANDED split only —
     // restates PqIndex build(landed)→merge(increment)→query: the
     // increment is encoded against the frozen landed-trained codebooks

@@ -377,6 +377,17 @@ object IvfIndex {
     readCells(spark, indexPath)
       .filter(col("label").isin(probedLabels: _*))
 
+  /** The committed centroid table, collected — O(cells) driver rows,
+    * the probe-selection input ([[IvfPq]] composes it with the PQ
+    * score path). */
+  private[graft] def centroidTable(spark: SparkSession, indexPath: String)
+      : Array[(Long, Array[Double])] = {
+    import spark.implicits._
+    spark.read.parquet(
+      centroidsDir(indexPath, centroidVersion(spark, indexPath)))
+      .as[(Long, Array[Double])].collect()
+  }
+
   /** Committed cell rows of every generation: partition pruning on the
     * committed-generation range (gen <= max, exact by the density invariant — see [[IndexStore.committedGens]]) keeps uncommitted (crashed) dirs out of
     * the scan entirely. */

@@ -668,7 +668,8 @@ object GraftTable {
     * must exceed the longest possible in-flight write (an active batch's
     * files are unreferenced until its commit publishes). Returns the
     * deleted root-relative paths. */
-  def vacuum(spark: SparkSession, root: String, ttlMs: Long): Seq[String] = {
+  def vacuum(spark: SparkSession, root: String, ttlMs: Long,
+             dryRun: Boolean = false): Seq[String] = {
     val (hfs, rootPath) = fs(spark, root)
     if (!hfs.exists(rootPath)) return Nil
     // every file ANY version references is live — files replaced by a
@@ -683,7 +684,10 @@ object GraftTable {
       val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
       if (!rel.startsWith(LogDir + "/") && rel.endsWith(".parquet") &&
           !live.contains(rel) && st.getModificationTime < cutoff) {
-        hfs.delete(st.getPath, false)
+        // DRY RUN reports what WOULD go (Delta's spelling): the one
+        // safety valve a destructive maintenance verb needs before a
+        // too-short TTL eats an in-flight writer's staging
+        if (!dryRun) hfs.delete(st.getPath, false)
         deleted += rel
       }
     }

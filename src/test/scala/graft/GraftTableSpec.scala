@@ -449,6 +449,18 @@ class GraftTableSpec extends AnyFunSuite {
     // VACUUM with TTL 0 removes nothing (all files version-referenced)
     assert(spark.sql(s"GRAFT VACUUM '$root' RETAIN 0").collect()
       .head.getLong(0) == 0L)
+    // DRY RUN lists the would-be victims without deleting: plant an
+    // orphan (crash debris — no version references it), preview, then
+    // really vacuum it
+    val orphan = new java.io.File(s"$root/docs/orphan-debris.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    val preview = spark.sql(s"GRAFT VACUUM '$root' RETAIN 0 DRY RUN")
+      .collect().map(_.getString(0)).toSeq
+    assert(preview == Seq("docs/orphan-debris.parquet"), preview.toString)
+    assert(orphan.exists(), "DRY RUN must not delete")
+    assert(spark.sql(s"GRAFT VACUUM '$root' RETAIN 0").collect()
+      .head.getLong(0) == 1L)
+    assert(!orphan.exists())
     // ordinary SQL still parses through the delegate
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
     // HISTORY lists every version incl. the delete and the compaction
