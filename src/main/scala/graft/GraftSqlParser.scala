@@ -18,12 +18,14 @@ import graft.sources.GraftTable
   *   GRAFT OPTIMIZE '<root>' SINK '<sink>' [SMALL <bytes>] [TARGET <bytes>]
   *         [WHERE <partition predicate>]
   *   GRAFT OPTIMIZE '<root>' SINK '<sink>' ZORDER BY (c1, c2) [TARGET <bytes>]
+  *         [WHERE <partition predicate>]
   *   GRAFT VACUUM '<root>' RETAIN <millis> [DRY RUN]
   *   GRAFT DELETE '<root>' SINK '<sink>' WHERE <predicate>
   *   GRAFT UPDATE '<root>' SINK '<sink>' SET c = expr[, …] WHERE <predicate>
   *   GRAFT MERGE '<root>' SINK '<sink>' USING (<query>) ON k[, …]
   *         [INSERT ONLY | UPDATE ONLY]
   *   GRAFT HISTORY '<root>'
+  *   GRAFT CHECKPOINT '<root>' [THROUGH <batch id>]
   *   GRAFT INDEX BUILD   <kind> '<root>' FROM (<query>)
   *   GRAFT INDEX MERGE   <kind> '<root>' FROM (<query>)
   *   GRAFT INDEX COMPACT MINHASH|WINNOW|TERMS|IVF '<root>'
@@ -78,15 +80,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       splitIdentifier(ident))
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case ZorderRe(root, sink, cols, target) =>
+    case ZorderRe(root, sink, cols, target, where) =>
+      Option(where).foreach(delegate.parseExpression) // fail fast
       GraftZorderCommand(root, sink,
         cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq,
-        Option(target).map(_.toLong))
-    case ZorderNamedRe(ident, cols, target) =>
+        Option(target).map(_.toLong), Option(where))
+    case ZorderNamedRe(ident, cols, target, where) =>
+      Option(where).foreach(delegate.parseExpression)
       val (root, sink) = named(ident)
       GraftZorderCommand(root, sink,
         cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq,
-        Option(target).map(_.toLong))
+        Option(target).map(_.toLong), Option(where))
     case OptimizeRe(root, sink, small, target, where) =>
       Option(where).foreach(delegate.parseExpression) // fail fast
       GraftOptimizeCommand(root, sink,
@@ -173,6 +177,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         deleteWhen = delWhen)
     case HistoryRe(root) => GraftHistoryCommand(root)
     case HistoryNamedRe(ident) => GraftHistoryCommand(named(ident)._1)
+    case CheckpointRe(root, through) =>
+      GraftCheckpointCommand(root, Option(through).map(_.toLong))
+    case CheckpointNamedRe(ident, through) =>
+      GraftCheckpointCommand(named(ident)._1, Option(through).map(_.toLong))
     case IndexFromRe(verb, kind, root, rest) =>
       val close = matchingParen(rest, 0)
       require(close > 0,
@@ -235,7 +243,7 @@ object GraftSqlParser {
   // ZORDER must match BEFORE the plain OPTIMIZE forms (its prefix is
   // identical through the sink)
   private val ZorderRe =
-    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+SINK\s+'([^']+)'\s+ZORDER\s+BY\s*\(([^)]+)\)(?:\s+TARGET\s+(\d+))?\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+SINK\s+'([^']+)'\s+ZORDER\s+BY\s*\(([^)]+)\)(?:\s+TARGET\s+(\d+))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val DeleteRe =
@@ -255,6 +263,8 @@ object GraftSqlParser {
     """(?is)ON\s+([\w`"]+(?:\s*,\s*[\w`"]+)*)(?:\s+(INSERT\s+ONLY|UPDATE\s+ONLY))?(?:\s+DELETE\s+WHEN\s+(.+?))?\s*;?\s*""".r
   private val HistoryRe =
     """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+  private val CheckpointRe =
+    """(?is)\s*GRAFT\s+CHECKPOINT\s+'([^']+)'(?:\s+THROUGH\s+(\d+))?\s*;?\s*""".r
   // NAMED-table spellings: a ≥3-part dotted identifier
   // (catalog.namespace….table) in place of '<root>' SINK '<sink>' —
   // resolved against the graft catalog's metadata at parse time
@@ -262,7 +272,7 @@ object GraftSqlParser {
   private val OptimizeNamedRe =
     s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$Ident(?:\\s+SMALL\\s+(\\d+))?(?:\\s+TARGET\\s+(\\d+))?(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*""".r
   private val ZorderNamedRe =
-    s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$Ident\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)(?:\\s+TARGET\\s+(\\d+))?\\s*;?\\s*""".r
+    s"""(?is)\\s*GRAFT\\s+OPTIMIZE\\s+$Ident\\s+ZORDER\\s+BY\\s*\\(([^)]+)\\)(?:\\s+TARGET\\s+(\\d+))?(?:\\s+WHERE\\s+(.+?))?\\s*;?\\s*""".r
   private val VacuumNamedRe =
     s"""(?is)\\s*GRAFT\\s+VACUUM\\s+$Ident\\s+RETAIN\\s+(\\d+)(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   private val DeleteNamedRe =
@@ -273,6 +283,8 @@ object GraftSqlParser {
     s"""(?is)\\s*GRAFT\\s+MERGE\\s+$Ident\\s+USING\\s+(\\(.+?)\\s*;?\\s*""".r
   private val HistoryNamedRe =
     s"""(?is)\\s*GRAFT\\s+HISTORY\\s+$Ident\\s*;?\\s*""".r
+  private val CheckpointNamedRe =
+    s"""(?is)\\s*GRAFT\\s+CHECKPOINT\\s+$Ident(?:\\s+THROUGH\\s+(\\d+))?\\s*;?\\s*""".r
   private val IndexFromRe =
     """(?is)\s*GRAFT\s+INDEX\s+(BUILD|MERGE)\s+(MINHASH|WINNOW|TERMS|DECONTAM|IVF|PQ)\s+'([^']+)'\s+FROM\s+(\(.+?)\s*;?\s*""".r
   private val IndexCompactRe =
@@ -412,14 +424,15 @@ case class GraftOptimizeCommand(root: String, sink: String,
   * command — the whole sink rewritten clustered on the Morton
   * interleave of two numeric columns. */
 case class GraftZorderCommand(root: String, sink: String,
-                              cols: Seq[String], target: Option[Long])
+                              cols: Seq[String], target: Option[Long],
+                              where: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType)(),
     AttributeReference("note", StringType)())
   override def run(spark: SparkSession): Seq[Row] =
     GraftTable.zorder(spark, root, sink, cols,
-      target.getOrElse(128L << 20)) match {
+      target.getOrElse(128L << 20), where) match {
       case Some(v) => Seq(Row(v,
         s"z-ordered '$sink' on (${cols.mkString(", ")}) into version $v"))
       case None => Seq(Row(null, "nothing to rewrite"))
@@ -439,6 +452,25 @@ case class GraftVacuumCommand(root: String, retainMs: Long,
     val victims = GraftTable.vacuum(spark, root, retainMs, dryRun)
     if (dryRun) victims.map(Row(_))
     else Seq(Row(victims.size.toLong))
+  }
+}
+
+/** `GRAFT CHECKPOINT`: [[GraftTable.checkpoint]] as a SQL command —
+  * fold the commit-file prefix (through the given batch id, default
+  * the newest) into one versioned manifest, keeping the per-version
+  * structure so time travel survives. The maintenance verb that keeps
+  * log listing O(recent commits) on a long-lived table. */
+case class GraftCheckpointCommand(root: String, through: Option[Long])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("through", LongType)(),
+    AttributeReference("note", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val vs = GraftTable.versions(spark, root)
+    if (vs.isEmpty) return Seq(Row(null, "nothing to checkpoint"))
+    val t = through.getOrElse(vs.last)
+    GraftTable.checkpoint(spark, root, t)
+    Seq(Row(t, s"folded commits through version $t"))
   }
 }
 

@@ -705,6 +705,48 @@ object GraftTable {
   private def schemasDisagree(hist: Seq[Version], sink: String): Boolean =
     hist.flatMap(_.schemas.get(sink)).distinct.size > 1
 
+  /** Partition scoping shared by `OPTIMIZE … WHERE` and
+    * `ZORDER BY … WHERE` (Delta's spelling): evaluate the predicate
+    * against each candidate LOGICAL directory's hive key=value pairs —
+    * METADATA-ONLY, via a tiny local frame, so a daily "maintain
+    * yesterday's partition" never lists or rewrites the rest of a
+    * 100 TB sink. Values are offered as strings; Spark's implicit
+    * casts make `hour = 5` and `dt >= '2026-01-01'` both work. */
+  private def scopePartitions(spark: SparkSession, dirs: Seq[String],
+                              pred: String, sink: String): Set[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val kvs: Seq[Map[String, String]] = dirs.map(d =>
+      d.split('/').filter(_.nonEmpty).map { seg =>
+        val eq = seg.indexOf('=')
+        require(eq > 0, s"non-hive path segment '$seg' under '$sink'")
+        ExternalCatalogUtils.unescapePathName(seg.take(eq)) ->
+          ExternalCatalogUtils.unescapePathName(seg.drop(eq + 1))
+      }.toMap)
+    val names = kvs.flatMap(_.keys).distinct.sorted
+    require(names.nonEmpty,
+      s"the WHERE clause addresses hive partition columns, but " +
+        s"sink '$sink' is unpartitioned (beyond batch_id)")
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__dir",
+        org.apache.spark.sql.types.StringType) +:
+        names.map(n => org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.StringType)))
+    val rows = dirs.zip(kvs).map { case (d, kv) =>
+      org.apache.spark.sql.Row.fromSeq(
+        d +: names.map(n => kv.getOrElse(n, null)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .filter(org.apache.spark.sql.functions.expr(pred))
+      .select("__dir").collect().map(_.getString(0)).toSet
+  }
+
+  /** The batch_id-stripped logical partition directory of a
+    * root-relative file — the unit partition scoping and compaction
+    * grouping both key on. */
+  private def logicalDirOf(rel: String): String =
+    rel.split('/').drop(1).dropRight(1)
+      .filterNot(_.startsWith("batch_id=")).mkString("/")
+
   /** Snapshot-file read for the mutation verbs: basePath for partition
     * columns, footer merge exactly when committed schemas disagree. */
   private def mutationRead(spark: SparkSession, root: String, sink: String,
@@ -1267,7 +1309,8 @@ object GraftTable {
     * BETWEEN streaming consumers, same as Delta. */
   def zorder(spark: SparkSession, root: String, sink: String,
              cols: Seq[String],
-             targetFileBytes: Long = 128L << 20): Option[Long] =
+             targetFileBytes: Long = 128L << 20,
+             partitionPredicate: Option[String] = None): Option[Long] =
       writeLock(root).synchronized {
     import org.apache.spark.sql.functions.{col, lit, max, min, percentile_approx}
     import org.apache.spark.sql.types.{DateType, NumericType, StringType, TimestampNTZType, TimestampType}
@@ -1276,7 +1319,18 @@ object GraftTable {
     require(cols.distinct.length == cols.length,
       s"ZORDER BY columns must be distinct: ${cols.mkString(", ")}")
     val hist = history(spark, root)
-    val snap = foldFiles(hist).filter(_.startsWith(sink + "/"))
+    val fullSnap = foldFiles(hist).filter(_.startsWith(sink + "/"))
+    // partition scoping (Delta's `OPTIMIZE … WHERE … ZORDER BY`): only
+    // matching partitions are read, re-clustered, and removed; the
+    // rest of the snapshot is untouched — quantile boundaries come
+    // from the SCOPED rows (clustering quality is per-scope)
+    val snap = partitionPredicate match {
+      case None => fullSnap
+      case Some(pred) =>
+        val kept = scopePartitions(spark,
+          fullSnap.map(logicalDirOf).distinct.sorted, pred, sink)
+        fullSnap.filter(rel => kept(logicalDirOf(rel)))
+    }
     if (snap.isEmpty) return None
     val (hfs, rootPath) = fs(spark, root)
     val mergeNeeded = schemasDisagree(hist, sink)
@@ -1438,9 +1492,7 @@ object GraftTable {
 
     // metadata-only candidate selection: small files grouped by their
     // logical partition directory (batch_id excluded — it is re-assigned)
-    def logicalDir(rel: String): String =
-      rel.split('/').drop(1).dropRight(1)
-        .filterNot(_.startsWith("batch_id=")).mkString("/")
+    def logicalDir(rel: String): String = logicalDirOf(rel)
     // one listStatus per DIRECTORY, not one getFileStatus per file: at
     // the ~17k-files/day this serves, per-file probes are 17k serial
     // namenode RPCs; per-directory listing is O(directories)
@@ -1457,41 +1509,11 @@ object GraftTable {
     }
     val allGroups = smalls.groupBy { case (rel, _) => logicalDir(rel) }
       .filter(_._2.size >= 2)
-    // partition scoping (Delta's `OPTIMIZE … WHERE`): evaluate the
-    // predicate against each candidate directory's hive key=value
-    // pairs — METADATA-ONLY, via a tiny local frame, so a daily
-    // "compact yesterday's partition" never lists or rewrites the rest
-    // of a 100 TB sink. Values are offered as strings; Spark's implicit
-    // casts make `hour = 5` and `dt >= '2026-01-01'` both work.
     val groups = partitionPredicate match {
       case None => allGroups
       case Some(pred) =>
-        import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        val dirs = allGroups.keys.toSeq.sorted
-        val kvs: Seq[Map[String, String]] = dirs.map(d =>
-          d.split('/').filter(_.nonEmpty).map { seg =>
-            val eq = seg.indexOf('=')
-            require(eq > 0, s"non-hive path segment '$seg' under '$sink'")
-            ExternalCatalogUtils.unescapePathName(seg.take(eq)) ->
-              ExternalCatalogUtils.unescapePathName(seg.drop(eq + 1))
-          }.toMap)
-        val names = kvs.flatMap(_.keys).distinct.sorted
-        require(names.nonEmpty,
-          s"OPTIMIZE … WHERE addresses hive partition columns, but " +
-            s"sink '$sink' is unpartitioned (beyond batch_id)")
-        val schema = org.apache.spark.sql.types.StructType(
-          org.apache.spark.sql.types.StructField("__dir",
-            org.apache.spark.sql.types.StringType) +:
-            names.map(n => org.apache.spark.sql.types.StructField(n,
-              org.apache.spark.sql.types.StringType)))
-        val rows = dirs.zip(kvs).map { case (d, kv) =>
-          org.apache.spark.sql.Row.fromSeq(
-            d +: names.map(n => kv.getOrElse(n, null)))
-        }
-        val kept = spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1), schema)
-          .filter(org.apache.spark.sql.functions.expr(pred))
-          .select("__dir").collect().map(_.getString(0)).toSet
+        val kept = scopePartitions(spark,
+          allGroups.keys.toSeq.sorted, pred, sink)
         allGroups.filter { case (d, _) => kept(d) }
     }
     if (groups.isEmpty) return None

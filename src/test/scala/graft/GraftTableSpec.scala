@@ -468,6 +468,13 @@ class GraftTableSpec extends AnyFunSuite {
     assert(hist.map(_.getLong(0)).toSeq == (0L to 5L))
     assert(hist.last.getLong(2) > 0, "compaction version lists removals")
     assert(hist.head.getString(3) == "docs")
+    // CHECKPOINT folds the commit prefix via SQL; history, snapshot,
+    // and time travel all survive the fold
+    val cp = spark.sql(s"GRAFT CHECKPOINT '$root'").head
+    assert(cp.getLong(0) == 5L)
+    assert(spark.sql(s"GRAFT HISTORY '$root'").count() == 6)
+    assert(GraftTable.read(spark, root, "docs").count() == 32)
+    assert(GraftTable.readAsOf(spark, root, "docs", 3).count() == 40)
   }
 
   test("readChanges: incremental consumption reads only new files") {
@@ -1190,6 +1197,17 @@ class GraftTableSpec extends AnyFunSuite {
     // holds its 4 small originals → this pass compacts them)
     assert(GraftTable.compact(spark, root, "docs",
       partitionPredicate = Some("length(lang) = 2")).nonEmpty)
+    // scoped Z-ORDER: only the matching partition is re-clustered,
+    // the other keeps its exact file set; snapshot rows unchanged
+    val beforeEn = GraftTable.committedFiles(spark, root)
+      .filter(_.contains("lang=en")).toSet
+    spark.sql(s"GRAFT OPTIMIZE '$root' SINK 'docs' " +
+      "ZORDER BY (id) TARGET 4096 WHERE lang = 'fr'").collect()
+    val afterZ = GraftTable.committedFiles(spark, root)
+    assert(afterZ.filter(_.contains("lang=en")).toSet == beforeEn,
+      "scoped zorder must not touch out-of-scope partitions")
+    assert(GraftTable.read(spark, root, "docs")
+      .select("id").as[Long].collect().sorted.toSeq == rows)
     // an unpartitioned sink refuses WHERE loudly
     (0L until 2L).foreach { b =>
       (0 until 5).map(i => (b, i)).toDF("b", "i")
