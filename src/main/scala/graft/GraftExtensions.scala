@@ -197,18 +197,27 @@ object GraftExtensions {
     // face of the table format
     "graft_table_read" -> { args =>
       require(args.length == 2 || args.length == 3,
-        "graft_table_read(root, sink [, asOfBatchId]) takes two literal " +
-          "paths and an optional version")
+        "graft_table_read(root, sink [, asOfBatchId | asOfTimestamp]) " +
+          "takes two literal paths and an optional version or instant")
       val root = litString("graft_table_read", args(0))
       val sink = litString("graft_table_read", args(1))
       val spark = org.apache.spark.sql.SparkSession.active
       val df =
         if (args.length == 3) {
+          // integer literal = batch id; string literal = instant,
+          // resolved through the same monotone commit timestamps as
+          // TIMESTAMP AS OF (epoch millis, ISO-8601, or UTC
+          // 'yyyy-MM-dd[ HH:mm:ss]')
           val asOf = args(2).eval() match {
             case i: Int => i.toLong
             case l: Long => l
+            case s: org.apache.spark.unsafe.types.UTF8String =>
+              graft.sources.GraftTable.versionAt(spark, root,
+                graft.sources.GraftLogSourceProvider
+                  .parseInstantMillis(s.toString))
             case other => throw new IllegalArgumentException(
-              s"graft_table_read asOfBatchId must be a literal integer, got $other")
+              "graft_table_read's third argument must be a literal " +
+                s"integer version or string instant, got $other")
           }
           graft.sources.GraftTable.readAsOf(spark, root, sink, asOf)
         } else graft.sources.GraftTable.read(spark, root, sink)

@@ -146,11 +146,15 @@ class GraftTableSpec extends AnyFunSuite {
   test("graft_table_read: snapshot and time travel from SQL") {
     val root = Files.createTempDirectory("gt-sql").toString
     import spark.implicits._
-    (0L to 1L).foreach { b =>
-      Seq((b, s"doc-$b")).toDF("id", "text")
-        .write.parquet(s"$root/docs/batch_id=$b")
-      GraftTable.commit(spark, root, b)
-    }
+    Seq((0L, "doc-0")).toDF("id", "text")
+      .write.parquet(s"$root/docs/batch_id=0")
+    GraftTable.commit(spark, root, 0L)
+    Thread.sleep(15)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(15)
+    Seq((1L, "doc-1")).toDF("id", "text")
+      .write.parquet(s"$root/docs/batch_id=1")
+    GraftTable.commit(spark, root, 1L)
     GraftExtensions.install(spark)
     assert(spark.sql(
       s"SELECT count(*) AS n FROM graft_table_read('$root', 'docs')")
@@ -158,6 +162,11 @@ class GraftTableSpec extends AnyFunSuite {
     assert(spark.sql(
       s"SELECT count(*) AS n FROM graft_table_read('$root', 'docs', 0)")
       .head().getLong(0) == 1)
+    // string third argument = instant (same resolution as
+    // TIMESTAMP AS OF): the between-commit instant sees version 0
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft_table_read('$root', 'docs', " +
+        s"'$mid')").head().getLong(0) == 1)
   }
 
   test("replayed commit detects a concurrent writer's destroyed files") {
