@@ -764,7 +764,54 @@ private[arrow] class ArrowScan(path: String, declared: StructType,
                                limit: Int = -1,
                                skips: Seq[org.apache.spark.sql.sources.Filter] = Nil,
                                maxShardsPerTrigger: Option[Long] = None)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
+  // Real statistics make the OPTIMIZER's join decisions right: without
+  // them a DSv2 table defaults to "unknown = huge" and a 2 MB arrow
+  // dim table never auto-broadcasts — at 100 TB that's a shuffle of
+  // the fact side that shouldn't exist. sizeInBytes = the PRUNED file
+  // bytes (static skips applied — the same elimination the scan will
+  // run), rowCount = the stamped per-file counts when every kept file
+  // is manifest-covered (one `_stats.tsv` read per directory; footer
+  // fan-out at estimate time would pay remote opens on every join
+  // plan, so unmanifested files just leave rowCount unknown). Errors
+  // degrade to unknown — planning must never fail on a stats probe.
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    import java.util.OptionalLong
+    try {
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val fs = new Path(path).getFileSystem(conf)
+      val files = ArrowScan.listScanFiles(fs, path, requireMarker)
+      val kept = ArrowFileSkip.prune(fs, files, skips, declared)
+      val bytes = kept.map(_._2).sum
+      val manifests: Map[Path, Map[String, Map[String, String]]] =
+        kept.map(f => new Path(f._1).getParent).distinct
+          .flatMap(d =>
+            ArrowInterchange.readStatsManifest(fs, d).map(d -> _)).toMap
+      val counts = kept.map { case (f, _) =>
+        val p = new Path(f)
+        manifests.get(p.getParent).flatMap(_.get(p.getName))
+          .flatMap(_.get(ArrowInterchange.RowsMetaKey))
+          .flatMap(s => scala.util.Try(s.toLong).toOption)
+      }
+      val rows: Option[Long] =
+        if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+        override def numRows(): OptionalLong =
+          rows.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+      }
+    } catch {
+      case _: Exception =>
+        new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            java.util.OptionalLong.empty()
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.empty()
+        }
+    }
+  }
   private var pruned: Option[(Int, Int)] = None
   // runtime (join-side) filters land AFTER planning, BEFORE execution:
   // Spark collects a broadcast join's build-side keys and hands the
@@ -778,7 +825,14 @@ private[arrow] class ArrowScan(path: String, declared: StructType,
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     declared.fields.collect {
-      case f if ArrowFileSkip.trackable(f.dataType) =>
+      // only columns surviving projection pruning: Spark resolves these
+      // references against the scan's OUTPUT (DPP's
+      // getFilterableTableScan), so advertising a pruned-away column
+      // fails analysis the moment the other join side becomes
+      // broadcastable — a runtime filter can only arrive on an output
+      // column anyway (it's a join key)
+      case f if ArrowFileSkip.trackable(f.dataType) &&
+          required.fieldNames.contains(f.name) =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter])

@@ -396,6 +396,29 @@ class ArrowDataSourceSpec extends AnyFunSuite {
     assert(all.where(col("v") === "v73").count() == 1L)
   }
 
+  test("reported statistics make small arrow dims auto-broadcast " +
+       "in joins") {
+    import spark.implicits._
+    val out = tmp()
+    (0L until 1000L).map(i => (i, s"v$i"))
+      .toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+      .write.format("graft-arrow").mode("overwrite").save(s"$out/dim")
+    (0L until 20000L).map(i => (i % 1000L, i)).toDF("id", "x")
+      .write.format("graft-arrow").mode("overwrite").save(s"$out/fact")
+    // two ARROW tables joined — without reported stats both sides
+    // default to unknown(=huge) and Spark sort-merges; with them the
+    // small dim auto-broadcasts (the stats unit cases live in
+    // ArrowStatsAggSpec, same package as the builder)
+    val dim = spark.read.format("graft-arrow").load(s"$out/dim")
+    val fact = spark.read.format("graft-arrow").load(s"$out/fact")
+    val joined = fact.join(dim, "id")
+    assert(joined.count() == 20000L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small arrow dim did not auto-broadcast:\n$plan")
+  }
+
   test("marker semantics match the RDD reader") {
     import spark.implicits._
     val out = tmp()

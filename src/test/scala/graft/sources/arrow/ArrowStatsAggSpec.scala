@@ -105,6 +105,32 @@ class ArrowStatsAggSpec extends AnyFunSuite {
     assert(d.head.getLong(0) == 600L)
   }
 
+  test("estimateStatistics serves stamped rows and pruned bytes") {
+    import spark.implicits._
+    import org.apache.spark.sql.connector.read.SupportsReportStatistics
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val out = Files.createTempDirectory("graft-statsagg-est").toString
+    (0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+      .write.format("graft-arrow").mode("overwrite").save(out)
+    val declared = spark.read.format("graft-arrow").load(out).schema
+    def opts() = new CaseInsensitiveStringMap(java.util.Map.of())
+    val full = new ArrowScanBuilder(out, declared, opts()).build()
+      .asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    assert(full.numRows().getAsLong == 1000L)
+    assert(full.sizeInBytes().getAsLong > 0L)
+    // pushed filters shrink the estimate: pruned files drop out of
+    // both the byte and the row totals
+    val sb = new ArrowScanBuilder(out, declared, opts())
+    sb.pushFilters(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("id", 900L)))
+    val pruned = sb.build()
+      .asInstanceOf[SupportsReportStatistics].estimateStatistics()
+    assert(pruned.sizeInBytes().getAsLong < full.sizeInBytes().getAsLong,
+      "zone-map pruning must shrink the size estimate")
+    assert(pruned.numRows().getAsLong < 1000L)
+  }
+
   test("an all-empty export serves null MIN/MAX and zero COUNT from " +
        "its schema-only file") {
     import spark.implicits._
