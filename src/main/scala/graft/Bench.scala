@@ -17,7 +17,10 @@ import org.apache.spark.sql.SparkSession
   * training/derivation cost — without that, pass 2 of a memoized
   * operator times the memo lookup, not the operator. Within a pass,
   * memo sharing across queries is kept (it is the production shape:
-  * consumers of one trained model share one training run).
+  * consumers of one trained model share one training run) — and every
+  * query whose reported minimum consumed a warm memo is named in the
+  * JSON's `memo_warm` array, so per-query numbers are never silently
+  * non-self-contained (the producer's time absorbs the shared work).
   *
   * `GRAFT_BENCH_ONLY=name,name` restricts to a comma-separated subset
   * for dev loops.
@@ -71,6 +74,7 @@ object Bench {
     val passes = (1 to Rounds).map { _ =>
       clearMemos(spark)
       selected.map { case (name, fn) =>
+        val warm0 = graft.operators.MemoStats.warmHits
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
@@ -80,26 +84,34 @@ object Bench {
               .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
             false
         }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9
-                 else Double.PositiveInfinity)
+        val secs = if (ok) (System.nanoTime() - t0) / 1e9
+                   else Double.PositiveInfinity
+        // warm = this query read a memo another query in the pass had
+        // already computed, so its wall time is NOT self-contained
+        name -> (secs, graft.operators.MemoStats.warmHits > warm0)
       }.toMap
     }
+    // per-query minimum, carrying the memo-warm flag of the pass that
+    // PRODUCED the min — the flag qualifies exactly the reported number
     val results = selected.map { case (name, _) =>
-      name -> passes.map(_(name)).min
+      name -> passes.map(_(name)).minBy(_._1)
     }
+    val memoWarm = results.collect {
+      case (name, (t, true)) if !t.isInfinity => name }.sorted
     // all-passes-failed queries are OMITTED from "queries" (the same
     // contract as Verify's missing dumps) and named in "failed"; a
     // query that failed one pass but succeeded another keeps its valid
     // min and is dropped from "failed" — the two fields never overlap
-    val qs = results.filterNot(_._2.isInfinity)
-      .map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.filterNot(_._2._1.isInfinity)
+      .map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filterNot(_.isInfinity).sum
-    val allFailed = results.filter(_._2.isInfinity).map(_._1).toSet
+    val total = results.map(_._2._1).filterNot(_.isInfinity).sum
+    val allFailed = results.filter(_._2._1.isInfinity).map(_._1).toSet
     val failed = failures.toSeq.filter(kv => allFailed(kv._1)).sortBy(_._1)
       .map { case (k, m) => s"\"$k\":\"$m\"" }.mkString("{", ",", "}")
+    val warmJson = memoWarm.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$Rounds,"failed":$failed}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$Rounds,"failed":$failed,"memo_warm":$warmJson}"""
     println(line)
     // the driver's log capture keeps only the TAIL of long stdout
     // lines, losing the head rows of "queries" — persist the full line

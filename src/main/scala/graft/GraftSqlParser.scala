@@ -468,6 +468,16 @@ case class GraftCheckpointCommand(root: String, through: Option[Long])
   override def run(spark: SparkSession): Seq[Row] = {
     val vs = GraftTable.versions(spark, root)
     if (vs.isEmpty) return Seq(Row(null, "nothing to checkpoint"))
+    // A THROUGH above the latest committed version would write a
+    // checkpoint manifest whose encoded name outranks every later
+    // legitimate checkpoint while folding fewer versions — committed
+    // versions would silently vanish from history() and vacuum could
+    // then delete their data files. Refuse up front.
+    through.foreach { t =>
+      require(t <= vs.last,
+        s"GRAFT CHECKPOINT THROUGH $t exceeds the latest committed " +
+          s"version ${vs.last} of '$root'")
+    }
     val t = through.getOrElse(vs.last)
     GraftTable.checkpoint(spark, root, t)
     Seq(Row(t, s"folded commits through version $t"))

@@ -592,9 +592,18 @@ object ArrowInterchange {
     * footers, and directories are immutable post-publish so a manifest
     * can never go stale. */
   private[graft] val StatsManifest = "_stats.tsv"
+  /** Bloom bits live in their OWN side manifest, not `_stats.tsv`: a
+    * bloom is ~314 KiB (up to 1 MiB) per opted-in column per file, and
+    * every plan-time manifest read — including `estimateStatistics`,
+    * which runs per join plan — would otherwise decode all of them
+    * even when the scan carries no equality probe. The zone-map/row
+    * manifest stays tiny; `_blooms.tsv` is read lazily, only when an
+    * equality/IN skip filter can actually use a bloom. */
+  private[graft] val BloomManifest = "_blooms.tsv"
+  private[graft] val BloomKeyPrefix = "graft.bloom."
 
-  private[graft] def writeStatsManifest(
-      fs: FileSystem, dir: Path,
+  private def writeTsvManifest(
+      fs: FileSystem, file: Path,
       entries: Seq[(String, Map[String, String])]): Unit = {
     val sb = new StringBuilder
     entries.sortBy(_._1).foreach { case (f, m) =>
@@ -603,17 +612,41 @@ object ArrowInterchange {
           .append('\n')
       }
     }
-    val out = fs.create(new Path(dir, StatsManifest), true)
+    val out = fs.create(file, true)
     try out.write(sb.toString.getBytes(UTF_8)) finally out.close()
+  }
+
+  private[graft] def writeStatsManifest(
+      fs: FileSystem, dir: Path,
+      entries: Seq[(String, Map[String, String])]): Unit = {
+    val slim = entries.map { case (f, m) =>
+      f -> m.filterNot(_._1.startsWith(BloomKeyPrefix)) }
+    writeTsvManifest(fs, new Path(dir, StatsManifest), slim)
+    val blooms = entries.map { case (f, m) =>
+      f -> m.filter(_._1.startsWith(BloomKeyPrefix)) }
+      .filter(_._2.nonEmpty)
+    if (blooms.nonEmpty)
+      writeTsvManifest(fs, new Path(dir, BloomManifest), blooms)
   }
 
   /** file name → footer-metadata map, None when the directory carries
     * no manifest (or an unreadable one — the per-file fallback is
-    * always correct). */
+    * always correct). Legacy manifests (pre-split) may still carry
+    * bloom keys inline; new writers keep them in [[BloomManifest]]. */
   private[graft] def readStatsManifest(
       fs: FileSystem, dir: Path): Option[Map[String, Map[String, String]]] =
+    readTsvManifest(fs, new Path(dir, StatsManifest))
+
+  /** file name → bloom entries from the lazy side manifest; None when
+    * the directory has none (no opted-in columns, or a legacy layout
+    * whose blooms ride `_stats.tsv`). */
+  private[graft] def readBloomManifest(
+      fs: FileSystem, dir: Path): Option[Map[String, Map[String, String]]] =
+    readTsvManifest(fs, new Path(dir, BloomManifest))
+
+  private def readTsvManifest(
+      fs: FileSystem, p: Path): Option[Map[String, Map[String, String]]] =
     try {
-      val p = new Path(dir, StatsManifest)
       if (!fs.exists(p)) None
       else {
         val text = HadoopText.readUtf8(fs, p)

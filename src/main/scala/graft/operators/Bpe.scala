@@ -78,7 +78,7 @@ object Bpe {
   private[graft] def learnedMerges(spark: SparkSession, dir: String,
                                    driverCap: Long = DriverVocabCap)
       : Seq[(String, String)] =
-    mergeMemo.getOrElseUpdate((spark, dir, driverCap), {
+    MemoStats.cached(mergeMemo, (spark, dir, driverCap))({
       import spark.implicits._
       val counts = Tables.documents(spark, dir)
         .select(explode(tokens(col("text"))).as("w"))

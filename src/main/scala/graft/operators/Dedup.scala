@@ -182,7 +182,7 @@ object Dedup {
     * is O(group) on each side; only clique OUTPUT is quadratic and only
     * up to the cap. `df` must have an `id` column plus `keyCols`.
     */
-  private def selfJoinCapped(df: DataFrame, keyCols: Seq[String])
+  private[operators] def selfJoinCapped(df: DataFrame, keyCols: Seq[String])
       : DataFrame = {
     // group size/min via window functions: ONE shuffle on the key, whose
     // partitioning the self-join below then reuses (no agg+join round trip)
@@ -233,7 +233,7 @@ object Dedup {
     * a dir are rewritten mid-session.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    pairMemo.getOrElseUpdate((spark, dir), minhashPairs(
+    MemoStats.cached(pairMemo, (spark, dir))(minhashPairs(
       Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
 
   private val pairMemo =
@@ -997,7 +997,7 @@ object Dedup {
     * [[decontaminateBloom]]'s build + confirm stages. One eval-side
     * typed shingle pass per (session, dir) however many consumers run. */
   private[operators] def evalShingles(spark: SparkSession, dir: String): DataFrame =
-    evalShMemo.getOrElseUpdate((spark, dir), {
+    MemoStats.cached(evalShMemo, (spark, dir))({
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       Materialize(
         shinglesOf(docs.filter(col("doc_id") % EvalStride === 0))
@@ -1016,7 +1016,7 @@ object Dedup {
     * would pay the full-corpus pass twice.
     */
   private[graft] def contamCounts(spark: SparkSession, dir: String): DataFrame =
-    contamMemo.getOrElseUpdate((spark, dir), {
+    MemoStats.cached(contamMemo, (spark, dir))({
       val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       Materialize(decontaminateFrames(
         docs.filter(col("doc_id") % EvalStride =!= 0),
@@ -1099,7 +1099,7 @@ object Dedup {
   /** Memoized Bloom words over the eval shingle set — built once per
     * (session, dir) from the shared [[evalShingles]] frame. */
   private[operators] def bloomFor(spark: SparkSession, dir: String): Array[Long] =
-    bloomMemo.getOrElseUpdate((spark, dir), {
+    MemoStats.cached(bloomMemo, (spark, dir))({
       // size m to the eval set (bloomBitsFor), exactly as documented and
       // as DecontamIndex.build does — the fixed floor geometry saturates
       // past ~10^5 shingles and the pre-filter stops filtering. At the

@@ -81,8 +81,12 @@ object IvfPq {
     // as PqIndex.topK, so the composition scores candidates exactly as
     // the flat PQ scan would
     val normed = Similarity.normalized(spark, dir)
+    // collect ONLY the rawQ id set — self-guarding against unbounded
+    // driver collects even if the stride predicate above ever diverges
+    // from rawQ's (the require on rawQ capped exactly these ids)
+    val qIdSet = rawQ.map(_._1).toSet
     val qNormMap: Map[Long, Array[Double]] =
-      normed.filter(_._1 % Similarity.QueryStride == 0).collect().toMap
+      normed.filter(r => qIdSet.contains(r._1)).collect().toMap
     val cents = PqIndex.loadCodebooks(spark, pqPath)
     val nCents = cents(0).length
     val adcMap: Map[Long, Array[Array[Long]]] = rawQ.map(_._1).map { qId =>

@@ -54,7 +54,7 @@ object KafkaRoundtrip {
 
   def hourlyAgg(spark: SparkSession, dir: String): DataFrame =
     synchronized {
-      memo.getOrElseUpdate((spark, dir), stage(spark, dir))._2
+      MemoStats.cached(memo, (spark, dir))(stage(spark, dir))._2
     }
 
   private def stage(spark: SparkSession, dir: String)

@@ -148,7 +148,7 @@ object QualityClassifier {
   private[graft] def weights(spark: SparkSession, dir: String)
       : Array[Long] =
     weightMemo.synchronized {
-      weightMemo.getOrElseUpdate((spark, dir), train(spark, dir))
+      MemoStats.cached(weightMemo, (spark, dir))(train(spark, dir))
     }
 
   private val weightMemo =

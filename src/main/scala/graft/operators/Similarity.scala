@@ -311,7 +311,7 @@ object Similarity {
     * (4 KB). Memoized per (session, dir). */
   private[operators] def pqCodebooks(spark: SparkSession, dir: String)
       : Array[Array[Array[Double]]] = pqMemo.synchronized {
-    pqMemo.getOrElseUpdate((spark, dir),
+    MemoStats.cached(pqMemo, (spark, dir))(
       pqCodebooksFrom(normalized(spark, dir)))
   }
 
@@ -537,7 +537,7 @@ object Similarity {
   private def trainedModel(spark: SparkSession, dir: String)
       : (Array[Array[Double]], Dataset[(Long, Array[Double])]) =
     centsMemo.synchronized {
-      centsMemo.getOrElseUpdate((spark, dir), {
+      MemoStats.cached(centsMemo, (spark, dir))({
         import spark.implicits._
         val e = corpus(spark, dir).select(col("vec_id"), col("v"))
           .as[(Long, Array[Double])]

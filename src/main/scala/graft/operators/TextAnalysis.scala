@@ -43,7 +43,7 @@ object TextAnalysis {
     * byte-identical to [[graft.functions.tokens]] (lower, split ' ',
     * drop empties). */
   private[graft] def termCounts(spark: SparkSession, dir: String): DataFrame =
-    tcMemo.getOrElseUpdate((spark, dir), Materialize(termRowsOf(
+    MemoStats.cached(tcMemo, (spark, dir))(Materialize(termRowsOf(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")))))
 
   /** The narrow term-count pass over ANY (doc_id, text) frame — the

@@ -493,15 +493,19 @@ object GraftTable {
       : Seq[(Long, Option[Long])] = {
     val (hfs, rootPath) = fs(spark, root)
     val log = new Path(rootPath, LogDir)
+    // ONE listStatus for every commit file's mtime — not a per-version
+    // exists()+getFileStatus() pair, which is O(versions) serial
+    // namenode round-trips on a long pre-checkpoint log
+    val mtimes: Map[String, Long] =
+      try {
+        if (hfs.exists(log))
+          hfs.listStatus(log).iterator
+            .map(st => st.getPath.getName -> st.getModificationTime)
+            .toMap
+        else Map.empty
+      } catch { case _: Exception => Map.empty }
     val raw = history(spark, root).map { v =>
-      val eff = v.ts.orElse {
-        val cf = new Path(log, version(v.batchId))
-        try {
-          if (hfs.exists(cf))
-            Some(hfs.getFileStatus(cf).getModificationTime)
-          else None
-        } catch { case _: Exception => None }
-      }
+      val eff = v.ts.orElse(mtimes.get(version(v.batchId)))
       (v.batchId, eff)
     }
     // carry-forward then running max: an unknown version inherits its
@@ -522,10 +526,32 @@ object GraftTable {
   /** `TIMESTAMP AS OF` resolution: the LATEST version whose effective
     * commit timestamp is ≤ `tsMillis` (Delta's contract). Throws when
     * the instant predates the table's first commit — "a table that
-    * didn't exist yet" must be loud, not an empty table. */
+    * didn't exist yet" must be loud, not an empty table — and,
+    * symmetrically, when it EXCEEDS the last effective commit instant
+    * (Delta's "after the latest commit" error): resolving "now" to
+    * "latest" would make the same query return different data as the
+    * table grows, breaking time-travel reproducibility. */
   def versionAt(spark: SparkSession, root: String, tsMillis: Long): Long = {
     val stamped = versionTimestamps(spark, root)
     require(stamped.nonEmpty, s"$root has no committed versions")
+    val lastKnown = stamped.flatMap(_._2).lastOption
+    lastKnown match {
+      case Some(latest) if tsMillis > latest =>
+        throw new IllegalArgumentException(
+          s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tsMillis)} " +
+            s"is after $root's latest commit " +
+            s"(${java.time.Instant.ofEpochMilli(latest)}) — use the " +
+            "plain (un-travelled) read for the current snapshot, or an " +
+            "instant at or before the latest commit")
+      case None =>
+        // no version has a resolvable instant (pre-ts log whose commit
+        // files are gone): ANY instant would resolve to latest, which
+        // is a silent lie — refuse instead of guessing
+        throw new IllegalArgumentException(
+          s"$root has no resolvable commit timestamps (pre-timestamp " +
+            "log with folded commit files) — use VERSION AS OF instead")
+      case _ => ()
+    }
     val eligible = stamped.takeWhile {
       case (_, Some(t)) => t <= tsMillis
       case (_, None) => true // no older instant known: can't exclude

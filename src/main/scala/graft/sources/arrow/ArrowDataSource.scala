@@ -525,13 +525,27 @@ private[arrow] object ArrowFileSkip {
             files: Seq[(String, Long)], skips: Seq[Filter],
             declared: StructType): Seq[(String, Long)] = {
     if (skips.isEmpty || files.isEmpty) return files
+    val dirs = files.map(f => new Path(f._1).getParent).distinct
     val manifests: Map[Path, Map[String, Map[String, String]]] =
-      files.map(f => new Path(f._1).getParent).distinct
-        .flatMap(d =>
-          ArrowInterchange.readStatsManifest(fs, d).map(d -> _)).toMap
+      dirs.flatMap(d =>
+        ArrowInterchange.readStatsManifest(fs, d).map(d -> _)).toMap
+    // blooms live in a LAZY side manifest: only a pushed equality/IN
+    // probe can use one, so a range-only (or filterless) plan never
+    // pays the per-file bloom decode
+    val wantsBloom = skips.exists {
+      case _: EqualTo | _: In => true
+      case _ => false
+    }
+    val bloomManifests: Map[Path, Map[String, Map[String, String]]] =
+      if (!wantsBloom) Map.empty
+      else dirs.flatMap(d =>
+        ArrowInterchange.readBloomManifest(fs, d).map(d -> _)).toMap
     def manifested(file: String): Option[Map[String, String]] = {
       val p = new Path(file)
-      manifests.get(p.getParent).flatMap(_.get(p.getName))
+      manifests.get(p.getParent).flatMap(_.get(p.getName)).map { m =>
+        bloomManifests.get(p.getParent).flatMap(_.get(p.getName))
+          .fold(m)(m ++ _)
+      }
     }
     val (known, unknown) =
       files.partition(f => manifested(f._1).isDefined)
@@ -776,7 +790,15 @@ private[arrow] class ArrowScan(path: String, declared: StructType,
   // fan-out at estimate time would pay remote opens on every join
   // plan, so unmanifested files just leave rowCount unknown). Errors
   // degrade to unknown — planning must never fail on a stats probe.
+  // Memoized per scan instance: the inputs (path, static skips,
+  // declared schema) are immutable for the scan's lifetime, but Spark
+  // calls estimateStatistics on EVERY plan of the same scan — each
+  // join-heavy query would otherwise re-list the directory and re-run
+  // ArrowFileSkip.prune (including per-file bloom decode for opted-in
+  // columns), a repeated metadata walk that grows with file count.
   override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = statsMemo
+  private lazy val statsMemo
       : org.apache.spark.sql.connector.read.Statistics = {
     import java.util.OptionalLong
     try {

@@ -352,12 +352,18 @@ class ArrowDataSourceSpec extends AnyFunSuite {
     val leq = la.where(col("id") === lprobe)
     assert(partsOf(leq) < lfull || lfull == 1)
     assert(leq.count() == 1L)
-    // un-bloomed columns stamp nothing extra; the manifest carries the
-    // bloom key only for the opted-in ordinal
+    // un-bloomed columns stamp nothing extra; blooms live in the lazy
+    // `_blooms.tsv` side manifest (only for the opted-in ordinal), and
+    // the zone-map manifest stays bloom-free so plan-time stats reads
+    // never decode bloom bits
     val manifest = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$out/t/_stats.tsv")), "UTF-8")
-    assert(manifest.contains("graft.bloom.0"), "key bloom missing")
-    assert(!manifest.contains("graft.bloom.1"), "n was not opted in")
+    assert(!manifest.contains("graft.bloom."),
+      "_stats.tsv must not carry bloom bits")
+    val bloomManifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/t/_blooms.tsv")), "UTF-8")
+    assert(bloomManifest.contains("graft.bloom.0"), "key bloom missing")
+    assert(!bloomManifest.contains("graft.bloom.1"), "n was not opted in")
     // plan-time validation: unknown column and un-bloomable type fail
     // with the offending name before any job runs
     val e1 = intercept[Exception](rows.toDF("key", "n")

@@ -153,9 +153,18 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql(
       s"SELECT count(*) FROM cat.db.tt TIMESTAMP AS OF '${fmt(mid)}'")
       .head.getLong(0) == 1)
-    // now (any instant after the last commit) sees everything
+    // an instant after the last commit is an error (Delta's contract:
+    // resolving "now" to "latest" would break reproducibility)
+    val eAfter = intercept[Exception](spark.sql(
+      "SELECT count(*) FROM cat.db.tt TIMESTAMP AS OF " +
+        s"'${fmt(System.currentTimeMillis() + 60000)}'").collect())
+    assert(TestErrors.messageChain(eAfter)
+      .exists(_.contains("after")), TestErrors.messageChain(eAfter))
+    // the latest commit's own instant still sees everything
+    val latest = spark.sql("GRAFT HISTORY cat.db.tt")
+      .select("committed_at").collect().map(_.getTimestamp(0).getTime).max
     assert(spark.sql("SELECT count(*) FROM cat.db.tt TIMESTAMP AS OF " +
-      s"'${fmt(System.currentTimeMillis() + 1000)}'").head.getLong(0) == 2)
+      s"'${fmt(latest)}'").head.getLong(0) == 2)
     // GRAFT HISTORY exposes the instants TIMESTAMP AS OF resolves
     // against, monotone in version order
     val hist = spark.sql("GRAFT HISTORY cat.db.tt")
