@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_minhash_lsh"     -> (Dedup.minhashLsh _),
     "dedup_simhash"         -> (Dedup.simhash _),
     "dedup_ngram_jaccard"   -> (Dedup.ngramJaccard _),
+    "dedup_phash"           -> (PerceptualHash.phash _),
     "dedup_embedding"       -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_clusters"        -> (Dedup.clusters _),
     "dedup_crosscorpus"     -> { (s, d) =>
@@ -1237,6 +1238,81 @@ object SparkEntry {
          |FROM surv ORDER BY content_md5""".stripMargin
     },
     "dedup_simhash" -> simhashOracle,
+    // replays PerceptualHash exactly: the synthesized rasters'
+    // closed-form pixel ramp gives each sampled gray analytically, the
+    // aHash words are integer sums, and BOTH hot-bucket rules
+    // (selfJoinCapped on the rep bands and on the identical-hash
+    // groups) are restated verbatim — exact at any scale, not just
+    // while buckets stay under the cap
+    "dedup_phash" -> {
+      val cap = Dedup.HotGroupCap
+      // decoded row → written ramp row: straight for PNG (even ids),
+      // vertically flipped for BMP (odd ids — BMP stores bottom-up)
+      val px = "((CASE WHEN doc_id % 2 = 0 THEN (b // 8) * h // 8 " +
+        "ELSE h - 1 - ((b // 8) * h // 8) END) * w + ((b % 8) * w // 8))"
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CAST(4 * (1 + doc_id % 8) AS BIGINT) AS w,
+         |         CAST(2 + (doc_id * 5) % 14 AS BIGINT) AS h
+         |  FROM documents WHERE doc_id % 17 <> 0),
+         |g AS (
+         |  SELECT doc_id,
+         |         list_transform(range(0, 64), b ->
+         |             (doc_id + 3 * $px) % 256
+         |           + (doc_id + 3 * $px + 1) % 256
+         |           + (doc_id + 3 * $px + 2) % 256) AS gs
+         |  FROM d),
+         |gt AS (SELECT doc_id, gs, list_sum(gs) AS tot FROM g),
+         |hsh AS (
+         |  SELECT doc_id,
+         |         CAST(list_sum(list_transform(range(0, 32), b ->
+         |           CASE WHEN 64 * gs[b + 1] > tot
+         |                THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS phi,
+         |         CAST(list_sum(list_transform(range(32, 64), b ->
+         |           CASE WHEN 64 * gs[b + 1] > tot
+         |                THEN (1::BIGINT << (b - 32)) ELSE 0 END)) AS BIGINT) AS plo
+         |  FROM gt),
+         |grp AS (SELECT phi, plo, min(doc_id) AS mn, count(*) AS n
+         |        FROM hsh GROUP BY 1, 2),
+         |mem AS (SELECT h.doc_id, h.phi, h.plo, grp.mn, grp.n
+         |        FROM hsh h JOIN grp USING (phi, plo)),
+         |within AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, 0 AS hamming
+         |  FROM mem x JOIN mem y
+         |    ON x.phi = y.phi AND x.plo = y.plo AND x.doc_id < y.doc_id
+         |  WHERE x.n <= $cap OR x.doc_id = x.mn),
+         |bands AS (
+         |  SELECT mn AS rep, phi, plo, 0 AS b, phi >> 16 AS k FROM grp
+         |  UNION ALL SELECT mn, phi, plo, 1, phi & 65535 FROM grp
+         |  UNION ALL SELECT mn, phi, plo, 2, plo >> 16 FROM grp
+         |  UNION ALL SELECT mn, phi, plo, 3, plo & 65535 FROM grp),
+         |bb AS (
+         |  SELECT rep, b, k,
+         |         count(*) OVER (PARTITION BY b, k) AS bn,
+         |         min(rep) OVER (PARTITION BY b, k) AS bmn
+         |  FROM bands),
+         |cand AS (
+         |  SELECT DISTINCT x.rep AS rep_a, y.rep AS rep_b
+         |  FROM bb x JOIN bb y ON x.b = y.b AND x.k = y.k AND x.rep < y.rep
+         |  WHERE x.bn <= $cap OR x.rep = x.bmn),
+         |rp AS (
+         |  SELECT * FROM (
+         |    SELECT a.phi AS pa_hi, a.plo AS pa_lo,
+         |           b2.phi AS pb_hi, b2.plo AS pb_lo,
+         |           CAST(bit_count(xor(a.phi, b2.phi))
+         |                + bit_count(xor(a.plo, b2.plo)) AS INT) AS hamming
+         |    FROM cand JOIN grp a ON a.mn = cand.rep_a
+         |              JOIN grp b2 ON b2.mn = cand.rep_b)
+         |  WHERE hamming <= ${PerceptualHash.MaxHamming}),
+         |crossg AS (
+         |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+         |         greatest(ma.doc_id, mb.doc_id) AS doc_b, hamming
+         |  FROM rp JOIN hsh ma ON ma.phi = rp.pa_hi AND ma.plo = rp.pa_lo
+         |          JOIN hsh mb ON mb.phi = rp.pb_hi AND mb.plo = rp.pb_lo)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT * FROM within UNION ALL SELECT * FROM crossg)
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "dedup_clusters" -> clustersOracle,
     "dedup_crosscorpus" ->
       s"""WITH ${minhashCtesWith("x.doc_id % 2 = 1 AND y.doc_id % 2 = 0")}

@@ -204,6 +204,33 @@ object MediaCodec {
     * [[MaxDim]] / rasters past [[MaxImagePixels]], refused BEFORE
     * allocation) all land on [[ImageFallback]] — never a task
     * failure. */
+  /** The guarded ImageIO read shared by [[decodeImage]] and the
+    * perceptual hash: None on corrupt/truncated/unknown payloads and
+    * on hostile headers (dims past [[MaxDim]] / rasters past
+    * [[MaxImagePixels]], refused BEFORE allocation). */
+  def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (bytes == null || bytes.length < 8) return None
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0)
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0 || w > MaxDim || h > MaxDim ||
+              w.toLong * h > MaxImagePixels) None
+          else Some(reader.read(0))
+        } finally reader.dispose()
+      } finally if (iis != null) iis.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
   def decodeImage(bytes: Array[Byte]): ImageFacts = {
     if (bytes == null || bytes.length < 8) return ImageFallback
     try {

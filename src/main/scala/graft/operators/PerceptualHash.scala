@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Perceptual image near-dup: a 64-bit average hash (aHash) over each
+  * document's DECODED raster, fed into the same banded pair machinery
+  * as the text dedup family — so image-heavy corpora stop deduping on
+  * exact payload bytes only.
+  *
+  * The hash is the classic average hash: sample the decoded image on a
+  * [[GridDim]]×[[GridDim]] grid (nearest neighbor — x=(c·w)/8,
+  * y=(r·h)/8, integer division), grayscale each sample as the plain
+  * channel sum R+G+B (no luma weights: integer-exact, so the DuckDB
+  * oracle can replay it bit-for-bit from the synthesized corpus's
+  * closed-form pixel ramp), and set bit r·8+c when the sample is
+  * strictly brighter than the grid mean — compared in integer
+  * cross-multiplied form (64·g > Σg) so no float division exists on
+  * either engine. Two perceptually-close images differ in few bits;
+  * Hamming distance ≤ [[MaxHamming]] defines a pair.
+  *
+  * The 64 bits travel as two 32-bit words (`phi` = bits 0..31, `plo` =
+  * bits 32..63), the same packing as [[Dedup.simhash]] — one BIGINT
+  * would overflow the sign bit differently per engine.
+  *
+  * Plan shape (100 TB-safe, no all-pairs anywhere):
+  *  1. one narrow decode+hash pass (mapPartitions — the payload column
+  *     never crosses the wire);
+  *  2. identical hashes COLLAPSE to a representative (min doc_id) —
+  *     exact-duplicate rasters are the common case and must not flood
+  *     the band index;
+  *  3. representatives band-join on the four 16-bit hash bands
+  *     (pigeonhole: hamming ≤ 3 over 4 bands ⇒ ≥ 1 equal band) via
+  *     [[Dedup.selfJoinCapped]] — full clique for buckets ≤
+  *     [[Dedup.HotGroupCap]], spanning star above, the rule the oracle
+  *     replays verbatim;
+  *  4. candidate representative pairs keep hamming ≤ [[MaxHamming]];
+  *  5. expansion back to member pairs: cross-group pairs inherit the
+  *     representatives' hamming, within-group pairs are hamming 0 and
+  *     go through [[Dedup.selfJoinCapped]] keyed on the hash itself
+  *     (clique under the cap, star above).
+  *
+  * Undecodable payloads (truncated, corrupt, hostile headers) hash to
+  * nothing and simply never pair — the same total-decode contract as
+  * [[Multimodal.decodeFeatures]].
+  */
+object PerceptualHash {
+
+  /** Grid side: 8×8 = 64 bits. */
+  val GridDim = 8
+  /** Pair threshold: ≤ 3 differing bits over the 4×16-bit bands keeps
+    * the pigeonhole guarantee (the same bound as simhash). */
+  val MaxHamming = 3
+
+  /** aHash of a decoded raster as (bits 0..31, bits 32..63); None when
+    * the payload doesn't decode. */
+  def ahash(bytes: Array[Byte]): Option[(Long, Long)] =
+    MediaCodec.readImage(bytes).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val gs = new Array[Long](GridDim * GridDim)
+      var tot = 0L
+      var r = 0
+      while (r < GridDim) {
+        val y = r * h / GridDim
+        var c = 0
+        while (c < GridDim) {
+          val x = c * w / GridDim
+          val rgb = img.getRGB(x, y)
+          val g = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          gs(r * GridDim + c) = g
+          tot += g
+          c += 1
+        }
+        r += 1
+      }
+      var phi = 0L
+      var plo = 0L
+      var b = 0
+      while (b < 64) {
+        // strictly brighter than the mean, integer-exact: 64·g > Σg
+        if (64L * gs(b) > tot) {
+          if (b < 32) phi |= 1L << b else plo |= 1L << (b - 32)
+        }
+        b += 1
+      }
+      (phi, plo)
+    }
+
+  /** (doc_id, phi, plo) for every decodable document raster — one
+    * narrow typed pass over the media table. */
+  private[operators] def hashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.mediaTable(spark, dir)
+      .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        ahash(bytes).map { case (phi, plo) => (id, phi, plo) }
+      })
+      .toDF("doc_id", "phi", "plo")
+  }
+
+  /** Perceptual near-dup pairs: (doc_a, doc_b, hamming), doc_a <
+    * doc_b, hamming ≤ [[MaxHamming]]. */
+  def phash(spark: SparkSession, dir: String): DataFrame = {
+    val hs = Materialize(hashes(spark, dir))
+
+    // within-group pairs: identical hashes, hamming 0 — clique under
+    // the cap, spanning star above (selfJoinCapped keyed on the hash)
+    val within = Dedup.selfJoinCapped(
+      hs.select(col("doc_id").as("id"), col("phi"), col("plo")),
+      Seq("phi", "plo"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        lit(0).as("hamming"))
+
+    // representatives: one row per distinct hash
+    val reps = hs.groupBy("phi", "plo")
+      .agg(min(col("doc_id")).as("rep"))
+
+    val bandCols = Seq(
+      struct(lit(0).as("b"), shiftright(col("phi"), 16).as("k")),
+      struct(lit(1).as("b"), col("phi").bitwiseAND(65535).as("k")),
+      struct(lit(2).as("b"), shiftright(col("plo"), 16).as("k")),
+      struct(lit(3).as("b"), col("plo").bitwiseAND(65535).as("k")))
+    val bands = reps
+      .select(col("rep"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("rep").as("id"), col("bk.b").as("b"), col("bk.k").as("k"))
+    val cand = Dedup.selfJoinCapped(bands, Seq("b", "k"))
+      .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"))
+      .distinct()
+
+    // candidate rep pairs → hamming filter, carrying both hash keys
+    // for the member expansion below
+    val repPairs = cand
+      .join(reps.select(col("rep").as("rep_a"), col("phi").as("pa_hi"),
+        col("plo").as("pa_lo")), "rep_a")
+      .join(reps.select(col("rep").as("rep_b"), col("phi").as("pb_hi"),
+        col("plo").as("pb_lo")), "rep_b")
+      .select(col("pa_hi"), col("pa_lo"), col("pb_hi"), col("pb_lo"),
+        (bit_count(col("pa_hi").bitwiseXOR(col("pb_hi"))) +
+          bit_count(col("pa_lo").bitwiseXOR(col("pb_lo"))))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= MaxHamming)
+
+    // expansion: every member of group A × every member of group B,
+    // ordered; cross-group hamming IS the representatives' hamming
+    // (identical hashes within each group)
+    val cross = repPairs
+      .join(hs.select(col("phi").as("pa_hi"), col("plo").as("pa_lo"),
+        col("doc_id").as("ida")), Seq("pa_hi", "pa_lo"))
+      .join(hs.select(col("phi").as("pb_hi"), col("plo").as("pb_lo"),
+        col("doc_id").as("idb")), Seq("pb_hi", "pb_lo"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
+
+    within.unionByName(cross)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+}

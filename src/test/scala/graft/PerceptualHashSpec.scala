@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, MediaCodec, PerceptualHash}
+
+/** Perceptual image near-dup: the aHash must equal the closed-form
+  * replay of the synthesized pixel ramp (decode and synthesis are
+  * independent code paths — a bug in either breaks the equality), and
+  * the pair operator must honor the hamming bound, ordering, and the
+  * undecodable-payload exclusion.
+  */
+class PerceptualHashSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** The oracle's arithmetic, in Scala: sampled gray from the ramp. */
+  private def closedFormAhash(d: Long): (Long, Long) = {
+    val w = 4 * (1 + d % 8)
+    val h = 2 + (d * 5) % 14
+    def gray(b: Int): Long = {
+      val y = (b / 8) * h / 8
+      // BMP (odd ids) stores rows bottom-up: decoded row y is the
+      // written row h-1-y, so the ramp index flips vertically
+      val row = if (d % 2 == 0) y else h - 1 - y
+      val p = 3 * (row * w + (b % 8) * w / 8)
+      (d + p) % 256 + (d + p + 1) % 256 + (d + p + 2) % 256
+    }
+    val gs = Array.tabulate(64)(gray)
+    val tot = gs.sum
+    var phi = 0L
+    var plo = 0L
+    for (b <- 0 until 64 if 64L * gs(b) > tot)
+      if (b < 32) phi |= 1L << b else plo |= 1L << (b - 32)
+    (phi, plo)
+  }
+
+  test("ahash over the DECODED raster equals the closed-form ramp replay " +
+    "for both png (even ids) and bmp (odd ids)") {
+    // skip ids divisible by 17 (truncated payloads, no hash)
+    // (no id divisible by 17 — those are truncated payloads)
+    for (d <- Seq(1L, 2L, 3L, 4L, 10L, 23L, 100L, 254L, 256L, 399L)) {
+      val got = PerceptualHash.ahash(MediaCodec.synthImage(d))
+      assert(got.contains(closedFormAhash(d)), s"doc $d")
+    }
+  }
+
+  test("undecodable payloads hash to nothing") {
+    assert(PerceptualHash.ahash(MediaCodec.synthImage(17L)).isEmpty)
+    assert(PerceptualHash.ahash(Array[Byte](1, 2, 3)).isEmpty)
+    assert(PerceptualHash.ahash(null).isEmpty)
+  }
+
+  test("phash pairs: ordered, hamming-bounded, truncated docs excluded, " +
+    "and exact against a brute-force replay at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = PerceptualHash.phash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, b, hm) =>
+      a < b && hm >= 0 && hm <= PerceptualHash.MaxHamming })
+    assert(got.forall { case (a, b, _) => a % 17 != 0 && b % 17 != 0 })
+    // brute-force replay over the closed form (all groups/buckets are
+    // far under HotGroupCap at this scale, so capped == full clique)
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ % 17 != 0)
+    val hs = ids.map(d => d -> closedFormAhash(d)).toMap
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      hm = java.lang.Long.bitCount(hs(i)._1 ^ hs(j)._1) +
+        java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2)
+      if hm <= PerceptualHash.MaxHamming
+    } yield (i, j, hm)).sorted
+    assert(hs.values.groupBy(identity).values.map(_.size).max
+      <= Dedup.HotGroupCap, "scale assumption: groups under the cap")
+    assert(got.toSeq.sorted == expected.toSeq)
+  }
+}

@@ -119,6 +119,43 @@ class StreamingNearDupSpec extends AnyFunSuite {
     }
   }
 
+  test("uniquePairs: exactly-once (doc_a, doc_b) across bands and " +
+    "cross-batch re-emissions") {
+    import spark.implicits._
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // identical texts collide in ALL FOUR bands; re-sending doc 2 in a
+    // later batch re-emits the pair from every band a second time
+    val batches = Seq(
+      Seq((1L, text, ts(0))),
+      Seq((2L, text, ts(1000))),
+      Seq((2L, text, ts(2000))))
+    // raw contract: one row per colliding band (and again on re-arrival)
+    val raw = runStream(batches)
+    assert(raw.count(p => p.doc_a == 1L && p.doc_b == 2L) >= 8,
+      s"expected 4 bands x 2 arrivals, got ${raw.toSeq}")
+    // deduped stage: exactly one row within the watermark horizon
+    val stream = MemoryStream[(Long, String, Timestamp)](spark)
+    val deduped = StreamingNearDup.uniquePairs(
+      stream.toDF().toDF("doc_id", "text", "event_ts"))
+    val name = s"neardup_uniq_${System.nanoTime()}"
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("neardup-uniq-ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      val got = spark.table(name)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(got == Seq((1L, 2L, 1.0)),
+        s"expected exactly one deduped pair row, got $got")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   test("hot bucket: deterministic capped membership, no lost comparisons") {
     // 260 identical docs > HotGroupCap=256: every newcomer compares
     // against min(i, cap) residents; membership stops growing at the cap
