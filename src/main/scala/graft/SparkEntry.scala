@@ -113,6 +113,8 @@ object SparkEntry {
     "sim_lsh_topk"          -> (Similarity.lshTopK _),
     "sim_pq_topk"           -> (Similarity.pqTopK _),
     "sim_ivfpq_topk"        -> (IvfPq.topK _),
+    "sim_hnsw_topk"         -> (HnswIndex.topK _),
+    "sim_recall_matrix"     -> (Similarity.recallMatrix _),
     "sim_pq_lifecycle"      -> (PqIndex.lifecycle _),
     "sim_pq_incremental"    -> (PqIndex.incremental _),
     "sim_quantize"          -> (Corpus.quantizeProfile _),
@@ -280,6 +282,31 @@ object SparkEntry {
        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
        |SELECT a AS doc_id, least(a, min(b)) AS cluster
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
+  /** Exact cosine top-k restated relationally — the oracle for BOTH
+    * `sim_brute_topk` (by definition) and `sim_hnsw_topk` (by the
+    * recall-1.0-at-verification-scale gate). */
+  private def bruteTopKOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nrm AS (
+       |  SELECT vec_id,
+       |         list_transform(v, a ->
+       |           a / sqrt(list_sum(list_transform(v, b -> b * b)))) AS nv
+       |  FROM e),
+       |q AS (SELECT vec_id AS q_id, nv AS qnv FROM nrm
+       |      WHERE vec_id % ${Similarity.QueryStride} = 0),
+       |s AS (
+       |  SELECT q.q_id, e.vec_id AS n_id,
+       |         round(list_sum(list_transform(range(1, 65),
+       |               i -> q.qnv[i] * e.nv[i])), 4) AS sim
+       |  FROM nrm e, q WHERE e.vec_id <> q.q_id),
+       |r AS (
+       |  SELECT q_id, n_id, sim,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY sim DESC, n_id) AS rank
+       |  FROM s)
+       |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM r
+       |WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""".stripMargin
 
   private def simhashOracle: String = {
     def hexToLong(expr: String) =
@@ -735,7 +762,34 @@ object SparkEntry {
         |ORDER BY date, hour, pub_id, device_id, resolution, deal NULLS FIRST"""
         .stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    baseOracleSql + ("sim_recall_matrix" -> recallMatrixOracle(baseOracleSql))
+
+  /** `sim_recall_matrix`'s oracle, composed from the family oracles it
+    * audits: each family's full top-k statement (already proven
+    * hash-exact on its own row) embeds as a subquery, recall@K is the
+    * overlap with the brute-force top-k. Turns every "recall provably
+    * ≤ ..." comment into a measured, regression-guarded number. */
+  private def recallMatrixOracle(base: Map[String, String]): String = {
+    val fams = Seq("lsh" -> "sim_lsh_topk", "ivf" -> "sim_ivf_topk",
+      "pq" -> "sim_pq_topk", "ivfpq" -> "sim_ivfpq_topk",
+      "hnsw" -> "sim_hnsw_topk")
+    val famSql = fams.map { case (f, k) =>
+      s"SELECT '$f' AS family, q_id, n_id FROM (\n${base(k)})"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH brute AS (SELECT q_id, n_id FROM (\n${base("sim_brute_topk")})),
+       |tot AS (SELECT count(*) AS n_true,
+       |               count(DISTINCT q_id) AS n_queries FROM brute),
+       |fam AS (
+       |  $famSql),
+       |h AS (SELECT family, count(*) AS n_hits
+       |      FROM fam JOIN brute USING (q_id, n_id) GROUP BY 1)
+       |SELECT family, n_queries, n_hits,
+       |       round(n_hits * 1.0 / n_true, 4) AS recall
+       |FROM h, tot ORDER BY family""".stripMargin
+  }
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "q_partition_discovery" ->
       """SELECT CAST(datepart('year', ts) AS INT) AS year,
         |       CAST(datepart('month', ts) AS INT) AS month,
@@ -1584,27 +1638,12 @@ object SparkEntry {
          |       min(a_id) AS keeper, max(sim) AS max_sim
          |FROM pairs WHERE sim >= ${Dedup.EmbeddingCosThreshold}
          |GROUP BY b_id ORDER BY vec_id""".stripMargin,
-    "sim_brute_topk" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |nrm AS (
-         |  SELECT vec_id,
-         |         list_transform(v, a ->
-         |           a / sqrt(list_sum(list_transform(v, b -> b * b)))) AS nv
-         |  FROM e),
-         |q AS (SELECT vec_id AS q_id, nv AS qnv FROM nrm
-         |      WHERE vec_id % ${Similarity.QueryStride} = 0),
-         |s AS (
-         |  SELECT q.q_id, e.vec_id AS n_id,
-         |         round(list_sum(list_transform(range(1, 65),
-         |               i -> q.qnv[i] * e.nv[i])), 4) AS sim
-         |  FROM nrm e, q WHERE e.vec_id <> q.q_id),
-         |r AS (
-         |  SELECT q_id, n_id, sim,
-         |         row_number() OVER (PARTITION BY q_id
-         |                            ORDER BY sim DESC, n_id) AS rank
-         |  FROM s)
-         |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM r
-         |WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""".stripMargin,
+    "sim_brute_topk" -> bruteTopKOracle,
+    // HNSW is gated against the EXACT top-k: at verification scale the
+    // EfSearch beam must achieve recall 1.0 (HnswIndex header), so a
+    // construction or search bug hash-mismatches instead of silently
+    // shaving recall
+    "sim_hnsw_topk" -> bruteTopKOracle,
     "sim_pq_topk" ->
       s"""WITH ${pqCtes()}
          |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM (

@@ -736,4 +736,33 @@ object Similarity {
         max(col("sim")).as("max_sim"))
       .orderBy("vec_id")
   }
+
+  /** `sim_recall_matrix`: measured recall@K of every ANN family
+    * against the exact top-k on the same corpus — the accounting row
+    * that turns the families' "recall provably ≤ ..." analysis into a
+    * regression-guarded number (the oracle recomputes each family's
+    * top-k relationally and takes the same overlap). One row per
+    * family: (family, n_queries, n_hits, recall), where recall =
+    * |family ∩ brute| / |brute| over the (q_id, n_id) pairs. */
+  def recallMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val brute = bruteForceTopK(spark, dir).select(col("q_id"), col("n_id"))
+    val bruteM = Materialize(brute) // consumed by 1 join + 1 aggregate
+    val fams = Seq(
+      "lsh" -> lshTopK(spark, dir),
+      "ivf" -> ivfTopK(spark, dir),
+      "pq" -> pqTopK(spark, dir),
+      "ivfpq" -> IvfPq.topK(spark, dir),
+      "hnsw" -> HnswIndex.topK(spark, dir))
+    val all = fams.map { case (f, df) =>
+      df.select(col("q_id"), col("n_id")).withColumn("family", lit(f))
+    }.reduce(_ unionByName _)
+    val tot = bruteM.agg(count(lit(1)).as("n_true"),
+      countDistinct(col("q_id")).as("n_queries"))
+    all.join(bruteM, Seq("q_id", "n_id"))
+      .groupBy("family").agg(count(lit(1)).as("n_hits"))
+      .crossJoin(tot)
+      .select(col("family"), col("n_queries"), col("n_hits"),
+        round(col("n_hits") * lit(1.0) / col("n_true"), 4).as("recall"))
+      .orderBy("family")
+  }
 }
