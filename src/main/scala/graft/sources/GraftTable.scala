@@ -153,7 +153,12 @@ object GraftTable {
     * part-file names). */
   def isCommitted(spark: SparkSession, root: String, batchId: Long): Boolean = {
     val (hfs, rootPath) = fs(spark, root)
-    hfs.exists(new Path(new Path(rootPath, LogDir), version(batchId)))
+    // fast path: the commit file stands. After a checkpoint folds a
+    // version, its commit FILE is gone but the version is still durably
+    // committed (it lives in the manifest) — a replayed batch must skip
+    // it, not redo it, so fall back to the folded history.
+    hfs.exists(new Path(new Path(rootPath, LogDir), version(batchId))) ||
+      versions(spark, root).contains(batchId)
   }
 
   private def sinkOf(rel: String): String = rel.takeWhile(_ != '/')
@@ -222,9 +227,22 @@ object GraftTable {
           "batch's directories; the table needs a single writer per batch")
       return published
     }
+    val hist = history(spark, root)
+    // replay after the version was FOLDED into a checkpoint: the commit
+    // file is gone but the version is committed — re-publishing would
+    // duplicate it (and could fight a later compaction for the batch
+    // dirs). Same lost-file check as the standing-commit replay path.
+    hist.find(_.batchId == batchId).foreach { v =>
+      val lost = v.files.filterNot(f => hfs.exists(new Path(rootPath, f)))
+      if (lost.nonEmpty) throw new IllegalStateException(
+        s"commit v$batchId references ${lost.size} missing file(s) " +
+          s"(first: ${lost.head}) — a concurrent writer overwrote this " +
+          "batch's directories; the table needs a single writer per batch")
+      return v.files
+    }
     val files = batchFiles(hfs, rootPath, batchId)
     val schemas = sinkSchemas(spark, root, files)
-    val prior = history(spark, root).filter(_.batchId < batchId)
+    val prior = hist.filter(_.batchId < batchId)
     schemas.foreach { case (sink, b64) =>
       checkCommitEvolution(prior, sink, decodeSchema(b64))
     }

@@ -181,6 +181,42 @@ class GraftTableSpec extends AnyFunSuite {
     assert(e.getMessage.contains("missing file"))
   }
 
+  test("two writers on ONE batch id with different content: exactly one " +
+    "committed winner, the destroyed side loses LOUDLY") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("gt-2writers").toString
+    // writer A lands and commits
+    Seq((1L, "writer-A")).toDF("id", "text").coalesce(1)
+      .write.parquet(s"$root/docs/batch_id=0")
+    val pubA = GraftTable.commit(spark, root, 0)
+    // writer B, unaware of A, dynamically overwrites the same batch dir
+    // (new part-file names destroy A's committed files) and commits
+    Seq((2L, "writer-B")).toDF("id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/docs/batch_id=0")
+    val e = intercept[IllegalStateException](GraftTable.commit(spark, root, 0))
+    assert(e.getMessage.contains("missing file") &&
+      e.getMessage.contains("single writer"))
+    // deterministic end state: A's manifest is the one committed truth
+    // (exactly one v0, naming A's files), B holds a loud error
+    val log = new java.io.File(s"$root/_graft_log")
+    assert(log.list().count(_ == "v00000000000000000000.json") == 1)
+    assert(GraftTable.committedFiles(spark, root) == pubA)
+
+    // the benign interleaving reconciles: B lands BEFORE A commits →
+    // the first commit publishes what is actually on disk, the second
+    // replays idempotently to the same list — one version, no error
+    val root2 = Files.createTempDirectory("gt-2writers-b").toString
+    Seq((1L, "writer-A")).toDF("id", "text").coalesce(1)
+      .write.parquet(s"$root2/docs/batch_id=0")
+    Seq((2L, "writer-B")).toDF("id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root2/docs/batch_id=0")
+    val first = GraftTable.commit(spark, root2, 0)
+    val second = GraftTable.commit(spark, root2, 0)
+    assert(first == second && first.nonEmpty)
+    assert(GraftTable.read(spark, root2, "docs")
+      .select("text").head().getString(0) == "writer-B")
+  }
+
   test("racing writers on one version: rename arbitrates, replays reconcile") {
     import org.apache.hadoop.fs.Path
     val log = new Path(
