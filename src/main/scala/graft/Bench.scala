@@ -33,6 +33,9 @@ object Bench {
     graft.operators.Dedup.clearMemo()
     graft.operators.Similarity.clearCentsMemo()
     graft.operators.Similarity.clearPqMemo()
+    graft.operators.Similarity.clearBruteMemo()
+    graft.operators.IvfPq.clearTopKMemo()
+    graft.operators.HnswIndex.clearTopKMemo()
     graft.operators.QualityClassifier.clearMemo()
     graft.operators.Bpe.clearMemo()
     graft.operators.TextAnalysis.clearMemo()

@@ -111,7 +111,22 @@ object Similarity {
     * partition emits at most K rows per query.
     */
   def bruteForceTopK(spark: SparkSession, dir: String,
-                     maxQueries: Int = MaxQueryBlock): DataFrame = {
+                     maxQueries: Int = MaxQueryBlock): DataFrame =
+    if (maxQueries == MaxQueryBlock)
+      // memoized per (session, dir) at the default cap: the recall
+      // matrix and sim_brute_topk consume the same exact top-k, and
+      // the corpus stream is the dominant cost (lineage-free frame)
+      MemoStats.cached(bruteMemo, (spark, dir))(
+        Materialize(bruteForceTopKUncached(spark, dir, maxQueries)))
+    else bruteForceTopKUncached(spark, dir, maxQueries)
+
+  private val bruteMemo = scala.collection.concurrent
+    .TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def clearBruteMemo(): Unit = bruteMemo.clear()
+
+  private def bruteForceTopKUncached(spark: SparkSession, dir: String,
+                                     maxQueries: Int): DataFrame = {
     import spark.implicits._
     val normed = normalized(spark, dir)
     // limit BEFORE collect: the cap must bound driver memory
