@@ -41,13 +41,13 @@ import graft.sources.GraftTable
   * (`SELECT … FROM cat.db.t`), time-travel (`VERSION AS OF`), and
   * maintain by name.
   *
-  * `<kind>` ∈ MINHASH | WINNOW | TERMS | DECONTAM | IVF | PQ. The
+  * `<kind>` ∈ MINHASH | WINNOW | TERMS | DECONTAM | IVF | PQ | HNSW. The
   * INDEX verbs drive the persisted index lifecycles
   * ([[graft.operators.MinhashIndex]] & friends) — build/merge/compact/
   * vacuum as eager commands over an arbitrary parenthesized source
   * query whose columns must match the index's input contract:
   * `(doc_id, text)` for the text kinds, `(vec_id, v: array<double>)`
-  * for PQ, `(vec_id, label, v: array<double>)` for IVF. The READ side
+  * for PQ and HNSW, `(vec_id, label, v: array<double>)` for IVF. The READ side
   * is deliberately not a command (a command would collect corpus-sized
   * results to the driver): for the text kinds it is the lazy table
   * function `graft_index_query(kind, indexRoot, docsDir[, predicate])`
@@ -286,7 +286,7 @@ object GraftSqlParser {
   private val CheckpointNamedRe =
     s"""(?is)\\s*GRAFT\\s+CHECKPOINT\\s+$Ident(?:\\s+THROUGH\\s+(\\d+))?\\s*;?\\s*""".r
   private val IndexFromRe =
-    """(?is)\s*GRAFT\s+INDEX\s+(BUILD|MERGE)\s+(MINHASH|WINNOW|TERMS|DECONTAM|IVF|PQ)\s+'([^']+)'\s+FROM\s+(\(.+?)\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+INDEX\s+(BUILD|MERGE)\s+(MINHASH|WINNOW|TERMS|DECONTAM|IVF|PQ|HNSW)\s+'([^']+)'\s+FROM\s+(\(.+?)\s*;?\s*""".r
   private val IndexCompactRe =
     """(?is)\s*GRAFT\s+INDEX\s+COMPACT\s+(MINHASH|WINNOW|TERMS|IVF)\s+'([^']+)'\s*;?\s*""".r
   private val IndexVacuumRe =
@@ -588,6 +588,14 @@ case class GraftIndexCommand(verb: String, kind: String, root: String,
       case ("PQ", "BUILD") => PqIndex.build(src, root)
       case ("PQ", "MERGE") => PqIndex.merge(src, root)
       case ("PQ", "VACUUM") => PqIndex.vacuum(spark, root)
+      case ("HNSW", "BUILD") | ("HNSW", "MERGE") =>
+        if (verb == "BUILD") graft.operators.HnswIndex.build(src, root)
+        else graft.operators.HnswIndex.merge(src, root)
+        // HNSW versions whole graphs (graph.v<N>), not generations
+        val (hfs, pp) = IndexStore.fs(spark, root)
+        val vs = IndexStore.markedIds(hfs, pp, "graph.v")
+        return Seq(Row(kind, vs.size.toLong,
+          s"${verb.toLowerCase} ok (graph v${vs.max})"))
       case ("IVF", "REBUILD") | ("PQ", "REBUILD") =>
         // drift-triggered retrain: a no-op below the threshold, so a
         // scheduled maintenance pass is safe to run unconditionally

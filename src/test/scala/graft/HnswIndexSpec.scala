@@ -109,6 +109,34 @@ class HnswIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL surface: GRAFT INDEX BUILD/MERGE HNSW drives the same " +
+    "lifecycle as the Scala API") {
+    import org.apache.spark.sql.functions._
+    GraftExtensions.install(spark)
+    graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .createOrReplaceTempView("hnsw_vecs")
+    val root = Files.createTempDirectory("hnsw-sql").toString
+    val built = spark.sql(s"GRAFT INDEX BUILD HNSW '$root/g' FROM " +
+      "(SELECT vec_id, v FROM hnsw_vecs WHERE vec_id % 10 <> 3)").collect()
+    assert(built.head.getString(2).contains("graph v1"))
+    val merged = spark.sql(s"GRAFT INDEX MERGE HNSW '$root/g' FROM " +
+      "(SELECT vec_id, v FROM hnsw_vecs WHERE vec_id % 10 = 3)").collect()
+    assert(merged.head.getString(2).contains("graph v2"))
+    // the merged SQL-built graph equals the Scala build of the union
+    val scalaRoot = Files.createTempDirectory("hnsw-sql-twin").toString
+    HnswIndex.build(spark, sf0001, scalaRoot)
+    val gSql = HnswIndex.loadGraph(spark, s"$root/g")
+    val gApi = HnswIndex.loadGraph(spark, scalaRoot)
+    assert(gSql.entry == gApi.entry &&
+      gSql.nodes.keySet == gApi.nodes.keySet)
+    gSql.nodes.foreach { case (id, (_, per)) =>
+      assert(per.zip(gApi.nodes(id)._2)
+        .forall { case (a, b) => a.sameElements(b) }, s"node $id")
+    }
+  }
+
   test("capacity gate: a corpus past MaxBuild fails loudly with the " +
     "IVF pointer, before any graph work") {
     import spark.implicits._

@@ -20,7 +20,10 @@ class OperatorSurfaceSpec extends AnyFunSuite {
     "q_mixture_sample",
     // three 1-row global aggregates (the separate-distinct profile
     // shape) cross-joined; a 1-row build side can't blow up
-    "q_profile_events")
+    "q_profile_events",
+    // the brute top-k totals (one row: n_true, n_queries) cross-joined
+    // onto the 5-row per-family hit counts
+    "sim_recall_matrix")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
