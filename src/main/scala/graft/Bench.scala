@@ -31,6 +31,7 @@ object Bench {
 
   private def clearMemos(spark: SparkSession): Unit = {
     graft.operators.Dedup.clearMemo()
+    graft.operators.PerceptualHash.clearMemo()
     graft.operators.Similarity.clearCentsMemo()
     graft.operators.Similarity.clearPqMemo()
     graft.operators.Similarity.clearBruteMemo()

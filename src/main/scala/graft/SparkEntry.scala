@@ -64,6 +64,10 @@ object SparkEntry {
     "dedup_simhash"         -> (Dedup.simhash _),
     "dedup_ngram_jaccard"   -> (Dedup.ngramJaccard _),
     "dedup_phash"           -> (PerceptualHash.phash _),
+    "dedup_phash_clusters"  -> ((s, d) => Dedup.clusters(
+      PerceptualHash.phash(s, d)
+        .select(org.apache.spark.sql.functions.col("doc_a"),
+          org.apache.spark.sql.functions.col("doc_b")))),
     "dedup_embedding"       -> ((s, d) => Dedup.embeddingNearDup(s, d)),
     "dedup_clusters"        -> (Dedup.clusters _),
     "dedup_crosscorpus"     -> { (s, d) =>
@@ -770,6 +774,78 @@ object SparkEntry {
     * hash-exact on its own row) embeds as a subquery, recall@K is the
     * overlap with the brute-force top-k. Turns every "recall provably
     * ≤ ..." comment into a measured, regression-guarded number. */
+  /** The dedup_phash pair statement — shared by the pair row and
+    * the connected-components row. */
+  private def phashPairsOracle: String = {
+    val cap = Dedup.HotGroupCap
+      // decoded row → written ramp row: straight for PNG (even ids),
+      // vertically flipped for BMP (odd ids — BMP stores bottom-up)
+      val px = "((CASE WHEN doc_id % 2 = 0 THEN (b // 8) * h // 8 " +
+        "ELSE h - 1 - ((b // 8) * h // 8) END) * w + ((b % 8) * w // 8))"
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CAST(4 * (1 + doc_id % 8) AS BIGINT) AS w,
+         |         CAST(2 + (doc_id * 5) % 14 AS BIGINT) AS h
+         |  FROM documents WHERE doc_id % 17 <> 0),
+         |g AS (
+         |  SELECT doc_id,
+         |         list_transform(range(0, 64), b ->
+         |             (doc_id + 3 * $px) % 256
+         |           + (doc_id + 3 * $px + 1) % 256
+         |           + (doc_id + 3 * $px + 2) % 256) AS gs
+         |  FROM d),
+         |gt AS (SELECT doc_id, gs, list_sum(gs) AS tot FROM g),
+         |hsh AS (
+         |  SELECT doc_id,
+         |         CAST(list_sum(list_transform(range(0, 32), b ->
+         |           CASE WHEN 64 * gs[b + 1] > tot
+         |                THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS phi,
+         |         CAST(list_sum(list_transform(range(32, 64), b ->
+         |           CASE WHEN 64 * gs[b + 1] > tot
+         |                THEN (1::BIGINT << (b - 32)) ELSE 0 END)) AS BIGINT) AS plo
+         |  FROM gt),
+         |grp AS (SELECT phi, plo, min(doc_id) AS mn, count(*) AS n
+         |        FROM hsh GROUP BY 1, 2),
+         |mem AS (SELECT h.doc_id, h.phi, h.plo, grp.mn, grp.n
+         |        FROM hsh h JOIN grp USING (phi, plo)),
+         |within AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, 0 AS hamming
+         |  FROM mem x JOIN mem y
+         |    ON x.phi = y.phi AND x.plo = y.plo AND x.doc_id < y.doc_id
+         |  WHERE x.n <= $cap OR x.doc_id = x.mn),
+         |bands AS (
+         |  SELECT mn AS rep, phi, plo, 0 AS b, phi >> 16 AS k FROM grp
+         |  UNION ALL SELECT mn, phi, plo, 1, phi & 65535 FROM grp
+         |  UNION ALL SELECT mn, phi, plo, 2, plo >> 16 FROM grp
+         |  UNION ALL SELECT mn, phi, plo, 3, plo & 65535 FROM grp),
+         |bb AS (
+         |  SELECT rep, b, k,
+         |         count(*) OVER (PARTITION BY b, k) AS bn,
+         |         min(rep) OVER (PARTITION BY b, k) AS bmn
+         |  FROM bands),
+         |cand AS (
+         |  SELECT DISTINCT x.rep AS rep_a, y.rep AS rep_b
+         |  FROM bb x JOIN bb y ON x.b = y.b AND x.k = y.k AND x.rep < y.rep
+         |  WHERE x.bn <= $cap OR x.rep = x.bmn),
+         |rp AS (
+         |  SELECT * FROM (
+         |    SELECT a.phi AS pa_hi, a.plo AS pa_lo,
+         |           b2.phi AS pb_hi, b2.plo AS pb_lo,
+         |           CAST(bit_count(xor(a.phi, b2.phi))
+         |                + bit_count(xor(a.plo, b2.plo)) AS INT) AS hamming
+         |    FROM cand JOIN grp a ON a.mn = cand.rep_a
+         |              JOIN grp b2 ON b2.mn = cand.rep_b)
+         |  WHERE hamming <= ${PerceptualHash.MaxHamming}),
+         |crossg AS (
+         |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
+         |         greatest(ma.doc_id, mb.doc_id) AS doc_b, hamming
+         |  FROM rp JOIN hsh ma ON ma.phi = rp.pa_hi AND ma.plo = rp.pa_lo
+         |          JOIN hsh mb ON mb.phi = rp.pb_hi AND mb.plo = rp.pb_lo)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT * FROM within UNION ALL SELECT * FROM crossg)
+         |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private def recallMatrixOracle(base: Map[String, String]): String = {
     val fams = Seq("lsh" -> "sim_lsh_topk", "ivf" -> "sim_ivf_topk",
       "pq" -> "sim_pq_topk", "ivfpq" -> "sim_ivfpq_topk",
@@ -1298,75 +1374,22 @@ object SparkEntry {
     // (selfJoinCapped on the rep bands and on the identical-hash
     // groups) are restated verbatim — exact at any scale, not just
     // while buckets stay under the cap
-    "dedup_phash" -> {
-      val cap = Dedup.HotGroupCap
-      // decoded row → written ramp row: straight for PNG (even ids),
-      // vertically flipped for BMP (odd ids — BMP stores bottom-up)
-      val px = "((CASE WHEN doc_id % 2 = 0 THEN (b // 8) * h // 8 " +
-        "ELSE h - 1 - ((b // 8) * h // 8) END) * w + ((b % 8) * w // 8))"
-      s"""WITH d AS (
-         |  SELECT doc_id,
-         |         CAST(4 * (1 + doc_id % 8) AS BIGINT) AS w,
-         |         CAST(2 + (doc_id * 5) % 14 AS BIGINT) AS h
-         |  FROM documents WHERE doc_id % 17 <> 0),
-         |g AS (
-         |  SELECT doc_id,
-         |         list_transform(range(0, 64), b ->
-         |             (doc_id + 3 * $px) % 256
-         |           + (doc_id + 3 * $px + 1) % 256
-         |           + (doc_id + 3 * $px + 2) % 256) AS gs
-         |  FROM d),
-         |gt AS (SELECT doc_id, gs, list_sum(gs) AS tot FROM g),
-         |hsh AS (
-         |  SELECT doc_id,
-         |         CAST(list_sum(list_transform(range(0, 32), b ->
-         |           CASE WHEN 64 * gs[b + 1] > tot
-         |                THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS phi,
-         |         CAST(list_sum(list_transform(range(32, 64), b ->
-         |           CASE WHEN 64 * gs[b + 1] > tot
-         |                THEN (1::BIGINT << (b - 32)) ELSE 0 END)) AS BIGINT) AS plo
-         |  FROM gt),
-         |grp AS (SELECT phi, plo, min(doc_id) AS mn, count(*) AS n
-         |        FROM hsh GROUP BY 1, 2),
-         |mem AS (SELECT h.doc_id, h.phi, h.plo, grp.mn, grp.n
-         |        FROM hsh h JOIN grp USING (phi, plo)),
-         |within AS (
-         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, 0 AS hamming
-         |  FROM mem x JOIN mem y
-         |    ON x.phi = y.phi AND x.plo = y.plo AND x.doc_id < y.doc_id
-         |  WHERE x.n <= $cap OR x.doc_id = x.mn),
-         |bands AS (
-         |  SELECT mn AS rep, phi, plo, 0 AS b, phi >> 16 AS k FROM grp
-         |  UNION ALL SELECT mn, phi, plo, 1, phi & 65535 FROM grp
-         |  UNION ALL SELECT mn, phi, plo, 2, plo >> 16 FROM grp
-         |  UNION ALL SELECT mn, phi, plo, 3, plo & 65535 FROM grp),
-         |bb AS (
-         |  SELECT rep, b, k,
-         |         count(*) OVER (PARTITION BY b, k) AS bn,
-         |         min(rep) OVER (PARTITION BY b, k) AS bmn
-         |  FROM bands),
-         |cand AS (
-         |  SELECT DISTINCT x.rep AS rep_a, y.rep AS rep_b
-         |  FROM bb x JOIN bb y ON x.b = y.b AND x.k = y.k AND x.rep < y.rep
-         |  WHERE x.bn <= $cap OR x.rep = x.bmn),
-         |rp AS (
-         |  SELECT * FROM (
-         |    SELECT a.phi AS pa_hi, a.plo AS pa_lo,
-         |           b2.phi AS pb_hi, b2.plo AS pb_lo,
-         |           CAST(bit_count(xor(a.phi, b2.phi))
-         |                + bit_count(xor(a.plo, b2.plo)) AS INT) AS hamming
-         |    FROM cand JOIN grp a ON a.mn = cand.rep_a
-         |              JOIN grp b2 ON b2.mn = cand.rep_b)
-         |  WHERE hamming <= ${PerceptualHash.MaxHamming}),
-         |crossg AS (
-         |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
-         |         greatest(ma.doc_id, mb.doc_id) AS doc_b, hamming
-         |  FROM rp JOIN hsh ma ON ma.phi = rp.pa_hi AND ma.plo = rp.pa_lo
-         |          JOIN hsh mb ON mb.phi = rp.pb_hi AND mb.plo = rp.pb_lo)
-         |SELECT doc_a, doc_b, hamming FROM (
-         |  SELECT * FROM within UNION ALL SELECT * FROM crossg)
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "dedup_phash" -> phashPairsOracle,
+    // connected components over the perceptual pairs — the same
+    // recursive-closure replay as dedup_clusters, fed by phash's pair
+    // statement (caps and all, so exact at any scale)
+    "dedup_phash_clusters" ->
+      s"""WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM (
+         |$phashPairsOracle)),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
     "dedup_clusters" -> clustersOracle,
     "dedup_crosscorpus" ->
       s"""WITH ${minhashCtesWith("x.doc_id % 2 = 1 AND y.doc_id % 2 = 0")}

@@ -100,8 +100,19 @@ object PerceptualHash {
   }
 
   /** Perceptual near-dup pairs: (doc_a, doc_b, hamming), doc_a <
-    * doc_b, hamming ≤ [[MaxHamming]]. */
-  def phash(spark: SparkSession, dir: String): DataFrame = {
+    * doc_b, hamming ≤ [[MaxHamming]]. Memoized per (session, dir) —
+    * [[graft.operators.Dedup.clusters]] consumers share the decode +
+    * pair computation (the frame is lineage-free and tiny). */
+  def phash(spark: SparkSession, dir: String): DataFrame =
+    MemoStats.cached(pairMemo, (spark, dir))(
+      Materialize(phashUncached(spark, dir)))
+
+  private val pairMemo = scala.collection.concurrent
+    .TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def clearMemo(): Unit = pairMemo.clear()
+
+  private def phashUncached(spark: SparkSession, dir: String): DataFrame = {
     val hs = Materialize(hashes(spark, dir))
 
     // within-group pairs: identical hashes, hamming 0 — clique under

@@ -111,6 +111,7 @@ object ScaleBench {
 
   private def clearMemos(spark: SparkSession): Unit = {
     graft.operators.Dedup.clearMemo()
+    graft.operators.PerceptualHash.clearMemo()
     graft.operators.Similarity.clearCentsMemo()
     graft.operators.Similarity.clearPqMemo()
     graft.operators.Similarity.clearBruteMemo()
