@@ -54,6 +54,28 @@ class GraftTableSpec extends AnyFunSuite {
     assert(GraftTable.read(spark, root, "raw").count() == n + 10)
   }
 
+  test("the TableFormat swap is real: the SAME dual-sink pipeline runs " +
+    "against DirJsonTableFormat with no pipeline code changes") {
+    val export = Files.createTempDirectory("gt-djson-export").toString
+    val cfg = cfgFor(export).copy(
+      tableFormat = graft.sources.DirJsonTableFormat)
+    val fmt = cfg.tableFormat
+    val root = s"$export/${cfg.logname}"
+    val batch = ProtoPipeline.decodeFrames(
+      ProtoPipeline.framedMessages(spark, sf0001))
+    val n = batch.count()
+    BidPipeline.exportBatch(batch, cfg, batchId = 0)
+    assert(fmt.isCommitted(spark, root, 0))
+    assert(fmt.read(spark, root, "raw").count() == n)
+    assert(fmt.read(spark, root, "hourly_requests_agg").count() > 0)
+    // replay after commit: skipped up front (isCommitted short-circuit)
+    BidPipeline.exportBatch(batch, cfg, batchId = 0)
+    assert(fmt.read(spark, root, "raw").count() == n)
+    // second batch appends; both formats agree on the protocol
+    BidPipeline.exportBatch(batch.limit(10), cfg, batchId = 1)
+    assert(fmt.read(spark, root, "raw").count() == n + 10)
+  }
+
   test("checkpoint folds the log prefix; readers see the same snapshot") {
     val export = Files.createTempDirectory("gt-ckpt-export").toString
     val cfg = cfgFor(export)
