@@ -119,6 +119,7 @@ object SparkEntry {
     "sim_ivfpq_topk"        -> (IvfPq.topK _),
     "sim_hnsw_topk"         -> (HnswIndex.topK _),
     "sim_recall_matrix"     -> (Similarity.recallMatrix _),
+    "sim_hnsw_routed"       -> (HnswRouted.topK _),
     "sim_pq_lifecycle"      -> (PqIndex.lifecycle _),
     "sim_pq_incremental"    -> (PqIndex.incremental _),
     "sim_quantize"          -> (Corpus.quantizeProfile _),
@@ -1667,6 +1668,49 @@ object SparkEntry {
     // construction or search bug hash-mismatches instead of silently
     // shaving recall
     "sim_hnsw_topk" -> bruteTopKOracle,
+    // routed (per-IVF-cell) HNSW: while cells fit the RoutedEf beam the
+    // per-cell search is exhaustive, so the composition equals "probe
+    // cells, score exactly" — ivfOracle's probe CTEs with normalized
+    // scoring (the graphs store normalized vectors)
+    "sim_hnsw_routed" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nrm AS (
+         |  SELECT vec_id,
+         |         list_transform(v, a ->
+         |           a / sqrt(list_sum(list_transform(v, b -> b * b)))) AS nv
+         |  FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+         |      WHERE vec_id % ${Similarity.QueryStride} = 0),
+         |qn AS (SELECT vec_id AS q_id, nv AS qnv FROM nrm
+         |       WHERE vec_id % ${Similarity.QueryStride} = 0),
+         |cent AS (
+         |  SELECT label, i, avg(v[i]) AS m
+         |  FROM e, range(1, 65) r(i) GROUP BY label, i),
+         |qc AS (
+         |  SELECT q.q_id, c.label,
+         |         sum((q.qv[c.i] - c.m) * (q.qv[c.i] - c.m)) AS d2
+         |  FROM q, cent c GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT q_id, label FROM (
+         |    SELECT q_id, label,
+         |           row_number() OVER (PARTITION BY q_id
+         |                              ORDER BY round(d2, 6), label) AS pr
+         |    FROM qc) WHERE pr <= ${Similarity.NProbe}),
+         |s AS (
+         |  SELECT qn.q_id, e.vec_id AS n_id,
+         |         round(list_sum(list_transform(range(1, 65),
+         |               i -> qn.qnv[i] * n.nv[i])), 4) AS sim
+         |  FROM probes p
+         |  JOIN qn ON qn.q_id = p.q_id
+         |  JOIN e ON e.label = p.label AND e.vec_id <> qn.q_id
+         |  JOIN nrm n ON n.vec_id = e.vec_id),
+         |r AS (
+         |  SELECT q_id, n_id, sim,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY sim DESC, n_id) AS rank
+         |  FROM s)
+         |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM r
+         |WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""".stripMargin,
     "sim_pq_topk" ->
       s"""WITH ${pqCtes()}
          |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM (

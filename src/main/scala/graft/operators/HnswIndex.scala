@@ -103,7 +103,7 @@ object HnswIndex {
 
   // ---- construction (driver, sequential by contract) ----------------
 
-  private final class Builder {
+  private[operators] final class Builder {
     val vecs = mutable.LongMap.empty[Array[Double]]
     val nbrs = mutable.LongMap.empty[Array[mutable.ArrayBuffer[Long]]]
     var entry: Long = -1L
@@ -230,7 +230,7 @@ object HnswIndex {
   }
 
   /** Build the graph from id-sorted normalized vectors. */
-  private def buildGraph(rows: Array[(Long, Array[Double])]): Graph = {
+  private[operators] def buildGraph(rows: Array[(Long, Array[Double])]): Graph = {
     val b = new Builder
     rows.foreach { case (id, nv) => b.insert(id, nv) }
     b.freeze()
@@ -339,8 +339,8 @@ object HnswIndex {
   /** Beam search one query against a frozen graph: greedy descent to
     * level 1, an [[EfSearch]] beam on level 0, exact rank of the beam
     * by rounded cosine (self excluded, ties by id), top `k`. */
-  def searchTopK(g: Graph, qId: Long, qnv: Array[Double], k: Int)
-      : Seq[(Int, Long, Double)] = {
+  def searchTopK(g: Graph, qId: Long, qnv: Array[Double], k: Int,
+                 ef: Int = EfSearch): Seq[(Int, Long, Double)] = {
     if (g.entry == -1L) return Nil
     def dist(id: Long): Double = -VectorOps.dot(qnv, g.nodes(id)._1)
     var cur = g.entry
@@ -380,7 +380,7 @@ object HnswIndex {
     frontier.enqueue((curD, cur)); insertSorted((curD, cur)); visited(cur) = ()
     while (frontier.nonEmpty) {
       val (cd, c) = frontier.dequeue()
-      if (buf.length >= EfSearch && cd > buf.last._1) frontier.clear()
+      if (buf.length >= ef && cd > buf.last._1) frontier.clear()
       else {
         val ns = g.nodes(c)._2(0)
         var i = 0
@@ -389,10 +389,10 @@ object HnswIndex {
           if (!visited.contains(n)) {
             visited(n) = ()
             val nd = dist(n)
-            if (buf.length < EfSearch || ord.lt((nd, n), buf.last)) {
+            if (buf.length < ef || ord.lt((nd, n), buf.last)) {
               frontier.enqueue((nd, n))
               insertSorted((nd, n))
-              if (buf.length > EfSearch) buf.remove(buf.length - 1)
+              if (buf.length > ef) buf.remove(buf.length - 1)
             }
           }
           i += 1

@@ -117,6 +117,7 @@ object ScaleBench {
     graft.operators.Similarity.clearBruteMemo()
     graft.operators.IvfPq.clearTopKMemo()
     graft.operators.HnswIndex.clearTopKMemo()
+    graft.operators.HnswRouted.clearMemo()
     graft.operators.QualityClassifier.clearMemo()
     graft.operators.Bpe.clearMemo()
     graft.operators.TextAnalysis.clearMemo()
