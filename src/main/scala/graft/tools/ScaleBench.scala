@@ -138,6 +138,7 @@ object ScaleBench {
       "dedup_minhash_lsh" -> ((s, d) => graft.operators.Dedup.minhashLsh(s, d)),
       "sim_ivfpq_topk" -> ((s, d) => graft.operators.IvfPq.topK(s, d)),
       "sim_hnsw_topk" -> ((s, d) => graft.operators.HnswIndex.topK(s, d)),
+      "sim_hnsw_routed" -> ((s, d) => graft.operators.HnswRouted.topK(s, d)),
       "q_sql_index_lifecycle" ->
         ((s, d) => graft.operators.MinhashIndex.sqlLifecycle(s, d)),
       "q_stream_hourly_files" ->
