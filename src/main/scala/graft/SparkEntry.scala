@@ -840,8 +840,10 @@ object SparkEntry {
          |crossg AS (
          |  SELECT least(ma.doc_id, mb.doc_id) AS doc_a,
          |         greatest(ma.doc_id, mb.doc_id) AS doc_b, hamming
-         |  FROM rp JOIN hsh ma ON ma.phi = rp.pa_hi AND ma.plo = rp.pa_lo
-         |          JOIN hsh mb ON mb.phi = rp.pb_hi AND mb.plo = rp.pb_lo)
+         |  FROM rp JOIN mem ma ON ma.phi = rp.pa_hi AND ma.plo = rp.pa_lo
+         |          JOIN mem mb ON mb.phi = rp.pb_hi AND mb.plo = rp.pb_lo
+         |  WHERE (ma.n <= $cap OR ma.doc_id = ma.mn)
+         |    AND (mb.n <= $cap OR mb.doc_id = mb.mn))
          |SELECT doc_a, doc_b, hamming FROM (
          |  SELECT * FROM within UNION ALL SELECT * FROM crossg)
          |ORDER BY doc_a, doc_b""".stripMargin

@@ -50,10 +50,17 @@ import org.apache.spark.sql.types._
   * 4 with id ties — two builds of the same corpus are byte-identical,
   * and `sim_hnsw_topk` is gated against the EXACT top-k oracle: at
   * verification scale the beam ([[EfSearch]]) is wide enough that the
-  * graph must return the true top-[[Similarity.K]] for every query —
+  * graph returns the true top-[[Similarity.K]] for every query —
   * recall loss, a construction bug, or a search bug all hash-mismatch.
-  * Measured recall vs [[Similarity.bruteForceTopK]] at larger scales
-  * is tracked by the spec and reported by `sim_recall_matrix`.
+  * That exactness is EMPIRICAL at the gated scales (regression-guarded
+  * by the oracle row every round), not a structural guarantee: the
+  * level-0 graph is directed and [[Builder.prune]] drops over-cap
+  * edges one-sided, so a node can in principle lose all in-edges and
+  * fall out of reach of any beam — see the note on `prune`. Measured
+  * recall vs [[Similarity.bruteForceTopK]] at larger scales is tracked
+  * by the spec and reported by `sim_recall_matrix`; provably-exhaustive
+  * small-cell search is [[HnswRouted]]'s contract (cells at or under
+  * `RoutedEf` are brute-scanned, no reachability assumption).
   */
 object HnswIndex {
 
@@ -187,7 +194,15 @@ object HnswIndex {
     }
 
     /** Keep a node's neighbor list to its cap: the `cap` closest by
-      * (distance, id) — the paper's simple selection, deterministic. */
+      * (distance, id) — the paper's simple selection, deterministic.
+      *
+      * Pruning is ONE-SIDED (only the over-cap node's list shrinks;
+      * the dropped neighbor keeps its edge back), so a node whose
+      * every in-edge is pruned away becomes unreachable from the entry
+      * point and the level-0 beam is then non-exhaustive on that
+      * corpus. The oracle row catches this as a hash mismatch at the
+      * gated scales — empirically it has not occurred — and the routed
+      * family sidesteps it entirely by brute-scanning small cells. */
     private def prune(id: Long, level: Int): Unit = {
       val cap = capOf(level)
       val ns = nbrs(id)(level)
@@ -271,10 +286,19 @@ object HnswIndex {
     vs.max
   }
 
-  /** Build from a (vec_id, v) frame into `indexPath` (version 1). */
+  /** Build from a (vec_id, v) frame into `indexPath` (version 1).
+    *
+    * The root is RESET first (same discipline as the other index
+    * kinds): without it, a rebuild after merges would write graph.v1
+    * underneath a still-marked graph.v2+ — readers resolve the max
+    * marked version, so the fresh build would be silently invisible,
+    * and overwriting v1 in place while its marker stands would violate
+    * the write-first/mark-last crash contract. */
   def build(vecs: DataFrame, indexPath: String): Unit =
     IndexStore.withLock(vecs.sparkSession, indexPath) {
       val spark = vecs.sparkSession
+      val (hfs, p) = IndexStore.fs(spark, indexPath)
+      IndexStore.resetRoot(hfs, p)
       val rows = gatedCollect(Similarity.normalizedFrom(vecs))
       writeVersion(spark, indexPath, 1L, buildGraph(rows),
         IndexStore.batchFingerprint(vecs, "vec_id", "v"))
@@ -284,10 +308,24 @@ object HnswIndex {
   def build(spark: SparkSession, dir: String, indexPath: String): Unit =
     build(Similarity.corpus(spark, dir), indexPath)
 
+  /** Size past which [[merge]] warns: a flat-graph merge replays the
+    * ENTIRE union sequentially on the driver (O(corpus · log corpus)
+    * inserts per increment, ~10 min at the [[MaxBuild]] gate — measured
+    * in SCALE.md), so a corpus that keeps growing belongs in
+    * [[HnswRouted]], whose merge rebuilds only the cells that received
+    * vectors. */
+  val MergeReplayWarn: Int = MaxBuild / 4
+
   /** Incremental ingest: insert a new batch into the CURRENT graph and
     * publish it as the next version (HNSW edges are globally entangled
     * — a version rewrite, not an append; the one-version grace keeps
-    * in-flight readers alive). Idempotent per batch fingerprint. */
+    * in-flight readers alive). Idempotent per batch fingerprint.
+    *
+    * COST HONESTY: this is a FULL REPLAY — every existing node plus the
+    * batch is re-inserted in id order (the only order-independent,
+    * oracle-replayable result). Per-increment cost is O(corpus), not
+    * O(batch); past [[MergeReplayWarn]] a warning names the routed
+    * family as the scalable increment path. */
   def merge(vecs: DataFrame, indexPath: String): Unit =
     IndexStore.withLock(vecs.sparkSession, indexPath) {
       val spark = vecs.sparkSession
@@ -304,6 +342,13 @@ object HnswIndex {
           .filterNot { case (id, _) => existing.contains(id) }
         require(g.nodes.size + fresh.length <= MaxBuild,
           s"HNSW merge would exceed the capacity gate ($MaxBuild)")
+        if (g.nodes.size + fresh.length > MergeReplayWarn)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"flat HNSW merge replays the whole graph " +
+              s"(${g.nodes.size + fresh.length} nodes) sequentially on " +
+              "the driver — O(corpus) per increment; for a growing " +
+              "corpus use the routed family (HnswRouted.merge rebuilds " +
+              "only the cells receiving vectors)")
         val b = new Builder
         // replay the existing graph's construction inputs in id order,
         // then the fresh batch: same deterministic order a from-scratch

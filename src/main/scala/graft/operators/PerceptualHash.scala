@@ -38,7 +38,16 @@ import org.apache.spark.sql.functions._
   *  5. expansion back to member pairs: cross-group pairs inherit the
   *     representatives' hamming, within-group pairs are hamming 0 and
   *     go through [[Dedup.selfJoinCapped]] keyed on the hash itself
-  *     (clique under the cap, star above).
+  *     (clique under the cap, star above). The CROSS-group expansion
+  *     is capped by the same discipline: each side expands to its full
+  *     member set only while the group is ≤ [[Dedup.HotGroupCap]] —
+  *     an over-cap group contributes only its representative (star
+  *     edges through the rep, whose within-group star already connects
+  *     the rest). Output per rep pair is therefore ≤ cap², never
+  *     |A|·|B|: two near-identical million-copy groups (thumbnails,
+  *     logos — the common case on a real image corpus) emit ONE pair,
+  *     not 10¹², and cluster connectivity is unchanged because every
+  *     representative reaches its members via the within-group star.
   *
   * Undecodable payloads (truncated, corrupt, hostile headers) hash to
   * nothing and simply never pair — the same total-decode contract as
@@ -112,8 +121,22 @@ object PerceptualHash {
 
   def clearMemo(): Unit = pairMemo.clear()
 
-  private def phashUncached(spark: SparkSession, dir: String): DataFrame = {
-    val hs = Materialize(hashes(spark, dir))
+  private def phashUncached(spark: SparkSession, dir: String): DataFrame =
+    pairsFromHashes(hashes(spark, dir))
+
+  /** The pair machinery over an explicit (doc_id, phi, plo) hash frame
+    * — the seam the over-[[Dedup.HotGroupCap]] spec drives directly
+    * (synthesizing 2×300 real over-cap duplicate images per run would
+    * test the decoder, not the cap). */
+  private[graft] def pairsFromHashes(hsIn: DataFrame): DataFrame = {
+    val hs = Materialize(hsIn)
+
+    // group size + min per identical hash: ONE window shuffle shared by
+    // the representative table and the capped cross-group expansion
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("phi"), col("plo"))
+    val mem = hs.withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__mn", min(col("doc_id")).over(w))
 
     // within-group pairs: identical hashes, hamming 0 — clique under
     // the cap, spanning star above (selfJoinCapped keyed on the hash)
@@ -123,9 +146,9 @@ object PerceptualHash {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         lit(0).as("hamming"))
 
-    // representatives: one row per distinct hash
-    val reps = hs.groupBy("phi", "plo")
-      .agg(min(col("doc_id")).as("rep"))
+    // representatives: one row per distinct hash (the group minimum)
+    val reps = mem.filter(col("doc_id") === col("__mn"))
+      .select(col("phi"), col("plo"), col("doc_id").as("rep"))
 
     val bandCols = Seq(
       struct(lit(0).as("b"), shiftright(col("phi"), 16).as("k")),
@@ -152,13 +175,21 @@ object PerceptualHash {
           .cast("int").as("hamming"))
       .filter(col("hamming") <= MaxHamming)
 
-    // expansion: every member of group A × every member of group B,
-    // ordered; cross-group hamming IS the representatives' hamming
-    // (identical hashes within each group)
+    // expansion: capped member set of group A × capped member set of
+    // group B, ordered; cross-group hamming IS the representatives'
+    // hamming (identical hashes within each group). "Capped" = the
+    // full group while ≤ HotGroupCap, ONLY the representative above —
+    // the hot-key star discipline of Dedup.selfJoinCapped, restated by
+    // the oracle — so output per rep pair is bounded by cap², never
+    // |A|·|B| (the uncapped form is quadratic in group size: two
+    // near-identical exact-dup families of 10⁶ members would emit
+    // 10¹² rows and a matching shuffle)
+    val capped = mem.filter(col("__n") <= Dedup.HotGroupCap ||
+      col("doc_id") === col("__mn"))
     val cross = repPairs
-      .join(hs.select(col("phi").as("pa_hi"), col("plo").as("pa_lo"),
+      .join(capped.select(col("phi").as("pa_hi"), col("plo").as("pa_lo"),
         col("doc_id").as("ida")), Seq("pa_hi", "pa_lo"))
-      .join(hs.select(col("phi").as("pb_hi"), col("plo").as("pb_lo"),
+      .join(capped.select(col("phi").as("pb_hi"), col("plo").as("pb_lo"),
         col("doc_id").as("idb")), Seq("pb_hi", "pb_lo"))
       .select(least(col("ida"), col("idb")).as("doc_a"),
         greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))

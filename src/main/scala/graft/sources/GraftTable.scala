@@ -1527,7 +1527,7 @@ object GraftTable {
               targetFileBytes: Long = 128L << 20,
               partitionPredicate: Option[String] = None): Option[Long] =
       writeLock(root).synchronized {
-    import org.apache.spark.sql.functions.{col, lit, udf}
+    import org.apache.spark.sql.functions.{col, lit}
     val (hfs, rootPath) = fs(spark, root)
     val hist = history(spark, root)
     val snap = foldFiles(hist).filter(_.startsWith(sink + "/"))
@@ -1595,10 +1595,7 @@ object GraftTable {
     val totalBins = keptBins.size
 
     val newId = nextBatchIdFrom(hist)
-    val binMap = binOf.toMap
     val rootU = rootUri
-    val binFor = udf((f: String) => binMap.getOrElse(
-      new Path(f).toUri.getPath.stripPrefix(rootU).stripPrefix("/"), -1))
     val partCols = candidates.head.split('/')
       .drop(1).dropRight(1)
       .filter(_.contains('='))
@@ -1606,8 +1603,8 @@ object GraftTable {
       .filterNot(_ == "batch_id")
     val binned = mutationRead(spark, root, sink, candidates,
         schemasDisagree(hist, sink))
-      .withColumn("__bin",
-        binFor(org.apache.spark.sql.functions.input_file_name()))
+      .withColumn("__file",
+        org.apache.spark.sql.functions.input_file_name())
       .drop("batch_id")
       .withColumn("batch_id", lit(newId))
     // EXACTLY one task per bin: hash repartitioning can collide two bins
@@ -1616,11 +1613,19 @@ object GraftTable {
     // logical partition and one batch_id, so each task writes exactly
     // one ~target-sized file. Leaving codegen for the exchange is fine:
     // compaction is an I/O-bound maintenance pass over small files.
-    val binIdx = binned.schema.fieldIndex("__bin")
-    val schema = StructType(binned.schema.filterNot(_.name == "__bin"))
+    // The file→bin map is BROADCAST and resolved inside the RDD stage
+    // the exact partitioner already forces — one shipped copy per
+    // executor (not a per-task closure), and no UDF in the plan.
+    val binMapBc = spark.sparkContext.broadcast(binOf.toMap)
+    val fileIdx = binned.schema.fieldIndex("__file")
+    val schema = StructType(binned.schema.filterNot(_.name == "__file"))
     val exactRows = binned.rdd
-      .map(r => (r.getInt(binIdx), org.apache.spark.sql.Row.fromSeq(
-        r.toSeq.patch(binIdx, Nil, 1))))
+      .map { r =>
+        val rel = new Path(r.getString(fileIdx)).toUri.getPath
+          .stripPrefix(rootU).stripPrefix("/")
+        (binMapBc.value.getOrElse(rel, -1),
+          org.apache.spark.sql.Row.fromSeq(r.toSeq.patch(fileIdx, Nil, 1)))
+      }
       .partitionBy(new org.apache.spark.Partitioner {
         override def numPartitions: Int = totalBins
         override def getPartition(key: Any): Int = key.asInstanceOf[Int]

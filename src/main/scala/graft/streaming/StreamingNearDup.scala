@@ -188,19 +188,38 @@ object StreamingNearDup {
     * composition is safe — every emitted pair carries the ARRIVING
     * document's event_ts, i.e. a timestamp from the current
     * micro-batch's admitted (non-late) input, never an older one — so
-    * the check is disabled for the session, the escape hatch Spark's
-    * guide prescribes for exactly this reviewed-and-safe shape. */
+    * the caller starts the query through [[startUnchecked]], which
+    * disables the check ONLY for that query (the escape hatch Spark's
+    * guide prescribes for exactly this reviewed-and-safe shape) and
+    * restores the session conf for everything started after. */
   def uniquePairs(docs: DataFrame, watermarkDelay: String = "1 hour",
                   bootstrapCorpus: Option[DataFrame] = None,
                   minEst: Double = EstThreshold): DataFrame = {
-    docs.sparkSession.conf.set(
-      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
-      "false")
     pairs(docs, watermarkDelay, bootstrapCorpus, minEst)
       .toDF()
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"), col("event_ts"))
       .withWatermark("event_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("doc_a", "doc_b")
+  }
+
+  /** Start a [[uniquePairs]] query with the global-watermark
+    * correctness check disabled for THAT QUERY ONLY: `start` must call
+    * `DataStreamWriter.start()` inside the thunk — a streaming query
+    * clones the session conf synchronously at start — and the prior
+    * session value is restored before this returns, so a genuinely
+    * unsafe stateful composition started elsewhere in the session is
+    * still refused. */
+  def startUnchecked[T](spark: org.apache.spark.sql.SparkSession)
+                       (start: => T): T = {
+    val key =
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try start
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Per-bucket initial state from a batch corpus: the same band rows

@@ -109,6 +109,27 @@ class HnswIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("rebuild after merges resets the root: the fresh build is what " +
+    "readers resolve, not a stale higher-versioned merged graph") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("hnsw-rebuild").toString
+    def vec(id: Long): Array[Double] =
+      Array.tabulate(64)(i => math.sin(id * 64 + i))
+    HnswIndex.build((0L until 40L).map(id => (id, vec(id)))
+      .toDF("vec_id", "v"), root)
+    HnswIndex.merge((40L until 60L).map(id => (id, vec(id)))
+      .toDF("vec_id", "v"), root)
+    assert(HnswIndex.loadGraph(spark, root).nodes.size == 60)
+    // rebuild with a DIFFERENT corpus: without resetRoot the committed
+    // graph.v2 would shadow the new graph.v1 forever
+    HnswIndex.build((100L until 110L).map(id => (id, vec(id)))
+      .toDF("vec_id", "v"), root)
+    val g = HnswIndex.loadGraph(spark, root)
+    assert(g.nodes.keySet == (100L until 110L).toSet,
+      s"rebuild invisible behind a stale merged version: ${g.nodes.size}")
+    assert(!new java.io.File(root).list().contains("graph.v2"))
+  }
+
   test("SQL surface: GRAFT INDEX BUILD/MERGE HNSW drives the same " +
     "lifecycle as the Scala API") {
     import org.apache.spark.sql.functions._

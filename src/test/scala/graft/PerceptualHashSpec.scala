@@ -74,4 +74,32 @@ class PerceptualHashSpec extends AnyFunSuite {
       <= Dedup.HotGroupCap, "scale assumption: groups under the cap")
     assert(got.toSeq.sorted == expected.toSeq)
   }
+
+  test("cross-group expansion is capped: two over-HotGroupCap duplicate " +
+    "groups within hamming<=3 emit star edges, never |A|x|B|") {
+    import spark.implicits._
+    val n = Dedup.HotGroupCap + 44 // 300 per group, both over the cap
+    val groupA = (0L until n.toLong).map(id => (id, 0L, 0L))
+    val groupB = (1000L until 1000L + n).map(id => (id, 1L, 0L))
+    val hs = (groupA ++ groupB).toDF("doc_id", "phi", "plo")
+    val got = PerceptualHash.pairsFromHashes(hs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // within each over-cap group: spanning star from the group min
+    val withinA = (1L until n.toLong).map(i => (0L, i, 0))
+    val withinB = (1001L until 1000L + n).map(i => (1000L, i, 0))
+    // cross-group: BOTH groups over the cap -> exactly the rep pair
+    // (uncapped expansion would emit 300 x 300 = 90,000 rows here)
+    val cross = Seq((0L, 1000L, 1))
+    assert(got.sorted == (withinA ++ withinB ++ cross).sorted)
+
+    // one side under the cap: the small group expands fully, the
+    // over-cap side still contributes only its representative
+    val small = Seq((2000L, 1L, 0L), (2001L, 1L, 0L))
+    val got2 = PerceptualHash
+      .pairsFromHashes((groupA ++ small).toDF("doc_id", "phi", "plo"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val cross2 = Seq((0L, 2000L, 1), (0L, 2001L, 1))
+    val within2 = withinA :+ (2000L, 2001L, 0)
+    assert(got2.sorted == (within2 ++ cross2).sorted)
+  }
 }

@@ -138,11 +138,21 @@ class StreamingNearDupSpec extends AnyFunSuite {
     val deduped = StreamingNearDup.uniquePairs(
       stream.toDF().toDF("doc_id", "text", "event_ts"))
     val name = s"neardup_uniq_${System.nanoTime()}"
-    val q = deduped.writeStream.format("memory").queryName(name)
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("neardup-uniq-ckpt").toString)
-      .trigger(Trigger.ProcessingTime(0))
-      .start()
+    val confKey =
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val priorConf = spark.conf.getOption(confKey)
+    val q = StreamingNearDup.startUnchecked(spark) {
+      deduped.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("neardup-uniq-ckpt")
+            .toString)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+    }
+    // the check-disable is scoped to the started query: the session
+    // conf is restored the moment startUnchecked returns
+    assert(spark.conf.getOption(confKey) == priorConf,
+      "startUnchecked must restore the session's correctness-check conf")
     try {
       batches.foreach { b => stream.addData(b); q.processAllAvailable() }
       val got = spark.table(name)
