@@ -28,8 +28,8 @@ import graft.sources.GraftTable
   *   GRAFT CHECKPOINT '<root>' [THROUGH <batch id>]
   *   GRAFT INDEX BUILD   <kind> '<root>' FROM (<query>)
   *   GRAFT INDEX MERGE   <kind> '<root>' FROM (<query>)
-  *   GRAFT INDEX COMPACT MINHASH|WINNOW|TERMS|IVF '<root>'
-  *   GRAFT INDEX VACUUM  IVF|PQ '<root>'
+  *   GRAFT INDEX COMPACT MINHASH|WINNOW|TERMS|IVF|HNSW_ROUTED '<root>'
+  *   GRAFT INDEX VACUUM  IVF|PQ|HNSW_ROUTED '<root>'
   * }}}
   *
   * Every table verb also takes a CATALOG-NAMED table in place of
@@ -41,13 +41,14 @@ import graft.sources.GraftTable
   * (`SELECT … FROM cat.db.t`), time-travel (`VERSION AS OF`), and
   * maintain by name.
   *
-  * `<kind>` ∈ MINHASH | WINNOW | TERMS | DECONTAM | IVF | PQ | HNSW. The
-  * INDEX verbs drive the persisted index lifecycles
+  * `<kind>` ∈ MINHASH | WINNOW | TERMS | DECONTAM | IVF | PQ | HNSW |
+  * HNSW_ROUTED. The INDEX verbs drive the persisted index lifecycles
   * ([[graft.operators.MinhashIndex]] & friends) — build/merge/compact/
   * vacuum as eager commands over an arbitrary parenthesized source
   * query whose columns must match the index's input contract:
   * `(doc_id, text)` for the text kinds, `(vec_id, v: array<double>)`
-  * for PQ and HNSW, `(vec_id, label, v: array<double>)` for IVF. The READ side
+  * for PQ and HNSW, `(vec_id, label, v: array<double>)` for IVF and
+  * HNSW_ROUTED. The READ side
   * is deliberately not a command (a command would collect corpus-sized
   * results to the driver): for the text kinds it is the lazy table
   * function `graft_index_query(kind, indexRoot, docsDir[, predicate])`
@@ -286,11 +287,11 @@ object GraftSqlParser {
   private val CheckpointNamedRe =
     s"""(?is)\\s*GRAFT\\s+CHECKPOINT\\s+$Ident(?:\\s+THROUGH\\s+(\\d+))?\\s*;?\\s*""".r
   private val IndexFromRe =
-    """(?is)\s*GRAFT\s+INDEX\s+(BUILD|MERGE)\s+(MINHASH|WINNOW|TERMS|DECONTAM|IVF|PQ|HNSW)\s+'([^']+)'\s+FROM\s+(\(.+?)\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+INDEX\s+(BUILD|MERGE)\s+(MINHASH|WINNOW|TERMS|DECONTAM|IVF|PQ|HNSW_ROUTED|HNSW)\s+'([^']+)'\s+FROM\s+(\(.+?)\s*;?\s*""".r
   private val IndexCompactRe =
-    """(?is)\s*GRAFT\s+INDEX\s+COMPACT\s+(MINHASH|WINNOW|TERMS|IVF)\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+INDEX\s+COMPACT\s+(MINHASH|WINNOW|TERMS|IVF|HNSW_ROUTED)\s+'([^']+)'\s*;?\s*""".r
   private val IndexVacuumRe =
-    """(?is)\s*GRAFT\s+INDEX\s+VACUUM\s+(IVF|PQ)\s+'([^']+)'\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+INDEX\s+VACUUM\s+(IVF|PQ|HNSW_ROUTED)\s+'([^']+)'\s*;?\s*""".r
   // drift maintenance: IVF rebuilds from its own stored vectors; PQ
   // stores only codes, so its rebuild input arrives as a FROM query
   private val IndexRebuildIvfRe =
@@ -588,6 +589,14 @@ case class GraftIndexCommand(verb: String, kind: String, root: String,
       case ("PQ", "BUILD") => PqIndex.build(src, root)
       case ("PQ", "MERGE") => PqIndex.merge(src, root)
       case ("PQ", "VACUUM") => PqIndex.vacuum(spark, root)
+      case ("HNSW_ROUTED", "BUILD") =>
+        graft.operators.HnswRouted.build(src, root)
+      case ("HNSW_ROUTED", "MERGE") =>
+        graft.operators.HnswRouted.merge(src, root)
+      case ("HNSW_ROUTED", "COMPACT") =>
+        graft.operators.HnswRouted.compact(spark, root)
+      case ("HNSW_ROUTED", "VACUUM") =>
+        graft.operators.HnswRouted.vacuum(spark, root)
       case ("HNSW", "BUILD") | ("HNSW", "MERGE") =>
         if (verb == "BUILD") graft.operators.HnswIndex.build(src, root)
         else graft.operators.HnswIndex.merge(src, root)

@@ -120,6 +120,7 @@ object SparkEntry {
     "sim_hnsw_topk"         -> (HnswIndex.topK _),
     "sim_recall_matrix"     -> (Similarity.recallMatrix _),
     "sim_hnsw_routed"       -> (HnswRouted.topK _),
+    "sim_hnsw_routed_lifecycle" -> (HnswRouted.lifecycle _),
     "sim_pq_lifecycle"      -> (PqIndex.lifecycle _),
     "sim_pq_incremental"    -> (PqIndex.incremental _),
     "sim_quantize"          -> (Corpus.quantizeProfile _),
@@ -849,10 +850,57 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** The routed-HNSW oracle: probe the `NProbe` nearest cells by the
+    * centroid table (round-6 d², ties by label), score every member of
+    * the probed cells exactly (round-4 normalized dot), top-K per
+    * query. `centFilter` restricts the rows the centroids average over
+    * — `TRUE` for the build-over-everything row, the landed split for
+    * the lifecycle row (frozen centroids; candidates stay the full
+    * corpus, each in its own labeled cell). */
+  private def hnswRoutedOracle(centFilter: String = "TRUE"): String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nrm AS (
+       |  SELECT vec_id,
+       |         list_transform(v, a ->
+       |           a / sqrt(list_sum(list_transform(v, b -> b * b)))) AS nv
+       |  FROM e),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |      WHERE vec_id % ${Similarity.QueryStride} = 0),
+       |qn AS (SELECT vec_id AS q_id, nv AS qnv FROM nrm
+       |       WHERE vec_id % ${Similarity.QueryStride} = 0),
+       |cent AS (
+       |  SELECT label, i, avg(v[i]) AS m
+       |  FROM e, range(1, 65) r(i) WHERE $centFilter GROUP BY label, i),
+       |qc AS (
+       |  SELECT q.q_id, c.label,
+       |         sum((q.qv[c.i] - c.m) * (q.qv[c.i] - c.m)) AS d2
+       |  FROM q, cent c GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT q_id, label FROM (
+       |    SELECT q_id, label,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY round(d2, 6), label) AS pr
+       |    FROM qc) WHERE pr <= ${Similarity.NProbe}),
+       |s AS (
+       |  SELECT qn.q_id, e.vec_id AS n_id,
+       |         round(list_sum(list_transform(range(1, 65),
+       |               i -> qn.qnv[i] * n.nv[i])), 4) AS sim
+       |  FROM probes p
+       |  JOIN qn ON qn.q_id = p.q_id
+       |  JOIN e ON e.label = p.label AND e.vec_id <> qn.q_id
+       |  JOIN nrm n ON n.vec_id = e.vec_id),
+       |r AS (
+       |  SELECT q_id, n_id, sim,
+       |         row_number() OVER (PARTITION BY q_id
+       |                            ORDER BY sim DESC, n_id) AS rank
+       |  FROM s)
+       |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM r
+       |WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""".stripMargin
+
   private def recallMatrixOracle(base: Map[String, String]): String = {
     val fams = Seq("lsh" -> "sim_lsh_topk", "ivf" -> "sim_ivf_topk",
       "pq" -> "sim_pq_topk", "ivfpq" -> "sim_ivfpq_topk",
-      "hnsw" -> "sim_hnsw_topk")
+      "hnsw" -> "sim_hnsw_topk", "hnsw_routed" -> "sim_hnsw_routed")
     val famSql = fams.map { case (f, k) =>
       s"SELECT '$f' AS family, q_id, n_id FROM (\n${base(k)})"
     }.mkString("\n  UNION ALL ")
@@ -1670,49 +1718,16 @@ object SparkEntry {
     // construction or search bug hash-mismatches instead of silently
     // shaving recall
     "sim_hnsw_topk" -> bruteTopKOracle,
-    // routed (per-IVF-cell) HNSW: while cells fit the RoutedEf beam the
-    // per-cell search is exhaustive, so the composition equals "probe
-    // cells, score exactly" — ivfOracle's probe CTEs with normalized
-    // scoring (the graphs store normalized vectors)
-    "sim_hnsw_routed" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |nrm AS (
-         |  SELECT vec_id,
-         |         list_transform(v, a ->
-         |           a / sqrt(list_sum(list_transform(v, b -> b * b)))) AS nv
-         |  FROM e),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM e
-         |      WHERE vec_id % ${Similarity.QueryStride} = 0),
-         |qn AS (SELECT vec_id AS q_id, nv AS qnv FROM nrm
-         |       WHERE vec_id % ${Similarity.QueryStride} = 0),
-         |cent AS (
-         |  SELECT label, i, avg(v[i]) AS m
-         |  FROM e, range(1, 65) r(i) GROUP BY label, i),
-         |qc AS (
-         |  SELECT q.q_id, c.label,
-         |         sum((q.qv[c.i] - c.m) * (q.qv[c.i] - c.m)) AS d2
-         |  FROM q, cent c GROUP BY 1, 2),
-         |probes AS (
-         |  SELECT q_id, label FROM (
-         |    SELECT q_id, label,
-         |           row_number() OVER (PARTITION BY q_id
-         |                              ORDER BY round(d2, 6), label) AS pr
-         |    FROM qc) WHERE pr <= ${Similarity.NProbe}),
-         |s AS (
-         |  SELECT qn.q_id, e.vec_id AS n_id,
-         |         round(list_sum(list_transform(range(1, 65),
-         |               i -> qn.qnv[i] * n.nv[i])), 4) AS sim
-         |  FROM probes p
-         |  JOIN qn ON qn.q_id = p.q_id
-         |  JOIN e ON e.label = p.label AND e.vec_id <> qn.q_id
-         |  JOIN nrm n ON n.vec_id = e.vec_id),
-         |r AS (
-         |  SELECT q_id, n_id, sim,
-         |         row_number() OVER (PARTITION BY q_id
-         |                            ORDER BY sim DESC, n_id) AS rank
-         |  FROM s)
-         |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM r
-         |WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""".stripMargin,
+    // routed (per-IVF-cell) HNSW: cells at or under RoutedEf are
+    // brute-scanned (provably exhaustive), so the composition equals
+    // "probe cells, score exactly" — ivfOracle's probe CTEs with
+    // normalized scoring (the graphs store normalized vectors)
+    "sim_hnsw_routed" -> hnswRoutedOracle(),
+    // the routed lifecycle: centroids FROZEN over the landed split
+    // (build), the crawl increment merged into its cells (only those
+    // rebuilt), candidates from the full corpus — restates
+    // HnswRouted build(landed)→merge(increment)→query
+    "sim_hnsw_routed_lifecycle" -> hnswRoutedOracle("vec_id % 10 <> 3"),
     "sim_pq_topk" ->
       s"""WITH ${pqCtes()}
          |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM (

@@ -767,7 +767,8 @@ object Similarity {
       "ivf" -> ivfTopK(spark, dir),
       "pq" -> pqTopK(spark, dir),
       "ivfpq" -> IvfPq.topK(spark, dir),
-      "hnsw" -> HnswIndex.topK(spark, dir))
+      "hnsw" -> HnswIndex.topK(spark, dir),
+      "hnsw_routed" -> HnswRouted.topK(spark, dir))
     val all = fams.map { case (f, df) =>
       df.select(col("q_id"), col("n_id")).withColumn("family", lit(f))
     }.reduce(_ unionByName _)

@@ -15,20 +15,29 @@ import graft.operators.{HnswIndex, HnswRouted, Similarity}
 class HnswRoutedSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  /** Serving rows of an index root, straight off the layout: per
+    * (label, id) the row of the newest generation — the reader
+    * contract the lifecycle tests assert against. */
+  private def rows(root: String): Seq[(Long, Long, Int, Seq[Seq[Long]])] =
+    spark.read.parquet(s"$root/cells.v1")
+      // partition-column discovery types label/gen as int; pin them
+      .select(col("label").cast("long").as("label"), col("vec_id"),
+        col("level"), col("nbrs"), col("gen").cast("long").as("gen"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getSeq[scala.collection.Seq[Long]](3).map(_.toSeq).toSeq,
+        r.getLong(4)))
+      .groupBy(t => (t._1, t._2)).values
+      .map(_.maxBy(_._5)).toSeq
+      .map(t => (t._1, t._2, t._3, t._4))
+      .sortBy(t => (t._1, t._2))
+
   test("parallel per-cell builds are reproducible and each cell is a " +
     "well-formed graph") {
     val r1 = Files.createTempDirectory("hnswr-a").toString
     val r2 = Files.createTempDirectory("hnswr-b").toString
     HnswRouted.build(spark, sf0001, r1)
     HnswRouted.build(spark, sf0001, r2)
-    def rows(root: String) = spark.read.parquet(s"$root/cells.v1")
-      // partition-column discovery types label as int; pin it
-      .select(col("label").cast("long").as("label"),
-        col("vec_id"), col("level"), col("nbrs"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
-        r.getSeq[scala.collection.Seq[Long]](3).map(_.toSeq).toSeq))
-      .sortBy(t => (t._1, t._2)).toSeq
     assert(rows(r1) == rows(r2))
     // every node's level matches the deterministic assignment; every
     // neighbor lives in the same cell
@@ -93,5 +102,138 @@ class HnswRoutedSpec extends AnyFunSuite {
       assert(got == expected, s"routed mismatch at $dir")
       graft.operators.HnswRouted.clearMemo()
     }
+  }
+
+  test("merge rebuilds ONLY the cells receiving vectors, replays " +
+    "idempotently, and serving rows equal a from-scratch build") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("hnswr-m").toString
+    def vec(id: Long): Array[Double] =
+      Array.tabulate(64)(i => math.sin(id * 64 + i))
+    def frame(ids: Seq[Long], labelOf: Long => Long) =
+      ids.map(id => (id, labelOf(id), vec(id))).toDF("vec_id", "label", "v")
+    // 4 cells at build; the increment touches cells 0 and 1 only
+    HnswRouted.build(frame(0L until 80L, _ % 4), root)
+    val gen0 = new java.io.File(s"$root/cells.v1/gen=0")
+    assert(gen0.list().count(_.startsWith("label=")) == 4)
+    HnswRouted.merge(frame(100L until 110L, _ % 2), root)
+    val gen1 = new java.io.File(s"$root/cells.v1/gen=1")
+    assert(gen1.list().filter(_.startsWith("label=")).sorted.toSeq ==
+      Seq("label=0", "label=1"), "only the touched cells rebuild")
+    // untouched cells' files are never rewritten
+    assert(gen0.list().count(_.startsWith("label=")) == 4)
+    // replay: same fingerprint -> no new generation
+    val before = new java.io.File(s"$root/cells.v1").list().toSet
+    HnswRouted.merge(frame(100L until 110L, _ % 2), root)
+    assert(new java.io.File(s"$root/cells.v1").list().toSet == before)
+    // serving rows == from-scratch build of the union (cells 2,3 from
+    // gen 0; cells 0,1 from gen 1)
+    val scratch = Files.createTempDirectory("hnswr-s").toString
+    HnswRouted.build(
+      frame(0L until 80L, _ % 4)
+        .unionByName(frame(100L until 110L, _ % 2)), scratch)
+    assert(rows(root) == rows(scratch))
+  }
+
+  test("compact folds generations into one dir per cell (version bump, " +
+    "one-version grace) and vacuum sweeps crashed orphan generations") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("hnswr-c").toString
+    def vec(id: Long): Array[Double] =
+      Array.tabulate(64)(i => math.cos(id * 64 + i))
+    def frame(ids: Seq[Long], labelOf: Long => Long) =
+      ids.map(id => (id, labelOf(id), vec(id))).toDF("vec_id", "label", "v")
+    HnswRouted.build(frame(0L until 60L, _ % 3), root)
+    HnswRouted.merge(frame(100L until 108L, _ => 0L), root)
+    val served = rows(root)
+    // a crashed merge's orphan: gen dir without a marker
+    val orphan = new java.io.File(s"$root/cells.v1/gen=9/label=0")
+    orphan.mkdirs()
+    HnswRouted.vacuum(spark, root)
+    assert(!new java.io.File(s"$root/cells.v1/gen=9").exists(),
+      "vacuum must sweep uncommitted generation dirs")
+    HnswRouted.compact(spark, root)
+    val files = new java.io.File(root).list().toSet
+    assert(files.contains("cells.v2") && files.contains("cells.v1"),
+      s"one-version grace: $files") // v1 kept as the grace copy
+    val v2gens = new java.io.File(s"$root/cells.v2")
+      .list().filter(_.startsWith("gen=")).toSeq
+    assert(v2gens == Seq("gen=1"), s"folded to one generation: $v2gens")
+    // serving rows unchanged by compaction
+    val after = spark.read.parquet(s"$root/cells.v2")
+      .select(col("label").cast("long"), col("vec_id"), col("level"),
+        col("nbrs"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getSeq[scala.collection.Seq[Long]](3).map(_.toSeq).toSeq))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(after == served)
+    // queries keep answering through the new version (smoke: no throw)
+    // and a post-compact merge lands as gen 2 in cells.v2
+    HnswRouted.merge(frame(200L until 204L, _ => 1L), root)
+    assert(new java.io.File(s"$root/cells.v2/gen=2").exists())
+  }
+
+  test("SQL surface: GRAFT INDEX BUILD/MERGE/COMPACT/VACUUM HNSW_ROUTED " +
+    "drives the same lifecycle as the Scala API") {
+    GraftExtensions.install(spark)
+    graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .createOrReplaceTempView("hnswr_vecs")
+    val root = Files.createTempDirectory("hnswr-sql").toString
+    spark.sql(s"GRAFT INDEX BUILD HNSW_ROUTED '$root/g' FROM " +
+      "(SELECT vec_id, label, v FROM hnswr_vecs WHERE vec_id % 10 <> 3)")
+    spark.sql(s"GRAFT INDEX MERGE HNSW_ROUTED '$root/g' FROM " +
+      "(SELECT vec_id, label, v FROM hnswr_vecs WHERE vec_id % 10 = 3)")
+    spark.sql(s"GRAFT INDEX COMPACT HNSW_ROUTED '$root/g'")
+    spark.sql(s"GRAFT INDEX VACUUM HNSW_ROUTED '$root/g'")
+    // the SQL-driven lifecycle serves the same rows as the Scala one
+    val twin = Files.createTempDirectory("hnswr-sql-twin").toString
+    val vecs = graft.operators.Similarity.corpus(spark, sf0001)
+    HnswRouted.build(vecs.filter(col("vec_id") % 10 =!= 3), s"$twin/g")
+    HnswRouted.merge(vecs.filter(col("vec_id") % 10 === 3), s"$twin/g")
+    val sqlServed = spark.read.parquet(s"$root/g/cells.v2")
+      .select(col("label").cast("long"), col("vec_id"), col("nbrs"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[scala.collection.Seq[Long]](2).map(_.toSeq).toSeq))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(sqlServed == rows(s"$twin/g").map(t => (t._1, t._2, t._4)))
+  }
+
+  test("lifecycle row: build(landed) + merge(crawl) + query equals " +
+    "probe-cells-score-exactly with landed-frozen centroids") {
+    import spark.implicits._
+    val typed = graft.sources.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Long, Array[Double])].collect()
+    val landed = typed.filter(_._1 % 10 != 3)
+    val cents = landed.groupBy(_._2).toSeq.map { case (l, vs) =>
+      (l, Array.tabulate(64)(i => vs.map(_._3(i)).sum / vs.length))
+    }.sortBy(_._1)
+    val queries = typed.filter(_._1 % Similarity.QueryStride == 0)
+    val expected = queries.flatMap { case (qId, _, qv) =>
+      val probed = cents.map { case (l, cv) =>
+        (graft.operators.VectorOps.roundAt(
+          graft.operators.VectorOps.dist2(qv, cv), 6), l)
+      }.sorted.take(Similarity.NProbe).map(_._2).toSet
+      val qnv = graft.operators.VectorOps.l2Normalize(qv)
+      typed.filter(t => probed.contains(t._2) && t._1 != qId)
+        .map { case (nId, _, nv) =>
+          (qId, graft.operators.VectorOps.roundAt(
+            graft.operators.VectorOps.dot(qnv,
+              graft.operators.VectorOps.l2Normalize(nv)), 4), nId)
+        }
+        .sortBy { case (_, sim, nId) => (-sim, nId) }
+        .take(Similarity.K).zipWithIndex
+        .map { case ((q, sim, nId), i) => (q, i + 1, nId, sim) }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = HnswRouted.lifecycle(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == expected)
+    graft.operators.HnswRouted.clearMemo()
   }
 }
