@@ -64,6 +64,7 @@ object SparkEntry {
     "dedup_simhash"         -> (Dedup.simhash _),
     "dedup_ngram_jaccard"   -> (Dedup.ngramJaccard _),
     "dedup_phash"           -> (PerceptualHash.phash _),
+    "dedup_phash_dct"       -> (PerceptualHash.phashDct _),
     "dedup_phash_clusters"  -> ((s, d) => Dedup.clusters(
       PerceptualHash.phash(s, d)
         .select(org.apache.spark.sql.functions.col("doc_a"),
@@ -776,36 +777,104 @@ object SparkEntry {
     * hash-exact on its own row) embeds as a subquery, recall@K is the
     * overlap with the brute-force top-k. Turns every "recall provably
     * ≤ ..." comment into a measured, regression-guarded number. */
+  /** The documents' synthesized raster dimensions, as SQL. */
+  private val phashDims: String =
+    """d AS (
+      |  SELECT doc_id,
+      |         CAST(4 * (1 + doc_id % 8) AS BIGINT) AS w,
+      |         CAST(2 + (doc_id * 5) % 14 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 17 <> 0)""".stripMargin
+
+  /** Decoded pixel index of grid cell `b` on an n×n sample grid:
+    * decoded row → written ramp row — straight for PNG (even ids),
+    * vertically flipped for BMP (odd ids — BMP stores bottom-up). */
+  private def phashPx(n: Int): String =
+    s"((CASE WHEN doc_id % 2 = 0 THEN (b // $n) * h // $n " +
+      s"ELSE h - 1 - ((b // $n) * h // $n) END) * w + ((b % $n) * w // $n))"
+
+  /** aHash CTEs: 8×8 gray grid, bit = strictly brighter than the grid
+    * mean (integer cross-multiplied). Defines `hsh(doc_id, phi, plo)`. */
+  private def ahashCtes: String = {
+    val px = phashPx(PerceptualHash.GridDim)
+    s"""$phashDims,
+       |g AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, 64), b ->
+       |             (doc_id + 3 * $px) % 256
+       |           + (doc_id + 3 * $px + 1) % 256
+       |           + (doc_id + 3 * $px + 2) % 256) AS gs
+       |  FROM d),
+       |gt AS (SELECT doc_id, gs, list_sum(gs) AS tot FROM g),
+       |hsh AS (
+       |  SELECT doc_id,
+       |         CAST(list_sum(list_transform(range(0, 32), b ->
+       |           CASE WHEN 64 * gs[b + 1] > tot
+       |                THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS phi,
+       |         CAST(list_sum(list_transform(range(32, 64), b ->
+       |           CASE WHEN 64 * gs[b + 1] > tot
+       |                THEN (1::BIGINT << (b - 32)) ELSE 0 END)) AS BIGINT) AS plo
+       |  FROM gt)""".stripMargin
+  }
+
+  /** DCT-hash CTEs: 32×32 gray grid → separable integer DCT (the
+    * basis literals are generated from [[PerceptualHash.DctTable]] —
+    * one source of truth) → 8×8 low band, bit = coefficient strictly
+    * above the median of the 63 non-DC coefficients (the 32nd order
+    * statistic; DC bit 0 always clear). Defines `hsh`. */
+  private def dctCtes: String = {
+    val n = PerceptualHash.DctGrid
+    val px = phashPx(n)
+    val q = PerceptualHash.DctTable.flatten.mkString(", ")
+    s"""$phashDims,
+       |qt AS (SELECT [$q] AS q),
+       |g AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, ${n * n}), b ->
+       |             (doc_id + 3 * $px) % 256
+       |           + (doc_id + 3 * $px + 1) % 256
+       |           + (doc_id + 3 * $px + 2) % 256) AS gs
+       |  FROM d),
+       |tr AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, ${8 * n}), j ->
+       |           list_sum(list_transform(range(0, $n), y ->
+       |             q[(j // $n) * $n + y + 1]
+       |               * gs[y * $n + (j % $n) + 1]))) AS tt
+       |  FROM g, qt),
+       |cf AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0, 64), k ->
+       |           CAST(list_sum(list_transform(range(0, $n), x ->
+       |             q[(k % 8) * $n + x + 1]
+       |               * tt[(k // 8) * $n + x + 1])) AS BIGINT)) AS co
+       |  FROM tr, qt),
+       |cm AS (SELECT doc_id, co, list_sort(co[2:64])[32] AS med FROM cf),
+       |hsh AS (
+       |  SELECT doc_id,
+       |         CAST(list_sum(list_transform(range(1, 32), b ->
+       |           CASE WHEN co[b + 1] > med
+       |                THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS phi,
+       |         CAST(list_sum(list_transform(range(32, 64), b ->
+       |           CASE WHEN co[b + 1] > med
+       |                THEN (1::BIGINT << (b - 32)) ELSE 0 END)) AS BIGINT) AS plo
+       |  FROM cm)""".stripMargin
+  }
+
   /** The dedup_phash pair statement — shared by the pair row and
     * the connected-components row. */
-  private def phashPairsOracle: String = {
+  private def phashPairsOracle: String = phashPairSql(ahashCtes)
+
+  /** dedup_phash_dct: the DCT hash through the same pair machinery. */
+  private def phashDctOracle: String = phashPairSql(dctCtes)
+
+  /** Shared pair machinery over whatever `hashCtes` defines as
+    * `hsh(doc_id, phi, plo)`: identical-hash groups (within-pairs
+    * capped clique/star), representatives band-joined on the four
+    * 16-bit bands, hamming ≤ MaxHamming, member expansion capped by
+    * the hot-group star discipline on BOTH sides. */
+  private def phashPairSql(hashCtes: String): String = {
     val cap = Dedup.HotGroupCap
-      // decoded row → written ramp row: straight for PNG (even ids),
-      // vertically flipped for BMP (odd ids — BMP stores bottom-up)
-      val px = "((CASE WHEN doc_id % 2 = 0 THEN (b // 8) * h // 8 " +
-        "ELSE h - 1 - ((b // 8) * h // 8) END) * w + ((b % 8) * w // 8))"
-      s"""WITH d AS (
-         |  SELECT doc_id,
-         |         CAST(4 * (1 + doc_id % 8) AS BIGINT) AS w,
-         |         CAST(2 + (doc_id * 5) % 14 AS BIGINT) AS h
-         |  FROM documents WHERE doc_id % 17 <> 0),
-         |g AS (
-         |  SELECT doc_id,
-         |         list_transform(range(0, 64), b ->
-         |             (doc_id + 3 * $px) % 256
-         |           + (doc_id + 3 * $px + 1) % 256
-         |           + (doc_id + 3 * $px + 2) % 256) AS gs
-         |  FROM d),
-         |gt AS (SELECT doc_id, gs, list_sum(gs) AS tot FROM g),
-         |hsh AS (
-         |  SELECT doc_id,
-         |         CAST(list_sum(list_transform(range(0, 32), b ->
-         |           CASE WHEN 64 * gs[b + 1] > tot
-         |                THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS phi,
-         |         CAST(list_sum(list_transform(range(32, 64), b ->
-         |           CASE WHEN 64 * gs[b + 1] > tot
-         |                THEN (1::BIGINT << (b - 32)) ELSE 0 END)) AS BIGINT) AS plo
-         |  FROM gt),
+      s"""WITH $hashCtes,
          |grp AS (SELECT phi, plo, min(doc_id) AS mn, count(*) AS n
          |        FROM hsh GROUP BY 1, 2),
          |mem AS (SELECT h.doc_id, h.phi, h.plo, grp.mn, grp.n
@@ -1426,6 +1495,7 @@ object SparkEntry {
     // groups) are restated verbatim — exact at any scale, not just
     // while buckets stay under the cap
     "dedup_phash" -> phashPairsOracle,
+    "dedup_phash_dct" -> phashDctOracle,
     // connected components over the perceptual pairs — the same
     // recursive-closure replay as dedup_clusters, fed by phash's pair
     // statement (caps and all, so exact at any scale)

@@ -96,6 +96,101 @@ object PerceptualHash {
       (phi, plo)
     }
 
+  // ---- DCT variant (pHash proper) -----------------------------------
+
+  /** Sample grid side for the DCT hash: 32×32 gray samples feed an
+    * 8×8 low-frequency DCT block — the classic pHash shape. */
+  val DctGrid = 32
+
+  /** Integer-quantized DCT-II basis: `DctTable(u)(x) =
+    * round(64·cos((2x+1)·u·π/64))` for u < 8, x < 32. Quantizing the
+    * cosines to integers makes the whole transform exact integer
+    * arithmetic, so the DuckDB oracle replays it bit-for-bit from the
+    * SAME table (the oracle SQL embeds these values as literals
+    * generated from this array — one source of truth, no cross-engine
+    * float trust). */
+  val DctTable: Array[Array[Int]] = Array.tabulate(8, DctGrid)((u, x) =>
+    Math.round(64.0 * Math.cos((2 * x + 1) * u * Math.PI
+      / (2.0 * DctGrid))).toInt)
+
+  /** DCT perceptual hash of a decoded raster as (bits 0..31, bits
+    * 32..63); None when the payload doesn't decode.
+    *
+    * Where [[ahash]] thresholds raw brightness (brittle to uniform
+    * brightness/contrast edits — every sample shifts together, but the
+    * mean shifts too, so ONLY nonlinear edits break it; gradients and
+    * vignettes break it badly), the DCT hash thresholds the 8×8
+    * low-FREQUENCY block against its own median: bit `u·8+v` is set
+    * when coefficient C(u,v) strictly exceeds the median of the 63
+    * non-DC coefficients (the DC bit 0 is always clear — DC is the
+    * global brightness the hash exists to ignore). Median over an odd
+    * count is the 32nd order statistic — integer-exact on both
+    * engines, no float division anywhere.
+    *
+    * The transform is separable and integer: gray g(y,x) = R+G+B at
+    * nearest-neighbor samples of a [[DctGrid]]² grid, T(u,x) =
+    * Σ_y Q(u,y)·g(y,x), C(u,v) = Σ_x Q(v,x)·T(u,x), with Q =
+    * [[DctTable]]. Magnitudes stay < 2⁶³ by construction
+    * (64·64·765·1024 ≈ 3.2·10⁹ per coefficient). */
+  def dctHash(bytes: Array[Byte]): Option[(Long, Long)] =
+    MediaCodec.readImage(bytes).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val n = DctGrid
+      val gs = new Array[Long](n * n)
+      var r = 0
+      while (r < n) {
+        val y = r * h / n
+        var c = 0
+        while (c < n) {
+          val x = c * w / n
+          val rgb = img.getRGB(x, y)
+          gs(r * n + c) =
+            ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          c += 1
+        }
+        r += 1
+      }
+      // separable integer DCT: rows then columns
+      val t = new Array[Long](8 * n)
+      var u = 0
+      while (u < 8) {
+        var x = 0
+        while (x < n) {
+          var s = 0L
+          var y = 0
+          while (y < n) { s += DctTable(u)(y) * gs(y * n + x); y += 1 }
+          t(u * n + x) = s
+          x += 1
+        }
+        u += 1
+      }
+      val co = new Array[Long](64)
+      u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          var s = 0L
+          var x = 0
+          while (x < n) { s += DctTable(v)(x) * t(u * n + x); x += 1 }
+          co(u * 8 + v) = s
+          v += 1
+        }
+        u += 1
+      }
+      val med = co.slice(1, 64).sorted.apply(31) // 32nd smallest of 63
+      var phi = 0L
+      var plo = 0L
+      var b = 1 // DC bit 0 stays clear
+      while (b < 64) {
+        if (co(b) > med) {
+          if (b < 32) phi |= 1L << b else plo |= 1L << (b - 32)
+        }
+        b += 1
+      }
+      (phi, plo)
+    }
+
   /** (doc_id, phi, plo) for every decodable document raster — one
     * narrow typed pass over the media table. */
   private[operators] def hashes(spark: SparkSession, dir: String): DataFrame = {
@@ -116,10 +211,29 @@ object PerceptualHash {
     MemoStats.cached(pairMemo, (spark, dir))(
       Materialize(phashUncached(spark, dir)))
 
+  /** `dedup_phash_dct`: the DCT variant's pairs — [[dctHash]] per
+    * decodable raster through the SAME capped band machinery
+    * ([[pairsFromHashes]]). */
+  def phashDct(spark: SparkSession, dir: String): DataFrame =
+    MemoStats.cached(dctMemo, (spark, dir))(
+      Materialize(pairsFromHashes(dctHashes(spark, dir))))
+
+  private def dctHashes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.mediaTable(spark, dir)
+      .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        dctHash(bytes).map { case (phi, plo) => (id, phi, plo) }
+      })
+      .toDF("doc_id", "phi", "plo")
+  }
+
   private val pairMemo = scala.collection.concurrent
     .TrieMap.empty[(SparkSession, String), DataFrame]
+  private val dctMemo = scala.collection.concurrent
+    .TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def clearMemo(): Unit = pairMemo.clear()
+  def clearMemo(): Unit = { pairMemo.clear(); dctMemo.clear() }
 
   private def phashUncached(spark: SparkSession, dir: String): DataFrame =
     pairsFromHashes(hashes(spark, dir))

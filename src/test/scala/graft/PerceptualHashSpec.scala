@@ -75,6 +75,74 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(got.toSeq.sorted == expected.toSeq)
   }
 
+  /** The DCT oracle's arithmetic, in Scala, from the ramp: 32×32 gray
+    * grid → separable integer DCT → median-thresholded low band. */
+  private def closedFormDct(d: Long): (Long, Long) = {
+    val n = PerceptualHash.DctGrid
+    val w = 4 * (1 + d % 8)
+    val h = 2 + (d * 5) % 14
+    def gray(b: Int): Long = {
+      val y = (b / n) * h / n
+      val row = if (d % 2 == 0) y else h - 1 - y
+      val p = 3 * (row * w + (b % n) * w / n)
+      (d + p) % 256 + (d + p + 1) % 256 + (d + p + 2) % 256
+    }
+    val gs = Array.tabulate(n * n)(gray)
+    val q = PerceptualHash.DctTable
+    val co = Array.tabulate(64) { k =>
+      val (u, v) = (k / 8, k % 8)
+      (for (y <- 0 until n; x <- 0 until n)
+        yield q(u)(y).toLong * q(v)(x) * gs(y * n + x)).sum
+    }
+    val med = co.slice(1, 64).sorted.apply(31)
+    var phi = 0L
+    var plo = 0L
+    for (b <- 1 until 64 if co(b) > med)
+      if (b < 32) phi |= 1L << b else plo |= 1L << (b - 32)
+    (phi, plo)
+  }
+
+  test("dctHash over the DECODED raster equals the closed-form ramp " +
+    "replay, and undecodable payloads hash to nothing") {
+    for (d <- Seq(1L, 2L, 3L, 4L, 10L, 23L, 100L, 254L, 256L, 399L)) {
+      val got = PerceptualHash.dctHash(MediaCodec.synthImage(d))
+      assert(got.contains(closedFormDct(d)), s"doc $d")
+    }
+    assert(PerceptualHash.dctHash(MediaCodec.synthImage(17L)).isEmpty)
+    assert(PerceptualHash.dctHash(Array[Byte](1, 2, 3)).isEmpty)
+    // DC (global brightness) never sets a bit
+    for (d <- Seq(2L, 3L)) {
+      val (phi, _) = closedFormDct(d)
+      assert((phi & 1L) == 0L, "bit 0 is the excluded DC coefficient")
+    }
+  }
+
+  test("dct pairs: exact against a brute-force replay at sf0.001, and " +
+    "more discriminative than aHash on identical-hash groups") {
+    val dir = "/root/testdata/sf0.001"
+    val got = PerceptualHash.phashDct(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ % 17 != 0)
+    val hs = ids.map(d => d -> closedFormDct(d)).toMap
+    assert(hs.values.groupBy(identity).values.map(_.size).max
+      <= Dedup.HotGroupCap, "scale assumption: groups under the cap")
+    val expected = (for {
+      i <- ids; j <- ids if i < j
+      hm = java.lang.Long.bitCount(hs(i)._1 ^ hs(j)._1) +
+        java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2)
+      if hm <= PerceptualHash.MaxHamming
+    } yield (i, j, hm)).sorted
+    assert(got.toSeq.sorted == expected.toSeq)
+    // the 64-sample mean threshold collides far more rasters than the
+    // frequency-domain hash: DCT's identical-hash (hamming-0) pair set
+    // must be a strict subset of the corpus's aHash hamming-0 pairs
+    val a0 = PerceptualHash.phash(spark, dir).collect()
+      .filter(_.getInt(2) == 0).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d0 = got.filter(_._3 == 0).map(t => (t._1, t._2)).toSet
+    assert(d0.size < a0.size, s"dct ${d0.size} vs ahash ${a0.size}")
+  }
+
   test("cross-group expansion is capped: two over-HotGroupCap duplicate " +
     "groups within hamming<=3 emit star edges, never |A|x|B|") {
     import spark.implicits._
