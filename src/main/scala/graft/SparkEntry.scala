@@ -89,6 +89,7 @@ object SparkEntry {
     "dedup_decontam_persist" -> (DecontamIndex.persistedDecontam _),
     "q_stream_decontam"     -> (DecontamIndex.streamDecontam _),
     "q_stream_neardup"      -> (graft.streaming.StreamingNearDup.streamNearDup _),
+    "q_stream_phash"        -> (graft.streaming.StreamingPhash.streamPhash _),
     "q_stream_sessionize"   -> (graft.streaming.StatefulSessionize.streamSessionize _),
     "q_stream_curation"     -> (graft.streaming.CorpusPipeline.streamCuration _),
     "dedup_spans"           -> (Corpus.spanDedup _),
@@ -1724,6 +1725,42 @@ object SparkEntry {
       s"""WITH ${minhashCtesWith("x.doc_id % 10 = 3 AND y.doc_id % 10 <> 3")}
          |SELECT doc_a AS left_id, doc_b AS right_id, jaccard FROM j
          |WHERE jaccard >= ${Dedup.MinhashJaccardThreshold}
+         |ORDER BY left_id, right_id""".stripMargin,
+    // the streaming image near-dup pass: landed images bootstrap the
+    // band buckets (HotGroupCap smallest ids resident per bucket —
+    // the one-sided cap), the increment streams, a cross pair appears
+    // iff the corpus doc is RESIDENT of some shared band bucket and
+    // the hashes are within the hamming bound
+    "q_stream_phash" ->
+      s"""WITH $ahashCtes,
+         |corp AS (SELECT * FROM hsh WHERE doc_id % 10 <> 3),
+         |cb AS (
+         |  SELECT doc_id, 0 AS b, phi >> 16 AS k FROM corp
+         |  UNION ALL SELECT doc_id, 1, phi & 65535 FROM corp
+         |  UNION ALL SELECT doc_id, 2, plo >> 16 FROM corp
+         |  UNION ALL SELECT doc_id, 3, plo & 65535 FROM corp),
+         |res AS (
+         |  SELECT doc_id, b, k FROM (
+         |    SELECT doc_id, b, k,
+         |           row_number() OVER (PARTITION BY b, k
+         |                              ORDER BY doc_id) AS rn
+         |    FROM cb) WHERE rn <= ${Dedup.HotGroupCap}),
+         |inc AS (SELECT * FROM hsh WHERE doc_id % 10 = 3),
+         |ib AS (
+         |  SELECT doc_id, 0 AS b, phi >> 16 AS k FROM inc
+         |  UNION ALL SELECT doc_id, 1, phi & 65535 FROM inc
+         |  UNION ALL SELECT doc_id, 2, plo >> 16 FROM inc
+         |  UNION ALL SELECT doc_id, 3, plo & 65535 FROM inc),
+         |cand AS (
+         |  SELECT DISTINCT i.doc_id AS left_id, r.doc_id AS right_id
+         |  FROM ib i JOIN res r ON i.b = r.b AND i.k = r.k)
+         |SELECT left_id, right_id, hamming FROM (
+         |  SELECT c.left_id, c.right_id,
+         |         CAST(bit_count(xor(a.phi, b2.phi))
+         |              + bit_count(xor(a.plo, b2.plo)) AS INT) AS hamming
+         |  FROM cand c JOIN hsh a ON a.doc_id = c.left_id
+         |              JOIN hsh b2 ON b2.doc_id = c.right_id)
+         |WHERE hamming <= ${PerceptualHash.MaxHamming}
          |ORDER BY left_id, right_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $toksCte,

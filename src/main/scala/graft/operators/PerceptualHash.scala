@@ -96,6 +96,18 @@ object PerceptualHash {
       (phi, plo)
     }
 
+  /** The four 16-bit band keys of a 64-bit hash — the SHARED kernel
+    * between the batch band join (which spells the same arithmetic in
+    * SQL expressions) and [[graft.streaming.StreamingPhash]]'s bucket
+    * keys. Pigeonhole: hamming ≤ [[MaxHamming]] (3) over 4 bands ⇒
+    * at least one equal band. */
+  def bandsOf(phi: Long, plo: Long): Array[Long] =
+    Array(phi >> 16, phi & 0xffffL, plo >> 16, plo & 0xffffL)
+
+  /** Hamming distance between two (phi, plo) hashes. */
+  def hamming(aHi: Long, aLo: Long, bHi: Long, bLo: Long): Int =
+    java.lang.Long.bitCount(aHi ^ bHi) + java.lang.Long.bitCount(aLo ^ bLo)
+
   // ---- DCT variant (pHash proper) -----------------------------------
 
   /** Sample grid side for the DCT hash: 32×32 gray samples feed an
