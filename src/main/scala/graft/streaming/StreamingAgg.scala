@@ -95,9 +95,11 @@ object StreamingAgg {
     // driver-resident, so collecting the few-hundred-row aggregate adds
     // nothing in scale terms and costs one local pass (the previous
     // localCheckpoint materialization re-ran the sort through the
-    // cluster and doubled this harness entry's bench time). This entry
-    // is the oracle harness only — the production path is
-    // [[hourlyWindowToFiles]].
+    // cluster and doubled this harness entry's bench time). The collect
+    // is BOUNDED by hours × event-types (72 h × 4 types here — never
+    // corpus rows), the same cardinality the memory sink itself already
+    // holds. This entry is the oracle harness only — the production
+    // path is [[hourlyWindowToFiles]].
     val snap = spark.table(name)
       .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
         col("event_type"), col("n_events"), col("total_value"))

@@ -142,7 +142,18 @@ object ScaleBench {
       "q_sql_index_lifecycle" ->
         ((s, d) => graft.operators.MinhashIndex.sqlLifecycle(s, d)),
       "q_stream_hourly_files" ->
-        ((s, d) => graft.streaming.StreamingAgg.hourlyFiles(s, d)))
+        ((s, d) => graft.streaming.StreamingAgg.hourlyFiles(s, d)),
+      // curation-path heavy hitters (r16 ask): text statistics, the
+      // native-expression classifier, stateful sessionization, and the
+      // perceptual image pair path (media synthesized per doc id)
+      "text_tfidf" ->
+        ((s, d) => graft.operators.TextAnalysis.tfIdfTopTerms(s, d)),
+      "text_classifier" ->
+        ((s, d) => graft.operators.QualityClassifier.classify(s, d)),
+      "q_stream_sessionize" ->
+        ((s, d) => graft.streaming.StatefulSessionize.streamSessionize(s, d)),
+      "dedup_phash" ->
+        ((s, d) => graft.operators.PerceptualHash.phash(s, d)))
 
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(String, Long, Long, Double)] // op, scale, rows, sec
@@ -160,14 +171,50 @@ object ScaleBench {
           (s, n)
         }
         val rows = name match {
-          case n2 if n2.startsWith("dedup") || n2.startsWith("q_sql") =>
-            BaseDocs * scale
-          case n2 if n2.startsWith("sim") => BaseVecs * scale
+          case n2 if n2.startsWith("dedup") || n2.startsWith("q_sql") ||
+            n2.startsWith("text") => BaseDocs * scale
+          case n2 if n2.startsWith("sim") || n2.startsWith("hnsw") =>
+            BaseVecs * scale
           case _ => BaseEvents * scale
         }
         results += ((name, scale, rows, secs.map(_._1).min))
         println(f"[scale] $name%-24s x$scale%-4d rows=$rows%-9d " +
           f"wall=${secs.map(_._1).min}%8.2f s out=${secs.head._2}")
+      }
+      // flat-HNSW merge cost honesty (the documented full replay):
+      // build on the landed 90% (UNTIMED), then time merge of the 10%
+      // increment — which replays the whole union sequentially on the
+      // driver. Rebuilt per rep (a replayed fingerprint would no-op).
+      // Contrast row: HnswRouted.merge of the SAME increment rebuilds
+      // only the touched cells on the executors.
+      if (BaseVecs * scale <= graft.operators.HnswIndex.MaxBuild) {
+        import graft.operators.{HnswIndex, HnswRouted, Similarity}
+        val vecs = Similarity.corpus(spark, dir)
+        val landed = vecs.filter(col("vec_id") % 10 =!= 3)
+        val increment = vecs.filter(col("vec_id") % 10 === 3)
+        def timeMerge(label: String,
+                      build: String => Unit,
+                      merge: String => Unit): Unit = {
+          val secs = (1 to 2).map { _ =>
+            clearMemos(spark)
+            val root = Files.createTempDirectory("scale-hnsw-m").toString
+            build(root)
+            val t0 = System.nanoTime()
+            merge(root)
+            val s = (System.nanoTime() - t0) / 1e9
+            graft.operators.Scratch.rm(new java.io.File(root))
+            s
+          }
+          results += ((label, scale, BaseVecs * scale, secs.min))
+          println(f"[scale] $label%-24s x$scale%-4d " +
+            f"rows=${BaseVecs * scale}%-9d wall=${secs.min}%8.2f s")
+        }
+        timeMerge("hnsw_flat_merge",
+          r => HnswIndex.build(landed, r),
+          r => HnswIndex.merge(increment, r))
+        timeMerge("hnsw_routed_merge",
+          r => HnswRouted.build(landed, r),
+          r => HnswRouted.merge(increment, r))
       }
       // free the scale dir before the next decade
       graft.operators.Scratch.rm(new java.io.File(dir))
@@ -185,7 +232,10 @@ object ScaleBench {
       " | slope/decade (total; ≤10 = sublinear) | per-unit at " +
       scales.map(s => s"x$s").mkString("/") + " |")
     println("|---|" + scales.map(_ => "---|").mkString + "---|---|")
-    ops.foreach { case (name, _) =>
+    val rowNames = ops.map(_._1) ++
+      Seq("hnsw_flat_merge", "hnsw_routed_merge")
+        .filter(n => results.exists(_._1 == n))
+    rowNames.foreach { name =>
       val rs = results.filter(_._1 == name).sortBy(_._2)
       val walls = rs.map(r => f"${r._4}%.2f s").mkString(" | ")
       val slopes = rs.toSeq.sliding(2).collect {
