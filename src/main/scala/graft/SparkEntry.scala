@@ -123,6 +123,7 @@ object SparkEntry {
     "sim_recall_matrix"     -> (Similarity.recallMatrix _),
     "sim_hnsw_routed"       -> (HnswRouted.topK _),
     "sim_hnsw_routed_lifecycle" -> (HnswRouted.lifecycle _),
+    "sim_hnsw_routed_incremental" -> (HnswRouted.incremental _),
     "sim_pq_lifecycle"      -> (PqIndex.lifecycle _),
     "sim_pq_incremental"    -> (PqIndex.incremental _),
     "sim_quantize"          -> (Corpus.quantizeProfile _),
@@ -966,6 +967,29 @@ object SparkEntry {
        |  FROM s)
        |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM r
        |WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""".stripMargin
+
+  /** Frozen-centroid assign-only ingest, as SQL: centroids = per-label
+    * means over the LANDED split, each crawl vector takes its argmin
+    * cell (round-6 d², ties to the lowest label). Shared verbatim by
+    * `sim_ivf_incremental` and `sim_hnsw_routed_incremental` — both
+    * index kinds use the identical assignment discipline. */
+  private val assignIncrementalOracle: String =
+    s"""WITH e AS (SELECT vec_id, label,
+       |            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (
+       |  SELECT label, i, avg(v[i]) AS m
+       |  FROM e, range(1, ${Similarity.Dims + 1}) r(i)
+       |  WHERE vec_id % 10 <> 3 GROUP BY label, i),
+       |inc AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 3),
+       |d AS (
+       |  SELECT inc.vec_id, c.label,
+       |         sum((inc.v[c.i] - c.m) * (inc.v[c.i] - c.m)) AS d2
+       |  FROM inc, cent c GROUP BY 1, 2)
+       |SELECT vec_id, label AS cell FROM (
+       |  SELECT vec_id, label,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY round(d2, 6), label) AS rn
+       |  FROM d) WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   private def recallMatrixOracle(base: Map[String, String]): String = {
     val fams = Seq("lsh" -> "sim_lsh_topk", "ivf" -> "sim_ivf_topk",
@@ -1908,23 +1932,12 @@ object SparkEntry {
     // (per-label means), crawl vectors take their argmin cell — the
     // relational restatement of IvfIndex.ingest's distributed
     // assignment (round d2 at 6, ties to the lowest label)
-    "sim_ivf_incremental" ->
-      s"""WITH e AS (SELECT vec_id, label,
-         |            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |cent AS (
-         |  SELECT label, i, avg(v[i]) AS m
-         |  FROM e, range(1, ${Similarity.Dims + 1}) r(i)
-         |  WHERE vec_id % 10 <> 3 GROUP BY label, i),
-         |inc AS (SELECT vec_id, v FROM e WHERE vec_id % 10 = 3),
-         |d AS (
-         |  SELECT inc.vec_id, c.label,
-         |         sum((inc.v[c.i] - c.m) * (inc.v[c.i] - c.m)) AS d2
-         |  FROM inc, cent c GROUP BY 1, 2)
-         |SELECT vec_id, label AS cell FROM (
-         |  SELECT vec_id, label,
-         |         row_number() OVER (PARTITION BY vec_id
-         |                            ORDER BY round(d2, 6), label) AS rn
-         |  FROM d) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "sim_ivf_incremental" -> assignIncrementalOracle,
+    // the routed graph family's assign-only ingest: the SAME frozen-
+    // centroid assignment statement — but the Spark side reads the
+    // assignments back from the REBUILT CELL GRAPHS, so this row also
+    // pins that the batch physically landed in its assigned cells
+    "sim_hnsw_routed_incremental" -> assignIncrementalOracle,
     // assign-only PQ encode: codebooks trained on the LANDED split,
     // crawl vectors take their per-subspace argmin cid — pins the
     // packed-code assignment itself, not just the downstream top-k

@@ -186,21 +186,103 @@ object HnswRouted {
       if (!IndexStore.generationCommitted(spark, indexPath, fp)) {
         val fresh = typedCorpus(vecs)
           .map { case (id, l, v) => (l, id, VectorOps.l2Normalize(v), 1) }
-        // the touched-label set is bounded by the CELL COUNT, never the
-        // corpus — the same O(cells) driver footprint as the probe table
-        val touched = fresh.map(_._1).distinct().collect().sorted
-        val v = cellsVersion(spark, indexPath)
-        val existing = servingCells(spark, indexPath, Some(touched.toSet))
-          .select(col("label"), col("vec_id"), col("nv"))
-          .as[(Long, Long, Array[Double])]
-          .map { case (l, id, nv) => (l, id, nv, 0) }
-        val g = gens.max + 1
-        // one shuffle on label; the in-group dedup keeps existing rows
-        // over fresh id collisions (tag order)
-        writeCellGraphs(existing.union(fresh), indexPath, v, g)
-        IndexStore.mark(hfs, p, s"g$g", fp)
+        admitBatch(spark, indexPath, fresh, fp, gens)
       }
     }
+
+  /** Assign-only INGEST — the streaming-era half of the routed
+    * lifecycle, mirroring [[IvfIndex.ingest]]: the batch arrives as
+    * bare (vec_id, v) vectors and the INDEX assigns each to its
+    * nearest FROZEN centroid (distances round at 6 decimals, ties take
+    * the LOWEST cell label — the exact discipline the query path's
+    * probe selection uses, so the DuckDB oracle restates it row for
+    * row), then ONLY the receiving cells rebuild, exactly like
+    * [[merge]]. Assignment is distributed (centroids broadcast — an
+    * O(cells) array, never the corpus). */
+  def ingest(vecs: DataFrame, indexPath: String): Unit =
+    IndexStore.withLock(vecs.sparkSession, indexPath) {
+      val spark = vecs.sparkSession
+      import spark.implicits._
+      val gens = IndexStore.committedGens(spark, indexPath)
+      require(gens.nonEmpty,
+        s"no committed routed HNSW index under $indexPath — run build first")
+      val fp = IndexStore.batchFingerprint(vecs, "vec_id", "v")
+      if (!IndexStore.generationCommitted(spark, indexPath, fp)) {
+        IndexStore.requireVersion(spark, indexPath, "centroids.v",
+          "routed HNSW centroids")
+        val cents = spark.read.parquet(centroidsDir(indexPath))
+          .as[(Long, Array[Double])].collect().sortBy(_._1)
+        val bc = spark.sparkContext.broadcast(cents)
+        val fresh = vecs.select(col("vec_id"), col("v"))
+          .as[(Long, Array[Double])]
+          .mapPartitions { it =>
+            val cs = bc.value // label-ascending: strict < keeps ties low
+            it.map { case (id, v) =>
+              var bestL = -1L
+              var bestD = Double.PositiveInfinity
+              cs.foreach { case (l, cv) =>
+                val d = VectorOps.roundAt(VectorOps.dist2(v, cv), 6)
+                if (d < bestD) { bestD = d; bestL = l }
+              }
+              (bestL, id, VectorOps.l2Normalize(v), 1)
+            }
+          }
+        admitBatch(spark, indexPath, fresh, fp, gens)
+      }
+    }
+
+  /** Shared [[merge]]/[[ingest]] tail: rebuild exactly the cells the
+    * (label, id, nv, tag=1) batch touches — from their current serving
+    * rows plus the batch — and commit the result as one generation. */
+  private def admitBatch(spark: SparkSession, indexPath: String,
+                         fresh: Dataset[(Long, Long, Array[Double], Int)],
+                         fp: String, gens: Seq[Long]): Unit = {
+    import spark.implicits._
+    // the touched-label set is bounded by the CELL COUNT, never the
+    // corpus — the same O(cells) driver footprint as the probe table
+    val touched = fresh.map(_._1).distinct().collect().sorted
+    val v = cellsVersion(spark, indexPath)
+    val existing = servingCells(spark, indexPath, Some(touched.toSet))
+      .select(col("label"), col("vec_id"), col("nv"))
+      .as[(Long, Long, Array[Double])]
+      .map { case (l, id, nv) => (l, id, nv, 0) }
+    val g = gens.max + 1
+    // one shuffle on label; the in-group dedup keeps existing rows
+    // over fresh id collisions (tag order)
+    writeCellGraphs(existing.union(fresh), indexPath, v, g)
+    val (hfs, p) = IndexStore.fs(spark, indexPath)
+    IndexStore.mark(hfs, p, s"g$g", fp)
+  }
+
+  /** sim_hnsw_routed_incremental: [[build]] on the landed split (cells
+    * = the corpus labels), then [[ingest]] the crawl split as BARE
+    * vectors. The returned frame is the ingested batch's (vec_id,
+    * cell) assignments READ BACK from the rebuilt cell tree — so the
+    * oracle (argmin distance to the landed split's per-label
+    * centroids, the same statement as `sim_ivf_incremental`) checks
+    * both the assignment arithmetic and that the batch physically
+    * landed in its assigned cells' graphs. */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-hnsw-routed-inc").toString
+    val vecs = Similarity.corpus(spark, dir)
+    try {
+      val idx = s"$root/idx"
+      build(vecs.filter(col("vec_id") % 10 =!= 3), idx)
+      ingest(vecs.filter(col("vec_id") % 10 === 3)
+        .select(col("vec_id"), col("v")), idx)
+      val maxGen = IndexStore.committedGens(spark, idx).max
+      val dir2 = cellsDir(idx, cellsVersion(spark, idx))
+      val assigned = spark.read.schema(CellSchema)
+        .option("basePath", dir2).parquet(dir2)
+        .filter(col("gen") === maxGen && col("vec_id") % 10 === 3)
+        .select(col("vec_id"), col("label").as("cell"))
+        .orderBy("vec_id")
+      Scratch.materializeAndClean(root, assigned)
+    } catch {
+      case e: Throwable => Scratch.rm(new java.io.File(root)); throw e
+    }
+  }
 
   /** Fold the committed generations into cells version V+1 — one dir,
     * one file set per cell, everything at `gen=<max>` — with the same

@@ -135,6 +135,41 @@ class HnswRoutedSpec extends AnyFunSuite {
     assert(rows(root) == rows(scratch))
   }
 
+  test("ingest assigns bare vectors to the nearest FROZEN centroid " +
+    "(round-6 d2, ties low) and rebuilds only the receiving cells") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("hnswr-i").toString
+    def vec(id: Long): Array[Double] =
+      Array.tabulate(64)(i => math.sin(id * 64 + i))
+    val landed = (0L until 80L).map(id => (id, id % 4, vec(id)))
+    HnswRouted.build(landed.toDF("vec_id", "label", "v"), root)
+    // frozen centroids, driver replay of the assignment
+    val cents = landed.groupBy(_._2).toSeq.map { case (l, vs) =>
+      (l, Array.tabulate(64)(i => vs.map(_._3(i)).sum / vs.length))
+    }.sortBy(_._1)
+    val batchIds = 100L until 110L
+    def assigned(id: Long): Long = cents.map { case (l, cv) =>
+      (graft.operators.VectorOps.roundAt(
+        graft.operators.VectorOps.dist2(vec(id), cv), 6), l)
+    }.min._2
+    HnswRouted.ingest(
+      batchIds.map(id => (id, vec(id))).toDF("vec_id", "v"), root)
+    // only the assigned cells got a new generation
+    val expectedCells = batchIds.map(assigned).toSet
+    val gen1 = new java.io.File(s"$root/cells.v1/gen=1")
+    assert(gen1.list().filter(_.startsWith("label=")).toSet ==
+      expectedCells.map(l => s"label=$l"))
+    // every batch id sits in its argmin cell's rebuilt graph
+    val served = rows(root).filter(t => batchIds.contains(t._2))
+    assert(served.map(t => (t._2, t._1)).toMap ==
+      batchIds.map(id => id -> assigned(id)).toMap)
+    // replay: same fingerprint -> no new generation
+    val before = new java.io.File(s"$root/cells.v1").list().toSet
+    HnswRouted.ingest(
+      batchIds.map(id => (id, vec(id))).toDF("vec_id", "v"), root)
+    assert(new java.io.File(s"$root/cells.v1").list().toSet == before)
+  }
+
   test("compact folds generations into one dir per cell (version bump, " +
     "one-version grace) and vacuum sweeps crashed orphan generations") {
     import spark.implicits._
