@@ -47,6 +47,13 @@ import org.apache.spark.sql.types._
   *   centroids.v1.parquet        (label, cv) — raw-space cell means,
   *                               FROZEN at build (re-deriving them is
   *                               a build, not a merge — the IVF rule).
+  *                               Note the cells persist NORMALIZED
+  *                               vectors only (what beam search
+  *                               needs), so unlike [[IvfIndex]] a
+  *                               centroid re-train cannot run off the
+  *                               index's own rows: drift maintenance
+  *                               is a fresh [[build]] from the source
+  *                               corpus.
   *   cells.v<V>/gen=<G>/label=<L>/  (vec_id, level, nv, nbrs) — cell
   *                               L's graph rows as of generation G.
   *                               A generation carries ONLY the cells

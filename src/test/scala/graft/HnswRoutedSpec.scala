@@ -63,6 +63,26 @@ class HnswRoutedSpec extends AnyFunSuite {
       "the pruning predicate must be on the cell label")
   }
 
+  test("post-merge serving scan partition-prunes on BOTH partition " +
+    "columns: (gen, label) conjuncts per serving generation") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("hnswr-pm").toString
+    def vec(id: Long): Array[Double] =
+      Array.tabulate(64)(i => math.sin(id * 64 + i))
+    HnswRouted.build((0L until 80L).map(id => (id, id % 4, vec(id)))
+      .toDF("vec_id", "label", "v"), root)
+    HnswRouted.merge((100L until 110L).map(id => (id, id % 2, vec(id)))
+      .toDF("vec_id", "label", "v"), root)
+    val df = HnswRouted.query(spark, sf0001, root)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters:"), scan)
+    // both partition columns appear in the pruning predicate: cells
+    // 0,1 read from gen 1, cells 2,3 from gen 0 — never both gens of
+    // a rebuilt cell
+    assert(scan.contains("gen") && scan.contains("label"),
+      s"expected (gen, label) pruning conjuncts, got:\n$scan")
+  }
+
   test("routed result == probe-cells-score-exactly at both test scales " +
     "(cells fit the RoutedEf beam)") {
     for (dir <- Seq(sf0001, "/root/testdata/sf0.1")) {
