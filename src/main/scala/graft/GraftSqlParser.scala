@@ -28,6 +28,7 @@ import graft.sources.GraftTable
   *   GRAFT CHECKPOINT '<root>' [THROUGH <batch id>]
   *   GRAFT INDEX BUILD   <kind> '<root>' FROM (<query>)
   *   GRAFT INDEX MERGE   <kind> '<root>' FROM (<query>)
+  *   GRAFT INDEX INGEST  IVF|HNSW_ROUTED '<root>' FROM (<query>)
   *   GRAFT INDEX COMPACT MINHASH|WINNOW|TERMS|IVF|HNSW_ROUTED '<root>'
   *   GRAFT INDEX VACUUM  IVF|PQ|HNSW_ROUTED '<root>'
   * }}}
@@ -48,7 +49,9 @@ import graft.sources.GraftTable
   * query whose columns must match the index's input contract:
   * `(doc_id, text)` for the text kinds, `(vec_id, v: array<double>)`
   * for PQ and HNSW, `(vec_id, label, v: array<double>)` for IVF and
-  * HNSW_ROUTED. The READ side
+  * HNSW_ROUTED BUILD/MERGE — their INGEST takes bare
+  * `(vec_id, v: array<double>)` and assigns cells against the frozen
+  * centroids. The READ side
   * is deliberately not a command (a command would collect corpus-sized
   * results to the driver): for the text kinds it is the lazy table
   * function `graft_index_query(kind, indexRoot, docsDir[, predicate])`
@@ -287,7 +290,7 @@ object GraftSqlParser {
   private val CheckpointNamedRe =
     s"""(?is)\\s*GRAFT\\s+CHECKPOINT\\s+$Ident(?:\\s+THROUGH\\s+(\\d+))?\\s*;?\\s*""".r
   private val IndexFromRe =
-    """(?is)\s*GRAFT\s+INDEX\s+(BUILD|MERGE)\s+(MINHASH|WINNOW|TERMS|DECONTAM|IVF|PQ|HNSW_ROUTED|HNSW)\s+'([^']+)'\s+FROM\s+(\(.+?)\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+INDEX\s+(BUILD|MERGE|INGEST)\s+(MINHASH|WINNOW|TERMS|DECONTAM|IVF|PQ|HNSW_ROUTED|HNSW)\s+'([^']+)'\s+FROM\s+(\(.+?)\s*;?\s*""".r
   private val IndexCompactRe =
     """(?is)\s*GRAFT\s+INDEX\s+COMPACT\s+(MINHASH|WINNOW|TERMS|IVF|HNSW_ROUTED)\s+'([^']+)'\s*;?\s*""".r
   private val IndexVacuumRe =
@@ -584,6 +587,9 @@ case class GraftIndexCommand(verb: String, kind: String, root: String,
       case ("DECONTAM", "MERGE") => DecontamIndex.merge(src, root)
       case ("IVF", "BUILD") => IvfIndex.build(src, root)
       case ("IVF", "MERGE") => IvfIndex.merge(src, root)
+      // assign-only ingest: bare (vec_id, v) batches, the index
+      // assigns cells against its frozen centroids
+      case ("IVF", "INGEST") => IvfIndex.ingest(src, root)
       case ("IVF", "COMPACT") => IvfIndex.compact(spark, root)
       case ("IVF", "VACUUM") => IvfIndex.vacuum(spark, root)
       case ("PQ", "BUILD") => PqIndex.build(src, root)
@@ -593,6 +599,8 @@ case class GraftIndexCommand(verb: String, kind: String, root: String,
         graft.operators.HnswRouted.build(src, root)
       case ("HNSW_ROUTED", "MERGE") =>
         graft.operators.HnswRouted.merge(src, root)
+      case ("HNSW_ROUTED", "INGEST") =>
+        graft.operators.HnswRouted.ingest(src, root)
       case ("HNSW_ROUTED", "COMPACT") =>
         graft.operators.HnswRouted.compact(spark, root)
       case ("HNSW_ROUTED", "VACUUM") =>

@@ -29,8 +29,9 @@ import graft.operators.{Dedup, PerceptualHash}
   *    band join; bounded bucket state compares arrivals directly, so
   *    a pair colliding in several bands is emitted once per colliding
   *    band — consumers treat (doc_a, doc_b) as a set (`distinct()`
-  *    per micro-batch, or [[StreamingNearDup.uniquePairs]]'s
-  *    watermarked dedup stage composed on top of [[pairs]]' output).
+  *    per micro-batch, or the shipped watermarked dedup stage
+  *    [[uniquePairs]] — exactly-once per (doc_a, doc_b) within the
+  *    watermark horizon).
   *  - Batch expands rep pairs through capped member sets; the stream
   *    pairs each arrival against its buckets' residents.
   *
@@ -112,9 +113,9 @@ object StreamingPhash {
     * [[graft.operators.Dedup.HotGroupCap]] smallest ids per bucket,
     * the same one-sided cap discipline as the batch cross-corpus
     * operators — so the stream flags near-dups of existing images from
-    * its FIRST micro-batch. [[StreamingNearDup.uniquePairs]]'
-    * `dropDuplicatesWithinWatermark` stage composes on the output for
-    * exactly-once (doc_a, doc_b) emission. */
+    * its FIRST micro-batch. [[uniquePairs]] composes the watermarked
+    * dedup stage on the output for exactly-once (doc_a, doc_b)
+    * emission. */
   def pairs(docs: DataFrame, watermarkDelay: String = "1 hour",
             bootstrapCorpus: Option[DataFrame] = None,
             maxHamming: Int = PerceptualHash.MaxHamming): Dataset[Pair] = {
@@ -135,6 +136,25 @@ object StreamingPhash {
           processBucket(maxHamming, watermarkDelay))
     }
   }
+
+  /** The watermarked pair-dedup stage closing [[pairs]]' per-band
+    * duplicate contract — the image twin of
+    * [[StreamingNearDup.uniquePairs]]: one row per (doc_a, doc_b)
+    * within the watermark horizon. The `band` column is dropped before
+    * deduplication (all bands of one pair carry identical hamming and
+    * the arriving doc's event_ts, so the surviving duplicate is
+    * unobservable). Same stateful-composition caveat: start through
+    * [[StreamingNearDup.startUnchecked]] — every emitted pair carries
+    * the ARRIVING document's event_ts, a current-batch timestamp, so
+    * the reviewed-and-safe escape hatch applies identically. */
+  def uniquePairs(docs: DataFrame, watermarkDelay: String = "1 hour",
+                  bootstrapCorpus: Option[DataFrame] = None,
+                  maxHamming: Int = PerceptualHash.MaxHamming): DataFrame =
+    pairs(docs, watermarkDelay, bootstrapCorpus, maxHamming)
+      .toDF()
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("event_ts"))
+      .withWatermark("event_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("doc_a", "doc_b")
 
   /** Per-bucket initial state from a batch (doc_id, media) corpus: the
     * same band rows the stream would produce, id-ordered residents

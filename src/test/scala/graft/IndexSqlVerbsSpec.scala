@@ -103,6 +103,43 @@ class IndexSqlVerbsSpec extends AnyFunSuite {
       .collect().toSeq == b.toSeq)
   }
 
+  test("GRAFT INDEX INGEST: assign-only SQL ingest == the Scala API " +
+    "for both IVF and HNSW_ROUTED; text kinds reject the verb") {
+    val root = tmp()
+    graft.sources.Tables.embeddings(spark, sf0001)
+      .createOrReplaceTempView("ing_vecs")
+    val landed = "SELECT vec_id, CAST(label AS BIGINT) AS label, " +
+      "CAST(embedding AS array<double>) AS v FROM ing_vecs " +
+      "WHERE vec_id % 10 <> 3"
+    val bare = "SELECT vec_id, CAST(embedding AS array<double>) AS v " +
+      "FROM ing_vecs WHERE vec_id % 10 = 3"
+    for (kind <- Seq("IVF", "HNSW_ROUTED")) {
+      spark.sql(s"GRAFT INDEX BUILD $kind '$root/$kind-sql' FROM ($landed)")
+      val ingested =
+        spark.sql(s"GRAFT INDEX INGEST $kind '$root/$kind-sql' FROM ($bare)")
+          .collect()
+      assert(ingested.head.getLong(1) == 2L,
+        s"$kind: build + ingest = two generations")
+    }
+    // SQL twin == Scala twin, generation for generation
+    val vecs = graft.operators.Similarity.corpus(spark, sf0001)
+    graft.operators.HnswRouted.build(
+      vecs.filter(col("vec_id") % 10 =!= 3), s"$root/hr-api")
+    graft.operators.HnswRouted.ingest(
+      vecs.filter(col("vec_id") % 10 === 3)
+        .select(col("vec_id"), col("v")), s"$root/hr-api")
+    def served(r: String) = spark.read.parquet(s"$r/cells.v1")
+      .select(col("label").cast("long"), col("vec_id"),
+        col("gen").cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .sortBy(identity).toSeq
+    assert(served(s"$root/HNSW_ROUTED-sql") == served(s"$root/hr-api"))
+    // INGEST is not in the grammar for the text kinds
+    intercept[Exception] {
+      spark.sql("GRAFT INDEX INGEST MINHASH '/tmp/x' FROM (SELECT 1)")
+    }
+  }
+
   test("malformed statements fail loudly at parse time") {
     // unbalanced FROM query
     val e1 = intercept[Exception] {

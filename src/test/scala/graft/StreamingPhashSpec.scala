@@ -78,4 +78,42 @@ class StreamingPhashSpec extends AnyFunSuite {
       s"expected one emission per band, got $got")
     assert(got.forall(_.hamming == 0))
   }
+
+  test("uniquePairs: exactly-once (doc_a, doc_b) across bands and " +
+    "cross-batch re-emissions, with the conf-scoped start") {
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Array[Byte], Timestamp)](spark)
+    val deduped = StreamingPhash.uniquePairs(
+      stream.toDF().toDF("doc_id", "media", "event_ts"))
+    val name = s"phash_uniq_${System.nanoTime()}"
+    val confKey =
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val priorConf = spark.conf.getOption(confKey)
+    val q = graft.streaming.StreamingNearDup.startUnchecked(spark) {
+      deduped.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("phash-uniq-ckpt")
+            .toString)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+    }
+    assert(spark.conf.getOption(confKey) == priorConf)
+    try {
+      // identical rasters collide in all 4 bands; a re-send of doc 2
+      // re-emits from every band a second time — one row must survive
+      val batches = Seq(
+        Seq((1L, MediaCodec.synthImage(20L), ts(0))),
+        Seq((2L, MediaCodec.synthImage(20L), ts(1000))),
+        Seq((2L, MediaCodec.synthImage(20L), ts(2000))))
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      val got = spark.table(name)
+        .select("doc_a", "doc_b", "hamming")
+        .as[(Long, Long, Int)].collect().toSeq
+      assert(got == Seq((1L, 2L, 0)),
+        s"expected exactly one deduped pair row, got $got")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
 }
