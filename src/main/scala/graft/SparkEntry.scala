@@ -90,6 +90,7 @@ object SparkEntry {
     "q_stream_decontam"     -> (DecontamIndex.streamDecontam _),
     "q_stream_neardup"      -> (graft.streaming.StreamingNearDup.streamNearDup _),
     "q_stream_phash"        -> (graft.streaming.StreamingPhash.streamPhash _),
+    "q_stream_semantic"     -> (graft.streaming.StreamingSemantic.streamSemantic _),
     "q_stream_sessionize"   -> (graft.streaming.StatefulSessionize.streamSessionize _),
     "q_stream_curation"     -> (graft.streaming.CorpusPipeline.streamCuration _),
     "dedup_spans"           -> (Corpus.spanDedup _),
@@ -968,6 +969,33 @@ object SparkEntry {
        |SELECT q_id, CAST(rank AS INT) AS rank, n_id, sim FROM r
        |WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""".stripMargin
 
+  /** The SRP signature CTEs shared by `sim_lsh_topk` and
+    * `q_stream_semantic`: deterministic hyperplanes (md5-derived
+    * dyadic doubles — bit-identical across engines), normalized
+    * vectors, and each vector's 8-bit sign bucket. Defines
+    * `nrm(vec_id, v, nv)` and `sigs(vec_id, bucket)`. */
+  private def srpSigCtes: String =
+    s"""pl AS (
+       |  SELECT p, list_transform(range(1, 65), d ->
+       |    (${hexToLongSql("substr(md5('rp:' || p || ':' || d), 1, 8)")}
+       |     / 4294967296.0) * 2 - 1) AS ul
+       |  FROM range(0, ${Similarity.LshPlanes}) t(p)),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nrm AS (SELECT vec_id, v,
+       |        list_transform(v, a ->
+       |          a / sqrt(list_sum(list_transform(v, b -> b * b)))) AS nv
+       |        FROM e),
+       |dots AS (
+       |  SELECT n.vec_id, p.p,
+       |         list_sum(list_transform(range(1, 65),
+       |                  d -> n.v[d] * p.ul[d])) AS dp
+       |  FROM nrm n, pl p),
+       |sigs AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS INT)
+       |           AS bucket
+       |  FROM dots GROUP BY 1)""".stripMargin
+
   /** Frozen-centroid assign-only ingest, as SQL: centroids = per-label
     * means over the LANDED split, each crawl vector takes its argmin
     * cell (round-6 d², ties to the lowest label). Shared verbatim by
@@ -1786,6 +1814,33 @@ object SparkEntry {
          |              JOIN hsh b2 ON b2.doc_id = c.right_id)
          |WHERE hamming <= ${PerceptualHash.MaxHamming}
          |ORDER BY left_id, right_id""".stripMargin,
+    // the streaming embedding near-dup pass: landed vectors bootstrap
+    // their OWN SRP bucket (HotGroupCap smallest ids resident), the
+    // increment streams and multi-probes hamming-1 neighbors — a
+    // cross pair appears iff the corpus vector is resident, the two
+    // buckets are within hamming 1, and the round-4 normalized dot
+    // clears the embedding threshold
+    "q_stream_semantic" ->
+      s"""WITH $srpSigCtes,
+         |res AS (
+         |  SELECT vec_id, bucket FROM (
+         |    SELECT vec_id, bucket,
+         |           row_number() OVER (PARTITION BY bucket
+         |                              ORDER BY vec_id) AS rn
+         |    FROM sigs WHERE vec_id % 10 <> 3) WHERE rn <= ${Dedup.HotGroupCap}),
+         |inc AS (SELECT vec_id, bucket FROM sigs WHERE vec_id % 10 = 3),
+         |cand AS (
+         |  SELECT i.vec_id AS left_id, r.vec_id AS right_id
+         |  FROM inc i JOIN res r
+         |    ON bit_count(xor(i.bucket, r.bucket)) <= 1)
+         |SELECT left_id, right_id, sim FROM (
+         |  SELECT c.left_id, c.right_id,
+         |         round(list_sum(list_transform(range(1, 65),
+         |               k -> a.nv[k] * b.nv[k])), 4) AS sim
+         |  FROM cand c JOIN nrm a ON a.vec_id = c.left_id
+         |              JOIN nrm b ON b.vec_id = c.right_id)
+         |WHERE sim >= ${Dedup.EmbeddingCosThreshold}
+         |ORDER BY left_id, right_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $toksCte,
          |sz AS (SELECT doc_id, len(s) AS n FROM shf),
@@ -1948,26 +2003,7 @@ object SparkEntry {
     "sim_lsh_topk" -> {
       val flips = (Seq(0) ++ (0 until Similarity.LshPlanes).map(1 << _))
         .mkString("[", ", ", "]")
-      s"""WITH pl AS (
-         |  SELECT p, list_transform(range(1, 65), d ->
-         |    (${hexToLongSql("substr(md5('rp:' || p || ':' || d), 1, 8)")}
-         |     / 4294967296.0) * 2 - 1) AS ul
-         |  FROM range(0, ${Similarity.LshPlanes}) t(p)),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |nrm AS (SELECT vec_id, v,
-         |        list_transform(v, a ->
-         |          a / sqrt(list_sum(list_transform(v, b -> b * b)))) AS nv
-         |        FROM e),
-         |dots AS (
-         |  SELECT n.vec_id, p.p,
-         |         list_sum(list_transform(range(1, 65),
-         |                  d -> n.v[d] * p.ul[d])) AS dp
-         |  FROM nrm n, pl p),
-         |sigs AS (
-         |  SELECT vec_id,
-         |         CAST(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS INT)
-         |           AS bucket
-         |  FROM dots GROUP BY 1),
+      s"""WITH $srpSigCtes,
          |q AS (
          |  SELECT s.vec_id AS q_id, n.nv AS qnv, s.bucket
          |  FROM sigs s JOIN nrm n ON n.vec_id = s.vec_id

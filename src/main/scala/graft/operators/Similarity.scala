@@ -70,6 +70,21 @@ object Similarity {
     }
   }
 
+  /** SRP bucket of a RAW vector: bit p set when dot(v, planes(p)) > 0
+    * — the shared kernel between [[lshTopK]] and
+    * [[graft.streaming.StreamingSemantic]] (sign is normalization-
+    * invariant, so raw-vs-normalized input cannot diverge). */
+  def srpBucket(v: Array[Double]): Int = {
+    val pl = planes
+    var bucket = 0
+    var p = 0
+    while (p < LshPlanes) {
+      if (VectorOps.dot(v, pl(p)) > 0) bucket |= 1 << p
+      p += 1
+    }
+    bucket
+  }
+
   private[graft] def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
@@ -186,20 +201,11 @@ object Similarity {
     */
   def lshTopK(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pl = planes
-    val nPlanes = LshPlanes
     val sigs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
       .map { case (id, v) =>
-        val nv = VectorOps.l2Normalize(v)
-        var bucket = 0
-        var p = 0
-        while (p < nPlanes) {
-          if (VectorOps.dot(v, pl(p)) > 0) bucket |= 1 << p
-          p += 1
-        }
-        (id, bucket, nv)
+        (id, srpBucket(v), VectorOps.l2Normalize(v))
       }
       .toDF("vec_id", "bucket", "nv")
     val probes = sigs.filter(col("vec_id") % QueryStride === 0)
