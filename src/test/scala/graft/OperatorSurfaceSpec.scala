@@ -11,7 +11,11 @@ class OperatorSurfaceSpec extends AnyFunSuite {
   import SparkTestSession._
 
   // ops whose correct result can legitimately be empty at sf0.001
-  private val mayBeEmpty = Set("dedup_embedding")
+  // (embedding-cosine pairs: the tiny corpus has no cross pair over
+  // the 0.45 threshold — for the streaming twin, none within the SRP
+  // hamming-1 reach; both rows carry real rows at sf0.01+ and their
+  // oracles hash-match the emptiness here)
+  private val mayBeEmpty = Set("dedup_embedding", "q_stream_semantic")
 
   // ops with a DELIBERATE nested-loop join of a guaranteed-one-row
   // broadcast side (a scalar append: O(n) work at any scale, not the
