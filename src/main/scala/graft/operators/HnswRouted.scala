@@ -361,7 +361,11 @@ object HnswRouted {
     * generation — optionally restricted to `wanted` labels. The filter
     * is an OR of per-generation (gen = G AND label IN (...)) conjuncts
     * over the two partition columns, so the scan partition-prunes to
-    * exactly the serving dirs. */
+    * exactly the serving dirs. The literal count is O(cells) — the
+    * same driver-side bound as the centroid table and the probe map,
+    * an accepted invariant of this index family; a deployment sized
+    * past ~10⁵ cells would swap the IN literals for a broadcast join
+    * against the serving map (the plan prunes identically). */
   private def servingCells(spark: SparkSession, root: String,
                            wanted: Option[Set[Long]]): DataFrame = {
     val v = cellsVersion(spark, root)
