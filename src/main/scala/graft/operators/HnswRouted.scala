@@ -189,7 +189,6 @@ object HnswRouted {
       require(gens.nonEmpty,
         s"no committed routed HNSW index under $indexPath — run build first")
       val fp = IndexStore.batchFingerprint(vecs, "vec_id", "v")
-      val (hfs, p) = IndexStore.fs(spark, indexPath)
       if (!IndexStore.generationCommitted(spark, indexPath, fp)) {
         val fresh = typedCorpus(vecs)
           .map { case (id, l, v) => (l, id, VectorOps.l2Normalize(v), 1) }
@@ -248,6 +247,21 @@ object HnswRouted {
     // the touched-label set is bounded by the CELL COUNT, never the
     // corpus — the same O(cells) driver footprint as the probe table
     val touched = fresh.map(_._1).distinct().collect().sorted
+    // query-time probe selection iterates the FROZEN centroid table:
+    // a cell whose label has no centroid is committed but never
+    // probed, so its vectors are silently unqueryable — name them
+    // loudly and point at the remedy (ingest assigns labels FROM the
+    // centroids, so only merge's caller-supplied labels can stray)
+    val centLabels = spark.read.parquet(centroidsDir(indexPath))
+      .select(col("label")).as[Long].collect().toSet
+    val unreachable = touched.filterNot(centLabels)
+    if (unreachable.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"routed HNSW merge into $indexPath touches label(s) " +
+          s"${unreachable.mkString(",")} with no frozen centroid: " +
+          "their vectors will never be probe-selected at query time " +
+          "— rebuild the index from source to re-train centroids, or " +
+          "use ingest (assign-only) for unlabeled batches")
     val v = cellsVersion(spark, indexPath)
     val existing = servingCells(spark, indexPath, Some(touched.toSet))
       .select(col("label"), col("vec_id"), col("nv"))

@@ -146,6 +146,24 @@ object IvfIndex {
       val fp = IndexStore.batchFingerprint(vecs, "vec_id", "v")
       val (hfs, p) = IndexStore.fs(spark, indexPath)
       if (!IndexStore.generationCommitted(spark, indexPath, fp)) {
+        // probe selection iterates the FROZEN centroid table: a merged
+        // label with no centroid is committed but never probed, so its
+        // vectors are silently unqueryable — warn by name (the same
+        // contract as HnswRouted.admitBatch; ingest can't stray, its
+        // labels come FROM the centroids)
+        import spark.implicits._
+        val centLabels = spark.read.parquet(
+            centroidsDir(indexPath, centroidVersion(spark, indexPath)))
+          .select(col("label")).as[Long].collect().toSet
+        val unreachable = vecs.select(col("label").cast("long"))
+          .distinct().as[Long].collect().filterNot(centLabels).sorted
+        if (unreachable.nonEmpty)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"IVF merge into $indexPath touches label(s) " +
+              s"${unreachable.mkString(",")} with no frozen centroid: " +
+              "their vectors will never be probe-selected at query " +
+              "time — rebuild to re-train centroids, or use ingest " +
+              "(assign-only) for unlabeled batches")
         val g = gens.max + 1
         writeCells(vecs.select(col("vec_id"),
           col("label").cast("long"), col("v")), indexPath,

@@ -305,6 +305,17 @@ object TextAnalysis {
   val LmPrefix = 256
   private val LmScale = 10000L
 
+  /** Cap on the DRIVER-merged LM count tables, in total map entries
+    * (trigrams + bigrams). The merge streams partials one partition at
+    * a time, so driver residency is the merged table so far plus one
+    * partial; the moment the merged entry count passes this cap the
+    * merge aborts and [[lmScoreDistributed]] recomputes from the plan
+    * (the `Bpe.DriverVocabCap` discipline: the common path — ASCII-ish
+    * corpora, vocabularies of at most a few million n-grams — pays
+    * nothing; the rare multilingual-at-100TB path pays a second scan
+    * instead of an OOM). 4M entries ≈ low tens of MB on the driver. */
+  val LmDriverCap: Long = 4L << 20
+
   /** Corpus-trained character-trigram language-model score — the
     * perplexity-filter stand-in (CCNet shape: score each doc under a
     * corpus LM; outliers on either end are boilerplate or garbage).
@@ -315,18 +326,24 @@ object TextAnalysis {
     * score ≥ 1.0 always (a context count is never below its
     * continuation count); higher = more surprising under the corpus.
     *
-    * Plan shape: TWO narrow passes over the bounded prefixes and
-    * nothing else. Pass 1 accumulates both n-gram count tables in one
-    * per-partition loop (vocabulary-bounded maps, merged on the
-    * driver — the partial-aggregation shape without materializing the
-    * ≤ LmPrefix-wide explode); pass 2 scores each doc against the
-    * count maps broadcast in the task closure. At 100 TB the count
-    * tables stay ≤ |charset|³ entries (tree-reduce the partials on a
-    * real cluster); the corpus is read twice and never shuffled.
-    * Replaces the explode + cache + two broadcast joins formulation —
-    * same integer arithmetic, 3.4 s → ~1 s at sf0.1.
+    * Plan shape, common path: TWO narrow passes over the bounded
+    * prefixes and nothing else. Pass 1 accumulates both n-gram count
+    * tables in one per-partition loop (vocabulary-bounded maps,
+    * streamed to the driver one partition at a time and merged under
+    * the ENFORCED [[LmDriverCap]] entry gate); pass 2 scores each doc
+    * against the count maps broadcast in the task closure. The corpus
+    * is read twice and never shuffled. Past the cap (a multilingual
+    * corpus where distinct trigrams reach 10⁸+) the merge aborts with
+    * a WARN and [[lmScoreDistributed]] runs instead — same integer
+    * arithmetic, fully distributed, bit-identical output
+    * (spec-asserted). Replaces the explode + cache + two broadcast
+    * joins formulation — same arithmetic, 3.4 s → ~1 s at sf0.1.
     */
-  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScore(spark, dir, LmDriverCap)
+
+  private[graft] def lmScore(spark: SparkSession, dir: String,
+                             driverCap: Long): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
@@ -347,27 +364,73 @@ object TextAnalysis {
         }
       }
       Iterator.single((tri.toMap, bi.toMap))
-    }.collect()
+    }
+    // Gated incremental merge: toLocalIterator fetches ONE partition's
+    // partial at a time, so driver residency is merged-so-far + one
+    // partial, and merged-so-far is bounded by driverCap + one
+    // partial's entries — the gate is the allocation, not an estimate.
     val triM = scala.collection.mutable.HashMap.empty[String, Long]
     val biM = scala.collection.mutable.HashMap.empty[String, Long]
-    partials.foreach { case (t, b) =>
+    var over = false
+    val pIt = partials.toLocalIterator
+    while (!over && pIt.hasNext) {
+      val (t, b) = pIt.next()
       t.foreach { case (k, c) => triM.update(k, triM.getOrElse(k, 0L) + c) }
       b.foreach { case (k, c) => biM.update(k, biM.getOrElse(k, 0L) + c) }
+      over = triM.size.toLong + biM.size.toLong > driverCap
     }
-    val bc = spark.sparkContext.broadcast((triM.toMap, biM.toMap))
-    docs.map { case (id, p) =>
-      val (t3, b2) = bc.value
-      var s = 0L
-      var n = 0L
-      var i = 0
-      while (i + 3 <= p.length) {
-        val c3 = t3(p.substring(i, i + 3))
-        val c2 = b2(p.substring(i, i + 2))
-        s += (c2 * LmScale) / c3
-        n += 1
-        i += 1
-      }
-      (id, n.toInt, ((2 * s + n) / (2 * n)).toDouble / LmScale.toDouble)
-    }.toDF("doc_id", "n_tri", "lm_score").orderBy("doc_id")
+    if (over) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"lmScore: trigram+bigram tables passed the $driverCap-entry " +
+          "driver cap; falling back to the distributed join " +
+          "formulation (second corpus scan, no driver-side tables)")
+      lmScoreDistributed(docs)
+    } else {
+      val bc = spark.sparkContext.broadcast((triM.toMap, biM.toMap))
+      docs.map { case (id, p) =>
+        val (t3, b2) = bc.value
+        var s = 0L
+        var n = 0L
+        var i = 0
+        while (i + 3 <= p.length) {
+          val c3 = t3(p.substring(i, i + 3))
+          val c2 = b2(p.substring(i, i + 2))
+          s += (c2 * LmScale) / c3
+          n += 1
+          i += 1
+        }
+        (id, n.toInt, ((2 * s + n) / (2 * n)).toDouble / LmScale.toDouble)
+      }.toDF("doc_id", "n_tri", "lm_score").orderBy("doc_id")
+    }
+  }
+
+  /** The distributed (over-cap) LM scoring path: n-grams exploded once
+    * (narrow — ≤ LmPrefix−2 rows per doc), count tables computed as
+    * shuffled aggregates, and the per-gram inverse probabilities
+    * recovered through two shuffle joins keyed on the gram. The
+    * arithmetic replays the driver path's integer division exactly
+    * (`div`, then the half-up mean), so the two paths are
+    * bit-identical. Hot grams ("the", " a ") skew the join keys the
+    * same way tf-idf's term key skews; AQE's skew-join split handles
+    * the sort-merge side at scale. Nothing touches the driver. */
+  private def lmScoreDistributed(
+      docs: org.apache.spark.sql.Dataset[(Long, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = docs.flatMap { case (id, p) =>
+      (0 to p.length - 3).iterator.map(i =>
+        (id, p.substring(i, i + 3), p.substring(i, i + 2)))
+    }.toDF("doc_id", "t3", "b2")
+    val triCnt = grams.groupBy("t3").agg(count(lit(1)).as("c3"))
+    val biCnt = grams.groupBy("b2").agg(count(lit(1)).as("c2"))
+    grams.join(triCnt, "t3").join(biCnt, "b2")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"c2 * $LmScale div c3")).as("s"))
+      .select(col("doc_id"),
+        col("n").cast("int").as("n_tri"),
+        (expr("(2 * s + n) div (2 * n)").cast("double") /
+          LmScale.toDouble).as("lm_score"))
+      .orderBy("doc_id")
   }
 }

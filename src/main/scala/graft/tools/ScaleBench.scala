@@ -173,8 +173,7 @@ object ScaleBench {
         val rows = name match {
           case n2 if n2.startsWith("dedup") || n2.startsWith("q_sql") ||
             n2.startsWith("text") => BaseDocs * scale
-          case n2 if n2.startsWith("sim") || n2.startsWith("hnsw") =>
-            BaseVecs * scale
+          case n2 if n2.startsWith("sim") => BaseVecs * scale
           case _ => BaseEvents * scale
         }
         results += ((name, scale, rows, secs.map(_._1).min))

@@ -40,6 +40,16 @@ class LmScoreSpec extends AnyFunSuite {
     assert(byPrefix.filter(col("k") > 1).count() == 0)
   }
 
+  test("over-cap corpora fall back to the distributed path, bit-identical") {
+    // driverCap=1 forces the gate on the first partial: the distributed
+    // join formulation must replay the driver path's integer arithmetic
+    // exactly — same rows, same doubles, no driver-side count tables
+    val distributed = TextAnalysis.lmScore(spark, sf0001, driverCap = 1L)
+      .collect()
+    assert(distributed.sameElements(scores.collect()),
+      "distributed fallback must be bit-identical to the driver path")
+  }
+
   test("repeated boilerplate scores lower than novel character soup") {
     import spark.implicits._
     // 60 copies of one sentence + 1 novel doc: the LM is dominated by
