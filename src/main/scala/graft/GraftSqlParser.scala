@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType}
 
 import graft.sources.GraftTable
 
@@ -29,6 +29,7 @@ import graft.sources.GraftTable
   *   GRAFT INDEX BUILD   <kind> '<root>' FROM (<query>)
   *   GRAFT INDEX MERGE   <kind> '<root>' FROM (<query>)
   *   GRAFT INDEX INGEST  IVF|HNSW_ROUTED '<root>' FROM (<query>)
+  *   GRAFT INDEX ADMIT   MINHASH '<root>' FROM (<query>)
   *   GRAFT INDEX COMPACT MINHASH|WINNOW|TERMS|IVF|HNSW_ROUTED '<root>'
   *   GRAFT INDEX VACUUM  IVF|PQ|HNSW_ROUTED '<root>'
   * }}}
@@ -51,7 +52,13 @@ import graft.sources.GraftTable
   * for PQ and HNSW, `(vec_id, label, v: array<double>)` for IVF and
   * HNSW_ROUTED BUILD/MERGE — their INGEST takes bare
   * `(vec_id, v: array<double>)` and assigns cells against the frozen
-  * centroids. The READ side
+  * centroids. ADMIT is the production crawl gate
+  * ([[graft.operators.MinhashIndex.admit]]): the `(doc_id, text)`
+  * batch is near-dup-checked against the index, survivors merge in,
+  * and — uniquely among the INDEX verbs — the command's result set is
+  * the per-doc admission log `(doc_id, admitted)` rather than the
+  * one-row summary, so a SQL-orchestrated pipeline can both gate and
+  * learn WHAT was gated. The READ side
   * is deliberately not a command (a command would collect corpus-sized
   * results to the driver): for the text kinds it is the lazy table
   * function `graft_index_query(kind, indexRoot, docsDir[, predicate])`
@@ -290,7 +297,7 @@ object GraftSqlParser {
   private val CheckpointNamedRe =
     s"""(?is)\\s*GRAFT\\s+CHECKPOINT\\s+$Ident(?:\\s+THROUGH\\s+(\\d+))?\\s*;?\\s*""".r
   private val IndexFromRe =
-    """(?is)\s*GRAFT\s+INDEX\s+(BUILD|MERGE|INGEST)\s+(MINHASH|WINNOW|TERMS|DECONTAM|IVF|PQ|HNSW_ROUTED|HNSW)\s+'([^']+)'\s+FROM\s+(\(.+?)\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+INDEX\s+(BUILD|MERGE|INGEST|ADMIT)\s+(MINHASH|WINNOW|TERMS|DECONTAM|IVF|PQ|HNSW_ROUTED|HNSW)\s+'([^']+)'\s+FROM\s+(\(.+?)\s*;?\s*""".r
   private val IndexCompactRe =
     """(?is)\s*GRAFT\s+INDEX\s+COMPACT\s+(MINHASH|WINNOW|TERMS|IVF|HNSW_ROUTED)\s+'([^']+)'\s*;?\s*""".r
   private val IndexVacuumRe =
@@ -565,15 +572,38 @@ case class GraftIndexCommand(verb: String, kind: String, root: String,
     extends LeafRunnableCommand {
   import graft.operators.{DecontamIndex, IndexStore, IvfIndex, MinhashIndex, PqIndex, TermStatsIndex, WinnowIndex}
 
-  override val output: Seq[Attribute] = Seq(
-    AttributeReference("kind", StringType)(),
-    AttributeReference("generations", LongType)(),
-    AttributeReference("note", StringType)())
+  override val output: Seq[Attribute] =
+    if (verb == "ADMIT") Seq(
+      AttributeReference("doc_id", LongType)(),
+      AttributeReference("admitted", BooleanType)())
+    else Seq(
+      AttributeReference("kind", StringType)(),
+      AttributeReference("generations", LongType)(),
+      AttributeReference("note", StringType)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     def src = spark.sql(sourceSql.getOrElse(throw new IllegalStateException(
       s"GRAFT INDEX $verb needs a FROM query")))
     (kind, verb) match {
+      case ("MINHASH", "ADMIT") =>
+        // the crawl gate: query-then-merge with frozen decisions — the
+        // admitted set is materialized BEFORE the merge inside admit,
+        // so the log can't observe the generation it creates. The log
+        // is (doc_id, admitted) over the batch: commands surface their
+        // result set through the driver (the Delta-MERGE-metrics
+        // shape), so this is O(batch ids) — 9 bytes a row; a crawl
+        // increment too large for that goes through the Scala
+        // MinhashIndex.admit API, whose log stays distributed.
+        import org.apache.spark.sql.functions.{coalesce, col, lit}
+        val batch = src
+        val admitted = MinhashIndex.admit(batch, root)
+        return batch.select(col("doc_id"))
+          .join(admitted.select(col("doc_id"))
+            .withColumn("adm", lit(true)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("adm"), lit(false)).as("admitted"))
+          .orderBy("doc_id")
+          .collect().toSeq
       case ("MINHASH", "BUILD") => MinhashIndex.build(src, root)
       case ("MINHASH", "MERGE") => MinhashIndex.merge(src, root)
       case ("MINHASH", "COMPACT") => MinhashIndex.compact(spark, root)

@@ -82,6 +82,7 @@ object SparkEntry {
     "dedup_incremental"     -> (MinhashIndex.incremental _),
     "dedup_index_lifecycle" -> (MinhashIndex.lifecycle _),
     "q_sql_index_lifecycle" -> (MinhashIndex.sqlLifecycle _),
+    "q_sql_admit"           -> (MinhashIndex.sqlAdmit _),
     "dedup_ingest_chain"    -> (MinhashIndex.ingestChain _),
     "q_admission_pipeline"  -> (Admission.pipeline _),
     "text_decontaminate"    -> (Dedup.decontaminate _),
@@ -1597,6 +1598,30 @@ object SparkEntry {
     // batch 2 against batch 0 ∪ batch 1's SURVIVORS (a rejected
     // batch-1 doc never blocks a batch-2 doc) — the relational
     // restatement of MinhashIndex's query→admit→merge crawl loop
+    // the SQL-driven crawl gate: same chained-admission restatement as
+    // dedup_ingest_chain, but the gated rows are what GRAFT INDEX
+    // ADMIT itself RETURNED (batches 1 and 2 only; bootstrap batch 0
+    // never passes through the gate)
+    "q_sql_admit" ->
+      s"""WITH ${minhashCtesWith(
+               "((x.doc_id % 3 = 1 AND y.doc_id % 3 = 0) OR " +
+               "(x.doc_id % 3 = 2 AND y.doc_id % 3 <> 2))")},
+         |p AS (SELECT doc_a, doc_b FROM j
+         |      WHERE jaccard >= ${Dedup.MinhashJaccardThreshold}),
+         |adm1 AS (
+         |  SELECT doc_id FROM documents d1 WHERE doc_id % 3 = 1
+         |  AND NOT EXISTS (SELECT 1 FROM p WHERE p.doc_a = d1.doc_id)),
+         |adm2 AS (
+         |  SELECT doc_id FROM documents d2 WHERE doc_id % 3 = 2
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM p WHERE p.doc_a = d2.doc_id
+         |    AND (p.doc_b % 3 = 0
+         |         OR p.doc_b IN (SELECT doc_id FROM adm1))))
+         |SELECT d.doc_id, CAST(d.doc_id % 3 AS INT) AS batch,
+         |       (d.doc_id IN (SELECT doc_id FROM adm1)
+         |        OR d.doc_id IN (SELECT doc_id FROM adm2)) AS admitted
+         |FROM documents d WHERE d.doc_id % 3 <> 0
+         |ORDER BY doc_id""".stripMargin,
     "dedup_ingest_chain" ->
       s"""WITH ${minhashCtesWith(
                "((x.doc_id % 3 = 1 AND y.doc_id % 3 = 0) OR " +

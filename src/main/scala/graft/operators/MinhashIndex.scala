@@ -420,6 +420,40 @@ object MinhashIndex {
     }
   }
 
+  /** q_sql_admit: the [[ingestChain]] crawl loop driven ENTIRELY
+    * through SQL — `GRAFT INDEX BUILD` on the bootstrap batch, then
+    * two successive `GRAFT INDEX ADMIT` commands whose RESULT SETS
+    * (the per-doc admission logs) form the output, so the verb's
+    * returned log — not a readback of the index — is what the DuckDB
+    * oracle hash-gates. Chained semantics are identical to
+    * [[ingestChain]]: batch 2 is checked against batch 0 plus
+    * batch 1's SURVIVORS. */
+  def sqlAdmit(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.install(spark)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-mh-sql-admit").toString
+    try {
+      graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .createOrReplaceTempView("graft_sqladmit_docs")
+      val idx = s"$root/idx"
+      spark.sql(s"GRAFT INDEX BUILD MINHASH '$idx' FROM " +
+        "(SELECT doc_id, text FROM graft_sqladmit_docs " +
+        "WHERE doc_id % 3 = 0)").collect()
+      def admitLog(k: Int) =
+        spark.sql(s"GRAFT INDEX ADMIT MINHASH '$idx' FROM " +
+          "(SELECT doc_id, text FROM graft_sqladmit_docs " +
+          s"WHERE doc_id % 3 = $k)")
+          .withColumn("batch", lit(k))
+      val log = admitLog(1).unionByName(admitLog(2))
+      Scratch.materializeAndClean(root,
+        log.select(col("doc_id"), col("batch"), col("admitted"))
+          .orderBy("doc_id"))
+    } catch {
+      case e: Throwable => Scratch.rm(new java.io.File(root)); throw e
+    }
+  }
+
   /** Gate one crawl batch against the index and admit the survivors:
     * near-dups of already-landed docs are rejected, everything else is
     * [[merge]]d in. Returns the admitted rows, MATERIALIZED before the

@@ -140,6 +140,49 @@ class IndexSqlVerbsSpec extends AnyFunSuite {
     }
   }
 
+  test("GRAFT INDEX ADMIT: the SQL gate returns the admission log and " +
+    "matches the Scala admit API on an identically maintained twin") {
+    GraftExtensions.install(spark)
+    docsView("idx_docs_admit")
+    val root = tmp()
+    spark.sql(s"GRAFT INDEX BUILD MINHASH '$root/s' FROM " +
+      "(SELECT doc_id, text FROM idx_docs_admit WHERE doc_id % 3 = 0)")
+      .collect()
+    val log = spark.sql(s"GRAFT INDEX ADMIT MINHASH '$root/s' FROM " +
+      "(SELECT doc_id, text FROM idx_docs_admit WHERE doc_id % 3 = 1)")
+      .collect()
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val batch1 = docs.filter(col("doc_id") % 3 === 1)
+    assert(log.length == batch1.count(),
+      "the log covers every batch doc, admitted or not")
+    assert(log.map(_.getLong(0)).distinct.length == log.length)
+    // twin via the Scala API: identical admitted set
+    MinhashIndex.build(docs.filter(col("doc_id") % 3 === 0), s"$root/t")
+    val viaApi = MinhashIndex.admit(batch1, s"$root/t")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaSql = log.filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    assert(viaSql == viaApi, "SQL ADMIT and Scala admit gate identically")
+    // the merge really happened: a second identical ADMIT now gates
+    // against an index CONTAINING the survivors — still bit-identical
+    // to the Scala twin, and strictly fewer docs get through
+    val again = spark.sql(s"GRAFT INDEX ADMIT MINHASH '$root/s' FROM " +
+      "(SELECT doc_id, text FROM idx_docs_admit WHERE doc_id % 3 = 1)")
+      .collect().filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    val againApi = MinhashIndex.admit(batch1, s"$root/t")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == againApi,
+      "second SQL ADMIT and second Scala admit gate identically")
+    assert(again.size < viaSql.size,
+      "re-admitting must reject survivors as near-dups of themselves")
+    // ADMIT is minhash-only: other kinds refuse at run time
+    val e = intercept[Exception] {
+      spark.sql(s"GRAFT INDEX ADMIT WINNOW '$root/s' FROM " +
+        "(SELECT doc_id, text FROM idx_docs_admit)").collect()
+    }
+    assert(e.getMessage.contains("unsupported"))
+  }
+
   test("malformed statements fail loudly at parse time") {
     // unbalanced FROM query
     val e1 = intercept[Exception] {
