@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType, StructType}
 
 import graft.sources.GraftTable
 
@@ -32,6 +32,7 @@ import graft.sources.GraftTable
   *   GRAFT INDEX ADMIT   MINHASH '<root>' FROM (<query>)
   *   GRAFT INDEX COMPACT MINHASH|WINNOW|TERMS|IVF|HNSW_ROUTED '<root>'
   *   GRAFT INDEX VACUUM  IVF|PQ|HNSW_ROUTED '<root>'
+  *   GRAFT INDEX STATS   HNSW_ROUTED '<root>'
   * }}}
   *
   * Every table verb also takes a CATALOG-NAMED table in place of
@@ -206,6 +207,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftIndexCommand("COMPACT", kind.toUpperCase, root, None)
     case IndexVacuumRe(kind, root) =>
       GraftIndexCommand("VACUUM", kind.toUpperCase, root, None)
+    case IndexStatsRe(kind, root) =>
+      GraftIndexCommand("STATS", kind.toUpperCase, root, None)
     case IndexRebuildIvfRe(root, threshold) =>
       GraftIndexCommand("REBUILD", "IVF", root, None,
         Option(threshold).map(_.toDouble))
@@ -302,6 +305,8 @@ object GraftSqlParser {
     """(?is)\s*GRAFT\s+INDEX\s+COMPACT\s+(MINHASH|WINNOW|TERMS|IVF|HNSW_ROUTED)\s+'([^']+)'\s*;?\s*""".r
   private val IndexVacuumRe =
     """(?is)\s*GRAFT\s+INDEX\s+VACUUM\s+(IVF|PQ|HNSW_ROUTED)\s+'([^']+)'\s*;?\s*""".r
+  private val IndexStatsRe =
+    """(?is)\s*GRAFT\s+INDEX\s+STATS\s+(HNSW_ROUTED)\s+'([^']+)'\s*;?\s*""".r
   // drift maintenance: IVF rebuilds from its own stored vectors; PQ
   // stores only codes, so its rebuild input arrives as a FROM query
   private val IndexRebuildIvfRe =
@@ -576,6 +581,13 @@ case class GraftIndexCommand(verb: String, kind: String, root: String,
     if (verb == "ADMIT") Seq(
       AttributeReference("doc_id", LongType)(),
       AttributeReference("admitted", BooleanType)())
+    else if (verb == "STATS") Seq(
+      AttributeReference("label", LongType)(),
+      AttributeReference("n_build", LongType)(),
+      AttributeReference("n_now", LongType)(),
+      AttributeReference("mean_d2_build", DoubleType)(),
+      AttributeReference("mean_d2_now", DoubleType)(),
+      AttributeReference("d2_drift", DoubleType)())
     else Seq(
       AttributeReference("kind", StringType)(),
       AttributeReference("generations", LongType)(),
@@ -635,6 +647,9 @@ case class GraftIndexCommand(verb: String, kind: String, root: String,
         graft.operators.HnswRouted.compact(spark, root)
       case ("HNSW_ROUTED", "VACUUM") =>
         graft.operators.HnswRouted.vacuum(spark, root)
+      case ("HNSW_ROUTED", "STATS") =>
+        // read-only drift observability: O(cells) rows by construction
+        return graft.operators.HnswRouted.stats(spark, root).collect().toSeq
       case ("HNSW", "BUILD") | ("HNSW", "MERGE") =>
         if (verb == "BUILD") graft.operators.HnswIndex.build(src, root)
         else graft.operators.HnswIndex.merge(src, root)

@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"   -> (Dedup.ngramJaccard _),
     "dedup_phash"           -> (PerceptualHash.phash _),
     "dedup_phash_dct"       -> (PerceptualHash.phashDct _),
+    "dedup_phash_crosscorpus" -> (PerceptualHash.phashCrossCorpus _),
     "dedup_phash_clusters"  -> ((s, d) => Dedup.clusters(
       PerceptualHash.phash(s, d)
         .select(org.apache.spark.sql.functions.col("doc_a"),
@@ -1023,7 +1024,8 @@ object SparkEntry {
   private def recallMatrixOracle(base: Map[String, String]): String = {
     val fams = Seq("lsh" -> "sim_lsh_topk", "ivf" -> "sim_ivf_topk",
       "pq" -> "sim_pq_topk", "ivfpq" -> "sim_ivfpq_topk",
-      "hnsw" -> "sim_hnsw_topk", "hnsw_routed" -> "sim_hnsw_routed")
+      "hnsw" -> "sim_hnsw_topk", "hnsw_routed" -> "sim_hnsw_routed",
+      "hnsw_routed_merged" -> "sim_hnsw_routed_lifecycle")
     val famSql = fams.map { case (f, k) =>
       s"SELECT '$f' AS family, q_id, n_id FROM (\n${base(k)})"
     }.mkString("\n  UNION ALL ")
@@ -1550,6 +1552,43 @@ object SparkEntry {
     // while buckets stay under the cap
     "dedup_phash" -> phashPairsOracle,
     "dedup_phash_dct" -> phashDctOracle,
+    // cross-corpus image dedup: crawl (odd ids) vs landed (even ids)
+    // through the ONE-SIDED hot-bucket cap — right band buckets keep
+    // their HotGroupCap smallest-id residents, the left side is never
+    // capped (minhashJoin's discipline, restated over the hash bands)
+    "dedup_phash_crosscorpus" -> {
+      val cap = Dedup.HotGroupCap
+      s"""WITH $ahashCtes,
+         |bl AS (SELECT doc_id AS left_id, phi, plo FROM hsh
+         |       WHERE doc_id % 2 = 1),
+         |br AS (SELECT doc_id AS right_id, phi, plo FROM hsh
+         |       WHERE doc_id % 2 = 0),
+         |bandl AS (
+         |  SELECT left_id, 0 AS b, phi >> 16 AS k FROM bl
+         |  UNION ALL SELECT left_id, 1, phi & 65535 FROM bl
+         |  UNION ALL SELECT left_id, 2, plo >> 16 FROM bl
+         |  UNION ALL SELECT left_id, 3, plo & 65535 FROM bl),
+         |bandr AS (
+         |  SELECT right_id, 0 AS b, phi >> 16 AS k FROM br
+         |  UNION ALL SELECT right_id, 1, phi & 65535 FROM br
+         |  UNION ALL SELECT right_id, 2, plo >> 16 FROM br
+         |  UNION ALL SELECT right_id, 3, plo & 65535 FROM br),
+         |bcap AS (
+         |  SELECT right_id, b, k FROM (
+         |    SELECT right_id, b, k, row_number()
+         |        OVER (PARTITION BY b, k ORDER BY right_id) AS rn
+         |    FROM bandr) WHERE rn <= $cap),
+         |cand AS (SELECT DISTINCT left_id, right_id
+         |         FROM bandl JOIN bcap USING (b, k))
+         |SELECT left_id, right_id, hamming FROM (
+         |  SELECT c.left_id, c.right_id,
+         |         CAST(bit_count(xor(l.phi, r.phi))
+         |              + bit_count(xor(l.plo, r.plo)) AS INT) AS hamming
+         |  FROM cand c JOIN bl l USING (left_id)
+         |              JOIN br r USING (right_id))
+         |WHERE hamming <= ${PerceptualHash.MaxHamming}
+         |ORDER BY left_id, right_id""".stripMargin
+    },
     // connected components over the perceptual pairs — the same
     // recursive-closure replay as dedup_clusters, fed by phash's pair
     // statement (caps and all, so exact at any scale)

@@ -85,6 +85,7 @@ object HnswRouted {
 
   private def centroidsDir(root: String) = s"$root/centroids.v1.parquet"
   private def cellsDir(root: String, v: Long) = s"$root/cells.v$v"
+  private def buildStatsDir(root: String) = s"$root/buildstats.v1.parquet"
 
   private def cellsVersion(spark: SparkSession, root: String): Long =
     IndexStore.requireVersion(spark, root, "cells.v", "routed HNSW cells")
@@ -162,10 +163,79 @@ object HnswRouted {
           typed.map { case (id, l, v) =>
             (l, id, VectorOps.l2Normalize(v), 0) },
           indexPath, 1L, gen = 0L))
+      // freeze the build-time assign-distance distribution per cell —
+      // the reference [[stats]] compares the serving rows against, so
+      // a deployment can SEE drift accumulate and knows when the
+      // documented rebuild-from-source is due. One extra narrow pass;
+      // O(cells) output.
+      writeBuildStats(spark, indexPath, typed.map { case (_, l, v) =>
+        (l, VectorOps.l2Normalize(v)) })
       IndexStore.mark(hfs, p, "g0", fp)
       IndexStore.mark(hfs, p, "cells.v1")
       IndexStore.mark(hfs, p, "centroids.v1")
     }
+
+  /** Per-cell (n, mean round-6 d² to the cell's NORMALIZED centroid)
+    * over `rows` — written as the frozen build-time reference. Uses
+    * unit-sphere distances because cells persist only normalized
+    * vectors: the comparison [[stats]] makes must be computable from
+    * the index's own serving rows forever after. */
+  private def writeBuildStats(spark: SparkSession, indexPath: String,
+      rows: Dataset[(Long, Array[Double])]): Unit = {
+    import spark.implicits._
+    val bcn = spark.sparkContext.broadcast(normalizedCentroids(spark, indexPath))
+    rows.map { case (l, nv) =>
+        (l, VectorOps.roundAt(VectorOps.dist2(nv, bcn.value(l)), 6)) }
+      .toDF("label", "d2")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_build"),
+        round(avg(col("d2")), 6).as("mean_d2_build"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(buildStatsDir(indexPath))
+  }
+
+  /** label → l2-normalized centroid (O(cells) on the driver, the
+    * family's standing bound). */
+  private def normalizedCentroids(spark: SparkSession, indexPath: String)
+      : Map[Long, Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(centroidsDir(indexPath))
+      .as[(Long, Array[Double])].collect()
+      .map { case (l, cv) => l -> VectorOps.l2Normalize(cv) }.toMap
+  }
+
+  /** Drift observability — `GRAFT INDEX STATS HNSW_ROUTED`: one row
+    * per cell comparing the SERVING rows (current newest generations)
+    * against the frozen build-time reference: size growth and the
+    * unit-sphere assign-distance mean. Rising `d2_drift` on a cell
+    * means increments assigned there under frozen centroids sit ever
+    * farther from the build-time center — recall decay in the making
+    * ([[graft.operators.Similarity.recallMatrix]]'s
+    * `hnsw_routed_merged` row measures the effect; this row names the
+    * cause and the WHEN): past ~0.05–0.1 absolute drift or ~2× size
+    * growth on hot cells, schedule the documented rebuild-from-source.
+    * Cost: one scan of the serving rows + two O(cells) reads — no
+    * corpus shuffle (the aggregation is map-side per label). */
+  def stats(spark: SparkSession, indexPath: String): DataFrame = {
+    import spark.implicits._
+    IndexStore.requireVersion(spark, indexPath, "centroids.v",
+      "routed HNSW centroids")
+    val bcn = spark.sparkContext.broadcast(normalizedCentroids(spark, indexPath))
+    val now = servingCells(spark, indexPath, None)
+      .select(col("label"), col("nv")).as[(Long, Array[Double])]
+      .map { case (l, nv) =>
+        (l, VectorOps.roundAt(VectorOps.dist2(nv, bcn.value(l)), 6)) }
+      .toDF("label", "d2")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_now"),
+        round(avg(col("d2")), 6).as("mean_d2_now"))
+    spark.read.parquet(buildStatsDir(indexPath))
+      .join(now, Seq("label"), "full_outer")
+      .select(col("label"), col("n_build"), col("n_now"),
+        col("mean_d2_build"), col("mean_d2_now"),
+        round(col("mean_d2_now") - col("mean_d2_build"), 6).as("d2_drift"))
+      .orderBy("label")
+  }
 
   /** Build from the standard embeddings corpus under `dir` (cells =
     * the corpus labels). */
@@ -371,17 +441,31 @@ object HnswRouted {
       .groupMapReduce(_._1)(_._2)(math.max)
   }
 
+  /** Past this many serving (gen, label) entries the Catalyst IN
+    * literals are replaced by explicit directory enumeration — the
+    * driver footprint stays O(cells) either way (the family's standing
+    * bound, same as the centroid table and the probe map), but a
+    * 10⁵-literal predicate is a real optimizer cost where a path list
+    * is just strings to the file index. */
+  private[graft] val ServingMapLiteralCap = 100000
+
   /** Committed serving rows — per label, the newest committed
-    * generation — optionally restricted to `wanted` labels. The filter
-    * is an OR of per-generation (gen = G AND label IN (...)) conjuncts
-    * over the two partition columns, so the scan partition-prunes to
-    * exactly the serving dirs. The literal count is O(cells) — the
-    * same driver-side bound as the centroid table and the probe map,
-    * an accepted invariant of this index family; a deployment sized
-    * past ~10⁵ cells would swap the IN literals for a broadcast join
-    * against the serving map (the plan prunes identically). */
+    * generation — optionally restricted to `wanted` labels. Under
+    * [[ServingMapLiteralCap]] entries the filter is an OR of
+    * per-generation (gen = G AND label IN (...)) conjuncts over the
+    * two partition columns, so the scan partition-prunes to exactly
+    * the serving dirs. Past the cap the selected `gen=G/label=L`
+    * directories are read DIRECTLY (basePath keeps the partition
+    * columns): pruning by construction, no O(cells) plan literal, and
+    * no reliance on dynamic-partition-pruning heuristics a broadcast
+    * semi-join would need. Both paths are spec-asserted identical. */
   private def servingCells(spark: SparkSession, root: String,
-                           wanted: Option[Set[Long]]): DataFrame = {
+                           wanted: Option[Set[Long]]): DataFrame =
+    servingCells(spark, root, wanted, ServingMapLiteralCap)
+
+  private[graft] def servingCells(spark: SparkSession, root: String,
+                                  wanted: Option[Set[Long]],
+                                  literalCap: Int): DataFrame = {
     val v = cellsVersion(spark, root)
     val all = labelGens(spark, root, v)
     val sel = wanted match {
@@ -389,15 +473,22 @@ object HnswRouted {
       case None => all
     }
     val dir = cellsDir(root, v)
-    val base = spark.read.schema(CellSchema)
-      .option("basePath", dir).parquet(dir)
-    if (sel.isEmpty) return base.filter(lit(false))
-    val pred = sel.groupBy(_._2).toSeq.sortBy(_._1)
-      .map { case (g, m) =>
-        col("gen") === g && col("label").isin(m.keys.toSeq.sorted: _*)
-      }
-      .reduce(_ || _)
-    base.filter(pred)
+    if (sel.isEmpty) return spark.read.schema(CellSchema)
+      .option("basePath", dir).parquet(dir).filter(lit(false))
+    if (sel.size <= literalCap) {
+      val pred = sel.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (g, m) =>
+          col("gen") === g && col("label").isin(m.keys.toSeq.sorted: _*)
+        }
+        .reduce(_ || _)
+      spark.read.schema(CellSchema).option("basePath", dir).parquet(dir)
+        .filter(pred)
+    } else {
+      val paths = sel.toSeq.sortBy(_._1)
+        .map { case (l, g) => s"$dir/gen=$g/label=$l" }
+      spark.read.schema(CellSchema).option("basePath", dir)
+        .parquet(paths: _*)
+    }
   }
 
   /** Answer the standard query set: driver probe selection over the

@@ -276,14 +276,7 @@ object PerceptualHash {
     val reps = mem.filter(col("doc_id") === col("__mn"))
       .select(col("phi"), col("plo"), col("doc_id").as("rep"))
 
-    val bandCols = Seq(
-      struct(lit(0).as("b"), shiftright(col("phi"), 16).as("k")),
-      struct(lit(1).as("b"), col("phi").bitwiseAND(65535).as("k")),
-      struct(lit(2).as("b"), shiftright(col("plo"), 16).as("k")),
-      struct(lit(3).as("b"), col("plo").bitwiseAND(65535).as("k")))
-    val bands = reps
-      .select(col("rep"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("rep").as("id"), col("bk.b").as("b"), col("bk.k").as("k"))
+    val bands = bandFrame(reps.withColumnRenamed("rep", "id"), "id")
     val cand = Dedup.selfJoinCapped(bands, Seq("b", "k"))
       .select(col("id_a").as("rep_a"), col("id_b").as("rep_b"))
       .distinct()
@@ -323,5 +316,69 @@ object PerceptualHash {
     within.unionByName(cross)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** The four (b, k) band rows of each hash in a (idCol, phi, plo)
+    * frame — the batch spelling of [[bandsOf]], shared by the
+    * self-join ([[pairsFromHashes]]) and the cross-corpus join. */
+  private def bandFrame(hs: DataFrame, idCol: String): DataFrame = {
+    val bandCols = Seq(
+      struct(lit(0).as("b"), shiftright(col("phi"), 16).as("k")),
+      struct(lit(1).as("b"), col("phi").bitwiseAND(65535).as("k")),
+      struct(lit(2).as("b"), shiftright(col("plo"), 16).as("k")),
+      struct(lit(3).as("b"), col("plo").bitwiseAND(65535).as("k")))
+    hs.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.b").as("b"), col("bk.k").as("k"))
+  }
+
+  /** dedup_phash_crosscorpus: perceptual near-dup JOIN between a crawl
+    * increment (left, odd ids) and the landed corpus (right, even
+    * ids) — the image complement of [[Dedup.minhashJoin]] and the
+    * batch complement of [[graft.streaming.StreamingPhash]]'s
+    * bootstrap-corpus mode. */
+  def phashCrossCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val hs = hashes(spark, dir)
+    phashJoin(hs.filter(col("doc_id") % 2 === 1),
+      hs.filter(col("doc_id") % 2 === 0))
+  }
+
+  /** Cross-corpus perceptual join over two explicit (doc_id, phi, plo)
+    * hash frames: candidates share ≥ 1 of the four 16-bit bands
+    * (pigeonhole for hamming ≤ [[MaxHamming]]), verified exactly.
+    *
+    * Hot-bucket discipline is ONE-SIDED, [[Dedup.minhashJoin]]'s rule:
+    * each (b, k) bucket keeps its [[Dedup.HotGroupCap]] smallest-id
+    * RIGHT residents, the left side is never capped — every crawl doc
+    * does bounded work (≤ 4·cap candidates per band bucket) but is
+    * never silently excluded, the guarantee cross-corpus dedup needs.
+    * An identical right image always shares its group's minimum-id
+    * resident (same band keys in every band), so exact dups of a hot
+    * landed family are always flagged. At 100 TB the right band frame
+    * is the big landed corpus: persist/bucket it by (b, k) once and
+    * every crawl increment joins against it with no corpus reshuffle
+    * (the [[MinhashIndex]] persisted-index path, image flavor). */
+  private[graft] def phashJoin(left: DataFrame, right: DataFrame)
+      : DataFrame = {
+    val hl = Materialize(left)
+    val hr = Materialize(right)
+    val cand = bandFrame(
+        hl.select(col("doc_id").as("left_id"), col("phi"), col("plo")),
+        "left_id")
+      .join(Dedup.capBucket(bandFrame(
+        hr.select(col("doc_id").as("right_id"), col("phi"), col("plo")),
+        "right_id"), "right_id"), Seq("b", "k"))
+      .select(col("left_id"), col("right_id"))
+      .distinct()
+    cand
+      .join(hl.select(col("doc_id").as("left_id"), col("phi").as("la_hi"),
+        col("plo").as("la_lo")), "left_id")
+      .join(hr.select(col("doc_id").as("right_id"), col("phi").as("ra_hi"),
+        col("plo").as("ra_lo")), "right_id")
+      .select(col("left_id"), col("right_id"),
+        (bit_count(col("la_hi").bitwiseXOR(col("ra_hi"))) +
+          bit_count(col("la_lo").bitwiseXOR(col("ra_lo"))))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= MaxHamming)
+      .orderBy("left_id", "right_id")
   }
 }

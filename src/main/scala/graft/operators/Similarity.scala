@@ -774,7 +774,11 @@ object Similarity {
       "pq" -> pqTopK(spark, dir),
       "ivfpq" -> IvfPq.topK(spark, dir),
       "hnsw" -> HnswIndex.topK(spark, dir),
-      "hnsw_routed" -> HnswRouted.topK(spark, dir))
+      "hnsw_routed" -> HnswRouted.topK(spark, dir),
+      // the SERVING shape after the incremental lifecycle (frozen
+      // centroids + per-cell merge), not the build-time shape — the
+      // row that regression-guards drift-driven recall decay
+      "hnsw_routed_merged" -> HnswRouted.lifecycle(spark, dir))
     val all = fams.map { case (f, df) =>
       df.select(col("q_id"), col("n_id")).withColumn("family", lit(f))
     }.reduce(_ unionByName _)

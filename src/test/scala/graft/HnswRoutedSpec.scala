@@ -155,6 +155,75 @@ class HnswRoutedSpec extends AnyFunSuite {
     assert(rows(root) == rows(scratch))
   }
 
+  test("servingCells past ServingMapLiteralCap: direct directory " +
+    "enumeration reads exactly the serving dirs and equals the " +
+    "literal-predicate path row for row") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("hnswr-sc").toString
+    def vec(id: Long): Array[Double] =
+      Array.tabulate(64)(i => math.sin(id * 64 + i))
+    HnswRouted.build((0L until 80L).map(id => (id, id % 4, vec(id)))
+      .toDF("vec_id", "label", "v"), root)
+    HnswRouted.merge((100L until 110L).map(id => (id, id % 2, vec(id)))
+      .toDF("vec_id", "label", "v"), root)
+    def rowsVia(cap: Int) = HnswRouted
+      .servingCells(spark, root, Some(Set(0L, 1L, 2L)), cap)
+      .select("gen", "label", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(rowsVia(0) == rowsVia(Int.MaxValue), "both paths identical")
+    // the enumerated read touches ONLY serving dirs: cells 0,1 from
+    // gen 1, cell 2 from gen 0 — never gen 0 of a rebuilt cell
+    val files = HnswRouted
+      .servingCells(spark, root, Some(Set(0L, 1L, 2L)), 0).inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.contains("gen=1/label=0") ||
+      f.contains("gen=1/label=1") || f.contains("gen=0/label=2")),
+      s"unexpected inputs:\n${files.mkString("\n")}")
+  }
+
+  test("stats: zero drift right after build; a shifted increment raises " +
+    "n_now and d2_drift on exactly the touched cells; SQL STATS agrees") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("hnswr-st").toString
+    def vec(id: Long): Array[Double] =
+      Array.tabulate(64)(i => math.sin(id * 64 + i))
+    def frame(rs: Seq[(Long, Long, Array[Double])]) =
+      rs.toDF("vec_id", "label", "v")
+    HnswRouted.build(frame((0L until 80L).map(id => (id, id % 4, vec(id)))),
+      root)
+    val s0 = HnswRouted.stats(spark, root).collect()
+    assert(s0.length == 4)
+    s0.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), "n_build == n_now at build")
+      assert(math.abs(r.getDouble(5)) < 1e-5, s"zero drift at build: $r")
+    }
+    // a far-away increment merged into cell 0 only: its mean assign
+    // distance must rise; untouched cells must not move at all
+    val far = (200L until 220L).map(id =>
+      (id, 0L, Array.tabulate(64)(i => 50.0 + math.sin(id * 64 + i))))
+    HnswRouted.merge(frame(far), root)
+    val s1 = HnswRouted.stats(spark, root).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(s1(0L).getLong(2) == s1(0L).getLong(1) + 20,
+      "cell 0 grew by the increment")
+    assert(s1(0L).getDouble(5) > 0.01,
+      s"shifted increment must raise cell 0's drift: ${s1(0L)}")
+    (1L to 3L).foreach { l =>
+      assert(s1(l).getLong(1) == s1(l).getLong(2))
+      assert(math.abs(s1(l).getDouble(5)) < 1e-5, s"cell $l untouched")
+    }
+    // the SQL spelling returns the identical frame
+    val viaSql = spark.sql(s"GRAFT INDEX STATS HNSW_ROUTED '$root'")
+      .collect()
+    assert(viaSql.toSeq == HnswRouted.stats(spark, root).collect().toSeq)
+    // rebuild from source resets the drift clock
+    HnswRouted.build(frame((0L until 80L).map(id => (id, id % 4, vec(id)))
+      ++ far), root)
+    HnswRouted.stats(spark, root).collect().foreach { r =>
+      assert(math.abs(r.getDouble(5)) < 1e-5, s"rebuild resets drift: $r")
+    }
+  }
+
   test("ingest assigns bare vectors to the nearest FROZEN centroid " +
     "(round-6 d2, ties low) and rebuilds only the receiving cells") {
     import spark.implicits._

@@ -143,6 +143,51 @@ class PerceptualHashSpec extends AnyFunSuite {
     assert(d0.size < a0.size, s"dct ${d0.size} vs ahash ${a0.size}")
   }
 
+  test("phashCrossCorpus: exact against a one-sided brute-force replay " +
+    "at sf0.001 (odd crawl vs even landed)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = PerceptualHash.phashCrossCorpus(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (l, r, hm) =>
+      l % 2 == 1 && r % 2 == 0 && hm <= PerceptualHash.MaxHamming })
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ % 17 != 0)
+    val hs = ids.map(d => d -> closedFormAhash(d)).toMap
+    // every band bucket is under the cap at this scale, so the capped
+    // join equals the full left-vs-right hamming filter
+    val expected = (for {
+      i <- ids if i % 2 == 1; j <- ids if j % 2 == 0
+      hm = java.lang.Long.bitCount(hs(i)._1 ^ hs(j)._1) +
+        java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2)
+      if hm <= PerceptualHash.MaxHamming
+    } yield (i, j, hm)).sorted
+    assert(got.toSeq.sorted == expected.toSeq)
+  }
+
+  test("phashJoin hot-bucket cap is one-sided: an over-cap landed group " +
+    "keeps cap residents (min id always present); the crawl side is " +
+    "never capped") {
+    import spark.implicits._
+    val n = Dedup.HotGroupCap + 44 // landed group of 300 identical hashes
+    val landed = (0L until 2L * n).filter(_ % 2 == 0).map(id => (id, 7L, 0L))
+    val crawl = Seq((1L, 7L, 0L), (3L, 6L, 0L)) // dup + hamming-1 neighbor
+    val got = PerceptualHash.phashJoin(
+        crawl.toDF("doc_id", "phi", "plo"),
+        landed.toDF("doc_id", "phi", "plo"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // each crawl doc pairs with exactly the HotGroupCap smallest-id
+    // residents, never the full group, and resident sets include id 0
+    val gotByLeft = got.groupBy(_._1)
+    assert(gotByLeft(1L).length == Dedup.HotGroupCap)
+    assert(gotByLeft(3L).length == Dedup.HotGroupCap)
+    assert(gotByLeft(1L).forall(_._3 == 0))
+    assert(gotByLeft(3L).forall(_._3 == 1))
+    assert(got.count(_._2 == 0L) == 2, "the bucket min survives the cap")
+    assert(got.length == 2 * Dedup.HotGroupCap,
+      s"uncapped would be ${2 * landed.length} rows")
+  }
+
   test("cross-group expansion is capped: two over-HotGroupCap duplicate " +
     "groups within hamming<=3 emit star edges, never |A|x|B|") {
     import spark.implicits._
