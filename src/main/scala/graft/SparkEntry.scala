@@ -71,6 +71,7 @@ object SparkEntry {
         .select(org.apache.spark.sql.functions.col("doc_a"),
           org.apache.spark.sql.functions.col("doc_b")))),
     "dedup_embedding"       -> ((s, d) => Dedup.embeddingNearDup(s, d)),
+    "dedup_semantic_crosscorpus" -> (Dedup.semanticCrossCorpus _),
     "dedup_clusters"        -> (Dedup.clusters _),
     "dedup_crosscorpus"     -> { (s, d) =>
       import org.apache.spark.sql.functions.col
@@ -1605,6 +1606,31 @@ object SparkEntry {
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "dedup_clusters" -> clustersOracle,
+    // embedding cross-corpus: crawl (odd ids) probes its SRP bucket +
+    // the 8 hamming-1 neighbors against the landed corpus's (even ids)
+    // capped bucket residents, exact round-4 cosine verifies — the
+    // batch complement of q_stream_semantic's bootstrap mode
+    "dedup_semantic_crosscorpus" ->
+      s"""WITH $srpSigCtes,
+         |res AS (
+         |  SELECT vec_id, bucket FROM (
+         |    SELECT vec_id, bucket,
+         |           row_number() OVER (PARTITION BY bucket
+         |                              ORDER BY vec_id) AS rn
+         |    FROM sigs WHERE vec_id % 2 = 0) WHERE rn <= ${Dedup.HotGroupCap}),
+         |inc AS (SELECT vec_id, bucket FROM sigs WHERE vec_id % 2 = 1),
+         |cand AS (
+         |  SELECT i.vec_id AS left_id, r.vec_id AS right_id
+         |  FROM inc i JOIN res r
+         |    ON bit_count(xor(i.bucket, r.bucket)) <= 1)
+         |SELECT left_id, right_id, sim FROM (
+         |  SELECT c.left_id, c.right_id,
+         |         round(list_sum(list_transform(range(1, 65),
+         |               k -> a.nv[k] * b.nv[k])), 4) AS sim
+         |  FROM cand c JOIN nrm a ON a.vec_id = c.left_id
+         |              JOIN nrm b ON b.vec_id = c.right_id)
+         |WHERE sim >= ${Dedup.EmbeddingCosThreshold}
+         |ORDER BY left_id, right_id""".stripMargin,
     "dedup_crosscorpus" ->
       s"""WITH ${minhashCtesWith("x.doc_id % 2 = 1 AND y.doc_id % 2 = 0")}
          |SELECT doc_a AS left_id, doc_b AS right_id, jaccard FROM j

@@ -1228,4 +1228,73 @@ object Dedup {
     }.toDF("vec_a", "vec_b", "sim")
       .orderBy("vec_a", "vec_b")
   }
+
+  /** dedup_semantic_crosscorpus: embedding near-dup JOIN between a
+    * crawl increment (left, odd ids) and the landed corpus (right,
+    * even ids) — the embedding complement of [[minhashJoin]] /
+    * [[PerceptualHash.phashCrossCorpus]] and the batch complement of
+    * [[graft.streaming.StreamingSemantic]]'s bootstrap-corpus mode.
+    * Completes the cross-corpus matrix: each near-dup modality
+    * (text / image / embedding) now has self-join, cross-corpus-join,
+    * and streaming forms sharing one kernel per modality. */
+  def semanticCrossCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    semanticJoin(vecs.filter(col("vec_id") % 2 === 1),
+      vecs.filter(col("vec_id") % 2 === 0))
+  }
+
+  /** Cross-corpus embedding-cosine join over two (vec_id, v double[])
+    * frames: a candidate pair meets when the left vector's SRP bucket
+    * ([[Similarity.srpBucket]] — the kernel the streaming twin probes
+    * with) is within hamming 1 of the right's, then survives on exact
+    * round-4 normalized cosine ≥ [[EmbeddingCosThreshold]].
+    *
+    * Hot-bucket discipline is one-sided, [[minhashJoin]]'s rule: each
+    * SRP bucket keeps its [[HotGroupCap]] smallest-id RIGHT residents,
+    * while the left side probes its own bucket plus the 8 hamming-1
+    * neighbors and is never capped — every crawl vector does bounded
+    * work (≤ 9·cap candidates) but is never silently excluded, the
+    * guarantee cross-corpus dedup needs. The bucket join moves only
+    * slim (id, bucket) rows; the 64-double payload joins back in for
+    * candidate survivors alone. At 100 TB the right side's
+    * (bucket → residents) frame is a one-off build over the landed
+    * corpus: persist/bucket it by bucket key once and every crawl
+    * increment joins against it with no corpus reshuffle. */
+  private[graft] def semanticJoin(left: DataFrame, right: DataFrame)
+      : DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    def sigs(vecs: DataFrame): DataFrame =
+      vecs.select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+        .mapPartitions(_.map { case (id, v) =>
+          (id, Similarity.srpBucket(v), VectorOps.l2Normalize(v))
+        }).toDF("vec_id", "bucket", "nv")
+    val sl = sigs(left)
+    val sr = sigs(right)
+    Materialize.withCached(sl, sr) {
+      val probes = sl.select(col("vec_id").as("left_id"),
+        explode(array(col("bucket") +:
+          (0 until Similarity.LshPlanes).map(p =>
+            col("bucket").bitwiseXOR(lit(1 << p))): _*)).as("k"))
+      val res = capBucket(
+        sr.select(col("vec_id").as("right_id"), lit(0).as("b"),
+          col("bucket").as("k")), "right_id")
+      val cand = probes.join(res, Seq("k"))
+        .select(col("left_id"), col("right_id")).distinct()
+      cand
+        .join(sl.select(col("vec_id").as("left_id"), col("nv").as("na")),
+          "left_id")
+        .join(sr.select(col("vec_id").as("right_id"), col("nv").as("nb")),
+          "right_id")
+        .select(col("left_id"), col("right_id"), col("na"), col("nb"))
+        .as[(Long, Long, Array[Double], Array[Double])]
+        .map { case (l, r, na, nb) =>
+          (l, r, VectorOps.roundAt(VectorOps.dot(na, nb), 4))
+        }
+        .toDF("left_id", "right_id", "sim")
+        .filter(col("sim") >= EmbeddingCosThreshold)
+        .orderBy("left_id", "right_id")
+    }
+  }
 }
