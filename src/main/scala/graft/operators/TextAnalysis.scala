@@ -326,18 +326,19 @@ object TextAnalysis {
     * score ≥ 1.0 always (a context count is never below its
     * continuation count); higher = more surprising under the corpus.
     *
-    * Plan shape, common path: TWO narrow passes over the bounded
-    * prefixes and nothing else. Pass 1 accumulates both n-gram count
-    * tables in one per-partition loop (vocabulary-bounded maps,
-    * streamed to the driver one partition at a time and merged under
-    * the ENFORCED [[LmDriverCap]] entry gate); pass 2 scores each doc
-    * against the count maps broadcast in the task closure. The corpus
-    * is read twice and never shuffled. Past the cap (a multilingual
-    * corpus where distinct trigrams reach 10⁸+) the merge aborts with
-    * a WARN and [[lmScoreDistributed]] runs instead — same integer
-    * arithmetic, fully distributed, bit-identical output
-    * (spec-asserted). Replaces the explode + cache + two broadcast
-    * joins formulation — same arithmetic, 3.4 s → ~1 s at sf0.1.
+    * Plan shape, common path: THREE narrow passes over the bounded
+    * prefixes and nothing else. Pass 0 is the ENFORCED capacity gate —
+    * a parallel sizes-only probe whose per-partition distinct counts
+    * sum to an exact upper bound on the driver merge's allocation;
+    * past [[LmDriverCap]] entries the merge never happens (WARN +
+    * [[lmScoreDistributed]], same integer arithmetic, fully
+    * distributed, bit-identical output — spec-asserted). Under the
+    * cap, pass 1 accumulates both n-gram count tables in one
+    * per-partition loop (gate-bounded maps, merged on the driver) and
+    * pass 2 scores each doc against the count maps broadcast in the
+    * task closure. The corpus is never shuffled. Replaces the explode
+    * + cache + two broadcast joins formulation — same arithmetic,
+    * 3.4 s → ~1 s at sf0.1 before the gate pass was added.
     */
   def lmScore(spark: SparkSession, dir: String): DataFrame =
     lmScore(spark, dir, LmDriverCap)
@@ -365,20 +366,18 @@ object TextAnalysis {
       }
       Iterator.single((tri.toMap, bi.toMap))
     }
-    // Gated incremental merge: toLocalIterator fetches ONE partition's
-    // partial at a time, so driver residency is merged-so-far + one
-    // partial, and merged-so-far is bounded by driverCap + one
-    // partial's entries — the gate is the allocation, not an estimate.
-    val triM = scala.collection.mutable.HashMap.empty[String, Long]
-    val biM = scala.collection.mutable.HashMap.empty[String, Long]
-    var over = false
-    val pIt = partials.toLocalIterator
-    while (!over && pIt.hasNext) {
-      val (t, b) = pIt.next()
-      t.foreach { case (k, c) => triM.update(k, triM.getOrElse(k, 0L) + c) }
-      b.foreach { case (k, c) => biM.update(k, biM.getOrElse(k, 0L) + c) }
-      over = triM.size.toLong + biM.size.toLong > driverCap
-    }
+    // The gate: a parallel sizes-only probe job first — each partition
+    // builds its count maps and ships back 16 BYTES (the two map
+    // sizes), and the sum of per-partition distinct counts is an exact
+    // upper bound on what the collect + merge below would allocate on
+    // the driver. Probe and fetch stay two parallel jobs (the probe
+    // re-tokenizes — one extra narrow pass in the common path) rather
+    // than one serialized toLocalIterator walk: per-partition jobs
+    // would cost a scheduling round-trip each and strand 31 of 32
+    // cores during pass 1.
+    val over = partials
+      .map(p => p._1.size.toLong + p._2.size.toLong)
+      .collect().sum > driverCap
     if (over) {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"lmScore: trigram+bigram tables passed the $driverCap-entry " +
@@ -386,6 +385,14 @@ object TextAnalysis {
           "formulation (second corpus scan, no driver-side tables)")
       lmScoreDistributed(docs)
     } else {
+      val triM = scala.collection.mutable.HashMap.empty[String, Long]
+      val biM = scala.collection.mutable.HashMap.empty[String, Long]
+      partials.collect().foreach { case (t, b) =>
+        t.foreach { case (k, c) =>
+          triM.update(k, triM.getOrElse(k, 0L) + c) }
+        b.foreach { case (k, c) =>
+          biM.update(k, biM.getOrElse(k, 0L) + c) }
+      }
       val bc = spark.sparkContext.broadcast((triM.toMap, biM.toMap))
       docs.map { case (id, p) =>
         val (t3, b2) = bc.value

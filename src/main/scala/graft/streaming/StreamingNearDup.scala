@@ -271,73 +271,36 @@ object StreamingNearDup {
     * never capped (each compares against every resident, the one-sided
     * discipline the batch join documents), stream-vs-stream pairs are
     * removed by the side predicate, and a fixed event timestamp keeps
-    * the watermark from evicting any resident mid-run. Output lands
-    * replay-idempotent under `batch_id=N` dynamic overwrite. */
+    * the watermark from evicting any resident mid-run — the staging,
+    * run, and read-back are [[StreamHarness.crossSideRun]], shared
+    * with the image and embedding twins. */
   def streamNearDup(spark: org.apache.spark.sql.SparkSession,
                     dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    import graft.operators.{Dedup, Scratch}
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-stream-nd").toString
+    import graft.operators.Dedup
     val docs = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
-    try {
-      val inc = docs.filter(col("doc_id") % 10 === 3)
-      val corpus = docs.filter(col("doc_id") % 10 =!= 3)
-      inc.withColumn("event_ts",
-          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
-        .repartition(4) // ≥2 shard files → the stream really batches
-        .write.parquet(s"$root/src")
-      val schema = StructType(Seq(
+    val inc = docs.filter(col("doc_id") % 10 === 3)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 3)
+    StreamHarness.crossSideRun(spark, "nd", inc,
+      streamSchema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("event_ts", TimestampType)))
-      val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 2).parquet(s"$root/src")
-      StreamHarness.withShufflePartitions(spark, 8) {
-        val q = pairs(stream, "1 hour", Some(corpus), minEst = 0.0)
-          .toDF()
-          .writeStream
-          .option("checkpointLocation", s"$root/ckpt")
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            batch.select(col("doc_a"), col("doc_b")).distinct()
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id")
-              .parquet(s"$root/out")
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      // declared schema: a collision-free increment writes no files
-      val outSchema = StructType(Seq(
-        StructField("doc_a", LongType), StructField("doc_b", LongType)))
-      val streamed = spark.read.schema(outSchema)
-        .option("basePath", s"$root/out").parquet(s"$root/out")
-        .select(col("doc_a"), col("doc_b"))
-      val cross = streamed
-        .filter((col("doc_a") % 10 === 3) =!= (col("doc_b") % 10 === 3))
-        .select(
-          when(col("doc_a") % 10 === 3, col("doc_a"))
-            .otherwise(col("doc_b")).as("left_id"),
-          when(col("doc_a") % 10 === 3, col("doc_b"))
-            .otherwise(col("doc_a")).as("right_id"))
-        .distinct()
+        StructField("event_ts", TimestampType))),
+      outSchema = StructType(Seq(
+        StructField("doc_a", LongType), StructField("doc_b", LongType))),
+      run = s => pairs(s, "1 hour", Some(corpus), minEst = 0.0).toDF()
+    ) { cross =>
+      // batch-verify the candidates with TRUE Jaccard on the shingle
+      // sets — exactly the batch operator's verification join
       val shL = Dedup.shinglesOf(inc)
         .select(col("doc_id").as("left_id"), col("sh").as("sa"))
       val shR = Dedup.shinglesOf(corpus)
         .select(col("doc_id").as("right_id"), col("sh").as("sb"))
-      val out = cross.join(shL, "left_id").join(shR, "right_id")
+      cross.join(shL, "left_id").join(shR, "right_id")
         .select(col("left_id"), col("right_id"),
           round(Dedup.jaccard(col("sa"), col("sb")), 4).as("jaccard"))
         .filter(col("jaccard") >= Dedup.MinhashJaccardThreshold)
         .orderBy("left_id", "right_id")
-      Scratch.materializeAndClean(root, out)
-    } catch {
-      case e: Throwable =>
-        Scratch.rm(new java.io.File(root)); throw e
     }
   }
 }

@@ -192,70 +192,26 @@ object StreamingPhash {
     * (increment, corpus) pair appears iff the corpus doc is a
     * RESIDENT ([[graft.operators.Dedup.HotGroupCap]] smallest ids) of
     * some band bucket the two hashes share, and hamming ≤
-    * [[graft.operators.PerceptualHash.MaxHamming]]. A fixed event
-    * timestamp keeps the watermark from evicting residents mid-run;
-    * output lands replay-idempotent under `batch_id=N` dynamic
-    * overwrite, exactly the text twin's harness. */
+    * [[graft.operators.PerceptualHash.MaxHamming]]. Staging, run, and
+    * cross-side read-back are [[StreamHarness.crossSideRun]], shared
+    * with the text and embedding twins; hamming is exact on emission,
+    * so unlike the text twin no verification tail is needed. */
   def streamPhash(spark: org.apache.spark.sql.SparkSession,
                   dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    import graft.operators.{Multimodal, Scratch}
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-stream-ph").toString
+    import graft.operators.Multimodal
     val media = Multimodal.mediaTable(spark, dir)
       .select(col("doc_id"), col("media"))
-    try {
-      val inc = media.filter(col("doc_id") % 10 === 3)
-      val corpus = media.filter(col("doc_id") % 10 =!= 3)
-      inc.withColumn("event_ts",
-          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
-        .repartition(4) // ≥2 shard files → the stream really batches
-        .write.parquet(s"$root/src")
-      val schema = StructType(Seq(
+    val corpus = media.filter(col("doc_id") % 10 =!= 3)
+    StreamHarness.crossSideRun(spark, "ph",
+      inc = media.filter(col("doc_id") % 10 === 3),
+      streamSchema = StructType(Seq(
         StructField("doc_id", LongType), StructField("media", BinaryType),
-        StructField("event_ts", TimestampType)))
-      val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 2).parquet(s"$root/src")
-      StreamHarness.withShufflePartitions(spark, 8) {
-        val q = pairs(stream, "1 hour", Some(corpus))
-          .toDF()
-          .writeStream
-          .option("checkpointLocation", s"$root/ckpt")
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            batch.select(col("doc_a"), col("doc_b"), col("hamming"))
-              .distinct()
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id")
-              .parquet(s"$root/out")
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      val outSchema = StructType(Seq(
+        StructField("event_ts", TimestampType))),
+      outSchema = StructType(Seq(
         StructField("doc_a", LongType), StructField("doc_b", LongType),
-        StructField("hamming", IntegerType)))
-      val streamed = spark.read.schema(outSchema)
-        .option("basePath", s"$root/out").parquet(s"$root/out")
-      // cross-side only (stream-vs-stream pairs are the text twin's
-      // same exclusion), relabeled (left = increment, right = corpus)
-      val out = streamed
-        .filter((col("doc_a") % 10 === 3) =!= (col("doc_b") % 10 === 3))
-        .select(
-          when(col("doc_a") % 10 === 3, col("doc_a"))
-            .otherwise(col("doc_b")).as("left_id"),
-          when(col("doc_a") % 10 === 3, col("doc_b"))
-            .otherwise(col("doc_a")).as("right_id"),
-          col("hamming"))
-        .distinct()
-        .orderBy("left_id", "right_id")
-      Scratch.materializeAndClean(root, out)
-    } catch {
-      case e: Throwable =>
-        Scratch.rm(new java.io.File(root)); throw e
-    }
+        StructField("hamming", IntegerType))),
+      run = s => pairs(s, "1 hour", Some(corpus)).toDF()
+    )(_.orderBy("left_id", "right_id"))
   }
 }

@@ -169,69 +169,27 @@ object StreamingSemantic {
     * RESIDENT ([[graft.operators.Dedup.HotGroupCap]] smallest ids of
     * its own SRP bucket), the two buckets are within hamming 1 (the
     * multi-probe reach), and the round-4 normalized dot clears
-    * [[graft.operators.Dedup.EmbeddingCosThreshold]]. Fixed event
-    * timestamp, `batch_id=N` dynamic-overwrite output — the twins'
-    * harness. */
+    * [[graft.operators.Dedup.EmbeddingCosThreshold]]. Staging, run,
+    * and cross-side read-back are [[StreamHarness.crossSideRun]],
+    * shared with the text and image twins; the cosine is exact on
+    * emission, so no verification tail is needed. */
   def streamSemantic(spark: org.apache.spark.sql.SparkSession,
                      dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    import graft.operators.Scratch
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-stream-sem").toString
     val vecs = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
-    try {
-      val inc = vecs.filter(col("vec_id") % 10 === 3)
-      val corpus = vecs.filter(col("vec_id") % 10 =!= 3)
-      inc.withColumn("event_ts",
-          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
-        .repartition(4) // ≥2 shard files → the stream really batches
-        .write.parquet(s"$root/src")
-      val schema = StructType(Seq(
+    val corpus = vecs.filter(col("vec_id") % 10 =!= 3)
+    StreamHarness.crossSideRun(spark, "sem",
+      inc = vecs.filter(col("vec_id") % 10 === 3),
+      streamSchema = StructType(Seq(
         StructField("vec_id", LongType),
         StructField("v", ArrayType(DoubleType)),
-        StructField("event_ts", TimestampType)))
-      val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 2).parquet(s"$root/src")
-      StreamHarness.withShufflePartitions(spark, 8) {
-        val q = pairs(stream, "1 hour", Some(corpus))
-          .toDF()
-          .writeStream
-          .option("checkpointLocation", s"$root/ckpt")
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            batch.select(col("vec_a"), col("vec_b"), col("sim"))
-              .distinct()
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("batch_id")
-              .parquet(s"$root/out")
-            ()
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      val outSchema = StructType(Seq(
+        StructField("event_ts", TimestampType))),
+      outSchema = StructType(Seq(
         StructField("vec_a", LongType), StructField("vec_b", LongType),
-        StructField("sim", DoubleType)))
-      val streamed = spark.read.schema(outSchema)
-        .option("basePath", s"$root/out").parquet(s"$root/out")
-      val out = streamed
-        .filter((col("vec_a") % 10 === 3) =!= (col("vec_b") % 10 === 3))
-        .select(
-          when(col("vec_a") % 10 === 3, col("vec_a"))
-            .otherwise(col("vec_b")).as("left_id"),
-          when(col("vec_a") % 10 === 3, col("vec_b"))
-            .otherwise(col("vec_a")).as("right_id"),
-          col("sim"))
-        .distinct()
-        .orderBy("left_id", "right_id")
-      Scratch.materializeAndClean(root, out)
-    } catch {
-      case e: Throwable =>
-        Scratch.rm(new java.io.File(root)); throw e
-    }
+        StructField("sim", DoubleType))),
+      run = s => pairs(s, "1 hour", Some(corpus)).toDF()
+    )(_.orderBy("left_id", "right_id"))
   }
 }

@@ -129,12 +129,17 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val scales = args.headOption.getOrElse("1,10,100")
       .split(',').map(_.trim.toLong).filter(_ > 0)
+    // optional second arg: comma-separated op names — ladder a subset
+    // without re-running the whole suite (merge rows run only when no
+    // filter names them out)
+    val onlyOps = args.lift(1).map(_.split(',').map(_.trim).toSet)
+    def keepOp(n: String): Boolean = onlyOps.forall(_.contains(n))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.create(cpus, "graft-scale-bench")
     spark.range(1000000).selectExpr("sum(id)").collect() // warmup
     val base = Files.createTempDirectory("graft-scale-bench").toString
 
-    val ops: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    val allOps: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "dedup_minhash_lsh" -> ((s, d) => graft.operators.Dedup.minhashLsh(s, d)),
       "sim_ivfpq_topk" -> ((s, d) => graft.operators.IvfPq.topK(s, d)),
       "sim_hnsw_topk" -> ((s, d) => graft.operators.HnswIndex.topK(s, d)),
@@ -146,6 +151,13 @@ object ScaleBench {
       // curation-path heavy hitters (r16 ask): text statistics, the
       // native-expression classifier, stateful sessionization, and the
       // perceptual image pair path (media synthesized per doc id)
+      // the two heaviest absolute bench rows (r17 ask): the banded
+      // candidate + exact-verify join, and the winnow-anchored
+      // substring span removal — the candidate-growth numbers to watch
+      "dedup_ngram_jaccard" ->
+        ((s, d) => graft.operators.Dedup.ngramJaccard(s, d)),
+      "dedup_substring_removal" ->
+        ((s, d) => graft.operators.Dedup.removeSubstringSpans(s, d)),
       "text_tfidf" ->
         ((s, d) => graft.operators.TextAnalysis.tfIdfTopTerms(s, d)),
       "text_classifier" ->
@@ -154,6 +166,7 @@ object ScaleBench {
         ((s, d) => graft.streaming.StatefulSessionize.streamSessionize(s, d)),
       "dedup_phash" ->
         ((s, d) => graft.operators.PerceptualHash.phash(s, d)))
+    val ops = allOps.filter(kv => keepOp(kv._1))
 
     val results = scala.collection.mutable.ArrayBuffer
       .empty[(String, Long, Long, Double)] // op, scale, rows, sec
@@ -186,7 +199,8 @@ object ScaleBench {
       // driver. Rebuilt per rep (a replayed fingerprint would no-op).
       // Contrast row: HnswRouted.merge of the SAME increment rebuilds
       // only the touched cells on the executors.
-      if (BaseVecs * scale <= graft.operators.HnswIndex.MaxBuild) {
+      if (BaseVecs * scale <= graft.operators.HnswIndex.MaxBuild &&
+          (keepOp("hnsw_flat_merge") || keepOp("hnsw_routed_merge"))) {
         import graft.operators.{HnswIndex, HnswRouted, Similarity}
         val vecs = Similarity.corpus(spark, dir)
         val landed = vecs.filter(col("vec_id") % 10 =!= 3)
@@ -208,12 +222,14 @@ object ScaleBench {
           println(f"[scale] $label%-24s x$scale%-4d " +
             f"rows=${BaseVecs * scale}%-9d wall=${secs.min}%8.2f s")
         }
-        timeMerge("hnsw_flat_merge",
-          r => HnswIndex.build(landed, r),
-          r => HnswIndex.merge(increment, r))
-        timeMerge("hnsw_routed_merge",
-          r => HnswRouted.build(landed, r),
-          r => HnswRouted.merge(increment, r))
+        if (keepOp("hnsw_flat_merge"))
+          timeMerge("hnsw_flat_merge",
+            r => HnswIndex.build(landed, r),
+            r => HnswIndex.merge(increment, r))
+        if (keepOp("hnsw_routed_merge"))
+          timeMerge("hnsw_routed_merge",
+            r => HnswRouted.build(landed, r),
+            r => HnswRouted.merge(increment, r))
       }
       // free the scale dir before the next decade
       graft.operators.Scratch.rm(new java.io.File(dir))
