@@ -29,7 +29,7 @@ import graft.sources.GraftTable
   *   GRAFT INDEX BUILD   <kind> '<root>' FROM (<query>)
   *   GRAFT INDEX MERGE   <kind> '<root>' FROM (<query>)
   *   GRAFT INDEX INGEST  IVF|HNSW_ROUTED '<root>' FROM (<query>)
-  *   GRAFT INDEX ADMIT   MINHASH '<root>' FROM (<query>)
+  *   GRAFT INDEX ADMIT   MINHASH|WINNOW '<root>' FROM (<query>)
   *   GRAFT INDEX COMPACT MINHASH|WINNOW|TERMS|IVF|HNSW_ROUTED '<root>'
   *   GRAFT INDEX VACUUM  IVF|PQ|HNSW_ROUTED '<root>'
   *   GRAFT INDEX STATS   HNSW_ROUTED '<root>'
@@ -54,8 +54,10 @@ import graft.sources.GraftTable
   * HNSW_ROUTED BUILD/MERGE — their INGEST takes bare
   * `(vec_id, v: array<double>)` and assigns cells against the frozen
   * centroids. ADMIT is the production crawl gate
-  * ([[graft.operators.MinhashIndex.admit]]): the `(doc_id, text)`
-  * batch is near-dup-checked against the index, survivors merge in,
+  * ([[graft.operators.MinhashIndex.admit]] for whole-doc near-dup,
+  * [[graft.operators.WinnowIndex.admit]] for copied-passage overlap):
+  * the `(doc_id, text)` batch is checked against the index,
+  * survivors merge in,
   * and — uniquely among the INDEX verbs — the command's result set is
   * the per-doc admission log `(doc_id, admitted)` rather than the
   * one-row summary, so a SQL-orchestrated pipeline can both gate and
@@ -596,26 +598,34 @@ case class GraftIndexCommand(verb: String, kind: String, root: String,
   override def run(spark: SparkSession): Seq[Row] = {
     def src = spark.sql(sourceSql.getOrElse(throw new IllegalStateException(
       s"GRAFT INDEX $verb needs a FROM query")))
+    // the crawl gate: query-then-merge with frozen decisions — the
+    // admitted set is materialized BEFORE the merge inside admit, so
+    // the log can't observe the generation it creates. The log is
+    // (doc_id, admitted) over the batch: commands surface their result
+    // set through the driver (the Delta-MERGE-metrics shape), so this
+    // is O(batch ids) — 9 bytes a row; a crawl increment too large for
+    // that goes through the Scala admit APIs, whose log stays
+    // distributed.
+    def admitLog(admit: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Seq[Row] = {
+      import org.apache.spark.sql.functions.{coalesce, col, lit}
+      val batch = src
+      val admitted = admit(batch)
+      batch.select(col("doc_id"))
+        .join(admitted.select(col("doc_id"))
+          .withColumn("adm", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("adm"), lit(false)).as("admitted"))
+        .orderBy("doc_id")
+        .collect().toSeq
+    }
     (kind, verb) match {
       case ("MINHASH", "ADMIT") =>
-        // the crawl gate: query-then-merge with frozen decisions — the
-        // admitted set is materialized BEFORE the merge inside admit,
-        // so the log can't observe the generation it creates. The log
-        // is (doc_id, admitted) over the batch: commands surface their
-        // result set through the driver (the Delta-MERGE-metrics
-        // shape), so this is O(batch ids) — 9 bytes a row; a crawl
-        // increment too large for that goes through the Scala
-        // MinhashIndex.admit API, whose log stays distributed.
-        import org.apache.spark.sql.functions.{coalesce, col, lit}
-        val batch = src
-        val admitted = MinhashIndex.admit(batch, root)
-        return batch.select(col("doc_id"))
-          .join(admitted.select(col("doc_id"))
-            .withColumn("adm", lit(true)), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("adm"), lit(false)).as("admitted"))
-          .orderBy("doc_id")
-          .collect().toSeq
+        return admitLog(MinhashIndex.admit(_, root))
+      case ("WINNOW", "ADMIT") =>
+        // same gate, copied-passage flavor: rejection = sharing >=
+        // MinSharedFp winnow fingerprints with a landed doc
+        return admitLog(WinnowIndex.admit(_, root))
       case ("MINHASH", "BUILD") => MinhashIndex.build(src, root)
       case ("MINHASH", "MERGE") => MinhashIndex.merge(src, root)
       case ("MINHASH", "COMPACT") => MinhashIndex.compact(spark, root)

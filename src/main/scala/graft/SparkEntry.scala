@@ -85,6 +85,7 @@ object SparkEntry {
     "dedup_index_lifecycle" -> (MinhashIndex.lifecycle _),
     "q_sql_index_lifecycle" -> (MinhashIndex.sqlLifecycle _),
     "q_sql_admit"           -> (MinhashIndex.sqlAdmit _),
+    "q_sql_admit_winnow"    -> (WinnowIndex.sqlAdmit _),
     "dedup_ingest_chain"    -> (MinhashIndex.ingestChain _),
     "q_admission_pipeline"  -> (Admission.pipeline _),
     "text_decontaminate"    -> (Dedup.decontaminate _),
@@ -1682,6 +1683,47 @@ object SparkEntry {
          |    SELECT 1 FROM p WHERE p.doc_a = d2.doc_id
          |    AND (p.doc_b % 3 = 0
          |         OR p.doc_b IN (SELECT doc_id FROM adm1))))
+         |SELECT d.doc_id, CAST(d.doc_id % 3 AS INT) AS batch,
+         |       (d.doc_id IN (SELECT doc_id FROM adm1)
+         |        OR d.doc_id IN (SELECT doc_id FROM adm2)) AS admitted
+         |FROM documents d WHERE d.doc_id % 3 <> 0
+         |ORDER BY doc_id""".stripMargin,
+    // the copied-passage crawl gate (GRAFT INDEX ADMIT WINNOW),
+    // chained like q_sql_admit: batch 2 is gated against batch 0 plus
+    // batch 1's survivors. The winnow hot-fingerprint drop uses the
+    // TRUE union frequency of the index state AND the incoming batch,
+    // so each step re-scopes `hot` to its own union (u1 = b0 ∪ b1,
+    // u2 = b0 ∪ adm1 ∪ b2) — a single global hot set would restate
+    // the wrong gate
+    "q_sql_admit_winnow" ->
+      s"""WITH $winnowCtes,
+         |u1 AS (SELECT doc_id, fp FROM ex WHERE doc_id % 3 IN (0, 1)),
+         |hot1 AS (SELECT fp FROM u1 GROUP BY fp
+         |         HAVING count(*) > ${Dedup.ShingleFreqCap}),
+         |p1 AS (
+         |  SELECT x.doc_id AS a FROM u1 x JOIN u1 y ON x.fp = y.fp
+         |  WHERE x.doc_id % 3 = 1 AND y.doc_id % 3 = 0
+         |    AND x.fp NOT IN (SELECT fp FROM hot1)
+         |  GROUP BY x.doc_id, y.doc_id
+         |  HAVING count(*) >= ${Dedup.MinSharedFp}),
+         |adm1 AS (
+         |  SELECT doc_id FROM documents WHERE doc_id % 3 = 1
+         |  AND doc_id NOT IN (SELECT a FROM p1)),
+         |u2 AS (SELECT doc_id, fp FROM ex
+         |       WHERE doc_id % 3 IN (0, 2)
+         |          OR doc_id IN (SELECT doc_id FROM adm1)),
+         |hot2 AS (SELECT fp FROM u2 GROUP BY fp
+         |         HAVING count(*) > ${Dedup.ShingleFreqCap}),
+         |p2 AS (
+         |  SELECT x.doc_id AS a FROM u2 x JOIN u2 y ON x.fp = y.fp
+         |  WHERE x.doc_id % 3 = 2
+         |    AND (y.doc_id % 3 = 0 OR y.doc_id IN (SELECT doc_id FROM adm1))
+         |    AND x.fp NOT IN (SELECT fp FROM hot2)
+         |  GROUP BY x.doc_id, y.doc_id
+         |  HAVING count(*) >= ${Dedup.MinSharedFp}),
+         |adm2 AS (
+         |  SELECT doc_id FROM documents WHERE doc_id % 3 = 2
+         |  AND doc_id NOT IN (SELECT a FROM p2))
          |SELECT d.doc_id, CAST(d.doc_id % 3 AS INT) AS batch,
          |       (d.doc_id IN (SELECT doc_id FROM adm1)
          |        OR d.doc_id IN (SELECT doc_id FROM adm2)) AS admitted

@@ -285,6 +285,59 @@ object WinnowIndex {
     }
   }
 
+  /** Gate one crawl batch against the index and admit the survivors:
+    * docs sharing ≥ [[Dedup.MinSharedFp]] winnow fingerprints with an
+    * already-landed doc (a copied passage, the overlap a whole-doc
+    * MinHash signature dilutes away) are rejected, everything else is
+    * [[merge]]d in. [[MinhashIndex.admit]]'s discipline, copied-passage
+    * flavor: the admitted set is MATERIALIZED before the merge, so the
+    * admission decision is frozen against the pre-merge index state
+    * and can never observe the generation it is about to write. */
+  def admit(batch: DataFrame, indexPath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val dup = query(spark, indexPath, batch)
+      .select(col("left_id")).distinct()
+    val admitted = Materialize(
+      batch.join(dup, batch("doc_id") === dup("left_id"), "left_anti"))
+    merge(admitted, indexPath)
+    admitted
+  }
+
+  /** q_sql_admit_winnow: the copied-passage crawl gate driven entirely
+    * through SQL — `GRAFT INDEX BUILD WINNOW` on the bootstrap batch,
+    * then two successive `GRAFT INDEX ADMIT WINNOW` commands whose
+    * RESULT SETS (the per-doc admission logs) form the output. Chained
+    * semantics mirror [[MinhashIndex.ingestChain]]: batch 2 is gated
+    * against batch 0 plus batch 1's SURVIVORS, and the hot-fingerprint
+    * drop at each step uses the TRUE union frequency of the index
+    * state AND the incoming batch — which the oracle must therefore
+    * re-scope per step, not globally. */
+  def sqlAdmit(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.install(spark)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-wn-sql-admit").toString
+    try {
+      graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .createOrReplaceTempView("graft_wnadmit_docs")
+      val idx = s"$root/idx"
+      spark.sql(s"GRAFT INDEX BUILD WINNOW '$idx' FROM " +
+        "(SELECT doc_id, text FROM graft_wnadmit_docs " +
+        "WHERE doc_id % 3 = 0)").collect()
+      def admitLog(k: Int) =
+        spark.sql(s"GRAFT INDEX ADMIT WINNOW '$idx' FROM " +
+          "(SELECT doc_id, text FROM graft_wnadmit_docs " +
+          s"WHERE doc_id % 3 = $k)")
+          .withColumn("batch", lit(k))
+      val log = admitLog(1).unionByName(admitLog(2))
+      Scratch.materializeAndClean(root,
+        log.select(col("doc_id"), col("batch"), col("admitted"))
+          .orderBy("doc_id"))
+    } catch {
+      case e: Throwable => Scratch.rm(new java.io.File(root)); throw e
+    }
+  }
+
   /** dedup_winnow_lifecycle: the FULL maintenance lifecycle under the
     * same oracle — build over most of the landed corpus
     * (doc_id % 10 ∉ {3, 7}), merge the remaining landed batch

@@ -97,6 +97,48 @@ class WinnowIndexSpec extends AnyFunSuite {
     } finally Scratch.rm(new java.io.File(root))
   }
 
+  test("chained admit gates each batch against the index as left by " +
+    "the previous step, identically to the in-memory join chain") {
+    val docs = docsOf
+    def batch(k: Int) = docs.filter(col("doc_id") % 3 === k)
+    val root = Files.createTempDirectory("graft-wfidx-admit").toString
+    try {
+      val idx = s"$root/idx"
+      WinnowIndex.build(batch(0), idx)
+      val a1 = WinnowIndex.admit(batch(1), idx)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val a2 = WinnowIndex.admit(batch(2), idx)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // expected: the same chain through the in-memory cross-corpus
+      // join (whose hot drop is union-scoped exactly like query's)
+      val r1 = Dedup.winnowJoin(batch(1), batch(0))
+        .select("left_id").collect().map(_.getLong(0)).toSet
+      val e1 = batch(1).select("doc_id").collect()
+        .map(_.getLong(0)).toSet -- r1
+      val landed2 = batch(0).unionByName(
+        batch(1).filter(col("doc_id").isin(e1.toSeq: _*)))
+      val r2 = Dedup.winnowJoin(batch(2), landed2)
+        .select("left_id").collect().map(_.getLong(0)).toSet
+      val e2 = batch(2).select("doc_id").collect()
+        .map(_.getLong(0)).toSet -- r2
+      assert(r1.nonEmpty, "fixture must reject at least one batch-1 doc")
+      assert(a1 == e1)
+      assert(a2 == e2)
+      // the index now covers batch 0 + survivors only: a rejected doc
+      // re-offered is rejected again (its near-dup landed), while the
+      // final index answers exactly like a fresh build over the
+      // admitted corpus
+      val fresh = Files.createTempDirectory("graft-wfidx-admit-f").toString
+      try {
+        WinnowIndex.build(landed2.unionByName(
+          batch(2).filter(col("doc_id").isin(e2.toSeq: _*))), s"$fresh/idx")
+        val probe = batch(1).limit(50)
+        assert(rows(WinnowIndex.query(spark, idx, probe)) ==
+          rows(WinnowIndex.query(spark, s"$fresh/idx", probe)))
+      } finally Scratch.rm(new java.io.File(fresh))
+    } finally Scratch.rm(new java.io.File(root))
+  }
+
   test("query plan broadcasts the increment — corpus side never sort-merges") {
     val docs = docsOf
     val root = Files.createTempDirectory("graft-wfidx-plan").toString
