@@ -94,6 +94,7 @@ object SparkEntry {
     "q_stream_decontam"     -> (DecontamIndex.streamDecontam _),
     "q_stream_neardup"      -> (graft.streaming.StreamingNearDup.streamNearDup _),
     "q_stream_phash"        -> (graft.streaming.StreamingPhash.streamPhash _),
+    "q_stream_winnow"       -> (graft.streaming.StreamingWinnow.streamWinnow _),
     "q_stream_semantic"     -> (graft.streaming.StreamingSemantic.streamSemantic _),
     "q_stream_sessionize"   -> (graft.streaming.StatefulSessionize.streamSessionize _),
     "q_stream_curation"     -> (graft.streaming.CorpusPipeline.streamCuration _),
@@ -1909,6 +1910,29 @@ object SparkEntry {
       s"""WITH ${minhashCtesWith("x.doc_id % 10 = 3 AND y.doc_id % 10 <> 3")}
          |SELECT doc_a AS left_id, doc_b AS right_id, jaccard FROM j
          |WHERE jaccard >= ${Dedup.MinhashJaccardThreshold}
+         |ORDER BY left_id, right_id""".stripMargin,
+    // the streaming copied-passage pass: landed docs bootstrap the
+    // fingerprint buckets (HotGroupCap smallest ids resident per fp —
+    // the one-sided cap; NO union-frequency hot drop, the documented
+    // contract difference from the batch join), the increment streams,
+    // a cross pair appears iff the corpus doc is resident of >=
+    // MinSharedFp fingerprint buckets the two docs share
+    "q_stream_winnow" ->
+      s"""WITH $winnowCtes,
+         |res AS (
+         |  SELECT fp, doc_id FROM (
+         |    SELECT fp, doc_id,
+         |           row_number() OVER (PARTITION BY fp
+         |                              ORDER BY doc_id) AS rn
+         |    FROM ex WHERE doc_id % 10 <> 3) WHERE rn <= ${Dedup.HotGroupCap}),
+         |inc AS (SELECT doc_id, fp FROM ex WHERE doc_id % 10 = 3),
+         |m AS (
+         |  SELECT i.doc_id AS left_id, r.doc_id AS right_id,
+         |         count(*) AS n_shared
+         |  FROM inc i JOIN res r USING (fp)
+         |  GROUP BY 1, 2)
+         |SELECT left_id, right_id, n_shared FROM m
+         |WHERE n_shared >= ${Dedup.MinSharedFp}
          |ORDER BY left_id, right_id""".stripMargin,
     // the streaming image near-dup pass: landed images bootstrap the
     // band buckets (HotGroupCap smallest ids resident per bucket —

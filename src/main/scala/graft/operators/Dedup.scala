@@ -568,38 +568,50 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val toks = text.toLowerCase(java.util.Locale.ROOT).split(' ').filter(_.nonEmpty)
-        if (toks.length < NgramN) Iterator.empty
-        else {
-          val digest = java.security.MessageDigest.getInstance("MD5")
-          val hs = new Array[String](toks.length - NgramN + 1)
-          var i = 0
-          while (i < hs.length) {
-            val g = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
-            hs(i) = hex8(digest.digest(
-              ("fp:" + g).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-            i += 1
-          }
-          val sel = new java.util.LinkedHashSet[String]()
-          if (hs.length < FpWindow) sel.add(hs.min)
-          else {
-            var w = 0
-            while (w + FpWindow <= hs.length) {
-              var m = hs(w)
-              var j = w + 1
-              while (j < w + FpWindow) {
-                if (hs(j) < m) m = hs(j)
-                j += 1
-              }
-              sel.add(m)
-              w += 1
-            }
-          }
-          val it = sel.iterator()
-          Iterator.continually(it).takeWhile(_.hasNext).map(x => (id, x.next()))
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          winnowFpsOf(text, digest).map(fp => (id, fp))
         }
       }
+  }
+
+  /** The per-document winnow selection — the kernel [[winnowFps]] and
+    * [[graft.streaming.StreamingWinnow]] share bit-identically (the
+    * streaming twin additionally carries event timestamps, which the
+    * frame-level pass has no column for). `digest` is caller-provided
+    * so a partition reuses one MD5 instance across documents. */
+  private[graft] def winnowFpsOf(text: String,
+      digest: java.security.MessageDigest): Iterator[String] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split(' ').filter(_.nonEmpty)
+    if (toks.length < NgramN) Iterator.empty
+    else {
+      val hs = new Array[String](toks.length - NgramN + 1)
+      var i = 0
+      while (i < hs.length) {
+        val g = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+        hs(i) = hex8(digest.digest(
+          ("fp:" + g).getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        i += 1
+      }
+      val sel = new java.util.LinkedHashSet[String]()
+      if (hs.length < FpWindow) sel.add(hs.min)
+      else {
+        var w = 0
+        while (w + FpWindow <= hs.length) {
+          var m = hs(w)
+          var j = w + 1
+          while (j < w + FpWindow) {
+            if (hs(j) < m) m = hs(j)
+            j += 1
+          }
+          sel.add(m)
+          w += 1
+        }
+      }
+      val it = sel.iterator()
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+    }
   }
 
   def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
