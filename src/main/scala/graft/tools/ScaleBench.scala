@@ -158,6 +158,11 @@ object ScaleBench {
         ((s, d) => graft.operators.Dedup.ngramJaccard(s, d)),
       "dedup_substring_removal" ->
         ((s, d) => graft.operators.Dedup.removeSubstringSpans(s, d)),
+      // r18: the embedding cross-corpus join (SRP bucket + hamming-1
+      // probe against capped residents) — candidate growth per decade
+      // is the number to watch, as with the banded text join
+      "dedup_semantic_crosscorpus" ->
+        ((s, d) => graft.operators.Dedup.semanticCrossCorpus(s, d)),
       "text_tfidf" ->
         ((s, d) => graft.operators.TextAnalysis.tfIdfTopTerms(s, d)),
       "text_classifier" ->
@@ -184,6 +189,7 @@ object ScaleBench {
           (s, n)
         }
         val rows = name match {
+          case "dedup_semantic_crosscorpus" => BaseVecs * scale
           case n2 if n2.startsWith("dedup") || n2.startsWith("q_sql") ||
             n2.startsWith("text") => BaseDocs * scale
           case n2 if n2.startsWith("sim") => BaseVecs * scale
