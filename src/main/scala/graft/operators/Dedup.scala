@@ -1213,31 +1213,61 @@ object Dedup {
       val asA = Iterator.range(t, nBlocks).map(j => (t * nBlocks + j, 0, id, nv))
       val asB = Iterator.range(0, t).map(a => (a * nBlocks + t, 1, id, nv))
       asA ++ asB
-    }
-    routed.groupByKey(_._1).flatMapGroups { (pairId, rows) =>
-      val diag = pairId / nBlocks == pairId % nBlocks
-      val sideA = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
-      val sideB = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
-      rows.foreach { case (_, side, id, nv) =>
-        if (side == 0) sideA += ((id, nv)) else sideB += ((id, nv))
-      }
-      val right = if (diag) sideA else sideB
-      sideA.iterator.flatMap { case (idA, nvA) =>
-        right.iterator.flatMap { case (idB, nvB) =>
-          // diagonal tiles hold each id once on side A only: idA < idB
-          // emits every in-tile pair exactly once; across tiles the two
-          // sides are disjoint so every pair appears once, ordered.
-          if (idA >= idB && diag) Iterator.empty
-          else {
-            val lo = math.min(idA, idB)
-            val hi = math.max(idA, idB)
-            val r = VectorOps.roundAt(VectorOps.dot(nvA, nvB), 4)
-            if (r >= threshold) Iterator.single((lo, hi, r))
-            else Iterator.empty
-          }
+    }.toDF("pair_id", "side", "id", "nv")
+    // one task per tile-pair, EXPLICITLY: the dot-product kernel is
+    // CPU-dense per byte, so AQE's byte-derived coalescing misjudges it
+    // (observed: the whole all-pairs pass folded into ONE task). An
+    // explicit numPartitions is exempt from AQE coalescing and is also
+    // the operator's documented memory contract — a task holds one
+    // tile-pair's two blocks. The partition-local sort groups each
+    // tile's rows contiguously so the kernel streams one group at a
+    // time, never buffering the whole partition.
+    val numTiles = nBlocks * (nBlocks + 1) / 2
+    routed.repartition(numTiles, col("pair_id"))
+      .sortWithinPartitions("pair_id")
+      .as[(Int, Int, Long, Array[Double])]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Long, Long, Double)] {
+          private var cur: Iterator[(Long, Long, Double)] = Iterator.empty
+          @annotation.tailrec
+          private def advance(): Boolean =
+            if (cur.hasNext) true
+            else if (!buf.hasNext) false
+            else {
+              val pairId = buf.head._1
+              val diag = pairId / nBlocks == pairId % nBlocks
+              val sideA = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, Array[Double])]
+              val sideB = scala.collection.mutable.ArrayBuffer
+                .empty[(Long, Array[Double])]
+              while (buf.hasNext && buf.head._1 == pairId) {
+                val (_, side, id, nv) = buf.next()
+                if (side == 0) sideA += ((id, nv)) else sideB += ((id, nv))
+              }
+              val right = if (diag) sideA else sideB
+              cur = sideA.iterator.flatMap { case (idA, nvA) =>
+                right.iterator.flatMap { case (idB, nvB) =>
+                  // diagonal tiles hold each id once on side A only:
+                  // idA < idB emits every in-tile pair exactly once;
+                  // across tiles the two sides are disjoint so every
+                  // pair appears once, ordered.
+                  if (idA >= idB && diag) Iterator.empty
+                  else {
+                    val lo = math.min(idA, idB)
+                    val hi = math.max(idA, idB)
+                    val r = VectorOps.roundAt(VectorOps.dot(nvA, nvB), 4)
+                    if (r >= threshold) Iterator.single((lo, hi, r))
+                    else Iterator.empty
+                  }
+                }
+              }
+              advance()
+            }
+          def hasNext: Boolean = advance()
+          def next(): (Long, Long, Double) = { advance(); cur.next() }
         }
-      }
-    }.toDF("vec_a", "vec_b", "sim")
+      }.toDF("vec_a", "vec_b", "sim")
       .orderBy("vec_a", "vec_b")
   }
 

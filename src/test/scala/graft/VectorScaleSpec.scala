@@ -81,6 +81,18 @@ class VectorScaleSpec extends AnyFunSuite {
     assert(b8 == b1)
   }
 
+  test("embeddingNearDup pins the tile shuffle to one partition per tile-pair") {
+    // the dot-product kernel is CPU-dense per byte: AQE's byte-derived
+    // coalescing would fold the whole all-pairs pass into one task, so
+    // the tile exchange must carry an EXPLICIT numPartitions (exempt
+    // from coalescing) equal to the B(B+1)/2 tile-pair count
+    val plan = Dedup.embeddingNearDup(spark, sf001, blocks = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("REPARTITION_BY_NUM"), plan.take(2000))
+    assert(plan.contains("hashpartitioning(pair_id"), plan.take(2000))
+    assert(plan.contains(", 36)"), plan.take(2000))
+  }
+
   test("bruteForceTopK refuses an unbounded query block") {
     val e = intercept[IllegalArgumentException] {
       Similarity.bruteForceTopK(spark, sf001, maxQueries = 3)
