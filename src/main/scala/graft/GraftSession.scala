@@ -37,6 +37,16 @@ object GraftSession {
         "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("GRAFT_ADVISORY_PARTITION", "64m"))
+      // let AQE apply the same byte-derived coalescing INSIDE cached
+      // plans: persisted frames otherwise pin the pre-AQE partition
+      // count (spark.sql.shuffle.partitions) at cache time, so every
+      // stage scanning the cache fans back out to `cores` tasks — the
+      // multi-branch operators (withCached) are exactly the cache-heavy
+      // paths. Measured: dedup_ngram_jaccard 7.1→5.0 s,
+      // dedup_decontam_persist 3.2→2.4 s, interleaved A/B ×2
+      // (OPTIMIZATION_r18.md).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")

@@ -42,11 +42,11 @@ object ConfAB {
 
     val variants: Seq[(String, Map[String, String])] = Seq(
       "base" -> Map.empty,
-      "kryo" -> Map(
-        "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer"),
+      "cachedAQE" -> Map(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true"),
       "base2" -> Map.empty,
-      "kryo2" -> Map(
-        "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer"),
+      "cachedAQE2" -> Map(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true"),
     )
 
     variants.foreach { case (tag, confs) =>
