@@ -47,6 +47,13 @@ object GraftSession {
       // (OPTIMIZATION_r18.md).
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // prefer shuffled-hash over sort-merge when the planner's size
+      // conditions allow: skips both sort passes; with byte-coalesced
+      // partitions (advisory 64m above) the per-partition build side is
+      // bounded, so the classic SHJ OOM risk is contained. The
+      // optimization guide's baseline config; measured mildly positive
+      // on the admission rows, never negative (OPTIMIZATION_r18.md).
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")

@@ -42,11 +42,15 @@ object ConfAB {
 
     val variants: Seq[(String, Map[String, String])] = Seq(
       "base" -> Map.empty,
-      "cachedAQE" -> Map(
-        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true"),
+      "shj" -> Map(
+        "spark.sql.join.preferSortMergeJoin" -> "false"),
+      "nocp" -> Map(
+        "spark.sql.constraintPropagation.enabled" -> "false"),
       "base2" -> Map.empty,
-      "cachedAQE2" -> Map(
-        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true"),
+      "shj2" -> Map(
+        "spark.sql.join.preferSortMergeJoin" -> "false"),
+      "nocp2" -> Map(
+        "spark.sql.constraintPropagation.enabled" -> "false"),
     )
 
     variants.foreach { case (tag, confs) =>
