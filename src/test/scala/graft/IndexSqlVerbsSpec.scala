@@ -175,9 +175,11 @@ class IndexSqlVerbsSpec extends AnyFunSuite {
       "second SQL ADMIT and second Scala admit gate identically")
     assert(again.size < viaSql.size,
       "re-admitting must reject survivors as near-dups of themselves")
-    // ADMIT is minhash-only: other kinds refuse at run time
+    // ADMIT speaks exactly the gate kinds (MINHASH here, WINNOW via
+    // its own spec): a kind without an admission gate refuses at run
+    // time
     val e = intercept[Exception] {
-      spark.sql(s"GRAFT INDEX ADMIT WINNOW '$root/s' FROM " +
+      spark.sql(s"GRAFT INDEX ADMIT TERMS '$root/s' FROM " +
         "(SELECT doc_id, text FROM idx_docs_admit)").collect()
     }
     assert(e.getMessage.contains("unsupported"))
