@@ -25,10 +25,21 @@ object Materialize {
     * executor-local checkpoints (single-node / interactive default). */
   val CheckpointDirConf = "graft.checkpoint.dir"
 
+  /** Runtime conf key, dev tooling only (PlanSnap/ExplainAudit): when
+    * "true", [[apply]] is a pass-through so a returned frame keeps its
+    * full lazy plan for `explain` — checkpointing otherwise collapses
+    * every materialized operator to `Scan ExistingRDD`, hiding the
+    * plan the artifact exists to show. Never set in the bench/verify
+    * path: results are identical, but lineage-truncation (and its
+    * protection of iterative loops) is part of the measured shape. */
+  val PlanInspectConf = "graft.plan.inspect"
+
   /** Eagerly compute `df`, truncate its lineage, and return the
     * materialized frame (reliable when [[CheckpointDirConf]] is set). */
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
+    if (spark.conf.getOption(PlanInspectConf).contains("true"))
+      return df
     spark.conf.getOption(CheckpointDirConf) match {
       case Some(dir) =>
         if (spark.sparkContext.getCheckpointDir.isEmpty)

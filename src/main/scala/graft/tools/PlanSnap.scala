@@ -18,6 +18,11 @@ object PlanSnap {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = GraftSession.create(cpus, "graft-plansnap")
+    // keep materialized operators' full lazy plans visible (see
+    // Materialize.PlanInspectConf) — without this every operator that
+    // checkpoints its result collapses to `Scan ExistingRDD` and the
+    // artifact shows nothing
+    spark.conf.set("graft.plan.inspect", "true")
     new java.io.File(outDir).mkdirs()
     qlist.split(',').map(_.trim).filter(_.nonEmpty).foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
