@@ -204,8 +204,19 @@ object PerceptualHash {
     }
 
   /** (doc_id, phi, plo) for every decodable document raster — one
-    * narrow typed pass over the media table. */
-  private[operators] def hashes(spark: SparkSession, dir: String): DataFrame = {
+    * narrow typed pass over the media table. Memoized MATERIALIZED per
+    * (session, dir): the ImageIO decode pass is the family's dominant
+    * cost and is needed by [[phash]] AND (twice — both corpus halves)
+    * [[phashCrossCorpus]]; without the memo each consumer re-decodes
+    * every raster. The memoized frame is tiny (3 numeric columns, one
+    * row per decodable doc) and lineage-free; [[clearMemo]] drops it
+    * with the pair memos (Bench clears between passes, so no timing
+    * ever leaks across passes). */
+  private[operators] def hashes(spark: SparkSession, dir: String): DataFrame =
+    MemoStats.cached(hashMemo, (spark, dir))(
+      Materialize(hashesUncached(spark, dir)))
+
+  private def hashesUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Multimodal.mediaTable(spark, dir)
       .select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
@@ -244,8 +255,12 @@ object PerceptualHash {
     .TrieMap.empty[(SparkSession, String), DataFrame]
   private val dctMemo = scala.collection.concurrent
     .TrieMap.empty[(SparkSession, String), DataFrame]
+  private val hashMemo = scala.collection.concurrent
+    .TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def clearMemo(): Unit = { pairMemo.clear(); dctMemo.clear() }
+  def clearMemo(): Unit = {
+    pairMemo.clear(); dctMemo.clear(); hashMemo.clear()
+  }
 
   private def phashUncached(spark: SparkSession, dir: String): DataFrame =
     pairsFromHashes(hashes(spark, dir))
