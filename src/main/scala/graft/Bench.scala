@@ -24,6 +24,12 @@ import org.apache.spark.sql.SparkSession
   *
   * `GRAFT_BENCH_ONLY=name,name` restricts to a comma-separated subset
   * for dev loops.
+  *
+  * Output contract: the full one-line JSON (metric/value/unit/queries/
+  * sf) goes to stdout AND `bench_out.json`; a short summary line with
+  * the same total (no per-query map — see the 2000-byte-capture note
+  * in main) is printed LAST so the driver's log-tail capture always
+  * contains one complete parseable object.
   */
 object Bench {
 
@@ -118,12 +124,28 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$Rounds,"failed":$failed,"memo_warm":$warmJson}"""
     println(line)
-    // the driver's log capture keeps only the TAIL of long stdout
-    // lines, losing the head rows of "queries" — persist the full line
-    // to a file next to the run so per-query timings survive intact
+    // the driver's log capture keeps only the LAST ~2000 bytes of the
+    // run's output (measured: every BENCH_r*.json "tail" is exactly
+    // 2000 chars and "parsed" has been null in ALL rounds, r01-r18).
+    // The 138 query NAMES alone total 2201 bytes, so no one-line JSON
+    // carrying the full "queries" map can ever survive that capture —
+    // persist the full line to a file next to the run so per-query
+    // timings survive intact
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_out.json"), line + "\n")
     catch { case _: Exception => () } // best-effort: stdout is primary
     spark.stop()
+    // REPORTING fix (round 19; timing methodology unchanged): emit a
+    // SHORT summary line as the very last output so that one complete,
+    // parseable JSON object sits inside the driver's 2000-byte tail.
+    // Same "metric"/"value"/"unit"/"sf" fields as the full line above;
+    // the per-query map lives in the full line and bench_out.json. At
+    // most a handful of failed names are echoed here — the detail map
+    // is on the full line.
+    val failedNames = allFailed.toSeq.sorted
+    val failedShort = failedNames.take(8).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","rounds":$Rounds,"n_queries":${results.size},"n_failed":${failedNames.size},"failed_names":$failedShort,"memo_warm_n":${memoWarm.size},"queries_full":"bench_out.json"}""")
   }
 }

@@ -28,15 +28,26 @@ object GraftSession {
       // coalescing at minPartitionSize to chase parallelism, so every
       // tiny shuffle still fans out to `cores` tasks and each downstream
       // stage pays `cores` × (task launch + plan/closure deserialize).
-      // Spark's own doc recommends false in production; byte-derived
-      // partitioning is also the scale-adaptive choice (at 100 TB the
-      // same advisory size yields thousands of partitions). Measured on
+      // Spark's own doc recommends false in production. Measured on
       // the bench suite: dedup_ngram_jaccard 11.8→6.0 s, sim_ivfpq_topk
       // 3.7→2.8 s, nothing slower (OPTIMIZATION_r18.md).
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("GRAFT_ADVISORY_PARTITION", "64m"))
+      // ...and make byte-derived sizing work in BOTH directions: AQE
+      // only coalesces DOWN from the initial partition count, which
+      // defaults to spark.sql.shuffle.partitions (= cores above) — as
+      // r18 shipped it, a 100 TB shuffle would run `cores` reduce
+      // partitions of terabytes each. Start every coalescible exchange
+      // at a high initial count and let the 64m advisory fold it to the
+      // data's real size: thousands of partitions at 100 TB, a handful
+      // at bench scale (the extra map-side blocks are cheap — measured
+      // flat on the full suite, OPTIMIZATION_r19.md). Env-overridable
+      // for cluster sizing (rule of thumb: ≥ expected shuffle bytes /
+      // advisory size).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("GRAFT_INITIAL_PARTITIONS", "1024"))
       // let AQE apply the same byte-derived coalescing INSIDE cached
       // plans: persisted frames otherwise pin the pre-AQE partition
       // count (spark.sql.shuffle.partitions) at cache time, so every
@@ -48,11 +59,13 @@ object GraftSession {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
       // prefer shuffled-hash over sort-merge when the planner's size
-      // conditions allow: skips both sort passes; with byte-coalesced
-      // partitions (advisory 64m above) the per-partition build side is
-      // bounded, so the classic SHJ OOM risk is contained. The
-      // optimization guide's baseline config; measured mildly positive
-      // on the admission rows, never negative (OPTIMIZATION_r18.md).
+      // conditions allow: skips both sort passes. The per-partition
+      // build side is bounded by AQE's byte coalescing for NON-skewed
+      // keys only — a single hot key can still exceed memory (AQE skew
+      // splitting above mitigates but cannot split one giant key), so
+      // this is the guide's §3.1/§9 baseline, not a hard containment.
+      // Measured mildly positive on the admission rows, never negative
+      // (OPTIMIZATION_r18.md).
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.files.maxPartitionBytes", (128L << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -42,15 +42,15 @@ object ConfAB {
 
     val variants: Seq[(String, Map[String, String])] = Seq(
       "base" -> Map.empty,
-      "shj" -> Map(
-        "spark.sql.join.preferSortMergeJoin" -> "false"),
-      "nocp" -> Map(
-        "spark.sql.constraintPropagation.enabled" -> "false"),
+      "init32" -> Map(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "32"),
+      "shjmap" -> Map(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> "67108864"),
       "base2" -> Map.empty,
-      "shj2" -> Map(
-        "spark.sql.join.preferSortMergeJoin" -> "false"),
-      "nocp2" -> Map(
-        "spark.sql.constraintPropagation.enabled" -> "false"),
+      "init32b" -> Map(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> "32"),
+      "shjmap2" -> Map(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> "67108864"),
     )
 
     variants.foreach { case (tag, confs) =>
